@@ -1,13 +1,185 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BotConfig
+import graft.operators.BotDetection
+import graft.operators.BotDetection.Windowing
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Conventions:
+ *   - every query is a function of (SparkSession, sfDir) reading only the
+ *     driver's parquet tables under sfDir;
+ *   - column names/aliases match the oracle SQL exactly (the driver's compare
+ *     sorts columns by name before hashing);
+ *   - timestamps are surfaced as epoch-seconds BIGINT columns (`*_s`) to
+ *     dodge timestamp-type mismatches between engines;
+ *   - aggregates are CAST to BIGINT in the oracle (DuckDB SUM yields HUGEINT).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(spark, dir, name)
+
+  /** Thresholds tuned to the driver's synthetic `events` table (~7 click/view
+   * events per user per 10-day window at sf0.01) so all three bot rules fire;
+   * the reference's own thresholds live in BotConfig() defaults and are
+   * exercised by the scenario tests. */
+  private val eventsBotConfig = BotConfig(requestLimit = 14, categoryLimit = 12, clicksToViewsLimit = 2)
+
+  /** 10-day window sliding by 1 day — the reference's 10min/40s shape scaled
+   * to the events table's one-month span. */
+  private val eventsWindowing = Windowing("10 days", "1 day")
+
+  /** Flagship: windowed bot detection on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    botDetect(spark, "/root/testdata/sf0.001")
+
+  private def normalized(spark: SparkSession, dir: String): DataFrame =
+    BotDetection.normalizeEvents(table(spark, dir, "events"))
+
+  private def botDetect(spark: SparkSession, dir: String): DataFrame =
+    BotDetection.transformAndFilterBots(normalized(spark, dir), eventsWindowing, eventsBotConfig)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P1: projection/one-hot parse of the raw event stream (SURVEY §2b P1).
+    "p1_parse_onehot" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        col("user_id").cast("string").as("ip"),
+        col("ts").cast("long").as("time_s"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("clicks"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("views"),
+        col("props").as("category"))),
+
+    // P2: key/action filter (SURVEY §2b P2) — non-null key, click/view only.
+    "p2_key_filter" -> ((s, dir) =>
+      table(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isin("click", "view"))
+        .select(
+          col("event_id"),
+          col("user_id").cast("string").as("ip"),
+          col("event_type").as("action"))),
+
+    // A3: tumbling-window hash aggregate (SURVEY §2c A3) — sum/sum/distinct.
+    "a3_windowed_agg" -> ((s, dir) =>
+      BotDetection.slidingAggregate(normalized(s, dir), Windowing("1 day", "1 day"))),
+
+    // A2: sliding-window aggregate, 10 overlapping windows per row (SURVEY §2c A2).
+    "a2_sliding_agg" -> ((s, dir) =>
+      BotDetection.slidingAggregate(normalized(s, dir), eventsWindowing)),
+
+    // A7/C: classification columns incl. integer-division rule (SURVEY §2c A7).
+    "c4_classify" -> ((s, dir) =>
+      BotDetection.classify(
+        BotDetection.slidingAggregate(normalized(s, dir), eventsWindowing),
+        eventsBotConfig)),
+
+    // Flagship composition: P1+P2+A2+A3+A7+P5+P7 (SURVEY §3 E1).
+    "bot_detect_windowed" -> ((s, dir) => botDetect(s, dir)),
+
+    // P7: dropDuplicates across all columns (SURVEY §2b P7).
+    "p7_dedup" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("user_id").cast("string").as("ip"), col("event_type").as("action"))
+        .dropDuplicates()),
+
+    // K2 parity: verdict TTL — expires_at = window_end + 10 min; rows still
+    // live relative to a deterministic "now" = max event time (SURVEY §2d K2).
+    "k_ttl_expiry" -> ((s, dir) => {
+      val bots = botDetect(s, dir)
+        .withColumn("expires_at_s", col("window_start_s") + lit(10L * 86400L) + lit(600L))
+      val nowS = table(s, dir, "events")
+        .agg(max(col("ts")).cast("long")).head().getLong(0)
+      bots.filter(col("expires_at_s") > lit(nowS))
+        .select(col("ip"), col("window_start_s"), col("reason"), col("expires_at_s"))
+    }))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = {
+    // Shared CTE bodies, kept textually identical across queries.
+    val base =
+      """SELECT CAST(user_id AS VARCHAR) AS ip,
+        |       CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_n,
+        |       CASE WHEN event_type='click' THEN 1 ELSE 0 END AS clicks,
+        |       CASE WHEN event_type='view' THEN 1 ELSE 0 END AS views,
+        |       props AS category
+        |FROM events WHERE event_type IN ('click','view')""".stripMargin
+    val slidingAgg =
+      s"""WITH base AS ($base),
+         |win AS (
+         |  SELECT ip, (day_n - k) * 86400 AS window_start_s, clicks, views, category
+         |  FROM base CROSS JOIN (SELECT unnest(range(0,10)) AS k)
+         |),
+         |agg AS (
+         |  SELECT ip, window_start_s, CAST(SUM(clicks) AS BIGINT) AS clicks,
+         |         CAST(SUM(views) AS BIGINT) AS views,
+         |         CAST(COUNT(DISTINCT category) AS BIGINT) AS n_categories
+         |  FROM win GROUP BY 1,2
+         |)""".stripMargin
+    val reasonCase =
+      """CASE WHEN clicks+views > 14 THEN 'requests'
+        |     WHEN n_categories > 12 THEN 'categories'
+        |     WHEN clicks // GREATEST(views,1) > 2 THEN 'clicks/views'
+        |     ELSE 'clear' END""".stripMargin
+    val isBotPred =
+      "(clicks+views > 14 OR n_categories > 12 OR clicks // GREATEST(views,1) > 2)"
+
+    Map(
+      "p1_parse_onehot" ->
+        """SELECT event_id, CAST(user_id AS VARCHAR) AS ip,
+          |       CAST(floor(epoch(ts)) AS BIGINT) AS time_s,
+          |       CAST(CASE WHEN event_type='click' THEN 1 ELSE 0 END AS BIGINT) AS clicks,
+          |       CAST(CASE WHEN event_type='view' THEN 1 ELSE 0 END AS BIGINT) AS views,
+          |       props AS category
+          |FROM events""".stripMargin,
+
+      "p2_key_filter" ->
+        """SELECT event_id, CAST(user_id AS VARCHAR) AS ip, event_type AS action
+          |FROM events
+          |WHERE user_id IS NOT NULL AND event_type IN ('click','view')""".stripMargin,
+
+      "a3_windowed_agg" ->
+        s"""WITH base AS ($base)
+           |SELECT ip, day_n * 86400 AS window_start_s,
+           |       CAST(SUM(clicks) AS BIGINT) AS clicks,
+           |       CAST(SUM(views) AS BIGINT) AS views,
+           |       CAST(COUNT(DISTINCT category) AS BIGINT) AS n_categories
+           |FROM base GROUP BY 1,2""".stripMargin,
+
+      "a2_sliding_agg" ->
+        s"""$slidingAgg
+           |SELECT ip, window_start_s, clicks, views, n_categories FROM agg""".stripMargin,
+
+      "c4_classify" ->
+        s"""$slidingAgg
+           |SELECT ip, window_start_s, clicks, views, n_categories,
+           |       $isBotPred AS is_bot,
+           |       $reasonCase AS reason
+           |FROM agg""".stripMargin,
+
+      "bot_detect_windowed" ->
+        s"""$slidingAgg
+           |SELECT DISTINCT ip, window_start_s, clicks, views, n_categories,
+           |       $reasonCase AS reason
+           |FROM agg WHERE $isBotPred""".stripMargin,
+
+      "p7_dedup" ->
+        """SELECT DISTINCT CAST(user_id AS VARCHAR) AS ip, event_type AS action
+          |FROM events""".stripMargin,
+
+      "k_ttl_expiry" ->
+        s"""$slidingAgg
+           |SELECT ip, window_start_s, $reasonCase AS reason,
+           |       window_start_s + ${10L * 86400L} + 600 AS expires_at_s
+           |FROM agg
+           |WHERE $isBotPred
+           |  AND window_start_s + ${10L * 86400L} + 600 >
+           |      (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events)""".stripMargin)
+  }
 }

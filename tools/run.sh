@@ -1,0 +1,18 @@
+#!/bin/bash
+# Fast local runner: java against sbt-compiled classes + /opt/spark/jars.
+# Usage: tools/run.sh <mainClass> [args...]   (e.g. graft.Verify /root/testdata/sf0.001 /tmp/out)
+set -e
+CLS=target/scala-2.13/classes
+MAIN="$1"; shift
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$CLS:/opt/spark/jars/*" "$MAIN" "$@"
