@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.BotConfig
-import graft.operators.BotDetection
+import graft.operators.{BotDetection, Dedup, Similarity, TextAnalysis}
 import graft.operators.BotDetection.Windowing
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -97,7 +97,71 @@ object SparkEntry {
         .agg(max(col("ts")).cast("long")).head().getLong(0)
       bots.filter(col("expires_at_s") > lit(nowS))
         .select(col("ip"), col("window_start_s"), col("reason"), col("expires_at_s"))
-    }))
+    }),
+
+    // ---- training-data-pipeline extensions (north star, SURVEY §7e) ----
+
+    // Text analysis: token/stopword/punct counts + content fingerprint.
+    "text_stats" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        TextAnalysis.stopwordCount(toks).cast("long").as("n_stopwords"),
+        TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Text quality scoring (c4-style cheap heuristics).
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.withQuality(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stopwords"),
+          col("stop_ratio"), col("mean_token_chars"))),
+
+    // Language ID (n-gram/function-word heuristic) — no SQL oracle (argmax
+    // over marker lists); deterministic, covered by ScalaTest.
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.withLangId(table(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("lang_pred"), col("lang_score"))),
+
+    // Exact dedup: canonical doc per normalized-content fingerprint.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Exact n-gram Jaccard near-dup pairs (inverted-index join, no cross join).
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+
+    // MinHash+LSH near-dedup, exact-verified — same answer as ngram_jaccard
+    // w.h.p.; signatures/banding aren't SQL-expressible → rows-only check.
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDedup(table(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+
+    // SimHash near-dup pairs within hamming distance 3 (pigeonhole-banded).
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
+
+    // Brute-force cosine top-k (ANN baseline; broadcast queries).
+    "embed_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 10)
+        .withColumn("rank", col("rank").cast("long"))),
+
+    // Embedding near-dup pairs above a cosine threshold (brute force).
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35)),
+
+    // LSH (random hyperplanes) near-dup candidates, exact-verified.
+    "embed_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.3, nPlanes = 6, tables = 8)),
+
+    // IVF-style ANN top-k (centroid cells shard the corpus).
+    "embed_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5, nCells = 16)
+        .withColumn("rank", col("rank").cast("long"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -180,6 +244,81 @@ object SparkEntry {
            |FROM agg
            |WHERE $isBotPred
            |  AND window_start_s + ${10L * 86400L} + 600 >
-           |      (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events)""".stripMargin)
+           |      (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events)""".stripMargin,
+
+      "text_stats" ->
+        s"""SELECT doc_id,
+           |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |       x -> x IN ($stopwordList))) AS BIGINT) AS n_stopwords,
+           |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           |  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+           |FROM documents""".stripMargin,
+
+      "text_quality" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |         x -> x IN ($stopwordList))) AS BIGINT) AS n_stopwords,
+           |    CAST(length(trim(text)) AS BIGINT) AS n_trim
+           |  FROM documents)
+           |SELECT doc_id, n_tokens, n_stopwords,
+           |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+           |  CAST(n_trim - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_token_chars
+           |FROM t""".stripMargin,
+
+      "dedup_exact" ->
+        """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+          |       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+          |       CAST(COUNT(*) AS BIGINT) AS n_copies
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "ngram_jaccard" ->
+        s"""$shingleCtes
+           |SELECT id_a, id_b, CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
+
+      "embed_topk" ->
+        s"""${cosineCtes("a.vec_id < 10 AND a.vec_id <> b.vec_id")}
+           |SELECT query_id, neighbor_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
+           |FROM cos QUALIFY rank <= 10""".stripMargin,
+
+      "embed_neardup" ->
+        s"""${cosineCtes("a.vec_id < b.vec_id")}
+           |SELECT query_id AS id_a, neighbor_id AS id_b, round(c, 4) AS cos_r
+           |FROM cos WHERE c >= 0.35""".stripMargin)
   }
+
+  /** `'the','a',...` — the stopword list quoted for SQL IN. */
+  private def stopwordList: String =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString(",")
+
+  /** Shared shingle/intersection CTEs for n-gram Jaccard oracles (n=3). */
+  private def shingleCtes: String =
+    """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |       FROM tok, UNNEST(range(1, len(ts)-1)) AS r(i) WHERE len(ts) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2)""".stripMargin
+
+  /** Shared cosine CTEs over embeddings, with the pair predicate spliced in. */
+  private def cosineCtes(pairPred: String): String = cosineTemplate.replace("PAIRPRED", pairPred)
+
+  private def cosineTemplate: String =
+    """WITH elems AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x*b.x) AS dp
+      |         FROM elems a JOIN elems b ON a.i = b.i
+      |         WHERE PAIRPRED
+      |         GROUP BY 1,2),
+      |cos AS (SELECT query_id, neighbor_id, dp/(na.nrm*nb.nrm) AS c
+      |        FROM dots JOIN norms na ON na.vec_id = query_id
+      |                  JOIN norms nb ON nb.vec_id = neighbor_id)""".stripMargin
 }

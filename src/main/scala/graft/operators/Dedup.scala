@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, in increasing
+ * fuzziness: exact (hash groupBy), exact n-gram Jaccard (shingle join),
+ * MinHash+LSH (banded signatures), SimHash (hamming-banded bit sketches).
+ *
+ * Scale design (100 TB rules):
+ *   - NOTHING does a cross join: exact Jaccard joins on shingle (shuffle is
+ *     proportional to corpus token count, not doc-pairs); MinHash/SimHash
+ *     join on LSH bucket keys so only colliding candidates are compared;
+ *   - signatures are fixed-size arrays (64 longs) regardless of doc length —
+ *     per-key state is bounded;
+ *   - all shingle/hash math is higher-order built-in expressions
+ *     (codegen'd), no UDFs.
+ */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /**
+   * Exact dedup: canonical representative (min id) per normalized-content
+   * fingerprint. One shuffle on the md5 key; at scale the fingerprint is
+   * computed map-side and only (fp, id) pairs move.
+   */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles of `toks` (empty array if too short —
+   * NB `sequence(0, s-n)` would run descending for s<n, hence the guard). */
+  def shingleArray(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct word n-gram shingles, one row per (id, shingle). */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        shingleArray(TextAnalysis.tokens(col(textCol)), n).as("shingles"))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
+  /**
+   * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+   * Distributed as an inverted-index self-join on the shingle — the standard
+   * scalable exact algorithm: |A∩B| from the join, |A|,|B| from per-doc
+   * sizes, jaccard = i / (|A|+|B|−i). Pairs sharing nothing never meet.
+   */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /**
+   * MinHash signature: k independent hash functions simulated by seeding
+   * xxhash64 with the function index; signature[j] = min over shingles of
+   * xxhash64(j, shingle). Fixed k longs per doc regardless of length.
+   */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingles, s => xxhash64(j, s))))
+
+  def withMinhash(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        shingleArray(TextAnalysis.tokens(col(textCol)), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+
+  /**
+   * LSH banding: split the k-long signature into `bands` bands of k/bands
+   * rows; bucket key = (band index, xxhash64 of the band slice). Docs agree
+   * on a whole band ⇒ same bucket ⇒ candidate pair. Probability a pair with
+   * jaccard j becomes a candidate: 1−(1−j^r)^b (r=k/bands).
+   */
+  def lshBuckets(signed: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    signed.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit(42), b, slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** Candidate pairs = docs sharing any LSH bucket (deduped across bands).
+   * The join is on (band, bucket) — shuffle ∝ corpus size, never all-pairs. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val buckets = lshBuckets(withMinhash(df, idCol, textCol, n, k), k, bands)
+    buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /**
+   * Full MinHash near-dedup: LSH candidates verified with exact shingle
+   * Jaccard (verification touches only candidates, so the expensive exact
+   * step runs on a vanishing fraction of the corpus).
+   */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, n, k, bands)
+    val sh = shingleRows(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /**
+   * 64-bit SimHash over tokens: per bit b, sum ±1 votes of each token's
+   * xxhash64 bit b; simhash bit b = 1 iff the vote is positive. Near-dup
+   * pairs then agree on most bits (small hamming distance). Bits are
+   * statically unrolled (shift amounts must be literals); the token hash is
+   * computed once and the 64 votes fold over the hash array.
+   */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(array_distinct(toks), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      simhash(TextAnalysis.tokens(col(textCol))).as("simhash"))
+
+  /**
+   * SimHash near-dup pairs with hamming distance ≤ maxDist, found by the
+   * pigeonhole trick: split 64 bits into (maxDist+1) blocks — any pair
+   * within maxDist agrees exactly on ≥1 whole block, so block value is the
+   * LSH bucket key. Only block-colliding pairs get a popcount check.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val blocks = maxDist + 1
+    val width = 64 / blocks
+    val hashed = withSimhash(df, idCol, textCol)
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val keyed = hashed.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until blocks).map(b =>
+          shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "blockval")
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    keyed.as("a").join(keyed.as("b"), Seq("block", "blockval"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

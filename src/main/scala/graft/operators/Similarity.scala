@@ -1,0 +1,133 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`ARRAY<FLOAT>`).
+ *
+ * Baseline: brute-force cosine top-k (broadcast the query set, never the
+ * corpus). Scale path: random-hyperplane LSH bucketing so candidate
+ * generation joins on bucket keys instead of forming the full cross product.
+ * All vector math is `zip_with`/`aggregate` higher-order expressions —
+ * codegen'd, no UDF, no collect.
+ */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision (cast first: float widening is exact). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a.cast("array<double>"), x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k: for each query row (`queryPred`), the k nearest
+   * corpus rows by cosine. The query side is broadcast — the corpus is
+   * streamed once per partition, so the plan is a single broadcast
+   * nested-loop with no corpus shuffle; ranking shuffles only
+   * (queries × corpus) scored rows partitioned by query.
+   */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val queries = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val corpus = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** All near-duplicate pairs with cosine ≥ threshold (brute force, i<j).
+   * Broadcast self-join — only for corpora that fit a broadcast; the scale
+   * variant is [[lshNearDupPairs]]. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Deterministic random hyperplanes (seeded), as a literal array column —
+   * computed once on the driver, broadcast as part of the plan. */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit LSH bucket id: bit p = (v · hyperplaneₚ) > 0. Vectors in the
+   * same bucket have all sign bits equal → high cosine likelihood. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val hp = hyperplanes(nPlanes, dim, seed)
+    val bits = hp.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vec, planeCol) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /**
+   * LSH-bucketed near-dup pairs: `tables` independent hash tables (different
+   * seeds) of `nPlanes` sign bits each; candidates = pairs sharing a bucket
+   * in any table; verified with exact cosine. Join is on (table, bucket) —
+   * shuffle ∝ corpus × tables, not corpus².
+   */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+    val keyed = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col(vecCol), nPlanes, dim, seed = 42L + t)): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .distinct()
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /**
+   * IVF-style ANN: assign every vector to its nearest of `nCells` centroid
+   * cells (centroids = deterministic sample of the corpus), then search only
+   * the query's own cell. Returns top-k per query among same-cell vectors.
+   * The scale path when LSH recall is too coarse: cells shard the corpus so
+   * each query scores ~N/nCells candidates.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nCells: Int): DataFrame = {
+    // deterministic "training": first nCells rows by id are the centroids
+    val centroids = df.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
+    def assign(in: DataFrame, id: String, vec: String): DataFrame = {
+      val scored = in.join(broadcast(centroids), lit(true))
+        .withColumn("cdist", cosine(col(vec), col("cvec")))
+      val w = Window.partitionBy(col(id)).orderBy(col("cdist").desc, col("cell_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col(id), col(vec), col("cell_id"))
+    }
+    val corpus = assign(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
+      "neighbor_id", "nvec")
+    val queries = assign(df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id", "qvec")
+    val scored = corpus.join(broadcast(queries), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Synthetic corpus with planted structure: d1≈d2 (one word changed),
+  // d3=d1 verbatim, d4 unrelated, d5 short.
+  private val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base.replace("lazy", "sleepy")),
+    (3L, base),
+    (4L, "completely different content about spark catalyst optimizer internals and codegen"),
+    (5L, "too short")).toDF("doc_id", "text")
+
+  test("exact dedup groups verbatim copies under one canonical id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(out.contains((1L, 2L)))           // d1+d3 collapse
+    assert(out.count(_._2 == 1L) === 3)      // d2, d4, d5 unique
+  }
+
+  test("exact dedup is whitespace/case insensitive via normalization") {
+    val messy = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, " HELLO\tWORLD ")).toDF("doc_id", "text")
+    val out = Dedup.exact(messy, "doc_id", "text").collect()
+    assert(out.length === 1 && out.head.getAs[Long]("n_copies") === 3L)
+  }
+
+  test("ngram jaccard finds planted near-dup and exact-dup pairs") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 3L)) === 1.0)          // verbatim copy
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash+LSH dedup matches exact jaccard on the driver corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val exact = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashDedup(d, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact))               // verification guarantees precision
+    assert(mh.size >= (exact.size * 0.9).toInt)  // LSH recall ≥ 90% at j≥0.5
+  }
+
+  test("simhash of identical docs is identical; near-dups are hamming-close") {
+    val out = Dedup.withSimhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === out(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(out(1L), out(2L)) < hamming(out(1L), out(4L)))
+  }
+
+  test("simhashPairs finds pairs within the hamming radius, none beyond") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) === 0L)
+    assert(pairs.values.forall(_ <= 3L))
+  }
+}

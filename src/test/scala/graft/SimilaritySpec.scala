@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  private lazy val tiny = Seq(
+    (1L, vec(1, 0, 0, 0)),
+    (2L, vec(0.9, 0.1, 0, 0)),   // near v1
+    (3L, vec(0, 1, 0, 0)),       // orthogonal to v1
+    (4L, vec(-1, 0, 0, 0)),      // opposite of v1
+    (5L, vec(0.8, 0.2, 0, 0))).toDF("vec_id", "embedding")
+
+  test("cosine column computes the expected values") {
+    val df = tiny.as("a").join(tiny.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+    val m = df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(m((1L, 3L))) < 1e-12)
+    assert(math.abs(m((1L, 4L)) + 1.0) < 1e-12)
+    assert(m((1L, 2L)) > 0.99)
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic tie-break") {
+    val out = Similarity.bruteForceTopK(tiny, "vec_id", "embedding", col("vec_id") === 1, k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(out.map(_._1).toSeq === Seq(2L, 5L, 3L)) // by descending cosine
+  }
+
+  test("near-dup pairs above threshold only") {
+    val pairs = Similarity.nearDupPairs(tiny, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 5L)) && pairs.contains((1L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("LSH near-dup pairs are a subset of brute-force pairs (exact-verified)") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(e, "vec_id", "embedding", 64, 0.3, 6, 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty && lsh.subsetOf(brute))
+  }
+
+  test("IVF top-k returns same-cell exact neighbors") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val out = Similarity.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 5, k = 5, nCells = 8)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.forall(_ < 5))
+    assert(rows.map(_.getInt(2)).forall(r => r >= 1 && r <= 5))
+  }
+}
