@@ -161,7 +161,34 @@ object SparkEntry {
     "embed_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
           queryPred = col("vec_id") < 10, k = 5, nCells = 16)
-        .withColumn("rank", col("rank").cast("long"))))
+        .withColumn("rank", col("rank").cast("long"))),
+
+    // A5/A6/A7 DStream-parity keyed track-list state, run in batch over the
+    // events clickstream (typed flatMapGroupsWithState → rows-only check).
+    "state_tracklist" -> ((s, dir) => {
+      import s.implicits._
+      val recs = BotDetection.normalizeEvents(table(s, dir, "events"))
+        .as[graft.model.LogRecord]
+      graft.streaming.TrackListState
+        .verdicts(recs, eventsBotConfig, slideS = 86400L, trackS = 10L * 86400L)
+        .toDF()
+    }),
+
+    // Multimodal: binary media column + stub decode/featurize (mapPartitions
+    // batch plumbing; the md5 checksum column is the oracle-comparable part).
+    "multimodal_meta" -> ((s, dir) => {
+      val media = operators.Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
+      operators.Multimodal.withFeatures(media)
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.n_bytes").as("n_bytes"),
+          element_at(col("features"), 1).cast("double").as("feat0"))
+    }),
+
+    // Oracle-backed slice of the multimodal table (checksum + byte length).
+    "multimodal_checksum" -> ((s, dir) =>
+      operators.Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("media_id"), length(col("bytes")).cast("long").as("n_bytes"),
+          col("checksum"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -289,7 +316,13 @@ object SparkEntry {
       "embed_neardup" ->
         s"""${cosineCtes("a.vec_id < b.vec_id")}
            |SELECT query_id AS id_a, neighbor_id AS id_b, round(c, 4) AS cos_r
-           |FROM cos WHERE c >= 0.35""".stripMargin)
+           |FROM cos WHERE c >= 0.35""".stripMargin,
+
+      "multimodal_checksum" ->
+        """SELECT doc_id AS media_id,
+          |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+          |       md5(text) AS checksum
+          |FROM documents""".stripMargin)
   }
 
   /** `'the','a',...` — the stopword list quoted for SQL IN. */

@@ -102,6 +102,11 @@ object BotDetection {
   def filterBots(classified: DataFrame): DataFrame =
     classified.filter(col("is_bot")).drop("is_bot").dropDuplicates()
 
+  /** Streaming-safe P5: no unbounded dropDuplicates (SURVEY.md §7d) — update
+   * mode re-emission is resolved by the sink's first-write-wins upsert. */
+  def filterBotsStreaming(classified: DataFrame): DataFrame =
+    classified.filter(col("is_bot")).drop("is_bot")
+
   /** Full pipeline over normalized LogRecords — the equivalent of the
    * reference's `transformAndFilterBots` (`ImplStructured.scala:145-146`). */
   def transformAndFilterBots(records: DataFrame, w: Windowing, cfg: BotConfig): DataFrame =

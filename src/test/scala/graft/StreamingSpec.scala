@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BotConfig
+import graft.fixtures.Fixtures
+import graft.model.LogRecord
+import graft.operators.BotDetection
+import graft.sinks.Sinks
+import graft.sources.{BotGen, Ingest}
+import graft.streaming.StreamingBotDetection
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("MemoryStream run of the verdict plan equals the batch run") {
+    import spark.implicits._
+    val rows = Fixtures.requestsPerInterval("bot", 1001) ++
+      Fixtures.requestsPerInterval("hum", 999)
+
+    val input = MemoryStream[LogRecord](spark)
+    input.addData(rows)
+    val stream = StreamingBotDetection.verdictStream(
+      input.toDF(), BotDetection.referenceWindowing, BotConfig())
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("verdicts_mem").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("verdicts_mem")
+      .select("ip", "window_start_s", "clicks", "views", "n_categories", "reason")
+      .collect().map(_.toSeq).toSet
+    val batch = BotDetection.filterBotsStreaming(BotDetection.classify(
+        BotDetection.slidingAggregate(rows.toDF(), BotDetection.referenceWindowing),
+        BotConfig()))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("json-dir file source end-to-end: botgen traffic, bots flagged, users not") {
+    val dir = tmp("botgen")
+    // 600 s of traffic: each bot does 300 actions (75% clicks, 20 cats) →
+    // categories/ratio/requests rules fire; 200 users share 1 action/s →
+    // ~3 actions each, stay clear.
+    BotGen.writeJsonDir(dir, BotGen.events(nUsers = 200, nBots = 2, durationS = 600))
+
+    val stream = StreamingBotDetection.verdictStream(
+      Ingest.toLogRecords(Ingest.jsonDirStream(spark, dir)),
+      BotDetection.referenceWindowing, BotConfig())
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("verdicts_dir").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val verdicts = spark.table("verdicts_dir").select("ip", "reason").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val flagged = verdicts.map(_._1).toSet
+    // every bot is caught
+    assert(Set(BotGen.botIp(0), BotGen.botIp(1)).subsetOf(flagged))
+    // the volume rule can only ever fire for bots (users share 1 action/s)
+    assert(verdicts.filter(_._2 == "requests").forall(_._1.startsWith("172.20.")))
+    // a user occasionally trips the category rule (6+ samples in one window
+    // over 10 categories) — rule-correct, so only require bots dominate
+    assert(flagged.count(_.startsWith("172.20.")) === 2)
+    assert(flagged.count(_.startsWith("172.10.")) <= 5, s"too many users flagged: $flagged")
+  }
+
+  test("streaming equals batch on the same generated files") {
+    import spark.implicits._
+    val dir = tmp("replay")
+    BotGen.writeJsonDir(dir, BotGen.events(nUsers = 100, nBots = 2, durationS = 300))
+    val w = BotDetection.referenceWindowing
+
+    val q = StreamingBotDetection.verdictStream(
+        Ingest.toLogRecords(Ingest.jsonDirStream(spark, dir, maxFilesPerTrigger = 1)),
+        w, BotConfig())
+      .writeStream.outputMode("update").format("memory").queryName("replay_mem").start()
+    try q.processAllAvailable() finally q.stop()
+    // update mode re-emits growing windows across micro-batches: the LAST
+    // emission per (ip, window) must equal the batch result
+    val lastPerKey = spark.table("replay_mem")
+      .groupBy("ip", "window_start_s")
+      .agg(max(struct(col("clicks"), col("views"), col("n_categories"), col("reason"))).as("s"))
+      .select(col("ip"), col("window_start_s"), col("s.clicks"), col("s.views"),
+        col("s.n_categories"), col("s.reason"))
+      .collect().map(_.toSeq).toSet
+
+    val batch = BotDetection.filterBotsStreaming(BotDetection.classify(
+        BotDetection.slidingAggregate(
+          Ingest.toLogRecords(Ingest.jsonDirBatch(spark, dir)), w), BotConfig()))
+      .collect().map(_.toSeq).toSet
+    assert(batch.subsetOf(lastPerKey))
+    // every batch verdict key appears, and its final streamed values match
+    assert(lastPerKey.map(s => (s(0), s(1))) === batch.map(s => (s(0), s(1))))
+  }
+
+  test("parquet sink upsert: first write per key wins, TTL filters on read") {
+    import spark.implicits._
+    val path = tmp("sink") + "/verdicts"
+    val b0 = Seq(("1.2.3.4", 100L, "requests", 1000L)).toDF("ip", "window_start_s", "reason", "expires_at_s")
+    val b1 = Seq(
+      ("1.2.3.4", 100L, "categories", 1000L),  // duplicate key → ignored
+      ("5.6.7.8", 100L, "requests", 500L)      // expires before "now"
+    ).toDF("ip", "window_start_s", "reason", "expires_at_s")
+    Sinks.parquetAppend(path)(b0, 0L)
+    Sinks.parquetAppend(path)(b1, 1L)
+
+    val all = Sinks.readVerdicts(spark, path, Seq("ip", "window_start_s"))
+      .select("ip", "reason").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all === Set(("1.2.3.4", "requests"), ("5.6.7.8", "requests")))
+
+    val live = Sinks.readVerdicts(spark, path, Seq("ip", "window_start_s"), nowS = Some(600L))
+      .select("ip").collect().map(_.getString(0)).toSet
+    assert(live === Set("1.2.3.4"))
+  }
+}
