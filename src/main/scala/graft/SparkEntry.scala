@@ -188,7 +188,26 @@ object SparkEntry {
     "multimodal_checksum" -> ((s, dir) =>
       operators.Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
         .select(col("media_id"), length(col("bytes")).cast("long").as("n_bytes"),
-          col("checksum"))))
+          col("checksum"))),
+
+    // A3 typed-Aggregator twin: single-pass IpStat monoid aggregation per
+    // (ip, day); categories surfaced as a sorted comma-joined string so the
+    // oracle compare stays scalar.
+    "a3_typed_agg" -> ((s, dir) => {
+      import s.implicits._
+      val recs = BotDetection.normalizeEvents(table(s, dir, "events"))
+        .withColumn("day_s", (col("time").cast("long") / 86400L).cast("long") * 86400L)
+        .as[(String, java.sql.Timestamp, Long, Long, String, Long)]
+      // typed groupByKey on (ip, day) + the monoid aggregator
+      val agged = recs
+        .groupByKey { case (ip, _, _, _, _, day) => (ip, day) }
+        .mapValues { case (ip, t, clicks, views, category, _) =>
+          graft.model.LogRecord(ip, t, clicks, views, category) }
+        .agg(graft.functions.IpStatAggregator.toColumn)
+      agged.map { case ((ip, day), stat) =>
+        (ip, day, stat.clicks, stat.views, stat.categories.toSeq.sorted.mkString(","))
+      }.toDF("ip", "window_start_s", "clicks", "views", "categories_csv")
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -322,7 +341,15 @@ object SparkEntry {
         """SELECT doc_id AS media_id,
           |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
           |       md5(text) AS checksum
-          |FROM documents""".stripMargin)
+          |FROM documents""".stripMargin,
+
+      "a3_typed_agg" ->
+        s"""WITH base AS ($base)
+           |SELECT ip, day_n * 86400 AS window_start_s,
+           |       CAST(SUM(clicks) AS BIGINT) AS clicks,
+           |       CAST(SUM(views) AS BIGINT) AS views,
+           |       array_to_string(list_sort(list(DISTINCT category)), ',') AS categories_csv
+           |FROM base GROUP BY 1,2""".stripMargin)
   }
 
   /** `'the','a',...` — the stopword list quoted for SQL IN. */

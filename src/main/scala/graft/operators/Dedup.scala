@@ -48,6 +48,16 @@ object Dedup {
         shingleArray(TextAnalysis.tokens(col(textCol)), n).as("shingles"))
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
+  /** Same, but each shingle reduced to its xxhash64 — set-intersection joins
+   * shuffle and compare 8-byte keys instead of whole n-gram strings (the
+   * standard trick; a 2⁻⁶⁴ collision inflates one intersection count by 1,
+   * far below any threshold's sensitivity). */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        shingleArray(TextAnalysis.tokens(col(textCol)), n).as("shingles"))
+      .select(col("doc_id"),
+        explode(transform(col("shingles"), s => xxhash64(s))).as("shash"))
+
   /**
    * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
    * Distributed as an inverted-index self-join on the shingle — the standard
@@ -55,13 +65,19 @@ object Dedup {
    * sizes, jaccard = i / (|A|+|B|−i). Pairs sharing nothing never meet.
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, n).cache()
+      threshold: Double): DataFrame =
+    jaccardFromShingles(shingleHashRows(df, idCol, textCol, n).persist(), threshold, None)
+
+  /** Shared inverted-index jaccard core over (doc_id, shash) rows; candidate
+   * pairs optionally restricted by a left-semi join on `candidates`. */
+  private def jaccardFromShingles(sh: DataFrame, threshold: Double,
+      candidates: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), "shingle")
+    val interBase = sh.as("a").join(sh.as("b"), "shash")
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    val inter = candidates.fold(interBase)(c => interBase.join(c, Seq("id_a", "id_b"), "left_semi"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -74,13 +90,14 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /**
-   * MinHash signature: k independent hash functions simulated by seeding
-   * xxhash64 with the function index; signature[j] = min over shingles of
-   * xxhash64(j, shingle). Fixed k longs per doc regardless of length.
+   * MinHash signature via the one-hash + k-mix construction: each shingle is
+   * xxhash64'd once, then sig[j] = min of splitmix64(h ⊕ seedⱼ) — a single
+   * codegen'd pass ([[graft.functions.MinHashSignature]]) instead of k
+   * interpreted folds. Fixed k longs per doc regardless of length.
    */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles, s => xxhash64(j, s))))
+    graft.functions.HashExpressions.minhashSig(
+      transform(shingles, s => xxhash64(s)), k)
 
   def withMinhash(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
@@ -97,17 +114,21 @@ object Dedup {
   def lshBuckets(signed: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     signed.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(lit(42), b, slice(col("sig"), b * r + 1, lit(r))))))
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(42), lit(b), slice(col("sig"), lit(b * r + 1), lit(r)))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }
 
   /** Candidate pairs = docs sharing any LSH bucket (deduped across bands).
-   * The join is on (band, bucket) — shuffle ∝ corpus size, never all-pairs. */
+   * The join is on (band, bucket) — shuffle ∝ corpus size, never all-pairs.
+   * Signatures are persisted first: Catalyst's projection collapse would
+   * otherwise inline the whole minhash pipeline into EVERY band expression
+   * and the self-join sides (measured 347 s → ~10 s at sf0.1). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
-    val buckets = lshBuckets(withMinhash(df, idCol, textCol, n, k), k, bands)
+    val signed = withMinhash(df, idCol, textCol, n, k).persist()
+    val buckets = lshBuckets(signed, k, bands)
     buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -122,20 +143,8 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, n, k, bands)
-    val sh = shingleRows(df, idCol, textCol, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), "shingle")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-      .join(cand, Seq("id_a", "id_b"), "left_semi")
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sh = shingleHashRows(df, idCol, textCol, n).persist()
+    jaccardFromShingles(sh, threshold, Some(cand))
   }
 
   // -------------------------------------------------------------- simhash
@@ -143,19 +152,13 @@ object Dedup {
   /**
    * 64-bit SimHash over tokens: per bit b, sum ±1 votes of each token's
    * xxhash64 bit b; simhash bit b = 1 iff the vote is positive. Near-dup
-   * pairs then agree on most bits (small hamming distance). Bits are
-   * statically unrolled (shift amounts must be literals); the token hash is
-   * computed once and the 64 votes fold over the hash array.
+   * pairs then agree on most bits (small hamming distance). Token hashes are
+   * computed once; the 64 votes run in one codegen'd pass
+   * ([[graft.functions.SimHash64]]).
    */
-  def simhash(toks: Column): Column = {
-    val hashes = transform(array_distinct(toks), t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def simhash(toks: Column): Column =
+    graft.functions.HashExpressions.simhash64(
+      transform(array_distinct(toks), t => xxhash64(t)))
 
   def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),

@@ -60,4 +60,30 @@ object Sinks {
   /** Console sink (K5 parity). */
   def startConsoleSink(verdicts: DataFrame): StreamingQuery =
     verdicts.writeStream.outputMode("update").format("console").start()
+
+  /**
+   * K3/K4 parity: raw-event mirror to a keyed store with expiry — the
+   * reference side-outputs every LogRecord to an Ignite cache keyed
+   * (ip, time) with a 1-minute expiry (`ImplStructured.scala:43-60`,
+   * `ignite/config.xml:52-72`). Offline equivalent: append-mode parquet
+   * keyed by (ip, time) with an `expires_at_s` column; [[readMirror]]
+   * applies the expiry like the cache's TTL eviction would.
+   */
+  def startMirrorSink(records: DataFrame, path: String, checkpoint: String,
+      expirySeconds: Long = 60L,
+      triggerInterval: String = "60 seconds"): StreamingQuery =
+    records
+      .withColumn("expires_at_s",
+        col("time").cast("long") + expirySeconds)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+
+  /** Read the mirror back, dropping expired entries relative to `nowS`. */
+  def readMirror(spark: SparkSession, path: String, nowS: Long): DataFrame =
+    spark.read.parquet(path).filter(col("expires_at_s") > nowS)
 }
