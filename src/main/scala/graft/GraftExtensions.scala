@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{FloatDotProduct, MinHashSignature, SimHash64}
+
+/**
+ * SQL surface for the engine's custom Catalyst expressions. Activate on a
+ * new session with `spark.sql.extensions=graft.GraftExtensions` (or
+ * `SparkSession.builder().withExtensions(new GraftExtensions)`); for an
+ * already-running session use [[GraftExtensions.register]].
+ *
+ * Functions: `float_dot(a, b)`, `simhash64(hashes)`, `minhash_sig(hashes, k)`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, (info, builder)) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val builders: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
+    "float_dot" -> (info("float_dot",
+      "float_dot(a, b) - dot product of two ARRAY<FLOAT> in double precision"),
+      (es: Seq[Expression]) => FloatDotProduct(es(0), es(1))),
+    "simhash64" -> (info("simhash64",
+      "simhash64(hashes) - 64-bit simhash from an ARRAY<BIGINT> of element hashes"),
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    "minhash_sig" -> (info("minhash_sig",
+      "minhash_sig(hashes, k) - k-long minhash signature from ARRAY<BIGINT>"),
+      (es: Seq[Expression]) => MinHashSignature(es(0),
+        es(1).eval().asInstanceOf[Int])))
+
+  /** Register the functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, (_, builder)) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, builder)
+    }
+}

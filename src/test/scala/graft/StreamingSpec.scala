@@ -101,6 +101,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastPerKey.map(s => (s(0), s(1))) === batch.map(s => (s(0), s(1))))
   }
 
+  test("raw-event mirror sink: keyed append with expiry (K3/K4 parity)") {
+    val dir = tmp("mirror-in")
+    val out = tmp("mirror-out") + "/cache"
+    val ckpt = tmp("mirror-ckpt")
+    BotGen.writeJsonDir(dir, BotGen.events(nUsers = 20, nBots = 1, durationS = 120))
+    val q = Sinks.startMirrorSink(
+      Ingest.toLogRecords(Ingest.jsonDirStream(spark, dir)), out, ckpt,
+      expirySeconds = 60L, triggerInterval = "1 seconds")
+    try q.processAllAvailable() finally q.stop()
+
+    val base = graft.fixtures.Fixtures.baseEpochS
+    val all = Sinks.readMirror(spark, out, nowS = 0L)
+    val everything = all.count()
+    assert(everything > 0)
+    // entries expire 60 s after event time: at now = base+120 only the last
+    // minute of traffic survives
+    val live = Sinks.readMirror(spark, out, nowS = base + 120L)
+    assert(live.count() > 0 && live.count() < everything)
+    assert(live.select(min(col("time").cast("long"))).head().getLong(0) > base + 60L)
+  }
+
   test("parquet sink upsert: first write per key wins, TTL filters on read") {
     import spark.implicits._
     val path = tmp("sink") + "/verdicts"
