@@ -190,6 +190,18 @@ object SparkEntry {
         .select(col("media_id"), length(col("bytes")).cast("long").as("n_bytes"),
           col("checksum"))),
 
+    // A3 skew path: salted two-phase aggregation — same result (and oracle)
+    // as a3_windowed_agg, but hot keys spread over 8 salt buckets.
+    "a3_salted_agg" -> ((s, dir) =>
+      BotDetection.saltedTumblingAggregate(
+        normalized(s, dir), Windowing("1 day", "1 day"), salts = 8)),
+
+    // P1 nested-JSON variant: extract the props payload field (get_json_object).
+    "p1_json_props" -> ((s, dir) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
     // A3 typed-Aggregator twin: single-pass IpStat monoid aggregation per
     // (ip, day); categories surfaced as a sorted comma-joined string so the
     // oracle compare stays scalar.
@@ -349,7 +361,21 @@ object SparkEntry {
            |       CAST(SUM(clicks) AS BIGINT) AS clicks,
            |       CAST(SUM(views) AS BIGINT) AS views,
            |       array_to_string(list_sort(list(DISTINCT category)), ',') AS categories_csv
-           |FROM base GROUP BY 1,2""".stripMargin)
+           |FROM base GROUP BY 1,2""".stripMargin,
+
+      // identical to a3_windowed_agg by construction (salting is disjoint)
+      "a3_salted_agg" ->
+        s"""WITH base AS ($base)
+           |SELECT ip, day_n * 86400 AS window_start_s,
+           |       CAST(SUM(clicks) AS BIGINT) AS clicks,
+           |       CAST(SUM(views) AS BIGINT) AS views,
+           |       CAST(COUNT(DISTINCT category) AS BIGINT) AS n_categories
+           |FROM base GROUP BY 1,2""".stripMargin,
+
+      "p1_json_props" ->
+        """SELECT event_id,
+          |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |FROM events""".stripMargin)
   }
 
   /** `'the','a',...` — the stopword list quoted for SQL IN. */

@@ -89,6 +89,35 @@ object BotDetection {
       col("clicks"), col("views"), col("n_categories"))
   }
 
+  /**
+   * Skew-resistant twin of [[slidingAggregate]] (tumbling windows): phase 1
+   * aggregates on (ip, salt, window) — a hot ip's rows spread over `salts`
+   * reducers — phase 2 merges the partials with the IpStat monoid (sums add;
+   * HLL sketches of the category count merge losslessly). Same result as the
+   * unsalted plan (hash-matches the same oracle); use when a key is hot
+   * enough to dwarf AQE's skew handling. The salt is the CATEGORY hash, so
+   * each salt bucket sees a disjoint slice of the category domain and exact
+   * per-salt distinct counts sum losslessly to the exact total.
+   */
+  def saltedTumblingAggregate(records: DataFrame, w: Windowing, salts: Int): DataFrame = {
+    val partial = records
+      .withColumn("salt", pmod(xxhash64(col("category")), lit(salts)))
+      .groupBy(col("ip"), col("salt"), window(col("time"), w.duration, w.slide))
+      .agg(
+        sum(col("clicks")).as("p_clicks"),
+        sum(col("views")).as("p_views"),
+        countDistinct(col("category")).as("p_cats"))
+    // phase 2: merge partials per (ip, window)
+    partial
+      .groupBy(col("ip"), col("window"))
+      .agg(
+        sum(col("p_clicks")).as("clicks"),
+        sum(col("p_views")).as("views"),
+        sum(col("p_cats")).cast("long").as("n_categories"))
+      .select(col("ip"), col("window.start").cast("long").as("window_start_s"),
+        col("clicks"), col("views"), col("n_categories"))
+  }
+
   /** A7/C-rules: attach isBot + reason verdict columns. */
   def classify(agg: DataFrame, cfg: BotConfig): DataFrame =
     agg

@@ -35,4 +35,16 @@ object StreamingBotDetection {
       BotDetection.classify(
         BotDetection.slidingAggregate(records.withWatermark("time", watermark), w),
         cfg))
+
+  /**
+   * Streaming-legal exact dedup (SURVEY.md §7d): `dropDuplicatesWithinWatermark`
+   * keeps per-key state only until the watermark passes — bounded state, vs
+   * the reference's unbounded `dropDuplicates()` which is illegal in a
+   * stream. Dedups repeated deliveries of the same event (at-least-once
+   * sources) by the given key columns.
+   */
+  def dedupStream(records: DataFrame, keys: Seq[String],
+      watermarkDelay: String = watermark): DataFrame =
+    records.withWatermark("time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 }

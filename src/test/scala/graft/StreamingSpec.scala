@@ -101,6 +101,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastPerKey.map(s => (s(0), s(1))) === batch.map(s => (s(0), s(1))))
   }
 
+  test("streaming dedup within watermark drops redelivered events") {
+    import spark.implicits._
+    val rows = Fixtures.categoriesPerInterval("ip1", 20, 4)
+    val input = MemoryStream[LogRecord](spark)
+    val q = StreamingBotDetection.dedupStream(
+        input.toDS().toDF(), Seq("ip", "time", "category"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_mem").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData(rows.take(10)) // at-least-once redelivery inside watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_mem")
+    assert(out.count() === out.dropDuplicates("ip", "time", "category").count())
+    assert(out.count() === rows.map(r => (r.ip, r.time, r.category)).distinct.size)
+  }
+
   test("raw-event mirror sink: keyed append with expiry (K3/K4 parity)") {
     val dir = tmp("mirror-in")
     val out = tmp("mirror-out") + "/cache"
