@@ -101,6 +101,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastPerKey.map(s => (s(0), s(1))) === batch.map(s => (s(0), s(1))))
   }
 
+  test("malformed json lines are dropped, valid lines survive (S4 parity)") {
+    val dir = tmp("badlines")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "mixed.log.json"),
+      """{"time": 1767225600, "categoryId": "c1", "ip": "1.1.1.1", "action": "click"}
+        |this is not json at all
+        |{"time": "not-a-number", "categoryId": "c2", "ip": "2.2.2.2", "action": "view"}
+        |{"unrelated": true}
+        |{"time": 1767225601, "categoryId": "c3", "ip": "3.3.3.3", "action": "view"}
+        |""".stripMargin)
+    val out = Ingest.toLogRecords(Ingest.jsonDirBatch(spark, dir)).collect()
+    assert(out.map(_.getString(0)).toSet === Set("1.1.1.1", "3.3.3.3"))
+  }
+
   test("streaming dedup within watermark drops redelivered events") {
     import spark.implicits._
     val rows = Fixtures.categoriesPerInterval("ip1", 20, 4)

@@ -86,6 +86,34 @@ class TrackListStateSpec extends AnyFunSuite {
     assert(verdicts.forall(_._1 <= 600))
   }
 
+  test("transformWithState twin produces the same verdicts (RocksDB store)") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Fixtures.requestsPerInterval("bot", 1001) ++
+        Fixtures.requestsPerInterval("hum", 999)
+      val input = MemoryStream[LogRecord](spark)
+      val q = graft.streaming.TrackListProcessor.verdicts(input.toDS())
+        .writeStream.outputMode("update").format("memory").queryName("tws_mem").start()
+      try {
+        input.addData(rows)
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("tws_mem").collect()
+        .map(r => r.getAs[String]("ip") -> (r.getAs[Boolean]("isBot"), r.getAs[String]("reason")))
+        .toMap
+      assert(out("bot") === (true, "requests"))
+      assert(out("hum")._1 === false)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch-replayable: same verdicts when run as a plain Dataset") {
     import spark.implicits._
     val rows = Fixtures.categoriesPerInterval("bot", 30, 6) ++
