@@ -37,8 +37,17 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHash64(es(0))),
     "minhash_sig" -> (info("minhash_sig",
       "minhash_sig(hashes, k) - k-long minhash signature from ARRAY<BIGINT>"),
-      (es: Seq[Expression]) => MinHashSignature(es(0),
-        es(1).eval().asInstanceOf[Int])))
+      (es: Seq[Expression]) => MinHashSignature(es(0), kLiteral(es(1)))))
+
+  /** k must be a foldable integral literal; anything else gets a clean
+   * error instead of a ClassCastException from eval(). */
+  private def kLiteral(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig(hashes, k): k must be an integer literal, got $other")
+  }
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

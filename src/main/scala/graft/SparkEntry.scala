@@ -73,6 +73,12 @@ object SparkEntry {
     "a2_sliding_agg" -> ((s, dir) =>
       BotDetection.slidingAggregate(normalized(s, dir), eventsWindowing)),
 
+    // A2/A3 100 TB path: HLL++ distinct categories (constant-size state per
+    // key; sketch estimate ≠ exact count → rows-only check, accuracy pinned
+    // by BotDetectionSpec's ±5% test).
+    "a2_approx_agg" -> ((s, dir) =>
+      BotDetection.slidingAggregate(normalized(s, dir), eventsWindowing, exact = false)),
+
     // A7/C: classification columns incl. integer-division rule (SURVEY §2c A7).
     "c4_classify" -> ((s, dir) =>
       BotDetection.classify(
@@ -93,9 +99,11 @@ object SparkEntry {
     "k_ttl_expiry" -> ((s, dir) => {
       val bots = botDetect(s, dir)
         .withColumn("expires_at_s", col("window_start_s") + lit(10L * 86400L) + lit(600L))
-      val nowS = table(s, dir, "events")
-        .agg(max(col("ts")).cast("long")).head().getLong(0)
-      bots.filter(col("expires_at_s") > lit(nowS))
+      // deterministic "now" = max event time, as a broadcast one-row join so
+      // the whole query stays lazy (no driver-side action at plan build)
+      val nowDf = table(s, dir, "events").agg(max(col("ts")).cast("long").as("now_s"))
+      bots.crossJoin(broadcast(nowDf))
+        .filter(col("expires_at_s") > col("now_s"))
         .select(col("ip"), col("window_start_s"), col("reason"), col("expires_at_s"))
     }),
 
@@ -225,13 +233,15 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = {
     // Shared CTE bodies, kept textually identical across queries.
+    // NB `ts IS NOT NULL` mirrors Spark's window() dropping null-timestamp
+    // rows; without it a null ts would form a NULL-day group only in DuckDB.
     val base =
       """SELECT CAST(user_id AS VARCHAR) AS ip,
         |       CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_n,
         |       CASE WHEN event_type='click' THEN 1 ELSE 0 END AS clicks,
         |       CASE WHEN event_type='view' THEN 1 ELSE 0 END AS views,
         |       props AS category
-        |FROM events WHERE event_type IN ('click','view')""".stripMargin
+        |FROM events WHERE event_type IN ('click','view') AND ts IS NOT NULL""".stripMargin
     val slidingAgg =
       s"""WITH base AS ($base),
          |win AS (

@@ -91,13 +91,17 @@ object BotDetection {
 
   /**
    * Skew-resistant twin of [[slidingAggregate]] (tumbling windows): phase 1
-   * aggregates on (ip, salt, window) — a hot ip's rows spread over `salts`
-   * reducers — phase 2 merges the partials with the IpStat monoid (sums add;
-   * HLL sketches of the category count merge losslessly). Same result as the
-   * unsalted plan (hash-matches the same oracle); use when a key is hot
-   * enough to dwarf AQE's skew handling. The salt is the CATEGORY hash, so
-   * each salt bucket sees a disjoint slice of the category domain and exact
-   * per-salt distinct counts sum losslessly to the exact total.
+   * aggregates on (ip, salt, window), phase 2 merges the partials. Same
+   * result as the unsalted plan (hash-matches the same oracle).
+   *
+   * The salt is the CATEGORY hash: each salt bucket sees a disjoint slice of
+   * the category domain, so exact per-salt distinct counts sum losslessly.
+   * The tradeoff is explicit: this spreads a hot ip only as far as its rows
+   * spread over categories — a hot key concentrated in ONE category still
+   * lands on one reducer. For that shape, salt randomly (e.g.
+   * `pmod(xxhash64(monotonically_increasing_id()), salts)`) and merge
+   * category counts via HLL sketches instead of exact sums; counts-only
+   * rules (requests, ratio) stay exact either way.
    */
   def saltedTumblingAggregate(records: DataFrame, w: Windowing, salts: Int): DataFrame = {
     val partial = records

@@ -86,10 +86,13 @@ object Similarity {
    */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+    // persisted: projection collapse would re-inline the tables×nPlanes dot
+    // products into both self-join sides (same blow-up as minhashCandidates)
     val keyed = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
         posexplode(array((0 until tables).map(t =>
           lshBucket(col(vecCol), nPlanes, dim, seed = 42L + t)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+      .persist()
     keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 import graft.functions.{BotClassifier, BotConfig}
-import graft.model.{IpStat, LogRecord}
+import graft.model.{EvaluatedStat, IpStat, LogRecord}
 import graft.streaming.TrackListState.{bucketOf, IpVerdict, TrackedStat}
 
 /**
@@ -68,7 +68,7 @@ class TrackListProcessor(cfg: BotConfig, slideS: Long, trackS: Long, maxCategori
     val total = kept.map(t => IpStat(t.clicks, t.views, t.categories)).reduce(_ + _)
     val (isBot, reason) = BotClassifier.classifyScalar(
       total.clicks, total.views, total.categories.size.toLong, cfg)
-    Iterator.single(IpVerdict(ip, total.clicks, total.views,
+    Iterator.single(EvaluatedStat(ip, total.clicks, total.views,
       total.categories.size.toLong, isBot, reason))
   }
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.functions.{BotClassifier, BotConfig}
 import graft.model.{EvaluatedStat, IpStat, LogRecord}
 
+
 /**
  * Port of the reference DStream path's keyed state (SURVEY.md §2c A4–A7):
  * per-ip track list of windowed partial aggregates with a 10-minute horizon
@@ -34,8 +35,9 @@ object TrackListState {
 
   final case class TrackedStat(clicks: Long, views: Long, categories: Set[String], bucketS: Long)
 
-  final case class IpVerdict(ip: String, clicks: Long, views: Long,
-      nCategories: Long, isBot: Boolean, reason: String)
+  /** Verdict row type — the model's [[EvaluatedStat]] (one verdict shape
+   * everywhere; `IpVerdict` kept as an alias for call sites). */
+  type IpVerdict = EvaluatedStat
 
   def bucketOf(t: Timestamp, slideS: Long): Long =
     Math.floorDiv(t.getTime / 1000L, slideS) * slideS
@@ -83,7 +85,7 @@ object TrackListState {
     val total = kept.map(t => IpStat(t.clicks, t.views, t.categories)).reduce(_ + _)
     val (isBot, reason) = BotClassifier.classifyScalar(
       total.clicks, total.views, total.categories.size.toLong, cfg)
-    Iterator.single(IpVerdict(ip, total.clicks, total.views,
+    Iterator.single(EvaluatedStat(ip, total.clicks, total.views,
       total.categories.size.toLong, isBot, reason))
   }
 

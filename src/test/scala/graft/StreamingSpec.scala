@@ -101,6 +101,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastPerKey.map(s => (s(0), s(1))) === batch.map(s => (s(0), s(1))))
   }
 
+  test("SMT-parity keyed wire path equals the direct normalization (S5/P1)") {
+    import spark.implicits._
+    val dir = tmp("keyed")
+    BotGen.writeJsonDir(dir, BotGen.events(nUsers = 20, nBots = 1, durationS = 60))
+    val wire = Ingest.jsonDirBatch(spark, dir)
+    val keyed = Ingest.toKeyedRecords(wire).as[graft.model.KeyedRecord]
+    val viaKeyed = BotDetection.parseActions(keyed.toDF()).collect().map(_.toSeq).toSet
+    val direct = Ingest.toLogRecords(wire).collect().map(_.toSeq).toSet
+    assert(viaKeyed.nonEmpty)
+    assert(viaKeyed === direct)
+  }
+
   test("malformed json lines are dropped, valid lines survive (S4 parity)") {
     val dir = tmp("badlines")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "mixed.log.json"),
