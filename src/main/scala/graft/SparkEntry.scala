@@ -132,6 +132,16 @@ object SparkEntry {
       TextAnalysis.withLangId(table(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("lang_pred"), col("lang_score"))),
 
+    // Winnowing fingerprints (rolling k-gram hash + window minima) — the
+    // passage-level fingerprint for plagiarism/contamination checks.
+    "doc_winnow" -> ((s, dir) => {
+      val fps = TextAnalysis.winnowFingerprints(col("text"))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        size(fps).cast("long").as("n_fp"),
+        xxhash64(sort_array(fps)).as("fp_hash"))
+    }),
+
     // Exact dedup: canonical doc per normalized-content fingerprint.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),

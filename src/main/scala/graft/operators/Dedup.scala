@@ -33,14 +33,19 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct word n-gram shingles of `toks` (empty array if too short —
-   * NB `sequence(0, s-n)` would run descending for s<n, hence the guard). */
-  def shingleArray(toks: Column, n: Int): Column =
+  /** Word n-gram shingles of `toks` in POSITION order (winnowing needs the
+   * sequence; empty array if too short — NB `sequence(0, s-n)` would run
+   * descending for s<n, hence the guard). */
+  def shingleArrayOrdered(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      array_distinct(transform(
+      transform(
         sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Distinct word n-gram shingles of `toks` (set semantics, for Jaccard). */
+  def shingleArray(toks: Column, n: Int): Column =
+    array_distinct(shingleArrayOrdered(toks, n))
 
   /** Distinct word n-gram shingles, one row per (id, shingle). */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

@@ -82,4 +82,23 @@ object TextAnalysis {
    * it doubles as the exact-dedup key the oracle can recompute. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /**
+   * Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing: Local
+   * Algorithms for Document Fingerprinting", SIGMOD 2003): hash every token
+   * k-gram, slide a window of `w` hashes, keep each window's minimum →
+   * a compact fingerprint set that overlaps heavily for documents sharing
+   * any sufficiently long passage. Guarantees: any shared run of
+   * w + k − 1 tokens produces ≥1 shared fingerprint.
+   */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val grams = Dedup.shingleArrayOrdered(tokens(text), k)
+    val hashes = transform(grams, g => xxhash64(g))
+    when(size(hashes) >= w,
+      array_distinct(transform(
+        sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w))))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<bigint>")))
+  }
 }

@@ -40,6 +40,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
   }
 
+  test("winnowing fingerprints: shared passages share fingerprints") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, s"intro words here $shared trailing bits"),
+      (2L, s"completely other opening $shared and another ending"),
+      (3L, "nothing in common with those documents at all whatsoever today")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // docs 1 and 2 share a 10-token passage >> w+k-1 → guaranteed overlap
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // identical text → identical fingerprint set
+    val dup = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+      .select(TextAnalysis.winnowFingerprints(col("text"))).collect()
+    assert(dup(0).getSeq[Long](0) === dup(1).getSeq[Long](0))
+  }
+
   test("fingerprint is stable under whitespace and case noise") {
     val df = Seq((1L, "Some  Document\tText "), (2L, "some document text")).toDF("doc_id", "text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
