@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.BotConfig
+import graft.operators.BotDetection
+import graft.sources.{BotGen, Ingest}
+import graft.streaming.StreamingBotDetection
+
+/**
+ * Streaming throughput benchmark: events/second sustained by the full
+ * verdict pipeline (json file source → watermarked sliding-window agg →
+ * classifier → foreachBatch sink) over generated clickstream traffic.
+ *
+ * The reference's design load is ~150 events/s (100 users/s + 100 bots at
+ * 1/2 s — BASELINE.md); this prints the measured single-node ceiling as one
+ * JSON line.
+ */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val nUsers = 5000
+    val nBots = 100
+    val durationS = 600L
+    val freq = 300
+    val evs = BotGen.events(nUsers, nBots, durationS, freqPerSec = freq)
+    val dir = Files.createTempDirectory("streambench").toString
+    BotGen.writeJsonDir(dir, evs, nFiles = 8)
+
+    val counts = new java.util.concurrent.atomic.AtomicLong()
+    val verdicts = StreamingBotDetection.verdictStream(
+      Ingest.toLogRecords(Ingest.jsonDirStream(spark, dir, maxFilesPerTrigger = 2)),
+      BotDetection.referenceWindowing, BotConfig())
+    // warm the session before the measured run
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val t0 = System.nanoTime()
+    val q = verdicts.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        counts.addAndGet(batch.count()): Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("sb-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val eps = evs.size / sec
+    println(
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":${evs.size},"wall_sec":${"%.2f".format(sec)},"verdict_rows":${counts.get()}}""")
+    spark.stop()
+  }
+}
