@@ -66,6 +66,50 @@ object Multimodal {
     feats.map(_ / n)
   }
 
+  /** STUB resize: a real implementation re-encodes the image at (w, h); the
+   * stub deterministically subsamples the byte stream to the target "pixel"
+   * budget so output size tracks the requested dimensions. */
+  private def stubResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(bytes.length, w * h / 64))
+    val step = math.max(1, bytes.length / target)
+    bytes.indices.by(step).map(bytes).toArray
+  }
+
+  /** STUB frame sampling: a real implementation decodes the container and
+   * grabs every k-th frame; the stub slices the byte stream into nFrames
+   * equal chunks and returns each chunk's md5 as the "frame". */
+  private def stubFrames(bytes: Array[Byte], nFrames: Int): Seq[String] = {
+    if (bytes.isEmpty) return Seq.empty
+    val size = math.max(1, bytes.length / nFrames)
+    bytes.grouped(size).take(nFrames).map { chunk =>
+      java.security.MessageDigest.getInstance("MD5").digest(chunk)
+        .map("%02x".format(_)).mkString
+    }.toSeq
+  }
+
+  /**
+   * Resize + frame-sample in partition-sized batches (same mapPartitions
+   * shape as [[withFeatures]]). Output: (media_id, resized binary,
+   * n_resized_bytes, frames array<string>).
+   */
+  def withResizedFrames(media: DataFrame, w: Int = 224, h: Int = 224,
+      nFrames: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("resized", BinaryType),
+      StructField("n_resized_bytes", LongType),
+      StructField("frames", ArrayType(StringType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val resized = stubResize(bytes, w, h)
+        Row(id, resized, resized.length.toLong, stubFrames(bytes, nFrames))
+      }
+    }(enc)
+  }
+
   /**
    * Decode + featurize in partition-sized batches. Output schema:
    * (media_id, meta struct, features array<float>).
