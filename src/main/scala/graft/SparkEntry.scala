@@ -165,6 +165,14 @@ object SparkEntry {
           queryPred = col("vec_id") < 10, k = 10)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // Same top-k via the custom LogicalPlan+Strategy+SparkPlan operator
+    // (bounded per-partition heaps; proves equal via the same oracle).
+    "embed_topk_native" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.plans.CosineTopK.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // Embedding near-dup pairs above a cosine threshold (brute force).
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
@@ -359,6 +367,12 @@ object SparkEntry {
            |WHERE CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
 
       "embed_topk" ->
+        s"""${cosineCtes("a.vec_id < 10 AND a.vec_id <> b.vec_id")}
+           |SELECT query_id, neighbor_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
+           |FROM cos QUALIFY rank <= 10""".stripMargin,
+
+      "embed_topk_native" ->
         s"""${cosineCtes("a.vec_id < 10 AND a.vec_id <> b.vec_id")}
            |SELECT query_id, neighbor_id,
            |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
