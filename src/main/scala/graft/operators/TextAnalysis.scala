@@ -57,19 +57,35 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "es", "que", "una", "con", "por", "para"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
 
+  /** Scripts written without word spaces — token matching never fires for
+   * them, so their markers are scored by substring occurrence instead. */
+  private val spaceFreeScripts = Set("zh")
+
+  /** Number of occurrences of `needle` in `haystack` as a column. */
+  private def occurrences(haystack: Column, needle: String): Column =
+    ((length(haystack) - length(replace(haystack, lit(needle), lit("")))) / needle.length)
+      .cast("long")
+
   /**
-   * Heuristic language ID: score = count of language marker tokens; winner =
+   * Heuristic language ID: score = count of language marker hits; winner =
    * argmax with deterministic tie-break (lexicographically greatest language
-   * wins on equal score via struct max-ordering). Emits `lang_pred` + the
-   * winning score. This is the classic fastText-free fallback; at 100 TB it
-   * is one codegen'd projection, no shuffle.
+   * wins on equal score via struct max-ordering). Latin-script languages
+   * match whole tokens (substrings would inflate, e.g. "les" in "tables");
+   * space-free scripts (zh) count marker-character occurrences, since the
+   * whole sentence is one whitespace token. Emits `lang_pred` + the winning
+   * score. The classic fastText-free fallback; at 100 TB it is one codegen'd
+   * projection, no shuffle.
    */
   def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
+    val lowered = lower(col(textCol))
+    val toks = tokens(lowered)
     val scored = langMarkers.keys.toSeq.sorted.map { lang =>
-      struct(
-        size(filter(toks, t => t.isin(langMarkers(lang).map(lit): _*))).cast("long").as("score"),
-        lit(lang).as("lang"))
+      val score =
+        if (spaceFreeScripts(lang))
+          langMarkers(lang).map(m => occurrences(lowered, m)).reduce(_ + _)
+        else
+          size(filter(toks, t => t.isin(langMarkers(lang).map(lit): _*))).cast("long")
+      struct(score.as("score"), lit(lang).as("lang"))
     }
     df.withColumn("best", array_max(array(scored: _*)))
       .withColumn("lang_pred", col("best.lang"))

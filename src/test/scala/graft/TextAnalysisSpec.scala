@@ -40,6 +40,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
   }
 
+  test("language id handles space-free scripts via occurrence counting") {
+    val df = Seq(
+      (1L, "我们的人都说这是不可能的但是我有我的想法"),  // zh, no spaces
+      (2L, "the dog and the cat went to the house")).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "zh", 2L -> "en"))
+  }
+
   test("winnowing fingerprints: shared passages share fingerprints") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = Seq(
