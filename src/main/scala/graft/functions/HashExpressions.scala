@@ -120,9 +120,96 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/**
+ * Word n-gram shingle hashes straight from the string, one pass: tokenize on
+ * whitespace, hash each token (FNV-1a 64 over its utf-8 bytes), and chain n
+ * consecutive token hashes (order-sensitive splitmix chain) into one 64-bit
+ * shingle hash per position. Replaces the
+ * split→transform(slice→concat_ws)→xxhash64 pipeline, which is interpreted
+ * per element AND materializes every n-gram string.
+ *
+ * Output is ORDERED and positional (winnowing needs the sequence);
+ * set-semantics callers apply `array_distinct` (cheap on longs).
+ */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(WordShingleHashes.compute(input.toString, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.WordShingleHashes.compute($a.toString(), $n));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+
+  private def fnv1a64(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      // hash the UTF-16 chars directly: stable and allocation-free; only
+      // internal consistency matters for shingle identity
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Ordered shingle hashes of the whitespace-tokenized string. */
+  def compute(text: String, n: Int): Array[Long] = {
+    // find token [start, end) spans
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val nTok = starts.size()
+    if (nTok < n) return Array.empty[Long]
+    val tokenHash = new Array[Long](nTok)
+    var t = 0
+    while (t < nTok) {
+      tokenHash(t) = fnv1a64(text, starts.get(t), ends.get(t))
+      t += 1
+    }
+    val out = new Array[Long](nTok - n + 1)
+    var p = 0
+    while (p < out.length) {
+      var h = 0x51ed270b9a3e11c5L // chain seed
+      var j = 0
+      while (j < n) {
+        h = HashMix.mix64(h ^ tokenHash(p + j))
+        j += 1
+      }
+      out(p) = h
+      p += 1
+    }
+    out
+  }
+}
+
 object HashExpressions {
   def simhash64(hashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(hashes)))
   def minhashSig(hashes: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashes), k))
+  def wordShingleHashes(text: Column, n: Int): Column =
+    Bridge.column(WordShingleHashes(Bridge.expression(text), n))
 }

@@ -53,15 +53,16 @@ object Dedup {
         shingleArray(TextAnalysis.tokens(col(textCol)), n).as("shingles"))
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
-  /** Same, but each shingle reduced to its xxhash64 — set-intersection joins
-   * shuffle and compare 8-byte keys instead of whole n-gram strings (the
-   * standard trick; a 2⁻⁶⁴ collision inflates one intersection count by 1,
-   * far below any threshold's sensitivity). */
+  /** Same, but each shingle reduced to a 64-bit hash — set-intersection
+   * joins shuffle and compare 8-byte keys instead of whole n-gram strings
+   * (the standard trick; a 2⁻⁶⁴ collision inflates one intersection count by
+   * 1, far below any threshold's sensitivity). Hashing is the one-pass
+   * codegen'd [[graft.functions.WordShingleHashes]]. */
   def shingleHashRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        shingleArray(TextAnalysis.tokens(col(textCol)), n).as("shingles"))
-      .select(col("doc_id"),
-        explode(transform(col("shingles"), s => xxhash64(s))).as("shash"))
+        array_distinct(graft.functions.HashExpressions
+          .wordShingleHashes(col(textCol), n)).as("shashes"))
+      .select(col("doc_id"), explode(col("shashes")).as("shash"))
 
   /**
    * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
@@ -96,19 +97,19 @@ object Dedup {
 
   /**
    * MinHash signature via the one-hash + k-mix construction: each shingle is
-   * xxhash64'd once, then sig[j] = min of splitmix64(h ⊕ seedⱼ) — a single
+   * hashed once, then sig[j] = min of splitmix64(h ⊕ seedⱼ) — a single
    * codegen'd pass ([[graft.functions.MinHashSignature]]) instead of k
    * interpreted folds. Fixed k longs per doc regardless of length.
+   * (Duplicate shingle hashes don't need dedup: min is idempotent.)
    */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    graft.functions.HashExpressions.minhashSig(
-      transform(shingles, s => xxhash64(s)), k)
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
+    graft.functions.HashExpressions.minhashSig(shingleHashes, k)
 
   def withMinhash(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        shingleArray(TextAnalysis.tokens(col(textCol)), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), k))
+        graft.functions.HashExpressions.wordShingleHashes(col(textCol), n).as("shashes"))
+      .filter(size(col("shashes")) > 0)
+      .withColumn("sig", minhashSignature(col("shashes"), k))
 
   /**
    * LSH banding: split the k-long signature into `bands` bands of k/bands

@@ -108,8 +108,7 @@ object TextAnalysis {
    * w + k − 1 tokens produces ≥1 shared fingerprint.
    */
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val grams = Dedup.shingleArrayOrdered(tokens(text), k)
-    val hashes = transform(grams, g => xxhash64(g))
+    val hashes = graft.functions.HashExpressions.wordShingleHashes(text, k)
     when(size(hashes) >= w,
       array_distinct(transform(
         sequence(lit(0), size(hashes) - w),
