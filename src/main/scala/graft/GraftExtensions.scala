@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, MinHashSignature, SimHash64}
+import graft.functions.{FloatDotProduct, MinHashSignature, SimHash64, WordShingleHashes}
 
 /**
  * SQL surface for the engine's custom Catalyst expressions. Activate on a
@@ -37,7 +37,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHash64(es(0))),
     "minhash_sig" -> (info("minhash_sig",
       "minhash_sig(hashes, k) - k-long minhash signature from ARRAY<BIGINT>"),
-      (es: Seq[Expression]) => MinHashSignature(es(0), kLiteral(es(1)))))
+      (es: Seq[Expression]) => MinHashSignature(es(0), kLiteral(es(1)))),
+    "word_shingle_hashes" -> (info("word_shingle_hashes",
+      "word_shingle_hashes(text, n) - ordered 64-bit hashes of word n-grams"),
+      (es: Seq[Expression]) => WordShingleHashes(es(0), kLiteral(es(1)))))
 
   /** k must be a foldable integral literal; anything else gets a clean
    * error instead of a ClassCastException from eval(). */

@@ -48,6 +48,45 @@ object Ingest {
       col("ip").as("key"),
       to_json(struct(col("time"), col("categoryId"), col("action"))).as("value"))
 
+  /**
+   * S6 continuous parity: a deterministic synthetic clickstream from the
+   * `rate-micro-batch` source (fixed rows per batch, fixed start timestamp —
+   * fully replayable, unlike the wall-clock `rate` source). Each row's
+   * `value` seeds the same user/bot distributions as [[BotGen]]: 1-in-
+   * (usersPerBot+1) rows is a bot action (75% click, 20 categories), the
+   * rest are user actions (10% click, 10 categories) spread over nUsers.
+   */
+  def syntheticRateStream(spark: SparkSession, rowsPerBatch: Int = 1000,
+      nUsers: Int = 1000, nBots: Int = 10, usersPerBot: Int = 9,
+      userCategories: Int = 10, botCategories: Int = 20,
+      startEpochS: Long = 1767225600L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", startEpochS * 1000L)
+      .load() // (timestamp TIMESTAMP, value LONG)
+    // all randomness derives from `value` (deterministic & replayable); the
+    // batch timestamp is shared by every row of a batch, so it must not
+    // seed anything
+    val h = xxhash64(col("value"))
+    val isBot = pmod(col("value"), lit(usersPerBot + 1)) === 0
+    val clicks =
+      when(isBot, (pmod(xxhash64(col("value"), lit(1)), lit(100)) < 75).cast("long"))
+        .otherwise((pmod(xxhash64(col("value"), lit(1)), lit(100)) < 10).cast("long"))
+    raw.select(
+      when(isBot,
+        concat(lit("172.20.0."), pmod(h, lit(nBots)).cast("string")))
+        .otherwise(concat(lit("172.10.0."), pmod(h, lit(nUsers)).cast("string")))
+        .as("ip"),
+      col("timestamp").as("time"),
+      clicks.as("clicks"),
+      (lit(1L) - clicks).as("views"),
+      when(isBot, (lit(1000) + pmod(xxhash64(col("value"), lit(2)), lit(botCategories))).cast("string"))
+        .otherwise(pmod(xxhash64(col("value"), lit(2)), lit(userCategories)).cast("string"))
+        .as("category"))
+  }
+
   /** Normalized LogRecords straight from the wire frame (used when the
    * key/value round-trip isn't being exercised): one-hot + correct
    * epoch-seconds conversion, null-safe. */

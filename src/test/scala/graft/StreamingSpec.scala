@@ -101,6 +101,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastPerKey.map(s => (s(0), s(1))) === batch.map(s => (s(0), s(1))))
   }
 
+  test("deterministic rate source drives the pipeline without files (S6 continuous)") {
+    // users draw from only 4 categories and can't reach the other limits in
+    // the few batches this test runs — only bots (20-category domain) fire
+    val stream = StreamingBotDetection.verdictStream(
+      Ingest.syntheticRateStream(spark, rowsPerBatch = 2000, userCategories = 4),
+      BotDetection.referenceWindowing,
+      graft.functions.BotConfig(requestLimit = 500, categoryLimit = 5, clicksToViewsLimit = 5))
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("rate_mem").start()
+    try {
+      // rate-micro-batch emits rowsPerBatch rows per trigger; let a few run
+      var waited = 0
+      while (spark.table("rate_mem").isEmpty && waited < 60) {
+        Thread.sleep(500); waited += 1
+      }
+    } finally q.stop()
+    val flagged = spark.table("rate_mem").select("ip").distinct()
+      .collect().map(_.getString(0))
+    assert(flagged.nonEmpty)
+    assert(flagged.forall(_.startsWith("172.20.")), s"unexpected: ${flagged.toSeq}")
+  }
+
   test("SMT-parity keyed wire path equals the direct normalization (S5/P1)") {
     import spark.implicits._
     val dir = tmp("keyed")
