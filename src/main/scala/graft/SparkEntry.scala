@@ -416,9 +416,12 @@ object SparkEntry {
   private def stopwordList: String =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString(",")
 
-  /** Shared shingle/intersection CTEs for n-gram Jaccard oracles (n=3). */
+  /** Shared shingle/intersection CTEs for n-gram Jaccard oracles (n=3).
+   * Empty tokens are filtered (leading '\t'/'\n' would split to a '' token),
+   * matching the engine's one-pass tokenizer which never emits them. */
   private def shingleCtes: String =
-    """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+    """WITH tok AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
       |       FROM tok, UNNEST(range(1, len(ts)-1)) AS r(i) WHERE len(ts) >= 3),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),

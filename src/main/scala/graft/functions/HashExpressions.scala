@@ -122,9 +122,12 @@ case class MinHashSignature(child: Expression, k: Int)
 
 /**
  * Word n-gram shingle hashes straight from the string, one pass: tokenize on
- * whitespace, hash each token (FNV-1a 64 over its utf-8 bytes), and chain n
- * consecutive token hashes (order-sensitive splitmix chain) into one 64-bit
- * shingle hash per position. Replaces the
+ * ASCII whitespace (same class as regex `\s`: space \t \n  \f \r —
+ * deliberately NOT `Character.isWhitespace`, so the DuckDB oracle's
+ * `string_split_regex('\s+')` sees identical token boundaries; empty tokens
+ * are dropped on both sides), hash each token (FNV-1a 64 over its UTF-16
+ * code units), and chain n consecutive token hashes (order-sensitive
+ * splitmix chain) into one 64-bit shingle hash per position. Replaces the
  * split→transform(slice→concat_ws)→xxhash64 pipeline, which is interpreted
  * per element AND materializes every n-gram string.
  *
@@ -166,6 +169,10 @@ object WordShingleHashes {
     h
   }
 
+  /** ASCII whitespace, the class regex `\s` matches (oracle parity). */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0b.toChar || c == '\f' || c == '\r'
+
   /** Ordered shingle hashes of the whitespace-tokenized string. */
   def compute(text: String, n: Int): Array[Long] = {
     // find token [start, end) spans
@@ -174,10 +181,10 @@ object WordShingleHashes {
     var i = 0
     val len = text.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < len && isWs(text.charAt(i))) i += 1
       if (i < len) {
         starts.add(i)
-        while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+        while (i < len && !isWs(text.charAt(i))) i += 1
         ends.add(i)
       }
     }

@@ -33,27 +33,7 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles of `toks` in POSITION order (winnowing needs the
-   * sequence; empty array if too short — NB `sequence(0, s-n)` would run
-   * descending for s<n, hence the guard). */
-  def shingleArrayOrdered(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Distinct word n-gram shingles of `toks` (set semantics, for Jaccard). */
-  def shingleArray(toks: Column, n: Int): Column =
-    array_distinct(shingleArrayOrdered(toks, n))
-
-  /** Distinct word n-gram shingles, one row per (id, shingle). */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        shingleArray(TextAnalysis.tokens(col(textCol)), n).as("shingles"))
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-
-  /** Same, but each shingle reduced to a 64-bit hash — set-intersection
+  /** Each shingle reduced to a 64-bit hash — set-intersection
    * joins shuffle and compare 8-byte keys instead of whole n-gram strings
    * (the standard trick; a 2⁻⁶⁴ collision inflates one intersection count by
    * 1, far below any threshold's sensitivity). Hashing is the one-pass

@@ -75,40 +75,60 @@ final case class CosineTopKPartialExec(
     val kLocal = k
     val broadcastQueries = queries.executeBroadcast[Array[InternalRow]]()
     corpus.execute().mapPartitions { corpusRows =>
-      // decode the broadcast queries once per partition
-      val qs = broadcastQueries.value.map { r =>
-        val id = r.getLong(0)
-        val vec = r.getArray(1).toFloatArray()
-        var n = 0.0; var i = 0
-        while (i < vec.length) { n += vec(i).toDouble * vec(i).toDouble; i += 1 }
-        (id, vec, math.sqrt(n))
+      // decode the broadcast queries once per partition; null-vec/null-id
+      // query rows are skipped (the built-in composition degrades the same
+      // way: a null embedding can never enter anyone's top-k)
+      val qs = broadcastQueries.value
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map { r =>
+          val id = r.getLong(0)
+          val vec = r.getArray(1).toFloatArray()
+          var n = 0.0; var i = 0
+          while (i < vec.length) { n += vec(i).toDouble * vec(i).toDouble; i += 1 }
+          (id, vec, math.sqrt(n))
+        }
+      // min-ordered bounded heap per query: worst survivor at the head.
+      // (cos asc, id desc) — so the comparator is allocation-free and the
+      // head is the first element to displace
+      val heapOrdering = new java.util.Comparator[(Double, Long)] {
+        override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(a._1, b._1)
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+        }
       }
-      // one bounded min-heap of (cos, neighborId) per query
       val heaps = qs.map(_ => new java.util.PriorityQueue[(Double, Long)](
-        kLocal + 1, Ordering.by[(Double, Long), (Double, Long)](t => (t._1, -t._2))))
+        kLocal + 1, heapOrdering))
 
       corpusRows.foreach { row =>
-        val cid = row.getLong(0)
-        val cvec = row.getArray(1).toFloatArray()
-        var cn = 0.0; var i = 0
-        while (i < cvec.length) { cn += cvec(i).toDouble * cvec(i).toDouble; i += 1 }
-        val cnorm = math.sqrt(cn)
-        var q = 0
-        while (q < qs.length) {
-          val (qid, qvec, qnorm) = qs(q)
-          if (qid != cid) {
-            var dot = 0.0; var j = 0
-            val len = math.min(qvec.length, cvec.length)
-            while (j < len) { dot += qvec(j).toDouble * cvec(j).toDouble; j += 1 }
-            val cos = dot / (qnorm * cnorm)
-            val heap = heaps(q)
-            if (heap.size < kLocal) heap.add((cos, cid))
-            else if (Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse)
-                .gt((cos, cid), heap.peek())) {
-              heap.poll(); heap.add((cos, cid))
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val cid = row.getLong(0)
+          val cvec = row.getArray(1).toFloatArray()
+          var cn = 0.0; var i = 0
+          while (i < cvec.length) { cn += cvec(i).toDouble * cvec(i).toDouble; i += 1 }
+          val cnorm = math.sqrt(cn)
+          var q = 0
+          while (q < qs.length) {
+            val (qid, qvec, qnorm) = qs(q)
+            if (qid != cid) {
+              var dot = 0.0; var j = 0
+              val len = math.min(qvec.length, cvec.length)
+              while (j < len) { dot += qvec(j).toDouble * cvec(j).toDouble; j += 1 }
+              val cos = dot / (qnorm * cnorm)
+              val heap = heaps(q)
+              if (heap.size < kLocal) heap.add((cos, cid))
+              else {
+                // displace iff (cos, cid) ranks strictly better than the
+                // head; Double.compare makes NaN sort greatest, matching
+                // Spark's and DuckDB's DESC ordering of NaN
+                val head = heap.peek()
+                val c = java.lang.Double.compare(cos, head._1)
+                if (c > 0 || (c == 0 && cid < head._2)) {
+                  heap.poll(); heap.add((cos, cid))
+                }
+              }
             }
+            q += 1
           }
-          q += 1
         }
       }
 

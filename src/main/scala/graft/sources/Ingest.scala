@@ -60,7 +60,6 @@ object Ingest {
       nUsers: Int = 1000, nBots: Int = 10, usersPerBot: Int = 9,
       userCategories: Int = 10, botCategories: Int = 20,
       startEpochS: Long = 1767225600L): DataFrame = {
-    import org.apache.spark.sql.functions._
     val raw = spark.readStream
       .format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch)

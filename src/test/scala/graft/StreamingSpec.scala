@@ -111,9 +111,11 @@ class StreamingSpec extends AnyFunSuite {
     val q = stream.writeStream.outputMode("update")
       .format("memory").queryName("rate_mem").start()
     try {
-      // rate-micro-batch emits rowsPerBatch rows per trigger; let a few run
+      // rate-micro-batch emits rowsPerBatch rows per trigger; poll until the
+      // first verdicts land (generous cap — first batch pays state-store and
+      // codegen init, which can be slow on a loaded machine)
       var waited = 0
-      while (spark.table("rate_mem").isEmpty && waited < 60) {
+      while (spark.table("rate_mem").isEmpty && waited < 240) {
         Thread.sleep(500); waited += 1
       }
     } finally q.stop()
