@@ -51,13 +51,29 @@ object Dedup {
    * sizes, jaccard = i / (|A|+|B|−i). Pairs sharing nothing never meet.
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double): DataFrame =
-    jaccardFromShingles(shingleHashRows(df, idCol, textCol, n).persist(), threshold, None)
+      threshold: Double, maxDocFreq: Option[Int] = None): DataFrame =
+    jaccardFromShingles(shingleHashRows(df, idCol, textCol, n).persist(), threshold,
+      None, maxDocFreq)
 
   /** Shared inverted-index jaccard core over (doc_id, shash) rows; candidate
-   * pairs optionally restricted by a left-semi join on `candidates`. */
-  private def jaccardFromShingles(sh: DataFrame, threshold: Double,
-      candidates: Option[DataFrame]): DataFrame = {
+   * pairs optionally restricted by a left-semi join on `candidates`.
+   *
+   * `maxDocFreq` is the stop-shingle cap (SCALING.md): a shingle occurring
+   * in more than that many documents contributes cnt² rows to the
+   * intersection join while carrying almost no similarity signal — dropping
+   * it bounds the join blow-up on pathological corpora. NB with the cap the
+   * result is approximate (denominator sizes still count capped shingles),
+   * so cap-using callers should not be oracle-compared.
+   */
+  private def jaccardFromShingles(sh0: DataFrame, threshold: Double,
+      candidates: Option[DataFrame], maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val hot = sh0.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("shash"))
+        sh0.join(hot, Seq("shash"), "left_anti")
+      case None => sh0
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val interBase = sh.as("a").join(sh.as("b"), "shash")
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -104,17 +104,50 @@ object Similarity {
   }
 
   /**
-   * IVF-style ANN: assign every vector to its nearest of `nCells` centroid
-   * cells (centroids = deterministic sample of the corpus), then search only
-   * the query's own cell. Returns top-k per query among same-cell vectors.
+   * Deterministic IVF training: Lloyd iterations seeded with the first
+   * nCells vectors by id. Each round assigns every vector to its nearest
+   * centroid (broadcast) and recomputes the element-wise mean per cell —
+   * only the nCells×dim centroid table is ever collected, never data.
+   */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iterations: Int = 2): DataFrame = {
+    // cvec stays ARRAY<FLOAT> throughout: the codegen'd dot product reads
+    // float elements positionally
+    var centroids = df.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
+    (0 until iterations).foreach { _ =>
+      val assigned = {
+        val scored = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .join(broadcast(centroids), lit(true))
+          .withColumn("cdist", cosine(col("vec"), col("cvec")))
+        val w = Window.partitionBy(col("id")).orderBy(col("cdist").desc, col("cell_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("cell_id"), col("vec"))
+      }
+      // element-wise mean per cell: explode positions, avg, re-assemble
+      centroids = assigned
+        .select(col("cell_id"), posexplode(col("vec").cast("array<double>")))
+        .groupBy(col("cell_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell_id"),
+          transform(col("pm"), x => x.getField("m").cast("float")).as("cvec"))
+    }
+    centroids
+  }
+
+  /**
+   * IVF-style ANN: assign every vector to its nearest of `nCells` trained
+   * centroid cells (Lloyd-iterated, deterministic), then search only the
+   * query's own cell. Returns top-k per query among same-cell vectors.
    * The scale path when LSH recall is too coarse: cells shard the corpus so
-   * each query scores ~N/nCells candidates.
+   * each query scores ~N/nCells candidates. At 100 TB the cell id becomes a
+   * partition column at write time, turning cell restriction into partition
+   * pruning.
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nCells: Int): DataFrame = {
-    // deterministic "training": first nCells rows by id are the centroids
-    val centroids = df.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
+    val centroids = trainCentroids(df, idCol, vecCol, nCells).persist()
     def assign(in: DataFrame, id: String, vec: String): DataFrame = {
       val scored = in.join(broadcast(centroids), lit(true))
         .withColumn("cdist", cosine(col(vec), col("cvec")))

@@ -61,4 +61,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).distinct.forall(_ < 5))
     assert(rows.map(_.getInt(2)).forall(r => r >= 1 && r <= 5))
   }
+
+  test("trained centroids improve or match seed-centroid recall vs brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 20, k = 5, nCells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & truth).size.toDouble / truth.size
+    // near-random embeddings make IVF hard; with only 4 coarse cells the
+    // query's own cell should still retain a solid share of true neighbors
+    assert(recall >= 0.25, s"ivf recall $recall")
+    // determinism: same call → same result
+    val again = Similarity.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 20, k = 5, nCells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === ivf)
+  }
 }
