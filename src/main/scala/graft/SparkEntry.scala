@@ -366,6 +366,38 @@ object SparkEntry {
            |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
            |WHERE CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
 
+      // MinHash+LSH with exact verification converges to the exact answer:
+      // at jaccard ≥ 0.5 with 16 bands × 4 rows the per-pair miss probability
+      // is ≤ (1−0.5⁴)¹⁶ ≈ 0.36 at the threshold but ≤ 3·10⁻⁴ at the ≥ 0.8
+      // similarities this corpus actually contains (verified equal at sf0.001
+      // /0.01/0.1) — so the oracle is the exact jaccard query.
+      "dedup_minhash" ->
+        s"""$shingleCtes
+           |SELECT id_a, id_b, CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
+
+      // batch semantics of the keyed track-list state: per ip keep the last
+      // 10 days of daily buckets relative to that ip's newest bucket,
+      // monoid-merge, classify (camelCase aliases mirror the case class).
+      "state_tracklist" ->
+        s"""$trackBase,
+           |mx AS (SELECT ip, max(day_n) AS mx_day FROM base GROUP BY 1),
+           |kept AS (SELECT b.* FROM base b JOIN mx USING (ip) WHERE b.day_n > mx.mx_day - 10),
+           |agg AS (SELECT ip, CAST(SUM(clicks) AS BIGINT) AS clicks,
+           |               CAST(SUM(views) AS BIGINT) AS views,
+           |               CAST(COUNT(DISTINCT category) AS BIGINT) AS nc
+           |        FROM kept GROUP BY 1)
+           |SELECT ip, clicks, views, nc AS "nCategories",
+           |  (clicks+views > 14 OR nc > 12 OR clicks // GREATEST(views,1) > 2) AS "isBot",
+           |  CASE WHEN clicks+views > 14 THEN 'requests'
+           |       WHEN nc > 12 THEN 'categories'
+           |       WHEN clicks // GREATEST(views,1) > 2 THEN 'clicks/views'
+           |       ELSE 'clear' END AS reason
+           |FROM agg""".stripMargin,
+
+      "text_langid" -> langIdOracle,
+
       "embed_topk" ->
         s"""${cosineCtes("a.vec_id < 10 AND a.vec_id <> b.vec_id")}
            |SELECT query_id, neighbor_id,
@@ -415,6 +447,41 @@ object SparkEntry {
   /** `'the','a',...` — the stopword list quoted for SQL IN. */
   private def stopwordList: String =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString(",")
+
+  /** The `base` CTE opener shared by the track-list oracle. */
+  private def trackBase: String =
+    """WITH base AS (SELECT CAST(user_id AS VARCHAR) AS ip,
+      |       CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_n,
+      |       CASE WHEN event_type='click' THEN 1 ELSE 0 END AS clicks,
+      |       CASE WHEN event_type='view' THEN 1 ELSE 0 END AS views,
+      |       props AS category
+      |FROM events WHERE event_type IN ('click','view') AND ts IS NOT NULL)""".stripMargin
+
+  /** Language-id oracle generated from [[TextAnalysis.langMarkers]] so the
+   * marker lists can never drift between engine and oracle. Latin scripts
+   * score whole tokens; zh scores marker-char occurrences. DuckDB's
+   * max(struct(score, lang)) is lexicographic — same argmax + tie-break as
+   * the engine's struct array_max. */
+  private def langIdOracle: String = {
+    val branches = TextAnalysis.langMarkers.keys.toSeq.sorted.map { lang =>
+      val ms = TextAnalysis.langMarkers(lang)
+      if (lang == "zh") {
+        val occ = ms.map(m =>
+          s"CAST((length(lowered) - length(replace(lowered, '$m', ''))) / ${m.length} AS BIGINT)")
+          .mkString(" + ")
+        s"SELECT doc_id, lang, $occ AS s, '$lang' AS l FROM tok"
+      } else {
+        val list = ms.map(m => s"'$m'").mkString(",")
+        s"SELECT doc_id, lang, CAST(len(list_filter(ts, x -> x IN ($list))) AS BIGINT) AS s, '$lang' AS l FROM tok"
+      }
+    }
+    s"""WITH tok AS (SELECT doc_id, lang, lower(text) AS lowered,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents),
+       |scored AS (SELECT doc_id, lang, max(struct_pack(score := s, lang := l)) AS best
+       |           FROM (${branches.mkString(" UNION ALL ")}) GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, best.lang AS lang_pred, best.score AS lang_score
+       |FROM scored""".stripMargin
+  }
 
   /** Shared shingle/intersection CTEs for n-gram Jaccard oracles (n=3).
    * Empty tokens are filtered (leading '\t'/'\n' would split to a '' token),
