@@ -251,15 +251,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = {
     // Shared CTE bodies, kept textually identical across queries.
-    // NB `ts IS NOT NULL` mirrors Spark's window() dropping null-timestamp
-    // rows; without it a null ts would form a NULL-day group only in DuckDB.
-    val base =
-      """SELECT CAST(user_id AS VARCHAR) AS ip,
-        |       CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_n,
-        |       CASE WHEN event_type='click' THEN 1 ELSE 0 END AS clicks,
-        |       CASE WHEN event_type='view' THEN 1 ELSE 0 END AS views,
-        |       props AS category
-        |FROM events WHERE event_type IN ('click','view') AND ts IS NOT NULL""".stripMargin
+    val base = eventsBaseSql
     val slidingAgg =
       s"""WITH base AS ($base),
          |win AS (
@@ -272,13 +264,8 @@ object SparkEntry {
          |         CAST(COUNT(DISTINCT category) AS BIGINT) AS n_categories
          |  FROM win GROUP BY 1,2
          |)""".stripMargin
-    val reasonCase =
-      """CASE WHEN clicks+views > 14 THEN 'requests'
-        |     WHEN n_categories > 12 THEN 'categories'
-        |     WHEN clicks // GREATEST(views,1) > 2 THEN 'clicks/views'
-        |     ELSE 'clear' END""".stripMargin
-    val isBotPred =
-      "(clicks+views > 14 OR n_categories > 12 OR clicks // GREATEST(views,1) > 2)"
+    val reasonCase = reasonCaseSql("n_categories")
+    val isBotPred = isBotPredSql("n_categories")
 
     Map(
       "p1_parse_onehot" ->
@@ -381,7 +368,7 @@ object SparkEntry {
       // 10 days of daily buckets relative to that ip's newest bucket,
       // monoid-merge, classify (camelCase aliases mirror the case class).
       "state_tracklist" ->
-        s"""$trackBase,
+        s"""WITH base AS ($base),
            |mx AS (SELECT ip, max(day_n) AS mx_day FROM base GROUP BY 1),
            |kept AS (SELECT b.* FROM base b JOIN mx USING (ip) WHERE b.day_n > mx.mx_day - 10),
            |agg AS (SELECT ip, CAST(SUM(clicks) AS BIGINT) AS clicks,
@@ -389,11 +376,8 @@ object SparkEntry {
            |               CAST(COUNT(DISTINCT category) AS BIGINT) AS nc
            |        FROM kept GROUP BY 1)
            |SELECT ip, clicks, views, nc AS "nCategories",
-           |  (clicks+views > 14 OR nc > 12 OR clicks // GREATEST(views,1) > 2) AS "isBot",
-           |  CASE WHEN clicks+views > 14 THEN 'requests'
-           |       WHEN nc > 12 THEN 'categories'
-           |       WHEN clicks // GREATEST(views,1) > 2 THEN 'clicks/views'
-           |       ELSE 'clear' END AS reason
+           |  ${isBotPredSql("nc")} AS "isBot",
+           |  ${reasonCaseSql("nc")} AS reason
            |FROM agg""".stripMargin,
 
       "text_langid" -> langIdOracle,
@@ -448,14 +432,29 @@ object SparkEntry {
   private def stopwordList: String =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString(",")
 
-  /** The `base` CTE opener shared by the track-list oracle. */
-  private def trackBase: String =
-    """WITH base AS (SELECT CAST(user_id AS VARCHAR) AS ip,
+  /** Normalized clickstream CTE body, the single source of truth for every
+   * events-table oracle. NB `ts IS NOT NULL` mirrors Spark's window()
+   * dropping null-timestamp rows. */
+  private def eventsBaseSql: String =
+    """SELECT CAST(user_id AS VARCHAR) AS ip,
       |       CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_n,
       |       CASE WHEN event_type='click' THEN 1 ELSE 0 END AS clicks,
       |       CASE WHEN event_type='view' THEN 1 ELSE 0 END AS views,
       |       props AS category
-      |FROM events WHERE event_type IN ('click','view') AND ts IS NOT NULL)""".stripMargin
+      |FROM events WHERE event_type IN ('click','view') AND ts IS NOT NULL""".stripMargin
+
+  /** Classifier SQL with the events-table thresholds (eventsBotConfig) —
+   * shared by every oracle that classifies, parameterized on the distinct-
+   * category column name. */
+  private def reasonCaseSql(catCol: String): String =
+    s"""CASE WHEN clicks+views > 14 THEN 'requests'
+       |     WHEN $catCol > 12 THEN 'categories'
+       |     WHEN clicks // GREATEST(views,1) > 2 THEN 'clicks/views'
+       |     ELSE 'clear' END""".stripMargin
+
+  private def isBotPredSql(catCol: String): String =
+    s"(clicks+views > 14 OR $catCol > 12 OR clicks // GREATEST(views,1) > 2)"
+
 
   /** Language-id oracle generated from [[TextAnalysis.langMarkers]] so the
    * marker lists can never drift between engine and oracle. Latin scripts

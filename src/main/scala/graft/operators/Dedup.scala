@@ -61,9 +61,11 @@ object Dedup {
    * `maxDocFreq` is the stop-shingle cap (SCALING.md): a shingle occurring
    * in more than that many documents contributes cnt² rows to the
    * intersection join while carrying almost no similarity signal — dropping
-   * it bounds the join blow-up on pathological corpora. NB with the cap the
-   * result is approximate (denominator sizes still count capped shingles),
-   * so cap-using callers should not be oracle-compared.
+   * it bounds the join blow-up on pathological corpora. NB the cap removes
+   * those shingles from BOTH the intersection and the per-doc sizes, i.e.
+   * the result is exact Jaccard over the capped shingle universe — a pair's
+   * similarity can move in either direction vs the uncapped value, so
+   * cap-using callers should not be oracle-compared.
    */
   private def jaccardFromShingles(sh0: DataFrame, threshold: Double,
       candidates: Option[DataFrame], maxDocFreq: Option[Int] = None): DataFrame = {

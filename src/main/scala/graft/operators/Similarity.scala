@@ -103,11 +103,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Nearest-centroid assignment (shared by training and query/corpus
+   * bucketing so tie-break and metric can never diverge): keeps the columns
+   * of `in` plus the winning `cell_id`. */
+  private def nearestCell(in: DataFrame, idName: String, vecName: String,
+      centroids: DataFrame): DataFrame = {
+    val scored = in.join(broadcast(centroids), lit(true))
+      .withColumn("cdist", cosine(col(vecName), col("cvec")))
+    val w = Window.partitionBy(col(idName)).orderBy(col("cdist").desc, col("cell_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("cvec", "cdist", "rn")
+  }
+
   /**
-   * Deterministic IVF training: Lloyd iterations seeded with the first
-   * nCells vectors by id. Each round assigns every vector to its nearest
-   * centroid (broadcast) and recomputes the element-wise mean per cell —
-   * only the nCells×dim centroid table is ever collected, never data.
+   * IVF training: Lloyd iterations seeded with the first nCells vectors by
+   * id. Each round assigns every vector to its nearest centroid (broadcast)
+   * and recomputes the element-wise mean per cell — only the nCells×dim
+   * centroid table is ever collected, never data.
+   *
+   * Determinism: exact on a single JVM (fixed seeds, ordered tie-breaks); on
+   * a multi-executor cluster the `avg` merge order can differ in the last
+   * ulp across runs, so treat centroids as reproducible-but-not-bit-stable
+   * there. Cells that win no vectors in a round are dropped (the effective
+   * cell count may shrink below nCells; re-seeding is deliberately omitted
+   * to keep training deterministic).
    */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iterations: Int = 2): DataFrame = {
@@ -116,14 +135,9 @@ object Similarity {
     var centroids = df.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
     (0 until iterations).foreach { _ =>
-      val assigned = {
-        val scored = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-          .join(broadcast(centroids), lit(true))
-          .withColumn("cdist", cosine(col("vec"), col("cvec")))
-        val w = Window.partitionBy(col("id")).orderBy(col("cdist").desc, col("cell_id"))
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("cell_id"), col("vec"))
-      }
+      val assigned = nearestCell(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec", centroids)
+        .select(col("cell_id"), col("vec"))
       // element-wise mean per cell: explode positions, avg, re-assemble
       centroids = assigned
         .select(col("cell_id"), posexplode(col("vec").cast("array<double>")))
@@ -148,17 +162,10 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nCells: Int): DataFrame = {
     val centroids = trainCentroids(df, idCol, vecCol, nCells).persist()
-    def assign(in: DataFrame, id: String, vec: String): DataFrame = {
-      val scored = in.join(broadcast(centroids), lit(true))
-        .withColumn("cdist", cosine(col(vec), col("cvec")))
-      val w = Window.partitionBy(col(id)).orderBy(col("cdist").desc, col("cell_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col(id), col(vec), col("cell_id"))
-    }
-    val corpus = assign(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
-      "neighbor_id", "nvec")
-    val queries = assign(df.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id", "qvec")
+    val corpus = nearestCell(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
+      "neighbor_id", "nvec", centroids)
+    val queries = nearestCell(df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id", "qvec", centroids)
     val scored = corpus.join(broadcast(queries), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qvec"), col("nvec")))

@@ -52,6 +52,22 @@ class DedupSpec extends AnyFunSuite {
     assert(mh.size >= (exact.size * 0.9).toInt)  // LSH recall ≥ 90% at j≥0.5
   }
 
+  test("stop-shingle cap drops ubiquitous shingles from the similarity join") {
+    // plant one shingle ("x y z") in EVERY doc; with the cap it contributes
+    // nothing, so docs sharing only the hot shingle never pair up
+    val docs = Seq(
+      (1L, "x y z alpha beta gamma delta"),
+      (2L, "x y z epsilon zeta eta theta"),
+      (3L, "x y z alpha beta gamma delta iota")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L))) // joined only by the hot shingle
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.01, maxDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((1L, 2L)))
+    assert(capped.contains((1L, 3L))) // real overlap survives the cap
+  }
+
   test("simhash of identical docs is identical; near-dups are hamming-close") {
     val out = Dedup.withSimhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
