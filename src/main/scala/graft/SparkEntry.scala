@@ -79,6 +79,10 @@ object SparkEntry {
     "a2_approx_agg" -> ((s, dir) =>
       BotDetection.slidingAggregate(normalized(s, dir), eventsWindowing, exact = false)),
 
+    // Session windows: gap-based event grouping per ip (2-day gap).
+    "a4_session_agg" -> ((s, dir) =>
+      BotDetection.sessionAggregate(normalized(s, dir), "2 days")),
+
     // A7/C: classification columns incl. integer-division rule (SURVEY §2c A7).
     "c4_classify" -> ((s, dir) =>
       BotDetection.classify(
@@ -292,6 +296,30 @@ object SparkEntry {
       "a2_sliding_agg" ->
         s"""$slidingAgg
            |SELECT ip, window_start_s, clicks, views, n_categories FROM agg""".stripMargin,
+
+      // gaps-and-islands at exact microsecond precision: a new session
+      // starts when the gap to the previous event is >= 2 days (Spark's
+      // session end is exclusive: an event at exactly last+gap opens a new
+      // session). session_start floors to seconds like the Spark cast.
+      "a4_session_agg" ->
+        """WITH pts AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS ip, epoch_us(ts) AS t_us,
+          |         CASE WHEN event_type='click' THEN 1 ELSE 0 END AS clicks,
+          |         CASE WHEN event_type='view' THEN 1 ELSE 0 END AS views
+          |  FROM events WHERE event_type IN ('click','view') AND ts IS NOT NULL),
+          |marks AS (
+          |  SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+          |                 OR t_us - lag(t_us) OVER w >= 172800000000 THEN 1 ELSE 0 END AS new_s
+          |  FROM pts WINDOW w AS (PARTITION BY ip ORDER BY t_us)),
+          |sess AS (
+          |  SELECT *, SUM(new_s) OVER (PARTITION BY ip ORDER BY t_us
+          |                             ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM marks)
+          |SELECT ip, CAST(min(t_us) // 1000000 AS BIGINT) AS session_start_s,
+          |       CAST(COUNT(*) AS BIGINT) AS n_events,
+          |       CAST(SUM(clicks) AS BIGINT) AS clicks,
+          |       CAST(SUM(views) AS BIGINT) AS views
+          |FROM sess GROUP BY ip, sid""".stripMargin,
 
       "c4_classify" ->
         s"""$slidingAgg

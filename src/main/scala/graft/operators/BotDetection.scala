@@ -122,6 +122,25 @@ object BotDetection {
         col("clicks"), col("views"), col("n_categories"))
   }
 
+  /**
+   * Session-window aggregation: events of one ip closer than `gap` merge
+   * into one session (Spark `session_window`, streaming-capable under a
+   * watermark — state closes when the watermark passes last-event + gap).
+   * Beyond the reference's surface (it has only fixed windows, SURVEY.md
+   * §2e) but table stakes for a stream engine; the oracle expresses the
+   * same semantics as a gaps-and-islands SQL.
+   */
+  def sessionAggregate(records: DataFrame, gap: String): DataFrame =
+    records
+      .groupBy(col("ip"), session_window(col("time"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("clicks")).as("clicks"),
+        sum(col("views")).as("views"))
+      .select(col("ip"),
+        col("session_window.start").cast("long").as("session_start_s"),
+        col("n_events"), col("clicks"), col("views"))
+
   /** A7/C-rules: attach isBot + reason verdict columns. */
   def classify(agg: DataFrame, cfg: BotConfig): DataFrame =
     agg

@@ -73,6 +73,20 @@ class BotDetectionSpec extends AnyFunSuite {
     assert(agg.count() === 15)
   }
 
+  test("session windows merge within the gap and split at it") {
+    import spark.implicits._
+    def rec(ip: String, t: Long) = LogRecord(ip,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t)), 1L, 0L, "c")
+    val base = Fixtures.baseEpochS
+    val rows = Seq(
+      rec("a", base), rec("a", base + 50), rec("a", base + 99),   // one session (gap 60 > diffs)
+      rec("a", base + 200),                                        // new session (101 s > 60)
+      rec("b", base))
+    val out = BotDetection.sessionAggregate(rows.toDF(), "60 seconds")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(("a", base, 3L), ("a", base + 200, 1L), ("b", base, 1L)))
+  }
+
   test("approximate distinct path stays within HLL error on the fixtures") {
     import spark.implicits._
     val rows = Fixtures.categoriesPerInterval("bot", 100, 20)
