@@ -159,6 +159,12 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDedup(table(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
 
+    // Near-dup clusters: connected components over the verified pair graph —
+    // every clustered doc labeled with its component's min id (the canonical
+    // survivor).
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.minhashClusters(table(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+
     // SimHash near-dup pairs within hamming distance 3 (pigeonhole-banded).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
@@ -391,6 +397,23 @@ object SparkEntry {
            |SELECT id_a, id_b, CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) AS jaccard
            |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
            |WHERE CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
+
+      // connected components over the exact-jaccard pair graph via a
+      // recursive reachability CTE; cluster id = min reachable doc id.
+      "dedup_clusters" ->
+        s"""${shingleCtes.replace("WITH tok", "WITH RECURSIVE tok")},
+           |pairs AS (SELECT id_a, id_b FROM inter
+           |          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           |          WHERE CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT src AS doc_id, src AS r FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+           |)
+           |SELECT doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+           |FROM reach GROUP BY 1""".stripMargin,
 
       // batch semantics of the keyed track-list state: per ip keep the last
       // 10 days of daily buckets relative to that ip's newest bucket,

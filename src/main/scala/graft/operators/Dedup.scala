@@ -151,6 +151,57 @@ object Dedup {
     jaccardFromShingles(sh, threshold, Some(cand))
   }
 
+  // ------------------------------------------------------------ clustering
+
+  /**
+   * Connected components over a near-dup pair graph → duplicate clusters:
+   * every document in a component gets the component's minimum doc id as
+   * `cluster_id` (the canonical survivor a dedup pipeline keeps).
+   *
+   * Algorithm: iterative min-label propagation — each round every node
+   * adopts the smallest label among itself and its neighbors; converges in
+   * O(graph diameter) rounds. Each round is one join + one aggregation on
+   * the PAIR graph (tiny after LSH filtering — this never touches the
+   * corpus), and the loop stops when a round changes no label; the only
+   * driver-side value per round is that changed-count. Near-dup components
+   * are shallow (duplicates of a common source), so rounds stay few.
+   */
+  def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("cluster_id", "n_label"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_label")).as("neighbor_label"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("neighbor_label"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      changed = updated.as("u")
+        .join(labels.as("l"), Seq("doc_id"))
+        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+        .count()
+      labels = updated
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Near-dedup clusters of a corpus: MinHash+LSH pairs at `threshold`,
+   * collapsed into components; output (doc_id, cluster_id) for every doc
+   * that has at least one near-duplicate. */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    clusterPairs(minhashDedup(df, idCol, textCol, threshold))
+
   // -------------------------------------------------------------- simhash
 
   /**

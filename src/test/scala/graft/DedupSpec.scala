@@ -52,6 +52,27 @@ class DedupSpec extends AnyFunSuite {
     assert(mh.size >= (exact.size * 0.9).toInt)  // LSH recall ≥ 90% at j≥0.5
   }
 
+  test("clusterPairs: transitive chains collapse to the min-id component") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (1 and 3 never directly paired) + island 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("minhash clusters on the driver corpus assign one canonical per component") {
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val clusters = Dedup.minhashClusters(d, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty)
+    // every cluster id is a member of its own cluster (canonical is real)
+    val byCluster = clusters.groupBy(_._2)
+    assert(byCluster.forall { case (cid, members) => members.exists(_._1 == cid) })
+    // canonical = min member
+    assert(byCluster.forall { case (cid, members) => members.map(_._1).min == cid })
+  }
+
   test("stop-shingle cap drops ubiquitous shingles from the similarity join") {
     // plant one shingle ("x y z") in EVERY doc; with the cap it contributes
     // nothing, so docs sharing only the hot shingle never pair up
