@@ -111,6 +111,46 @@ object SparkEntry {
         .select(col("ip"), col("window_start_s"), col("reason"), col("expires_at_s"))
     }),
 
+    // ---- general analytics breadth (joins / ranking / rollup / stats) ----
+
+    // Broadcast dimension join: revenue per market segment.
+    "q_join_revenue" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+        .select(col("c_mktsegment"), col("n_orders"), round(col("revenue"), 2).as("revenue_r"))
+    }),
+
+    // Ranking window: top-3 events by value per type (deterministic ties).
+    "q_topn_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      table(s, dir, "events")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("event_type"), col("event_id"), col("value"), col("rank"))
+    }),
+
+    // Rollup: event counts by (type, ip) with subtotals and grand total.
+    "q_rollup" -> ((s, dir) =>
+      table(s, dir, "events")
+        .rollup(col("event_type"), col("user_id").cast("string").as("ip"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Ordered statistics: exact interpolated percentiles of value per type.
+    "q_percentiles" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"))),
+
     // ---- training-data-pipeline extensions (north star, SURVEY §7e) ----
 
     // Text analysis: token/stopword/punct counts + content fingerprint.
@@ -352,6 +392,30 @@ object SparkEntry {
            |WHERE $isBotPred
            |  AND window_start_s + ${10L * 86400L} + 600 >
            |      (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events)""".stripMargin,
+
+      "q_join_revenue" ->
+        """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          |       round(SUM(o_totalprice), 2) AS revenue_r
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1""".stripMargin,
+
+      "q_topn_per_group" ->
+        """SELECT event_type, event_id, value,
+          |       CAST(row_number() OVER (PARTITION BY event_type
+          |            ORDER BY value DESC, event_id) AS BIGINT) AS rank
+          |FROM events QUALIFY rank <= 3""".stripMargin,
+
+      "q_rollup" ->
+        """SELECT event_type, CAST(user_id AS VARCHAR) AS ip,
+          |       CAST(COUNT(*) AS BIGINT) AS n
+          |FROM events GROUP BY ROLLUP (event_type, ip)""".stripMargin,
+
+      "q_percentiles" ->
+        """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          |       MIN(value) AS v_min, MAX(value) AS v_max,
+          |       quantile_cont(value, 0.5) AS p50,
+          |       quantile_cont(value, 0.9) AS p90
+          |FROM events GROUP BY 1""".stripMargin,
 
       "text_stats" ->
         s"""SELECT doc_id,
