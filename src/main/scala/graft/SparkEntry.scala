@@ -140,6 +140,40 @@ object SparkEntry {
         .rollup(col("event_type"), col("user_id").cast("string").as("ip"))
         .agg(count(lit(1)).as("n"))),
 
+    // Pricing summary over the largest table (TPC-H Q1 flavor): one scan,
+    // map-side partials, 4-group output. Money sums rounded to cents —
+    // double-sum merge order differs across engines at the last ulp.
+    "q_pricing_summary" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Date.valueOf("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // Shipping-priority join (TPC-H Q3 flavor): dims broadcast, fact
+    // streamed; top-10 orders by revenue with deterministic tie-break.
+    "q_shipping_priority" -> ((s, dir) => {
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      val joined = l
+        .join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate"))),
+          l("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+      joined.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("o_orderdate_s"),
+          col("revenue"), col("rank"))
+    }),
+
     // Ordered statistics: exact interpolated percentiles of value per type.
     "q_percentiles" -> ((s, dir) =>
       table(s, dir, "events")
@@ -409,6 +443,29 @@ object SparkEntry {
         """SELECT event_type, CAST(user_id AS VARCHAR) AS ip,
           |       CAST(COUNT(*) AS BIGINT) AS n
           |FROM events GROUP BY ROLLUP (event_type, ip)""".stripMargin,
+
+      "q_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       round(SUM(l_quantity), 2) AS sum_qty,
+          |       round(SUM(l_extendedprice), 2) AS sum_base_price,
+          |       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          |       round(AVG(l_quantity), 4) AS avg_qty,
+          |       CAST(COUNT(*) AS BIGINT) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY 1, 2""".stripMargin,
+
+      "q_shipping_priority" ->
+        """WITH rev AS (
+          |  SELECT o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+          |         round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  WHERE c_mktsegment = 'BUILDING'
+          |  GROUP BY 1, 2)
+          |SELECT o_orderkey, o_orderdate_s, revenue,
+          |       CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS BIGINT) AS rank
+          |FROM rev QUALIFY rank <= 10""".stripMargin,
 
       "q_percentiles" ->
         """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
