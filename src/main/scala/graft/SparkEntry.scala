@@ -154,15 +154,18 @@ object SparkEntry {
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))),
 
-    // Shipping-priority join (TPC-H Q3 flavor): dims broadcast, fact
-    // streamed; top-10 orders by revenue with deterministic tie-break.
+    // Shipping-priority join (TPC-H Q3 flavor): only the customer DIM is
+    // broadcast; orders⋈lineitem is a shuffle join (orders is itself a fact
+    // table — broadcasting the filtered orders⋈customer would ship a
+    // fact-sized relation to every executor at scale; AQE may still choose
+    // broadcast when the filtered side turns out tiny).
     "q_shipping_priority" -> ((s, dir) => {
       val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = table(s, dir, "orders")
       val l = table(s, dir, "lineitem")
       val joined = l
-        .join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .select(col("o_orderkey"), col("o_orderdate"))),
+        .join(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate")),
           l("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -235,9 +238,13 @@ object SparkEntry {
 
     // Near-dup clusters: connected components over the verified pair graph —
     // every clustered doc labeled with its component's min id (the canonical
-    // survivor).
+    // survivor). Built on the EXACT pair graph: one LSH-missed borderline
+    // pair would sever a component and relabel its whole half, so the
+    // oracle-compared query must not inherit probabilistic recall
+    // (Dedup.minhashClusters is the LSH-fed scale path).
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.minhashClusters(table(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+      Dedup.clusterPairs(
+        Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5))),
 
     // SimHash near-dup pairs within hamming distance 3 (pigeonhole-banded).
     "dedup_simhash" -> ((s, dir) =>
@@ -503,7 +510,7 @@ object SparkEntry {
           |FROM documents GROUP BY 1""".stripMargin,
 
       "ngram_jaccard" ->
-        s"""$shingleCtes
+        s"""${shingleCtes()}
            |SELECT id_a, id_b, CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) AS jaccard
            |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
            |WHERE CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
@@ -514,7 +521,7 @@ object SparkEntry {
       // similarities this corpus actually contains (verified equal at sf0.001
       // /0.01/0.1) — so the oracle is the exact jaccard query.
       "dedup_minhash" ->
-        s"""$shingleCtes
+        s"""${shingleCtes()}
            |SELECT id_a, id_b, CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) AS jaccard
            |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
            |WHERE CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) >= 0.5""".stripMargin,
@@ -522,7 +529,7 @@ object SparkEntry {
       // connected components over the exact-jaccard pair graph via a
       // recursive reachability CTE; cluster id = min reachable doc id.
       "dedup_clusters" ->
-        s"""${shingleCtes.replace("WITH tok", "WITH RECURSIVE tok")},
+        s"""${shingleCtes(recursive = true)},
            |pairs AS (SELECT id_a, id_b FROM inter
            |          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
            |          WHERE CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) >= 0.5),
@@ -656,9 +663,12 @@ object SparkEntry {
 
   /** Shared shingle/intersection CTEs for n-gram Jaccard oracles (n=3).
    * Empty tokens are filtered (leading '\t'/'\n' would split to a '' token),
-   * matching the engine's one-pass tokenizer which never emits them. */
-  private def shingleCtes: String =
-    """WITH tok AS (SELECT doc_id,
+   * matching the engine's one-pass tokenizer which never emits them.
+   * `recursive` prepends WITH RECURSIVE for callers appending
+   * self-referencing CTEs (DuckDB scopes the keyword to the whole list). */
+  private def shingleCtes(recursive: Boolean = false): String =
+    (if (recursive) "WITH RECURSIVE" else "WITH") +
+    """ tok AS (SELECT doc_id,
       |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
       |       FROM tok, UNNEST(range(1, len(ts)-1)) AS r(i) WHERE len(ts) >= 3),

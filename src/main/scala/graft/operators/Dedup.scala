@@ -166,15 +166,17 @@ object Dedup {
    * driver-side value per round is that changed-count. Near-dup components
    * are shallow (duplicates of a common source), so rounds stay few.
    */
-  def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+  def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxRounds: Int = 100): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
+      .persist()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("cluster_id", "n_label"), "dst")
@@ -188,10 +190,16 @@ object Dedup {
       changed = updated.as("u")
         .join(labels.as("l"), Seq("doc_id"))
         .filter(col("u.cluster_id") =!= col("l.cluster_id"))
-        .count()
+        .count()                 // materializes `updated`, so the old cache
+      labels.unpersist()         // can be dropped before the next round
       labels = updated
       rounds += 1
     }
+    edges.unpersist()
+    // wrong labels are worse than no labels: a component with diameter >
+    // maxRounds (a pathological revision chain) must fail loudly
+    if (changed > 0) throw new IllegalStateException(
+      s"clusterPairs did not converge in $maxRounds rounds — component diameter too large")
     labels
   }
 
