@@ -45,8 +45,32 @@ object StreamDemo {
 
     val result = Sinks.readVerdicts(spark, out, Seq("ip", "window_start_s"))
     val byIp = result.groupBy("ip").count().orderBy(org.apache.spark.sql.functions.desc("count"))
-    println(s"=== verdict rows: ${result.count()} distinct ips: ${byIp.count()}")
+    println(s"=== E1 (windowed) verdict rows: ${result.count()} distinct ips: ${byIp.count()}")
     byIp.show(10, false)
+
+    // E2 parity (the reference's DStream path, SURVEY.md §3 E2): keyed
+    // track-list state over the same wire frame, emitting (bot_ip, reason)
+    // like the Cassandra `bots` table — driven here by the deterministic
+    // rate source instead of files.
+    import spark.implicits._
+    val out2 = Files.createTempDirectory("graft-demo-out2").toString + "/bots"
+    val ckpt2 = Files.createTempDirectory("graft-demo-ckpt2").toString
+    val trackVerdicts = graft.streaming.TrackListState.botVerdicts(
+        Ingest.syntheticRateStream(spark, rowsPerBatch = 5000, userCategories = 4)
+          .as[graft.model.LogRecord],
+        BotConfig(requestLimit = 500, categoryLimit = 5, clicksToViewsLimit = 5))
+      .toDF("bot_ip", "reason")
+    val q2 = trackVerdicts.writeStream
+      .outputMode("update")
+      .foreachBatch(Sinks.parquetAppend(out2) _)
+      .option("checkpointLocation", ckpt2)
+      .start()
+    // rate source is unbounded: let a handful of micro-batches run
+    Thread.sleep(8000)
+    q2.stop()
+    val bots = Sinks.readVerdicts(spark, out2, Seq("bot_ip"))
+    println(s"=== E2 (track-list) bot verdicts: ${bots.count()}")
+    bots.groupBy("reason").count().show(false)
     spark.stop()
   }
 }
