@@ -274,6 +274,14 @@ object SparkEntry {
       Similarity.lshNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.3, nPlanes = 6, tables = 8)),
 
+    // Product-quantization ANN: 8x16 codebooks (8 bytes/vector), ADC
+    // shortlist + exact rerank — approximate by design, rows-only check;
+    // recall vs brute force pinned by PqSpec.
+    "embed_pq" -> ((s, dir) =>
+      Similarity.pqTopK(table(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+          queryPred = col("vec_id") < 10, k = 10)
+        .withColumn("rank", col("rank").cast("long"))),
+
     // IVF-style ANN top-k (centroid cells shard the corpus).
     "embed_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",

@@ -150,6 +150,85 @@ object Similarity {
     centroids
   }
 
+  // ------------------------------------------------- product quantization
+
+  /**
+   * PQ codebooks: split the vector into `subspaces` contiguous chunks and
+   * quantize each chunk against its own `codes`-entry codebook (trained with
+   * the same deterministic Lloyd loop). Output: (s, code, cvec) — one row
+   * per codebook entry, `subspaces × codes` rows total.
+   */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      subspaces: Int = 8, codes: Int = 16): DataFrame = {
+    val sub = dim / subspaces
+    (0 until subspaces).map { s =>
+      val subVecs = df.select(col(idCol).as("id"),
+        slice(col(vecCol), s * sub + 1, sub).as("vec"))
+      trainCentroids(subVecs, "id", "vec", codes)
+        .select(lit(s).as("s"),
+          // codebook entries re-labeled 0..codes-1 deterministically by the
+          // (arbitrary but stable) seed id they grew from
+          (dense_rank().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cell_id"))) - 1).cast("long").as("code"),
+          col("cvec"))
+    }.reduce(_ union _)
+  }
+
+  /** PQ encoding: each vector becomes `subspaces` rows (vec_id, s, code) —
+   * 8 codes ≈ 8 bytes replacing 256 bytes of floats at dim=64. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      codebooks: DataFrame, subspaces: Int = 8): DataFrame = {
+    val sub = dim / subspaces
+    (0 until subspaces).map { s =>
+      val cb = codebooks.filter(col("s") === s)
+        .select(col("code").as("cell_id"), col("cvec"))
+      nearestCell(
+        df.select(col(idCol).as("vec_id"), slice(col(vecCol), s * sub + 1, sub).as("vec")),
+        "vec_id", "vec", cb)
+        .select(col("vec_id"), lit(s).as("s"), col("cell_id").as("code"))
+    }.reduce(_ union _)
+  }
+
+  /**
+   * PQ-ADC top-k with exact re-rank, expressed relationally (no custom
+   * kernel needed): per query × subspace, a 16-row lookup table of partial
+   * dot products against the codebook; the corpus joins its codes to the
+   * table on (s, code) and sums — shuffle ∝ corpus × subspaces, never
+   * corpus × queries × dim. The ADC top-`rerank` candidates per query are
+   * then re-scored with exact cosine for the final top-k (the standard
+   * IVFPQ search shape).
+   */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryPred: Column, k: Int, subspaces: Int = 8, codes: Int = 16,
+      rerank: Int = 50): DataFrame = {
+    val sub = dim / subspaces
+    val codebooks = pqTrain(df, idCol, vecCol, dim, subspaces, codes).persist()
+    val corpusCodes = pqEncode(df, idCol, vecCol, dim, codebooks, subspaces).persist()
+    val queries = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    // per (query, s, code): partial dot of the query's s-th chunk with the
+    // codebook entry
+    val lut = queries.crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("qvec"), col("s"), col("code"),
+        dot(slice(col("qvec"), col("s") * sub + 1, lit(sub)), col("cvec")).as("pd"))
+    val adc = corpusCodes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dot"))
+      .filter(col("query_id") =!= col("vec_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("vec_id"))
+    val candidates = adc.withColumn("r", row_number().over(wAdc)).filter(col("r") <= rerank)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // exact re-rank of the shortlist
+    val scored = candidates
+      .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /**
    * IVF-style ANN: assign every vector to its nearest of `nCells` trained
    * centroid cells (Lloyd-iterated, deterministic), then search only the
