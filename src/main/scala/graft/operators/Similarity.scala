@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
  * Similarity search over an embedding column (`ARRAY<FLOAT>`).
  *
  * Baseline: brute-force cosine top-k (broadcast the query set, never the
- * corpus). Scale path: random-hyperplane LSH bucketing so candidate
- * generation joins on bucket keys instead of forming the full cross product.
- * All vector math is `zip_with`/`aggregate` higher-order expressions —
- * codegen'd, no UDF, no collect.
+ * corpus). Scale paths: random-hyperplane LSH bucketing (candidates join on
+ * bucket keys instead of forming the cross product), Lloyd-trained IVF
+ * cells, and product quantization with ADC + exact rerank. All vector math
+ * goes through the codegen'd FloatDotProduct expression — no UDFs, no
+ * interpreted lambdas, no collect.
  */
 object Similarity {
 
