@@ -48,12 +48,16 @@ object BotClassifier {
   def suspiciousRatio(clicks: Column, views: Column, cfg: BotConfig): Column =
     intDiv(clicks, greatest(views, lit(1L))) > cfg.clicksToViewsLimit
 
-  /** Frame-aware variant (`Common.scala:30-34`). */
+  /** Frame-aware variant (`Common.scala:29-36`): when frames ARE tracked
+   * (`passedFrames != -1`) the rule fires only with ≥ minFrames frames AND
+   * views > 0; with too few frames it is simply false — the clamped
+   * no-frames ratio applies ONLY to the untracked (`-1`) branch. */
   def suspiciousRatioFramed(
       clicks: Column, views: Column, passedFrames: Column, cfg: BotConfig): Column =
-    when(passedFrames >= cfg.minFrames,
-      views > 0 && intDiv(clicks, views) > cfg.clicksToViewsLimit)
-      .otherwise(suspiciousRatio(clicks, views, cfg))
+    when(passedFrames === -1L, suspiciousRatio(clicks, views, cfg))
+      .otherwise(
+        passedFrames >= cfg.minFrames && views > 0 &&
+          intDiv(clicks, views) > cfg.clicksToViewsLimit)
 
   def isBot(clicks: Column, views: Column, nCategories: Column, cfg: BotConfig): Column =
     tooManyRequests(clicks, views, cfg) ||
@@ -73,7 +77,9 @@ object BotClassifier {
       clicks: Long, views: Long, nCategories: Long,
       cfg: BotConfig = BotConfig(), passedFrames: Long = -1L): (Boolean, String) = {
     val ratioFires =
-      if (passedFrames >= cfg.minFrames) views > 0 && clicks / views > cfg.clicksToViewsLimit
+      if (passedFrames != -1L)
+        passedFrames >= cfg.minFrames && views > 0 &&
+          clicks / views > cfg.clicksToViewsLimit
       else clicks / math.max(views, 1L) > cfg.clicksToViewsLimit
     val requests = clicks + views > cfg.requestLimit
     val categories = nCategories > cfg.categoryLimit

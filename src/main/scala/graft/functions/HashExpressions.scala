@@ -1,11 +1,25 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Shared analysis-time check: input must be ARRAY<BIGINT> (manual, not
+ * ExpectsInputTypes — AbstractDataType is private[sql] in Spark 4). Without
+ * it, e.g. ARRAY<INT> input silently reinterprets bits via ArrayData.getLong
+ * instead of failing analysis. */
+trait RequiresLongArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<BIGINT>, got ${other.sql}")
+    }
+}
 
 /** Static mix used by the minhash family; callable from generated code. */
 object HashMix {
@@ -26,7 +40,7 @@ object HashMix {
  * array — measured ~11 s on 500 docs; this is milliseconds).
  */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresLongArrayInput {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -53,20 +67,30 @@ case class SimHash64(child: Expression)
     out
   }
 
+  // All locals from ctx.freshName — fixed names collide when two expression
+  // instances land in one generated function (CompileException → interpreted
+  // fallback for the whole stage).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("shVotes")
+      val i = ctx.freshName("shI")
+      val h = ctx.freshName("shH")
+      val b = ctx.freshName("shB")
+      val b2 = ctx.freshName("shB2")
+      val out = ctx.freshName("shOut")
       s"""
-         |int[] votes = new int[64];
-         |for (int i = 0; i < $a.numElements(); i++) {
-         |  long h = $a.getLong(i);
-         |  for (int b = 0; b < 64; b++) {
-         |    if (((h >>> b) & 1L) == 1L) votes[b]++; else votes[b]--;
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
          |  }
          |}
-         |long out = 0L;
-         |for (int b = 0; b < 64; b++) if (votes[b] > 0) out |= (1L << b);
-         |${ev.value} = out;
-       """.stripMargin)
+         |long $out = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) if ($votes[$b2] > 0) $out |= (1L << $b2);
+         |${ev.value} = $out;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -79,7 +103,7 @@ case class SimHash64(child: Expression)
  * instead of k interpreted folds.
  */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresLongArrayInput {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -102,19 +126,25 @@ case class MinHashSignature(child: Expression, k: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("mhSig")
+      val i = ctx.freshName("mhI")
+      val h = ctx.freshName("mhH")
+      val j = ctx.freshName("mhJ")
+      val v = ctx.freshName("mhV")
       s"""
-         |long[] sig = new long[$k];
-         |java.util.Arrays.fill(sig, Long.MAX_VALUE);
-         |for (int i = 0; i < $a.numElements(); i++) {
-         |  long h = $a.getLong(i);
-         |  for (int j = 0; j < $k; j++) {
-         |    long v = graft.functions.HashMix.mix64(h ^ graft.functions.HashMix.seed(j));
-         |    if (v < sig[j]) sig[j] = v;
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = graft.functions.HashMix.mix64($h ^ graft.functions.HashMix.seed($j));
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(sig);
-       """.stripMargin)
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -139,6 +169,13 @@ case class WordShingleHashes(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING, got ${other.sql}")
+    }
 
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(WordShingleHashes.compute(input.toString, n))
@@ -169,9 +206,12 @@ object WordShingleHashes {
     h
   }
 
-  /** ASCII whitespace, the class regex `\s` matches (oracle parity). */
+  /** RE2's `\s` class — NOT Java's, which additionally matches vertical tab
+   * (\x0B). The DuckDB oracles split with RE2 `\s+`, and TextAnalysis.tokens
+   * uses the same explicit class, so all three tokenizers agree even on
+   * documents containing \x0B. */
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == 0x0b.toChar || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** Ordered shingle hashes of the whitespace-tokenized string. */
   def compute(text: String, n: Int): Array[Long] = {

@@ -52,8 +52,8 @@ object Dedup {
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Option[Int] = None): DataFrame =
-    jaccardFromShingles(shingleHashRows(df, idCol, textCol, n).persist(), threshold,
-      None, maxDocFreq)
+    jaccardFromShingles(shingleHashRows(df, idCol, textCol, n).localCheckpoint(),
+      threshold, None, maxDocFreq)
 
   /** Shared inverted-index jaccard core over (doc_id, shash) rows; candidate
    * pairs optionally restricted by a left-semi join on `candidates`.
@@ -126,12 +126,15 @@ object Dedup {
 
   /** Candidate pairs = docs sharing any LSH bucket (deduped across bands).
    * The join is on (band, bucket) — shuffle ∝ corpus size, never all-pairs.
-   * Signatures are persisted first: Catalyst's projection collapse would
-   * otherwise inline the whole minhash pipeline into EVERY band expression
-   * and the self-join sides (measured 347 s → ~10 s at sf0.1). */
+   * Signatures are materialized first (`localCheckpoint`): Catalyst's
+   * projection collapse would otherwise inline the whole minhash pipeline
+   * into EVERY band expression and the self-join sides (measured 347 s →
+   * ~10 s at sf0.1). localCheckpoint over persist: same barrier, but blocks
+   * are freed by the ContextCleaner once unreferenced, so composing callers
+   * don't accumulate cached partitions across operator calls. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
-    val signed = withMinhash(df, idCol, textCol, n, k).persist()
+    val signed = withMinhash(df, idCol, textCol, n, k).localCheckpoint()
     val buckets = lshBuckets(signed, k, bands)
     buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -147,7 +150,7 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, n, k, bands)
-    val sh = shingleHashRows(df, idCol, textCol, n).persist()
+    val sh = shingleHashRows(df, idCol, textCol, n).localCheckpoint()
     jaccardFromShingles(sh, threshold, Some(cand))
   }
 
@@ -165,15 +168,21 @@ object Dedup {
    * corpus), and the loop stops when a round changes no label; the only
    * driver-side value per round is that changed-count. Near-dup components
    * are shallow (duplicates of a common source), so rounds stay few.
+   *
+   * Each round's labels are `localCheckpoint`ed: the lineage (and logical
+   * plan) would otherwise grow by one join+agg per round, making round-N
+   * planning O(N); checkpointing keeps planning O(1) per round, and the
+   * superseded rounds' blocks are freed by the ContextCleaner instead of
+   * pinning cache across calls.
    */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxRounds: Int = 100): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .persist()
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -186,16 +195,14 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("neighbor_label"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
+        .localCheckpoint()
       changed = updated.as("u")
         .join(labels.as("l"), Seq("doc_id"))
         .filter(col("u.cluster_id") =!= col("l.cluster_id"))
-        .count()                 // materializes `updated`, so the old cache
-      labels.unpersist()         // can be dropped before the next round
+        .count()
       labels = updated
       rounds += 1
     }
-    edges.unpersist()
     // wrong labels are worse than no labels: a component with diameter >
     // maxRounds (a pathological revision chain) must fail loudly
     if (changed > 0) throw new IllegalStateException(

@@ -87,13 +87,14 @@ object Similarity {
    */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
-    // persisted: projection collapse would re-inline the tables×nPlanes dot
-    // products into both self-join sides (same blow-up as minhashCandidates)
+    // materialized (localCheckpoint): projection collapse would re-inline the
+    // tables×nPlanes dot products into both self-join sides (same blow-up as
+    // minhashCandidates); checkpoint blocks are GC-freed, unlike persist
     val keyed = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
         posexplode(array((0 until tables).map(t =>
           lshBucket(col(vecCol), nPlanes, dim, seed = 42L + t)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-      .persist()
+      .localCheckpoint()
     keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -203,8 +204,8 @@ object Similarity {
       queryPred: Column, k: Int, subspaces: Int = 8, codes: Int = 16,
       rerank: Int = 50): DataFrame = {
     val sub = dim / subspaces
-    val codebooks = pqTrain(df, idCol, vecCol, dim, subspaces, codes).persist()
-    val corpusCodes = pqEncode(df, idCol, vecCol, dim, codebooks, subspaces).persist()
+    val codebooks = pqTrain(df, idCol, vecCol, dim, subspaces, codes).localCheckpoint()
+    val corpusCodes = pqEncode(df, idCol, vecCol, dim, codebooks, subspaces).localCheckpoint()
     val queries = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     // per (query, s, code): partial dot of the query's s-th chunk with the
@@ -241,7 +242,7 @@ object Similarity {
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nCells: Int): DataFrame = {
-    val centroids = trainCentroids(df, idCol, vecCol, nCells).persist()
+    val centroids = trainCentroids(df, idCol, vecCol, nCells).localCheckpoint()
     val corpus = nearestCell(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
       "neighbor_id", "nvec", centroids)
     val queries = nearestCell(df.filter(queryPred)

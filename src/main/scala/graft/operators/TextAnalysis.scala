@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** RE2's `\s` class, spelled explicitly. Java regex `\s` additionally
+   * matches vertical tab (\x0B); the DuckDB oracles tokenize with RE2
+   * `string_split_regex('\s+')`, so using Java `\s` here would split
+   * differently on any document containing \x0B. */
+  val wsClass = "[ \\t\\n\\f\\r]"
+
   /** Whitespace tokenizer (the cross-engine-stable baseline; a BPE-ish
    * subword regex is [[bpeishTokens]]). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(trim(text), wsClass + "+")
 
   /** BPE-ish tokenization: words, numbers, and single punctuation marks as
    * separate tokens — a regex approximation of byte-pair pretokenizers. */
@@ -97,7 +103,7 @@ object TextAnalysis {
    * md5 is bit-identical across engines (unlike xxhash64/DuckDB hash), so
    * it doubles as the exact-dedup key the oracle can recompute. */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    md5(lower(regexp_replace(trim(text), wsClass + "+", " ")))
 
   /**
    * Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing: Local

@@ -20,7 +20,11 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        // `div` keeps the whole computation in Long arithmetic: `/` on longs
+        // is DOUBLE division, and at ~1.7e18 nanos doubles only resolve
+        // ~256 ns, so floor(double) can be off by 1 µs vs DuckDB's integer
+        // truncation whenever ts has sub-microsecond components.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }

@@ -31,13 +31,38 @@ class BotClassifierSpec extends AnyFunSuite {
     assert(BotClassifier.classifyScalar(5, 0, 1, cfg) === (false, "clear"))
   }
 
-  test("frame-aware variant requires minFrames and views>0 (Common.scala:30-34)") {
+  test("frame-aware variant requires minFrames and views>0 (Common.scala:29-36)") {
     // enough frames, views=0 → ratio can't fire
     assert(BotClassifier.classifyScalar(999, 0, 1, cfg, passedFrames = 5)._1 === false)
     // enough frames, views>0, ratio above limit → fires
     assert(BotClassifier.classifyScalar(601, 100, 1, cfg, passedFrames = 5) === (true, "clicks/views"))
-    // too few frames → falls back to clamped variant
-    assert(BotClassifier.classifyScalar(6, 0, 1, cfg, passedFrames = 4)._1 === true)
+    // frames tracked but too few observed → rule is FALSE (the reference's
+    // nested if: the clamped fallback applies only to passedFrames == -1)
+    assert(BotClassifier.classifyScalar(6, 0, 1, cfg, passedFrames = 4)._1 === false)
+    assert(BotClassifier.classifyScalar(999, 1, 1, cfg, passedFrames = 0)._1 === false)
+    // frames untracked (-1) → clamped no-frames ratio applies
+    assert(BotClassifier.classifyScalar(6, 0, 1, cfg, passedFrames = -1)._1 === true)
+  }
+
+  test("framed column rule agrees with scalar on the full branch matrix") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = for {
+      clicks <- Seq(0L, 5L, 6L, 601L)
+      views <- Seq(0L, 1L, 100L)
+      frames <- Seq(-1L, 0L, 4L, 5L, 9L)
+    } yield (clicks, views, frames)
+    val df = rows.toDF("clicks", "views", "frames")
+      .withColumn("framed", BotClassifier.suspiciousRatioFramed(
+        col("clicks"), col("views"), col("frames"), cfg))
+    df.collect().foreach { r =>
+      val expected = {
+        val (c, v, f) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        if (f != -1L) f >= cfg.minFrames && v > 0 && c / v > cfg.clicksToViewsLimit
+        else c / math.max(v, 1L) > cfg.clicksToViewsLimit
+      }
+      assert(r.getBoolean(3) === expected, s"framed mismatch on $r")
+    }
   }
 
   test("reason priority: requests > categories > clicks/views (Common.scala:41-47)") {
