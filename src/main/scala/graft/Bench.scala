@@ -13,6 +13,14 @@ object Bench {
     // JVM/codegen warmup so the first measured query doesn't absorb session
     // startup (JIT, codegen compiler init, shuffle service threads).
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // Parquet reader/writer path warmup (Hadoop FS init, footer reader,
+    // vectorized reader codegen) against a throwaway file — the measured
+    // queries' first parquet scan otherwise pays ~1s of one-time init.
+    // Warms code paths only; never touches the benchmark tables.
+    val warmDir = java.nio.file.Files.createTempDirectory("graft-bench-warm").toString
+    spark.range(100L).selectExpr("id", "cast(id as string) s")
+      .write.mode("overwrite").parquet(warmDir)
+    spark.read.parquet(warmDir).selectExpr("count(distinct s)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

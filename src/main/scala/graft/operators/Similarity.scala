@@ -107,15 +107,20 @@ object Similarity {
 
   /** Nearest-centroid assignment (shared by training and query/corpus
    * bucketing so tie-break and metric can never diverge): keeps the columns
-   * of `in` plus the winning `cell_id`. */
+   * of `in` (id + vector) plus the winning `cell_id`.
+   *
+   * argmin via `max_by` with the tie-break folded into the ordering struct
+   * (max cosine, then min cell_id) — a hash aggregate with map-side partials
+   * instead of the row_number window's shuffle+full-sort; deterministic
+   * because ties in the ordering struct are impossible (cell_id is unique).
+   */
   private def nearestCell(in: DataFrame, idName: String, vecName: String,
-      centroids: DataFrame): DataFrame = {
-    val scored = in.join(broadcast(centroids), lit(true))
+      centroids: DataFrame): DataFrame =
+    in.join(broadcast(centroids), lit(true))
       .withColumn("cdist", cosine(col(vecName), col("cvec")))
-    val w = Window.partitionBy(col(idName)).orderBy(col("cdist").desc, col("cell_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("cvec", "cdist", "rn")
-  }
+      .groupBy(col(idName))
+      .agg(first(col(vecName)).as(vecName),
+        max_by(col("cell_id"), struct(col("cdist"), -col("cell_id"))).as("cell_id"))
 
   /**
    * IVF training: Lloyd iterations seeded with the first nCells vectors by
@@ -154,42 +159,71 @@ object Similarity {
 
   // ------------------------------------------------- product quantization
 
+  /** (vec_id, s, vec) rows: each vector split into `subspaces` contiguous
+   * chunks, subspace index as a KEY COLUMN — so training/encoding over all
+   * subspaces runs as ONE job chain instead of one per subspace (the
+   * per-subspace-loop formulation spawned ~8× the stages, and at bench scale
+   * fixed stage-scheduling cost dominated the whole query). */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, subspaces: Int): DataFrame = {
+    val sub = dim / subspaces
+    df.select(col(idCol).as("vec_id"),
+        posexplode(array((0 until subspaces).map(s =>
+          slice(col(vecCol), s * sub + 1, sub)): _*)))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "vec")
+  }
+
+  /** Nearest centroid per (s, vec_id) — the subspace-keyed twin of
+   * [[nearestCell]] (same metric and tie-break, applied per key). */
+  private def nearestCellKeyed(in: DataFrame, centroids: DataFrame): DataFrame =
+    in.join(broadcast(centroids), Seq("s"))
+      .withColumn("cdist", cosine(col("vec"), col("cvec")))
+      .groupBy(col("s"), col("vec_id"))
+      .agg(first(col("vec")).as("vec"),
+        max_by(col("cell_id"), struct(col("cdist"), -col("cell_id"))).as("cell_id"))
+
   /**
    * PQ codebooks: split the vector into `subspaces` contiguous chunks and
-   * quantize each chunk against its own `codes`-entry codebook (trained with
-   * the same deterministic Lloyd loop). Output: (s, code, cvec) — one row
+   * quantize each chunk against its own `codes`-entry codebook — the same
+   * deterministic Lloyd loop as [[trainCentroids]] (seed = first `codes`
+   * vectors by id, per subspace; empty cells drop), but all subspaces
+   * trained simultaneously keyed by `s`. Output: (s, code, cvec) — one row
    * per codebook entry, `subspaces × codes` rows total.
    */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      subspaces: Int = 8, codes: Int = 16): DataFrame = {
-    val sub = dim / subspaces
-    (0 until subspaces).map { s =>
-      val subVecs = df.select(col(idCol).as("id"),
-        slice(col(vecCol), s * sub + 1, sub).as("vec"))
-      trainCentroids(subVecs, "id", "vec", codes)
-        .select(lit(s).as("s"),
-          // codebook entries re-labeled 0..codes-1 deterministically by the
-          // (arbitrary but stable) seed id they grew from
-          (dense_rank().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("cell_id"))) - 1).cast("long").as("code"),
-          col("cvec"))
-    }.reduce(_ union _)
+      subspaces: Int = 8, codes: Int = 16, iterations: Int = 2): DataFrame = {
+    val subs = subVectors(df, idCol, vecCol, dim, subspaces)
+    val wSeed = Window.partitionBy(col("s")).orderBy(col("vec_id"))
+    var centroids = subs.withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= codes)
+      .select(col("s"), col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    (0 until iterations).foreach { _ =>
+      val assigned = nearestCellKeyed(subs, centroids)
+      centroids = assigned
+        .select(col("s"), col("cell_id"), posexplode(col("vec").cast("array<double>")))
+        .groupBy(col("s"), col("cell_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("s"), col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("s"), col("cell_id"),
+          transform(col("pm"), x => x.getField("m").cast("float")).as("cvec"))
+    }
+    // codebook entries re-labeled 0..codes-1 deterministically by the
+    // (arbitrary but stable) seed id they grew from
+    centroids.select(col("s"),
+      (dense_rank().over(Window.partitionBy(col("s")).orderBy(col("cell_id"))) - 1)
+        .cast("long").as("code"),
+      col("cvec"))
   }
 
   /** PQ encoding: each vector becomes `subspaces` rows (vec_id, s, code) —
-   * 8 codes ≈ 8 bytes replacing 256 bytes of floats at dim=64. */
+   * 8 codes ≈ 8 bytes replacing 256 bytes of floats at dim=64. One keyed
+   * pass over all subspaces. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      codebooks: DataFrame, subspaces: Int = 8): DataFrame = {
-    val sub = dim / subspaces
-    (0 until subspaces).map { s =>
-      val cb = codebooks.filter(col("s") === s)
-        .select(col("code").as("cell_id"), col("cvec"))
-      nearestCell(
-        df.select(col(idCol).as("vec_id"), slice(col(vecCol), s * sub + 1, sub).as("vec")),
-        "vec_id", "vec", cb)
-        .select(col("vec_id"), lit(s).as("s"), col("cell_id").as("code"))
-    }.reduce(_ union _)
-  }
+      codebooks: DataFrame, subspaces: Int = 8): DataFrame =
+    nearestCellKeyed(
+      subVectors(df, idCol, vecCol, dim, subspaces),
+      codebooks.select(col("s"), col("code").as("cell_id"), col("cvec")))
+      .select(col("vec_id"), col("s"), col("cell_id").as("code"))
 
   /**
    * PQ-ADC top-k with exact re-rank, expressed relationally (no custom
