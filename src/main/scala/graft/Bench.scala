@@ -17,10 +17,17 @@ object Bench {
     // vectorized reader codegen) against a throwaway file — the measured
     // queries' first parquet scan otherwise pays ~1s of one-time init.
     // Warms code paths only; never touches the benchmark tables.
-    val warmDir = java.nio.file.Files.createTempDirectory("graft-bench-warm").toString
-    spark.range(100L).selectExpr("id", "cast(id as string) s")
-      .write.mode("overwrite").parquet(warmDir)
-    spark.read.parquet(warmDir).selectExpr("count(distinct s)").collect()
+    val warmDir = java.nio.file.Files.createTempDirectory("graft-bench-warm")
+    try {
+      spark.range(100L).selectExpr("id", "cast(id as string) s")
+        .write.mode("overwrite").parquet(warmDir.toString)
+      spark.read.parquet(warmDir.toString).selectExpr("count(distinct s)").collect()
+    } finally {
+      // the temp parquet dir would otherwise leak on every bench run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(warmDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

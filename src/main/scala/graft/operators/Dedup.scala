@@ -52,7 +52,7 @@ object Dedup {
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Option[Int] = None): DataFrame =
-    jaccardFromShingles(shingleHashRows(df, idCol, textCol, n).localCheckpoint(),
+    jaccardFromShingles(shingleHashRows(df, idCol, textCol, n).transform(graft.Materialize(_)),
       threshold, None, maxDocFreq)
 
   /** Shared inverted-index jaccard core over (doc_id, shash) rows; candidate
@@ -126,15 +126,16 @@ object Dedup {
 
   /** Candidate pairs = docs sharing any LSH bucket (deduped across bands).
    * The join is on (band, bucket) — shuffle ∝ corpus size, never all-pairs.
-   * Signatures are materialized first (`localCheckpoint`): Catalyst's
-   * projection collapse would otherwise inline the whole minhash pipeline
-   * into EVERY band expression and the self-join sides (measured 347 s →
-   * ~10 s at sf0.1). localCheckpoint over persist: same barrier, but blocks
-   * are freed by the ContextCleaner once unreferenced, so composing callers
-   * don't accumulate cached partitions across operator calls. */
+   * Signatures are materialized first ([[graft.Materialize]], strategy via
+   * `spark.graft.materialize`): Catalyst's projection collapse would
+   * otherwise inline the whole minhash pipeline into EVERY band expression
+   * and the self-join sides (measured 347 s → ~10 s at sf0.1). Local runs
+   * default to localCheckpoint (blocks freed by the ContextCleaner);
+   * clusters with executor churn should set `persist` or `checkpoint` —
+   * lineage-truncated executor-local blocks are not fault-tolerant. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
-    val signed = withMinhash(df, idCol, textCol, n, k).localCheckpoint()
+    val signed = withMinhash(df, idCol, textCol, n, k).transform(graft.Materialize(_))
     val buckets = lshBuckets(signed, k, bands)
     buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -150,7 +151,7 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, n, k, bands)
-    val sh = shingleHashRows(df, idCol, textCol, n).localCheckpoint()
+    val sh = shingleHashRows(df, idCol, textCol, n).transform(graft.Materialize(_))
     jaccardFromShingles(sh, threshold, Some(cand))
   }
 
@@ -169,20 +170,19 @@ object Dedup {
    * driver-side value per round is that changed-count. Near-dup components
    * are shallow (duplicates of a common source), so rounds stay few.
    *
-   * Each round's labels are `localCheckpoint`ed: the lineage (and logical
-   * plan) would otherwise grow by one join+agg per round, making round-N
-   * planning O(N); checkpointing keeps planning O(1) per round, and the
-   * superseded rounds' blocks are freed by the ContextCleaner instead of
-   * pinning cache across calls.
+   * Each round's labels are materialized ([[graft.Materialize]]): the
+   * lineage (and logical plan) would otherwise grow by one join+agg per
+   * round, making round-N planning O(N); the barrier keeps planning O(1)
+   * per round.
    */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxRounds: Int = 100): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.Materialize(_))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+      .transform(graft.Materialize(_))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -195,7 +195,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("neighbor_label"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+        .transform(graft.Materialize(_))
       changed = updated.as("u")
         .join(labels.as("l"), Seq("doc_id"))
         .filter(col("u.cluster_id") =!= col("l.cluster_id"))

@@ -25,7 +25,14 @@ object Similarity {
 
   def norm(a: Column): Column = graft.functions.VectorExpressions.floatNorm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Total under ANSI mode: a zero-norm side yields NaN (the IEEE 0/0
+   * outcome) instead of DIVIDE_BY_ZERO — PQ subspace chunks can be all-zero
+   * even when the full vectors never are. NULL vectors still propagate NULL
+   * (a NULL denominator falls through to the division). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0d, lit(Double.NaN)).otherwise(dot(a, b) / denom)
+  }
 
   /**
    * Brute-force cosine top-k: for each query row (`queryPred`), the k nearest
@@ -87,14 +94,14 @@ object Similarity {
    */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
-    // materialized (localCheckpoint): projection collapse would re-inline the
-    // tables×nPlanes dot products into both self-join sides (same blow-up as
-    // minhashCandidates); checkpoint blocks are GC-freed, unlike persist
+    // materialized (graft.Materialize — strategy via spark.graft.materialize):
+    // projection collapse would re-inline the tables×nPlanes dot products
+    // into both self-join sides (same blow-up as minhashCandidates)
     val keyed = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
         posexplode(array((0 until tables).map(t =>
           lshBucket(col(vecCol), nPlanes, dim, seed = 42L + t)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-      .localCheckpoint()
+      .transform(graft.Materialize(_))
     keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -105,14 +112,25 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Ordering key for nearest-centroid argmax under `min_by`: negates the
+   * always-DoubleType cosine (never the id column, whose type is
+   * caller-chosen — negating a STRING id fails under ANSI), and pins the
+   * NaN-wins convention of the original `row_number …  orderBy(cdist.desc)`
+   * formulation: NaN sorts above every double in a descending sort, so here
+   * it maps to -∞ (the `min_by` minimum). Cosine of finite floats is finite
+   * or NaN — ±∞ cannot collide. */
+  private def descCosKey(cdist: Column): Column =
+    when(isnan(cdist), lit(Double.NegativeInfinity)).otherwise(-cdist)
+
   /** Nearest-centroid assignment (shared by training and query/corpus
    * bucketing so tie-break and metric can never diverge): keeps the columns
    * of `in` (id + vector) plus the winning `cell_id`.
    *
-   * argmin via `max_by` with the tie-break folded into the ordering struct
+   * argmax via `min_by` with the tie-break folded into the ordering struct
    * (max cosine, then min cell_id) — a hash aggregate with map-side partials
    * instead of the row_number window's shuffle+full-sort; deterministic
-   * because ties in the ordering struct are impossible (cell_id is unique).
+   * because ties in the ordering struct are impossible (cell_id is unique),
+   * and type-safe for any orderable cell_id (string ids included).
    */
   private def nearestCell(in: DataFrame, idName: String, vecName: String,
       centroids: DataFrame): DataFrame =
@@ -120,7 +138,7 @@ object Similarity {
       .withColumn("cdist", cosine(col(vecName), col("cvec")))
       .groupBy(col(idName))
       .agg(first(col(vecName)).as(vecName),
-        max_by(col("cell_id"), struct(col("cdist"), -col("cell_id"))).as("cell_id"))
+        min_by(col("cell_id"), struct(descCosKey(col("cdist")), col("cell_id"))).as("cell_id"))
 
   /**
    * IVF training: Lloyd iterations seeded with the first nCells vectors by
@@ -153,6 +171,10 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell_id"),
           transform(col("pm"), x => x.getField("m").cast("float")).as("cvec"))
+        // materialize the tiny (nCells×dim) table each round: without the
+        // barrier the logical plan nests one assign+two-agg layer per
+        // iteration and planning cost grows multiplicatively with it
+        .transform(graft.Materialize(_))
     }
     centroids
   }
@@ -180,7 +202,7 @@ object Similarity {
       .withColumn("cdist", cosine(col("vec"), col("cvec")))
       .groupBy(col("s"), col("vec_id"))
       .agg(first(col("vec")).as("vec"),
-        max_by(col("cell_id"), struct(col("cdist"), -col("cell_id"))).as("cell_id"))
+        min_by(col("cell_id"), struct(descCosKey(col("cdist")), col("cell_id"))).as("cell_id"))
 
   /**
    * PQ codebooks: split the vector into `subspaces` contiguous chunks and
@@ -206,6 +228,8 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("s"), col("cell_id"),
           transform(col("pm"), x => x.getField("m").cast("float")).as("cvec"))
+        // same per-round barrier as trainCentroids (plan growth guard)
+        .transform(graft.Materialize(_))
     }
     // codebook entries re-labeled 0..codes-1 deterministically by the
     // (arbitrary but stable) seed id they grew from
@@ -238,8 +262,8 @@ object Similarity {
       queryPred: Column, k: Int, subspaces: Int = 8, codes: Int = 16,
       rerank: Int = 50): DataFrame = {
     val sub = dim / subspaces
-    val codebooks = pqTrain(df, idCol, vecCol, dim, subspaces, codes).localCheckpoint()
-    val corpusCodes = pqEncode(df, idCol, vecCol, dim, codebooks, subspaces).localCheckpoint()
+    val codebooks = pqTrain(df, idCol, vecCol, dim, subspaces, codes).transform(graft.Materialize(_))
+    val corpusCodes = pqEncode(df, idCol, vecCol, dim, codebooks, subspaces).transform(graft.Materialize(_))
     val queries = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     // per (query, s, code): partial dot of the query's s-th chunk with the
@@ -276,7 +300,7 @@ object Similarity {
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nCells: Int): DataFrame = {
-    val centroids = trainCentroids(df, idCol, vecCol, nCells).localCheckpoint()
+    val centroids = trainCentroids(df, idCol, vecCol, nCells).transform(graft.Materialize(_))
     val corpus = nearestCell(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
       "neighbor_id", "nvec", centroids)
     val queries = nearestCell(df.filter(queryPred)

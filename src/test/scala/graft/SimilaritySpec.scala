@@ -78,4 +78,33 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again === ivf)
   }
+
+  test("IVF and PQ accept STRING ids (ANSI mode: no numeric negation of the id)") {
+    // regression: the nearest-cell tie-break once negated cell_id, which
+    // under ANSI mode throws for non-numeric id types
+    val named = tiny.select(concat(lit("doc-"), col("vec_id")).as("doc"), col("embedding"))
+    val out = Similarity.ivfTopK(named, "doc", "embedding", col("doc") === "doc-1", k = 2, nCells = 2)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getString(0) == "doc-1"))
+    val pq = Similarity.pqTopK(named, "doc", "embedding", dim = 4,
+      col("doc") === "doc-1", k = 2, subspaces = 2, codes = 2, rerank = 3).collect()
+    assert(pq.nonEmpty && pq.forall(_.getString(0) == "doc-1"))
+  }
+
+  test("nearest-cell result is identical under persist and localCheckpoint strategies") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    def run(): Set[(Long, Long)] =
+      Similarity.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 10, k = 3, nCells = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run()
+    spark.conf.set("spark.graft.materialize", "persist")
+    try {
+      val persisted = run()
+      assert(persisted === local)
+    } finally {
+      spark.conf.unset("spark.graft.materialize")
+      spark.catalog.clearCache()
+    }
+  }
 }
