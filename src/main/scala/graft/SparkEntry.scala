@@ -169,10 +169,14 @@ object SparkEntry {
           l("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      // global top-10 via orderBy+limit → TakeOrderedAndProject (per-partition
+      // partial top-N, no single-partition window over the whole aggregate);
+      // ranks are then numbered over the 10 surviving rows only, with a
+      // constant partition key so WindowExec gets a defined partitioning
+      val top = joined.orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("revenue").desc, col("o_orderkey"))
-      joined.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 10)
+        .partitionBy(lit(0)).orderBy(col("revenue").desc, col("o_orderkey"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
         .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("o_orderdate_s"),
           col("revenue"), col("rank"))
     }),
