@@ -348,6 +348,58 @@ object SparkEntry {
       agged.map { case ((ip, day), stat) =>
         (ip, day, stat.clicks, stat.views, stat.categories.toSeq.sorted.mkString(","))
       }.toDF("ip", "window_start_s", "clicks", "views", "categories_csv")
+    }),
+
+    // As-of (point-in-time) join: each event enriched with the user's most
+    // recent order at-or-before the event — union + keyed running-last
+    // window, ONE shuffle, no range-join pair blowup. Right side deduped to
+    // (key, time) uniqueness for determinism.
+    "q_asof_join" -> ((s, dir) => {
+      val e = table(s, dir, "events").filter(col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = table(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"),
+          round(max_by(col("o_totalprice"), col("o_orderkey")), 2).as("last_price"))
+      operators.AsOfJoin.asOfBackward(e, "user_id", "ts",
+          o, "o_custkey", "o_orderdate", Seq("last_orderkey", "last_price"))
+        .select(col("event_id"), col("user_id"), col("last_orderkey"), col("last_price"))
+    }),
+
+    // Interval (range) join via the bucketed equi-join scale path: event
+    // values banded into literal [lo, hi) price bands; join key is the
+    // coarse bucket, exact range predicate filters candidates.
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq((0.0, 50.0, "low"), (50.0, 150.0, "mid"),
+        (150.0, 300.0, "high"), (300.0, 1000.0, "extreme")).toDF("lo", "hi", "band")
+      operators.RangeJoin.bucketedRange(
+          table(s, dir, "events").select(col("event_id"), col("value")),
+          "value", bands, "lo", "hi", bucketWidth = 50.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+    }),
+
+    // Grouping-sets breadth: CUBE over (event_type, day) — counts and value
+    // sums at all four aggregation levels (detail, per-type, per-day, total).
+    "q_cube" -> ((s, dir) =>
+      table(s, dir, "events")
+        .withColumn("day_s", (col("ts").cast("long") / 86400L).cast("long") * 86400L)
+        .cube(col("event_type"), col("day_s"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
+
+    // Analytic-window breadth: per-user event sequence with lag/lead and a
+    // running count (deterministic via the event_id tie-break).
+    "q_window_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events").filter(col("ts").isNotNull).select(
+        col("event_id"), col("user_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        (col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w)).as("gap_s"),
+        count(lit(1)).over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).as("cum_n"))
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -616,7 +668,47 @@ object SparkEntry {
       "p1_json_props" ->
         """SELECT event_id,
           |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-          |FROM events""".stripMargin)
+          |FROM events""".stripMargin,
+
+      // DuckDB ships ASOF JOIN natively — right side deduped to (key, time)
+      // uniqueness exactly like the Spark plan, so the match is well-defined
+      "q_asof_join" ->
+        """WITH o2 AS (
+          |  SELECT o_custkey AS k, o_orderdate AS t,
+          |         CAST(max(o_orderkey) AS BIGINT) AS last_orderkey,
+          |         round(arg_max(o_totalprice, o_orderkey), 2) AS last_price
+          |  FROM orders GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, o2.last_orderkey, o2.last_price
+          |FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
+          |ASOF LEFT JOIN o2 ON e.user_id = o2.k AND e.ts >= o2.t""".stripMargin,
+
+      "q_range_join" ->
+        """WITH bands(lo, hi, band) AS (VALUES
+          |  (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+          |  (150.0, 300.0, 'high'), (300.0, 1000.0, 'extreme'))
+          |SELECT band, CAST(count(*) AS BIGINT) AS n,
+          |       round(avg(value), 4) AS avg_value
+          |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+          |GROUP BY 1""".stripMargin,
+
+      "q_cube" ->
+        """SELECT event_type,
+          |       CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS day_s,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(value), 2) AS sum_value
+          |FROM events
+          |GROUP BY CUBE (event_type, day_s)""".stripMargin,
+
+      "q_window_funcs" ->
+        """SELECT event_id, user_id,
+          |       lag(value) OVER w AS prev_value,
+          |       lead(event_type) OVER w AS next_type,
+          |       CAST(floor(epoch(ts)) AS BIGINT)
+          |         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_s,
+          |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+          |FROM events WHERE ts IS NOT NULL
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
   }
 
   /** `'the','a',...` — the stopword list quoted for SQL IN. */

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Interval (range) join: match fact rows whose scalar falls inside a dim
+ * row's [lo, hi) interval. Spark's own planner turns an inequality-only join
+ * into a nested-loop — fine when the interval side broadcasts, quadratic
+ * when it doesn't. Two shapes:
+ *
+ *   - [[broadcastRange]]: the direct BETWEEN join for small interval tables
+ *     (broadcast nested loop; per-row cost ∝ #intervals).
+ *   - [[bucketedRange]]: the scale path — both sides are keyed by coarse
+ *     buckets of width `bucketWidth` (intervals explode into every bucket
+ *     they overlap via `sequence`), the join becomes an EQUI-join on the
+ *     bucket key (shuffle-hash/sort-merge capable, AQE-skew-splittable),
+ *     and the exact [lo, hi) predicate filters the bucket-collision
+ *     candidates. Shuffle ∝ facts + intervals×(span/bucketWidth) — never
+ *     facts × intervals. The standard trick for interval joins at 100 TB
+ *     (pick bucketWidth ≈ median interval span so each interval explodes
+ *     into O(1) buckets).
+ */
+object RangeJoin {
+
+  def broadcastRange(fact: DataFrame, valueCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String): DataFrame =
+    fact.join(broadcast(intervals),
+      col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+
+  def bucketedRange(fact: DataFrame, valueCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    // hi is exclusive: an interval [lo, hi) overlaps buckets
+    // floor(lo/w) .. floor(hi/w), the last one only when hi is not exactly
+    // on a bucket edge — sequence() is inclusive, so trim the edge case
+    val hiBucket = when(col(hiCol) === bucketOf(col(hiCol)) * bucketWidth,
+      bucketOf(col(hiCol)) - 1).otherwise(bucketOf(col(hiCol)))
+    val keyedIntervals = intervals.withColumn("__bucket",
+      explode(sequence(bucketOf(col(loCol)), greatest(hiBucket, bucketOf(col(loCol))))))
+    fact.withColumn("__bucket", bucketOf(col(valueCol)))
+      .join(keyedIntervals, Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val intervals = Seq(
+    (0.0, 10.0, "a"),     // exactly one bucket at width 10
+    (10.0, 30.0, "b"),    // spans two buckets
+    (25.0, 26.0, "c"),    // overlaps interval b (facts can match both)
+    (90.0, 100.0, "d")    // hi exactly on a bucket edge
+  ).toDF("lo", "hi", "band")
+
+  private lazy val facts = Seq(
+    (1L, 0.0), (2L, 9.999), (3L, 10.0), (4L, 25.5),
+    (5L, 29.999), (6L, 30.0), (7L, 95.0), (8L, 100.0), (9L, 250.0)
+  ).toDF("fact_id", "x")
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select("fact_id", "band").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private val expected = Set(
+    (1L, "a"), (2L, "a"),          // [0,10): 0.0 in, 9.999 in, 10.0 out
+    (3L, "b"), (4L, "b"), (5L, "b"), // [10,30): 30.0 excluded
+    (4L, "c"),                      // overlapping interval also matches
+    (7L, "d"))                      // [90,100): 95 in, 100 out (hi exclusive)
+
+  test("bucketed range join matches [lo, hi) semantics incl. edge cases") {
+    assert(pairsOf(RangeJoin.bucketedRange(facts, "x", intervals, "lo", "hi", 10.0)) === expected)
+  }
+
+  test("bucketed equals broadcast for any bucket width") {
+    val broad = pairsOf(RangeJoin.broadcastRange(facts, "x", intervals, "lo", "hi"))
+    assert(broad === expected)
+    for (w <- Seq(1.0, 7.0, 50.0, 1000.0)) {
+      assert(pairsOf(RangeJoin.bucketedRange(facts, "x", intervals, "lo", "hi", w)) === broad,
+        s"width $w")
+    }
+  }
+
+  test("bucketed plan is an equi-join, not a nested loop") {
+    val out = RangeJoin.bucketedRange(facts, "x", intervals, "lo", "hi", 10.0)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("NestedLoop"),
+      s"range join must hash/merge on the bucket key, got:\n$physical")
+  }
+}
