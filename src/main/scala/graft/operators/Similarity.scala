@@ -141,9 +141,49 @@ object Similarity {
         min_by(col("cell_id"), struct(descCosKey(col("cdist")), col("cell_id"))).as("cell_id"))
 
   /**
+   * Farthest-first (Gonzalez) seeding — the deterministic cousin of
+   * k-means++: seed 1 is the min-id vector; each next seed is the vector
+   * farthest (min cosine) from its nearest already-chosen seed, ties to the
+   * smaller id. Greedy max-min spread upper-bounds the 2-approximation of
+   * the k-center objective — in practice it spreads seeds across the data
+   * far better than first-k-ids, so Lloyd starts near distinct modes.
+   *
+   * Scale: the k passes run over a DETERMINISTIC HASH SAMPLE
+   * (xxhash64(id) % sampleMod == 0), not the corpus — one full scan to
+   * sample, then k tiny jobs; at 100 TB the sample is the only thing that
+   * grows with data and stays bounded by choosing sampleMod ∝ corpus/50k.
+   */
+  def seedFarthestFirst(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, sampleMod: Int = 1): DataFrame = {
+    val sample = graft.Materialize(
+      df.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+        .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+    var seeds = sample
+      .select(min_by(struct(col("cand_id"), col("cand_vec")), col("cand_id")).as("s"))
+      .select(col("s.cand_id").as("cell_id"), col("s.cand_vec").as("cvec"))
+      .transform(graft.Materialize(_))
+    (1 until nCells).foreach { _ =>
+      // farthest point: minimize (similarity to nearest seed, id)
+      val next = sample.join(broadcast(seeds), lit(true))
+        .withColumn("cdist", cosine(col("cand_vec"), col("cvec")))
+        .groupBy(col("cand_id"))
+        .agg(first(col("cand_vec")).as("cand_vec"),
+          // nearest-seed similarity (NaN → +∞-like via max ordering is moot
+          // here: NaN only for zero-norm vectors, which never win farthest)
+          max(col("cdist")).as("nearest_sim"))
+        .select(min_by(struct(col("cand_id"), col("cand_vec")),
+          struct(col("nearest_sim"), col("cand_id"))).as("s"))
+        .select(col("s.cand_id").as("cell_id"), col("s.cand_vec").as("cvec"))
+      seeds = graft.Materialize(seeds.unionByName(next))
+    }
+    seeds
+  }
+
+  /**
    * IVF training: Lloyd iterations seeded with the first nCells vectors by
-   * id. Each round assigns every vector to its nearest centroid (broadcast)
-   * and recomputes the element-wise mean per cell — only the nCells×dim
+   * id (or [[seedFarthestFirst]] via `seeds`). Each round assigns every
+   * vector to its nearest centroid (broadcast) and recomputes the
+   * element-wise mean per cell — only the nCells×dim
    * centroid table is ever collected, never data.
    *
    * Determinism: exact on a single JVM (fixed seeds, ordered tie-breaks); on
@@ -154,11 +194,12 @@ object Similarity {
    * to keep training deterministic).
    */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iterations: Int = 2): DataFrame = {
+      nCells: Int, iterations: Int = 2, seeds: Option[DataFrame] = None): DataFrame = {
     // cvec stays ARRAY<FLOAT> throughout: the codegen'd dot product reads
     // float elements positionally
-    var centroids = df.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
+    var centroids = seeds.getOrElse(
+      df.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("cvec")))
     (0 until iterations).foreach { _ =>
       val assigned = nearestCell(
         df.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec", centroids)
@@ -299,8 +340,10 @@ object Similarity {
    * pruning.
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, nCells: Int): DataFrame = {
-    val centroids = trainCentroids(df, idCol, vecCol, nCells).transform(graft.Materialize(_))
+      queryPred: Column, k: Int, nCells: Int, farthestFirst: Boolean = false): DataFrame = {
+    val seeds = if (farthestFirst) Some(seedFarthestFirst(df, idCol, vecCol, nCells)) else None
+    val centroids = trainCentroids(df, idCol, vecCol, nCells, seeds = seeds)
+      .transform(graft.Materialize(_))
     val corpus = nearestCell(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
       "neighbor_id", "nvec", centroids)
     val queries = nearestCell(df.filter(queryPred)

@@ -107,4 +107,36 @@ class SimilaritySpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("farthest-first seeds spread wider than first-k-ids seeds and are deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    def minPairwiseSim(seeds: org.apache.spark.sql.DataFrame): Double =
+      seeds.as("a").join(seeds.as("b"), col("a.cell_id") < col("b.cell_id"))
+        .select(Similarity.cosine(col("a.cvec"), col("b.cvec")).as("c"))
+        .agg(max(col("c"))).collect()(0).getDouble(0)
+    val ff = Similarity.seedFarthestFirst(e, "vec_id", "embedding", nCells = 8)
+    val naive = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    assert(ff.count() === 8)
+    // spread: the closest pair among FF seeds is farther apart (lower max
+    // cosine) than the closest pair among the first-8-ids seeds
+    assert(minPairwiseSim(ff) <= minPairwiseSim(naive))
+    val again = Similarity.seedFarthestFirst(e, "vec_id", "embedding", nCells = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === ff.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("IVF with farthest-first seeding matches brute-force recall floor") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 20, k = 5,
+        nCells = 4, farthestFirst = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & truth).size.toDouble / truth.size
+    info(s"ivf farthest-first recall: $recall")
+    assert(recall >= 0.25, s"ivf recall $recall")
+  }
 }
