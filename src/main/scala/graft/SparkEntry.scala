@@ -304,13 +304,15 @@ object SparkEntry {
     }),
 
     // Multimodal: binary media column + stub decode/featurize (mapPartitions
-    // batch plumbing; the md5 checksum column is the oracle-comparable part).
+    // batch plumbing). The stub metadata is pure arithmetic over the byte
+    // length, so the whole meta struct is DuckDB-oracle-backed; the feature
+    // vector (not SQL-expressible) is pinned by MultimodalSpec instead.
     "multimodal_meta" -> ((s, dir) => {
       val media = operators.Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
       operators.Multimodal.withFeatures(media)
         .select(col("media_id"), col("meta.format").as("format"),
-          col("meta.n_bytes").as("n_bytes"),
-          element_at(col("features"), 1).cast("double").as("feat0"))
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"))
     }),
 
     // Oracle-backed slice of the multimodal table (checksum + byte length).
@@ -387,6 +389,44 @@ object SparkEntry {
         .withColumn("day_s", (col("ts").cast("long") / 86400L).cast("long") * 86400L)
         .cube(col("event_type"), col("day_s"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
+
+    // Anti-join breadth: customers with no high-value (>300k) order,
+    // counted per segment. The orders side is filtered AND deduped to bare
+    // keys BEFORE the join; at scale the anti-join shuffles only (custkey)
+    // pairs, and AQE can broadcast the key set when it turns out small.
+    "q_anti_join" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders").filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))),
+
+    // Pivot breadth: per-day event-type counts as columns (explicit pivot
+    // values keep the schema static — mandatory for a streaming-safe and
+    // oracle-comparable shape).
+    "q_pivot" -> ((s, dir) =>
+      table(s, dir, "events")
+        .withColumn("day_s", (col("ts").cast("long") / 86400L).cast("long") * 86400L)
+        .groupBy(col("day_s"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .select(col("day_s"), coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))),
+
+    // Set-operation breadth: users who clicked but never purchased
+    // (EXCEPT), plus users who did both (INTERSECT), tagged and unioned.
+    "q_set_ops" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val clickers = e.filter(col("event_type") === "click").select(col("user_id")).distinct()
+      val buyers = e.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      clickers.except(buyers).withColumn("cohort", lit("click_only"))
+        .unionByName(clickers.intersect(buyers).withColumn("cohort", lit("click_and_buy")))
+    }),
 
     // Analytic-window breadth: per-user event sequence with lag/lead and a
     // running count (deterministic via the event_id tie-break).
@@ -642,6 +682,17 @@ object SparkEntry {
            |SELECT query_id AS id_a, neighbor_id AS id_b, round(c, 4) AS cos_r
            |FROM cos WHERE c >= 0.35""".stripMargin,
 
+      // the stub decode's pseudo-metadata is arithmetic on octet_length —
+      // replicated here exactly (Multimodal.stubDecode)
+      "multimodal_meta" ->
+        """SELECT doc_id AS media_id,
+          |       CASE octet_length(CAST(text AS BLOB)) % 3
+          |            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+          |       CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INTEGER) AS width,
+          |       CAST(64 + (octet_length(CAST(text AS BLOB)) // 7) % 512 AS INTEGER) AS height,
+          |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+          |FROM documents""".stripMargin,
+
       "multimodal_checksum" ->
         """SELECT doc_id AS media_id,
           |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
@@ -698,6 +749,33 @@ object SparkEntry {
           |       round(sum(value), 2) AS sum_value
           |FROM events
           |GROUP BY CUBE (event_type, day_s)""".stripMargin,
+
+      "q_anti_join" ->
+        """SELECT c_mktsegment,
+          |       CAST(count(*) AS BIGINT) AS n_customers,
+          |       round(sum(c_acctbal), 2) AS sum_acctbal
+          |FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |GROUP BY 1""".stripMargin,
+
+      "q_pivot" ->
+        """SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS day_s,
+          |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+          |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+          |       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+          |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+          |       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "q_set_ops" ->
+        """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+          |     buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+          |SELECT user_id, 'click_only' AS cohort
+          |FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+          |UNION ALL
+          |SELECT user_id, 'click_and_buy' AS cohort
+          |FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)""".stripMargin,
 
       "q_window_funcs" ->
         """SELECT event_id, user_id,
