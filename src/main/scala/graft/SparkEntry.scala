@@ -390,6 +390,18 @@ object SparkEntry {
         .cube(col("event_type"), col("day_s"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
 
+    // Mergeable-sketch rollup: per-(type, day) HLL sketches unioned up to
+    // per-type distinct-user estimates — the persisted-sketch-table pattern
+    // for COUNT(DISTINCT) at 100 TB. Deterministic (register-max union is
+    // order-independent) but not DuckDB-expressible → rows-only check;
+    // accuracy and merge invariance pinned by SketchesSpec.
+    "q_sketch_rollup" -> ((s, dir) =>
+      operators.Sketches.rollup(
+        operators.Sketches.dailySketches(
+          table(s, dir, "events").filter(col("ts").isNotNull),
+          "ts", "user_id", Seq("event_type")),
+        Seq("event_type"))),
+
     // Anti-join breadth: customers with no high-value (>300k) order,
     // counted per segment. The orders side is filtered AND deduped to bare
     // keys BEFORE the join; at scale the anti-join shuffles only (custkey)

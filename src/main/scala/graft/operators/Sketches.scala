@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+ * Spark 4 as `hll_sketch_agg` / `hll_union_agg`): the 100 TB pattern for
+ * COUNT(DISTINCT) over any rollup grain.
+ *
+ * Why this matters at scale: an exact distinct over a 100 TB fact table
+ * shuffles every distinct key once per query. A sketch table materialized
+ * once at the finest grain (here: per day) is a few KB per group — any
+ * coarser rollup (month, total, per-type) is then a register-wise union of
+ * the PRE-AGGREGATED sketches, never a rescan of raw data. Unions are
+ * commutative and associative (register max), so estimates are
+ * deterministic regardless of partitioning or merge order — exactly the
+ * property that makes them safe to persist and re-merge incrementally
+ * (append today's sketch, union on read).
+ */
+object Sketches {
+
+  /** Finest-grain sketch table: one HLL sketch (binary, ~2^lgK registers)
+   * per (group, day). This is the thing you'd persist as parquet. */
+  def dailySketches(df: DataFrame, timeCol: String, keyCol: String,
+      groupCols: Seq[String], lgK: Int = 12): DataFrame = {
+    val day = (col(timeCol).cast("long") / 86400L).cast("long") * 86400L
+    df.groupBy((groupCols.map(col) :+ day.as("day_s")): _*)
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Roll daily sketches up to a coarser grain by register-wise union —
+   * touches only the sketch table. */
+  def rollup(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("distinct_estimate"),
+        sum(col("n_rows")).as("n_rows"))
+
+  /** Exact distinct for the same shape — the spec's accuracy yardstick. */
+  def exactDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col(keyCol)).as("distinct_exact"))
+}
