@@ -390,6 +390,16 @@ object SparkEntry {
         .cube(col("event_type"), col("day_s"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
 
+    // Reproducible stratified hash sample: click/view kept at ~25%
+    // (md5 prefix < "40"), other types at ~6.25% (< "10") — row-keyed, so
+    // the selected set is identical across partitionings and engines.
+    "q_hash_sample" -> ((s, dir) =>
+      operators.Sampling.stratifiedHashSample(
+          table(s, dir, "events"), col("event_id"), col("event_type"),
+          Map("click" -> "40", "view" -> "40"), defaultThreshold = "10")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
+
     // Mergeable-sketch rollup: per-(type, day) HLL sketches unioned up to
     // per-type distinct-user estimates — the persisted-sketch-table pattern
     // for COUNT(DISTINCT) at 100 TB. Deterministic (register-max union is
@@ -761,6 +771,14 @@ object SparkEntry {
           |       round(sum(value), 2) AS sum_value
           |FROM events
           |GROUP BY CUBE (event_type, day_s)""".stripMargin,
+
+      "q_hash_sample" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(value), 2) AS sum_value
+          |FROM events
+          |WHERE md5(CAST(event_id AS VARCHAR))
+          |      < CASE WHEN event_type IN ('click','view') THEN '40' ELSE '10' END
+          |GROUP BY 1""".stripMargin,
 
       "q_anti_join" ->
         """SELECT c_mktsegment,

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Reproducible sampling for training-data pipelines. `df.sample()` /
+ * TABLESAMPLE draw per-partition, so the selected ROWS change whenever file
+ * splits, partition counts, or Spark versions do — useless for a sample
+ * that must be re-derivable (held-out sets, eval slices, debugging cohorts).
+ *
+ * Hash sampling keys the decision on the ROW, not the partition: keep a row
+ * iff the hex md5 of its key is below a threshold prefix. Fraction =
+ * threshold/16^len (e.g. "28" → 0x28/0x100 ≈ 15.6%). Properties:
+ *
+ *   - deterministic across runs, partitionings, engines (md5 is the one
+ *     hash DuckDB/Spark/everything computes identically — the repo's
+ *     oracle-compare convention);
+ *   - nested samples: a lower threshold's sample is a SUBSET of a higher
+ *     one's (both are prefix cuts of the same hash order), so a 1% debug
+ *     slice sits inside the 10% eval slice by construction;
+ *   - map-side only — the filter pushes into the scan stage, no shuffle.
+ */
+object Sampling {
+
+  private def hexKey(keyCol: Column): Column =
+    md5(keyCol.cast("string").cast("binary"))
+
+  /** Keep rows with md5(key) below the 2-hex-digit threshold prefix. */
+  def hashSample(df: DataFrame, keyCol: Column, hexThreshold: String): DataFrame =
+    df.filter(hexKey(keyCol) < lit(hexThreshold))
+
+  /** Per-stratum thresholds (e.g. oversample rare classes): rows in a
+   * stratum not listed fall back to `defaultThreshold`. */
+  def stratifiedHashSample(df: DataFrame, keyCol: Column, strataCol: Column,
+      thresholds: Map[String, String], defaultThreshold: String): DataFrame = {
+    val thresholdCol = thresholds.foldLeft(lit(defaultThreshold)) {
+      case (acc, (stratum, t)) => when(strataCol === stratum, lit(t)).otherwise(acc)
+    }
+    df.filter(hexKey(keyCol) < thresholdCol)
+  }
+}

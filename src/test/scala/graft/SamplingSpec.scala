@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+import graft.sources.Tables
+
+class SamplingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private lazy val events = Tables.load(spark, "/root/testdata/sf0.01", "events")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("event_id").collect().map(_.getLong(0)).toSet
+
+  test("hash sample fraction tracks the threshold and is partition-invariant") {
+    val s = ids(Sampling.hashSample(events, col("event_id"), "28")) // ≈15.6%
+    val frac = s.size.toDouble / events.count()
+    assert(frac > 0.10 && frac < 0.22, s"fraction $frac")
+    val repartitioned = ids(Sampling.hashSample(
+      events.repartition(17, col("user_id")), col("event_id"), "28"))
+    assert(repartitioned === s, "row-keyed sampling must ignore partitioning")
+  }
+
+  test("lower-threshold samples nest inside higher-threshold ones") {
+    val small = ids(Sampling.hashSample(events, col("event_id"), "10"))
+    val big = ids(Sampling.hashSample(events, col("event_id"), "40"))
+    assert(small.nonEmpty && small.subsetOf(big))
+  }
+
+  test("stratified thresholds apply per stratum") {
+    val out = Sampling.stratifiedHashSample(events, col("event_id"),
+        col("event_type"), Map("click" -> "80"), defaultThreshold = "08")
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clickRate = out("click").toDouble / totals("click")
+    val viewRate = out.getOrElse("view", 0L).toDouble / totals("view")
+    assert(clickRate > 0.4 && clickRate < 0.6, s"click rate $clickRate (≈50% expected)")
+    assert(viewRate < 0.08, s"view rate $viewRate (≈3% expected)")
+  }
+}
