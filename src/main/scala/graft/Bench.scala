@@ -19,8 +19,9 @@ object Bench {
     // each initializes a subsystem (broadcast thread pool, window sorter,
     // Janino paths for our expressions, block manager) that the first
     // measured query otherwise pays for. ~1 s once vs ~10 s smeared into
-    // whichever query happens to run first.
-    locally {
+    // whichever query happens to run first. Best-effort: a warmup failure
+    // must degrade to slower first-query timing, never abort the bench.
+    try locally {
       import org.apache.spark.sql.functions._
       val wdf = spark.range(0, 10000L)
         .selectExpr("id", "cast(id % 7 as string) k",
@@ -41,7 +42,7 @@ object Bench {
           count(lit(1)).as("n"))
         .collect()
       spark.catalog.clearCache()
-    }
+    } catch { case e: Throwable => System.err.println(s"warmup skipped: $e") }
     // Parquet reader/writer path warmup (Hadoop FS init, footer reader,
     // vectorized reader codegen) against a throwaway file — the measured
     // queries' first parquet scan otherwise pays ~1s of one-time init.
@@ -51,11 +52,14 @@ object Bench {
       spark.range(100L).selectExpr("id", "cast(id as string) s")
         .write.mode("overwrite").parquet(warmDir.toString)
       spark.read.parquet(warmDir.toString).selectExpr("count(distinct s)").collect()
-    } finally {
+    } catch { case e: Throwable => System.err.println(s"parquet warmup skipped: $e") }
+    finally {
       // the temp parquet dir would otherwise leak on every bench run
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(warmDir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      scala.util.Using.resource(java.nio.file.Files.walk(warmDir)) { stream =>
+        stream.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -13,24 +13,28 @@ import org.apache.spark.sql.DataFrame
  *     truncated, blocks freed by the ContextCleaner. Right for single-JVM
  *     local runs (the bench/verify harness) — NOT fault-tolerant: on a real
  *     cluster a lost executor loses the blocks and the job fails.
- *   - `persist`: lazy MEMORY_AND_DISK cache. The logical plan keeps full
- *     lineage, so executor loss recomputes instead of failing — the cluster
- *     default with dynamic allocation. Downstream plans still reference the
- *     InMemoryRelation (the cache lookup happens at analysis), so the
+ *   - `persist`: MEMORY_AND_DISK cache, materialized eagerly (a count runs
+ *     at the barrier). The plan keeps full lineage, so executor loss
+ *     recomputes instead of failing — the cluster default with dynamic
+ *     allocation. Downstream plans reference the InMemoryRelation, so the
  *     projection-collapse barrier holds.
  *   - `checkpoint`: reliable checkpoint to `spark.graft.checkpointDir` (or a
  *     previously set `sc.setCheckpointDir`) — survives executor loss AND cuts
  *     lineage; for very long iterative chains on clusters.
  *
- * The helper never decides eagerness for callers: iterative callers that
- * need a size (convergence counts) already force execution via `count()`.
+ * Every strategy is EAGER — the barrier is fully computed when apply
+ * returns. That makes [[release]] of a superseded round always safe:
+ * nothing downstream can trigger a recompute of a dropped barrier.
  */
 object Materialize {
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get("spark.graft.materialize", "localCheckpoint") match {
       case "localCheckpoint" => df.localCheckpoint()
-      case "persist"         => df.persist()
+      case "persist" =>
+        val p = df.persist()
+        p.count()
+        p
       case "checkpoint" =>
         val sc = spark.sparkContext
         if (sc.getCheckpointDir.isEmpty) {
@@ -41,4 +45,11 @@ object Materialize {
         s"spark.graft.materialize=$other (expected localCheckpoint|persist|checkpoint)")
     }
   }
+
+  /** Drop a superseded materialization. Iterative callers (label
+   * propagation, Lloyd rounds, farthest-first seeding) MUST release round
+   * N-1 after round N exists, or the `persist` strategy pins one cache
+   * entry per round for the query's lifetime. No-op for frames the current
+   * strategy didn't cache (unpersist on a non-cached plan does nothing). */
+  def release(df: DataFrame): Unit = df.unpersist(blocking = false)
 }

@@ -45,10 +45,14 @@ object AsOfJoin {
     val l = left.select(col(leftKey).as("__k"), col(leftTime).as("__t"),
       lit(leftTag).as("__tag"), leftStruct.as("__l"),
       lit(null).cast(right.select(payStruct).schema.head.dataType).as("__r"))
-    val r = right.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
-      lit(rightTag).as("__tag"),
-      lit(null).cast(left.select(leftStruct).schema.head.dataType).as("__l"),
-      payStruct.as("__r"))
+    // a NULL right time can match nothing under `t <= left.t` (ASOF
+    // semantics), but asc-nulls-first ordering would place it at the frame
+    // start and carry its payload onto every left row — filter it out
+    val r = right.filter(col(rightTime).isNotNull)
+      .select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(rightTag).as("__tag"),
+        lit(null).cast(left.select(leftStruct).schema.head.dataType).as("__l"),
+        payStruct.as("__r"))
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)

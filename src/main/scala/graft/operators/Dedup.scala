@@ -200,6 +200,7 @@ object Dedup {
         .join(labels.as("l"), Seq("doc_id"))
         .filter(col("u.cluster_id") =!= col("l.cluster_id"))
         .count()
+      graft.Materialize.release(labels)  // round N-1 is superseded
       labels = updated
       rounds += 1
     }

@@ -49,7 +49,7 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(cosRankKey(col("cos")).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -114,13 +114,20 @@ object Similarity {
 
   /** Ordering key for nearest-centroid argmax under `min_by`: negates the
    * always-DoubleType cosine (never the id column, whose type is
-   * caller-chosen — negating a STRING id fails under ANSI), and pins the
-   * NaN-wins convention of the original `row_number …  orderBy(cdist.desc)`
-   * formulation: NaN sorts above every double in a descending sort, so here
-   * it maps to -∞ (the `min_by` minimum). Cosine of finite floats is finite
-   * or NaN — ±∞ cannot collide. */
+   * caller-chosen — negating a STRING id fails under ANSI). NaN (a
+   * zero-norm side) maps to +∞ so it LOSES: a degenerate vector/centroid
+   * must never be anyone's nearest match. Cosine of finite floats is finite
+   * or NaN — ±∞ cannot collide. Only when every candidate is NaN does the
+   * id tie-break pick one (deterministically, min id). */
   private def descCosKey(cdist: Column): Column =
-    when(isnan(cdist), lit(Double.NegativeInfinity)).otherwise(-cdist)
+    when(isnan(cdist), lit(Double.PositiveInfinity)).otherwise(-cdist)
+
+  /** Descending-cosine sort key for top-k ranking windows with the same
+   * NaN-loses rule: Spark sorts NaN above every double, so a raw
+   * `cos.desc` would silently rank a zero-norm corpus vector #1 for every
+   * query — demote NaN to -∞ instead. */
+  private def cosRankKey(c: Column): Column =
+    when(isnan(c), lit(Double.NegativeInfinity)).otherwise(c)
 
   /** Nearest-centroid assignment (shared by training and query/corpus
    * bucketing so tie-break and metric can never diverge): keeps the columns
@@ -158,24 +165,41 @@ object Similarity {
     val sample = graft.Materialize(
       df.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
         .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
+    require(!sample.isEmpty,
+      s"seedFarthestFirst: hash sample is empty (sampleMod=$sampleMod too coarse?)")
     var seeds = sample
       .select(min_by(struct(col("cand_id"), col("cand_vec")), col("cand_id")).as("s"))
       .select(col("s.cand_id").as("cell_id"), col("s.cand_vec").as("cvec"))
       .transform(graft.Materialize(_))
+    var exhausted = false
     (1 until nCells).foreach { _ =>
-      // farthest point: minimize (similarity to nearest seed, id)
-      val next = sample.join(broadcast(seeds), lit(true))
-        .withColumn("cdist", cosine(col("cand_vec"), col("cvec")))
-        .groupBy(col("cand_id"))
-        .agg(first(col("cand_vec")).as("cand_vec"),
-          // nearest-seed similarity (NaN → +∞-like via max ordering is moot
-          // here: NaN only for zero-norm vectors, which never win farthest)
-          max(col("cdist")).as("nearest_sim"))
-        .select(min_by(struct(col("cand_id"), col("cand_vec")),
-          struct(col("nearest_sim"), col("cand_id"))).as("s"))
-        .select(col("s.cand_id").as("cell_id"), col("s.cand_vec").as("cvec"))
-      seeds = graft.Materialize(seeds.unionByName(next))
+      if (!exhausted) {
+        // farthest point among candidates NOT already chosen: minimize
+        // (similarity to nearest seed, id). The anti-join stops a
+        // smaller-than-nCells sample from re-electing the same candidate
+        // into duplicate seed rows.
+        val next = sample
+          .join(seeds, col("cand_id") === col("cell_id"), "left_anti")
+          .join(broadcast(seeds), lit(true))
+          .withColumn("cdist", cosine(col("cand_vec"), col("cvec")))
+          .groupBy(col("cand_id"))
+          .agg(first(col("cand_vec")).as("cand_vec"),
+            // nearest-seed similarity (NaN → +∞-like via max ordering is moot
+            // here: NaN only for zero-norm vectors, which never win farthest)
+            max(col("cdist")).as("nearest_sim"))
+          .select(min_by(struct(col("cand_id"), col("cand_vec")),
+            struct(col("nearest_sim"), col("cand_id"))).as("s"))
+          .select(col("s.cand_id").as("cell_id"), col("s.cand_vec").as("cvec"))
+          .filter(col("cell_id").isNotNull) // empty candidate set → 1 null row
+        if (next.isEmpty) { exhausted = true } // sample smaller than nCells
+        else {
+          val prev = seeds
+          seeds = graft.Materialize(seeds.unionByName(next))
+          graft.Materialize.release(prev)
+        }
+      }
     }
+    graft.Materialize.release(sample)
     seeds
   }
 
@@ -204,6 +228,7 @@ object Similarity {
       val assigned = nearestCell(
         df.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec", centroids)
         .select(col("cell_id"), col("vec"))
+      val prev = centroids
       // element-wise mean per cell: explode positions, avg, re-assemble
       centroids = assigned
         .select(col("cell_id"), posexplode(col("vec").cast("array<double>")))
@@ -216,6 +241,7 @@ object Similarity {
         // barrier the logical plan nests one assign+two-agg layer per
         // iteration and planning cost grows multiplicatively with it
         .transform(graft.Materialize(_))
+      graft.Materialize.release(prev)
     }
     centroids
   }
@@ -262,6 +288,7 @@ object Similarity {
       .select(col("s"), col("vec_id").as("cell_id"), col("vec").as("cvec"))
     (0 until iterations).foreach { _ =>
       val assigned = nearestCellKeyed(subs, centroids)
+      val prev = centroids
       centroids = assigned
         .select(col("s"), col("cell_id"), posexplode(col("vec").cast("array<double>")))
         .groupBy(col("s"), col("cell_id"), col("pos")).agg(avg(col("col")).as("m"))
@@ -271,6 +298,7 @@ object Similarity {
           transform(col("pm"), x => x.getField("m").cast("float")).as("cvec"))
         // same per-round barrier as trainCentroids (plan growth guard)
         .transform(graft.Materialize(_))
+      graft.Materialize.release(prev)
     }
     // codebook entries re-labeled 0..codes-1 deterministically by the
     // (arbitrary but stable) seed id they grew from
@@ -325,7 +353,7 @@ object Similarity {
       .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), "neighbor_id")
       .join(broadcast(queries), "query_id")
       .withColumn("cos", cosine(col("qvec"), col("nvec")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(cosRankKey(col("cos")).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
@@ -351,7 +379,7 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qvec"), col("nvec")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(cosRankKey(col("cos")).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }

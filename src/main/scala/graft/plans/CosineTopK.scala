@@ -113,13 +113,16 @@ final case class CosineTopKPartialExec(
               var dot = 0.0; var j = 0
               val len = math.min(qvec.length, cvec.length)
               while (j < len) { dot += qvec(j).toDouble * cvec(j).toDouble; j += 1 }
-              val cos = dot / (qnorm * cnorm)
+              val raw = dot / (qnorm * cnorm)
+              // NaN (zero-norm side) must LOSE, not win: demote to -∞ so a
+              // degenerate vector never displaces a real neighbor — the same
+              // rule as Similarity.cosRankKey in the built-in composition
+              // (raw cos never surfaces: topK outputs ranks only)
+              val cos = if (java.lang.Double.isNaN(raw)) Double.NegativeInfinity else raw
               val heap = heaps(q)
               if (heap.size < kLocal) heap.add((cos, cid))
               else {
-                // displace iff (cos, cid) ranks strictly better than the
-                // head; Double.compare makes NaN sort greatest, matching
-                // Spark's and DuckDB's DESC ordering of NaN
+                // displace iff (cos, cid) ranks strictly better than the head
                 val head = heap.peek()
                 val c = java.lang.Double.compare(cos, head._1)
                 if (c > 0 || (c == 0 && cid < head._2)) {
@@ -184,7 +187,7 @@ object CosineTopK {
     val partial = Bridge.ofRows(spark, CosineTopKPartial(
       Bridge.planOf(shaped(corpus)), Bridge.planOf(shaped(queries)), k))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))  // partial emits -∞ for NaN
     partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -24,12 +24,15 @@ import graft.operators.Dedup
  *     Jaccard, stderr ≈ 1/√k ≈ 0.125 at k=64) so the store never needs the
  *     original text or shingle sets;
  *   - in-batch near-dups collapse to the min doc_id (same canonical-survivor
- *     rule as the batch `Dedup` family).
+ *     rule as the batch `Dedup` family);
+ *   - documents too short to shingle (fewer than n words) carry no MinHash
+ *     evidence — they are passed through as novel rather than silently
+ *     dropped, and nothing is stored for them.
  *
- * Exactly-once: `foreachBatch` + idempotent overwrite-per-batch-id output
- * would harden replays; here the store append is the at-least-once baseline
- * and replays can re-admit a doc (documented trade-off, as in any
- * non-transactional sink).
+ * Delivery: the streaming wiring writes the NOVEL OUTPUT before appending
+ * signatures to the store, so a crash between the two writes re-admits the
+ * batch on replay (duplicates possible = at-least-once output). The reverse
+ * order would lose documents on replay (store says "seen", output missing).
  */
 object IncrementalDedup {
 
@@ -37,54 +40,78 @@ object IncrementalDedup {
    * the MinHash Jaccard estimator. Interpreted higher-order expression, but
    * it only ever runs on bucket-collision candidate pairs (a vanishing
    * fraction of batch × store). */
-  private def sigAgreement(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  private def sigAgreement(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / size(a)
 
+  /** Verified near-dup pairs between two (band, bucket, doc_id) keyings:
+   * bucket-colliding pairs whose estimated Jaccard clears the threshold.
+   * Shared by the in-batch and against-store checks so the estimator and
+   * threshold can never diverge between them. */
+  private def dupPairs(bucketsA: DataFrame, sigsA: DataFrame,
+      bucketsB: DataFrame, sigsB: DataFrame, threshold: Double,
+      pairFilter: Column): DataFrame =
+    bucketsA.as("a").join(bucketsB.as("b"), Seq("band", "bucket"))
+      .filter(pairFilter)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+      .join(sigsA.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigsB.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .filter(sigAgreement(col("sig_a"), col("sig_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+
   /**
-   * One micro-batch step, also usable standalone for batch-incremental runs.
-   * Reads the signature store (if it exists), appends novel docs' signatures
-   * to it, and returns the novel (doc_id, text) rows.
+   * Compute the batch's novel signatures WITHOUT side effects: (doc_id, sig)
+   * of docs that near-duplicate nothing in the store and nothing earlier in
+   * the batch. Materialized, so callers can sequence writes around it.
+   */
+  def novelSignatures(batch: DataFrame, sigStore: String, threshold: Double,
+      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    val signed = graft.Materialize(Dedup.withMinhash(batch, "doc_id", "text", n, k))
+    val buckets = Dedup.lshBuckets(signed, k, bands)
+
+    // in-batch near-dups: the larger id of each verified pair drops
+    val inBatchDups = dupPairs(buckets, signed, buckets, signed, threshold,
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("id_b").as("doc_id")).distinct()
+    val batchSurvivors = signed.join(inBatchDups, Seq("doc_id"), "left_anti")
+    val survivorBuckets = buckets.join(inBatchDups, Seq("doc_id"), "left_anti")
+
+    // store check: bucket equi-join against previously seen signatures
+    val novel = if (storeExists(spark, sigStore)) {
+      val store = spark.read.parquet(sigStore)
+      val storeK = store.select(size(col("sig"))).head().getInt(0)
+      require(storeK == k,
+        s"signature store at $sigStore was built with k=$storeK, caller passed k=$k — " +
+          "estimated Jaccard would be silently wrong")
+      val dupOfStore = dupPairs(survivorBuckets, batchSurvivors,
+          Dedup.lshBuckets(store, k, bands), store, threshold, lit(true))
+        .select(col("id_a").as("doc_id")).distinct()
+      batchSurvivors.join(dupOfStore, Seq("doc_id"), "left_anti")
+    } else batchSurvivors
+    graft.Materialize(novel.select(col("doc_id"), col("sig")))
+  }
+
+  /** Batch rows with no shingle evidence (text shorter than the shingle
+   * width): pass-through novels — MinHash cannot judge them. */
+  private def unshingled(batch: DataFrame, n: Int): DataFrame =
+    batch.filter(size(array_distinct(
+      graft.functions.HashExpressions.wordShingleHashes(col("text"), n))) === 0)
+
+  /**
+   * One micro-batch step, usable standalone for batch-incremental runs:
+   * appends novel signatures to the store and returns the novel rows
+   * (judged novels + unshingleable pass-throughs). NB for standalone use
+   * the store append precedes the caller consuming the result — if the
+   * caller's own write can fail independently, sequence writes yourself via
+   * [[novelSignatures]] (see [[start]]).
    */
   def processBatch(batch: DataFrame, sigStore: String, threshold: Double,
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
-    val spark = batch.sparkSession
-    val signed = graft.Materialize(
-      Dedup.withMinhash(batch, "doc_id", "text", n, k))
-    val buckets = Dedup.lshBuckets(signed, k, bands)
-
-    // --- in-batch near-dups: bucket-colliding pairs, estimated jaccard
-    val pairs = buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-      .join(signed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(signed.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .filter(sigAgreement(col("sig_a"), col("sig_b")) >= threshold)
-      .select(col("id_a"), col("id_b"))
-    // survivors of in-batch dedup: docs that are not the larger id of any pair
-    val inBatchDups = pairs.select(col("id_b").as("doc_id")).distinct()
-    val batchSurvivors = signed.join(inBatchDups, Seq("doc_id"), "left_anti")
-
-    // --- store check: bucket equi-join against previously seen signatures
-    val novel = if (storeExists(spark, sigStore)) {
-      val store = spark.read.parquet(sigStore)
-      val storeBuckets = Dedup.lshBuckets(store, k, bands)
-      val survivorBuckets = Dedup.lshBuckets(batchSurvivors, k, bands)
-      val dupOfStore = survivorBuckets.as("a")
-        .join(storeBuckets.as("b"), Seq("band", "bucket"))
-        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("seen_id")).distinct()
-        .join(batchSurvivors.select(col("doc_id"), col("sig").as("sig_a")), "doc_id")
-        .join(store.select(col("doc_id").as("seen_id"), col("sig").as("sig_b")), "seen_id")
-        .filter(sigAgreement(col("sig_a"), col("sig_b")) >= threshold)
-        .select(col("doc_id")).distinct()
-      batchSurvivors.join(dupOfStore, Seq("doc_id"), "left_anti")
-    } else batchSurvivors
-    val out = graft.Materialize(novel.select(col("doc_id"), col("sig")))
-
-    // new signatures join the store (at scale: a Delta/iceberg table
-    // partitioned by band bucket; plain parquet append here)
-    out.write.mode("append").parquet(sigStore)
-    batch.join(out.select("doc_id"), Seq("doc_id"), "left_semi")
+    val novel = novelSignatures(batch, sigStore, threshold, n, k, bands)
+    novel.write.mode("append").parquet(sigStore)
+    batch.join(novel.select("doc_id"), Seq("doc_id"), "left_semi")
+      .unionByName(unshingled(batch, n))
   }
 
   private def storeExists(spark: SparkSession, path: String): Boolean = {
@@ -94,14 +121,18 @@ object IncrementalDedup {
   }
 
   /** Wire the incremental step into a streaming query: novel docs append to
-   * `outDir`, signatures accumulate in `sigStore`. */
+   * `outDir`, signatures accumulate in `sigStore`. Output is written BEFORE
+   * the store append (see the delivery note above). */
   def start(docs: DataFrame, sigStore: String, outDir: String, checkpoint: String,
       threshold: Double, n: Int = 3, k: Int = 64, bands: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, sigStore, threshold, n, k, bands)
+        val novel = novelSignatures(batch, sigStore, threshold, n, k, bands)
+        batch.join(novel.select("doc_id"), Seq("doc_id"), "left_semi")
+          .unionByName(unshingled(batch, n))
           .write.mode("append").parquet(outDir)
+        novel.write.mode("append").parquet(sigStore)
       }
       .start()
 }

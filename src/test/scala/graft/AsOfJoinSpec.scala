@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.AsOfJoin
@@ -59,5 +60,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!physical.contains("NestedLoop"), "as-of must not plan a nested-loop join")
     assert(!physical.contains("SortMergeJoin") && !physical.contains("BroadcastHashJoin"),
       "as-of is union+window, not a binary join")
+  }
+
+  test("right rows with NULL time match nothing (ASOF semantics)") {
+    val nullQuote = Seq((1L, Option.empty[java.sql.Timestamp], 777.0))
+      .toDF("q_key", "q_ts", "price")
+    val out = AsOfJoin.asOfBackward(
+        trades.filter(col("t_key") === 1L), "t_key", "t_ts",
+        quotes.unionByName(nullQuote), "q_key", "q_ts", Seq("price"))
+      .collect().map { r =>
+        r.getString(2) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      }.toMap
+    assert(out("t0") === None, "null-time right row must not be carried")
+    assert(out("t1") === Some(200.0))
   }
 }

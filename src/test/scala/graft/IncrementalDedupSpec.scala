@@ -64,4 +64,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(emitted === Set(1L, 2L, 4L))
   }
+
+  test("docs too short to shingle pass through as novel instead of vanishing") {
+    val store = tmp("sig-store4") + "/sigs"
+    val b = Seq((20L, base), (21L, ""), (22L, "two words")).toDF("doc_id", "text")
+    val out = IncrementalDedup.processBatch(b, store, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(20L, 21L, 22L))
+  }
 }

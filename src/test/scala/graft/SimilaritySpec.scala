@@ -139,4 +139,19 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"ivf farthest-first recall: $recall")
     assert(recall >= 0.25, s"ivf recall $recall")
   }
+
+  test("zero-norm vectors lose everywhere: never rank-1, custom == built-in") {
+    val withZero = tiny.unionByName(
+      Seq((0L, vec(0, 0, 0, 0))).toDF("vec_id", "embedding"))
+    val brute = Similarity.bruteForceTopK(withZero, "vec_id", "embedding",
+        col("vec_id") === 1, k = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // the zero vector (id 0, smallest id) must NOT appear before real
+    // neighbors despite NaN normally sorting above all doubles
+    assert(brute === Seq(2L, 5L, 3L), s"got $brute")
+    val custom = graft.plans.CosineTopK.topK(withZero,
+        withZero.filter(col("vec_id") === 1), "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(custom === brute, "custom operator must share the NaN-loses rule")
+  }
 }
