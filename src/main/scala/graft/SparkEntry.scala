@@ -390,6 +390,31 @@ object SparkEntry {
         .cube(col("event_type"), col("day_s"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
 
+    // Star-schema multi-way join (TPC-H Q5 flavor): revenue per supplier
+    // nation in ASIA. Join order matters at 100 TB: the dim chain
+    // (region→nation→supplier) is built small-to-large and BROADCAST along
+    // the fact tables; only lineitem⋈orders shuffles (two fact tables).
+    // Catalyst prunes every scan to the joined/aggregated columns.
+    "q_star_join" -> ((s, dir) => {
+      val region = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = table(s, dir, "nation")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supplier = table(s, dir, "supplier")
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val orders = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("o_orderdate") < lit(java.sql.Date.valueOf("1998-01-01")))
+        .select(col("o_orderkey"))
+      table(s, dir, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_lineitems"))
+    }),
+
     // Reproducible stratified hash sample: click/view kept at ~25%
     // (md5 prefix < "40"), other types at ~6.25% (< "10") — row-keyed, so
     // the selected set is identical across partitionings and engines.
@@ -771,6 +796,19 @@ object SparkEntry {
           |       round(sum(value), 2) AS sum_value
           |FROM events
           |GROUP BY CUBE (event_type, day_s)""".stripMargin,
+
+      "q_star_join" ->
+        """SELECT n_name,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |       CAST(count(*) AS BIGINT) AS n_lineitems
+          |FROM lineitem
+          |JOIN orders   ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation   ON s_nationkey = n_nationkey
+          |JOIN region   ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+          |GROUP BY 1""".stripMargin,
 
       "q_hash_sample" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
