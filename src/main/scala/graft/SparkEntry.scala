@@ -390,6 +390,20 @@ object SparkEntry {
         .cube(col("event_type"), col("day_s"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
 
+    // SQL surface end-to-end: temp view + spark.sql text + a custom
+    // codegen'd function registered through SparkSessionExtensions
+    // (word_shingle_hashes) — proves the whole engine is reachable from
+    // SQL, not just the DataFrame API.
+    "q_sql_surface" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("g_documents")
+      s.sql("""SELECT doc_id,
+              |       CAST(size(array_distinct(word_shingle_hashes(text, 3))) AS BIGINT)
+              |         AS n_shingles,
+              |       CAST(length(text) AS BIGINT) AS n_chars
+              |FROM g_documents""".stripMargin)
+    }),
+
     // Star-schema multi-way join (TPC-H Q5 flavor): revenue per supplier
     // nation in ASIA. Join order matters at 100 TB: the dim chain
     // (region→nation→supplier) is built small-to-large and BROADCAST along
@@ -796,6 +810,18 @@ object SparkEntry {
           |       round(sum(value), 2) AS sum_value
           |FROM events
           |GROUP BY CUBE (event_type, day_s)""".stripMargin,
+
+      // 64-bit shingle hashes are distinct iff the n-gram strings are
+      // (2^-64 collisions aside) — same equivalence the jaccard oracle uses
+      "q_sql_surface" ->
+        """WITH tok AS (SELECT doc_id,
+          |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
+          |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+          |       FROM tok, UNNEST(range(1, len(ts)-1)) AS r(i) WHERE len(ts) >= 3),
+          |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+          |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_shingles,
+          |       CAST(length(d.text) AS BIGINT) AS n_chars
+          |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id""".stripMargin,
 
       "q_star_join" ->
         """SELECT n_name,
