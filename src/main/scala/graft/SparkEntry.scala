@@ -390,6 +390,21 @@ object SparkEntry {
         .cube(col("event_type"), col("day_s"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
 
+    // Generator/explode breadth + vocabulary stats: top-20 tokens across
+    // the corpus. explode → map-side pre-aggregation → one shuffle on the
+    // token; the global top-20 is TakeOrdered (per-partition partial
+    // top-N), not a single-partition sort.
+    "q_top_tokens" -> ((s, dir) => {
+      val counts = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val top = counts.orderBy(col("n").desc, col("token")).limit(20)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col("n").desc, col("token"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
     // SQL surface end-to-end: temp view + spark.sql text + a custom
     // codegen'd function registered through SparkSessionExtensions
     // (word_shingle_hashes) — proves the whole engine is reachable from
@@ -810,6 +825,16 @@ object SparkEntry {
           |       round(sum(value), 2) AS sum_value
           |FROM events
           |GROUP BY CUBE (event_type, day_s)""".stripMargin,
+
+      "q_top_tokens" ->
+        """WITH toks AS (
+          |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+          |           AS token
+          |  FROM documents),
+          |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+          |SELECT token, n,
+          |       CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+          |FROM counts ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
       // 64-bit shingle hashes are distinct iff the n-gram strings are
       // (2^-64 collisions aside) — same equivalence the jaccard oracle uses
