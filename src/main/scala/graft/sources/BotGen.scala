@@ -54,16 +54,19 @@ object BotGen {
    * source processes files by mtime, and ties would randomize processing
    * order — making time-ordered chunks arrive out of order and get dropped
    * as late data by the watermark. */
-  def writeJsonDir(dir: String, evs: Seq[Event], nFiles: Int = 4): Unit = {
+  def writeJsonDir(dir: String, evs: Seq[Event], nFiles: Int = 4,
+      startIndex: Int = 0): Unit = {
     Files.createDirectories(Paths.get(dir))
     val t0 = System.currentTimeMillis() - 3600L * 1000L
     evs.grouped(math.max(1, (evs.size + nFiles - 1) / nFiles)).zipWithIndex.foreach {
       case (chunk, i) =>
-        val p = Files.write(Paths.get(dir, f"part-$i%04d.log.json"),
+        // startIndex keeps a later batch of files (e.g. written between two
+        // runs of a checkpointed query) from overwriting the earlier ones
+        val p = Files.write(Paths.get(dir, f"part-${startIndex + i}%04d.log.json"),
           chunk.map(toJsonLine).mkString("", "\n", "\n").getBytes("UTF-8"),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
         Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+          java.nio.file.attribute.FileTime.fromMillis(t0 + (startIndex + i) * 1000L))
     }
   }
 }

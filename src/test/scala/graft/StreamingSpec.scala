@@ -208,4 +208,56 @@ class StreamingSpec extends AnyFunSuite {
       .select("ip").collect().map(_.getString(0)).toSet
     assert(live === Set("1.2.3.4"))
   }
+
+  test("checkpointed restart resumes state: two runs equal one uninterrupted run") {
+    import spark.implicits._
+    val dir = tmp("restart-src")
+    val ckpt = tmp("restart-ckpt")
+    val outDir = tmp("restart-out") + "/verdicts"
+    val w = BotDetection.referenceWindowing
+    val all = BotGen.events(nUsers = 50, nBots = 2, durationS = 400)
+    val cut = all.map(_.time).min + 200
+    val (first, second) = all.partition(_.time < cut)
+
+    // memory sink can't recover from a checkpoint — use foreachBatch
+    // (the production sink shape), appending every emission to parquet
+    def startQuery() = StreamingBotDetection.verdictStream(
+        Ingest.toLogRecords(Ingest.jsonDirStream(spark, dir, maxFilesPerTrigger = 2)),
+        w, BotConfig())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }.start()
+
+    // run 1: first half of the traffic, then a hard stop
+    BotGen.writeJsonDir(dir, first)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // run 2: same checkpoint, second half arrived while the query was down
+    BotGen.writeJsonDir(dir, second, startIndex = 1000)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // update-mode emissions only grow per (ip, window); the max-struct per
+    // key across BOTH runs must equal the batch answer over ALL events —
+    // i.e. partial-window state survived the restart and run-1 files were
+    // not reprocessed (offsets come from the checkpoint)
+    val resumed = spark.read.parquet(outDir)
+      .groupBy("ip", "window_start_s")
+      .agg(max(struct(col("clicks"), col("views"), col("n_categories"), col("reason"))).as("s"))
+      .select(col("ip"), col("window_start_s"), col("s.clicks"), col("s.views"),
+        col("s.n_categories"), col("s.reason"))
+      .collect().map(_.toSeq).toSet
+    val batch = BotDetection.filterBotsStreaming(BotDetection.classify(
+        BotDetection.slidingAggregate(
+          Ingest.toLogRecords(Ingest.jsonDirBatch(spark, dir)), w), BotConfig()))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    batch.foreach { b =>
+      assert(resumed.contains(b), s"batch verdict $b missing after restart")
+    }
+    assert(resumed.map(s => (s(0), s(1))) === batch.map(s => (s(0), s(1))))
+  }
 }
