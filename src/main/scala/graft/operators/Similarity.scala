@@ -239,7 +239,11 @@ object Similarity {
           transform(col("pm"), x => x.getField("m").cast("float")).as("cvec"))
         // materialize the tiny (nCells×dim) table each round: without the
         // barrier the logical plan nests one assign+two-agg layer per
-        // iteration and planning cost grows multiplicatively with it
+        // iteration and planning cost grows multiplicatively with it.
+        // coalesce(1) first: a ≤nCells-row table across shuffle.partitions
+        // tasks pays pure scheduling overhead per round (measured ~0.2 s/
+        // barrier at 32 partitions)
+        .coalesce(1)
         .transform(graft.Materialize(_))
       graft.Materialize.release(prev)
     }
@@ -296,7 +300,9 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("s"), col("cell_id"),
           transform(col("pm"), x => x.getField("m").cast("float")).as("cvec"))
-        // same per-round barrier as trainCentroids (plan growth guard)
+        // same per-round barrier as trainCentroids (plan growth guard),
+        // same coalesce(1): ≤ subspaces×codes rows
+        .coalesce(1)
         .transform(graft.Materialize(_))
       graft.Materialize.release(prev)
     }
