@@ -390,6 +390,16 @@ object SparkEntry {
         .cube(col("event_type"), col("day_s"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
 
+    // BPE-ish token counting (the pretokenizer approximation): alnum runs
+    // and single punctuation marks each count as one token. The oracle
+    // states the same token class as one RE2 extract-all — cross-checking
+    // the Spark lookaround-split implementation against an independent
+    // formulation.
+    "q_token_count" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_bpeish"))),
+
     // Generator/explode breadth + vocabulary stats: top-20 tokens across
     // the corpus. explode → map-side pre-aggregation → one shuffle on the
     // token; the global top-20 is TakeOrdered (per-partition partial
@@ -825,6 +835,12 @@ object SparkEntry {
           |       round(sum(value), 2) AS sum_value
           |FROM events
           |GROUP BY CUBE (event_type, day_s)""".stripMargin,
+
+      "q_token_count" ->
+        """SELECT doc_id,
+          |       CAST(len(regexp_extract_all(text,
+          |         '[A-Za-z0-9]+|[^A-Za-z0-9\t\n\f\r ]')) AS BIGINT) AS n_bpeish
+          |FROM documents""".stripMargin,
 
       "q_top_tokens" ->
         """WITH toks AS (
