@@ -74,4 +74,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("t0") === None, "null-time right row must not be carried")
     assert(out("t1") === Some(200.0))
   }
+
+  test("empty right side and NULL left times degrade to null payload") {
+    val emptyQuotes = quotes.filter(col("q_key") === -1L)
+    val allNull = AsOfJoin.asOfBackward(trades, "t_key", "t_ts",
+        emptyQuotes, "q_key", "q_ts", Seq("price"))
+      .collect()
+    assert(allNull.length === trades.count())
+    assert(allNull.forall(_.isNullAt(3)))
+
+    val nullTsTrade = Seq((1L, Option.empty[java.sql.Timestamp], "tnull"))
+      .toDF("t_key", "t_ts", "trade_id")
+    val out = AsOfJoin.asOfBackward(nullTsTrade, "t_key", "t_ts",
+        quotes, "q_key", "q_ts", Seq("price")).collect()
+    // a left row with no time sorts before every quote -> no match
+    assert(out.length === 1 && out(0).isNullAt(3))
+  }
 }

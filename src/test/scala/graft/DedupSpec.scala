@@ -103,4 +103,10 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) === 0L)
     assert(pairs.values.forall(_ <= 3L))
   }
+
+  test("clusterPairs of an empty pair graph returns no labels (and no hang)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.Dedup.clusterPairs(empty).count() === 0)
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.RangeJoin
@@ -49,5 +50,12 @@ class RangeJoinSpec extends AnyFunSuite {
     val physical = out.queryExecution.executedPlan.toString
     assert(!physical.contains("NestedLoop"),
       s"range join must hash/merge on the bucket key, got:\n$physical")
+  }
+
+  test("empty intervals and empty facts yield empty results, not errors") {
+    val noIntervals = intervals.filter(col("band") === "none")
+    assert(RangeJoin.bucketedRange(facts, "x", noIntervals, "lo", "hi", 10.0).count() === 0)
+    val noFacts = facts.filter(col("fact_id") === -1L)
+    assert(RangeJoin.bucketedRange(noFacts, "x", intervals, "lo", "hi", 10.0).count() === 0)
   }
 }
