@@ -58,4 +58,32 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged === direct)
   }
+
+  test("sketch aggregation works in a streaming window: stream estimate == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val streamed = input.toDF().toDF("ts", "user_id", "event_type")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("distinct_estimate"))
+    val q = streamed.writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("update").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rows = (1L to 500L).map(i => (ts(i * 3), i % 97, if (i % 2 == 0) "click" else "view"))
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedEst = spark.table("sketch_stream")
+      .groupBy("event_type").agg(max(col("distinct_estimate")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchEst = rows.toDF("ts", "user_id", "event_type")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .groupBy("event_type").agg(max(col("e")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamedEst === batchEst)
+  }
 }
