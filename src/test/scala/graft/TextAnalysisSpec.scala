@@ -72,4 +72,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
     assert(fps(0) === fps(1))
   }
+
+  test("bpeish tokens drop tab/newline whitespace, matching the RE2 token class") {
+    import spark.implicits._
+    val df = Seq(("a\tb", 1), ("a\nb c!", 2)).toDF("text", "id")
+    val counts = df.select(col("id"),
+        size(TextAnalysis.bpeishTokens(col("text"))).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // "a\tb" -> [a, b]; "a\nb c!" -> [a, b, c, !]
+    assert(counts === Map(1 -> 2, 2 -> 4))
+  }
 }
