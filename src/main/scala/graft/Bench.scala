@@ -61,7 +61,11 @@ object Bench {
           .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -14,10 +14,11 @@ import org.apache.spark.sql.DataFrame
  *     local runs (the bench/verify harness) — NOT fault-tolerant: on a real
  *     cluster a lost executor loses the blocks and the job fails.
  *   - `persist`: MEMORY_AND_DISK cache, materialized eagerly (a count runs
- *     at the barrier). The plan keeps full lineage, so executor loss
+ *     at the barrier), then surfaced as a LEAF plan over the cached RDD
+ *     (logical lineage truncated; RDD lineage kept, so executor loss
  *     recomputes instead of failing — the cluster default with dynamic
- *     allocation. Downstream plans reference the InMemoryRelation, so the
- *     projection-collapse barrier holds.
+ *     allocation). The leaf both holds the projection-collapse barrier and
+ *     keeps iterative callers' plans O(1) per round.
  *   - `checkpoint`: reliable checkpoint to `spark.graft.checkpointDir` (or a
  *     previously set `sc.setCheckpointDir`) — survives executor loss AND cuts
  *     lineage; for very long iterative chains on clusters.
@@ -27,6 +28,24 @@ import org.apache.spark.sql.DataFrame
  * nothing downstream can trigger a recompute of a dropped barrier.
  */
 object Materialize {
+
+  /** Reliable-checkpoint files created per barrier frame, so [[release]] can
+   * delete them — the ContextCleaner only cleans checkpoints when
+   * `spark.cleaner.referenceTracking.cleanCheckpoints` was set BEFORE the
+   * context existed, which the harness (and most clusters) don't do, and
+   * iterative callers would otherwise leak one rdd-* dir per round. Keyed by
+   * DataFrame identity: callers release the exact instance apply returned. */
+  private val checkpointFiles =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[DataFrame, Seq[org.apache.hadoop.fs.Path]]())
+
+  /** Persisted source behind each lineage-truncated `persist` barrier, so
+   * [[release]] can unpersist the actual cache entry (unpersisting the leaf
+   * wrapper would be a no-op). */
+  private val persistedSources =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[DataFrame, DataFrame]())
+
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get("spark.graft.materialize", "localCheckpoint") match {
@@ -34,13 +53,43 @@ object Materialize {
       case "persist" =>
         val p = df.persist()
         p.count()
-        p
-      case "checkpoint" =>
+        // Present the barrier as a LEAF plan over the cached RDD: without
+        // this, an iterative caller that references round N-1 three times
+        // per round (e.g. clusterPairs: self + neighbor + pointer-jump)
+        // grows a 3^N-node logical plan — analysis and plan-string
+        // generation blow up long before data does. RDD lineage is kept, so
+        // executor loss still recomputes (the persist strategy's point).
+        val out = org.apache.spark.sql.graftbridge.Bridge.truncateLineage(p)
+        persistedSources.put(out, p)
+        out
+      case "checkpoint" => synchronized {
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          sc.setCheckpointDir(spark.conf.get("spark.graft.checkpointDir"))
+        // honor the conf even if a checkpoint dir was set earlier with a
+        // different value (setCheckpointDir appends a UUID component, so
+        // compare against the parent of the current effective dir)
+        spark.conf.getOption("spark.graft.checkpointDir") match {
+          case Some(d) =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val qualified = p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+            val current = sc.getCheckpointDir
+              .map(c => new org.apache.hadoop.fs.Path(c).getParent.toString)
+            if (!current.contains(qualified)) sc.setCheckpointDir(d)
+          case None => require(sc.getCheckpointDir.nonEmpty,
+            "checkpoint strategy needs spark.graft.checkpointDir or sc.setCheckpointDir")
         }
-        df.checkpoint()
+        // checkpoint() is eager: the rdd-* dir exists when it returns. Diff
+        // the listing around the call (under this object's lock) to learn
+        // which dir belongs to this frame.
+        val ckDir = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+        val fs = ckDir.getFileSystem(sc.hadoopConfiguration)
+        def listing: Set[org.apache.hadoop.fs.Path] =
+          if (fs.exists(ckDir)) fs.listStatus(ckDir).map(_.getPath).toSet
+          else Set.empty
+        val before = listing
+        val out = df.checkpoint()
+        checkpointFiles.put(out, (listing -- before).toSeq)
+        out
+      }
       case other => throw new IllegalArgumentException(
         s"spark.graft.materialize=$other (expected localCheckpoint|persist|checkpoint)")
     }
@@ -49,7 +98,17 @@ object Materialize {
   /** Drop a superseded materialization. Iterative callers (label
    * propagation, Lloyd rounds, farthest-first seeding) MUST release round
    * N-1 after round N exists, or the `persist` strategy pins one cache
-   * entry per round for the query's lifetime. No-op for frames the current
-   * strategy didn't cache (unpersist on a non-cached plan does nothing). */
-  def release(df: DataFrame): Unit = df.unpersist(blocking = false)
+   * entry per round for the query's lifetime (and `checkpoint` one rdd-*
+   * dir per round). Safe because every strategy is eager: nothing
+   * downstream can recompute through a dropped barrier. No-op for frames
+   * the current strategy didn't cache or checkpoint. */
+  def release(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    Option(persistedSources.remove(df)).foreach(_.unpersist(blocking = false))
+    Option(checkpointFiles.remove(df)).foreach { paths =>
+      val fs = paths.headOption.map(
+        _.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration))
+      paths.foreach(p => fs.foreach(_.delete(p, true)))
+    }
+  }
 }

@@ -339,7 +339,7 @@ object SparkEntry {
     "a3_typed_agg" -> ((s, dir) => {
       import s.implicits._
       val recs = BotDetection.normalizeEvents(table(s, dir, "events"))
-        .withColumn("day_s", (col("time").cast("long") / 86400L).cast("long") * 86400L)
+        .withColumn("day_s", floor(col("time").cast("long") / 86400L).cast("long") * 86400L)
         .as[(String, java.sql.Timestamp, Long, Long, String, Long)]
       // typed groupByKey on (ip, day) + the monoid aggregator
       val agged = recs
@@ -386,7 +386,8 @@ object SparkEntry {
     // sums at all four aggregation levels (detail, per-type, per-day, total).
     "q_cube" -> ((s, dir) =>
       table(s, dir, "events")
-        .withColumn("day_s", (col("ts").cast("long") / 86400L).cast("long") * 86400L)
+        // floor, not cast-truncate: matches the oracle's `//` for pre-1970 ts
+        .withColumn("day_s", floor(col("ts").cast("long") / 86400L).cast("long") * 86400L)
         .cube(col("event_type"), col("day_s"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
 
@@ -494,7 +495,7 @@ object SparkEntry {
     // oracle-comparable shape).
     "q_pivot" -> ((s, dir) =>
       table(s, dir, "events")
-        .withColumn("day_s", (col("ts").cast("long") / 86400L).cast("long") * 86400L)
+        .withColumn("day_s", floor(col("ts").cast("long") / 86400L).cast("long") * 86400L)
         .groupBy(col("day_s"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .count()

@@ -69,12 +69,21 @@ object Dedup {
    */
   private def jaccardFromShingles(sh0: DataFrame, threshold: Double,
       candidates: Option[DataFrame], maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh = maxDocFreq match {
+    val shAll = maxDocFreq match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("shash")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("shash"))
         sh0.join(hot, Seq("shash"), "left_anti")
       case None => sh0
+    }
+    // With candidates, restrict to candidate docs BEFORE the self-join: the
+    // inverted-index join then runs on the candidates' shingles only (a
+    // vanishing fraction of the corpus after LSH), not corpus × corpus.
+    // Sizes stay exact — the semi-join keeps ALL shingles of a kept doc.
+    val sh = candidates.fold(shAll) { c =>
+      val candDocs = c.select(col("id_a").as("doc_id"))
+        .union(c.select(col("id_b").as("doc_id"))).distinct()
+      shAll.join(candDocs, Seq("doc_id"), "left_semi")
     }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val interBase = sh.as("a").join(sh.as("b"), "shash")
@@ -150,9 +159,23 @@ object Dedup {
    */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, n, k, bands)
-    val sh = shingleHashRows(df, idCol, textCol, n).transform(graft.Materialize(_))
-    jaccardFromShingles(sh, threshold, Some(cand))
+    // one signature materialization serves BOTH the LSH candidates and the
+    // exact verify: `withMinhash` already carries the shingle hashes, so the
+    // verify's shingle rows explode from the barrier instead of re-reading
+    // and re-hashing every document's text
+    val signed = withMinhash(df, idCol, textCol, n, k).transform(graft.Materialize(_))
+    val buckets = lshBuckets(signed, k, bands)
+    val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct().transform(graft.Materialize(_))
+    val sh = signed.select(col("doc_id"),
+      explode(array_distinct(col("shashes"))).as("shash"))
+    val verified = jaccardFromShingles(sh, threshold, Some(cand))
+    val out = graft.Materialize(verified)
+    graft.Materialize.release(cand)
+    graft.Materialize.release(signed)
+    out
   }
 
   // ------------------------------------------------------------ clustering
@@ -162,27 +185,41 @@ object Dedup {
    * every document in a component gets the component's minimum doc id as
    * `cluster_id` (the canonical survivor a dedup pipeline keeps).
    *
-   * Algorithm: iterative min-label propagation — each round every node
-   * adopts the smallest label among itself and its neighbors; converges in
-   * O(graph diameter) rounds. Each round is one join + one aggregation on
-   * the PAIR graph (tiny after LSH filtering — this never touches the
-   * corpus), and the loop stops when a round changes no label; the only
-   * driver-side value per round is that changed-count. Near-dup components
-   * are shallow (duplicates of a common source), so rounds stay few.
+   * Algorithm: min-label propagation with pointer jumping — each round every
+   * node adopts the smallest of (its label, its neighbors' labels, its
+   * label's label). Labels only ever decrease and are bounded below by the
+   * component's min id, so the loop reaches a fixpoint; at a fixpoint every
+   * edge connects equal labels, so each component is uniformly labeled with
+   * its min. Plain neighbor propagation alone needs O(diameter) rounds; the
+   * pointer-jump (path-halving, as in Kiveris et al.'s large-star/small-star
+   * family) short-circuits label chains so convergence is O(log diameter) —
+   * a revision chain of 1000 near-identical docs takes ~10 rounds, not 1000.
+   *
+   * Per-round cost: one groupBy on the PAIR graph (tiny after LSH
+   * filtering — this never touches the corpus) + one self-join for the
+   * jump, then ONE materialized frame that carries both the old and new
+   * label; the convergence check is a count on that already-materialized
+   * frame, not a separate join job.
    *
    * Each round's labels are materialized ([[graft.Materialize]]): the
    * lineage (and logical plan) would otherwise grow by one join+agg per
    * round, making round-N planning O(N); the barrier keeps planning O(1)
-   * per round.
+   * per round. Internal frames are released before returning; the returned
+   * frame is itself a materialized barrier — callers that are done with it
+   * should [[graft.Materialize.release]] it.
    */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxRounds: Int = 100): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().transform(graft.Materialize(_))
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    // `barrier` is the materialized frame of the current round (the thing
+    // release() must see — NOT a projection of it); `labels` the
+    // (doc_id, cluster_id) view read by the next round.
+    var barrier = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .transform(graft.Materialize(_))
+    var labels = barrier
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -191,32 +228,48 @@ object Dedup {
           .withColumnRenamed("cluster_id", "n_label"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_label")).as("neighbor_label"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("neighbor_label"), col("cluster_id")))
+      // pointer jump: cluster_id is always a node id of the same component
+      // (labels start as own id and only take mins of existing labels), so
+      // label[label] is well-defined wherever the labeled node has an entry
+      val parents = labels
+        .select(col("doc_id").as("old_label"), col("cluster_id").as("parent_label"))
+      val updated = labels.withColumnRenamed("cluster_id", "old_label")
+        .join(neighborMin, Seq("doc_id"), "left")
+        .join(parents, Seq("old_label"), "left")
+        .select(col("doc_id"), col("old_label"),
+          least(col("old_label"),
+            coalesce(col("neighbor_label"), col("old_label")),
+            coalesce(col("parent_label"), col("old_label")))
             .as("cluster_id"))
         .transform(graft.Materialize(_))
-      changed = updated.as("u")
-        .join(labels.as("l"), Seq("doc_id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
-        .count()
-      graft.Materialize.release(labels)  // round N-1 is superseded
-      labels = updated
+      changed = updated.filter(col("cluster_id") =!= col("old_label")).count()
+      graft.Materialize.release(barrier)  // round N-1 is superseded
+      barrier = updated
+      labels = updated.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
     // wrong labels are worse than no labels: a component with diameter >
-    // maxRounds (a pathological revision chain) must fail loudly
+    // 2^maxRounds (impossible in practice) must fail loudly
     if (changed > 0) throw new IllegalStateException(
       s"clusterPairs did not converge in $maxRounds rounds — component diameter too large")
-    labels
+    // hand back a barrier the CALLER can release (the loop's own frames are
+    // projections/intermediates it cannot see), and free everything internal
+    val result = graft.Materialize(labels)
+    graft.Materialize.release(barrier)
+    graft.Materialize.release(edges)
+    result
   }
 
   /** Near-dedup clusters of a corpus: MinHash+LSH pairs at `threshold`,
    * collapsed into components; output (doc_id, cluster_id) for every doc
    * that has at least one near-duplicate. */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame =
-    clusterPairs(minhashDedup(df, idCol, textCol, threshold))
+      threshold: Double): DataFrame = {
+    val pairs = minhashDedup(df, idCol, textCol, threshold)
+    val out = clusterPairs(pairs)
+    graft.Materialize.release(pairs)
+    out
+  }
 
   // -------------------------------------------------------------- simhash
 

@@ -33,12 +33,16 @@ object RangeJoin {
       bucketWidth: Double): DataFrame = {
     def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
     // hi is exclusive: an interval [lo, hi) overlaps buckets
-    // floor(lo/w) .. floor(hi/w), the last one only when hi is not exactly
-    // on a bucket edge — sequence() is inclusive, so trim the edge case
-    val hiBucket = when(col(hiCol) === bucketOf(col(hiCol)) * bucketWidth,
-      bucketOf(col(hiCol)) - 1).otherwise(bucketOf(col(hiCol)))
+    // floor(lo/w) .. floor(hi/w). When hi lands exactly on a bucket edge the
+    // last bucket holds no true matches, but trimming it is only safe when
+    // bucketWidth divides hi EXACTLY in doubles — under rounding, a fact one
+    // ulp below hi can share floor(x/w) with hi and the trim would silently
+    // drop a true pair. The exact [lo, hi) filter below already removes every
+    // false candidate, so always explode through floor(hi/w): one spurious
+    // candidate bucket per edge-aligned interval at worst, never a miss.
     val keyedIntervals = intervals.withColumn("__bucket",
-      explode(sequence(bucketOf(col(loCol)), greatest(hiBucket, bucketOf(col(loCol))))))
+      explode(sequence(bucketOf(col(loCol)),
+        greatest(bucketOf(col(hiCol)), bucketOf(col(loCol))))))
     fact.withColumn("__bucket", bucketOf(col(valueCol)))
       .join(keyedIntervals, Seq("__bucket"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))

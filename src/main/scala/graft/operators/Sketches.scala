@@ -24,7 +24,11 @@ object Sketches {
    * per (group, day). This is the thing you'd persist as parquet. */
   def dailySketches(df: DataFrame, timeCol: String, keyCol: String,
       groupCols: Seq[String], lgK: Int = 12): DataFrame = {
-    val day = (col(timeCol).cast("long") / 86400L).cast("long") * 86400L
+    // floor, not cast-truncate: cast("long") truncates toward zero, which
+    // buckets pre-1970 timestamps into the WRONG day and diverges from the
+    // DuckDB oracles' floor-division `//`. floor of the double quotient
+    // matches `//` for negative epochs too.
+    val day = floor(col(timeCol).cast("long") / 86400L).cast("long") * 86400L
     df.groupBy((groupCols.map(col) :+ day.as("day_s")): _*)
       .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sketch"),
         count(lit(1)).as("n_rows"))

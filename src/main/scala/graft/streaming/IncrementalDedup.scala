@@ -77,18 +77,30 @@ object IncrementalDedup {
     val batchSurvivors = signed.join(inBatchDups, Seq("doc_id"), "left_anti")
     val survivorBuckets = buckets.join(inBatchDups, Seq("doc_id"), "left_anti")
 
-    // store check: bucket equi-join against previously seen signatures
-    val novel = if (storeExists(spark, sigStore)) {
-      val store = spark.read.parquet(sigStore)
-      val storeK = store.select(size(col("sig"))).head().getInt(0)
-      require(storeK == k,
-        s"signature store at $sigStore was built with k=$storeK, caller passed k=$k — " +
-          "estimated Jaccard would be silently wrong")
-      val dupOfStore = dupPairs(survivorBuckets, batchSurvivors,
-          Dedup.lshBuckets(store, k, bands), store, threshold, lit(true))
-        .select(col("id_a").as("doc_id")).distinct()
-      batchSurvivors.join(dupOfStore, Seq("doc_id"), "left_anti")
-    } else batchSurvivors
+    // store check: bucket equi-join against previously seen signatures.
+    // The store can exist yet hold zero rows (a first batch of only
+    // unshingleable docs still appends its empty novel set, leaving empty
+    // part files) — an empty store has no k to check and nothing to dup
+    // against, so treat it as absent rather than head()-ing into a throw.
+    val maybeStore =
+      if (storeExists(spark, sigStore)) {
+        val store = spark.read.parquet(sigStore)
+        store.select(size(col("sig"))).limit(1).collect().headOption.map { row =>
+          val storeK = row.getInt(0)
+          require(storeK == k,
+            s"signature store at $sigStore was built with k=$storeK, caller passed k=$k — " +
+              "estimated Jaccard would be silently wrong")
+          store
+        }
+      } else None
+    val novel = maybeStore match {
+      case Some(store) =>
+        val dupOfStore = dupPairs(survivorBuckets, batchSurvivors,
+            Dedup.lshBuckets(store, k, bands), store, threshold, lit(true))
+          .select(col("id_a").as("doc_id")).distinct()
+        batchSurvivors.join(dupOfStore, Seq("doc_id"), "left_anti")
+      case None => batchSurvivors
+    }
     graft.Materialize(novel.select(col("doc_id"), col("sig")))
   }
 

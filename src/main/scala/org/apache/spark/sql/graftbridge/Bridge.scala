@@ -32,4 +32,21 @@ object Bridge {
   /** The logical plan behind a DataFrame. */
   def planOf(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /**
+   * Re-root a DataFrame as a leaf `LogicalRDD` over its own execution RDD —
+   * the same mechanism `Dataset.checkpoint` uses (`LogicalRDD.fromDataset`,
+   * `private[sql]`), minus any RDD-level checkpointing. The returned frame's
+   * LOGICAL plan is a single leaf (iterative callers stop growing their plan
+   * multiplicatively per round), while the underlying RDD keeps full lineage
+   * (a lost block of a persisted plan still recomputes). Rows are copied
+   * defensively, as checkpoint does, since the RDD may be consumed by
+   * buffering operators.
+   */
+  def truncateLineage(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
+  }
 }
