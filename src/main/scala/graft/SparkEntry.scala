@@ -527,7 +527,62 @@ object SparkEntry {
         (col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w)).as("gap_s"),
         count(lit(1)).over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)).as("cum_n"))
-    }))
+    }),
+
+    // Time-series resample + forward fill: one row per (user, day) over each
+    // user's own observed span, carrying the latest value at or before that
+    // day. Grid generation is per-entity sequence+explode (Σ spans, never
+    // entities × global span); the fill is a one-pass running `last
+    // ignoreNulls` window per entity.
+    "q_gap_fill" -> ((s, dir) =>
+      operators.TimeSeries.gapFillDaily(
+        table(s, dir, "events").filter(col("user_id").isNotNull),
+        "user_id", "ts", "event_id", "value")),
+
+    // SCD2 reconstruction: collapse each user's event-type sequence into
+    // [valid_from, valid_to) validity intervals (change detection via lag,
+    // interval close via lead — both windows partition by the user).
+    "q_scd2" -> ((s, dir) =>
+      operators.TimeSeries.scd2(
+        table(s, dir, "events").filter(col("user_id").isNotNull),
+        "user_id", "ts", "event_id", "event_type")),
+
+    // Fuzzy self-join (edit distance ≤ 1) on customer names via
+    // deletion-neighborhood blocking: candidates share a one-char-deletion
+    // key (equi-join, shuffle ∝ rows × len), exact levenshtein verifies
+    // collisions only. The oracle brute-forces the quadratic definition.
+    "q_fuzzy_join" -> ((s, dir) =>
+      operators.FuzzyJoin.selfJoin(table(s, dir, "customer"), "c_custkey", "c_name")),
+
+    // Z-order layout audit: interleave (custkey, order-day) bits into a
+    // Morton key, bucket by its top bits, and report each bucket's bounding
+    // box in BOTH dimensions — the min/max envelopes a zordered rewrite
+    // would give parquet footers (tight in both dims ⇒ data skipping works
+    // for predicates on either). Pure codegen'd bit arithmetic.
+    "q_zorder" -> ((s, dir) => {
+      // NTZ-safe epoch: parquet may surface o_orderdate as TIMESTAMP_NTZ
+      // (no direct cast to BIGINT); session TZ is pinned UTC so the
+      // intermediate cast is deterministic
+      val day = floor(col("o_orderdate").cast("timestamp").cast("long") / 86400L).cast("long")
+      table(s, dir, "orders").filter(col("o_orderdate").isNotNull)
+        .select(col("o_custkey"), day.as("day_n"),
+          operators.Layout.mortonKey(col("o_custkey"), day, bits = 16).as("zkey"))
+        .groupBy(shiftrightunsigned(col("zkey"), 24).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+          min(col("day_n")).as("min_day"), max(col("day_n")).as("max_day"))
+    }),
+
+    // Explicit GROUPING SETS (beyond cube/rollup): per-type totals, per-day
+    // totals, and the grand total in one pass, disambiguated by
+    // grouping_id — partial aggregation applies per set, one shuffle.
+    "q_grouping_sets" -> ((s, dir) =>
+      table(s, dir, "events")
+        .withColumn("day_s", floor(col("ts").cast("long") / 86400L).cast("long") * 86400L)
+        .groupingSets(Seq(Seq(col("event_type")), Seq(col("day_s")), Seq()),
+          col("event_type"), col("day_s"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          grouping_id().as("gid"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -922,7 +977,70 @@ object SparkEntry {
           |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
           |FROM events WHERE ts IS NOT NULL
-          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+      // last-per-day tie-break via the same fixed-width (ts, id) string key
+      // the engine uses (arg_max takes scalar keys only); the fill window's
+      // default RANGE frame equals the engine's ROWS frame because day_n is
+      // unique per partition.
+      "q_gap_fill" ->
+        """WITH ev AS (
+          |  SELECT user_id AS entity, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_n,
+          |         value AS v,
+          |         lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), 12, '0') ||
+          |         lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+          |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+          |daily AS (SELECT entity, day_n, arg_max(v, ok) AS day_value
+          |          FROM ev GROUP BY 1, 2),
+          |spans AS (SELECT entity, min(day_n) AS d0, max(day_n) AS d1
+          |          FROM daily GROUP BY 1),
+          |grid AS (SELECT entity, unnest(generate_series(d0, d1)) AS day_n FROM spans)
+          |SELECT g.entity, g.day_n * 86400 AS day_s,
+          |       d.day_value IS NOT NULL AS observed,
+          |       last_value(d.day_value IGNORE NULLS)
+          |         OVER (PARTITION BY g.entity ORDER BY g.day_n) AS value_filled
+          |FROM grid g LEFT JOIN daily d USING (entity, day_n)""".stripMargin,
+
+      "q_scd2" ->
+        """WITH ev AS (
+          |  SELECT user_id AS entity, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+          |         event_id AS id, event_type AS state
+          |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+          |marked AS (SELECT *, lag(state) OVER (PARTITION BY entity ORDER BY ts_s, id)
+          |                       AS prev_state FROM ev),
+          |changes AS (SELECT * FROM marked WHERE state IS DISTINCT FROM prev_state)
+          |SELECT entity, state, ts_s AS valid_from_s,
+          |       lead(ts_s) OVER (PARTITION BY entity ORDER BY ts_s, id) AS valid_to_s
+          |FROM changes""".stripMargin,
+
+      // quadratic by design: the oracle IS the definition the blocked join
+      // must reproduce exactly
+      "q_fuzzy_join" ->
+        """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          |       a.c_name AS s_a, b.c_name AS s_b,
+          |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+          |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+          |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+      "q_zorder" -> {
+        val dayExpr = "CAST(floor(epoch(o_orderdate)/86400) AS BIGINT)"
+        val z = operators.Layout.mortonKeySql("o_custkey", dayExpr, bits = 16)
+        s"""SELECT ($z) >> 24 AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           |       min($dayExpr) AS min_day, max($dayExpr) AS max_day
+           |FROM orders WHERE o_orderdate IS NOT NULL
+           |GROUP BY 1""".stripMargin
+      },
+
+      "q_grouping_sets" ->
+        """SELECT event_type,
+          |       CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS day_s,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(value), 2) AS sum_value,
+          |       CAST(GROUPING(event_type, day_s) AS BIGINT) AS gid
+          |FROM events
+          |GROUP BY GROUPING SETS ((event_type), (day_s), ())""".stripMargin)
   }
 
   /** `'the','a',...` — the stopword list quoted for SQL IN. */

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fuzzy (approximate string) join with edit distance ≤ 1, scaled by
+ * deletion-neighborhood blocking: two strings within Levenshtein distance 1
+ * necessarily share a key in {s} ∪ {s with one character deleted} — a
+ * substitution at position i makes both deletion-at-i variants equal, an
+ * insertion/deletion makes one side's variant equal the other side's full
+ * string. So the candidate join is an EQUI-join on the variant key (shuffle
+ * ∝ rows × (len+1), never rows²), and exact `levenshtein` (codegen'd
+ * built-in) verifies only bucket collisions. This is the FastSS scheme;
+ * distance k generalizes to all ≤k-deletion variants (k=1 shipped here —
+ * variants grow as len^k, so larger k wants a length cap).
+ *
+ * 100 TB notes: the variant explosion is map-side (no state), the verify
+ * runs on candidate pairs only, and the equi-join is AQE-skew-splittable —
+ * pathological keys (e.g. very common short names) can be handled with the
+ * same stop-key cap as the shingle joins.
+ */
+object FuzzyJoin {
+
+  /** (id, key) rows: the string itself + each one-char-deletion variant.
+   * Dedup per row (adjacent equal chars produce identical variants). */
+  private def deletionKeys(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("key", explode(array_distinct(concat(
+        array(col("s")),
+        // variant i = prefix of length i-1 ++ suffix from i+1 (1-based
+        // substr); greatest() keeps sequence() ascending for empty strings
+        transform(sequence(lit(1), greatest(length(col("s")), lit(1))),
+          i => concat(col("s").substr(lit(1), i - 1),
+            col("s").substr(i + 1, length(col("s")))))))))
+
+  /**
+   * Self-join: pairs of rows whose strings are within Levenshtein
+   * distance 1 (excluding self and symmetric duplicates — `id_a < id_b`).
+   * Output: (id_a, id_b, s_a, s_b, dist).
+   */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    // candidate pairs carry bare ids through the join+distinct (pairs from
+    // different variant keys dedup BEFORE strings re-attach — the candidate
+    // multiset is several× the distinct pair set, so shuffling ids instead
+    // of ids+both strings cuts the dominant shuffle's width)
+    val keys = deletionKeys(df, idCol, strCol).select(col("id"), col("key"))
+    val cand = keys.as("a").join(keys.as("b"), Seq("key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val named = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    cand
+      .join(named.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(named.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+}

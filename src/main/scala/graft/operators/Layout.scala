@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-layout keys: Z-order (Morton) bit interleaving of two dimension
+ * columns. Sorting/range-partitioning a table by the interleaved key
+ * co-locates rows that are close in BOTH dimensions, so min/max footer
+ * stats prune scans for predicates on EITHER dimension — the layout trick
+ * behind Delta/Iceberg `OPTIMIZE ZORDER BY`, expressed here as a plain
+ * deterministic column so it works with `repartitionByRange` + parquet.
+ *
+ * At 100 TB this is a write-time investment: one range-partitioned rewrite
+ * of the fact table by `mortonKey(dimA, dimB)`, after which every file's
+ * (min, max) envelope is tight in both dimensions and the reader skips
+ * ~√files for a point predicate instead of reading everything (linear sort
+ * order gives tight envelopes in ONE dimension only).
+ *
+ * Pure bit arithmetic on longs (shift/and/or) — codegen'd, no UDF, and
+ * reproducible in any engine (the oracle SQL spells out the same ops).
+ */
+object Layout {
+
+  /**
+   * Interleave the low `bits` bits of two non-negative long columns:
+   * result bit 2i = bit i of `a`, bit 2i+1 = bit i of `b`. Values ≥ 2^bits
+   * alias (high bits dropped) — pick `bits` to cover the dimension domain;
+   * 2×bits must stay < 63.
+   */
+  def mortonKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits > 0 && 2 * bits < 63, s"bits=$bits out of range")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** The same interleave as a DuckDB SQL expression over sub-expressions
+   * `a` and `b` — keeps the oracle definitionally identical to the Spark
+   * column (generated, not hand-transcribed). */
+  def mortonKeySql(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((((($a) >> $i) & 1)) << ${2 * i})",
+        s"((((($b) >> $i) & 1)) << ${2 * i + 1})")
+    }.mkString(" | ")
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series reshaping operators over an event log: regular-grid resampling
+ * with gap filling (forward fill), and SCD2-style validity-interval
+ * reconstruction (collapse consecutive equal states into [from, to) rows).
+ * Neither exists as a Spark built-in shape; both compose from `sequence` /
+ * window functions, so they stay codegen'd and shuffle only on the entity
+ * key.
+ *
+ * Scale notes (100 TB rules):
+ *   - the resample grid is generated PER ENTITY from its own [min, max] span
+ *     (`sequence` + explode) — grid size ∝ Σ per-entity spans, never
+ *     entities × global span; a single long-lived entity cannot blow up
+ *     every other entity's row count;
+ *   - all window functions partition by the entity key — no global sort, no
+ *     single-partition window (WindowExec warns loudly on those);
+ *   - forward fill is `last(value, ignoreNulls)` over rows between
+ *     unboundedPreceding and current — Spark evaluates it in one pass per
+ *     partition without buffering the frame.
+ */
+object TimeSeries {
+
+  /** Fixed-width sortable string key for "latest row wins" tie-breaks that
+   * must hash-match an engine whose arg_max takes only scalar keys: epoch
+   * seconds and a row id, zero-padded so VARCHAR order == numeric order. */
+  def orderKey(ts: Column, id: Column): Column =
+    concat(lpad(ts.cast("long").cast("string"), 12, "0"),
+      lpad(id.cast("string"), 12, "0"))
+
+  /**
+   * Resample an event stream onto a daily grid per entity and
+   * forward-fill: one row per (entity, day) between the entity's first and
+   * last observed day; `value_filled` carries the value of the latest event
+   * at or before that day (ties broken by `idCol` — deterministic).
+   * Days with no event for that entity are the filled gaps.
+   */
+  def gapFillDaily(df: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val daySec = 86400L
+    val day = floor(col(tsCol).cast("long") / daySec).cast("long")
+    // latest observed value per (entity, day)
+    val daily = df.filter(col(tsCol).isNotNull)
+      .select(col(entityCol).as("entity"), day.as("day_n"),
+        col(valueCol).as("v"), orderKey(col(tsCol), col(idCol)).as("ok"))
+      .groupBy(col("entity"), col("day_n"))
+      .agg(max_by(col("v"), col("ok")).as("day_value"))
+    // per-entity daily grid over its own observed span
+    val grid = daily.groupBy(col("entity"))
+      .agg(min(col("day_n")).as("d0"), max(col("day_n")).as("d1"))
+      .select(col("entity"), explode(sequence(col("d0"), col("d1"))).as("day_n"))
+    val w = Window.partitionBy(col("entity")).orderBy(col("day_n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("entity", "day_n"), "left")
+      .select(col("entity"), (col("day_n") * daySec).as("day_s"),
+        col("day_value").isNotNull.as("observed"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("value_filled"))
+  }
+
+  /**
+   * SCD2 reconstruction: collapse an entity's event sequence into validity
+   * intervals of its `stateCol` — one row per run of consecutive equal
+   * states, `valid_from` = first event of the run, `valid_to` = first event
+   * of the NEXT run (NULL while current). The standard
+   * change-detection-then-lead formulation; both windows partition by the
+   * entity, ordered by (ts, id) for determinism under equal timestamps.
+   */
+  def scd2(df: DataFrame, entityCol: String, tsCol: String, idCol: String,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col("entity")).orderBy(col("ts_s"), col("id"))
+    val events = df.filter(col(tsCol).isNotNull)
+      .select(col(entityCol).as("entity"), col(tsCol).cast("long").as("ts_s"),
+        col(idCol).as("id"), col(stateCol).as("state"))
+    val changes = events
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      // null-safe inequality: a NULL state starting the sequence is a change
+      .filter(not(col("state") <=> col("prev_state")))
+    changes
+      .withColumn("valid_to_s", lead(col("ts_s"), 1).over(w))
+      .select(col("entity"), col("state"),
+        col("ts_s").as("valid_from_s"), col("valid_to_s"))
+  }
+}

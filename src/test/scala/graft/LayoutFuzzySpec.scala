@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{FuzzyJoin, Layout}
+
+class LayoutFuzzySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mortonKey interleaves bits (known values)") {
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Layout.mortonKey(col("a"), col("b"), 16).as("z"))
+      .collect().map(_.getLong(0))
+    // interleave(3=0b011, 5=0b101): a bits at even positions, b at odd →
+    // 0b100111 = 39; 16 bits of ones each → 32 bits of ones
+    assert(out.toSeq === Seq(0L, 1L, 2L, 39L, (1L << 32) - 1))
+  }
+
+  test("z-order bucketing bounds BOTH dimensions; linear order only one") {
+    // 32×32 grid of points, 16 buckets of 64 points each
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    def avgSpans(bucket: org.apache.spark.sql.Column): (Double, Double) = {
+      val r = grid.groupBy(bucket.as("b"))
+        .agg((max(col("x")) - min(col("x"))).as("sx"), (max(col("y")) - min(col("y"))).as("sy"))
+        .agg(avg(col("sx")), avg(col("sy"))).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // z-order: top 4 bits of the 10-bit morton key → 4×4 macro-cells of 8×8
+    val (zx, zy) = avgSpans(shiftrightunsigned(Layout.mortonKey(col("x"), col("y"), 5), 6))
+    // linear: bucket by x alone (the "sort by one column" layout)
+    val (lx, ly) = avgSpans(floor(col("x") / 2))
+    assert(zx === 7.0 && zy === 7.0)  // every z-bucket is a tight 8×8 box
+    assert(lx <= 1.0 && ly === 31.0)  // linear: tight in x, FULL span in y
+  }
+
+  test("fuzzy self-join finds exactly the distance ≤1 pairs (vs brute force)") {
+    val names = Seq("kitten", "sitten", "sittes", "kitte", "kittens", "apple", "appl e")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = names.toDF("id", "s")
+    val got = FuzzyJoin.selfJoin(df, "id", "s")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val expected = (for {
+      (ia, a) <- names; (ib, b) <- names if ia < ib
+      if levenshteinDist(a, b) <= 1
+    } yield (ia, ib)).toSet
+    assert(got === expected && got.nonEmpty)
+    // sanity on content: substitution, deletion, insertion all found
+    assert(got.contains((0L, 1L)))  // kitten→sitten substitution
+    assert(got.contains((0L, 3L)))  // kitten→kitte deletion
+    assert(got.contains((0L, 4L)))  // kitten→kittens insertion
+  }
+
+  /** Plain DP Levenshtein — the spec's independent definition. */
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(daySec: Long): Timestamp = new Timestamp(daySec * 1000L)
+
+  // entity 1: days 0, 3 (gap of 2 days); entity 2: single day 5
+  private lazy val events = Seq(
+    (1L, ts(0L * 86400 + 10), 100L, 1.0),
+    (1L, ts(0L * 86400 + 20), 101L, 2.0), // later same day → day value
+    (1L, ts(3L * 86400), 102L, 9.0),
+    (2L, ts(5L * 86400), 103L, 7.0)
+  ).toDF("user_id", "ts", "event_id", "value")
+
+  test("gapFillDaily fills gaps forward and flags observed days") {
+    val out = TimeSeries.gapFillDaily(events, "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 86400, r.getBoolean(2), r.getDouble(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 0L, true, 2.0),   // latest of the two day-0 events
+      (1L, 1L, false, 2.0),  // gap: carried forward
+      (1L, 2L, false, 2.0),
+      (1L, 3L, true, 9.0),
+      (2L, 5L, true, 7.0)))  // single-day span: no gaps
+  }
+
+  test("gapFillDaily breaks same-timestamp ties by id") {
+    val sameTs = Seq(
+      (1L, ts(100), 5L, 1.0),
+      (1L, ts(100), 9L, 4.0) // same second, larger id wins
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.gapFillDaily(sameTs, "user_id", "ts", "event_id", "value").collect()
+    assert(out.length === 1 && out(0).getDouble(3) === 4.0)
+  }
+
+  test("scd2 collapses consecutive equal states and closes intervals with the next change") {
+    val log = Seq(
+      (1L, ts(10), 1L, "trial"),
+      (1L, ts(20), 2L, "trial"),   // same state → same interval
+      (1L, ts(30), 3L, "paid"),
+      (1L, ts(40), 4L, "trial"),   // state can recur → new interval
+      (2L, ts(15), 5L, "paid")
+    ).toDF("user_id", "ts", "event_id", "state")
+    val out = TimeSeries.scd2(log, "user_id", "ts", "event_id", "state")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(out === Set(
+      (1L, "trial", 10L, 30L),
+      (1L, "paid", 30L, 40L),
+      (1L, "trial", 40L, -1L),   // open interval (current state)
+      (2L, "paid", 15L, -1L)))
+  }
+
+  test("scd2 intervals tile each entity's timeline: from < to, no overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TimeSeries.scd2(
+      graft.sources.Tables.load(spark, dir, "events").filter(col("user_id").isNotNull),
+      "user_id", "ts", "event_id", "event_type")
+    val bad = out.filter(col("valid_to_s").isNotNull && col("valid_to_s") < col("valid_from_s"))
+    assert(bad.count() === 0)
+    // per entity: exactly one open (NULL valid_to) interval — the current state
+    val opens = out.groupBy(col("entity"))
+      .agg(sum(when(col("valid_to_s").isNull, 1).otherwise(0)).as("n_open"))
+      .filter(col("n_open") =!= 1)
+    assert(opens.count() === 0)
+  }
+}
