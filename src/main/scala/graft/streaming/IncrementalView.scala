@@ -1,0 +1,168 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Incremental view maintenance for an algebraic aggregate (count + sum per
+ * key), maintained LSM-style so each micro-batch costs O(delta), never
+ * O(view):
+ *
+ *   - every batch appends its PARTIAL aggregate (one row per touched key)
+ *     as a delta file set under the store — count and sum are commutative
+ *     monoids, so partials merge associatively in any order;
+ *   - [[read]] is merge-on-read: base ∪ unfolded deltas → one groupBy.
+ *     Read amplification grows with the delta count, which is why
+ *   - [[compact]] folds base + deltas into a new base generation —
+ *     amortized O(view), run on whatever cadence read amplification
+ *     warrants (the LSM tradeoff made explicit).
+ *
+ * Crash safety without a transactional store:
+ *   - a delta dir is named by its micro-batch id; [[applyBatch]] treats an
+ *     existing COMPLETE delta (`_SUCCESS` present) as "already applied"
+ *     (replay no-op) and rewrites a torn one — so a crash between "delta
+ *     written" and "offsets committed" never double-counts or drops;
+ *   - a base generation carries a `_FOLDED` manifest naming the deltas it
+ *     absorbed; [[read]] resolves the current base via an atomically
+ *     renamed pointer file and SKIPS manifest-listed deltas, so folded
+ *     deltas can be deleted lazily — a crash at any point of [[compact]]
+ *     leaves either the old pointer (old base + all deltas: correct) or
+ *     the new pointer (new base + only unfolded deltas: correct).
+ *
+ * At 100 TB the same layout shards by key-hash subdirectory so compaction
+ * rewrites only shards with deltas; the monoid-merge logic is unchanged.
+ */
+object IncrementalView {
+
+  private val PTR = "_CURRENT_BASE"
+  private val MANIFEST = "_FOLDED"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSmallFile(spark: SparkSession, p: Path): String = {
+    val in = fs(spark, p.toString).open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+    finally in.close()
+  }
+
+  private def currentBase(spark: SparkSession, storeDir: String): Option[String] = {
+    val ptr = new Path(storeDir, PTR)
+    if (!fs(spark, storeDir).exists(ptr)) None
+    else Some(readSmallFile(spark, ptr))
+  }
+
+  /** Delta names already folded into the current base (empty when no base). */
+  private def foldedDeltas(spark: SparkSession, storeDir: String): Set[String] =
+    currentBase(spark, storeDir).map { b =>
+      val m = new Path(new Path(storeDir, b), MANIFEST)
+      if (fs(spark, storeDir).exists(m))
+        readSmallFile(spark, m).split("\n").filter(_.nonEmpty).toSet
+      else Set.empty[String]
+    }.getOrElse(Set.empty)
+
+  /** All delta dirs on disk, oldest first. */
+  private def deltaDirs(spark: SparkSession, storeDir: String): Seq[Path] = {
+    val f = fs(spark, storeDir)
+    val root = new Path(storeDir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("delta_")).toSeq.sortBy(_.getName)
+  }
+
+  /** Deltas that still count toward the view: on disk and not in the
+   * current base's manifest. */
+  private def liveDeltas(spark: SparkSession, storeDir: String): Seq[Path] = {
+    val folded = foldedDeltas(spark, storeDir)
+    deltaDirs(spark, storeDir).filterNot(p => folded(p.getName))
+  }
+
+  /** Partial aggregate of one batch: (keys..., n_rows, sum_value). */
+  private def partial(batch: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
+    batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"))
+
+  /** Merge partials: same schema in, same schema out (monoid fold). */
+  private def merge(parts: DataFrame, keyCols: Seq[String]): DataFrame =
+    parts.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_value")).as("sum_value"))
+
+  /** Apply one micro-batch: append its partial-aggregate delta unless this
+   * batchId already has a COMPLETE delta (replay no-op); a torn delta from
+   * a mid-write crash is rewritten. Usable standalone for batch-incremental
+   * runs. */
+  def applyBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
+      valueCol: String, storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    val f = fs(spark, storeDir)
+    val delta = new Path(storeDir, f"delta_$batchId%020d")
+    if (f.exists(delta)) {
+      if (f.exists(new Path(delta, "_SUCCESS"))) return // replayed batch
+      f.delete(delta, true) // torn write: redo
+    }
+    partial(batch, keyCols, valueCol).write.mode("errorifexists").parquet(delta.toString)
+  }
+
+  /** Current view contents: base generation (if any) merged with all live
+   * deltas. */
+  def read(spark: SparkSession, storeDir: String, keyCols: Seq[String]): DataFrame = {
+    val parts = currentBase(spark, storeDir).map(b =>
+      spark.read.parquet(new Path(storeDir, b).toString)).toSeq ++
+      liveDeltas(spark, storeDir).map(p => spark.read.parquet(p.toString))
+    if (parts.isEmpty)
+      throw new IllegalStateException(s"incremental view at $storeDir has no data yet")
+    merge(parts.reduce(_ unionByName _), keyCols)
+  }
+
+  /**
+   * Fold base + live deltas into a new base generation. Step order:
+   * (1) write the new base parquet + its `_FOLDED` manifest, (2) atomically
+   * repoint `_CURRENT_BASE` (temp file + rename), (3) delete the folded
+   * deltas and the old base. A crash before (2) leaves the old pointer —
+   * the next read/compact sees old base + all deltas (correct; the orphan
+   * new-base dir is garbage-collected at the next compact). A crash after
+   * (2) leaves manifest-listed deltas on disk, which read() already skips.
+   */
+  def compact(spark: SparkSession, storeDir: String, keyCols: Seq[String]): Unit = {
+    val f = fs(spark, storeDir)
+    val old = currentBase(spark, storeDir)
+    // GC: base dirs that are not the current pointer are orphans of a
+    // pre-repoint crash — unreferenced, safe to drop
+    if (f.exists(new Path(storeDir))) {
+      f.listStatus(new Path(storeDir)).map(_.getPath)
+        .filter(p => p.getName.startsWith("base_") && !old.contains(p.getName))
+        .foreach(p => f.delete(p, true))
+    }
+    val folded = liveDeltas(spark, storeDir)
+    if (folded.isEmpty && old.isDefined) return
+    // monotonic generation counter (parse the old name, +1) — deterministic
+    // and collision-free, unlike a wall-clock stamp
+    val nextGen = old.map(_.stripPrefix("base_").toLong + 1).getOrElse(0L)
+    val gen = f"base_$nextGen%020d"
+    val genPath = new Path(storeDir, gen)
+    read(spark, storeDir, keyCols).write.mode("errorifexists").parquet(genPath.toString)
+    val mf = f.create(new Path(genPath, MANIFEST), true)
+    try mf.write(folded.map(_.getName).mkString("\n").getBytes("UTF-8")) finally mf.close()
+    val tmp = new Path(storeDir, s".$PTR.tmp")
+    val out = f.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(storeDir, PTR)
+    if (f.exists(ptr)) f.delete(ptr, false)
+    f.rename(tmp, ptr)
+    folded.foreach(p => f.delete(p, true))
+    old.foreach(o => f.delete(new Path(storeDir, o), true))
+  }
+
+  /** Wire into a stream: one delta append per micro-batch. Compaction is the
+   * caller's cadence decision (e.g. every N batches or offline). */
+  def start(stream: DataFrame, keyCols: Seq[String], valueCol: String,
+      storeDir: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(batch, id, keyCols, valueCol, storeDir)
+      }
+      .start()
+}

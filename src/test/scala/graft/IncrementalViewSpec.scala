@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.IncrementalView
+
+class IncrementalViewSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
+
+  private val keys = Seq("k")
+
+  private def viewAsMap(store: String): Map[String, (Long, Double)] =
+    IncrementalView.read(spark, store, keys).collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("sum_value")))).toMap
+
+  test("incremental result equals full recompute after several batches") {
+    val store = tmp("ivm")
+    val batches = Seq(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)),
+      Seq(("b", 4.0), ("c", 5.0)),
+      Seq(("a", 6.0)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      IncrementalView.applyBatch(rows.toDF("k", "value"), i.toLong, keys, "value", store)
+    }
+    val expected = batches.flatten.groupBy(_._1)
+      .map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    assert(viewAsMap(store) === expected)
+  }
+
+  test("replayed batch ids are no-ops; compaction preserves the view") {
+    val store = tmp("ivm-replay")
+    val b0 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "value")
+    IncrementalView.applyBatch(b0, 0L, keys, "value", store)
+    IncrementalView.applyBatch(b0, 0L, keys, "value", store) // replay: no double count
+    assert(viewAsMap(store) === Map("a" -> ((1L, 1.0)), "b" -> ((1L, 2.0))))
+    IncrementalView.applyBatch(Seq(("a", 9.0)).toDF("k", "value"), 1L, keys, "value", store)
+    val before = viewAsMap(store)
+    IncrementalView.compact(spark, store, keys)
+    assert(viewAsMap(store) === before)
+    // folded deltas stay skippable even if their dirs linger: compact again
+    IncrementalView.compact(spark, store, keys)
+    assert(viewAsMap(store) === before)
+    // post-compaction increments keep merging on top of the new base
+    IncrementalView.applyBatch(Seq(("c", 7.0)).toDF("k", "value"), 2L, keys, "value", store)
+    assert(viewAsMap(store) === before + ("c" -> ((1L, 7.0))))
+  }
+
+  test("streaming wiring maintains the view across micro-batches") {
+    val store = tmp("ivm-stream")
+    val input = MemoryStream[(String, Double)](spark)
+    val q = IncrementalView.start(input.toDF().toDF("k", "value"),
+      keys, "value", store, tmp("ivm-ckpt"))
+    try {
+      input.addData(("a", 1.0), ("b", 2.0))
+      q.processAllAvailable()
+      input.addData(("a", 3.0))
+      q.processAllAvailable()
+      assert(viewAsMap(store) === Map("a" -> ((2L, 4.0)), "b" -> ((1L, 2.0))))
+    } finally q.stop()
+  }
+}
