@@ -573,6 +573,40 @@ object SparkEntry {
           min(col("day_n")).as("min_day"), max(col("day_n")).as("max_day"))
     }),
 
+    // TPC-H Q14 flavor (covers the `part` dim): monthly revenue share of
+    // PROMO parts. part broadcasts along the lineitem scan (one fact
+    // shuffle on the month key only after map-side partial aggregation);
+    // the conditional sum is a single pass.
+    "q_promo_share" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      table(s, dir, "lineitem").filter(col("l_shipdate").isNotNull)
+        .join(broadcast(table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("timestamp")
+          .cast("long").as("month_s"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2)
+            .as("promo_revenue"),
+          round(sum(rev), 2).as("total_revenue"),
+          round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) * 100.0
+            / sum(rev), 4).as("promo_share"))
+    }),
+
+    // RANGE window frames (value-based, not row-based): per-user rolling
+    // 7-day event count and value sum — every row sees exactly the events
+    // within the trailing week, ties included as frame peers. One shuffle
+    // on the user key; no global sort.
+    "q_rolling_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-604800L, org.apache.spark.sql.expressions.Window.currentRow)
+      table(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .withColumn("ts_s", col("ts").cast("long"))
+        .select(col("event_id"), col("user_id"), col("ts_s"),
+          count(lit(1)).over(w).as("n_7d"),
+          round(sum(col("value")).over(w), 2).as("sum_7d"))
+    }),
+
     // Explicit GROUPING SETS (beyond cube/rollup): per-type totals, per-day
     // totals, and the grand total in one pass, disambiguated by
     // grouping_id — partial aggregation applies per set, one shuffle.
@@ -1032,6 +1066,27 @@ object SparkEntry {
            |FROM orders WHERE o_orderdate IS NOT NULL
            |GROUP BY 1""".stripMargin
       },
+
+      "q_promo_share" ->
+        """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month_s,
+          |       round(SUM(CASE WHEN p_type = 'PROMO'
+          |                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+          |         AS promo_revenue,
+          |       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+          |       round(SUM(CASE WHEN p_type = 'PROMO'
+          |                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
+          |             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate IS NOT NULL
+          |GROUP BY 1""".stripMargin,
+
+      "q_rolling_window" ->
+        """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+          |       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+          |       round(sum(value) OVER w, 2) AS sum_7d
+          |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+          |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin,
 
       "q_grouping_sets" ->
         """SELECT event_type,
