@@ -34,17 +34,22 @@ object Materialize {
    * `spark.cleaner.referenceTracking.cleanCheckpoints` was set BEFORE the
    * context existed, which the harness (and most clusters) don't do, and
    * iterative callers would otherwise leak one rdd-* dir per round. Keyed by
-   * DataFrame identity: callers release the exact instance apply returned. */
+   * DataFrame identity (Dataset doesn't override equals): callers release
+   * the exact instance apply returned. WEAK keys: a barrier that is never
+   * release()d must not pin its DataFrame (and analyzed plan) for the
+   * session lifetime — once unreachable it can't be released anyway. */
   private val checkpointFiles =
     java.util.Collections.synchronizedMap(
-      new java.util.IdentityHashMap[DataFrame, Seq[org.apache.hadoop.fs.Path]]())
+      new java.util.WeakHashMap[DataFrame, Seq[org.apache.hadoop.fs.Path]]())
 
   /** Persisted source behind each lineage-truncated `persist` barrier, so
    * [[release]] can unpersist the actual cache entry (unpersisting the leaf
-   * wrapper would be a no-op). */
+   * wrapper would be a no-op). Weak keys for the same reason as above;
+   * cache entries of dropped-but-unreleased barriers remain until
+   * `clearCache()`/session end, exactly as plain persist would. */
   private val persistedSources =
     java.util.Collections.synchronizedMap(
-      new java.util.IdentityHashMap[DataFrame, DataFrame]())
+      new java.util.WeakHashMap[DataFrame, DataFrame]())
 
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

@@ -1021,7 +1021,7 @@ object SparkEntry {
         """WITH ev AS (
           |  SELECT user_id AS entity, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_n,
           |         value AS v,
-          |         lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), 12, '0') ||
+          |         lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) + 100000000000 AS VARCHAR), 12, '0') ||
           |         lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
           |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
           |daily AS (SELECT entity, day_n, arg_max(v, ok) AS day_value

@@ -145,6 +145,13 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     val signed = withMinhash(df, idCol, textCol, n, k).transform(graft.Materialize(_))
+    candidatesFromSigned(signed, k, bands)
+  }
+
+  /** LSH candidate pairs from a (materialized) signature frame — the single
+   * definition both [[minhashCandidates]] and [[minhashDedup]] use, so the
+   * band construction can never diverge between the two entry points. */
+  private def candidatesFromSigned(signed: DataFrame, k: Int, bands: Int): DataFrame = {
     val buckets = lshBuckets(signed, k, bands)
     buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -164,11 +171,7 @@ object Dedup {
     // verify's shingle rows explode from the barrier instead of re-reading
     // and re-hashing every document's text
     val signed = withMinhash(df, idCol, textCol, n, k).transform(graft.Materialize(_))
-    val buckets = lshBuckets(signed, k, bands)
-    val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct().transform(graft.Materialize(_))
+    val cand = candidatesFromSigned(signed, k, bands).transform(graft.Materialize(_))
     val sh = signed.select(col("doc_id"),
       explode(array_distinct(col("shashes"))).as("shash"))
     val verified = jaccardFromShingles(sh, threshold, Some(cand))

@@ -27,9 +27,14 @@ object TimeSeries {
 
   /** Fixed-width sortable string key for "latest row wins" tie-breaks that
    * must hash-match an engine whose arg_max takes only scalar keys: epoch
-   * seconds and a row id, zero-padded so VARCHAR order == numeric order. */
+   * seconds and a row id, zero-padded so VARCHAR order == numeric order.
+   * The epoch is offset by 10^11 BEFORE padding — zero-padding a negative
+   * number breaks lexicographic order ('-99' sorts above '-98'), so
+   * pre-1970 timestamps would pick the WRONG "latest" row; the offset keeps
+   * the key non-negative for any timestamp after year -1200. Ids are
+   * assumed non-negative (row/event ids). */
   def orderKey(ts: Column, id: Column): Column =
-    concat(lpad(ts.cast("long").cast("string"), 12, "0"),
+    concat(lpad((ts.cast("long") + 100000000000L).cast("string"), 12, "0"),
       lpad(id.cast("string"), 12, "0"))
 
   /**

@@ -72,11 +72,15 @@ object IncrementalView {
       .filter(_.getName.startsWith("delta_")).toSeq.sortBy(_.getName)
   }
 
-  /** Deltas that still count toward the view: on disk and not in the
-   * current base's manifest. */
+  /** Deltas that still count toward the view: COMPLETE on disk (`_SUCCESS`
+   * present — a torn delta from a mid-write crash must not be read; the
+   * restarted stream rewrites it) and not in the current base's manifest. */
   private def liveDeltas(spark: SparkSession, storeDir: String): Seq[Path] = {
+    val f = fs(spark, storeDir)
     val folded = foldedDeltas(spark, storeDir)
-    deltaDirs(spark, storeDir).filterNot(p => folded(p.getName))
+    deltaDirs(spark, storeDir)
+      .filterNot(p => folded(p.getName))
+      .filter(p => f.exists(new Path(p, "_SUCCESS")))
   }
 
   /** Partial aggregate of one batch: (keys..., n_rows, sum_value). */
@@ -129,29 +133,41 @@ object IncrementalView {
     val f = fs(spark, storeDir)
     val old = currentBase(spark, storeDir)
     // GC: base dirs that are not the current pointer are orphans of a
-    // pre-repoint crash — unreferenced, safe to drop
-    if (f.exists(new Path(storeDir))) {
+    // pre-repoint crash — unreferenced, safe to drop. Only when a pointer
+    // exists: with no pointer there is no way to tell orphan from base.
+    if (old.isDefined && f.exists(new Path(storeDir))) {
       f.listStatus(new Path(storeDir)).map(_.getPath)
         .filter(p => p.getName.startsWith("base_") && !old.contains(p.getName))
         .foreach(p => f.delete(p, true))
     }
     val folded = liveDeltas(spark, storeDir)
-    if (folded.isEmpty && old.isDefined) return
+    if (folded.isEmpty) return // nothing new to fold (or nothing at all)
     // monotonic generation counter (parse the old name, +1) — deterministic
     // and collision-free, unlike a wall-clock stamp
     val nextGen = old.map(_.stripPrefix("base_").toLong + 1).getOrElse(0L)
     val gen = f"base_$nextGen%020d"
     val genPath = new Path(storeDir, gen)
     read(spark, storeDir, keyCols).write.mode("errorifexists").parquet(genPath.toString)
+    // CUMULATIVE manifest: carry forward old entries whose delta dirs still
+    // linger (a crash between repoint and delete leaves them — a LATER
+    // compaction must keep skipping them or read() double-counts once the
+    // new manifest replaces the old). Entries whose dirs are gone can drop.
+    val lingering = {
+      val onDisk = deltaDirs(spark, storeDir).map(_.getName).toSet
+      foldedDeltas(spark, storeDir).filter(onDisk)
+    }
+    val manifest = (lingering ++ folded.map(_.getName)).toSeq.sorted
     val mf = f.create(new Path(genPath, MANIFEST), true)
-    try mf.write(folded.map(_.getName).mkString("\n").getBytes("UTF-8")) finally mf.close()
+    try mf.write(manifest.mkString("\n").getBytes("UTF-8")) finally mf.close()
     val tmp = new Path(storeDir, s".$PTR.tmp")
     val out = f.create(tmp, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
-    val ptr = new Path(storeDir, PTR)
-    if (f.exists(ptr)) f.delete(ptr, false)
-    f.rename(tmp, ptr)
-    folded.foreach(p => f.delete(p, true))
+    // ATOMIC pointer swap: FileContext.rename(OVERWRITE) — a plain
+    // delete-then-rename has a window with NO pointer, after which the
+    // orphan GC above could eat the only valid base
+    org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(storeDir, PTR), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    (folded ++ lingering.map(n => new Path(storeDir, n))).foreach(p => f.delete(p, true))
     old.foreach(o => f.delete(new Path(storeDir, o), true))
   }
 

@@ -53,6 +53,47 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(viewAsMap(store) === before + ("c" -> ((1L, 7.0))))
   }
 
+  test("compact on an empty store is a no-op, not a crash") {
+    val store = tmp("ivm-empty")
+    IncrementalView.compact(spark, store, keys) // must not throw
+    intercept[IllegalStateException] { // still no data
+      IncrementalView.read(spark, store, keys).collect()
+    }
+  }
+
+  test("lingering folded deltas stay excluded across LATER compactions (cumulative manifest)") {
+    val store = tmp("ivm-linger")
+    IncrementalView.applyBatch(Seq(("a", 1.0)).toDF("k", "value"), 0L, keys, "value", store)
+    IncrementalView.compact(spark, store, keys) // folds delta_0 into base_0
+    val expected = Map("a" -> ((1L, 1.0)))
+    assert(viewAsMap(store) === expected)
+    // simulate a crash between repoint and delete: delta_0 reappears on disk
+    // with the same name (its content was already absorbed into the base)
+    IncrementalView.applyBatch(Seq(("a", 1.0)).toDF("k", "value"), 0L, keys, "value", store)
+    assert(viewAsMap(store) === expected, "manifest-listed delta must stay skipped")
+    // a LATER compaction (new delta present) must keep skipping it — the
+    // new base's manifest has to carry the lingering name forward
+    IncrementalView.applyBatch(Seq(("b", 2.0)).toDF("k", "value"), 1L, keys, "value", store)
+    IncrementalView.compact(spark, store, keys)
+    assert(viewAsMap(store) === expected + ("b" -> ((1L, 2.0))),
+      "cumulative manifest: absorbed deltas never re-enter the view")
+  }
+
+  test("torn (no _SUCCESS) deltas are invisible to read until rewritten") {
+    val store = tmp("ivm-torn")
+    IncrementalView.applyBatch(Seq(("a", 1.0)).toDF("k", "value"), 0L, keys, "value", store)
+    // simulate a mid-write crash of delta_1: dir + part file, no _SUCCESS
+    val torn = java.nio.file.Paths.get(store, f"delta_${1L}%020d")
+    java.nio.file.Files.createDirectories(torn)
+    Seq(("zz", 99.0)).toDF("k", "value")
+      .groupBy("k").agg(count(lit(1)).as("n_rows"), sum("value").as("sum_value"))
+      .write.mode("overwrite").parquet(torn.toString + "/.tmp-part")
+    assert(viewAsMap(store) === Map("a" -> ((1L, 1.0))), "torn delta must not be read")
+    // the restarted stream replays batch 1: torn dir is rewritten, not skipped
+    IncrementalView.applyBatch(Seq(("b", 2.0)).toDF("k", "value"), 1L, keys, "value", store)
+    assert(viewAsMap(store) === Map("a" -> ((1L, 1.0)), "b" -> ((1L, 2.0))))
+  }
+
   test("streaming wiring maintains the view across micro-batches") {
     val store = tmp("ivm-stream")
     val input = MemoryStream[(String, Double)](spark)
