@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape regressions: SCALING.md's claims about physical plans, pinned.
+ * A change that silently turns a broadcast dim join into a sort-merge join,
+ * a blocked join into a nested loop, or a distributed top-N into a global
+ * sort would pass every value-correctness test and only show up at scale —
+ * these assertions make the plan itself part of the contract.
+ */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(query: String): String =
+    SparkEntry.queries(query)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  /** Count plan NODES of a kind: formatted explain prints each node in the
+   * tree ("+- Exchange (4)") and again in the details ("(4) Exchange"), so
+   * count only numbered detail headers, which are unique per node. */
+  private def countOccurrences(s: String, sub: String): Int =
+    s.linesIterator.count(_.matches(s"""\\(\\d+\\) $sub(?: \\[codegen.*)?"""))
+
+  test("star join broadcasts the whole dim chain; only facts shuffle") {
+    val p = planOf("q_star_join")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2, p.take(400))
+    assert(!p.contains("SortMergeJoin"), "dim joins must not sort-merge")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("promo share: part dim broadcasts, no nested loop, filters pushed") {
+    val p = planOf("q_promo_share")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters") && p.contains("IsNotNull(l_shipdate)"),
+      "shipdate filter must reach the parquet scan")
+  }
+
+  test("fuzzy join is an equi-join on blocking keys, never a cross product") {
+    val p = planOf("q_fuzzy_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "deletion-neighborhood blocking must plan as equi-joins")
+  }
+
+  test("flagship scan prunes to the hot columns and pushes the type filter") {
+    val p = planOf("bot_detect_windowed")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("In(event_type") || p.contains("IsNotNull(event_type)"),
+      "event_type predicate must reach the scan")
+    // column pruning: props/ts/user_id/event_type only — value must NOT be read
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("value"), s"pruned scan must not read `value`: $readSchema")
+  }
+
+  test("global top-N queries use distributed TakeOrdered, not a global sort") {
+    for (q <- Seq("q_shipping_priority", "q_top_tokens")) {
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q must partial-top-N per partition")
+    }
+  }
+
+  test("zorder audit is a single-shuffle aggregation over a pruned scan") {
+    val p = planOf("q_zorder")
+    // one hash-partitioned exchange for the bucket groupBy; no joins at all
+    assert(countOccurrences(p, "Exchange") <= 2, p.take(400)) // partial+final agg split
+    assert(!p.contains("Join"))
+  }
+
+  test("rolling range-frame window shuffles once on the user key") {
+    val p = planOf("q_rolling_window")
+    assert(p.contains("RangeFrame") || p.contains("RANGE"),
+      "window must use a value-based RANGE frame")
+    assert(countOccurrences(p, "Exchange") === 1, "one keyed exchange, no global sort")
+  }
+}
