@@ -96,12 +96,19 @@ object IncrementalView {
   /** Apply one micro-batch: append its partial-aggregate delta unless this
    * batchId already has a COMPLETE delta (replay no-op); a torn delta from
    * a mid-write crash is rewritten. Usable standalone for batch-incremental
-   * runs. */
+   * runs.
+   *
+   * `lineage` scopes the idempotence key: batch ids restart at 0 for every
+   * distinct streaming query, so two queries feeding one store would
+   * collide on bare ids and silently swallow each other's batches —
+   * [[start]] passes a hash of the checkpoint path (stable across restarts
+   * of the SAME query, distinct across queries). */
   def applyBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
-      valueCol: String, storeDir: String): Unit = {
+      valueCol: String, storeDir: String, lineage: String = ""): Unit = {
     val spark = batch.sparkSession
     val f = fs(spark, storeDir)
-    val delta = new Path(storeDir, f"delta_$batchId%020d")
+    val tag = if (lineage.isEmpty) "" else s"${lineage}_"
+    val delta = new Path(storeDir, f"delta_$tag%s$batchId%020d")
     if (f.exists(delta)) {
       if (f.exists(new Path(delta, "_SUCCESS"))) return // replayed batch
       f.delete(delta, true) // torn write: redo
@@ -171,14 +178,18 @@ object IncrementalView {
     old.foreach(o => f.delete(new Path(storeDir, o), true))
   }
 
-  /** Wire into a stream: one delta append per micro-batch. Compaction is the
-   * caller's cadence decision (e.g. every N batches or offline). */
+  /** Wire into a stream: one delta append per micro-batch, idempotence
+   * scoped by the checkpoint identity (see [[applyBatch]]). Compaction is
+   * the caller's cadence decision (e.g. every N batches or offline). */
   def start(stream: DataFrame, keyCols: Seq[String], valueCol: String,
-      storeDir: String, checkpoint: String): StreamingQuery =
+      storeDir: String, checkpoint: String): StreamingQuery = {
+    val lineage = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch, id, keyCols, valueCol, storeDir)
+        applyBatch(batch, id, keyCols, valueCol, storeDir, lineage)
       }
       .start()
+  }
 }

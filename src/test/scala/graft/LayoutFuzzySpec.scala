@@ -55,6 +55,14 @@ class LayoutFuzzySpec extends AnyFunSuite {
     assert(got.contains((0L, 4L)))  // kitten→kittens insertion
   }
 
+  test("fuzzy join handles empty and single-char strings") {
+    val df = Seq((0L, ""), (1L, "a"), (2L, "ab"), (3L, "b")).toDF("id", "s")
+    val got = FuzzyJoin.selfJoin(df, "id", "s")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // ""↔"a" (ins), "a"↔"ab" (ins), ""↔"b" (ins), "a"↔"b" (sub), "ab"↔"b" (del)
+    assert(got === Set((0L, 1L), (1L, 2L), (0L, 3L), (1L, 3L), (2L, 3L)))
+  }
+
   /** Plain DP Levenshtein — the spec's independent definition. */
   private def levenshteinDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
