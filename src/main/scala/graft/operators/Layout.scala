@@ -46,4 +46,21 @@ object Layout {
       Seq(s"((((($a) >> $i) & 1)) << ${2 * i})",
         s"((((($b) >> $i) & 1)) << ${2 * i + 1})")
     }.mkString(" | ")
+
+  /**
+   * The write path: rewrite `df` as `nFiles` parquet files range-partitioned
+   * AND sorted by the Morton key of (`aCol`, `bCol`) — each output file then
+   * covers a contiguous, non-overlapping zkey range, i.e. a tight bounding
+   * box in BOTH dimensions, so parquet footer min/max stats prune scans for
+   * predicates on either column. `repartitionByRange` samples the key to
+   * build balanced range bounds (one extra pass over a sample, the write-time
+   * investment); the within-partition sort keeps row groups tight too.
+   */
+  def writeZOrdered(df: org.apache.spark.sql.DataFrame, aCol: String, bCol: String,
+      bits: Int, nFiles: Int, path: String): Unit =
+    df.withColumn("__zkey", mortonKey(col(aCol), col(bCol), bits))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
 }

@@ -55,6 +55,43 @@ class LayoutFuzzySpec extends AnyFunSuite {
     assert(got.contains((0L, 4L)))  // kitten→kittens insertion
   }
 
+  test("writeZOrdered produces files whose REAL footers bound both dimensions") {
+    import java.nio.file.{Files, Paths}
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    def perFileAvgArea(dir: String): Double = {
+      val parts = Files.list(Paths.get(dir)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      assert(parts.length > 4, s"expected multiple files, got ${parts.length}")
+      val areas = parts.map { p =>
+        val r = spark.read.parquet(p)
+          .agg((max(col("x")) - min(col("x")) + 1) * (max(col("y")) - min(col("y")) + 1))
+          .collect()(0).getLong(0)
+        r.toDouble
+      }
+      areas.sum / areas.length
+    }
+    val zdir = Files.createTempDirectory("zorder").toString + "/t"
+    Layout.writeZOrdered(grid, "x", "y", bits = 6, nFiles = 16, zdir)
+    val ldir = Files.createTempDirectory("linear").toString + "/t"
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(ldir)
+    val (zArea, lArea) = (perFileAvgArea(zdir), perFileAvgArea(ldir))
+    // ideal z-order: 16 files × 16×16 blocks (area 256); linear: 4-col
+    // stripes of full height (area 256 too BUT only prunable in x) — the
+    // meaningful comparison is the worst-dimension span, so check area AND
+    // that z-order bounds BOTH dims while linear leaves y unbounded
+    assert(zArea <= 4 * 256.0, s"z-order files should be near-square blocks, avg area $zArea")
+    val ySpansLinear = Files.list(Paths.get(ldir)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet"))
+      .map(p => spark.read.parquet(p).agg(max(col("y")) - min(col("y"))).collect()(0).getLong(0))
+    assert(ySpansLinear.forall(_ === 63L), "x-sorted layout cannot prune on y")
+    val ySpansZ = Files.list(Paths.get(zdir)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet"))
+      .map(p => spark.read.parquet(p).agg(max(col("y")) - min(col("y"))).collect()(0).getLong(0))
+    assert(ySpansZ.max < 32L, s"z-order files must bound y too: ${ySpansZ.toSeq}")
+  }
+
   test("fuzzy join handles empty and single-char strings") {
     val df = Seq((0L, ""), (1L, "a"), (2L, "ab"), (3L, "b")).toDF("id", "s")
     val got = FuzzyJoin.selfJoin(df, "id", "s")
