@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // engine-on config: functions + optimizer rules
     // JVM/codegen warmup so the first measured query doesn't absorb session
     // startup (JIT, codegen compiler init, shuffle service threads).
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -13,14 +13,17 @@ import graft.functions.{FloatDotProduct, MinHashSignature, SimHash64, WordShingl
  * already-running session use [[GraftExtensions.register]].
  *
  * Functions: `float_dot(a, b)`, `simhash64(hashes)`, `minhash_sig(hashes, k)`.
+ * Optimizer rules: [[graft.plans.CollectSetSizeToCountDistinct]].
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, (info, builder)) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.CollectSetSizeToCountDistinct)
+  }
 }
 
 object GraftExtensions {
@@ -52,9 +55,16 @@ object GraftExtensions {
       s"minhash_sig(hashes, k): k must be an integer literal, got $other")
   }
 
-  /** Register the functions on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Register the functions and optimizer rules on an already-built session
+   * (`experimental.extraOptimizations` is the post-hoc twin of
+   * `injectOptimizerRule`; idempotent). */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, (_, builder)) =>
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.CollectSetSizeToCountDistinct)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.CollectSetSizeToCountDistinct
+    }
+  }
 }

@@ -13,6 +13,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(s) // engine-on config: functions + optimizer rules
     s
   }
 }
