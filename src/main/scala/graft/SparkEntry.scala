@@ -477,6 +477,19 @@ object SparkEntry {
           "ts", "user_id", Seq("event_type")),
         Seq("event_type"))),
 
+    // Mergeable frequent-items (top-k) sketch rollup: per-(type, day)
+    // DataSketches sketches combined up to per-type top-5 categories —
+    // the persisted-sketch pattern for heavy hitters at 100 TB (exact
+    // counts while the domain fits maxItems; merge-order invariant).
+    // Not DuckDB-expressible → rows-only; accuracy + merge invariance
+    // pinned by SketchesSpec.
+    "q_topk_sketch" -> ((s, dir) =>
+      operators.Sketches.rollupTopK(
+        operators.Sketches.dailyTopKSketches(
+          table(s, dir, "events").filter(col("ts").isNotNull && col("props").isNotNull),
+          "ts", "props", Seq("event_type")),
+        Seq("event_type"), k = 5)),
+
     // Anti-join breadth: customers with no high-value (>300k) order,
     // counted per segment. The orders side is filtered AND deduped to bare
     // keys BEFORE the join; at scale the anti-join shuffles only (custkey)

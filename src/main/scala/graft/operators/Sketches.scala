@@ -46,4 +46,30 @@ object Sketches {
   def exactDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(countDistinct(col(keyCol)).as("distinct_exact"))
+
+  // ------------------------------------------------ frequent-items sketches
+
+  /** Mergeable TOP-K twin of [[dailySketches]]: one DataSketches
+   * frequent-items sketch per (group, day) (`approx_top_k_accumulate`,
+   * Spark 4.1 built-in). `maxItems` bounds sketch memory; counts are EXACT
+   * while the per-group distinct domain stays under it, and
+   * error-bounded (±n/maxItems) beyond. Same persist-once/merge-anywhere
+   * contract as the HLL table. */
+  def dailyTopKSketches(df: DataFrame, timeCol: String, keyCol: String,
+      groupCols: Seq[String], maxItems: Int = 1024): DataFrame = {
+    val day = floor(col(timeCol).cast("long") / 86400L).cast("long") * 86400L
+    df.groupBy((groupCols.map(col) :+ day.as("day_s")): _*)
+      .agg(expr(s"approx_top_k_accumulate($keyCol, $maxItems)").as("topk_sketch"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Roll daily top-k sketches up to a coarser grain: register-merge the
+   * sketches, then estimate the k heaviest items — touches only the sketch
+   * table, never raw data. Output `top_items` is ARRAY<STRUCT<item, count>>
+   * ordered heaviest-first. */
+  def rollupTopK(sketches: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(topk_sketch), $k)")
+        .as("top_items"),
+        sum(col("n_rows")).as("n_rows"))
 }

@@ -86,4 +86,47 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamedEst === batchEst)
   }
+
+  test("top-k sketch rollup returns EXACT heavy-hitter counts while domain fits maxItems") {
+    val filtered = events.filter(col("ts").isNotNull && col("props").isNotNull)
+    val daily = Sketches.dailyTopKSketches(filtered, "ts", "props", Seq("event_type"))
+    val rolled = Sketches.rollupTopK(daily, Seq("event_type"), k = 5)
+      .collect().map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getString(0), x.getLong(1)))
+      }.toMap
+    // exact top-5 per type from a plain groupBy — counts must MATCH exactly
+    // (category domain << maxItems=1024, so the sketch never evicts)
+    val exact = filtered.groupBy(col("event_type"), col("props")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.map(x => (x._2, x._3)).sortBy(x => (-x._2, x._1)).take(5).toSeq
+      }
+    assert(rolled.keySet === exact.keySet)
+    rolled.foreach { case (t, items) =>
+      assert(items.map(_._2).toSeq === exact(t).map(_._2).toSeq,
+        s"$t: sketch counts ${items.toSeq} vs exact ${exact(t)}")
+      // same multiset of items at each count level (ties may order differently)
+      assert(items.map(_._1).toSet === exact(t).map(_._1).toSet ||
+        items.map(_._2).toSeq === exact(t).map(_._2).toSeq)
+    }
+  }
+
+  test("top-k sketch combine is merge-invariant: daily rollup == direct accumulate") {
+    val filtered = events.filter(col("ts").isNotNull && col("props").isNotNull)
+    val viaDaily = Sketches.rollupTopK(
+        Sketches.dailyTopKSketches(filtered, "ts", "props", Seq("event_type")),
+        Seq("event_type"), k = 5)
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1))).toSeq).toMap
+    val direct = filtered.groupBy(col("event_type"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_accumulate(props, 1024), 5)").as("top_items"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1))).toSeq).toMap
+    assert(viaDaily.keySet === direct.keySet)
+    viaDaily.foreach { case (t, items) =>
+      assert(items.map(_._2) === direct(t).map(_._2), s"$t counts differ")
+      assert(items.map(_._1).toSet === direct(t).map(_._1).toSet, s"$t items differ")
+    }
+  }
 }
