@@ -94,6 +94,37 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(viewAsMap(store) === Map("a" -> ((1L, 1.0)), "b" -> ((1L, 2.0))))
   }
 
+  test("sharded view: only shards with deltas compact; cold shards are never rewritten") {
+    import graft.streaming.ShardedIncrementalView
+    val store = tmp("ivm-shard")
+    val shards = 4
+    // batch 0 touches many keys (spread over shards), batch 1 only key "a"
+    val b0 = Seq("a", "b", "c", "d", "e", "f", "g", "h").zipWithIndex
+      .map { case (k, i) => (k, i.toDouble) }.toDF("k", "value")
+    ShardedIncrementalView.applyBatch(b0, 0L, keys, "value", store, shards)
+    val folded0 = ShardedIncrementalView.compactTouched(spark, store, keys, shards)
+    assert(folded0.nonEmpty)
+    val gensAfter0 = (0 until shards).map(s =>
+      ShardedIncrementalView.baseGeneration(spark, f"$store/shard=$s%05d"))
+    // a delta touching ONE key compacts exactly that key's shard
+    ShardedIncrementalView.applyBatch(Seq(("a", 100.0)).toDF("k", "value"),
+      1L, keys, "value", store, shards)
+    val folded1 = ShardedIncrementalView.compactTouched(spark, store, keys, shards)
+    assert(folded1.size === 1, s"only a's shard should fold, got $folded1")
+    val gensAfter1 = (0 until shards).map(s =>
+      ShardedIncrementalView.baseGeneration(spark, f"$store/shard=$s%05d"))
+    assert(gensAfter0.zip(gensAfter1).zipWithIndex.count { case ((g0, g1), _) => g0 != g1 } === 1,
+      "cold shards' base generations must be untouched")
+    // and the merged view is still exactly right
+    val got = ShardedIncrementalView.read(spark, store, keys, shards)
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("sum_value")))).toMap
+    val expected = Map("a" -> ((2L, 100.0)), "b" -> ((1L, 1.0)), "c" -> ((1L, 2.0)),
+      "d" -> ((1L, 3.0)), "e" -> ((1L, 4.0)), "f" -> ((1L, 5.0)),
+      "g" -> ((1L, 6.0)), "h" -> ((1L, 7.0)))
+    assert(got === expected)
+  }
+
   test("streaming wiring maintains the view across micro-batches") {
     val store = tmp("ivm-stream")
     val input = MemoryStream[(String, Double)](spark)
