@@ -20,35 +20,47 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *     warrants (the LSM tradeoff made explicit).
  *
  * Crash safety without a transactional store:
- *   - a delta dir is named by its micro-batch id; [[applyBatch]] treats an
- *     existing COMPLETE delta (`_SUCCESS` present) as "already applied"
- *     (replay no-op) and rewrites a torn one — so a crash between "delta
- *     written" and "offsets committed" never double-counts or drops;
- *   - a base generation carries a `_FOLDED` manifest naming the deltas it
- *     absorbed; [[read]] resolves the current base via an atomically
- *     renamed pointer file and SKIPS manifest-listed deltas, so folded
- *     deltas can be deleted lazily — a crash at any point of [[compact]]
- *     leaves either the old pointer (old base + all deltas: correct) or
- *     the new pointer (new base + only unfolded deltas: correct).
+ *   - a delta dir is named by its micro-batch id (+ a lineage tag, see
+ *     [[applyBatch]]); the naming scheme is part of the store format — a
+ *     store must be drained or compacted before changing it;
+ *   - a delta is COMMITTED by this module's own `_GRAFT_COMMIT` marker,
+ *     written after the parquet data — independent of whether the cluster's
+ *     output committer writes `_SUCCESS` markers. A dir without the marker
+ *     is torn and gets rewritten on replay, never read;
+ *   - [[applyBatch]] treats a batch as already applied when its delta dir
+ *     is committed OR its name appears in the current base's manifest (a
+ *     compaction may have folded the delta and deleted the dir before the
+ *     stream committed its offsets — replay must still no-op);
+ *   - a base generation carries a `_FOLDED` manifest naming every delta it
+ *     (or any ancestor base) absorbed that may still linger on disk;
+ *     [[read]] resolves the base via an atomically renamed pointer file and
+ *     skips manifest-listed deltas, so folded deltas delete lazily — a
+ *     crash anywhere in [[compact]] resolves to a correct view.
  *
- * At 100 TB the same layout shards by key-hash subdirectory so compaction
- * rewrites only shards with deltas; the monoid-merge logic is unchanged.
+ * The 100 TB layout is [[ShardedIncrementalView]].
  */
 object IncrementalView {
 
-  private val PTR = "_CURRENT_BASE"
-  private val MANIFEST = "_FOLDED"
+  private[streaming] val PTR = "_CURRENT_BASE"
+  private[streaming] val MANIFEST = "_FOLDED"
+  private[streaming] val COMMIT = "_GRAFT_COMMIT"
 
-  private def fs(spark: SparkSession, dir: String) =
+  private[streaming] def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readSmallFile(spark: SparkSession, p: Path): String = {
+  private[streaming] def readSmallFile(spark: SparkSession, p: Path): String = {
     val in = fs(spark, p.toString).open(p)
     try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
     finally in.close()
   }
 
-  private def currentBase(spark: SparkSession, storeDir: String): Option[String] = {
+  private[streaming] def writeSmallFile(spark: SparkSession, p: Path, content: String): Unit = {
+    val out = fs(spark, p.toString).create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Current base generation name (None before the first compaction). */
+  def currentBaseName(spark: SparkSession, storeDir: String): Option[String] = {
     val ptr = new Path(storeDir, PTR)
     if (!fs(spark, storeDir).exists(ptr)) None
     else Some(readSmallFile(spark, ptr))
@@ -56,7 +68,7 @@ object IncrementalView {
 
   /** Delta names already folded into the current base (empty when no base). */
   private def foldedDeltas(spark: SparkSession, storeDir: String): Set[String] =
-    currentBase(spark, storeDir).map { b =>
+    currentBaseName(spark, storeDir).map { b =>
       val m = new Path(new Path(storeDir, b), MANIFEST)
       if (fs(spark, storeDir).exists(m))
         readSmallFile(spark, m).split("\n").filter(_.nonEmpty).toSet
@@ -72,15 +84,14 @@ object IncrementalView {
       .filter(_.getName.startsWith("delta_")).toSeq.sortBy(_.getName)
   }
 
-  /** Deltas that still count toward the view: COMPLETE on disk (`_SUCCESS`
-   * present — a torn delta from a mid-write crash must not be read; the
-   * restarted stream rewrites it) and not in the current base's manifest. */
+  /** Deltas that still count toward the view: committed on disk and not in
+   * the current base's manifest. */
   private def liveDeltas(spark: SparkSession, storeDir: String): Seq[Path] = {
     val f = fs(spark, storeDir)
     val folded = foldedDeltas(spark, storeDir)
     deltaDirs(spark, storeDir)
       .filterNot(p => folded(p.getName))
-      .filter(p => f.exists(new Path(p, "_SUCCESS")))
+      .filter(p => f.exists(new Path(p, COMMIT)))
   }
 
   /** Partial aggregate of one batch: (keys..., n_rows, sum_value). */
@@ -93,10 +104,32 @@ object IncrementalView {
     parts.groupBy(keyCols.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_value")).as("sum_value"))
 
+  private def deltaName(batchId: Long, lineage: String): String = {
+    val tag = if (lineage.isEmpty) "" else s"${lineage}_"
+    f"delta_$tag%s$batchId%020d"
+  }
+
+  /** Write an ALREADY-PARTIAL delta frame (schema: keys..., n_rows,
+   * sum_value) with replay idempotence. Returns false on a replay no-op. */
+  private[streaming] def writePartialDelta(partialDf: DataFrame, batchId: Long,
+      storeDir: String, lineage: String): Boolean = {
+    val spark = partialDf.sparkSession
+    val f = fs(spark, storeDir)
+    val name = deltaName(batchId, lineage)
+    val delta = new Path(storeDir, name)
+    // already applied if the committed dir exists OR a compaction absorbed
+    // it (manifest) and deleted the dir before our offsets committed
+    if (f.exists(new Path(delta, COMMIT))) return false
+    if (foldedDeltas(spark, storeDir).contains(name)) return false
+    if (f.exists(delta)) f.delete(delta, true) // torn write: redo
+    partialDf.write.mode("errorifexists").parquet(delta.toString)
+    writeSmallFile(spark, new Path(delta, COMMIT), "")
+    true
+  }
+
   /** Apply one micro-batch: append its partial-aggregate delta unless this
-   * batchId already has a COMPLETE delta (replay no-op); a torn delta from
-   * a mid-write crash is rewritten. Usable standalone for batch-incremental
-   * runs.
+   * batchId was already applied (replay no-op — see [[writePartialDelta]]).
+   * Usable standalone for batch-incremental runs.
    *
    * `lineage` scopes the idempotence key: batch ids restart at 0 for every
    * distinct streaming query, so two queries feeding one store would
@@ -104,41 +137,41 @@ object IncrementalView {
    * [[start]] passes a hash of the checkpoint path (stable across restarts
    * of the SAME query, distinct across queries). */
   def applyBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
-      valueCol: String, storeDir: String, lineage: String = ""): Unit = {
-    val spark = batch.sparkSession
-    val f = fs(spark, storeDir)
-    val tag = if (lineage.isEmpty) "" else s"${lineage}_"
-    val delta = new Path(storeDir, f"delta_$tag%s$batchId%020d")
-    if (f.exists(delta)) {
-      if (f.exists(new Path(delta, "_SUCCESS"))) return // replayed batch
-      f.delete(delta, true) // torn write: redo
-    }
-    partial(batch, keyCols, valueCol).write.mode("errorifexists").parquet(delta.toString)
+      valueCol: String, storeDir: String, lineage: String = ""): Unit =
+    writePartialDelta(partial(batch, keyCols, valueCol), batchId, storeDir, lineage)
+
+  /** Merge the given parts (base and/or deltas) into the view contents. */
+  private def mergeParts(spark: SparkSession, parts: Seq[Path],
+      keyCols: Seq[String], storeDir: String): DataFrame = {
+    if (parts.isEmpty)
+      throw new IllegalStateException(s"incremental view at $storeDir has no data yet")
+    merge(parts.map(p => spark.read.parquet(p.toString)).reduce(_ unionByName _), keyCols)
   }
 
   /** Current view contents: base generation (if any) merged with all live
    * deltas. */
-  def read(spark: SparkSession, storeDir: String, keyCols: Seq[String]): DataFrame = {
-    val parts = currentBase(spark, storeDir).map(b =>
-      spark.read.parquet(new Path(storeDir, b).toString)).toSeq ++
-      liveDeltas(spark, storeDir).map(p => spark.read.parquet(p.toString))
-    if (parts.isEmpty)
-      throw new IllegalStateException(s"incremental view at $storeDir has no data yet")
-    merge(parts.reduce(_ unionByName _), keyCols)
-  }
+  def read(spark: SparkSession, storeDir: String, keyCols: Seq[String]): DataFrame =
+    mergeParts(spark,
+      currentBaseName(spark, storeDir).map(b => new Path(storeDir, b)).toSeq ++
+        liveDeltas(spark, storeDir),
+      keyCols, storeDir)
 
   /**
    * Fold base + live deltas into a new base generation. Step order:
    * (1) write the new base parquet + its `_FOLDED` manifest, (2) atomically
-   * repoint `_CURRENT_BASE` (temp file + rename), (3) delete the folded
-   * deltas and the old base. A crash before (2) leaves the old pointer —
-   * the next read/compact sees old base + all deltas (correct; the orphan
-   * new-base dir is garbage-collected at the next compact). A crash after
-   * (2) leaves manifest-listed deltas on disk, which read() already skips.
+   * repoint `_CURRENT_BASE` (overwrite rename — no window without a
+   * pointer), (3) delete the folded deltas and the old base. A crash before
+   * (2) leaves the old pointer (orphan new-base dir GC'd at the next
+   * compact); a crash after (2) leaves manifest-listed deltas on disk,
+   * which read() and replay already skip.
+   *
+   * The new base is built from the EXPLICIT snapshot of folded deltas — a
+   * delta appended concurrently (streaming continues during an offline
+   * compaction) is neither absorbed nor listed, so it stays correctly live.
    */
   def compact(spark: SparkSession, storeDir: String, keyCols: Seq[String]): Unit = {
     val f = fs(spark, storeDir)
-    val old = currentBase(spark, storeDir)
+    val old = currentBaseName(spark, storeDir)
     // GC: base dirs that are not the current pointer are orphans of a
     // pre-repoint crash — unreferenced, safe to drop. Only when a pointer
     // exists: with no pointer there is no way to tell orphan from base.
@@ -154,7 +187,9 @@ object IncrementalView {
     val nextGen = old.map(_.stripPrefix("base_").toLong + 1).getOrElse(0L)
     val gen = f"base_$nextGen%020d"
     val genPath = new Path(storeDir, gen)
-    read(spark, storeDir, keyCols).write.mode("errorifexists").parquet(genPath.toString)
+    mergeParts(spark, old.map(b => new Path(storeDir, b)).toSeq ++ folded,
+        keyCols, storeDir)
+      .write.mode("errorifexists").parquet(genPath.toString)
     // CUMULATIVE manifest: carry forward old entries whose delta dirs still
     // linger (a crash between repoint and delete leaves them — a LATER
     // compaction must keep skipping them or read() double-counts once the
@@ -164,15 +199,14 @@ object IncrementalView {
       foldedDeltas(spark, storeDir).filter(onDisk)
     }
     val manifest = (lingering ++ folded.map(_.getName)).toSeq.sorted
-    val mf = f.create(new Path(genPath, MANIFEST), true)
-    try mf.write(manifest.mkString("\n").getBytes("UTF-8")) finally mf.close()
+    writeSmallFile(spark, new Path(genPath, MANIFEST), manifest.mkString("\n"))
     val tmp = new Path(storeDir, s".$PTR.tmp")
-    val out = f.create(tmp, true)
-    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    writeSmallFile(spark, tmp, gen)
     // ATOMIC pointer swap: FileContext.rename(OVERWRITE) — a plain
     // delete-then-rename has a window with NO pointer, after which the
     // orphan GC above could eat the only valid base
-    org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, new Path(storeDir, PTR), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     (folded ++ lingering.map(n => new Path(storeDir, n))).foreach(p => f.delete(p, true))
     old.foreach(o => f.delete(new Path(storeDir, o), true))
@@ -209,10 +243,12 @@ object IncrementalView {
  *   - per-shard parquet stays small enough for single-task rewrites, so
  *     compaction parallelizes trivially across shards.
  *
- * A micro-batch's delta is written per touched shard (the shard column is
- * one hash expression; untouched shards get nothing). Replay idempotence
- * is inherited per shard: a crash mid-batch leaves complete deltas in some
- * shards — the replay's per-shard existence check skips exactly those.
+ * A micro-batch is pre-aggregated ONCE (keyed by shard + keys, persisted),
+ * then each touched shard's slice of the small partial frame is written —
+ * per-shard cost is a filter over already-aggregated rows, not a re-scan
+ * of the batch. Replay idempotence is inherited per shard: a crash
+ * mid-batch leaves committed deltas in some shards — the replay's
+ * per-shard check skips exactly those.
  */
 object ShardedIncrementalView {
   import org.apache.spark.sql.Column
@@ -226,13 +262,21 @@ object ShardedIncrementalView {
   /** Apply one micro-batch across shards (only touched shards write). */
   def applyBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
       valueCol: String, storeDir: String, shards: Int, lineage: String = ""): Unit = {
-    val tagged = batch.withColumn("__shard", shardOf(keyCols, shards))
-    val touched = tagged.select(col("__shard")).distinct()
-      .collect().map(_.getLong(0).toInt).sorted
-    touched.foreach { s =>
-      IncrementalView.applyBatch(tagged.filter(col("__shard") === s).drop("__shard"),
-        batchId, keyCols, valueCol, shardDir(storeDir, s), lineage)
-    }
+    // one aggregation pass over the batch; everything after runs on the
+    // (small) partial frame
+    val partials = batch.withColumn("__shard", shardOf(keyCols, shards))
+      .groupBy((col("__shard") +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"))
+      .persist()
+    try {
+      val touched = partials.select(col("__shard")).distinct()
+        .collect().map(_.getLong(0).toInt).sorted
+      touched.foreach { s =>
+        IncrementalView.writePartialDelta(
+          partials.filter(col("__shard") === s).drop("__shard"),
+          batchId, shardDir(storeDir, s), lineage)
+      }
+    } finally partials.unpersist(blocking = false)
   }
 
   /** Current view: union of the shards that hold data. */
@@ -261,14 +305,6 @@ object ShardedIncrementalView {
   /** Current base-generation name of a shard (None when never compacted) —
    * a monitoring hook: generation churn per shard is the compaction-cost
    * signal, and tests use it to assert cold shards are never rewritten. */
-  def baseGeneration(spark: SparkSession, dir: String): Option[String] = {
-    val p = new Path(dir, "_CURRENT_BASE")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-      finally in.close()
-    }
-  }
+  def baseGeneration(spark: SparkSession, dir: String): Option[String] =
+    IncrementalView.currentBaseName(spark, dir)
 }

@@ -61,6 +61,17 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  /** Recreate a committed delta dir by hand (the crash simulations need a
+   * dir that applyBatch — which consults the manifest — would refuse to
+   * rewrite). */
+  private def plantDelta(store: String, name: String, rows: Seq[(String, Double)]): Unit = {
+    val dir = java.nio.file.Paths.get(store, name)
+    rows.toDF("k", "value")
+      .groupBy("k").agg(count(lit(1)).as("n_rows"), sum("value").as("sum_value"))
+      .write.mode("overwrite").parquet(dir.toString)
+    java.nio.file.Files.createFile(dir.resolve("_GRAFT_COMMIT"))
+  }
+
   test("lingering folded deltas stay excluded across LATER compactions (cumulative manifest)") {
     val store = tmp("ivm-linger")
     IncrementalView.applyBatch(Seq(("a", 1.0)).toDF("k", "value"), 0L, keys, "value", store)
@@ -69,7 +80,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(viewAsMap(store) === expected)
     // simulate a crash between repoint and delete: delta_0 reappears on disk
     // with the same name (its content was already absorbed into the base)
-    IncrementalView.applyBatch(Seq(("a", 1.0)).toDF("k", "value"), 0L, keys, "value", store)
+    plantDelta(store, f"delta_${0L}%020d", Seq(("a", 1.0)))
     assert(viewAsMap(store) === expected, "manifest-listed delta must stay skipped")
     // a LATER compaction (new delta present) must keep skipping it — the
     // new base's manifest has to carry the lingering name forward
@@ -79,10 +90,24 @@ class IncrementalViewSpec extends AnyFunSuite {
       "cumulative manifest: absorbed deltas never re-enter the view")
   }
 
-  test("torn (no _SUCCESS) deltas are invisible to read until rewritten") {
+  test("a batch replayed AFTER its delta was compacted away is still a no-op") {
+    val store = tmp("ivm-replay-compact")
+    val b0 = Seq(("a", 1.0)).toDF("k", "value")
+    IncrementalView.applyBatch(b0, 0L, keys, "value", store)
+    IncrementalView.compact(spark, store, keys) // delta_0 folded AND deleted
+    // crash-before-offsets-commit: the stream replays batch 0 — the dir is
+    // gone, but the manifest knows it was absorbed
+    IncrementalView.applyBatch(b0, 0L, keys, "value", store)
+    assert(viewAsMap(store) === Map("a" -> ((1L, 1.0))),
+      "replay after compaction must not double-count")
+  }
+
+  test("torn (uncommitted) deltas are invisible to read until rewritten") {
     val store = tmp("ivm-torn")
     IncrementalView.applyBatch(Seq(("a", 1.0)).toDF("k", "value"), 0L, keys, "value", store)
-    // simulate a mid-write crash of delta_1: dir + part file, no _SUCCESS
+    // simulate a mid-write crash of delta_1: dir + part files but no
+    // _GRAFT_COMMIT marker (the module's own commit record, so the check
+    // works even where the output committer's _SUCCESS is disabled)
     val torn = java.nio.file.Paths.get(store, f"delta_${1L}%020d")
     java.nio.file.Files.createDirectories(torn)
     Seq(("zz", 99.0)).toDF("k", "value")

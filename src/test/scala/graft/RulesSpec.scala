@@ -46,6 +46,28 @@ class RulesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mixed-distinct aggregates are left alone (no second distinct group introduced)") {
+    val df3 = Seq(("a", "x", 1), ("a", "y", 1), ("a", "x", 2), ("b", "x", 3)).toDF("k", "v", "u")
+    // a distinct on ANOTHER column: rewriting would create a second
+    // unexpanded distinct group after RewriteDistinctAggregates already ran
+    // (extraOptimizations registration) and crash the planner — must skip
+    val mixed = df3.groupBy($"k")
+      .agg(size(collect_set($"v")).as("n"), countDistinct($"u").as("d"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(mixed === Set(("a", 2, 2L), ("b", 1, 1L)))
+    // two set-sizes over DIFFERENT columns: same reason, must skip and stay correct
+    val two = df3.groupBy($"k")
+      .agg(size(collect_set($"v")).as("nv"), size(collect_set($"u".cast("string"))).as("nu"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(two === Set(("a", 2, 2), ("b", 1, 1)))
+    // same column twice IS rewritten (one distinct group)
+    val same = df3.groupBy($"k")
+      .agg(size(collect_set($"v")).as("n1"), size(collect_set($"v")).as("n2"))
+    assert(!same.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"))
+    assert(same.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet ===
+      Set(("a", 2, 2), ("b", 1, 1)))
+  }
+
   test("flagship sliding aggregate plans codegen'd under the rule, results unchanged") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("a3_windowed_agg")(spark, dir)
