@@ -503,6 +503,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"),
           round(sum(col("c_acctbal")), 2).as("sum_acctbal"))),
 
+    // Semi-join breadth (EXISTS): customers WITH a high-value order, per
+    // segment — the dual of q_anti_join; the key set is deduped before the
+    // join so the shuffle carries bare keys.
+    "q_semi_join" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders").filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))),
+
+    // Correlated scalar subquery: each order's share of its customer's
+    // lifetime spend — written as correlated SQL so Catalyst's
+    // decorrelation (RewriteCorrelatedScalarSubquery) turns the per-row
+    // subquery into ONE aggregate + join; the plan never executes a
+    // subquery per row.
+    "q_correlated" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""SELECT o_orderkey, o_custkey,
+              |       round(o_totalprice /
+              |         (SELECT sum(o2.o_totalprice) FROM g_orders o2
+              |          WHERE o2.o_custkey = g_orders.o_custkey), 6) AS spend_share
+              |FROM g_orders""".stripMargin)
+    }),
+
     // Pivot breadth: per-day event-type counts as columns (explicit pivot
     // values keep the schema static — mandatory for a streaming-safe and
     // oracle-comparable shape).
@@ -1079,6 +1105,22 @@ object SparkEntry {
            |FROM orders WHERE o_orderdate IS NOT NULL
            |GROUP BY 1""".stripMargin
       },
+
+      "q_semi_join" ->
+        """SELECT c_mktsegment,
+          |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+          |       round(SUM(c_acctbal), 2) AS sum_acctbal
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |GROUP BY 1""".stripMargin,
+
+      "q_correlated" ->
+        """SELECT o_orderkey, o_custkey,
+          |       round(o_totalprice /
+          |         (SELECT sum(o2.o_totalprice) FROM orders o2
+          |          WHERE o2.o_custkey = orders.o_custkey), 6) AS spend_share
+          |FROM orders""".stripMargin,
 
       "q_promo_share" ->
         """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month_s,
