@@ -568,6 +568,34 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window.currentRow)).as("cum_n"))
     }),
 
+    // Ranking-function breadth beyond row_number/rank: quartile buckets,
+    // relative rank, cumulative distribution, and an nth-value frame —
+    // one keyed window, deterministic via the (value, event_id) tie-break.
+    "q_rank_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+      table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          nth_value(col("event_id"), 2).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)).as("second_id"))
+    }),
+
+    // Approximate percentiles (Greenwald-Khanna summaries): the bounded-
+    // memory path for quantiles at 100 TB — mergeable partials, state
+    // ∝ 1/accuracy, never a global sort. Approximation is engine-specific
+    // → rows-only; rank-error bound vs exact pinned by a spec.
+    "q_approx_percentiles" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("p_approx"),
+          count(lit(1)).as("n"))),
+
     // Time-series resample + forward fill: one row per (user, day) over each
     // user's own observed span, carrying the latest value at or before that
     // day. Grid generation is per-entity sequence+explode (Σ spans, never
@@ -1051,6 +1079,17 @@ object SparkEntry {
           |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
           |FROM events WHERE ts IS NOT NULL
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+      "q_rank_funcs" ->
+        """SELECT event_id, event_type, value,
+          |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |       round(percent_rank() OVER w, 6) AS pct_rank,
+          |       round(cume_dist() OVER w, 6) AS cume,
+          |       nth_value(event_id, 2) OVER (PARTITION BY event_type
+          |         ORDER BY value DESC, event_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_id
+          |FROM events WHERE value IS NOT NULL
+          |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)""".stripMargin,
 
       // last-per-day tie-break via the same fixed-width (ts, id) string key
       // the engine uses (arg_max takes scalar keys only); the fill window's

@@ -129,4 +129,22 @@ class SketchesSpec extends AnyFunSuite {
       assert(items.map(_._1).toSet === direct(t).map(_._1).toSet, s"$t items differ")
     }
   }
+
+  test("approx_percentile stays within the documented rank-error bound") {
+    val sorted = events.filter(col("value").isNotNull)
+      .filter(col("event_type") === "click")
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    val approx = events.filter(col("value").isNotNull)
+      .filter(col("event_type") === "click")
+      .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"))
+      .collect()(0).getSeq[Double](0)
+    val n = sorted.length
+    Seq(0.5, 0.9, 0.99).zip(approx).foreach { case (q, v) =>
+      val rank = sorted.count(_ <= v)
+      val target = q * n
+      // GK summaries guarantee rank error <= n/accuracy; allow +1 for ties
+      assert(math.abs(rank - target) <= n / 10000.0 + 1,
+        s"q=$q approx=$v rank=$rank target=$target n=$n")
+    }
+  }
 }
