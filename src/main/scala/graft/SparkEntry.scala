@@ -43,6 +43,19 @@ object SparkEntry {
   private def botDetect(spark: SparkSession, dir: String): DataFrame =
     BotDetection.transformAndFilterBots(normalized(spark, dir), eventsWindowing, eventsBotConfig)
 
+  /** Shared build of q_anti_join / q_semi_join: per-segment aggregate of
+   * customers joined against the deduped high-value (>300k) order key set —
+   * the two queries differ ONLY in `joinType`, so they always partition the
+   * customer set. */
+  private def highValueCustomerAgg(s: SparkSession, dir: String, joinType: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), joinType)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -494,26 +507,12 @@ object SparkEntry {
     // counted per segment. The orders side is filtered AND deduped to bare
     // keys BEFORE the join; at scale the anti-join shuffles only (custkey)
     // pairs, and AQE can broadcast the key set when it turns out small.
-    "q_anti_join" -> ((s, dir) =>
-      table(s, dir, "customer")
-        .join(table(s, dir, "orders").filter(col("o_totalprice") > 300000)
-            .select(col("o_custkey")).distinct(),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_customers"),
-          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))),
+    "q_anti_join" -> ((s, dir) => highValueCustomerAgg(s, dir, "left_anti")),
 
     // Semi-join breadth (EXISTS): customers WITH a high-value order, per
-    // segment — the dual of q_anti_join; the key set is deduped before the
-    // join so the shuffle carries bare keys.
-    "q_semi_join" -> ((s, dir) =>
-      table(s, dir, "customer")
-        .join(table(s, dir, "orders").filter(col("o_totalprice") > 300000)
-            .select(col("o_custkey")).distinct(),
-          col("c_custkey") === col("o_custkey"), "left_semi")
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_customers"),
-          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))),
+    // segment — the exact dual of q_anti_join (one shared build, only the
+    // join type differs, so the pair always partitions the customers).
+    "q_semi_join" -> ((s, dir) => highValueCustomerAgg(s, dir, "left_semi")),
 
     // Correlated scalar subquery: each order's share of its customer's
     // lifetime spend — written as correlated SQL so Catalyst's

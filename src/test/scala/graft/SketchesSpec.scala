@@ -140,11 +140,19 @@ class SketchesSpec extends AnyFunSuite {
       .collect()(0).getSeq[Double](0)
     val n = sorted.length
     Seq(0.5, 0.9, 0.99).zip(approx).foreach { case (q, v) =>
-      val rank = sorted.count(_ <= v)
+      // GK guarantees SOME rank of the returned value is within eps*n of
+      // the target — with duplicates a value occupies a rank INTERVAL, so
+      // measure the distance from [minRank, maxRank] to the target (a tie
+      // group straddling the quantile boundary is still a pass)
+      val maxRank = sorted.count(_ <= v)
+      val minRank = sorted.count(_ < v) + 1
       val target = q * n
-      // GK summaries guarantee rank error <= n/accuracy; allow +1 for ties
-      assert(math.abs(rank - target) <= n / 10000.0 + 1,
-        s"q=$q approx=$v rank=$rank target=$target n=$n")
+      val dist =
+        if (target < minRank) minRank - target
+        else if (target > maxRank) target - maxRank
+        else 0.0
+      assert(dist <= n / 10000.0 + 1,
+        s"q=$q approx=$v ranks=[$minRank,$maxRank] target=$target n=$n")
     }
   }
 }
