@@ -43,7 +43,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => MinHashSignature(es(0), kLiteral(es(1)))),
     "word_shingle_hashes" -> (info("word_shingle_hashes",
       "word_shingle_hashes(text, n) - ordered 64-bit hashes of word n-grams"),
-      (es: Seq[Expression]) => WordShingleHashes(es(0), kLiteral(es(1)))))
+      (es: Seq[Expression]) => WordShingleHashes(es(0), kLiteral(es(1)))),
+    "hilbert_key" -> (info("hilbert_key",
+      "hilbert_key(x, y, bits) - Hilbert-curve index of a 2-D point (layout key)"),
+      (es: Seq[Expression]) => graft.functions.HilbertKey(es(0), es(1), kLiteral(es(2)))))
 
   /** k must be a foldable integral literal; anything else gets a clean
    * error instead of a ClassCastException from eval(). */

@@ -48,6 +48,20 @@ object Layout {
     }.mkString(" | ")
 
   /**
+   * Hilbert-curve twin of [[mortonKey]] (codegen'd custom expression —
+   * see [[graft.functions.HilbertKey]] for why it can't be composed bit
+   * ops): same aliasing contract, same drop-in use with
+   * `repartitionByRange`/[[writeZOrdered]], but consecutive key values are
+   * always Manhattan-adjacent cells — no diagonal jumps, so partition
+   * boundaries cut fewer clusters than Morton's.
+   */
+  def hilbertKey(a: Column, b: Column, bits: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.HilbertKey(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a.cast("long")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b.cast("long")), bits))
+
+  /**
    * The write path: rewrite `df` as `nFiles` parquet files range-partitioned
    * AND sorted by the Morton key of (`aCol`, `bCol`) — each output file then
    * covers a contiguous, non-overlapping zkey range, i.e. a tight bounding

@@ -55,6 +55,34 @@ class LayoutFuzzySpec extends AnyFunSuite {
     assert(got.contains((0L, 4L)))  // kitten→kittens insertion
   }
 
+  test("hilbertKey is a bijection with unit-step adjacency (no diagonal jumps)") {
+    val n = 16 // bits = 4
+    val cells = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertKey(col("x"), col("y"), 4).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    // bijection onto 0 .. n²-1
+    assert(cells.map(_._1).sorted.toSeq === (0L until (n.toLong * n)).toSeq)
+    // THE Hilbert property Morton lacks: consecutive indexes are always
+    // Manhattan-distance-1 cells
+    val byD = cells.toMap
+    (0L until n.toLong * n - 1).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"jump between d=$d ($x1,$y1) and d=${d + 1} ($x2,$y2)")
+    }
+    // known first quadrant walk at bits=1: (0,0)→0 (0,1)→1 (1,1)→2 (1,0)→3
+    val tiny = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+      .select(Layout.hilbertKey(col("x"), col("y"), 1)).collect().map(_.getLong(0))
+    assert(tiny.toSeq === Seq(0L, 1L, 2L, 3L))
+    // SQL surface parity (extension-registered function)
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT hilbert_key(3L, 5L, 4)").collect()(0).getLong(0)
+    val viaCol = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.hilbertKey(col("x"), col("y"), 4)).collect()(0).getLong(0)
+    assert(viaSql === viaCol)
+  }
+
   test("writeZOrdered produces files whose REAL footers bound both dimensions") {
     import java.nio.file.{Files, Paths}
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
