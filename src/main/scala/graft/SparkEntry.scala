@@ -633,7 +633,7 @@ object SparkEntry {
       table(s, dir, "orders").filter(col("o_orderdate").isNotNull)
         .select(col("o_custkey"), day.as("day_n"),
           operators.Layout.mortonKey(col("o_custkey"), day, bits = 16).as("zkey"))
-        .groupBy(shiftrightunsigned(col("zkey"), 24).as("bucket"))
+        .groupBy(shiftrightunsigned(col("zkey"), 16).as("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
           min(col("day_n")).as("min_day"), max(col("day_n")).as("max_day"))
@@ -671,6 +671,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts_s"),
           count(lit(1)).over(w).as("n_7d"),
           round(sum(col("value")).over(w), 2).as("sum_7d"))
+    }),
+
+    // Hilbert twin of q_zorder: same per-bucket bounding-box audit over the
+    // curve WITHOUT diagonal jumps. The custom codegen'd expression on the
+    // Spark side; a generated, level-unrolled SQL twin as the oracle.
+    "q_hilbert_layout" -> ((s, dir) => {
+      val day = floor(col("o_orderdate").cast("timestamp").cast("long") / 86400L).cast("long")
+      table(s, dir, "orders").filter(col("o_orderdate").isNotNull)
+        .select(col("o_custkey"), day.as("day_n"),
+          operators.Layout.hilbertKey(col("o_custkey"), day, bits = 16).as("hkey"))
+        .groupBy(shiftrightunsigned(col("hkey"), 16).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+          min(col("day_n")).as("min_day"), max(col("day_n")).as("max_day"))
     }),
 
     // Explicit GROUPING SETS (beyond cube/rollup): per-type totals, per-day
@@ -1136,7 +1150,7 @@ object SparkEntry {
       "q_zorder" -> {
         val dayExpr = "CAST(floor(epoch(o_orderdate)/86400) AS BIGINT)"
         val z = operators.Layout.mortonKeySql("o_custkey", dayExpr, bits = 16)
-        s"""SELECT ($z) >> 24 AS bucket,
+        s"""SELECT ($z) >> 16 AS bucket,
            |       CAST(count(*) AS BIGINT) AS n,
            |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
            |       min($dayExpr) AS min_day, max($dayExpr) AS max_day
@@ -1180,6 +1194,19 @@ object SparkEntry {
           |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
           |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
           |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+      "q_hilbert_layout" -> {
+        val dayExpr = "CAST(floor(epoch(o_orderdate)/86400) AS BIGINT)"
+        val levels = operators.Layout.hilbertKeySql(
+          "orders WHERE o_orderdate IS NOT NULL", "o_custkey", dayExpr, bits = 16,
+          carry = Seq("o_custkey" -> "o_custkey", dayExpr -> "day_n"))
+        s"""SELECT hd >> 16 AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           |       min(day_n) AS min_day, max(day_n) AS max_day
+           |FROM $levels
+           |GROUP BY 1""".stripMargin
+      },
 
       "q_grouping_sets" ->
         """SELECT event_type,

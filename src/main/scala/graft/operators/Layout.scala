@@ -62,6 +62,39 @@ object Layout {
         org.apache.spark.sql.graftbridge.Bridge.expression(b.cast("long")), bits))
 
   /**
+   * The Hilbert walk as GENERATED DuckDB SQL: one nested subquery per bit
+   * level (the rotation rewrites x and y in terms of both previous values,
+   * which is exactly why the Spark side is a custom expression — SQL
+   * subqueries name intermediates, so unrolling is linear there). `from` is
+   * the source relation SQL (table or subquery with the raw columns);
+   * `aExpr`/`bExpr` compute the two dimensions; `carry` columns pass
+   * through every level. Keeps the oracle definitionally identical to
+   * [[hilbertKey]] — generated, never hand-transcribed.
+   */
+  def hilbertKeySql(from: String, aExpr: String, bExpr: String, bits: Int,
+      carry: Seq[(String, String)]): String = {
+    require(bits > 0 && 2 * bits < 63, s"bits=$bits out of range")
+    val mask = (1L << bits) - 1
+    // base level evaluates each carried expression once and names it; inner
+    // levels pass the NAME through (the source columns are out of scope)
+    val baseCarry = carry.map { case (e, n) => s", $e AS $n" }.mkString
+    val levelCarry = carry.map { case (_, n) => s", $n" }.mkString
+    val base =
+      s"(SELECT (($aExpr) & $mask) AS hx, (($bExpr) & $mask) AS hy, CAST(0 AS BIGINT) AS hd$baseCarry FROM $from)"
+    (bits - 1 to 0 by -1).foldLeft(base) { (inner, level) =>
+      val s = 1L << level
+      s"""(SELECT
+         |  hd + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+         |                      (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd,
+         |  CASE WHEN (hy & $s) > 0 THEN hx
+         |       WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END AS hx,
+         |  CASE WHEN (hy & $s) > 0 THEN hy
+         |       WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END AS hy$levelCarry
+         |FROM $inner)""".stripMargin
+    }
+  }
+
+  /**
    * The write path: rewrite `df` as `nFiles` parquet files range-partitioned
    * AND sorted by the Morton key of (`aCol`, `bCol`) — each output file then
    * covers a contiguous, non-overlapping zkey range, i.e. a tight bounding
