@@ -40,22 +40,27 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHash64(es(0))),
     "minhash_sig" -> (info("minhash_sig",
       "minhash_sig(hashes, k) - k-long minhash signature from ARRAY<BIGINT>"),
-      (es: Seq[Expression]) => MinHashSignature(es(0), kLiteral(es(1)))),
+      (es: Seq[Expression]) => MinHashSignature(es(0), kLiteral("minhash_sig", es(1)))),
     "word_shingle_hashes" -> (info("word_shingle_hashes",
       "word_shingle_hashes(text, n) - ordered 64-bit hashes of word n-grams"),
-      (es: Seq[Expression]) => WordShingleHashes(es(0), kLiteral(es(1)))),
+      (es: Seq[Expression]) => WordShingleHashes(es(0), kLiteral("word_shingle_hashes", es(1)))),
     "hilbert_key" -> (info("hilbert_key",
       "hilbert_key(x, y, bits) - Hilbert-curve index of a 2-D point (layout key)"),
-      (es: Seq[Expression]) => graft.functions.HilbertKey(es(0), es(1), kLiteral(es(2)))))
+      // cast like the Column API does, so INT columns work from SQL too
+      (es: Seq[Expression]) => graft.functions.HilbertKey(
+        org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType),
+        kLiteral("hilbert_key", es(2)))))
 
-  /** k must be a foldable integral literal; anything else gets a clean
-   * error instead of a ClassCastException from eval(). */
-  private def kLiteral(e: Expression): Int = e match {
+  /** The trailing integer parameter must be a foldable integral literal;
+   * anything else gets a clean error (naming the CALLED function) instead
+   * of a ClassCastException from eval(). */
+  private def kLiteral(fn: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
     case other => throw new IllegalArgumentException(
-      s"minhash_sig(hashes, k): k must be an integer literal, got $other")
+      s"$fn: the integer parameter must be a literal, got $other")
   }
 
   /** Register the functions and optimizer rules on an already-built session

@@ -50,10 +50,10 @@ object Layout {
   /**
    * Hilbert-curve twin of [[mortonKey]] (codegen'd custom expression —
    * see [[graft.functions.HilbertKey]] for why it can't be composed bit
-   * ops): same aliasing contract, same drop-in use with
-   * `repartitionByRange`/[[writeZOrdered]], but consecutive key values are
-   * always Manhattan-adjacent cells — no diagonal jumps, so partition
-   * boundaries cut fewer clusters than Morton's.
+   * ops): same aliasing contract, selectable in [[writeZOrdered]] via
+   * `curve = "hilbert"`, but consecutive key values are always
+   * Manhattan-adjacent cells — no diagonal jumps, so partition boundaries
+   * cut fewer clusters than Morton's.
    */
   def hilbertKey(a: Column, b: Column, bits: Int): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
@@ -83,9 +83,13 @@ object Layout {
       s"(SELECT (($aExpr) & $mask) AS hx, (($bExpr) & $mask) AS hy, CAST(0 AS BIGINT) AS hd$baseCarry FROM $from)"
     (bits - 1 to 0 by -1).foldLeft(base) { (inner, level) =>
       val s = 1L << level
+      // CAST the s² literal: DuckDB types bare literals INT32, and at
+      // bits=16 the top level's 2^30 × 3 overflows INT32 the moment the
+      // masked x has its high bit set (high custkeys at larger SFs)
       s"""(SELECT
-         |  hd + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
-         |                      (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd,
+         |  hd + CAST(${s * s} AS BIGINT)
+         |       * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+         |             (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd,
          |  CASE WHEN (hy & $s) > 0 THEN hx
          |       WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END AS hx,
          |  CASE WHEN (hy & $s) > 0 THEN hy
@@ -104,10 +108,17 @@ object Layout {
    * investment); the within-partition sort keeps row groups tight too.
    */
   def writeZOrdered(df: org.apache.spark.sql.DataFrame, aCol: String, bCol: String,
-      bits: Int, nFiles: Int, path: String): Unit =
-    df.withColumn("__zkey", mortonKey(col(aCol), col(bCol), bits))
+      bits: Int, nFiles: Int, path: String, curve: String = "morton"): Unit = {
+    val key = curve match {
+      case "morton" => mortonKey(col(aCol), col(bCol), bits)
+      case "hilbert" => hilbertKey(col(aCol), col(bCol), bits)
+      case other => throw new IllegalArgumentException(
+        s"curve=$other (expected morton|hilbert)")
+    }
+    df.withColumn("__zkey", key)
       .repartitionByRange(nFiles, col("__zkey"))
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
+  }
 }
