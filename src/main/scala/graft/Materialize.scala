@@ -82,17 +82,15 @@ object Materialize {
           case None => require(sc.getCheckpointDir.nonEmpty,
             "checkpoint strategy needs spark.graft.checkpointDir or sc.setCheckpointDir")
         }
-        // checkpoint() is eager: the rdd-* dir exists when it returns. Diff
-        // the listing around the call (under this object's lock) to learn
-        // which dir belongs to this frame.
-        val ckDir = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
-        val fs = ckDir.getFileSystem(sc.hadoopConfiguration)
-        def listing: Set[org.apache.hadoop.fs.Path] =
-          if (fs.exists(ckDir)) fs.listStatus(ckDir).map(_.getPath).toSet
-          else Set.empty
-        val before = listing
+        // checkpoint() is eager: the rdd-* dir exists when it returns. Read
+        // the dir straight off the returned frame's checkpointed RDD
+        // (Bridge.reliableCheckpointFile) — attributing by directory diff
+        // would misattribute concurrent checkpoints from other threads (or
+        // ContextCleaner activity) in the same dir, and a later release()
+        // would then delete ANOTHER frame's live checkpoint data.
         val out = df.checkpoint()
-        checkpointFiles.put(out, (listing -- before).toSeq)
+        org.apache.spark.sql.graftbridge.Bridge.reliableCheckpointFile(out)
+          .foreach(p => checkpointFiles.put(out, Seq(p)))
         out
       }
       case other => throw new IllegalArgumentException(

@@ -496,8 +496,11 @@ object SparkEntry {
     // counts while the domain fits maxItems; merge-order invariant).
     // Not DuckDB-expressible → rows-only; accuracy + merge invariance
     // pinned by SketchesSpec.
+    // Flattened to (group, rank, item, count) rows: scalar columns so any
+    // downstream reader (including the verify harness) can consume the
+    // result without nested-array support.
     "q_topk_sketch" -> ((s, dir) =>
-      operators.Sketches.rollupTopK(
+      operators.Sketches.rollupTopKFlat(
         operators.Sketches.dailyTopKSketches(
           table(s, dir, "events").filter(col("ts").isNotNull && col("props").isNotNull),
           "ts", "props", Seq("event_type")),
@@ -519,13 +522,19 @@ object SparkEntry {
     // decorrelation (RewriteCorrelatedScalarSubquery) turns the per-row
     // subquery into ONE aggregate + join; the plan never executes a
     // subquery per row.
+    // The view name is unique per invocation and dropped as soon as
+    // `sql()` has eagerly ANALYZED the text (the resolved plan holds the
+    // relation, not the name), so concurrent callers and other users of
+    // the session's view namespace never collide.
     "q_correlated" -> ((s, dir) => {
-      table(s, dir, "orders").createOrReplaceTempView("g_orders")
-      s.sql("""SELECT o_orderkey, o_custkey,
-              |       round(o_totalprice /
-              |         (SELECT sum(o2.o_totalprice) FROM g_orders o2
-              |          WHERE o2.o_custkey = g_orders.o_custkey), 6) AS spend_share
-              |FROM g_orders""".stripMargin)
+      val v = s"g_orders_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      table(s, dir, "orders").createOrReplaceTempView(v)
+      try s.sql(s"""SELECT o_orderkey, o_custkey,
+                   |       round(o_totalprice /
+                   |         (SELECT sum(o2.o_totalprice) FROM $v o2
+                   |          WHERE o2.o_custkey = $v.o_custkey), 6) AS spend_share
+                   |FROM $v""".stripMargin)
+      finally s.catalog.dropTempView(v)
     }),
 
     // Pivot breadth: per-day event-type counts as columns (explicit pivot
@@ -593,7 +602,14 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(
           expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("p_approx"),
-          count(lit(1)).as("n"))),
+          count(lit(1)).as("n"))
+        // scalar columns, not ARRAY<DOUBLE>: nested arrays break readers
+        // without list support (and the GK summary is one pass either way)
+        .select(col("event_type"),
+          col("p_approx").getItem(0).as("p50"),
+          col("p_approx").getItem(1).as("p90"),
+          col("p_approx").getItem(2).as("p99"),
+          col("n"))),
 
     // Time-series resample + forward fill: one row per (user, day) over each
     // user's own observed span, carrying the latest value at or before that

@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
  */
 object Sketches {
 
+  /** Backtick-quote an identifier for splicing into `expr()` SQL — needed
+   * because `approx_top_k_*` have no Column-API surface in Spark 4.1, so
+   * the column name must ride through the SQL parser. Doubles embedded
+   * backticks per the SQL quoting rule, so dotted/spaced/backticked names
+   * all survive. */
+  private def q(id: String): String = "`" + id.replace("`", "``") + "`"
+
   /** Finest-grain sketch table: one HLL sketch (binary, ~2^lgK registers)
    * per (group, day). This is the thing you'd persist as parquet. */
   def dailySketches(df: DataFrame, timeCol: String, keyCol: String,
@@ -59,7 +66,7 @@ object Sketches {
       groupCols: Seq[String], maxItems: Int = 1024): DataFrame = {
     val day = floor(col(timeCol).cast("long") / 86400L).cast("long") * 86400L
     df.groupBy((groupCols.map(col) :+ day.as("day_s")): _*)
-      .agg(expr(s"approx_top_k_accumulate($keyCol, $maxItems)").as("topk_sketch"),
+      .agg(expr(s"approx_top_k_accumulate(${q(keyCol)}, $maxItems)").as("topk_sketch"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -72,4 +79,16 @@ object Sketches {
       .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(topk_sketch), $k)")
         .as("top_items"),
         sum(col("n_rows")).as("n_rows"))
+
+  /** [[rollupTopK]] flattened to scalar columns — one row per (group, rank).
+   * Downstream consumers (and the verify harness) that can't handle nested
+   * arrays get the same information as (rank, item, item_count) rows;
+   * rank is 1-based in estimate order (heaviest first). */
+  def rollupTopKFlat(sketches: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    rollupTopK(sketches, groupCols, k)
+      .select((groupCols.map(col) :+ posexplode(col("top_items")).as(Seq("pos", "entry")) :+
+        col("n_rows")): _*)
+      .select((groupCols.map(col) :+ (col("pos") + 1).cast("long").as("rank") :+
+        col("entry.item").as("item") :+ col("entry.count").cast("long").as("item_count") :+
+        col("n_rows")): _*)
 }

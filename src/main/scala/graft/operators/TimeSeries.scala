@@ -31,11 +31,20 @@ object TimeSeries {
    * The epoch is offset by 10^11 BEFORE padding — zero-padding a negative
    * number breaks lexicographic order ('-99' sorts above '-98'), so
    * pre-1970 timestamps would pick the WRONG "latest" row; the offset keeps
-   * the key non-negative for any timestamp after year -1200. Ids are
-   * assumed non-negative (row/event ids). */
-  def orderKey(ts: Column, id: Column): Column =
+   * the key non-negative for any timestamp after year -1200. Ids get the
+   * same treatment as a VALIDATION, not an offset: out-of-range ids
+   * (negative, or >= 10^12 and thus wider than the pad) would silently
+   * break lexicographic order — and the generated oracle shares the
+   * padding, so a hash compare could never catch it. raise_error is
+   * codegen'd and costs one comparison per row. */
+  def orderKey(ts: Column, id: Column): Column = {
+    val idL = id.cast("long")
+    val checkedId = when(idL < 0L || idL >= 1000000000000L,
+      raise_error(concat(lit("orderKey: id out of [0, 10^12) — ordering would be wrong: "),
+        idL.cast("string")))).otherwise(idL)
     concat(lpad((ts.cast("long") + 100000000000L).cast("string"), 12, "0"),
-      lpad(id.cast("string"), 12, "0"))
+      lpad(checkedId.cast("string"), 12, "0"))
+  }
 
   /**
    * Resample an event stream onto a daily grid per entity and

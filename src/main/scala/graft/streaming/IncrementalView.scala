@@ -32,7 +32,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *     compaction may have folded the delta and deleted the dir before the
  *     stream committed its offsets — replay must still no-op);
  *   - a base generation carries a `_FOLDED` manifest naming every delta it
- *     (or any ancestor base) absorbed that may still linger on disk;
+ *     (or any ancestor base) absorbed — retained across compactions even
+ *     after the delta dirs are deleted (bounded per lineage, see
+ *     [[compact]]), because the manifest is the only replay-no-op evidence
+ *     once a dir is gone;
  *     [[read]] resolves the base via an atomically renamed pointer file and
  *     skips manifest-listed deltas, so folded deltas delete lazily — a
  *     crash anywhere in [[compact]] resolves to a correct view.
@@ -169,7 +172,8 @@ object IncrementalView {
    * delta appended concurrently (streaming continues during an offline
    * compaction) is neither absorbed nor listed, so it stays correctly live.
    */
-  def compact(spark: SparkSession, storeDir: String, keyCols: Seq[String]): Unit = {
+  def compact(spark: SparkSession, storeDir: String, keyCols: Seq[String],
+      manifestRetention: Int = 1000): Unit = {
     val f = fs(spark, storeDir)
     val old = currentBaseName(spark, storeDir)
     // GC: base dirs that are not the current pointer are orphans of a
@@ -190,15 +194,28 @@ object IncrementalView {
     mergeParts(spark, old.map(b => new Path(storeDir, b)).toSeq ++ folded,
         keyCols, storeDir)
       .write.mode("errorifexists").parquet(genPath.toString)
-    // CUMULATIVE manifest: carry forward old entries whose delta dirs still
-    // linger (a crash between repoint and delete leaves them — a LATER
-    // compaction must keep skipping them or read() double-counts once the
-    // new manifest replaces the old). Entries whose dirs are gone can drop.
-    val lingering = {
-      val onDisk = deltaDirs(spark, storeDir).map(_.getName).toSet
-      foldedDeltas(spark, storeDir).filter(onDisk)
-    }
-    val manifest = (lingering ++ folded.map(_.getName)).toSeq.sorted
+    // CUMULATIVE manifest: carry ALL prior entries forward, even those whose
+    // delta dirs are already gone. The manifest is the ONLY replay-no-op
+    // evidence once a folded delta's dir is deleted — if a batch is folded
+    // before the stream commits its offsets and a second compaction then
+    // dropped the entry (the old "dir still exists" filter), the restarted
+    // stream would find neither dir nor manifest entry and re-append the
+    // delta, silently double-counting. Boundedness comes from a per-lineage
+    // retention window instead: streaming replay can only concern batches at
+    // or after the last uncommitted offset, so keeping the newest
+    // `manifestRetention` folded batch ids per lineage covers any real
+    // replay while the manifest stays O(lineages × retention). Entries whose
+    // dirs still linger on disk are always kept — read() must skip them.
+    val onDisk = deltaDirs(spark, storeDir).map(_.getName).toSet
+    val prior = foldedDeltas(spark, storeDir)
+    val lingering = prior.filter(onDisk)
+    val all = prior ++ folded.map(_.getName)
+    // group by the lineage tag (name = delta_[lineage_]<20-digit id>); the
+    // zero-padded id makes lexicographic order == batch order per lineage
+    val retained = all.groupBy(n => n.stripSuffix(n.takeRight(20))).iterator.flatMap {
+      case (_, names) => names.toSeq.sorted.takeRight(manifestRetention)
+    }.toSet ++ lingering
+    val manifest = retained.toSeq.sorted
     writeSmallFile(spark, new Path(genPath, MANIFEST), manifest.mkString("\n"))
     val tmp = new Path(storeDir, s".$PTR.tmp")
     writeSmallFile(spark, tmp, gen)

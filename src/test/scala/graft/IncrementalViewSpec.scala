@@ -102,6 +102,46 @@ class IncrementalViewSpec extends AnyFunSuite {
       "replay after compaction must not double-count")
   }
 
+  test("a batch replayed after TWO compactions is still a no-op (manifest retention)") {
+    val store = tmp("ivm-replay-2compact")
+    val b0 = Seq(("a", 1.0)).toDF("k", "value")
+    // lineage-tagged writer (as the streaming wiring uses): folded before
+    // the stream commits its offsets
+    IncrementalView.applyBatch(b0, 0L, keys, "value", store, lineage = "aaaa1111")
+    IncrementalView.compact(spark, store, keys) // fold #1: delta dir deleted
+    // a SECOND lineage (offline backfill sharing the store) appends and a
+    // second compaction runs before the first stream ever restarts — the
+    // new base's manifest must still remember the first lineage's batch 0
+    // even though its dir is long gone
+    IncrementalView.applyBatch(Seq(("b", 2.0)).toDF("k", "value"), 0L, keys, "value",
+      store, lineage = "bbbb2222")
+    IncrementalView.compact(spark, store, keys) // fold #2
+    // now the first stream restarts and replays its batch 0
+    IncrementalView.applyBatch(b0, 0L, keys, "value", store, lineage = "aaaa1111")
+    assert(viewAsMap(store) === Map("a" -> ((1L, 1.0)), "b" -> ((1L, 2.0))),
+      "replay after two compactions must not double-count")
+  }
+
+  test("manifest retention bounds per-lineage entries but keeps lingering dirs listed") {
+    val store = tmp("ivm-retention")
+    (0 until 5).foreach { i =>
+      IncrementalView.applyBatch(Seq(("a", 1.0)).toDF("k", "value"), i.toLong,
+        keys, "value", store, lineage = "cccc3333")
+      IncrementalView.compact(spark, store, keys, manifestRetention = 2)
+    }
+    // view is correct throughout retention pruning
+    assert(viewAsMap(store) === Map("a" -> ((5L, 5.0))))
+    // replay of a RECENT batch (inside the retention window) still no-ops
+    IncrementalView.applyBatch(Seq(("a", 1.0)).toDF("k", "value"), 4L,
+      keys, "value", store, lineage = "cccc3333")
+    assert(viewAsMap(store) === Map("a" -> ((5L, 5.0))))
+    // the manifest holds at most the retention bound for the lineage
+    val base = IncrementalView.currentBaseName(spark, store).get
+    val manifest = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(store, base, "_FOLDED")).toArray.mkString("\n")
+    assert(manifest.split("\n").count(_.nonEmpty) <= 2)
+  }
+
   test("torn (uncommitted) deltas are invisible to read until rewritten") {
     val store = tmp("ivm-torn")
     IncrementalView.applyBatch(Seq(("a", 1.0)).toDF("k", "value"), 0L, keys, "value", store)
