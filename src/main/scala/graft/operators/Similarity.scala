@@ -268,12 +268,21 @@ object Similarity {
 
   /** Nearest centroid per (s, vec_id) — the subspace-keyed twin of
    * [[nearestCell]] (same metric and tie-break, applied per key). */
-  private def nearestCellKeyed(in: DataFrame, centroids: DataFrame): DataFrame =
-    in.join(broadcast(centroids), Seq("s"))
+  private def nearestCellKeyed(in: DataFrame, centroids: DataFrame,
+      carryVec: Boolean = true): DataFrame = {
+    val joined = in.join(broadcast(centroids), Seq("s"))
       .withColumn("cdist", cosine(col("vec"), col("cvec")))
       .groupBy(col("s"), col("vec_id"))
-      .agg(first(col("vec")).as("vec"),
+    // encoding only needs the code — carrying the vector through the
+    // shuffle doubles the agg bytes for nothing (at 100 TB the vectors are
+    // the payload; the codes are the point of PQ)
+    if (carryVec)
+      joined.agg(first(col("vec")).as("vec"),
         min_by(col("cell_id"), struct(descCosKey(col("cdist")), col("cell_id"))).as("cell_id"))
+    else
+      joined.agg(
+        min_by(col("cell_id"), struct(descCosKey(col("cdist")), col("cell_id"))).as("cell_id"))
+  }
 
   /**
    * PQ codebooks: split the vector into `subspaces` contiguous chunks and
@@ -321,7 +330,8 @@ object Similarity {
       codebooks: DataFrame, subspaces: Int = 8): DataFrame =
     nearestCellKeyed(
       subVectors(df, idCol, vecCol, dim, subspaces),
-      codebooks.select(col("s"), col("code").as("cell_id"), col("cvec")))
+      codebooks.select(col("s"), col("code").as("cell_id"), col("cvec")),
+      carryVec = false)
       .select(col("vec_id"), col("s"), col("cell_id").as("code"))
 
   /**
@@ -337,8 +347,13 @@ object Similarity {
       queryPred: Column, k: Int, subspaces: Int = 8, codes: Int = 16,
       rerank: Int = 50): DataFrame = {
     val sub = dim / subspaces
-    val codebooks = pqTrain(df, idCol, vecCol, dim, subspaces, codes).transform(graft.Materialize(_))
-    val corpusCodes = pqEncode(df, idCol, vecCol, dim, codebooks, subspaces).transform(graft.Materialize(_))
+    // no extra barriers here: pqTrain's output is a trivial relabeling
+    // window over an ALREADY-materialized centroid table (recomputing it for
+    // the two downstream uses is cheaper than an eager checkpoint job), and
+    // corpusCodes feeds exactly one join — a barrier would only add a full
+    // corpus-sized copy before the consumer reads it once
+    val codebooks = pqTrain(df, idCol, vecCol, dim, subspaces, codes)
+    val corpusCodes = pqEncode(df, idCol, vecCol, dim, codebooks, subspaces)
     val queries = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     // per (query, s, code): partial dot of the query's s-th chunk with the
