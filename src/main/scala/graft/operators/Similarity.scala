@@ -3,8 +3,11 @@ package graft.operators
 import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
 
 /**
  * Similarity search over an embedding column (`ARRAY<FLOAT>`).
@@ -129,23 +132,60 @@ object Similarity {
   private def cosRankKey(c: Column): Column =
     when(isnan(c), lit(Double.NegativeInfinity)).otherwise(c)
 
+  /** One collected centroid, ready to inline into a projection: the id as a
+   * typed literal (preserves STRING/BIGINT/... cell ids exactly), the vector
+   * as an ARRAY<FLOAT> literal (the codegen'd float dot reads it in place),
+   * and its norm precomputed once on the driver. */
+  private case class CentroidLit(idLit: Column, vecLit: Column, cnorm: Double)
+
+  private def centroidLit(id: Any, idType: DataType, v: Array[Float]): CentroidLit = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    CentroidLit(
+      Bridge.column(Literal.create(id, idType)),
+      Bridge.column(Literal.create(v, ArrayType(FloatType, containsNull = false))),
+      math.sqrt(s))
+  }
+
+  /** Map-side argmax over the collected centroids: `least()` of one
+   * `struct(descCosKey(cos), cell_id)` candidate per centroid — the same
+   * lexicographic ordering the previous `min_by` aggregate used (max cosine,
+   * NaN loses, min cell_id tie-break; an all-NULL-key row — NULL vector —
+   * falls through to the min cell_id, as struct ordering sorts NULL fields
+   * first, exactly like the aggregate did). One codegen'd projection per
+   * row; `vnorm` is computed once and shared, and each centroid costs one
+   * float dot plus scalar ops (its own norm is a driver-side constant). */
+  private def bestCellExpr(vec: Column, vnorm: Column, cents: Seq[CentroidLit]): Column = {
+    val candidates = cents.map { c =>
+      val denom = vnorm * lit(c.cnorm)
+      val cos = when(denom === 0d, lit(Double.NaN))
+        .otherwise(dot(vec, c.vecLit) / denom)
+      struct(descCosKey(cos).as("k"), c.idLit.as("cell_id"))
+    }
+    val best = if (candidates.length == 1) candidates.head else least(candidates: _*)
+    best.getField("cell_id")
+  }
+
   /** Nearest-centroid assignment (shared by training and query/corpus
    * bucketing so tie-break and metric can never diverge): keeps the columns
-   * of `in` (id + vector) plus the winning `cell_id`.
+   * of `in` plus the winning `cell_id`.
    *
-   * argmax via `min_by` with the tie-break folded into the ordering struct
-   * (max cosine, then min cell_id) — a hash aggregate with map-side partials
-   * instead of the row_number window's shuffle+full-sort; deterministic
-   * because ties in the ordering struct are impossible (cell_id is unique),
-   * and type-safe for any orderable cell_id (string ids included).
-   */
-  private def nearestCell(in: DataFrame, idName: String, vecName: String,
-      centroids: DataFrame): DataFrame =
-    in.join(broadcast(centroids), lit(true))
-      .withColumn("cdist", cosine(col(vecName), col("cvec")))
-      .groupBy(col(idName))
-      .agg(first(col(vecName)).as(vecName),
-        min_by(col("cell_id"), struct(descCosKey(col("cdist")), col("cell_id"))).as("cell_id"))
+   * The centroid table is bounded by construction (nCells × dim — config,
+   * not data), so it is collected to the driver and inlined as literals:
+   * assignment becomes a pure per-row projection with NO join, NO
+   * aggregate, NO exchange. At 100 TB this is the difference between a
+   * map-only encode and re-shuffling the corpus (with its vectors as
+   * payload) once per Lloyd round. */
+  def nearestCell(in: DataFrame, vecName: String, centroids: DataFrame): DataFrame = {
+    val idType = centroids.schema("cell_id").dataType
+    val cents = centroids.select(col("cell_id"), col("cvec")).collect()
+      .map(r => centroidLit(r.get(0), idType, r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty, "nearestCell: empty centroid table")
+    in.withColumn("__graft_vnorm", norm(col(vecName)))
+      .withColumn("cell_id", bestCellExpr(col(vecName), col("__graft_vnorm"), cents.toSeq))
+      .drop("__graft_vnorm")
+  }
 
   /**
    * Farthest-first (Gonzalez) seeding — the deterministic cousin of
@@ -167,48 +207,59 @@ object Similarity {
         .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
     require(!sample.isEmpty,
       s"seedFarthestFirst: hash sample is empty (sampleMod=$sampleMod too coarse?)")
-    var seeds = sample
+    val idType = sample.schema("cand_id").dataType
+    // Seeds live on the driver (≤ nCells rows — config-bounded, never data):
+    // each round scores the sample against them MAP-SIDE (greatest over the
+    // inlined seed cosines — same NaN-is-greatest ordering as the old
+    // per-pair max() aggregate) and reduces to one winner with a single
+    // min_by — no per-round sample join/shuffle/cache churn.
+    val first0 = sample
       .select(min_by(struct(col("cand_id"), col("cand_vec")), col("cand_id")).as("s"))
-      .select(col("s.cand_id").as("cell_id"), col("s.cand_vec").as("cvec"))
-      .transform(graft.Materialize(_))
+      .select(col("s.cand_id"), col("s.cand_vec")).head()
+    val seeds = scala.collection.mutable.ArrayBuffer[(Any, Array[Float])](
+      (first0.get(0), first0.getSeq[Float](1).toArray))
     var exhausted = false
     (1 until nCells).foreach { _ =>
       if (!exhausted) {
+        val seedLits = seeds.map { case (id, v) => centroidLit(id, idType, v) }
+        val vn = col("__graft_vnorm")
+        val sims = seedLits.map { c =>
+          val denom = vn * lit(c.cnorm)
+          when(denom === 0d, lit(Double.NaN)).otherwise(dot(col("cand_vec"), c.vecLit) / denom)
+        }
+        val nearestSim = if (sims.length == 1) sims.head else greatest(sims.toSeq: _*)
         // farthest point among candidates NOT already chosen: minimize
-        // (similarity to nearest seed, id). The anti-join stops a
-        // smaller-than-nCells sample from re-electing the same candidate
-        // into duplicate seed rows.
+        // (similarity to nearest seed, id). The exclusion stops a
+        // smaller-than-nCells sample from re-electing the same candidate.
         val next = sample
-          .join(seeds, col("cand_id") === col("cell_id"), "left_anti")
-          .join(broadcast(seeds), lit(true))
-          .withColumn("cdist", cosine(col("cand_vec"), col("cvec")))
-          .groupBy(col("cand_id"))
-          .agg(first(col("cand_vec")).as("cand_vec"),
-            // nearest-seed similarity (NaN → +∞-like via max ordering is moot
-            // here: NaN only for zero-norm vectors, which never win farthest)
-            max(col("cdist")).as("nearest_sim"))
+          .filter(!col("cand_id").isin(seeds.toSeq.map(_._1): _*))
+          .withColumn("__graft_vnorm", norm(col("cand_vec")))
+          .withColumn("nearest_sim", nearestSim)
           .select(min_by(struct(col("cand_id"), col("cand_vec")),
             struct(col("nearest_sim"), col("cand_id"))).as("s"))
-          .select(col("s.cand_id").as("cell_id"), col("s.cand_vec").as("cvec"))
-          .filter(col("cell_id").isNotNull) // empty candidate set → 1 null row
+          .select(col("s.cand_id"), col("s.cand_vec"))
+          .filter(col("cand_id").isNotNull) // empty candidate set → 1 null row
+          .collect()
         if (next.isEmpty) { exhausted = true } // sample smaller than nCells
-        else {
-          val prev = seeds
-          seeds = graft.Materialize(seeds.unionByName(next))
-          graft.Materialize.release(prev)
-        }
+        else seeds += ((next(0).get(0), next(0).getSeq[Float](1).toArray))
       }
     }
     graft.Materialize.release(sample)
-    seeds
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell_id", idType),
+      org.apache.spark.sql.types.StructField("cvec",
+        ArrayType(FloatType, containsNull = false))))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(seeds.toSeq.map(s =>
+        org.apache.spark.sql.Row(s._1, s._2.toSeq)): _*), schema)
   }
 
   /**
    * IVF training: Lloyd iterations seeded with the first nCells vectors by
    * id (or [[seedFarthestFirst]] via `seeds`). Each round assigns every
-   * vector to its nearest centroid (broadcast) and recomputes the
-   * element-wise mean per cell — only the nCells×dim
-   * centroid table is ever collected, never data.
+   * vector to its nearest centroid map-side (centroids inlined as literals
+   * — see [[nearestCell]]) and recomputes the element-wise mean per cell —
+   * only the nCells×dim centroid table is ever collected, never data.
    *
    * Determinism: exact on a single JVM (fixed seeds, ordered tie-breaks); on
    * a multi-executor cluster the `avg` merge order can differ in the last
@@ -226,7 +277,7 @@ object Similarity {
         .select(col(idCol).as("cell_id"), col(vecCol).as("cvec")))
     (0 until iterations).foreach { _ =>
       val assigned = nearestCell(
-        df.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec", centroids)
+        df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", centroids)
         .select(col("cell_id"), col("vec"))
       val prev = centroids
       // element-wise mean per cell: explode positions, avg, re-assemble
@@ -266,22 +317,27 @@ object Similarity {
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "vec")
   }
 
-  /** Nearest centroid per (s, vec_id) — the subspace-keyed twin of
-   * [[nearestCell]] (same metric and tie-break, applied per key). */
-  private def nearestCellKeyed(in: DataFrame, centroids: DataFrame,
-      carryVec: Boolean = true): DataFrame = {
-    val joined = in.join(broadcast(centroids), Seq("s"))
-      .withColumn("cdist", cosine(col("vec"), col("cvec")))
-      .groupBy(col("s"), col("vec_id"))
-    // encoding only needs the code — carrying the vector through the
-    // shuffle doubles the agg bytes for nothing (at 100 TB the vectors are
-    // the payload; the codes are the point of PQ)
-    if (carryVec)
-      joined.agg(first(col("vec")).as("vec"),
-        min_by(col("cell_id"), struct(descCosKey(col("cdist")), col("cell_id"))).as("cell_id"))
-    else
-      joined.agg(
-        min_by(col("cell_id"), struct(descCosKey(col("cdist")), col("cell_id"))).as("cell_id"))
+  /** Subspace-keyed twin of [[nearestCell]] (same metric and tie-break,
+   * applied per `s`): the full codebook (subspaces × codes × subdim —
+   * config-bounded) is collected and the per-subspace argmax dispatched with
+   * a `when(s === i, ...)` chain — still one map-side projection, no join.
+   * A row whose `s` has no codebook entry gets a NULL cell_id (the old
+   * inner join dropped it; unreachable — every subspace seeds ≥1 code). */
+  private def nearestCellKeyed(in: DataFrame, centroids: DataFrame): DataFrame = {
+    val idType = centroids.schema("cell_id").dataType
+    val bySub = centroids.select(col("s"), col("cell_id"), col("cvec")).collect()
+      .map(r => (r.getInt(0), centroidLit(r.get(1), idType, r.getSeq[Float](2).toArray)))
+      .groupBy(_._1).map { case (s, cs) => (s, cs.map(_._2).toSeq) }
+      .toSeq.sortBy(_._1)
+    require(bySub.nonEmpty, "nearestCellKeyed: empty codebook table")
+    val vn = col("__graft_vnorm")
+    val chain = bySub.tail.foldLeft(
+        when(col("s") === bySub.head._1, bestCellExpr(col("vec"), vn, bySub.head._2))) {
+      case (w, (s, cs)) => w.when(col("s") === s, bestCellExpr(col("vec"), vn, cs))
+    }
+    in.withColumn("__graft_vnorm", norm(col("vec")))
+      .withColumn("cell_id", chain)
+      .drop("__graft_vnorm")
   }
 
   /**
@@ -330,8 +386,7 @@ object Similarity {
       codebooks: DataFrame, subspaces: Int = 8): DataFrame =
     nearestCellKeyed(
       subVectors(df, idCol, vecCol, dim, subspaces),
-      codebooks.select(col("s"), col("code").as("cell_id"), col("cvec")),
-      carryVec = false)
+      codebooks.select(col("s"), col("code").as("cell_id"), col("cvec")))
       .select(col("vec_id"), col("s"), col("cell_id").as("code"))
 
   /**
@@ -394,9 +449,9 @@ object Similarity {
     val centroids = trainCentroids(df, idCol, vecCol, nCells, seeds = seeds)
       .transform(graft.Materialize(_))
     val corpus = nearestCell(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
-      "neighbor_id", "nvec", centroids)
+      "nvec", centroids)
     val queries = nearestCell(df.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "query_id", "qvec", centroids)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec", centroids)
     val scored = corpus.join(broadcast(queries), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qvec"), col("nvec")))

@@ -69,6 +69,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("nearest-centroid assignment is a pure projection: no exchange, no join") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val centroids = e.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val assigned = graft.operators.Similarity.nearestCell(
+      e.select(col("vec_id"), col("embedding").as("vec")), "vec", centroids)
+    val p = assigned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), s"assignment must be map-side: ${p.take(600)}")
+    assert(!p.contains("Join"), s"assignment must not join: ${p.take(600)}")
+    assert(countOccurrences(p, "Scan parquet .*") <= 1, "one pass over the corpus")
+  }
+
   test("rolling range-frame window shuffles once on the user key") {
     val p = planOf("q_rolling_window")
     assert(p.contains("RangeFrame") || p.contains("RANGE"),

@@ -140,6 +140,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.25, s"ivf recall $recall")
   }
 
+  test("LSH near-dup recall floor at sf0.01: banded tables recover most true pairs") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 planes x 8 tables: per-plane agreement at cos 0.3 is ~0.60, so the
+    // banding recall is 1-(1-0.60^4)^8 ≈ 0.66 — the floor guards the half
+    val lsh = Similarity.lshNearDupPairs(e, "vec_id", "embedding", 64, 0.3, 4, 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recall = (lsh & brute).size.toDouble / brute.size
+    info(s"lsh near-dup recall (threshold 0.3, 4 planes x 8 tables): $recall")
+    assert(lsh.subsetOf(brute), "exact verification must keep only true pairs")
+    assert(recall >= 0.5, s"lsh recall degraded: $recall")
+  }
+
+  test("IVF recall floor at sf0.01 guards the map-side assignment path") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 20, k = 5, nCells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & truth).size.toDouble / truth.size
+    info(s"ivf recall@5 at sf0.01: $recall")
+    assert(recall >= 0.25, s"ivf recall degraded: $recall")
+  }
+
   test("zero-norm vectors lose everywhere: never rank-1, custom == built-in") {
     val withZero = tiny.unionByName(
       Seq((0L, vec(0, 0, 0, 0))).toDF("vec_id", "embedding"))
