@@ -240,6 +240,36 @@ object SparkEntry {
         xxhash64(sort_array(fps)).as("fp_hash"))
     }),
 
+    // PII redaction (emails/ids/phones → placeholders, precedence
+    // email > id > phone) with per-kind counts. The synthetic documents
+    // carry no natural PII, so deterministic doc_id-derived PII is appended
+    // first — identically recomputed by the oracle.
+    "text_redact" -> ((s, dir) => {
+      val pii = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com call 415-555-0"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit(" ssn 123-45-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("t"))
+      TextAnalysis.withRedaction(pii, "t")
+        .select(col("doc_id"), col("text_redacted"), col("n_emails"),
+          col("n_phones"), col("n_ids"), col("n_redactions"))
+    }),
+
+    // Within-document paragraph dedup (keep first occurrence, reassemble).
+    // Paragraph structure is synthesized deterministically (the flat docs
+    // have no blank lines): [head, text, head, footer, text] → [head, text,
+    // footer].
+    "text_dedup_paras" -> ((s, dir) => {
+      val head = substring(col("text"), 1, 40)
+      val structured = table(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n\n", head, col("text"), head,
+          lit("footer boilerplate"), col("text")).as("t"))
+      TextAnalysis.withParagraphDedup(structured, "t")
+        .select(col("doc_id"), col("n_paras"), col("text_dedup"), col("n_paras_kept"))
+    }),
+
     // Exact dedup: canonical doc per normalized-content fingerprint.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),
@@ -878,6 +908,40 @@ object SparkEntry {
            |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
            |  CAST(n_trim - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_token_chars
            |FROM t""".stripMargin,
+
+      "text_redact" ->
+        """WITH pii AS (
+          |  SELECT doc_id, concat(text, ' reach user', CAST(doc_id AS VARCHAR),
+          |    '@example.com call 415-555-0', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+          |    ' ssn 123-45-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+          |  FROM documents),
+          |red AS (
+          |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+          |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted
+          |  FROM pii)
+          |SELECT doc_id, text_redacted,
+          |  CAST((length(text_redacted) - length(replace(text_redacted, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_emails,
+          |  CAST((length(text_redacted) - length(replace(text_redacted, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phones,
+          |  CAST((length(text_redacted) - length(replace(text_redacted, '<ID>', ''))) // 4 AS BIGINT) AS n_ids,
+          |  CAST((length(text_redacted) - length(replace(text_redacted, '<EMAIL>', ''))) // 7
+          |     + (length(text_redacted) - length(replace(text_redacted, '<PHONE>', ''))) // 7
+          |     + (length(text_redacted) - length(replace(text_redacted, '<ID>', ''))) // 4 AS BIGINT) AS n_redactions
+          |FROM red""".stripMargin,
+
+      "text_dedup_paras" ->
+        """WITH src AS (
+          |  SELECT doc_id, concat_ws(e'\n\n', substring(text, 1, 40), text,
+          |    substring(text, 1, 40), 'footer boilerplate', text) AS t
+          |  FROM documents),
+          |lists AS (SELECT doc_id, string_split_regex(t, '\n{2,}') AS l FROM src),
+          |kept AS (SELECT doc_id, len(l) AS np,
+          |  list_filter(l, (x, i) -> list_position(l, x) = i) AS k FROM lists)
+          |SELECT doc_id, CAST(np AS BIGINT) AS n_paras,
+          |  array_to_string(k, e'\n\n') AS text_dedup,
+          |  CAST(len(k) AS BIGINT) AS n_paras_kept
+          |FROM kept""".stripMargin,
 
       "dedup_exact" ->
         """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,

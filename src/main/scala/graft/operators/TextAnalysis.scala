@@ -104,6 +104,71 @@ object TextAnalysis {
       .drop("best")
   }
 
+  // ------------------------------------------------------- PII redaction
+
+  /** PII patterns, written in the RE2 ∩ java.util.regex common subset
+   * (explicit ASCII classes, no lookaround) so the DuckDB oracle's RE2
+   * engine matches byte-for-byte what Spark's Java regex matches. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** SSN-shaped ids; \\b is the ASCII word boundary in both engines. */
+  val idRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /**
+   * PII redaction: emails → `<EMAIL>`, SSN-shaped ids → `<ID>`, phone-shaped
+   * digit runs → `<PHONE>`. Precedence on overlap is the application order
+   * email > id > phone — an id embedded in an email address is consumed by
+   * the email redaction, and an SSN inside a longer digit run is redacted as
+   * an id, never double-redacted (the placeholders contain no digits, so a
+   * later pattern can never re-match inside an earlier replacement).
+   * Pure codegen'd `regexp_replace` chain — no shuffle, no UDF.
+   */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      emailRe, "<EMAIL>"), idRe, "<ID>"), phoneRe, "<PHONE>")
+
+  /** `text_redacted` + per-kind redaction counts (counted as placeholder
+   * occurrences in the redacted text — pure length arithmetic, identically
+   * expressible in the oracle). */
+  def withRedaction(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("text_redacted", redact(col(textCol)))
+      .withColumn("n_emails", occurrences(col("text_redacted"), "<EMAIL>"))
+      .withColumn("n_phones", occurrences(col("text_redacted"), "<PHONE>"))
+      .withColumn("n_ids", occurrences(col("text_redacted"), "<ID>"))
+      .withColumn("n_redactions", col("n_emails") + col("n_phones") + col("n_ids"))
+
+  // --------------------------------------- within-document paragraph dedup
+
+  /**
+   * Within-document repetition removal: split on blank lines (1+ consecutive
+   * newlines beyond the first), keep each paragraph's FIRST occurrence
+   * (preserving order), reassemble with a canonical double newline. The
+   * classic boilerplate-paragraph cleaner for web-crawled training text.
+   *
+   * List-ops formulation (keep element i iff its first index is i) — the
+   * higher-order functions are interpreted, but the work is O(paragraphs²)
+   * per document on SHORT arrays, entirely map-side, and stays linear in
+   * documents at 100 TB.
+   */
+  /** Keep element i iff its first index in the array is i (first-occurrence
+   * filter; stable, order-preserving). */
+  def keepFirstOccurrence(paras: Column): Column =
+    filter(paras, (p, i) => array_position(paras, p) === i + 1)
+
+  def dedupParagraphs(paras: Column): Column =
+    array_join(keepFirstOccurrence(paras), "\n\n")
+
+  def splitParagraphs(text: Column): Column = split(text, "\\n{2,}")
+
+  /** `text_dedup` + paragraph counts before/after. */
+  def withParagraphDedup(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val paras = splitParagraphs(col(textCol))
+    val kept = keepFirstOccurrence(paras)
+    df.withColumn("n_paras", size(paras).cast("long"))
+      .withColumn("text_dedup", array_join(kept, "\n\n"))
+      .withColumn("n_paras_kept", size(kept).cast("long"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
    * md5 is bit-identical across engines (unlike xxhash64/DuckDB hash), so
    * it doubles as the exact-dedup key the oracle can recompute. */

@@ -73,6 +73,59 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) === fps(1))
   }
 
+  test("redaction replaces emails, ids, and phones with placeholders and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.org now"),
+      (2L, "ssn 123-45-6789 ok"),
+      (3L, "call +1 (415) 555-0123 today"),
+      (4L, "clean text, nothing to hide"),
+      (5L, "multi a@b.co c@d.org and 4155550199")).toDF("doc_id", "text")
+    val out = TextAnalysis.withRedaction(df)
+      .select("doc_id", "text_redacted", "n_emails", "n_phones", "n_ids", "n_redactions")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) === (("contact <EMAIL> now", 1L, 0L, 0L, 1L)))
+    assert(out(2L) === (("ssn <ID> ok", 0L, 0L, 1L, 1L)))
+    assert(out(3L) === (("call <PHONE> today", 0L, 1L, 0L, 1L)))
+    assert(out(4L) === (("clean text, nothing to hide", 0L, 0L, 0L, 0L)))
+    assert(out(5L) === (("multi <EMAIL> <EMAIL> and <PHONE>", 2L, 1L, 0L, 3L)))
+  }
+
+  test("redaction overlap precedence: email beats id beats phone") {
+    import spark.implicits._
+    val df = Seq(
+      // SSN-shaped digits inside an email local part: the email redaction
+      // consumes them whole — no partial <ID> inside an address
+      (1L, "id55-1234@host.com"),
+      // an SSN inside a longer digit context stays an <ID>, never <PHONE>
+      (2L, "dial 999-88-7777 now"),
+      // a phone that merely CONTAINS hyphenated digits without SSN shape
+      (3L, "fax 415-555-0123")).toDF("doc_id", "text")
+    val out = TextAnalysis.withRedaction(df)
+      .select("doc_id", "text_redacted").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "<EMAIL>")
+    assert(out(2L) === "dial <ID> now")
+    assert(out(3L) === "fax <PHONE>")
+  }
+
+  test("paragraph dedup keeps first occurrences in order and reassembles") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "para one\n\npara two\n\npara one\n\nfooter"),
+      (2L, "single paragraph"),
+      (3L, "a\n\n\n\na\n\nb"), // 2+ newlines collapse to one separator
+      (4L, "x\n\nx\n\nx\n\nx")).toDF("doc_id", "text")
+    val out = TextAnalysis.withParagraphDedup(df)
+      .select("doc_id", "n_paras", "text_dedup", "n_paras_kept")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((4L, "para one\n\npara two\n\nfooter", 3L)))
+    assert(out(2L) === ((1L, "single paragraph", 1L)))
+    assert(out(3L) === ((3L, "a\n\nb", 2L)))
+    assert(out(4L) === ((4L, "x", 1L)))
+  }
+
   test("bpeish tokens drop tab/newline whitespace, matching the RE2 token class") {
     import spark.implicits._
     val df = Seq(("a\tb", 1), ("a\nb c!", 2)).toDF("text", "id")
