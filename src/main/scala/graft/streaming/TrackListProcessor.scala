@@ -89,4 +89,13 @@ object TrackListProcessor {
         new TrackListProcessor(cfg, slideS, trackS, maxCategories),
         TimeMode.EventTime(), OutputMode.Update())
   }
+
+  /** Bot-only projection matching the DStream sink rows `(bot_ip, reason)` —
+   * the transformWithState twin of [[TrackListState.botVerdicts]]. */
+  def botVerdicts(records: Dataset[LogRecord],
+      cfg: BotConfig = BotConfig()): Dataset[(String, String)] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    verdicts(records, cfg).filter(_.isBot).map(v => (v.ip, v.reason))
+  }
 }

@@ -86,31 +86,69 @@ class TrackListStateSpec extends AnyFunSuite {
     assert(verdicts.forall(_._1 <= 600))
   }
 
-  test("transformWithState twin produces the same verdicts (RocksDB store)") {
+  /** Run `impl` over `rows` in `batches` micro-batches; final verdict row
+   * per ip, ALL fields (the cross-impl equality needs full rows, not just
+   * the verdict bit). */
+  private def runFullVerdicts(
+      impl: org.apache.spark.sql.Dataset[LogRecord] =>
+        org.apache.spark.sql.Dataset[graft.streaming.TrackListState.IpVerdict],
+      rows: Seq[LogRecord], batches: Int,
+      name: String): Map[String, (Long, Long, Long, Boolean, String)] = {
     import spark.implicits._
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[LogRecord](spark)
+    val q = impl(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
     try {
-      val rows = Fixtures.requestsPerInterval("bot", 1001) ++
-        Fixtures.requestsPerInterval("hum", 999)
-      val input = MemoryStream[LogRecord](spark)
-      val q = graft.streaming.TrackListProcessor.verdicts(input.toDS())
-        .writeStream.outputMode("update").format("memory").queryName("tws_mem").start()
-      try {
-        input.addData(rows)
+      rows.grouped(math.max(1, rows.size / batches)).foreach { chunk =>
+        input.addData(chunk)
         q.processAllAvailable()
-      } finally q.stop()
-      val out = spark.table("tws_mem").collect()
-        .map(r => r.getAs[String]("ip") -> (r.getAs[Boolean]("isBot"), r.getAs[String]("reason")))
-        .toMap
-      assert(out("bot") === (true, "requests"))
-      assert(out("hum")._1 === false)
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+    } finally q.stop()
+    spark.table(name).collect()
+      .groupBy(_.getAs[String]("ip"))
+      .map { case (ip, rs) =>
+        val l = rs.last
+        ip -> ((l.getAs[Long]("clicks"), l.getAs[Long]("views"),
+          l.getAs[Long]("nCategories"), l.getAs[Boolean]("isBot"),
+          l.getAs[String]("reason")))
+      }
+  }
+
+  private def withRocksDB[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState is row-equal to flatMapGroupsWithState across the scenario matrix") {
+    val twoBursts = {
+      val early = Fixtures.requestsPerInterval("x", 600, intervalS = 100)
+      early ++ early.map(r => r.copy(time =
+        new java.sql.Timestamp(r.time.getTime + 1200L * 1000L)))
+    }
+    val scenarios: Seq[(String, Seq[LogRecord], Int)] = Seq(
+      ("requests", Fixtures.requestsPerInterval("bot", 1001) ++
+        Fixtures.requestsPerInterval("hum", 999), 1),
+      ("categories", Fixtures.categoriesPerInterval("bot", 30, 6) ++
+        Fixtures.categoriesPerInterval("hum", 30, 4), 1),
+      ("clicksviews", Fixtures.clicksToViewsPerInterval("bot", 70, 6) ++
+        Fixtures.clicksToViewsPerInterval("hum", 70, 4), 1),
+      ("multibatch", Fixtures.requestsPerInterval("bot", 1001), 3),
+      ("eviction", twoBursts, 2))
+    for ((nm, rows, batches) <- scenarios) {
+      val fm = runFullVerdicts(ds => TrackListState.verdicts(ds), rows, batches, s"xfm_$nm")
+      val tws = withRocksDB {
+        runFullVerdicts(ds => graft.streaming.TrackListProcessor.verdicts(ds),
+          rows, batches, s"xtws_$nm")
+      }
+      assert(tws === fm, s"scenario $nm: transformWithState diverged")
+      assert(fm.nonEmpty, s"scenario $nm produced no verdicts")
     }
   }
 
