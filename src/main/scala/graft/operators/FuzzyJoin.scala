@@ -38,13 +38,30 @@ object FuzzyJoin {
    * Self-join: pairs of rows whose strings are within Levenshtein
    * distance 1 (excluding self and symmetric duplicates — `id_a < id_b`).
    * Output: (id_a, id_b, s_a, s_b, dist).
+   *
+   * `maxKeyFreq` is the hot-key cap, mirroring `Dedup.maxDocFreq`: a
+   * variant key shared by more than `cap` rows contributes cnt² candidate
+   * pairs (a corpus with 10⁶ copies of one short name would emit 10¹²
+   * candidates). Dropping such keys bounds the join at the cost of losing
+   * pairs whose ONLY shared key is hot — in particular large groups of
+   * identical strings stop pairing among themselves. Cap-using callers
+   * should therefore not be oracle-compared (the shipped q_fuzzy_join
+   * entry runs uncapped).
    */
-  def selfJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  def selfJoin(df: DataFrame, idCol: String, strCol: String,
+      maxKeyFreq: Option[Int] = None): DataFrame = {
     // candidate pairs carry bare ids through the join+distinct (pairs from
     // different variant keys dedup BEFORE strings re-attach — the candidate
     // multiset is several× the distinct pair set, so shuffling ids instead
     // of ids+both strings cuts the dominant shuffle's width)
-    val keys = deletionKeys(df, idCol, strCol).select(col("id"), col("key"))
+    val keys0 = deletionKeys(df, idCol, strCol).select(col("id"), col("key"))
+    val keys = maxKeyFreq match {
+      case Some(cap) =>
+        val hot = keys0.groupBy(col("key")).agg(count(lit(1)).as("kf"))
+          .filter(col("kf") > cap).select(col("key"))
+        keys0.join(hot, Seq("key"), "left_anti")
+      case None => keys0
+    }
     val cand = keys.as("a").join(keys.as("b"), Seq("key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -48,6 +48,69 @@ object Ingest {
       col("ip").as("key"),
       to_json(struct(col("time"), col("categoryId"), col("action"))).as("value"))
 
+  /** Value-side schema of the keyed wire record (what [[toKeyedRecords]]
+   * serializes): the SMT chain strips ip out of the value into the key. */
+  val valueSchema: StructType = StructType(Seq(
+    StructField("time", LongType),
+    StructField("categoryId", StringType),
+    StructField("action", StringType)))
+
+  /** Inverse of [[toKeyedRecords]]: (key, value) records back to the wire
+   * frame. Accepts string OR binary key/value columns (Kafka delivers
+   * binary; the test queue delivers string) — the cast unifies them.
+   * Malformed values null out (PERMISSIVE from_json) and are dropped by the
+   * downstream parse filter, same contract as the file path. */
+  def fromKeyedRecords(kv: DataFrame): DataFrame =
+    kv.select(
+      col("key").cast("string").as("ip"),
+      from_json(col("value").cast("string"), valueSchema).as("v"))
+      .select(col("v.time").as("time"), col("v.categoryId").as("categoryId"),
+        col("ip"), col("v.action").as("action"))
+
+  /** S1/S2: the real Kafka wire source. Compiles against the stable
+   * string-based DataSource API; this offline environment ships no
+   * spark-sql-kafka jar (SURVEY §7), so the branch is untestable here but a
+   * drop-in on any cluster with the connector on the classpath — the
+   * returned frame is schema-identical to [[jsonDirStream]], so every
+   * downstream plan is unchanged. Mirrors the reference's subscription
+   * (`ImplStructured.scala:93-102`: subscribe one topic, value is the JSON
+   * wire record, key is ip after the SMT chain). */
+  def kafkaStream(spark: SparkSession, bootstrapServers: String, topic: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      // at-scale backpressure: bound each micro-batch like maxFilesPerTrigger
+      // bounds the file source
+    val bounded = maxOffsetsPerTrigger.fold(reader)(n =>
+      reader.option("maxOffsetsPerTrigger", n.toString))
+    fromKeyedRecords(bounded.load())
+  }
+
+  /**
+   * Config-switched wire source — prod adoption is a one-option change:
+   *   `source=files` (default): json-lines directory tail ([[jsonDirStream]])
+   *   `source=kafka`: real Kafka subscription ([[kafkaStream]];
+   *     requires `kafka.bootstrap.servers` + `topic`, optional
+   *     `startingOffsets`, `maxOffsetsPerTrigger`)
+   * Both branches return the same wire-frame schema.
+   */
+  def wireStream(spark: SparkSession, conf: Map[String, String]): DataFrame =
+    conf.getOrElse("source", "files") match {
+      case "kafka" =>
+        kafkaStream(spark,
+          conf("kafka.bootstrap.servers"), conf("topic"),
+          conf.getOrElse("startingOffsets", "latest"),
+          conf.get("maxOffsetsPerTrigger").map(_.toLong))
+      case "files" =>
+        jsonDirStream(spark, conf("dir"),
+          conf.get("maxFilesPerTrigger").map(_.toInt).getOrElse(100))
+      case other =>
+        throw new IllegalArgumentException(s"unknown wire source: $other")
+    }
+
   /**
    * S6 continuous parity: a deterministic synthetic clickstream from the
    * `rate-micro-batch` source (fixed rows per batch, fixed start timestamp —

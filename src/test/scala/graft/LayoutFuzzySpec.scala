@@ -120,6 +120,24 @@ class LayoutFuzzySpec extends AnyFunSuite {
     assert(ySpansZ.max < 32L, s"z-order files must bound y too: ${ySpansZ.toSeq}")
   }
 
+  test("maxKeyFreq caps hot-key blow-up; rare-name pairs survive") {
+    // 1000 identical names would emit ~500k candidate pairs uncapped — the
+    // cap drops the hot variant keys so the identical block contributes
+    // nothing, while distance-1 pairs among rare names are still found
+    // (their variant keys stay under the cap).
+    val hot = (0L until 1000L).map(i => (i, "smith"))
+    val rare = Seq((2000L, "kitten"), (2001L, "sitten"), (2002L, "unique"))
+    val df = (hot ++ rare).toDF("id", "s")
+    val capped = FuzzyJoin.selfJoin(df, "id", "s", maxKeyFreq = Some(10))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(capped === Set((2000L, 2001L)))
+    // uncapped on the rare subset alone agrees — the cap only removed
+    // hot-key pairs, it didn't change the underlying distance semantics
+    val uncappedRare = FuzzyJoin.selfJoin(rare.toDF("id", "s"), "id", "s")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(uncappedRare === Set((2000L, 2001L)))
+  }
+
   test("fuzzy join handles empty and single-char strings") {
     val df = Seq((0L, ""), (1L, "a"), (2L, "ab"), (3L, "b")).toDF("id", "s")
     val got = FuzzyJoin.selfJoin(df, "id", "s")

@@ -46,4 +46,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(!keyed.getString(1).contains("9.9.9.9")) // ip stripped from value
     assert(keyed.getString(1).contains("\"categoryId\":\"c1\""))
   }
+
+  test("fromKeyedRecords inverts toKeyedRecords, incl. Kafka's binary columns") {
+    import spark.implicits._
+    val evs = Seq(
+      BotGen.Event(1767225600L, "c1", "9.9.9.9", "click"),
+      BotGen.Event(1767225661L, "1007", "172.20.0.3", "view")).toDF(
+      "time", "categoryId", "ip", "action")
+    val back = Ingest.fromKeyedRecords(Ingest.toKeyedRecords(evs))
+    // from_json fields are nullable — compare names+types (the wire contract)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      evs.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.collect().toSeq === evs.collect().toSeq)
+    // Kafka delivers key/value as BINARY — the same projection must decode it
+    val binKv = Ingest.toKeyedRecords(evs)
+      .select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"))
+    assert(Ingest.fromKeyedRecords(binKv).collect().toSeq === evs.collect().toSeq)
+    // malformed value nulls out (PERMISSIVE), ready for the parse filter
+    val bad = Seq(("1.2.3.4", "not json")).toDF("key", "value")
+    val badRow = Ingest.fromKeyedRecords(bad).head()
+    assert(badRow.getString(2) === "1.2.3.4" && badRow.isNullAt(0) && badRow.isNullAt(3))
+  }
+
+  test("wireStream config switch: files branch streams the wire schema") {
+    val dir = java.nio.file.Files.createTempDirectory("wire-src").toString
+    BotGen.writeJsonDir(dir, BotGen.events(nUsers = 10, nBots = 1, durationS = 10), nFiles = 2)
+    val s = Ingest.wireStream(spark, Map("source" -> "files", "dir" -> dir))
+    assert(s.isStreaming && s.schema === Ingest.wireSchema)
+    intercept[IllegalArgumentException] {
+      Ingest.wireStream(spark, Map("source" -> "carrier-pigeon", "dir" -> dir))
+    }
+    // the kafka branch requires its connection options
+    intercept[NoSuchElementException] {
+      Ingest.wireStream(spark, Map("source" -> "kafka"))
+    }
+  }
 }
