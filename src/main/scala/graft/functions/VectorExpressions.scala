@@ -2,12 +2,13 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /**
  * Codegen'd float-vector dot product.
@@ -75,6 +76,126 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Codegen'd nearest-centroid argmax: the index (0-based, in the caller's
+ * centroid order) of the centroid with the greatest cosine to the input
+ * ARRAY<FLOAT> vector.
+ *
+ * Why an expression and not a `least()` of per-centroid structs: inlining K
+ * centroid dot-products as literal expression trees generates O(K·dim) Java
+ * source in ONE method — at K=128, dim=64 (a PQ codebook) Janino exceeds the
+ * JVM's 64 KB method bytecode limit (`CodeContext.makeSpace`), the
+ * whole-stage compile fails EXPENSIVELY (~seconds of churn per plan), and the
+ * stage falls back to interpreted eval. Here the matrix rides along as a
+ * reference object (`float[][]` + precomputed `double[]` norms) and the
+ * generated code is one tight fixed-size loop, independent of K.
+ *
+ * Ordering parity with the previous aggregate formulation (min over
+ * `struct(descCosKey, cell_id)`), assuming the caller passes centroids sorted
+ * by cell_id so index order == id order:
+ *   - key = -cosine; a NaN cosine or zero denominator maps to +∞ (a
+ *     degenerate vector/centroid must never be anyone's nearest match);
+ *   - strict `<` update keeps the FIRST (min-id) centroid on ties;
+ *   - all-NaN (or NULL input vector) rows resolve to index 0 = min cell_id,
+ *     exactly where the old NULL-sorts-first struct ordering landed them.
+ */
+case class NearestCentroidIndex(child: Expression,
+    centroids: Array[Array[Float]], norms: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_centroid_index"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) { val f = x.getFloat(i).toDouble; s += f * f; i += 1 }
+      val vnorm = math.sqrt(s)
+      var best = 0
+      var bestKey = Double.PositiveInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cv = centroids(c)
+        val m = math.min(n, cv.length)
+        var d = 0.0
+        var j = 0
+        while (j < m) { d += x.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+        val denom = vnorm * norms(c)
+        val key =
+          if (denom == 0d) Double.PositiveInfinity
+          else {
+            val cos = d / denom
+            if (java.lang.Double.isNaN(cos)) Double.PositiveInfinity else -cos
+          }
+        if (key < bestKey) { bestKey = key; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("nciCentroids", centroids, "float[][]")
+    val cnorms = ctx.addReferenceObj("nciNorms", norms, "double[]")
+    val childGen = child.genCode(ctx)
+    val (x, n, s, vnorm, best, bestKey, c, cv, m, d, j, denom, key) = (
+      ctx.freshName("nciX"), ctx.freshName("nciN"), ctx.freshName("nciS"),
+      ctx.freshName("nciVnorm"), ctx.freshName("nciBest"), ctx.freshName("nciBestKey"),
+      ctx.freshName("nciC"), ctx.freshName("nciCv"), ctx.freshName("nciM"),
+      ctx.freshName("nciD"), ctx.freshName("nciJ"), ctx.freshName("nciDenom"),
+      ctx.freshName("nciKey"))
+    val code =
+      code"""
+         |${childGen.code}
+         |int $best = 0;
+         |if (!${childGen.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $x = ${childGen.value};
+         |  int $n = $x.numElements();
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double nciF = (double) $x.getFloat($j);
+         |    $s += nciF * nciF;
+         |  }
+         |  double $vnorm = java.lang.Math.sqrt($s);
+         |  double $bestKey = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $cents.length; $c++) {
+         |    float[] $cv = $cents[$c];
+         |    int $m = java.lang.Math.min($n, $cv.length);
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      $d += (double) $x.getFloat($j) * (double) $cv[$j];
+         |    }
+         |    double $denom = $vnorm * $cnorms[$c];
+         |    double $key;
+         |    if ($denom == 0.0) { $key = Double.POSITIVE_INFINITY; }
+         |    else {
+         |      double nciCos = $d / $denom;
+         |      $key = Double.isNaN(nciCos) ? Double.POSITIVE_INFINITY : -nciCos;
+         |    }
+         |    if ($key < $bestKey) { $bestKey = $key; $best = $c; }
+         |  }
+         |}
+       """.stripMargin
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode.variable(best, IntegerType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidIndex =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Σ aᵢ·bᵢ in double precision over two ARRAY<FLOAT> columns (codegen'd). */
@@ -83,4 +204,11 @@ object VectorExpressions {
       Bridge.expression(a), Bridge.expression(b)))
 
   def floatNorm(a: Column): Column = sqrt(floatDot(a, a))
+
+  /** 0-based argmax-cosine centroid index for an ARRAY<FLOAT> column against
+   * a driver-held centroid matrix (see [[NearestCentroidIndex]] for the
+   * ordering contract). */
+  def nearestCentroidIndex(vec: Column,
+      centroids: Array[Array[Float]], norms: Array[Double]): Column =
+    Bridge.column(NearestCentroidIndex(Bridge.expression(vec), centroids, norms))
 }

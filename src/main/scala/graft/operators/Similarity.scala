@@ -148,44 +148,53 @@ object Similarity {
       math.sqrt(s))
   }
 
-  /** Map-side argmax over the collected centroids: `least()` of one
-   * `struct(descCosKey(cos), cell_id)` candidate per centroid — the same
-   * lexicographic ordering the previous `min_by` aggregate used (max cosine,
-   * NaN loses, min cell_id tie-break; an all-NULL-key row — NULL vector —
-   * falls through to the min cell_id, as struct ordering sorts NULL fields
-   * first, exactly like the aggregate did). One codegen'd projection per
-   * row; `vnorm` is computed once and shared, and each centroid costs one
-   * float dot plus scalar ops (its own norm is a driver-side constant). */
-  private def bestCellExpr(vec: Column, vnorm: Column, cents: Seq[CentroidLit]): Column = {
-    val candidates = cents.map { c =>
-      val denom = vnorm * lit(c.cnorm)
-      val cos = when(denom === 0d, lit(Double.NaN))
-        .otherwise(dot(vec, c.vecLit) / denom)
-      struct(descCosKey(cos).as("k"), c.idLit.as("cell_id"))
+  /** Collected centroid table, sorted by cell_id (Spark's own ordering, so
+   * the argmax index tie-break lands on the min id exactly like the old
+   * struct-least did): id literals in index order + the matrix/norms the
+   * codegen'd argmax loops over. */
+  private def centroidSet(rows: Seq[(Any, Array[Float])],
+      idType: DataType): (Seq[Column], Array[Array[Float]], Array[Double]) = {
+    val matrix = rows.map(_._2).toArray
+    val norms = matrix.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
     }
-    val best = if (candidates.length == 1) candidates.head else least(candidates: _*)
-    best.getField("cell_id")
+    val ids = rows.map(r => Bridge.column(Literal.create(r._1, idType)))
+    (ids, matrix, norms)
   }
+
+  private def collectedCentroids(centroids: DataFrame,
+      what: String): (Seq[Column], Array[Array[Float]], Array[Double]) = {
+    val idType = centroids.schema("cell_id").dataType
+    val rows = centroids.select(col("cell_id"), col("cvec"))
+      .orderBy(col("cell_id")).collect()
+    require(rows.nonEmpty, s"$what: empty centroid table")
+    centroidSet(rows.toSeq.map(r => (r.get(0), r.getSeq[Float](1).toArray)), idType)
+  }
+
+  /** Winning cell_id for one collected centroid set: the codegen'd argmax
+   * index ([[graft.functions.NearestCentroidIndex]] — one tight loop over a
+   * reference-object matrix, NOT K inlined dot trees, which blow the 64 KB
+   * method limit at codebook sizes and drop the stage to interpreted eval)
+   * mapped through the id literal array. */
+  private def bestCellExpr(vec: Column,
+      cents: (Seq[Column], Array[Array[Float]], Array[Double])): Column =
+    element_at(array(cents._1: _*),
+      graft.functions.VectorExpressions.nearestCentroidIndex(vec, cents._2, cents._3) + 1)
 
   /** Nearest-centroid assignment (shared by training and query/corpus
    * bucketing so tie-break and metric can never diverge): keeps the columns
    * of `in` plus the winning `cell_id`.
    *
    * The centroid table is bounded by construction (nCells × dim — config,
-   * not data), so it is collected to the driver and inlined as literals:
-   * assignment becomes a pure per-row projection with NO join, NO
-   * aggregate, NO exchange. At 100 TB this is the difference between a
-   * map-only encode and re-shuffling the corpus (with its vectors as
-   * payload) once per Lloyd round. */
-  def nearestCell(in: DataFrame, vecName: String, centroids: DataFrame): DataFrame = {
-    val idType = centroids.schema("cell_id").dataType
-    val cents = centroids.select(col("cell_id"), col("cvec")).collect()
-      .map(r => centroidLit(r.get(0), idType, r.getSeq[Float](1).toArray))
-    require(cents.nonEmpty, "nearestCell: empty centroid table")
-    in.withColumn("__graft_vnorm", norm(col(vecName)))
-      .withColumn("cell_id", bestCellExpr(col(vecName), col("__graft_vnorm"), cents.toSeq))
-      .drop("__graft_vnorm")
-  }
+   * not data), so it is collected to the driver and the assignment becomes a
+   * pure per-row projection with NO join, NO aggregate, NO exchange. At
+   * 100 TB this is the difference between a map-only encode and re-shuffling
+   * the corpus (with its vectors as payload) once per Lloyd round. */
+  def nearestCell(in: DataFrame, vecName: String, centroids: DataFrame): DataFrame =
+    in.withColumn("cell_id",
+      bestCellExpr(col(vecName), collectedCentroids(centroids, "nearestCell")))
 
   /**
    * Farthest-first (Gonzalez) seeding — the deterministic cousin of
@@ -320,24 +329,31 @@ object Similarity {
   /** Subspace-keyed twin of [[nearestCell]] (same metric and tie-break,
    * applied per `s`): the full codebook (subspaces × codes × subdim —
    * config-bounded) is collected and the per-subspace argmax dispatched with
-   * a `when(s === i, ...)` chain — still one map-side projection, no join.
+   * a `when(s === i, ...)` chain of per-subspace codegen'd argmax loops —
+   * still one map-side projection, no join, and the generated code grows
+   * with the SUBSPACE count only, never codes × dim.
    * A row whose `s` has no codebook entry gets a NULL cell_id (the old
    * inner join dropped it; unreachable — every subspace seeds ≥1 code). */
   private def nearestCellKeyed(in: DataFrame, centroids: DataFrame): DataFrame = {
     val idType = centroids.schema("cell_id").dataType
-    val bySub = centroids.select(col("s"), col("cell_id"), col("cvec")).collect()
-      .map(r => (r.getInt(0), centroidLit(r.get(1), idType, r.getSeq[Float](2).toArray)))
-      .groupBy(_._1).map { case (s, cs) => (s, cs.map(_._2).toSeq) }
-      .toSeq.sortBy(_._1)
-    require(bySub.nonEmpty, "nearestCellKeyed: empty codebook table")
-    val vn = col("__graft_vnorm")
+    // ONE collect, pre-sorted by Spark's own (s, cell_id) ordering — rows of
+    // equal s are consecutive, so per-subspace sets are sorted slices
+    val rows = centroids.select(col("s"), col("cell_id"), col("cvec"))
+      .orderBy(col("s"), col("cell_id")).collect()
+    require(rows.nonEmpty, "nearestCellKeyed: empty codebook table")
+    val bySub: Seq[(Int, (Seq[Column], Array[Array[Float]], Array[Double]))] =
+      rows.toSeq.map(r => (r.getInt(0), (r.get(1), r.getSeq[Float](2).toArray)))
+        .foldLeft(Vector.empty[(Int, Vector[(Any, Array[Float])])]) {
+          case (acc, (s, cv)) if acc.nonEmpty && acc.last._1 == s =>
+            acc.init :+ ((s, acc.last._2 :+ cv))
+          case (acc, (s, cv)) => acc :+ ((s, Vector(cv)))
+        }
+        .map { case (s, cs) => (s, centroidSet(cs, idType)) }
     val chain = bySub.tail.foldLeft(
-        when(col("s") === bySub.head._1, bestCellExpr(col("vec"), vn, bySub.head._2))) {
-      case (w, (s, cs)) => w.when(col("s") === s, bestCellExpr(col("vec"), vn, cs))
+        when(col("s") === bySub.head._1, bestCellExpr(col("vec"), bySub.head._2))) {
+      case (w, (s, cs)) => w.when(col("s") === s, bestCellExpr(col("vec"), cs))
     }
-    in.withColumn("__graft_vnorm", norm(col("vec")))
-      .withColumn("cell_id", chain)
-      .drop("__graft_vnorm")
+    in.withColumn("cell_id", chain)
   }
 
   /**
