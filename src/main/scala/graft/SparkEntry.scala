@@ -270,6 +270,36 @@ object SparkEntry {
         .select(col("doc_id"), col("n_paras"), col("text_dedup"), col("n_paras_kept"))
     }),
 
+    // Gopher-style repetition metrics (dup lines / dup 2-grams / top-2-gram
+    // share). Line structure is synthesized like text_dedup_paras ([head,
+    // text, head, footer] — guarantees nonzero duplication); the oracle
+    // recomputes grams as strings where the engine counts 64-bit gram
+    // hashes (identical unless two distinct grams collide).
+    "text_repetition" -> ((s, dir) => {
+      val head = substring(col("text"), 1, 40)
+      val structured = table(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", head, col("text"), head,
+          lit("footer boilerplate")).as("t"))
+      TextAnalysis.repetitionStats(structured, "doc_id", "t")
+    }),
+
+    // Flagship end-to-end curation pipeline — the composition a training-data
+    // run would execute as ONE query: exact-dedup to canonical docs
+    // (reusing Dedup.exact), quality + language gates, PII redaction, final
+    // projection. Each stage is individually oracle-backed elsewhere; this
+    // entry pins that the COMPOSITION holds together (aliases, nullability,
+    // filter order) against a single chained SQL oracle.
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val canon = docs.join(
+        Dedup.exact(docs, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id")), Seq("doc_id"))
+      TextAnalysis.withLangId(TextAnalysis.withQuality(canon))
+        .filter(col("n_tokens") >= 25 && col("lang_pred") === "en")
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          col("stop_ratio"), TextAnalysis.redact(col("text")).as("text_out"))
+    }),
+
     // Exact dedup: canonical doc per normalized-content fingerprint.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),
@@ -943,6 +973,35 @@ object SparkEntry {
           |  CAST(len(k) AS BIGINT) AS n_paras_kept
           |FROM kept""".stripMargin,
 
+      "text_repetition" ->
+        """WITH src AS (
+          |  SELECT doc_id, concat_ws(chr(10), substring(text, 1, 40), text,
+          |    substring(text, 1, 40), 'footer boilerplate') AS t
+          |  FROM documents),
+          |tt AS (
+          |  SELECT doc_id,
+          |    string_split(t, chr(10)) AS lines,
+          |    string_split_regex(trim(t), '[ \t\n\f\r]+') AS toks
+          |  FROM src),
+          |g AS (
+          |  SELECT doc_id, lines,
+          |    CASE WHEN len(toks) >= 2
+          |      THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+          |      ELSE [] END AS grams
+          |  FROM tt)
+          |SELECT doc_id,
+          |  CAST(len(lines) AS BIGINT) AS n_lines,
+          |  CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+          |  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) AS dup_line_ratio,
+          |  CAST(len(grams) AS BIGINT) AS n_2grams,
+          |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_2grams,
+          |  CASE WHEN len(grams) = 0 THEN NULL
+          |    ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) END AS dup_2gram_ratio,
+          |  CASE WHEN len(grams) = 0 THEN NULL
+          |    ELSE CAST(list_max(list_transform(list_distinct(grams),
+          |         x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) / len(grams) END AS top_2gram_share
+          |FROM g""".stripMargin,
+
       "dedup_exact" ->
         """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
           |       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
@@ -1000,6 +1059,8 @@ object SparkEntry {
            |FROM agg""".stripMargin,
 
       "text_langid" -> langIdOracle,
+
+      "pipeline_curate" -> pipelineCurateOracle,
 
       "embed_topk" ->
         s"""${cosineCtes("a.vec_id < 10 AND a.vec_id <> b.vec_id")}
@@ -1331,6 +1392,47 @@ object SparkEntry {
    * score whole tokens; zh scores marker-char occurrences. DuckDB's
    * max(struct(score, lang)) is lexicographic — same argmax + tie-break as
    * the engine's struct array_max. */
+  /** Chained oracle for the end-to-end curation pipeline: exact-dedup
+   * canonical (min doc_id per md5 fingerprint), quality + language gates,
+   * PII redaction — each sub-SQL identical to the standalone oracles. */
+  private def pipelineCurateOracle: String = {
+    val branches = TextAnalysis.langMarkers.keys.toSeq.sorted.map { lang =>
+      val ms = TextAnalysis.langMarkers(lang)
+      if (lang == "zh") {
+        val occ = ms.map(m =>
+          s"CAST((length(lowered) - length(replace(lowered, '$m', ''))) / ${m.length} AS BIGINT)")
+          .mkString(" + ")
+        s"SELECT doc_id, $occ AS s, '$lang' AS l FROM tok"
+      } else {
+        val list = ms.map(m => s"'$m'").mkString(",")
+        s"SELECT doc_id, CAST(len(list_filter(lts, x -> x IN ($list))) AS BIGINT) AS s, '$lang' AS l FROM tok"
+      }
+    }
+    s"""WITH fp AS (
+       |  SELECT doc_id, text,
+       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |canon AS (SELECT doc_id, text FROM fp
+       |          QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+       |tok AS (SELECT doc_id, text, lower(text) AS lowered,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS lts,
+       |  string_split_regex(trim(text), '\\s+') AS ts FROM canon),
+       |scored AS (SELECT doc_id, max(struct_pack(score := s, lang := l)) AS best
+       |           FROM (${branches.mkString(" UNION ALL ")}) GROUP BY doc_id),
+       |q AS (SELECT t.doc_id, t.text, s.best.lang AS lang_pred,
+       |        CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_filter(t.ts, x -> x IN ($stopwordList))) AS BIGINT) AS n_stopwords
+       |      FROM tok t JOIN scored s ON t.doc_id = s.doc_id)
+       |SELECT doc_id, lang_pred, n_tokens,
+       |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<ID>', 'g'),
+       |    '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS text_out
+       |FROM q
+       |WHERE n_tokens >= 25 AND lang_pred = 'en'""".stripMargin
+  }
+
   private def langIdOracle: String = {
     val branches = TextAnalysis.langMarkers.keys.toSeq.sorted.map { lang =>
       val ms = TextAnalysis.langMarkers(lang)

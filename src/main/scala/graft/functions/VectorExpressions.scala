@@ -196,6 +196,93 @@ case class NearestCentroidIndex(child: Expression,
     copy(child = newChild)
 }
 
+/**
+ * Codegen'd max-cosine against a driver-held centroid matrix — the
+ * [[NearestCentroidIndex]] companion for "how close is this vector to its
+ * nearest seed" (farthest-first seeding). Same compact-loop rationale.
+ *
+ * Ordering parity with the previous `greatest()` of per-seed cosines:
+ * Spark's `greatest` treats NaN as greater than any number, so ANY NaN
+ * cosine (zero-norm vector or seed) makes the result NaN — mirrored here by
+ * an early NaN return. NULL input vector → NULL (nullSafe), matching
+ * `greatest` over all-NULL candidates.
+ */
+case class MaxCosineSim(child: Expression,
+    centroids: Array[Array[Float]], norms: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val f = x.getFloat(i).toDouble; s += f * f; i += 1 }
+    val vnorm = math.sqrt(s)
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val m = math.min(n, cv.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) { d += x.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+      val denom = vnorm * norms(c)
+      val cos = if (denom == 0d) Double.NaN else d / denom
+      if (java.lang.Double.isNaN(cos)) return Double.NaN
+      if (cos > best) best = cos
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("mcsCentroids", centroids, "float[][]")
+    val cnorms = ctx.addReferenceObj("mcsNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val (n, s, vnorm, best, c, cv, m, d, j, denom, cos) = (
+        ctx.freshName("mcsN"), ctx.freshName("mcsS"), ctx.freshName("mcsVnorm"),
+        ctx.freshName("mcsBest"), ctx.freshName("mcsC"), ctx.freshName("mcsCv"),
+        ctx.freshName("mcsM"), ctx.freshName("mcsD"), ctx.freshName("mcsJ"),
+        ctx.freshName("mcsDenom"), ctx.freshName("mcsCos"))
+      s"""
+         |int $n = $x.numElements();
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  double mcsF = (double) $x.getFloat($j);
+         |  $s += mcsF * mcsF;
+         |}
+         |double $vnorm = java.lang.Math.sqrt($s);
+         |double $best = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  float[] $cv = $cents[$c];
+         |  int $m = java.lang.Math.min($n, $cv.length);
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $d += (double) $x.getFloat($j) * (double) $cv[$j];
+         |  }
+         |  double $denom = $vnorm * $cnorms[$c];
+         |  double $cos = ($denom == 0.0) ? Double.NaN : $d / $denom;
+         |  if (Double.isNaN($cos)) { $best = Double.NaN; break; }
+         |  if ($cos > $best) { $best = $cos; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaxCosineSim =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Σ aᵢ·bᵢ in double precision over two ARRAY<FLOAT> columns (codegen'd). */
@@ -211,4 +298,10 @@ object VectorExpressions {
   def nearestCentroidIndex(vec: Column,
       centroids: Array[Array[Float]], norms: Array[Double]): Column =
     Bridge.column(NearestCentroidIndex(Bridge.expression(vec), centroids, norms))
+
+  /** Max cosine of an ARRAY<FLOAT> column against a driver-held centroid
+   * matrix, NaN-wins (see [[MaxCosineSim]] for the ordering contract). */
+  def maxCosineSim(vec: Column,
+      centroids: Array[Array[Float]], norms: Array[Double]): Column =
+    Bridge.column(MaxCosineSim(Bridge.expression(vec), centroids, norms))
 }

@@ -115,38 +115,13 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
 
-  /** Ordering key for nearest-centroid argmax under `min_by`: negates the
-   * always-DoubleType cosine (never the id column, whose type is
-   * caller-chosen — negating a STRING id fails under ANSI). NaN (a
-   * zero-norm side) maps to +∞ so it LOSES: a degenerate vector/centroid
-   * must never be anyone's nearest match. Cosine of finite floats is finite
-   * or NaN — ±∞ cannot collide. Only when every candidate is NaN does the
-   * id tie-break pick one (deterministically, min id). */
-  private def descCosKey(cdist: Column): Column =
-    when(isnan(cdist), lit(Double.PositiveInfinity)).otherwise(-cdist)
-
-  /** Descending-cosine sort key for top-k ranking windows with the same
-   * NaN-loses rule: Spark sorts NaN above every double, so a raw
-   * `cos.desc` would silently rank a zero-norm corpus vector #1 for every
-   * query — demote NaN to -∞ instead. */
+  /** Descending-cosine sort key for top-k ranking windows with the
+   * NaN-loses rule (the assignment-side twin lives inside the codegen'd
+   * [[graft.functions.NearestCentroidIndex]]): Spark sorts NaN above every
+   * double, so a raw `cos.desc` would silently rank a zero-norm corpus
+   * vector #1 for every query — demote NaN to -∞ instead. */
   private def cosRankKey(c: Column): Column =
     when(isnan(c), lit(Double.NegativeInfinity)).otherwise(c)
-
-  /** One collected centroid, ready to inline into a projection: the id as a
-   * typed literal (preserves STRING/BIGINT/... cell ids exactly), the vector
-   * as an ARRAY<FLOAT> literal (the codegen'd float dot reads it in place),
-   * and its norm precomputed once on the driver. */
-  private case class CentroidLit(idLit: Column, vecLit: Column, cnorm: Double)
-
-  private def centroidLit(id: Any, idType: DataType, v: Array[Float]): CentroidLit = {
-    var s = 0.0
-    var i = 0
-    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-    CentroidLit(
-      Bridge.column(Literal.create(id, idType)),
-      Bridge.column(Literal.create(v, ArrayType(FloatType, containsNull = false))),
-      math.sqrt(s))
-  }
 
   /** Collected centroid table, sorted by cell_id (Spark's own ordering, so
    * the argmax index tie-break lands on the min id exactly like the old
@@ -218,10 +193,12 @@ object Similarity {
       s"seedFarthestFirst: hash sample is empty (sampleMod=$sampleMod too coarse?)")
     val idType = sample.schema("cand_id").dataType
     // Seeds live on the driver (≤ nCells rows — config-bounded, never data):
-    // each round scores the sample against them MAP-SIDE (greatest over the
-    // inlined seed cosines — same NaN-is-greatest ordering as the old
-    // per-pair max() aggregate) and reduces to one winner with a single
-    // min_by — no per-round sample join/shuffle/cache churn.
+    // each round scores the sample against them MAP-SIDE with the codegen'd
+    // max-cosine loop (NaN-is-greatest, same ordering as the old per-pair
+    // max() aggregate; a reference-object matrix, not inlined literals — a
+    // greatest() chain over k seed dot trees re-creates the 64 KB-method
+    // codegen cliff at large nCells) and reduces to one winner with a
+    // single min_by — no per-round sample join/shuffle/cache churn.
     val first0 = sample
       .select(min_by(struct(col("cand_id"), col("cand_vec")), col("cand_id")).as("s"))
       .select(col("s.cand_id"), col("s.cand_vec")).head()
@@ -230,20 +207,19 @@ object Similarity {
     var exhausted = false
     (1 until nCells).foreach { _ =>
       if (!exhausted) {
-        val seedLits = seeds.map { case (id, v) => centroidLit(id, idType, v) }
-        val vn = col("__graft_vnorm")
-        val sims = seedLits.map { c =>
-          val denom = vn * lit(c.cnorm)
-          when(denom === 0d, lit(Double.NaN)).otherwise(dot(col("cand_vec"), c.vecLit) / denom)
+        val seedMat = seeds.map(_._2).toArray
+        val seedNorms = seedMat.map { v =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(s)
         }
-        val nearestSim = if (sims.length == 1) sims.head else greatest(sims.toSeq: _*)
         // farthest point among candidates NOT already chosen: minimize
         // (similarity to nearest seed, id). The exclusion stops a
         // smaller-than-nCells sample from re-electing the same candidate.
         val next = sample
           .filter(!col("cand_id").isin(seeds.toSeq.map(_._1): _*))
-          .withColumn("__graft_vnorm", norm(col("cand_vec")))
-          .withColumn("nearest_sim", nearestSim)
+          .withColumn("nearest_sim", graft.functions.VectorExpressions
+            .maxCosineSim(col("cand_vec"), seedMat, seedNorms))
           .select(min_by(struct(col("cand_id"), col("cand_vec")),
             struct(col("nearest_sim"), col("cand_id"))).as("s"))
           .select(col("s.cand_id"), col("s.cand_vec"))

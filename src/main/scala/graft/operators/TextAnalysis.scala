@@ -169,6 +169,55 @@ object TextAnalysis {
       .withColumn("n_paras_kept", size(kept).cast("long"))
   }
 
+  // ------------------------------------------------- repetition metrics
+
+  /**
+   * Gopher-style within-document repetition metrics (Rae et al. 2021,
+   * "Scaling Language Models: Methods, Analysis & Insights from Training
+   * Gopher", §A1.1 repetition filters): highly repetitive documents
+   * (boilerplate, scraped menus, SEO spam) are poor training text and are
+   * filtered on duplicate-line and duplicate-n-gram fractions.
+   *
+   *   - `n_lines` / `n_dup_lines` / `dup_line_ratio`: newline-split lines
+   *     that are exact repeats of an earlier line;
+   *   - `n_2grams` / `n_distinct_2grams` / `dup_2gram_ratio`: word 2-grams
+   *     occurring more than once (1 − distinct/total);
+   *   - `top_2gram_share`: the most frequent 2-gram's share of all 2-grams.
+   *
+   * Scale shape: line metrics are a pure map-side projection; 2-gram counts
+   * explode the one-pass 64-bit [[graft.functions.HashExpressions
+   * .wordShingleHashes]] (narrow shuffle rows — (id, long), never gram
+   * strings) through two keyed aggregates. Everything is codegen'd; nothing
+   * is per-doc quadratic, so a pathological 1 GB document costs O(tokens)
+   * like any other. The DuckDB oracle recomputes the grams as strings —
+   * identical counts unless two distinct grams collide in 64 bits.
+   */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val base = df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).cast("long").as("n_dup_lines"))
+    val counts = df.select(col(idCol),
+        explode(graft.functions.HashExpressions.wordShingleHashes(col(textCol), 2)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+    val gramAgg = counts.groupBy(col(idCol)).agg(
+      sum(col("cnt")).as("n_2grams"),
+      count(lit(1)).as("n_distinct_2grams"),
+      max(col("cnt")).as("top_cnt"))
+    base.join(gramAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
+        (col("n_dup_lines").cast("double") / col("n_lines")).as("dup_line_ratio"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("n_distinct_2grams"), lit(0L)).as("n_distinct_2grams"),
+        when(col("n_2grams").isNull, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams"))
+          .as("dup_2gram_ratio"),
+        when(col("n_2grams").isNull, lit(null).cast("double"))
+          .otherwise(col("top_cnt").cast("double") / col("n_2grams"))
+          .as("top_2gram_share"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
    * md5 is bit-identical across engines (unlike xxhash64/DuckDB hash), so
    * it doubles as the exact-dedup key the oracle can recompute. */

@@ -126,6 +126,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(4L) === ((4L, "x", 1L)))
   }
 
+  test("repetition metrics: dup lines, dup 2-grams, top-2-gram share") {
+    import spark.implicits._
+    val df = Seq(
+      // 4 lines, "menu" twice → 1 dup line; 2-grams of "a b a b a b":
+      // [a b, b a, a b, b a, a b] = 5 total, 2 distinct, top "a b"×3
+      (1L, "menu\na b a b a b\nmenu\nend"),
+      // all unique: 1 line, grams [u v, v w] distinct
+      (2L, "u v w"),
+      // single token: no 2-grams → NULL ratios, n_2grams = 0
+      (3L, "alone"),
+      // empty text: split("") = [""] → one line, zero dups
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 4L && r1.getLong(2) === 1L) // n_lines, n_dup_lines
+    assert(r1.getDouble(3) === 0.25)
+    assert(r1.getLong(4) === 8L)  // menu,a  a,b  b,a  a,b  b,a  a,b  b,menu  menu,end
+    assert(r1.getLong(5) === 5L)  // distinct: menu-a ab ba b-menu menu-end
+    assert(r1.getDouble(6) === 1.0 - 5.0 / 8.0)
+    assert(r1.getDouble(7) === 3.0 / 8.0) // "a b" ×3
+    val r2 = out(2L)
+    assert(r2.getLong(4) === 2L && r2.getLong(5) === 2L)
+    assert(r2.getDouble(6) === 0.0 && r2.getDouble(7) === 0.5)
+    val r3 = out(3L)
+    assert(r3.getLong(4) === 0L && r3.isNullAt(6) && r3.isNullAt(7))
+    val r4 = out(4L)
+    assert(r4.getLong(1) === 1L && r4.getLong(2) === 0L && r4.getLong(4) === 0L)
+  }
+
   test("bpeish tokens drop tab/newline whitespace, matching the RE2 token class") {
     import spark.implicits._
     val df = Seq(("a\tb", 1), ("a\nb c!", 2)).toDF("text", "id")
