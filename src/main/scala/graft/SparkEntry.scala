@@ -300,6 +300,27 @@ object SparkEntry {
           col("stop_ratio"), TextAnalysis.redact(col("text")).as("text_out"))
     }),
 
+    // Benchmark decontamination: training docs (doc_id % 50 ≠ 0) sharing
+    // any word 3-gram with the eval split (doc_id % 50 = 0); the eval
+    // shingle set broadcasts, the corpus never shuffles its text.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 3)
+    }),
+
+    // Token-budget data mixing: per language, admit docs in deterministic
+    // md5 order until 2000 tokens — the sampling step that builds a
+    // fixed-size training mix from an arbitrarily large corpus.
+    "pipeline_mix" -> ((s, dir) => {
+      val withTok = table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      operators.Sampling.tokenBudgetMix(withTok,
+        col("doc_id"), col("lang"), col("n_tokens"), budget = 2000L)
+    }),
+
     // Exact dedup: canonical doc per normalized-content fingerprint.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),
@@ -1061,6 +1082,25 @@ object SparkEntry {
       "text_langid" -> langIdOracle,
 
       "pipeline_curate" -> pipelineCurateOracle,
+
+      "q_decontaminate" ->
+        s"""${shingleCtes()},
+           |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+           |FROM sh JOIN ev USING (shingle)
+           |WHERE doc_id % 50 <> 0
+           |GROUP BY 1""".stripMargin,
+
+      "pipeline_mix" ->
+        """WITH t AS (SELECT doc_id, lang,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          |    md5(CAST(doc_id AS VARCHAR)) AS hk
+          |  FROM documents),
+          |c AS (SELECT doc_id, lang, n_tokens,
+          |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          |  FROM t)
+          |SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000""".stripMargin,
 
       "embed_topk" ->
         s"""${cosineCtes("a.vec_id < 10 AND a.vec_id <> b.vec_id")}

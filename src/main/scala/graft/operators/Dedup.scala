@@ -45,6 +45,31 @@ object Dedup {
       .select(col("doc_id"), explode(col("shashes")).as("shash"))
 
   /**
+   * Benchmark decontamination: flag training documents sharing ≥1 word
+   * n-gram with an evaluation set (the standard train/test-overlap check —
+   * GPT-3 appendix C / PaLM-style 13-gram decontamination; `n` is the
+   * caller's overlap window). Output: (doc_id, n_shared) per CONTAMINATED
+   * training doc — the count of distinct shingles it shares with any eval
+   * doc; clean docs don't appear (semi-join shape, callers anti-join to
+   * drop flagged docs).
+   *
+   * Scale: the eval set is small by construction (benchmarks, not corpora),
+   * so its distinct shingle hashes BROADCAST — the check is a map-side
+   * hash-probe over the training corpus's shingle stream plus one keyed
+   * count; the corpus never shuffles its text, only flagged (id, hash)
+   * pairs.
+   */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val evalSh = shingleHashRows(eval, idCol, textCol, n)
+      .select(col("shash")).distinct()
+    shingleHashRows(train, idCol, textCol, n)
+      .join(broadcast(evalSh), Seq("shash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
    * Distributed as an inverted-index self-join on the shingle — the standard
    * scalable exact algorithm: |A∩B| from the join, |A|,|B| from per-doc

@@ -39,4 +39,34 @@ object Sampling {
     }
     df.filter(hexKey(keyCol) < thresholdCol)
   }
+
+  /**
+   * Token-budget stratified mix (the "data mixing" step of a training run):
+   * within each stratum (language, source, domain), admit rows in the
+   * deterministic md5-hash order until the stratum's cumulative weight
+   * (token count) reaches `budget` — every stratum contributes at most
+   * `budget` tokens, and the SAME rows are chosen on any partitioning or
+   * engine (the order key is the same md5 the hash sample uses, so nested
+   * budgets select nested prefixes).
+   *
+   * One shuffle (the per-stratum window); the running sum is a single
+   * ascending-order pass — no iteration, no driver loop. Emits
+   * `cum_tokens` (inclusive) alongside the kept rows.
+   *
+   * Semantics are PREFIX-TRUNCATION: the kept set is the longest hash-order
+   * prefix whose total weight fits the budget. A row too large to fit still
+   * occupies its position in the prefix (its weight counts toward the
+   * running sum), so it blocks later rows in its stratum rather than being
+   * skipped around — by design, as skipping would make the selection
+   * depend on every earlier row's weight individually rather than on the
+   * prefix sum (and would need an iterative pass, not one window).
+   */
+  def tokenBudgetMix(df: DataFrame, keyCol: Column, strataCol: Column,
+      weightCol: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(hexKey(keyCol), keyCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(weightCol).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

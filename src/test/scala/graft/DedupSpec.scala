@@ -27,6 +27,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count(_._2 == 1L) === 3)      // d2, d4, d5 unique
   }
 
+  test("contamination flags train docs sharing n-grams with the eval set") {
+    val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares "the quick brown", "quick brown fox", "brown fox jumps"
+      (1L, base),
+      (2L, "nothing in common with anything here"),
+      // shares exactly one 3-gram: "fox jumps high"
+      (3L, "watch the red fox jumps high today")).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(out === Map(1L -> 3L, 3L -> 1L)) // clean doc 2 absent
+  }
+
   test("exact dedup is whitespace/case insensitive via normalization") {
     val messy = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, " HELLO\tWORLD ")).toDF("doc_id", "text")
     val out = Dedup.exact(messy, "doc_id", "text").collect()

@@ -30,6 +30,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.nonEmpty && small.subsetOf(big))
   }
 
+  test("tokenBudgetMix admits a deterministic per-stratum prefix under budget") {
+    import org.apache.spark.sql.SparkSession
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L + i % 7))
+      .toDF("doc_id", "lang", "n_tokens")
+    val out = Sampling.tokenBudgetMix(docs, col("doc_id"), col("lang"),
+      col("n_tokens"), budget = 100L)
+    val rows = out.collect()
+    // every stratum stays within budget and cum_tokens is consistent
+    val byLang = rows.groupBy(_.getString(1))
+    assert(byLang.keySet === Set("en", "de"))
+    byLang.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_tokens")).sum <= 100L)
+      assert(rs.map(_.getAs[Long]("cum_tokens")).max <= 100L)
+    }
+    // determinism across partitionings (the hash-order property)
+    val repart = Sampling.tokenBudgetMix(docs.repartition(13, col("doc_id")),
+      col("doc_id"), col("lang"), col("n_tokens"), budget = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart === rows.map(_.getLong(0)).toSet)
+    // nested budgets: a smaller budget's pick is a prefix-subset
+    val small = Sampling.tokenBudgetMix(docs, col("doc_id"), col("lang"),
+      col("n_tokens"), budget = 50L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.nonEmpty && small.subsetOf(rows.map(_.getLong(0)).toSet))
+    // a row larger than the whole budget can never be admitted
+    val big = Seq((1000L, "fr", 999L), (1001L, "fr", 5L)).toDF("doc_id", "lang", "n_tokens")
+    val fr = Sampling.tokenBudgetMix(big, col("doc_id"), col("lang"),
+      col("n_tokens"), budget = 100L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!fr.contains(1000L))
+  }
+
   test("stratified thresholds apply per stratum") {
     val out = Sampling.stratifiedHashSample(events, col("event_id"),
         col("event_type"), Map("click" -> "80"), defaultThreshold = "08")
