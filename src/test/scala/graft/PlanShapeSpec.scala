@@ -83,6 +83,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOccurrences(p, "Scan parquet .*") <= 1, "one pass over the corpus")
   }
 
+  test("decontamination broadcasts the eval shingle set; corpus never sort-merges") {
+    val p = planOf("q_decontaminate")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 1, p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "the eval side is small by construction and must broadcast")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("token-budget mix is one stratum window over a pruned scan") {
+    val p = planOf("pipeline_mix")
+    // exactly one exchange: the per-stratum window partitioning
+    assert(countOccurrences(p, "Exchange") === 1, p.take(400))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      "scan must prune to the three used columns")
+  }
+
   test("rolling range-frame window shuffles once on the user key") {
     val p = planOf("q_rolling_window")
     assert(p.contains("RangeFrame") || p.contains("RANGE"),
