@@ -621,6 +621,19 @@ object SparkEntry {
     // Pivot breadth: per-day event-type counts as columns (explicit pivot
     // values keep the schema static — mandatory for a streaming-safe and
     // oracle-comparable shape).
+    // UNPIVOT (stack): wide measure columns to (measure, value) rows, then
+    // per-measure profile. The inverse of q_pivot — completes the
+    // reshape surface. Sums/avgs rounded per the oracle convention
+    // (parallel double reduction order differs from DuckDB's sequential).
+    "q_unpivot" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .selectExpr("stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
+          "'discount', l_discount, 'tax', l_tax) as (measure, value)")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))),
+
     "q_pivot" -> ((s, dir) =>
       table(s, dir, "events")
         .withColumn("day_s", floor(col("ts").cast("long") / 86400L).cast("long") * 86400L)
@@ -1244,6 +1257,17 @@ object SparkEntry {
           |WHERE NOT EXISTS (SELECT 1 FROM orders o
           |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
           |GROUP BY 1""".stripMargin,
+
+      "q_unpivot" ->
+        """WITH u AS (
+          |  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+          |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+          |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+          |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+          |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value,
+          |  min(value) AS min_value, max(value) AS max_value
+          |FROM u GROUP BY 1""".stripMargin,
 
       "q_pivot" ->
         """SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS day_s,

@@ -60,14 +60,23 @@ object Dedup {
    * pairs.
    */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
-    val evalSh = shingleHashRows(eval, idCol, textCol, n)
-      .select(col("shash")).distinct()
+      textCol: String, n: Int): DataFrame =
+    contaminationFromShingles(train,
+      evalShingles(eval, idCol, textCol, n), idCol, textCol, n)
+
+  /** The eval set's distinct shingle hashes — precompute + materialize once
+   * when checking MANY batches against the same benchmark set (the
+   * streaming gate), instead of rescanning the eval docs per batch. */
+  def evalShingles(eval: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleHashRows(eval, idCol, textCol, n).select(col("shash")).distinct()
+
+  /** [[contamination]] against an already-computed eval shingle set. */
+  def contaminationFromShingles(train: DataFrame, evalSh: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
     shingleHashRows(train, idCol, textCol, n)
       .join(broadcast(evalSh), Seq("shash"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
-  }
 
   /**
    * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.

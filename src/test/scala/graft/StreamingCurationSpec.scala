@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingCuration
+
+class StreamingCurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("contamination gate splits clean vs flagged across micro-batches") {
+    import spark.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val (cleanDir, qDir, ckpt) = (tmp("cur-clean"), tmp("cur-q"), tmp("cur-ckpt"))
+
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingCuration.startContaminationGate(
+      docs, eval, cleanDir, qDir, ckpt, n = 3)
+    try {
+      // batch 1: one contaminated (3 shared 3-grams), one clean
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "nothing in common with anything at all"))
+      q.processAllAvailable()
+      // batch 2: one more contaminated (1 shared), one clean — the eval
+      // shingle set is reused, not recomputed
+      input.addData(
+        (3L, "watch the red fox jumps high today"),
+        (4L, "completely unrelated content again"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val clean = spark.read.parquet(cleanDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(2L, 4L))
+    val quarantined = spark.read.parquet(qDir)
+      .select("doc_id", "n_shared").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(quarantined === Map(1L -> 3L, 3L -> 1L))
+    // quarantine keeps the text for audit
+    assert(spark.read.parquet(qDir).columns.toSet === Set("doc_id", "text", "n_shared"))
+  }
+}
