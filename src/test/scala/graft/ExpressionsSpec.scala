@@ -27,6 +27,74 @@ class ExpressionsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("nearest_centroid_index matches a pure-Scala reference incl. NaN/zero/null") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centroids = Array.fill(10)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    centroids(3) = Array.fill(dim)(0f) // zero-norm centroid must never win
+    val norms = centroids.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+    def reference(v: Option[Seq[Float]]): Int = v match {
+      case None => 0
+      case Some(x) =>
+        val vn = math.sqrt(x.map(f => f.toDouble * f).sum)
+        val keys = centroids.indices.map { c =>
+          val m = math.min(x.length, centroids(c).length)
+          val d = (0 until m).map(j => x(j).toDouble * centroids(c)(j)).sum
+          val denom = vn * norms(c)
+          if (denom == 0d) Double.PositiveInfinity
+          else { val cos = d / denom; if (cos.isNaN) Double.PositiveInfinity else -cos }
+        }
+        keys.zipWithIndex.minBy { case (k, i) => (k, i) }._2
+    }
+    val vecs: Seq[Option[Seq[Float]]] =
+      Seq.fill(100)(Some(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))) ++ Seq(
+        Some(Seq.fill(dim)(0f)),              // zero-norm input: all-NaN → index 0
+        Some(Seq(Float.NaN) ++ Seq.fill(dim - 1)(1f)), // NaN element
+        Some(Seq.empty[Float]),               // empty array
+        Some(Seq(1f, 2f)),                    // shorter than centroids
+        None)                                 // null vector → index 0
+    val out = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), VectorExpressions.nearestCentroidIndex(col("v"), centroids, norms).as("idx"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(out(i.toLong) === reference(v), s"vector $i: $v")
+    }
+  }
+
+  test("max_cosine_sim matches greatest-of-cosines semantics incl. NaN-wins") {
+    val rnd = new scala.util.Random(12)
+    val dim = 8
+    val seeds = Array.fill(5)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val norms = seeds.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+    def reference(x: Seq[Float]): Double = {
+      val vn = math.sqrt(x.map(f => f.toDouble * f).sum)
+      val sims = seeds.indices.map { c =>
+        val m = math.min(x.length, seeds(c).length)
+        val d = (0 until m).map(j => x(j).toDouble * seeds(c)(j)).sum
+        val denom = vn * norms(c)
+        if (denom == 0d) Double.NaN else d / denom
+      }
+      if (sims.exists(_.isNaN)) Double.NaN else sims.max
+    }
+    val vecs = Seq.fill(50)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1)) ++
+      Seq(Seq.fill(dim)(0f), Seq.empty[Float])
+    val out = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), VectorExpressions.maxCosineSim(col("v"), seeds, norms).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val exp = reference(v)
+      val got = out(i.toLong)
+      assert((exp.isNaN && got.isNaN) || exp === got, s"vector $i")
+    }
+    // null input → null result (greatest over all-null parity)
+    val nullRow = Seq((0L, Option.empty[Seq[Float]])).toDF("id", "v")
+      .select(VectorExpressions.maxCosineSim(col("v"), seeds, norms).as("s"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("float_dot handles length mismatch and empty arrays") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(10.0f, 20.0f)), (Seq.empty[Float], Seq(1.0f)))
       .toDF("a", "b")
