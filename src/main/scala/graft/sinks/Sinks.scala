@@ -62,6 +62,54 @@ object Sinks {
     verdicts.writeStream.outputMode("update").format("console").start()
 
   /**
+   * K1/K2 prod branch: per-batch writer to any DataSource-registered
+   * external store. The Cassandra connector (`org.apache.spark.sql
+   * .cassandra`, options keyspace/table + `spark.cassandra.output.*` for
+   * ifNotExists/TTL) and the Ignite writer (`ignite`) plug in by FORMAT
+   * NAME, resolved at runtime from the classpath — so this branch compiles
+   * and is testable offline (any present format, e.g. parquet, stands in)
+   * and becomes the real wire sink on a cluster shipping the connector
+   * jar. Only the per-batch writer differs from the parquet sink; the
+   * streaming plan, trigger, and checkpointing are identical.
+   */
+  def externalAppend(format: String, options: Map[String, String])(
+      batch: DataFrame, batchId: Long): Unit =
+    stamped(batch, batchId).write.format(format).options(options)
+      .mode("append").save()
+
+  def startExternalSink(verdicts: DataFrame, format: String,
+      options: Map[String, String], checkpoint: String,
+      triggerInterval: String = "40 seconds"): StreamingQuery =
+    verdicts.writeStream
+      .outputMode("update")
+      .foreachBatch(externalAppend(format, options) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+
+  /**
+   * Config-switched verdict sink (the sink-side mirror of
+   * `Ingest.wireStream`): `sink=parquet` (default) | `console` |
+   * `external` (requires `format`; connector options are passed through
+   * from `option.`-prefixed keys, e.g. `option.keyspace=fraud_detector`).
+   * Prod parquet→Cassandra is a config change, not a code change.
+   */
+  def verdictSink(verdicts: DataFrame, conf: Map[String, String]): StreamingQuery =
+    conf.getOrElse("sink", "parquet") match {
+      case "parquet" =>
+        startParquetSink(verdicts, conf("path"), conf("checkpoint"),
+          conf.getOrElse("trigger", "40 seconds"))
+      case "console" => startConsoleSink(verdicts)
+      case "external" =>
+        startExternalSink(verdicts, conf("format"),
+          conf.collect { case (k, v) if k.startsWith("option.") =>
+            k.stripPrefix("option.") -> v },
+          conf("checkpoint"), conf.getOrElse("trigger", "40 seconds"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown verdict sink: $other")
+    }
+
+  /**
    * K3/K4 parity: raw-event mirror to a keyed store with expiry — the
    * reference side-outputs every LogRecord to an Ignite cache keyed
    * (ip, time) with a 1-minute expiry (`ImplStructured.scala:43-60`,

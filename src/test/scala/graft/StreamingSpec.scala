@@ -45,6 +45,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("config-switched verdict sink: external branch writes via a runtime format") {
+    import spark.implicits._
+    val input = MemoryStream[LogRecord](spark)
+    input.addData(Fixtures.requestsPerInterval("bot", 1001))
+    val verdicts = StreamingBotDetection.verdictStream(
+      input.toDS().toDF(), BotDetection.referenceWindowing, BotConfig())
+    // `external` resolves the writer by FORMAT NAME at runtime — parquet
+    // stands in offline for the Cassandra/Ignite connectors a cluster ships
+    val out = tmp("ext-sink")
+    val q = Sinks.verdictSink(verdicts, Map(
+      "sink" -> "external", "format" -> "parquet",
+      "option.path" -> out, "checkpoint" -> tmp("ext-ckpt"),
+      "trigger" -> "1 seconds"))
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() > 0)
+    assert(rows.columns.contains("batch_id"), "external writes are batch-stamped")
+    intercept[IllegalArgumentException] {
+      Sinks.verdictSink(verdicts, Map("sink" -> "carrier-pigeon"))
+    }
+  }
+
   test("json-dir file source end-to-end: botgen traffic, bots flagged, users not") {
     val dir = tmp("botgen")
     // 600 s of traffic: each bot does 300 actions (75% clicks, 20 cats) →
