@@ -32,6 +32,33 @@ class StreamJoinsSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L, 100L)))
   }
 
+  test("left-outer join: unmatched clicks null-pad only after the watermark passes") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val joined = StreamJoins.clickToPurchaseOuter(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type"), horizon = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("sjo_out")
+      .outputMode("append").start()
+    def rows() = spark.table("sjo_out").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    try {
+      input.addData(fixture: _*)
+      q.processAllAvailable()
+      // matched row can emit now; the unmatched click (user 3) CANNOT —
+      // the watermark hasn't proven its horizon empty yet
+      assert(rows() === Set((1L, 2L)))
+      // push the watermark past click+horizon+lateness → null-padded row
+      input.addData((99L, ts(100000), 9L, "click"))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, 2L), (5L, -1L)))
+    } finally q.stop()
+    // batch replay of the same plan: same rows, no trailing delay (the
+    // late sentinel click 99 is itself unmatched in batch)
+    val batch = StreamJoins.clickToPurchaseOuter(
+        asDf(fixture :+ ((99L, ts(100000), 9L, "click"))), horizon = "1 hour")
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(batch === Set((1L, 2L), (5L, -1L), (99L, -1L)))
+  }
+
   test("stream-stream interval join equals the batch run") {
     val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
     val joined = StreamJoins.clickToPurchase(
