@@ -321,6 +321,12 @@ object SparkEntry {
         col("doc_id"), col("lang"), col("n_tokens"), budget = 2000L)
     }),
 
+    // Perplexity-proxy quality score: corpus-trained character-trigram
+    // unigram model, per-doc mean log-likelihood (CCNet-style, self-
+    // trained — no external model artifact).
+    "text_trigram_ll" -> ((s, dir) =>
+      TextAnalysis.trigramLogLikelihood(table(s, dir, "documents"))),
+
     // Exact dedup: canonical doc per normalized-content fingerprint.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),
@@ -1095,6 +1101,18 @@ object SparkEntry {
       "text_langid" -> langIdOracle,
 
       "pipeline_curate" -> pipelineCurateOracle,
+
+      "text_trigram_ll" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |    unnest([substring(text, i, 3) FOR i IN range(1, greatest(len(text) - 2, 0) + 1)]) AS g
+          |  FROM documents),
+          |model AS (SELECT g, count(*) AS cnt FROM g GROUP BY 1),
+          |tot AS (SELECT sum(cnt) AS total FROM model)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+          |  round(avg(ln(cnt) - ln(total)), 4) AS avg_logp
+          |FROM g JOIN model USING (g) CROSS JOIN tot
+          |GROUP BY doc_id""".stripMargin,
 
       "q_decontaminate" ->
         s"""${shingleCtes()},

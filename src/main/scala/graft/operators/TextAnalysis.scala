@@ -218,6 +218,48 @@ object TextAnalysis {
           .as("top_2gram_share"))
   }
 
+  // ------------------------------------- perplexity-proxy quality scoring
+
+  /** Character trigrams of a text column (positions 1..len-2, 1-based).
+   * Interpreted HOF — acceptable for the model-building pass and the
+   * sf-scale scorer; a 100 TB deployment would lift this into a codegen'd
+   * expression beside [[graft.functions.WordShingleHashes]] (same shape,
+   * char window instead of word window). */
+  def charTrigrams(text: Column): Column =
+    // the >= 3 guard matters: sequence(1, 0) is DESCENDING in Spark
+    // ([1, 0]), which would fabricate sub-3-char "trigrams" on short docs
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2), i => text.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * Perplexity-proxy quality score without an external model (the CCNet
+   * idea, self-trained): fit a character-trigram unigram model on the
+   * corpus ITSELF (count / total), then score each document by its mean
+   * trigram log-likelihood. Documents full of rare character sequences
+   * (mojibake, binary spill, exotic boilerplate) score far below the
+   * corpus norm; fluent text sits near it. Two relational passes — a
+   * count aggregate (the "training"), then a trigram→model join + per-doc
+   * mean — no model artifact, no UDF, fully oracle-expressible.
+   *
+   * Scale: shuffle carries (doc_id, 3-char gram) and the model table is
+   * |distinct trigrams| (≤ charset³, effectively ~100k for web text) — it
+   * BROADCASTS; the scorer is map-side after the broadcast. `avg_logp` is
+   * rounded to 4 decimals so parallel summation order cannot leak into
+   * comparisons.
+   */
+  def trigramLogLikelihood(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = df.select(col(idCol), explode(charTrigrams(col(textCol))).as("g"))
+    val model = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("total"))
+    grams.join(broadcast(model), Seq("g"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), (log(col("cnt")) - log(col("total"))).as("logp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), round(avg(col("logp")), 4).as("avg_logp"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
    * md5 is bit-identical across engines (unlike xxhash64/DuckDB hash), so
    * it doubles as the exact-dedup key the oracle can recompute. */

@@ -156,6 +156,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r4.getLong(1) === 1L && r4.getLong(2) === 0L && r4.getLong(4) === 0L)
   }
 
+  test("trigram log-likelihood: corpus-trained model, exact tiny-corpus values") {
+    import spark.implicits._
+    // corpus: "aaaa" → [aaa, aaa]; "aaab" → [aaa, aab]; "ab" → none.
+    // model: aaa:3, aab:1, total 4.
+    val df = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramLogLikelihood(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lnAaa = math.log(3.0) - math.log(4.0)
+    val lnAab = math.log(1.0) - math.log(4.0)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((2L, r4(lnAaa))))
+    assert(out(2L) === ((2L, r4((lnAaa + lnAab) / 2))))
+    assert(!out.contains(3L)) // too short to score
+    // fluent-vs-junk discrimination on a slightly larger corpus: the doc
+    // made of the corpus's dominant pattern outscores the mojibake one
+    val corpus = (0L until 20L).map(i => (i, "the cat sat on the mat " * 3)) ++
+      Seq((100L, "the cat sat on the mat"), (101L, "q7#zp@!x¿鬼w%"))
+    val scored = TextAnalysis.trigramLogLikelihood(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(100L) > scored(101L) + 1.0, s"fluent ${scored(100L)} vs junk ${scored(101L)}")
+  }
+
   test("bpeish tokens drop tab/newline whitespace, matching the RE2 token class") {
     import spark.implicits._
     val df = Seq(("a\tb", 1), ("a\nb c!", 2)).toDF("text", "id")
