@@ -252,6 +252,63 @@ object WordShingleHashes {
   }
 }
 
+/**
+ * Character n-grams of a string as ARRAY<STRING>, one pass, codegen'd —
+ * the char-window sibling of [[WordShingleHashes]]. The `transform(
+ * sequence(...), i => substr)` formulation it replaces is interpreted per
+ * CHARACTER (one boxed lambda call + expression-tree eval per position),
+ * which made the corpus-trained trigram model's extraction pass the
+ * slowest query in the bench (3.7 s at sf0.1).
+ *
+ * Slicing is by CODEPOINT (`UTF8String.substringSQL` — identical to SQL
+ * `substring` and DuckDB's `substring`), so outputs match both the old
+ * formulation and the oracle byte-for-byte, including on non-ASCII text.
+ * Strings shorter than n yield an empty array (never sub-n-char grams).
+ */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"char_ngrams: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    CharNgrams.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CharNgrams.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+object CharNgrams {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** All length-n codepoint windows of `s` (empty if shorter than n). */
+  def compute(s: UTF8String, n: Int): GenericArrayData = {
+    val chars = s.numChars()
+    if (chars < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](chars - n + 1)
+    var i = 0
+    while (i < out.length) {
+      // substringSQL is 1-based and codepoint-aware, matching SQL substring
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object HashExpressions {
   def simhash64(hashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(hashes)))
@@ -259,4 +316,6 @@ object HashExpressions {
     Bridge.column(MinHashSignature(Bridge.expression(hashes), k))
   def wordShingleHashes(text: Column, n: Int): Column =
     Bridge.column(WordShingleHashes(Bridge.expression(text), n))
+  def charNgrams(text: Column, n: Int): Column =
+    Bridge.column(CharNgrams(Bridge.expression(text), n))
 }

@@ -220,17 +220,13 @@ object TextAnalysis {
 
   // ------------------------------------- perplexity-proxy quality scoring
 
-  /** Character trigrams of a text column (positions 1..len-2, 1-based).
-   * Interpreted HOF — acceptable for the model-building pass and the
-   * sf-scale scorer; a 100 TB deployment would lift this into a codegen'd
-   * expression beside [[graft.functions.WordShingleHashes]] (same shape,
-   * char window instead of word window). */
+  /** Character trigrams of a text column — the codegen'd
+   * [[graft.functions.CharNgrams]] one-pass expression (codepoint windows,
+   * short docs → empty array). The `transform(sequence(...), substr)`
+   * formulation it replaced evaluated interpreted per character and was
+   * the bench's slowest extraction pass. */
   def charTrigrams(text: Column): Column =
-    // the >= 3 guard matters: sequence(1, 0) is DESCENDING in Spark
-    // ([1, 0]), which would fabricate sub-3-char "trigrams" on short docs
-    when(length(text) >= 3,
-      transform(sequence(lit(1), length(text) - 2), i => text.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.HashExpressions.charNgrams(text, 3)
 
   /**
    * Perplexity-proxy quality score without an external model (the CCNet
@@ -250,14 +246,24 @@ object TextAnalysis {
    */
   def trigramLogLikelihood(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val grams = df.select(col(idCol), explode(charTrigrams(col(textCol))).as("g"))
-    val model = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    // per-(doc, gram) counts ONCE, materialized: both the model aggregate
+    // and the scorer read this frame — extraction and the widest shuffle
+    // happen a single time, and downstream rows are distinct (doc, gram)
+    // pairs rather than gram instances
+    val docGrams = graft.Materialize(
+      df.select(col(idCol), explode(charTrigrams(col(textCol))).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("doc_cnt")))
+    val model = docGrams.groupBy(col("g")).agg(sum(col("doc_cnt")).as("cnt"))
     val total = model.agg(sum(col("cnt")).as("total"))
-    grams.join(broadcast(model), Seq("g"))
+    // mean over gram INSTANCES = Σ doc_cnt·logp / Σ doc_cnt
+    val out = docGrams.join(broadcast(model), Seq("g"))
       .crossJoin(broadcast(total))
-      .select(col(idCol), (log(col("cnt")) - log(col("total"))).as("logp"))
+      .select(col(idCol), col("doc_cnt"),
+        (col("doc_cnt") * (log(col("cnt")) - log(col("total")))).as("wlogp"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_trigrams"), round(avg(col("logp")), 4).as("avg_logp"))
+      .agg(sum(col("doc_cnt")).as("n_trigrams"),
+        round(sum(col("wlogp")) / sum(col("doc_cnt")), 4).as("avg_logp"))
+    out
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.

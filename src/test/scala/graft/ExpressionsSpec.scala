@@ -95,6 +95,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("char_ngrams equals the substr/transform formulation incl. non-ASCII") {
+    val texts = Seq("", "a", "ab", "abc", "abcd", "héllo wörld", "日本語のテキスト",
+      "mixed 中文 and ascii", "  spaces  ", "emoji 😀 text") // 😀 is non-BMP
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val out = df.select(col("id"),
+        graft.functions.HashExpressions.charNgrams(col("t"), 3).as("fast"),
+        when(length(col("t")) >= 3,
+          transform(sequence(lit(1), length(col("t")) - 2), i => col("t").substr(i, lit(3))))
+          .otherwise(array().cast("array<string>")).as("slow"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"text: ${texts(r.getLong(0).toInt)}")
+    }
+  }
+
   test("float_dot handles length mismatch and empty arrays") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(10.0f, 20.0f)), (Seq.empty[Float], Seq(1.0f)))
       .toDF("a", "b")
