@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, MinHashSignature, SimHash64, WordShingleHashes}
+import graft.functions.{CharNgrams, FloatDotProduct, MinHashSignature, SimHash64, WordShingleHashes}
 
 /**
  * SQL surface for the engine's custom Catalyst expressions. Activate on a
@@ -44,6 +44,9 @@ object GraftExtensions {
     "word_shingle_hashes" -> (info("word_shingle_hashes",
       "word_shingle_hashes(text, n) - ordered 64-bit hashes of word n-grams"),
       (es: Seq[Expression]) => WordShingleHashes(es(0), kLiteral("word_shingle_hashes", es(1)))),
+    "char_ngrams" -> (info("char_ngrams",
+      "char_ngrams(text, n) - all length-n codepoint windows as ARRAY<STRING>"),
+      (es: Seq[Expression]) => CharNgrams(es(0), kLiteral("char_ngrams", es(1)))),
     "hilbert_key" -> (info("hilbert_key",
       "hilbert_key(x, y, bits) - Hilbert-curve index of a 2-D point (layout key)"),
       // cast like the Column API does, so INT columns work from SQL too

@@ -108,6 +108,10 @@ class ExpressionsSpec extends AnyFunSuite {
     out.foreach { r =>
       assert(r.getSeq[String](1) === r.getSeq[String](2), s"text: ${texts(r.getLong(0).toInt)}")
     }
+    // SQL surface parity (extension-registered function)
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT char_ngrams('abcd', 3)").collect()(0).getSeq[String](0)
+    assert(viaSql === Seq("abc", "bcd"))
   }
 
   test("float_dot handles length mismatch and empty arrays") {
