@@ -327,6 +327,45 @@ object SparkEntry {
     "text_trigram_ll" -> ((s, dir) =>
       TextAnalysis.trigramLogLikelihood(table(s, dir, "documents"))),
 
+    // Whitespace canonicalization: noise (tab runs, CRLF soup, blank-line
+    // gaps) is synthesized deterministically — the flat docs are already
+    // clean — then normalized back out; the char counts pin the arithmetic.
+    "text_normalize" -> ((s, dir) => {
+      val noisy = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("  \t"), col("text"), lit(" \r\n \n \n\n\n  "),
+          substring(col("text"), 1, 30), lit("\t\t end ")).as("t"))
+      TextAnalysis.withNormalization(noisy, "t")
+        .select(col("doc_id"), col("text_norm"), col("n_chars_raw"),
+          col("n_chars_norm"), col("n_chars_removed"))
+    }),
+
+    // Corpus-GLOBAL paragraph dedup (same synthesized paragraph structure
+    // as text_dedup_paras): the footer paragraph every doc shares survives
+    // in exactly ONE document corpus-wide; unique heads/bodies survive with
+    // their doc, and within-doc repeats collapse too.
+    "dedup_paras_global" -> ((s, dir) => {
+      val head = substring(col("text"), 1, 40)
+      val structured = table(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n\n", head, col("text"), head,
+          lit("footer boilerplate"), col("text")).as("t"))
+      Dedup.paragraphDedupGlobal(structured, "doc_id", "t")
+    }),
+
+    // GPT-style sequence packing: concatenate the corpus token stream in
+    // doc_id order and chunk at a 512-token budget — each doc maps to its
+    // global token offset and the training sequences it straddles. The
+    // prefix sum is the bucketed two-phase scan, never one global window.
+    "pipeline_pack" -> ((s, dir) => {
+      val withTok = table(s, dir, "documents").select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      operators.Packing.packSequences(withTok, "doc_id", "n_tokens", budget = 512L)
+    }),
+
+    // Per-label embedding centroids (class prototypes for nearest-centroid
+    // classification / drift checks), flattened to scalar rows.
+    "embed_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(table(s, dir, "embeddings"), "label", "embedding")),
+
     // Exact dedup: canonical doc per normalized-content fingerprint.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),
@@ -603,6 +642,23 @@ object SparkEntry {
     // segment — the exact dual of q_anti_join (one shared build, only the
     // join type differs, so the pair always partitions the customers).
     "q_semi_join" -> ((s, dir) => highValueCustomerAgg(s, dir, "left_semi")),
+
+    // Explicit salted skew join: 75% of lineitems collapse onto one hot
+    // nation key; the deterministic salt spreads the hot key across 16
+    // (key, salt) shuffle partitions while staying row-identical to the
+    // plain join (which is exactly what the oracle runs).
+    "q_skew_join" -> ((s, dir) => {
+      val big = table(s, dir, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(4)) < 3, lit(1L))
+          .otherwise(pmod(col("l_orderkey"), lit(25))).as("k"),
+        col("l_orderkey"), col("l_quantity"))
+      val small = table(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"), col("n_name"))
+      operators.SkewJoin.saltedJoin(big, small, Seq("k"), col("l_orderkey"), nSalts = 16)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
 
     // Correlated scalar subquery: each order's share of its customer's
     // lifetime spend — written as correlated SQL so Catalyst's
@@ -1042,6 +1098,78 @@ object SparkEntry {
           |         x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) / len(grams) END AS top_2gram_share
           |FROM g""".stripMargin,
 
+      // identical byte-level noise synthesis (chr() spells the control
+      // chars), then the same 5-step RE2 replace chain the engine runs
+      "text_normalize" ->
+        """WITH src AS (
+          |  SELECT doc_id,
+          |    '  ' || chr(9) || text || ' ' || chr(13) || chr(10) || ' ' || chr(10)
+          |      || ' ' || chr(10) || chr(10) || chr(10) || '  '
+          |      || substring(text, 1, 30) || chr(9) || chr(9) || ' end ' AS t
+          |  FROM documents),
+          |norm AS (
+          |  SELECT doc_id, t,
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(
+          |          regexp_replace(
+          |            regexp_replace(t, '\r\n?', chr(10), 'g'),
+          |          '[ \t\x0B\f]+', ' ', 'g'),
+          |        ' ?\n ?', chr(10), 'g'),
+          |      '\n{3,}', chr(10) || chr(10), 'g'),
+          |    '^[ \n]+|[ \n]+$', '', 'g') AS text_norm
+          |  FROM src)
+          |SELECT doc_id, text_norm,
+          |  CAST(length(t) AS BIGINT) AS n_chars_raw,
+          |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+          |  CAST(length(t) - length(text_norm) AS BIGINT) AS n_chars_removed
+          |FROM norm""".stripMargin,
+
+      "dedup_paras_global" ->
+        """WITH src AS (
+          |  SELECT doc_id, concat_ws(e'\n\n', substring(text, 1, 40), text,
+          |    substring(text, 1, 40), 'footer boilerplate', text) AS t
+          |  FROM documents),
+          |lists AS (SELECT doc_id, string_split_regex(t, '\n{2,}') AS l FROM src),
+          |ex AS (SELECT doc_id, len(l) AS n_paras, unnest(l) AS para,
+          |       unnest(range(1, len(l) + 1)) AS pos FROM lists),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+          |           FROM ex)
+          |SELECT doc_id, CAST(min(n_paras) AS BIGINT) AS n_paras,
+          |  CAST(count(*) AS BIGINT) AS n_paras_kept,
+          |  string_agg(para, e'\n\n' ORDER BY pos) AS text_dedup
+          |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+      "pipeline_pack" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |cum AS (
+          |  SELECT doc_id, n_tokens,
+          |    sum(n_tokens) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+          |  FROM toks)
+          |SELECT doc_id, n_tokens,
+          |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+          |  CAST((tok_end - n_tokens) // 512 AS BIGINT) AS seq_first,
+          |  CAST(CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 512
+          |       ELSE (tok_end - n_tokens) // 512 END AS BIGINT) AS seq_last,
+          |  CAST(CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 512
+          |       ELSE (tok_end - n_tokens) // 512 END
+          |     - (tok_end - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
+          |FROM cum""".stripMargin,
+
+      "embed_centroids" ->
+        """WITH ex AS (
+          |  SELECT label, unnest(range(len(embedding))) AS pos,
+          |         unnest(embedding) AS v
+          |  FROM embeddings)
+          |SELECT label, CAST(pos AS BIGINT) AS pos,
+          |  round(avg(CAST(v AS DOUBLE)), 4) + 0.0 AS centroid,
+          |  CAST(count(*) AS BIGINT) AS n_vecs
+          |FROM ex GROUP BY 1, 2""".stripMargin,
+
       "dedup_exact" ->
         """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
           |       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
@@ -1388,6 +1516,17 @@ object SparkEntry {
           |FROM customer c
           |WHERE EXISTS (SELECT 1 FROM orders o
           |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |GROUP BY 1""".stripMargin,
+
+      // the oracle runs the PLAIN join — the salted engine plan must be
+      // row-identical to it
+      "q_skew_join" ->
+        """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+          |       round(sum(l_quantity), 2) AS sum_qty
+          |FROM (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 1
+          |             ELSE l_orderkey % 25 END AS k, l_quantity
+          |      FROM lineitem) b
+          |JOIN nation ON b.k = n_nationkey
           |GROUP BY 1""".stripMargin,
 
       "q_correlated" ->

@@ -31,6 +31,37 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /**
+   * CORPUS-GLOBAL paragraph dedup (the cross-document twin of
+   * [[TextAnalysis.withParagraphDedup]], which dedups only within one doc):
+   * every paragraph is kept exactly once corpus-wide, at its first global
+   * occurrence — ordered by (id, position) — and each document is
+   * reassembled from its surviving paragraphs. This is the boilerplate
+   * killer for web crawls: a footer shared by a million pages survives in
+   * exactly one of them.
+   *
+   * Shape: posexplode (map-side) → one hash shuffle keyed by the paragraph
+   * (row_number picks the first occurrence; the shuffle carries each
+   * paragraph string once either way, since winners must be reassembled) →
+   * one keyed agg back to documents. No driver state, no joins. A document
+   * whose every paragraph already appeared elsewhere disappears from the
+   * output (callers wanting empty husks can left-join the input).
+   */
+  def paragraphDedupGlobal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df.select(col(idCol),
+      size(TextAnalysis.splitParagraphs(col(textCol))).cast("long").as("n_paras"),
+      posexplode(TextAnalysis.splitParagraphs(col(textCol))).as(Seq("pos", "para")))
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("para")).orderBy(col(idCol), col("pos"))
+    paras.withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(first(col("n_paras")).as("n_paras"),
+        count(lit(1)).as("n_paras_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), "\n\n").as("text_dedup"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Each shingle reduced to a 64-bit hash — set-intersection

@@ -58,6 +58,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /**
+   * Per-label embedding centroids, flattened to scalar rows
+   * (label, pos, centroid, n_vecs) — one row per (class, dimension).
+   * The supervision-side summary of an embedding table: class prototypes
+   * for nearest-centroid classification, drift monitoring, or seeding
+   * [[trainCentroids]].
+   *
+   * Shape: posexplode is map-side; the (label, pos) hash-aggregate does
+   * map-side partial aggregation, so the shuffle carries at most
+   * |labels| × dim rows PER PARTITION regardless of corpus size — the
+   * d× explode inflation never crosses the wire. Accumulation is double
+   * (Spark's avg over the cast), rounded to stabilize the last float bit
+   * across addition orders.
+   */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+      decimals: Int = 4): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos").cast("long").as("pos"))
+      .agg((round(avg(col("v").cast("double")), decimals) + lit(0.0)).as("centroid"),
+        count(lit(1)).as("n_vecs")) // + 0.0 folds IEEE −0.0 into +0.0 cross-engine
+
   /** All near-duplicate pairs with cosine ≥ threshold (brute force, i<j).
    * Broadcast self-join — only for corpora that fit a broadcast; the scale
    * variant is [[lshNearDupPairs]]. */

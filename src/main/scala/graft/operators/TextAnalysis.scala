@@ -137,6 +137,39 @@ object TextAnalysis {
       .withColumn("n_ids", occurrences(col("text_redacted"), "<ID>"))
       .withColumn("n_redactions", col("n_emails") + col("n_phones") + col("n_ids"))
 
+  // ------------------------------------------------------- normalization
+
+  /**
+   * Whitespace canonicalization — the first stage of every web-text
+   * pipeline (crawled HTML extractions arrive with tab runs, CRLF soup,
+   * and 10-blank-line gaps):
+   *
+   *   1. CRLF / bare CR → LF;
+   *   2. runs of horizontal whitespace (space, tab, VT, FF) → one space;
+   *   3. spaces hugging a newline are absorbed into it;
+   *   4. 3+ consecutive newlines → one paragraph break (2);
+   *   5. leading/trailing whitespace stripped.
+   *
+   * Patterns are in the RE2 ∩ java.util.regex common subset (explicit
+   * classes, no lookaround) so the DuckDB oracle replays them exactly.
+   * Pure codegen'd `regexp_replace` chain — map-side, no shuffle.
+   */
+  def normalize(text: Column): Column = {
+    val lf = regexp_replace(text, "\\r\\n?", "\n")
+    val hws = regexp_replace(lf, "[ \\t\\x0B\\f]+", " ")
+    val hugged = regexp_replace(hws, " ?\\n ?", "\n")
+    val paras = regexp_replace(hugged, "\\n{3,}", "\n\n")
+    regexp_replace(paras, "^[ \\n]+|[ \\n]+$", "")
+  }
+
+  /** `text_norm` + before/after char counts (the removed-count is the cheap
+   * "how dirty was this shard" signal). */
+  def withNormalization(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("text_norm", normalize(col(textCol)))
+      .withColumn("n_chars_raw", length(col(textCol)).cast("long"))
+      .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))
+      .withColumn("n_chars_removed", col("n_chars_raw") - col("n_chars_norm"))
+
   // --------------------------------------- within-document paragraph dedup
 
   /**

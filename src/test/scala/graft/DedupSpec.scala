@@ -122,4 +122,23 @@ class DedupSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.operators.Dedup.clusterPairs(empty).count() === 0)
   }
+
+  test("global paragraph dedup keeps each paragraph at its first (id, pos) only") {
+    import spark.implicits._
+    // A=[p1,p2], B=[p2,p3,p2], C=[p1,p3] → A keeps both, B keeps p3 only
+    // (both p2s lost to A), C keeps nothing and drops out entirely
+    val docs = Seq(
+      (1L, "p1\n\np2"),
+      (2L, "p2\n\np3\n\np2"),
+      (3L, "p1\n\np3")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupGlobal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out === Map(
+      1L -> ((2L, 2L, "p1\n\np2")),
+      2L -> ((3L, 1L, "p3"))))
+    // partition-invariant (the first-seen winner is keyed, not positional)
+    val repart = Dedup.paragraphDedupGlobal(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(repart === out)
+  }
 }

@@ -105,4 +105,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "window must use a value-based RANGE frame")
     assert(countOccurrences(p, "Exchange") === 1, "one keyed exchange, no global sort")
   }
+
+  test("sequence packing never plans a single-partition global window") {
+    val p = planOf("pipeline_pack")
+    // the two-phase prefix sum: exactly one BUCKET-keyed exchange (plus the
+    // separate bounded-metadata totals job), never Exchange SinglePartition
+    assert(!p.contains("SinglePartition"),
+      "global prefix sum must not collapse to one task")
+    assert(countOccurrences(p, "Exchange") === 1, p.take(400))
+    assert(countOccurrences(p, "Window") === 1,
+      "the running sum must be computed once, not per derived column")
+  }
+
+  test("global paragraph dedup prunes first-occurrence groups before the shuffle") {
+    val p = planOf("dedup_paras_global")
+    // Spark's rank-limit pushdown: a Partial WindowGroupLimit must run
+    // map-side so only each partition's first-seen candidates shuffle
+    assert(p.contains("WindowGroupLimit"), p.take(400))
+    assert(countOccurrences(p, "WindowGroupLimit") === 2, "partial + final")
+    assert(countOccurrences(p, "Exchange") === 2,
+      "one paragraph-keyed window exchange + one doc-keyed agg exchange")
+  }
 }

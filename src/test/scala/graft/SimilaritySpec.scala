@@ -182,4 +182,16 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("rank").collect().map(_.getLong(1)).toSeq
     assert(custom === brute, "custom operator must share the NaN-loses rule")
   }
+
+  test("labelCentroids yields the per-dimension mean, one row per (label, dim)") {
+    val labeled = Seq(
+      (1L, vec(1, 0, 3), 0),
+      (2L, vec(3, 1, 0), 0),
+      (3L, vec(0, 2, 2), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(labeled, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      (0, 0L) -> ((2.0, 2L)), (0, 1L) -> ((0.5, 2L)), (0, 2L) -> ((1.5, 2L)),
+      (1, 0L) -> ((0.0, 1L)), (1, 1L) -> ((2.0, 1L)), (1, 2L) -> ((2.0, 1L))))
+  }
 }

@@ -187,4 +187,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     // "a\tb" -> [a, b]; "a\nb c!" -> [a, b, c, !]
     assert(counts === Map(1 -> 2, 2 -> 4))
   }
+
+  test("normalize canonicalizes CRLF, whitespace runs, and blank-line gaps") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "  a\t\tb  "),              // tab run + outer pad → "a b"
+      (2L, "a\r\nb\rc"),               // CRLF and bare CR → LF
+      (3L, "a \n b\n\n\n\n\nc"),       // hugged spaces + 5 newlines → para break
+      (4L, "\n\n \t \n\n"),            // all whitespace → empty
+      (5L, "a\fb"))              // VT/FF are horizontal whitespace
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withNormalization(cases)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_norm")).toMap
+    assert(out === Map(
+      1L -> "a b", 2L -> "a\nb\nc", 3L -> "a\nb\n\nc", 4L -> "", 5L -> "a b"))
+    // removal arithmetic holds
+    val counts = TextAnalysis.withNormalization(cases)
+      .selectExpr("n_chars_raw - n_chars_norm = n_chars_removed AS ok")
+      .collect().map(_.getBoolean(0))
+    assert(counts.forall(identity))
+  }
 }
