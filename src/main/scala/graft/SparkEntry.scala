@@ -339,6 +339,22 @@ object SparkEntry {
           col("n_chars_norm"), col("n_chars_removed"))
     }),
 
+    // HTML → text extraction: docs wrapped in a deterministic page skeleton
+    // (style/script elements, a comment, an anchor, entities), stripped
+    // back to clean text + the pre-strip link count.
+    "text_strip_html" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><style>p {color:red}</style></head><body><h1>"),
+        substring(col("text"), 1, 20),
+        lit("</h1><!-- nav --><a href=\"/home\">Home</a><p>"),
+        col("text"),
+        lit("</p><script>if (1 &amp;&amp; 2) { go(); }</script>" +
+          "<p>5 &lt; 6 &amp; 7 &gt; 2</p></body></html>"))
+      TextAnalysis.withHtmlExtraction(
+          table(s, dir, "documents").select(col("doc_id"), page.as("html")))
+        .select(col("doc_id"), col("text_clean"), col("n_links"))
+    }),
+
     // Corpus-GLOBAL paragraph dedup (same synthesized paragraph structure
     // as text_dedup_paras): the footer paragraph every doc shares survives
     // in exactly ONE document corpus-wide; unique heads/bodies survive with
@@ -1124,6 +1140,35 @@ object SparkEntry {
           |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
           |  CAST(length(t) - length(text_norm) AS BIGINT) AS n_chars_removed
           |FROM norm""".stripMargin,
+
+      "text_strip_html" ->
+        """WITH src AS (
+          |  SELECT doc_id,
+          |    '<html><head><style>p {color:red}</style></head><body><h1>' ||
+          |    substring(text, 1, 20) ||
+          |    '</h1><!-- nav --><a href="/home">Home</a><p>' || text ||
+          |    '</p><script>if (1 &amp;&amp; 2) { go(); }</script><p>5 &lt; 6 &amp; 7 &gt; 2</p></body></html>' AS h
+          |  FROM documents),
+          |stripped AS (
+          |  SELECT doc_id, h,
+          |    replace(replace(replace(replace(replace(replace(
+          |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+          |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          |        '(?s)<!--.*?-->', ' ', 'g'),
+          |        '<[^>]+>', ' ', 'g'),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+          |      '&nbsp;', ' '), '&amp;', '&') AS t
+          |  FROM src)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+          |    '\r\n?', chr(10), 'g'),
+          |    '[ \t\x0B\f]+', ' ', 'g'),
+          |    ' ?\n ?', chr(10), 'g'),
+          |    '\n{3,}', chr(10) || chr(10), 'g'),
+          |    '^[ \n]+|[ \n]+$', '', 'g') AS text_clean,
+          |  CAST((length(h) - length(replace(h, '<a href', ''))) // 7 AS BIGINT) AS n_links
+          |FROM stripped""".stripMargin,
 
       "dedup_paras_global" ->
         """WITH src AS (

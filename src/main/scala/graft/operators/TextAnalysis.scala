@@ -170,6 +170,39 @@ object TextAnalysis {
       .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))
       .withColumn("n_chars_removed", col("n_chars_raw") - col("n_chars_norm"))
 
+  // -------------------------------------------------------- HTML stripping
+
+  /** Basic named/numeric entities, decoded in fixed order with `&amp;` LAST:
+   * plain sequential replace then decodes exactly one level ("&amp;lt;"
+   * becomes "&lt;", not "<"), matching a single-pass HTML unescape. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /**
+   * HTML → text extraction (the stage before every text-quality filter on a
+   * web crawl): drop `<script>`/`<style>` elements wholesale, drop comments,
+   * flatten remaining tags to spaces, then decode the basic entities.
+   * RE2 has no backreferences, so script/style close-tags are matched by
+   * their own literal patterns ((?is) dotall+case-insensitive inline flags
+   * work in both engines). Callers chain [[normalize]] for the whitespace
+   * this leaves behind. Pure codegen'd projection — no shuffle, linear in
+   * bytes, safe on a pathological 1 GB page.
+   */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    htmlEntities.foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+  }
+
+  /** `text_clean` (stripped + normalized) + the pre-strip anchor count —
+   * link density is the classic boilerplate/navigation-page signal. */
+  def withHtmlExtraction(df: DataFrame, htmlCol: String = "html"): DataFrame =
+    df.withColumn("text_clean", normalize(stripHtml(col(htmlCol))))
+      .withColumn("n_links", occurrences(col(htmlCol), "<a href"))
+
   // --------------------------------------- within-document paragraph dedup
 
   /**

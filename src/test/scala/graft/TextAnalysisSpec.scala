@@ -207,4 +207,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(_.getBoolean(0))
     assert(counts.forall(identity))
   }
+
+  test("stripHtml drops script/style/comments, flattens tags, decodes entities once") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "<SCRIPT>var a = 1 < 2;</SCRIPT>keep<style\ntype=\"x\">p{}</style>"),
+      (3L, "a<!-- multi\nline comment -->b"),
+      (4L, "5 &lt; 6 &amp; x &#39;q&#39; &nbsp;z"),
+      (5L, "&amp;lt; stays entity"), // one decode level only
+      (6L, "<a href=\"/x\">one</a> <a href=\"/y\">two</a>"))
+      .toDF("doc_id", "html")
+    val out = TextAnalysis.withHtmlExtraction(pages)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_clean"), r.getAs[Long]("n_links")))).toMap
+    assert(out(1L) === (("hello world", 0L)))
+    assert(out(2L) === (("keep", 0L)))
+    assert(out(3L) === (("a b", 0L)))
+    assert(out(4L) === (("5 < 6 & x 'q' z", 0L)))
+    assert(out(5L) === (("&lt; stays entity", 0L)))
+    assert(out(6L) === (("one two", 2L)))
+  }
 }
