@@ -50,6 +50,21 @@ class PackingSpec extends AnyFunSuite {
     rows.sliding(2).foreach { case Seq((w, s), (_, s2)) => assert(s2 === s + w); case _ => }
   }
 
+  test("random weights match a sequential reference scan exactly") {
+    val rnd = new scala.util.Random(7)
+    val weights = Seq.fill(300)(rnd.nextInt(21).toLong) // includes zeros
+    val budget = 7L
+    // sequential reference: running sum in id order
+    var cum = 0L
+    val expected = weights.zipWithIndex.map { case (w, i) =>
+      val start = cum; cum += w
+      val first = start / budget
+      val last = if (w > 0) (cum - 1) / budget else first
+      (i.toLong, start, first, last, last - first + 1)
+    }
+    assert(pack(weights, budget).toSeq === expected)
+  }
+
   test("empty input yields the output schema with zero rows") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
     val out = Packing.packSequences(empty, "doc_id", "n_tokens", 10L)
