@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, FloatDotProduct, MinHashSignature, SimHash64, WordShingleHashes}
+import graft.functions.{CharNgrams, FloatDotProduct, MinHashSignature, SimHash64, SlidingMin, WordShingleHashes}
 
 /**
  * SQL surface for the engine's custom Catalyst expressions. Activate on a
@@ -47,6 +47,9 @@ object GraftExtensions {
     "char_ngrams" -> (info("char_ngrams",
       "char_ngrams(text, n) - all length-n codepoint windows as ARRAY<STRING>"),
       (es: Seq[Expression]) => CharNgrams(es(0), kLiteral("char_ngrams", es(1)))),
+    "sliding_min" -> (info("sliding_min",
+      "sliding_min(arr, w) - per-window minima of ARRAY<BIGINT> (winnowing pass)"),
+      (es: Seq[Expression]) => SlidingMin(es(0), kLiteral("sliding_min", es(1)))),
     "hilbert_key" -> (info("hilbert_key",
       "hilbert_key(x, y, bits) - Hilbert-curve index of a 2-D point (layout key)"),
       // cast like the Column API does, so INT columns work from SQL too

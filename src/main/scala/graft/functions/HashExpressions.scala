@@ -309,9 +309,81 @@ object CharNgrams {
   }
 }
 
+/**
+ * Sliding-window minimum over an ARRAY<BIGINT>: out[j] = min(arr[j..j+w)).
+ * For 0 < n < w degrades to one window of all n elements (so winnowing's
+ * "short doc → single fingerprint" rule needs no branch outside); empty in,
+ * empty out.
+ *
+ * Replaces winnowing's interpreted `transform(sequence, i =>
+ * array_min(slice(...)))` formulation — that is O(n·w) with per-window
+ * array allocations outside codegen; this is the classic monotonic-deque
+ * scan, O(n) amortized, one pass, zero allocation beyond the output.
+ */
+case class SlidingMin(child: Expression, w: Int)
+    extends UnaryExpression with RequiresLongArrayInput {
+  require(w > 0, s"window must be positive, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sliding_min"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val effW = math.min(w, n)
+    val out = new Array[Long](n - effW + 1)
+    val dq = new Array[Int](n) // indices with increasing values
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(dq(tail - 1)) >= v) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - effW) head += 1
+      if (i >= effW - 1) out(i - effW + 1) = arr.getLong(dq(head))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("smN")
+      val effW = ctx.freshName("smW")
+      val out = ctx.freshName("smOut")
+      val dq = ctx.freshName("smDq")
+      val head = ctx.freshName("smHead")
+      val tail = ctx.freshName("smTail")
+      val i = ctx.freshName("smI")
+      val v = ctx.freshName("smV")
+      s"""
+         |int $n = $a.numElements();
+         |int $effW = java.lang.Math.min($w, $n);
+         |long[] $out = new long[$n == 0 ? 0 : $n - $effW + 1];
+         |int[] $dq = new int[$n];
+         |int $head = 0, $tail = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $a.getLong($i);
+         |  while ($tail > $head && $a.getLong($dq[$tail - 1]) >= $v) $tail--;
+         |  $dq[$tail++] = $i;
+         |  if ($dq[$head] <= $i - $effW) $head++;
+         |  if ($i >= $effW - 1) $out[$i - $effW + 1] = $a.getLong($dq[$head]);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SlidingMin =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   def simhash64(hashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(hashes)))
+  def slidingMin(hashes: Column, w: Int): Column =
+    Bridge.column(SlidingMin(Bridge.expression(hashes), w))
   def minhashSig(hashes: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashes), k))
   def wordShingleHashes(text: Column, n: Int): Column =

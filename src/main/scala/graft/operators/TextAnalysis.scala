@@ -346,13 +346,7 @@ object TextAnalysis {
    * any sufficiently long passage. Guarantees: any shared run of
    * w + k − 1 tokens produces ≥1 shared fingerprint.
    */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val hashes = graft.functions.HashExpressions.wordShingleHashes(text, k)
-    when(size(hashes) >= w,
-      array_distinct(transform(
-        sequence(lit(0), size(hashes) - w),
-        i => array_min(slice(hashes, i + 1, lit(w))))))
-      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-        .otherwise(array().cast("array<bigint>")))
-  }
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    array_distinct(graft.functions.HashExpressions.slidingMin(
+      graft.functions.HashExpressions.wordShingleHashes(text, k), w))
 }

@@ -157,4 +157,26 @@ class ExpressionsSpec extends AnyFunSuite {
       "SELECT vec_id FROM emb WHERE float_dot(embedding, embedding) > 0").count()
     assert(n === 500)
   }
+
+  test("sliding_min equals a brute-force per-window scan; short/empty degrade") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val arrays: Seq[Seq[Long]] = Seq(Seq.empty[Long], Seq(5L), Seq(3L, 3L, 3L)) ++
+      Seq.fill(200)(Seq.fill(rnd.nextInt(30))(rnd.nextInt(10).toLong))
+    def reference(a: Seq[Long], w: Int): Seq[Long] =
+      if (a.isEmpty) Seq.empty else a.sliding(math.min(w, a.length)).map(_.min).toSeq
+    for (w <- Seq(1, 4, 7)) {
+      val got = arrays.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "arr")
+        .orderBy("id")
+        .select(graft.functions.HashExpressions.slidingMin(col("arr"), w))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      assert(got === arrays.map(reference(_, w)), s"w=$w")
+    }
+    // SQL-registered twin agrees
+    GraftExtensions.register(spark)
+    val sql = spark.sql("SELECT sliding_min(array(9L, 1L, 7L, 3L, 8L), 2)")
+      .collect().head.getSeq[Long](0).toSeq
+    assert(sql === Seq(1L, 1L, 3L, 3L))
+  }
 }
