@@ -321,6 +321,18 @@ object SparkEntry {
         col("doc_id"), col("lang"), col("n_tokens"), budget = 2000L)
     }),
 
+    // Deterministic output sharding: md5-range shard ids + per-shard
+    // manifest stats (the write-side step after packing/mixing — shards are
+    // re-derivable and size-balanced on any partitioning or engine).
+    "pipeline_shard" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      operators.Sampling.hashShard(docs, col("doc_id"), nShards = 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+    }),
+
     // Perplexity-proxy quality score: corpus-trained character-trigram
     // unigram model, per-doc mean log-likelihood (CCNet-style, self-
     // trained — no external model artifact).
@@ -1184,6 +1196,20 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_paras_kept,
           |  string_agg(para, e'\n\n' ORDER BY pos) AS text_dedup
           |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+      "pipeline_shard" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS BIGINT) AS n_tokens,
+          |    (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          |      + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS b
+          |  FROM documents)
+          |SELECT CAST(b * 16 // 256 AS INTEGER) AS shard,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+          |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+          |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+          |FROM t GROUP BY 1""".stripMargin,
 
       "pipeline_pack" ->
         """WITH toks AS (

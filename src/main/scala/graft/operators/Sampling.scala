@@ -30,6 +30,22 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: Column, hexThreshold: String): DataFrame =
     df.filter(hexKey(keyCol) < lit(hexThreshold))
 
+  /**
+   * Deterministic balanced shard id in [0, nShards): the first two hex
+   * digits of the row key's md5 (256 uniform buckets) scaled down to
+   * nShards contiguous ranges. The write-side companion of [[hashSample]]
+   * — training output lands in N reproducible, size-balanced shards that
+   * are STABLE under repartitioning, engine version, and re-runs (unlike
+   * `spark_partition_id` or round-robin), so a shard can be re-derived or
+   * re-written in isolation. Map-side only; callers repartition by the
+   * shard column to align file layout with shard identity.
+   */
+  def hashShard(df: DataFrame, keyCol: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 256, s"nShards must be in [1,256], got $nShards")
+    val bucket = conv(substring(hexKey(keyCol), 1, 2), 16, 10).cast("int")
+    df.withColumn("shard", ((bucket * nShards) / 256).cast("int"))
+  }
+
   /** Per-stratum thresholds (e.g. oversample rare classes): rows in a
    * stratum not listed fall back to `defaultThreshold`. */
   def stratifiedHashSample(df: DataFrame, keyCol: Column, strataCol: Column,

@@ -30,6 +30,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.nonEmpty && small.subsetOf(big))
   }
 
+  test("hashShard is balanced, in-range, and partition-invariant") {
+    def shards(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashShard(df, col("event_id"), 16)
+        .select("event_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val base = shards(events)
+    assert(base.values.forall(s => s >= 0 && s < 16))
+    val sizes = base.values.groupBy(identity).values.map(_.size)
+    assert(sizes.size === 16, "every shard must be populated")
+    assert(sizes.max.toDouble / sizes.min < 1.5, s"unbalanced: $sizes")
+    assert(shards(events.repartition(13, col("user_id"))) === base,
+      "shard id must be row-keyed, not partition-derived")
+    // boundary shard counts: 1 shard = everything; 256 = the bucket space
+    assert(Sampling.hashShard(events, col("event_id"), 1)
+      .select("shard").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+    val s256 = Sampling.hashShard(events, col("event_id"), 256)
+      .select("shard").distinct().count()
+    assert(s256 > 200, s"256-way sharding reached only $s256 buckets")
+  }
+
   test("tokenBudgetMix admits a deterministic per-stratum prefix under budget") {
     import org.apache.spark.sql.SparkSession
     val spark = TestSpark.spark
