@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Whole-catalog plan hygiene: every SparkEntry query's physical plan is
+ * checked against the global 100 TB rules. PlanShapeSpec pins specific
+ * shapes for specific queries; this sweep guards the other ~70 — and every
+ * FUTURE query — against the silent regressions that only hurt at scale.
+ *
+ * Exceptions are explicit allowlists with the reason stated inline; a new
+ * query that trips a rule must either fix its plan or argue its way in here.
+ */
+class PlanHygieneSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose BroadcastNestedLoopJoin is the DESIGN: a deliberately
+   * brute-force baseline or a broadcast-small-side scoring pass where the
+   * big side streams exactly once. */
+  private val broadcastNlAllowed = Set(
+    "embed_topk",      // brute-force baseline: corpus × broadcast queries
+    "embed_neardup",   // brute-force pair scan, broadcast self side
+    "text_trigram_ll", // crossJoin(broadcast(1-row total))
+    "embed_pq",        // ADC LUT: crossJoin(broadcast(codebook)) — k·d rows
+    "k_ttl_expiry")    // crossJoin(broadcast(1-row "now" scalar))
+
+  /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
+   * or an exact global quantile over already-reduced rows — the single
+   * partition sees partial aggregates / percentile buffers, not raw data. */
+  private val singlePartitionAllowed = Set(
+    "q_percentiles",        // exact global percentiles (partial_percentile reduces first)
+    "q_approx_percentiles", // GK summaries merge to one
+    "q_top_tokens",         // final top-20 of per-partition partials
+    "q_topk_sketch",        // ≤ k·groups sketch rows roll up to one
+    "q_sketch_rollup")      // ≤ groups HLL sketch rows roll up to one
+
+  test("no query plans a CartesianProduct, stray broadcast NL join, or global funnel") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = try {
+        fn(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      } catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      val v = Seq.newBuilder[String]
+      if (plan.contains("CartesianProduct"))
+        v += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !broadcastNlAllowed(name))
+        v += s"$name: unlisted BroadcastNestedLoopJoin"
+      if (plan.contains("Exchange SinglePartition") && !singlePartitionAllowed(name))
+        v += s"$name: unlisted Exchange SinglePartition"
+      v.result()
+    }
+    assert(violations.isEmpty, s"\n${violations.mkString("\n")}")
+  }
+}
