@@ -205,6 +205,35 @@ object SparkEntry {
           expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.9)").as("p90"))),
 
+    // Per-group argmax/argmin (max_by/min_by): "which row won" without the
+    // rank-window detour — one hash agg, no sort, no shuffle beyond the
+    // group key. Ties break deterministically via a composite BIGINT key
+    // (acctbal cents ×1e8 + custkey — exact in 64 bits, and DuckDB's
+    // arg_max accepts it where a struct ordering key fails to bind).
+    "q_argmax" -> ((s, dir) => {
+      val ord = round(col("c_acctbal") * 100, 0).cast("long") * lit(100000000L) +
+        col("c_custkey")
+      table(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          max_by(col("c_name"), ord).as("top_customer"),
+          min_by(col("c_name"), ord).as("bottom_customer"),
+          round(max(col("c_acctbal")), 2).as("max_acctbal"),
+          round(min(col("c_acctbal")), 2).as("min_acctbal"))
+    }),
+
+    // Fixed-width binned histogram (the token-length-histogram pattern):
+    // bucket ids are computed map-side, so the agg shuffles ≤ #buckets rows
+    // per partition regardless of input size.
+    "q_histogram" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 50000).cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))),
+
     // ---- training-data-pipeline extensions (north star, SURVEY §7e) ----
 
     // Text analysis: token/stopword/punct counts + content fingerprint.
@@ -1040,6 +1069,21 @@ object SparkEntry {
           |       quantile_cont(value, 0.5) AS p50,
           |       quantile_cont(value, 0.9) AS p90
           |FROM events GROUP BY 1""".stripMargin,
+
+      "q_argmax" ->
+        """SELECT c_mktsegment,
+          |  arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey) AS top_customer,
+          |  arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey) AS bottom_customer,
+          |  round(max(c_acctbal), 2) AS max_acctbal,
+          |  round(min(c_acctbal), 2) AS min_acctbal
+          |FROM customer GROUP BY 1""".stripMargin,
+
+      "q_histogram" ->
+        """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(min(o_totalprice), 2) AS lo,
+          |       round(max(o_totalprice), 2) AS hi
+          |FROM orders GROUP BY 1""".stripMargin,
 
       "text_stats" ->
         s"""SELECT doc_id,
