@@ -689,6 +689,19 @@ object SparkEntry {
           "ts", "props", Seq("event_type")),
         Seq("event_type"), k = 5)),
 
+    // Mergeable QUANTILE sketch rollup: per-(type, day) KLL sketches merged
+    // up to per-type p50/p90/p99 — the persisted-sketch pattern for
+    // percentiles at 100 TB (custom TypedImperativeAggregate; Spark has no
+    // built-in quantile sketch). KLL compaction is randomized → estimates
+    // are rank-error-bounded, not bit-stable → rows-only; accuracy and
+    // merge tolerance pinned by SketchesSpec.
+    "q_quantile_sketch" -> ((s, dir) =>
+      operators.Sketches.rollupQuantiles(
+        operators.Sketches.dailyQuantileSketches(
+          table(s, dir, "events").filter(col("ts").isNotNull && col("value").isNotNull),
+          "ts", "value", Seq("event_type")),
+        Seq("event_type"), Seq(0.5, 0.9, 0.99))),
+
     // Anti-join breadth: customers with no high-value (>300k) order,
     // counted per segment. The orders side is filtered AND deduped to bare
     // keys BEFORE the join; at scale the anti-join shuffles only (custkey)

@@ -80,6 +80,35 @@ object Sketches {
         .as("top_items"),
         sum(col("n_rows")).as("n_rows"))
 
+  // --------------------------------------------------- quantile sketches
+
+  /** Mergeable QUANTILE twin of [[dailySketches]]: one KLL doubles sketch
+   * per (group, day) — persisted once, any coarser percentile rollup is a
+   * sketch union, never a rescan (the property approx_percentile lacks:
+   * its GK summaries aren't re-mergeable from a saved table). Custom
+   * [[graft.functions.KllExpressions]] aggregate — Spark 4 ships HLL and
+   * top-k sketch aggs but no quantile sketch. */
+  def dailyQuantileSketches(df: DataFrame, timeCol: String, valueCol: String,
+      groupCols: Seq[String], k: Int = graft.functions.KllExpressions.defaultK): DataFrame = {
+    val day = floor(col(timeCol).cast("long") / 86400L).cast("long") * 86400L
+    df.groupBy((groupCols.map(col) :+ day.as("day_s")): _*)
+      .agg(graft.functions.KllExpressions
+          .kllSketchAgg(col(valueCol).cast("double"), k).as("qsketch"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Roll daily quantile sketches to a coarser grain and extract the asked
+   * quantiles — touches only the sketch table. */
+  def rollupQuantiles(sketches: DataFrame, groupCols: Seq[String],
+      quantiles: Seq[Double]): DataFrame = {
+    val merged = sketches.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.KllExpressions.kllMergeAgg(col("qsketch")).as("merged"),
+        sum(col("n_rows")).as("n_rows"))
+    val qCols = quantiles.map(q => graft.functions.KllExpressions
+      .kllQuantile(col("merged"), q).as(s"p${(q * 100).round}"))
+    merged.select((groupCols.map(col) ++ qCols :+ col("n_rows")): _*)
+  }
+
   /** [[rollupTopK]] flattened to scalar columns — one row per (group, rank).
    * Downstream consumers (and the verify harness) that can't handle nested
    * arrays get the same information as (rank, item, item_count) rows;

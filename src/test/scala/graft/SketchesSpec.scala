@@ -130,6 +130,48 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("KLL quantile sketch rollup tracks exact percentiles within rank error") {
+    val clean = events.filter(col("ts").isNotNull && col("value").isNotNull)
+    val daily = Sketches.dailyQuantileSketches(clean, "ts", "value", Seq("event_type"))
+    val est = Sketches.rollupQuantiles(daily, Seq("event_type"), Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = clean.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"), expr("percentile(value, 0.9)").as("p90"),
+        count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(est.keySet === exact.keySet)
+    for ((t, (e50, e90)) <- est) {
+      val (x50, x90, _, lo, hi) = exact(t)
+      // k=200 → ~1.65% rank error; translate to a generous VALUE tolerance
+      // via the group's value range (values are roughly uniform here)
+      val tol = (hi - lo) * 0.05
+      assert(math.abs(e50 - x50) <= tol, s"$t p50: sketch $e50 vs exact $x50")
+      assert(math.abs(e90 - x90) <= tol, s"$t p90: sketch $e90 vs exact $x90")
+    }
+  }
+
+  test("KLL merge is order-tolerant: daily rollup ≈ direct whole-corpus sketch") {
+    val clean = events.filter(col("ts").isNotNull && col("value").isNotNull)
+    val viaDaily = Sketches.rollupQuantiles(
+        Sketches.dailyQuantileSketches(clean, "ts", "value", Seq("event_type")),
+        Seq("event_type"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // direct: one sketch per type, no daily grain (different merge order)
+    val direct = clean.groupBy(col("event_type"))
+      .agg(graft.functions.KllExpressions
+        .kllSketchAgg(col("value").cast("double")).as("qsketch"))
+      .select(col("event_type"),
+        graft.functions.KllExpressions.kllQuantile(col("qsketch"), 0.5).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ranges = clean.groupBy(col("event_type"))
+      .agg((max("value") - min("value")).as("range"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((t, d) <- viaDaily)
+      assert(math.abs(d - direct(t)) <= ranges(t) * 0.05,
+        s"$t: daily-merged $d vs direct ${direct(t)}")
+  }
+
   test("approx_percentile stays within the documented rank-error bound") {
     val sorted = events.filter(col("value").isNotNull)
       .filter(col("event_type") === "click")
