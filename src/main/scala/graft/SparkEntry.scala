@@ -205,6 +205,20 @@ object SparkEntry {
           expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.9)").as("p90"))),
 
+    // Statistical aggregate surface: correlation / sample covariance /
+    // sample stddev per group — one-pass co-moment aggregates, map-side
+    // partials, rounded so parallel combination order can't leak into the
+    // hash compare.
+    "q_corr_stats" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(avg(col("l_extendedprice")), 2).as("mean_price"),
+          count(lit(1)).as("n"))),
+
     // Per-group argmax/argmin (max_by/min_by): "which row won" without the
     // rank-window detour — one hash agg, no sort, no shuffle beyond the
     // group key. Ties break deterministically via a composite BIGINT key
@@ -1082,6 +1096,15 @@ object SparkEntry {
           |       quantile_cont(value, 0.5) AS p50,
           |       quantile_cont(value, 0.9) AS p90
           |FROM events GROUP BY 1""".stripMargin,
+
+      "q_corr_stats" ->
+        """SELECT l_returnflag,
+          |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+          |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+          |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+          |  round(avg(l_extendedprice), 2) AS mean_price,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem GROUP BY 1""".stripMargin,
 
       "q_argmax" ->
         """SELECT c_mktsegment,

@@ -87,6 +87,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(streamedEst === batchEst)
   }
 
+  test("KLL quantile sketch works in a streaming window: stream quantile == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Double, String)](spark)
+    val kll = graft.functions.KllExpressions
+    val streamed = input.toDF().toDF("ts", "value", "event_type")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(kll.kllQuantile(kll.kllSketchAgg(col("value")), 0.5).as("p50"))
+    val q = streamed.writeStream.format("memory").queryName("kll_stream")
+      .outputMode("update").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rows = (1L to 500L).map(i =>
+      (ts(i * 3), (i % 101).toDouble, if (i % 2 == 0) "click" else "view"))
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedP50 = spark.table("kll_stream")
+      .groupBy("event_type").agg(max(col("p50")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // same data, same single-batch accumulation order → same estimate,
+    // modulo the per-window split which both paths share
+    val batchP50 = rows.toDF("ts", "value", "event_type")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(kll.kllQuantile(kll.kllSketchAgg(col("value")), 0.5).as("p"))
+      .groupBy("event_type").agg(max(col("p")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamedP50.keySet === batchP50.keySet)
+    for ((t, s) <- streamedP50)
+      assert(math.abs(s - batchP50(t)) <= 101 * 0.05,
+        s"$t: streamed $s vs batch ${batchP50(t)}")
+  }
+
   test("top-k sketch rollup returns EXACT heavy-hitter counts while domain fits maxItems") {
     val filtered = events.filter(col("ts").isNotNull && col("props").isNotNull)
     val daily = Sketches.dailyTopKSketches(filtered, "ts", "props", Seq("event_type"))
