@@ -496,10 +496,11 @@ object SparkEntry {
           queryPred = col("vec_id") < 10, k = 10)
         .withColumn("rank", col("rank").cast("long"))),
 
-    // IVF-style ANN top-k (centroid cells shard the corpus).
+    // IVF-style ANN top-k (centroid cells shard the corpus; 3-probe —
+    // queries also search their two runner-up cells for boundary recall).
     "embed_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
-          queryPred = col("vec_id") < 10, k = 5, nCells = 16)
+          queryPred = col("vec_id") < 10, k = 5, nCells = 16, nProbes = 3)
         .withColumn("rank", col("rank").cast("long"))),
 
     // A5/A6/A7 DStream-parity keyed track-list state, run in batch over the

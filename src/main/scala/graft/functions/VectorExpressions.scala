@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
@@ -283,6 +283,141 @@ case class MaxCosineSim(child: Expression,
     copy(child = newChild)
 }
 
+/**
+ * Multi-probe companion of [[NearestCentroidIndex]]: the p nearest centroid
+ * indices (0-based, nearest first), same ordering contract — key = -cosine,
+ * NaN/zero-denominator → +∞ (degenerate rows lose), ties keep the lower
+ * index. For p ≥ nCells returns all indices in distance order; NULL input
+ * degrades to ascending indices (all keys +∞), the multi-probe analogue of
+ * NearestCentroidIndex's NULL → 0.
+ *
+ * Selection is p passes over the key array (p·K with p ≤ 8, K ≤ hundreds —
+ * cheaper than sorting and allocation-free beyond the output).
+ */
+case class NearestCentroidIndices(child: Expression,
+    centroids: Array[Array[Float]], norms: Array[Double], p: Int)
+    extends UnaryExpression {
+  require(p > 0, s"probe count must be positive, got $p")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_centroid_indices"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val keys = new Array[Double](centroids.length)
+    java.util.Arrays.fill(keys, Double.PositiveInfinity)
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) { val f = x.getFloat(i).toDouble; s += f * f; i += 1 }
+      val vnorm = math.sqrt(s)
+      var c = 0
+      while (c < centroids.length) {
+        val cv = centroids(c)
+        val m = math.min(n, cv.length)
+        var d = 0.0
+        var j = 0
+        while (j < m) { d += x.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+        val denom = vnorm * norms(c)
+        if (denom != 0d) {
+          val cos = d / denom
+          if (!java.lang.Double.isNaN(cos)) keys(c) = -cos
+        }
+        c += 1
+      }
+    }
+    val take = math.min(p, centroids.length)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](centroids.length)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var bestKey = 0.0
+      var c = 0
+      while (c < centroids.length) {
+        if (!used(c) && (best == -1 || keys(c) < bestKey)) { best = c; bestKey = keys(c) }
+        c += 1
+      }
+      used(best) = true; out(r) = best; r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("ncisCentroids", centroids, "float[][]")
+    val cnorms = ctx.addReferenceObj("ncisNorms", norms, "double[]")
+    val childGen = child.genCode(ctx)
+    val (x, n, s, vnorm, c, cv, m, d, j, denom, keys, used, out, take, r, best, bestKey, c2) = (
+      ctx.freshName("ncisX"), ctx.freshName("ncisN"), ctx.freshName("ncisS"),
+      ctx.freshName("ncisVnorm"), ctx.freshName("ncisC"), ctx.freshName("ncisCv"),
+      ctx.freshName("ncisM"), ctx.freshName("ncisD"), ctx.freshName("ncisJ"),
+      ctx.freshName("ncisDenom"), ctx.freshName("ncisKeys"), ctx.freshName("ncisUsed"),
+      ctx.freshName("ncisOut"), ctx.freshName("ncisTake"), ctx.freshName("ncisR"),
+      ctx.freshName("ncisBest"), ctx.freshName("ncisBestKey"), ctx.freshName("ncisC2"))
+    val value = ctx.freshName("ncisResult")
+    val code =
+      code"""
+         |${childGen.code}
+         |double[] $keys = new double[$cents.length];
+         |java.util.Arrays.fill($keys, Double.POSITIVE_INFINITY);
+         |if (!${childGen.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $x = ${childGen.value};
+         |  int $n = $x.numElements();
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double ncisF = (double) $x.getFloat($j);
+         |    $s += ncisF * ncisF;
+         |  }
+         |  double $vnorm = java.lang.Math.sqrt($s);
+         |  for (int $c = 0; $c < $cents.length; $c++) {
+         |    float[] $cv = $cents[$c];
+         |    int $m = java.lang.Math.min($n, $cv.length);
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      $d += (double) $x.getFloat($j) * (double) $cv[$j];
+         |    }
+         |    double $denom = $vnorm * $cnorms[$c];
+         |    if ($denom != 0.0) {
+         |      double ncisCos = $d / $denom;
+         |      if (!Double.isNaN(ncisCos)) $keys[$c] = -ncisCos;
+         |    }
+         |  }
+         |}
+         |int $take = java.lang.Math.min($p, $cents.length);
+         |int[] $out = new int[$take];
+         |boolean[] $used = new boolean[$cents.length];
+         |for (int $r = 0; $r < $take; $r++) {
+         |  int $best = -1;
+         |  double $bestKey = 0.0;
+         |  for (int $c2 = 0; $c2 < $cents.length; $c2++) {
+         |    if (!$used[$c2] && ($best == -1 || $keys[$c2] < $bestKey)) {
+         |      $best = $c2; $bestKey = $keys[$c2];
+         |    }
+         |  }
+         |  $used[$best] = true; $out[$r] = $best;
+         |}
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $value =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode.variable(
+        value, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidIndices =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Σ aᵢ·bᵢ in double precision over two ARRAY<FLOAT> columns (codegen'd). */
@@ -304,4 +439,10 @@ object VectorExpressions {
   def maxCosineSim(vec: Column,
       centroids: Array[Array[Float]], norms: Array[Double]): Column =
     Bridge.column(MaxCosineSim(Bridge.expression(vec), centroids, norms))
+
+  /** The p nearest 0-based centroid indices, nearest first (multi-probe —
+   * see [[NearestCentroidIndices]] for the ordering contract). */
+  def nearestCentroidIndices(vec: Column,
+      centroids: Array[Array[Float]], norms: Array[Double], p: Int): Column =
+    Bridge.column(NearestCentroidIndices(Bridge.expression(vec), centroids, norms, p))
 }

@@ -192,6 +192,19 @@ object Similarity {
     in.withColumn("cell_id",
       bestCellExpr(col(vecName), collectedCentroids(centroids, "nearestCell")))
 
+  /** Multi-probe assignment: each row exploded to its `nProbes` nearest
+   * cells, nearest first (same collected-centroid projection as
+   * [[nearestCell]] — still no join/exchange; output size ×nProbes, which
+   * is why only the QUERY side of [[ivfTopK]] uses it). */
+  def nearestCells(in: DataFrame, vecName: String, centroids: DataFrame,
+      nProbes: Int): DataFrame = {
+    val cents = collectedCentroids(centroids, "nearestCells")
+    val idxs = graft.functions.VectorExpressions
+      .nearestCentroidIndices(col(vecName), cents._2, cents._3, nProbes)
+    in.withColumn("cell_id",
+      explode(transform(idxs, i => element_at(array(cents._1: _*), i + 1))))
+  }
+
   /**
    * Farthest-first (Gonzalez) seeding — the deterministic cousin of
    * k-means++: seed 1 is the min-id vector; each next seed is the vector
@@ -450,21 +463,28 @@ object Similarity {
   /**
    * IVF-style ANN: assign every vector to its nearest of `nCells` trained
    * centroid cells (Lloyd-iterated, deterministic), then search only the
-   * query's own cell. Returns top-k per query among same-cell vectors.
-   * The scale path when LSH recall is too coarse: cells shard the corpus so
-   * each query scores ~N/nCells candidates. At 100 TB the cell id becomes a
-   * partition column at write time, turning cell restriction into partition
-   * pruning.
+   * cells the query probes. Returns top-k per query among probed-cell
+   * vectors. The scale path when LSH recall is too coarse: cells shard the
+   * corpus so each query scores ~nProbes·N/nCells candidates. At 100 TB the
+   * cell id becomes a partition column at write time, turning cell
+   * restriction into partition pruning.
+   *
+   * `nProbes` > 1 is the standard IVF recall lever (a true neighbor just
+   * across a Voronoi boundary is recovered by probing the runner-up cells):
+   * only the small/broadcast QUERY side replicates ×nProbes; the corpus
+   * keeps its single map-side assignment, and a neighbor lives in exactly
+   * one cell, so probes can never produce duplicate result pairs.
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, nCells: Int, farthestFirst: Boolean = false): DataFrame = {
+      queryPred: Column, k: Int, nCells: Int, farthestFirst: Boolean = false,
+      nProbes: Int = 1): DataFrame = {
     val seeds = if (farthestFirst) Some(seedFarthestFirst(df, idCol, vecCol, nCells)) else None
     val centroids = trainCentroids(df, idCol, vecCol, nCells, seeds = seeds)
       .transform(graft.Materialize(_))
     val corpus = nearestCell(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
       "nvec", centroids)
-    val queries = nearestCell(df.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec", centroids)
+    val queries = nearestCells(df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec", centroids, nProbes)
     val scored = corpus.join(broadcast(queries), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qvec"), col("nvec")))

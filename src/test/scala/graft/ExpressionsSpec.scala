@@ -158,6 +158,36 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(n === 500)
   }
 
+  test("nearest_centroid_indices orders all cells by cosine; head == argmax") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cents = Array(Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f), Array(0.7f, 0.7f))
+    val norms = cents.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+    val rows = Seq(
+      (1L, Seq(1f, 0.1f)),   // → [0, 3, 1, 2]
+      (2L, Seq(-0.9f, 0.2f)), // → [2, 1, 3, 0]
+      (3L, Seq(0f, 0f)),     // zero-norm: every key +∞ → ascending indices
+      (4L, Seq(0.6f, 0.8f))) // → [3, 1, 0, 2]
+      .toDF("id", "v")
+    def run(p: Int) = rows.select(col("id"),
+        graft.functions.VectorExpressions
+          .nearestCentroidIndices(col("v"), cents, norms, p).as("idxs"),
+        graft.functions.VectorExpressions
+          .nearestCentroidIndex(col("v"), cents, norms).as("best"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1).toSeq, r.getInt(2)))).toMap
+    val full = run(4)
+    assert(full(1L)._1 === Seq(0, 3, 1, 2))
+    assert(full(2L)._1 === Seq(2, 1, 3, 0))
+    assert(full(3L)._1 === Seq(0, 1, 2, 3))
+    assert(full(4L)._1 === Seq(3, 1, 0, 2))
+    for ((_, (idxs, best)) <- full) assert(idxs.head === best,
+      "first probe must equal the single-probe argmax")
+    // p < nCells takes the prefix; p > nCells caps at nCells
+    val two = run(2)
+    for ((id, (idxs, _)) <- two) assert(idxs === full(id)._1.take(2))
+    assert(run(9)(1L)._1 === Seq(0, 3, 1, 2))
+  }
+
   test("sliding_min equals a brute-force per-window scan; short/empty degrade") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

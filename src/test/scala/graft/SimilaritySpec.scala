@@ -166,6 +166,20 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (ivf & truth).size.toDouble / truth.size
     info(s"ivf recall@5 at sf0.01: $recall")
     assert(recall >= 0.25, s"ivf recall degraded: $recall")
+    // multi-probe: probing runner-up cells recovers boundary neighbors —
+    // recall must dominate single-probe and clear a higher floor; probing
+    // ALL cells must equal brute force exactly (same ranking contract)
+    val ivf3 = Similarity.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 20,
+        k = 5, nCells = 4, nProbes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall3 = (ivf3 & truth).size.toDouble / truth.size
+    info(s"ivf 3-probe recall@5 at sf0.01: $recall3")
+    assert(recall3 >= recall, "more probes must never lose recall")
+    assert(recall3 >= 0.6, s"3-of-4-cell probe recall too low: $recall3")
+    val ivfAll = Similarity.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 20,
+        k = 5, nCells = 4, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfAll === truth, "probing every cell must equal brute force")
   }
 
   test("zero-norm vectors lose everywhere: never rank-1, custom == built-in") {
