@@ -503,6 +503,14 @@ object SparkEntry {
           queryPred = col("vec_id") < 10, k = 5, nCells = 16, nProbes = 3)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // IVF-PQ composition (the FAISS-style scale architecture): coarse cells
+    // restrict the scan, PQ codes compress it, exact rerank finishes —
+    // map-side until the candidate ADC aggregate.
+    "embed_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, queryPred = col("vec_id") < 10, k = 5, nCells = 4, nProbes = 2)
+        .withColumn("rank", col("rank").cast("long"))),
+
     // A5/A6/A7 DStream-parity keyed track-list state, run in batch over the
     // events clickstream (typed flatMapGroupsWithState → rows-only check).
     "state_tracklist" -> ((s, dir) => {

@@ -461,6 +461,68 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ (the standard large-scale ANN architecture — Jégou et al. 2011,
+   * "Product Quantization for Nearest Neighbor Search", §IV): coarse
+   * centroid cells shard the corpus AND product-quantized codes compress
+   * it, so a query ADC-scans only nProbes/nCells of the corpus, over
+   * 8-byte codes instead of raw floats, then exact-reranks a shortlist.
+   * This variant quantizes raw vectors, not residuals (residual encoding
+   * adds a per-cell codebook dependency; the relational shape is identical).
+   *
+   * Scale shape — everything before the ADC aggregate is MAP-SIDE:
+   * the coarse cell is a projection (broadcast centroid matrix), rides
+   * through the subspace explode, and both the probe list and the
+   * per-query LUT broadcast; the only shuffles are the candidate-restricted
+   * ADC sum and the rerank window. No corpus-sized join anywhere.
+   */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryPred: Column, k: Int, nCells: Int, nProbes: Int = 2,
+      subspaces: Int = 8, codes: Int = 16, rerank: Int = 50): DataFrame = {
+    val sub = dim / subspaces
+    val centroids = trainCentroids(df, idCol, vecCol, nCells)
+      .transform(graft.Materialize(_))
+    val codebooks = pqTrain(df, idCol, vecCol, dim, subspaces, codes)
+    // corpus: coarse cell (map-side projection) carried through the
+    // subspace explode, then per-subspace PQ codes (also map-side)
+    val withCell = nearestCell(
+        df.select(col(idCol).as("vec_id"), col(vecCol).as("fullvec")), "fullvec", centroids)
+      .withColumnRenamed("cell_id", "ivf_cell")
+    val subs = withCell.select(col("vec_id"), col("ivf_cell"),
+        posexplode(array((0 until subspaces).map(s =>
+          slice(col("fullvec"), s * sub + 1, sub)): _*)))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "vec")
+    val corpusCodes = nearestCellKeyed(subs,
+        codebooks.select(col("s"), col("code").as("cell_id"), col("cvec")))
+      .select(col("vec_id"), col("ivf_cell"), col("s"), col("cell_id").as("code"))
+    val queries = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val probes = nearestCells(queries, "qvec", centroids, nProbes)
+      .select(col("query_id"), col("cell_id").as("ivf_cell"))
+    val lut = queries.crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("s"), col("code"),
+        dot(slice(col("qvec"), col("s") * sub + 1, lit(sub)), col("cvec")).as("pd"))
+    val adc = corpusCodes
+      .join(broadcast(probes), Seq("ivf_cell"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_dot"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("vec_id"))
+    val candidates = adc.withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= rerank)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val scored = candidates
+      .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(cosRankKey(col("cos")).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /**
    * IVF-style ANN: assign every vector to its nearest of `nCells` trained
    * centroid cells (Lloyd-iterated, deterministic), then search only the
    * cells the query probes. Returns top-k per query among probed-cell

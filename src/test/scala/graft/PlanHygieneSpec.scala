@@ -24,6 +24,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "embed_neardup",   // brute-force pair scan, broadcast self side
     "text_trigram_ll", // crossJoin(broadcast(1-row total))
     "embed_pq",        // ADC LUT: crossJoin(broadcast(codebook)) — k·d rows
+    "embed_ivfpq",     // same ADC LUT shape as embed_pq
     "k_ttl_expiry")    // crossJoin(broadcast(1-row "now" scalar))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate

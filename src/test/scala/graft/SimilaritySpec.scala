@@ -182,6 +182,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfAll === truth, "probing every cell must equal brute force")
   }
 
+  test("IVF-PQ recall floor at sf0.01: probed-cell ADC + rerank finds neighbors") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqTopK(e, "vec_id", "embedding", dim = 64,
+        col("vec_id") < 20, k = 5, nCells = 4, nProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(s"ivfpq recall@5 at sf0.01 (2/4 probes): $recall")
+    assert(recall >= 0.4, s"ivfpq recall degraded: $recall")
+    // every query must still return a full top-k (k=5 for 20 queries)
+    assert(got.size === truth.size)
+  }
+
   test("zero-norm vectors lose everywhere: never rank-1, custom == built-in") {
     val withZero = tiny.unionByName(
       Seq((0L, vec(0, 0, 0, 0))).toDF("vec_id", "embedding"))
