@@ -418,6 +418,90 @@ case class NearestCentroidIndices(child: Expression,
     copy(child = newChild)
 }
 
+/**
+ * Residual against a driver-held centroid matrix: out = vec − matrix[idx],
+ * element-wise over the common prefix (a vector longer than the centroid
+ * keeps its tail unchanged; shorter stays shorter). The encode-side step of
+ * residual product quantization — `idx` is expected from
+ * [[NearestCentroidIndex]]/[[NearestCentroidIndices]], and an out-of-range
+ * index falls back to the unmodified vector (degenerate rows quantize raw
+ * rather than crash the stage). NULL vector → NULL; NULL idx → raw vector.
+ */
+case class ResidualVector(left: Expression, right: Expression,
+    centroids: Array[Array[Float]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "residual_vector"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<FLOAT>, INT), got (${l.sql}, ${r.sql})")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) return null
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = x.getFloat(i); i += 1 }
+    val idxV = right.eval(input)
+    if (idxV != null) {
+      val idx = idxV.asInstanceOf[Int]
+      if (idx >= 0 && idx < centroids.length) {
+        val cv = centroids(idx)
+        val m = math.min(n, cv.length)
+        var j = 0
+        while (j < m) { out(j) -= cv(j); j += 1 }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("rvCentroids", centroids, "float[][]")
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val (x, n, out, i, cv, m, j, idx) = (
+      ctx.freshName("rvX"), ctx.freshName("rvN"), ctx.freshName("rvOut"),
+      ctx.freshName("rvI"), ctx.freshName("rvCv"), ctx.freshName("rvM"),
+      ctx.freshName("rvJ"), ctx.freshName("rvIdx"))
+    val value = ctx.freshName("rvResult")
+    val code =
+      code"""
+         |${leftGen.code}
+         |${rightGen.code}
+         |boolean ${ev.isNull} = ${leftGen.isNull};
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $value = null;
+         |if (!${ev.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $x = ${leftGen.value};
+         |  int $n = $x.numElements();
+         |  float[] $out = new float[$n];
+         |  for (int $i = 0; $i < $n; $i++) $out[$i] = $x.getFloat($i);
+         |  if (!${rightGen.isNull}) {
+         |    int $idx = ${rightGen.value};
+         |    if ($idx >= 0 && $idx < $cents.length) {
+         |      float[] $cv = $cents[$idx];
+         |      int $m = java.lang.Math.min($n, $cv.length);
+         |      for (int $j = 0; $j < $m; $j++) $out[$j] -= $cv[$j];
+         |    }
+         |  }
+         |  $value = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    ev.copy(code = code,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode.variable(
+        value, dataType))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ResidualVector = copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Σ aᵢ·bᵢ in double precision over two ARRAY<FLOAT> columns (codegen'd). */
@@ -445,4 +529,9 @@ object VectorExpressions {
   def nearestCentroidIndices(vec: Column,
       centroids: Array[Array[Float]], norms: Array[Double], p: Int): Column =
     Bridge.column(NearestCentroidIndices(Bridge.expression(vec), centroids, norms, p))
+
+  /** vec − centroids[idx] element-wise (see [[ResidualVector]]). */
+  def residualVector(vec: Column, idx: Column,
+      centroids: Array[Array[Float]]): Column =
+    Bridge.column(ResidualVector(Bridge.expression(vec), Bridge.expression(idx), centroids))
 }

@@ -466,47 +466,74 @@ object Similarity {
    * centroid cells shard the corpus AND product-quantized codes compress
    * it, so a query ADC-scans only nProbes/nCells of the corpus, over
    * 8-byte codes instead of raw floats, then exact-reranks a shortlist.
-   * This variant quantizes raw vectors, not residuals (residual encoding
-   * adds a per-cell codebook dependency; the relational shape is identical).
+   * By default codes quantize RESIDUALS (v − its coarse centroid, the
+   * codegen'd [[graft.functions.ResidualVector]]) — residual norms are much
+   * smaller than vector norms, so the same codebook budget spends its
+   * precision on the part the coarse cell didn't explain; ADC scoring uses
+   * dot(q, v) = dot(q, c) + dot(q, r̂): a raw-query LUT over the residual
+   * codebooks plus a per-(query, probed cell) bias. `residual = false`
+   * gives the plain variant (codes approximate v directly, zero bias).
    *
    * Scale shape — everything before the ADC aggregate is MAP-SIDE:
-   * the coarse cell is a projection (broadcast centroid matrix), rides
-   * through the subspace explode, and both the probe list and the
-   * per-query LUT broadcast; the only shuffles are the candidate-restricted
-   * ADC sum and the rerank window. No corpus-sized join anywhere.
+   * the coarse cell index, the residual, and the PQ codes are projections
+   * (broadcast centroid matrix) riding through the subspace explode, and
+   * both the probe list and the per-query LUT broadcast; the only shuffles
+   * are the candidate-restricted ADC sum and the rerank window. No
+   * corpus-sized join anywhere.
    */
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       queryPred: Column, k: Int, nCells: Int, nProbes: Int = 2,
-      subspaces: Int = 8, codes: Int = 16, rerank: Int = 50): DataFrame = {
+      subspaces: Int = 8, codes: Int = 16, rerank: Int = 50,
+      residual: Boolean = true): DataFrame = {
     val sub = dim / subspaces
     val centroids = trainCentroids(df, idCol, vecCol, nCells)
       .transform(graft.Materialize(_))
-    val codebooks = pqTrain(df, idCol, vecCol, dim, subspaces, codes)
-    // corpus: coarse cell (map-side projection) carried through the
-    // subspace explode, then per-subspace PQ codes (also map-side)
-    val withCell = nearestCell(
-        df.select(col(idCol).as("vec_id"), col(vecCol).as("fullvec")), "fullvec", centroids)
-      .withColumnRenamed("cell_id", "ivf_cell")
+    val cents = collectedCentroids(centroids, "ivfPqTopK")
+    val cellIds = array(cents._1: _*)
+    def encodeVec(vec: Column, idx: Column): Column =
+      if (residual) graft.functions.VectorExpressions.residualVector(vec, idx, cents._2)
+      else vec
+    // corpus: coarse cell INDEX (map-side projection), residual against the
+    // assigned centroid, both carried through the subspace explode, then
+    // per-subspace PQ codes (also map-side)
+    val withCell = df.select(col(idCol).as("vec_id"), col(vecCol).as("fullvec"))
+      .withColumn("cell_idx", graft.functions.VectorExpressions
+        .nearestCentroidIndex(col("fullvec"), cents._2, cents._3))
+      .withColumn("ivf_cell", element_at(cellIds, col("cell_idx") + 1))
+      .withColumn("encvec", encodeVec(col("fullvec"), col("cell_idx")))
+    val codebooks = pqTrain(withCell.select(col("vec_id"), col("encvec")),
+      "vec_id", "encvec", dim, subspaces, codes)
     val subs = withCell.select(col("vec_id"), col("ivf_cell"),
         posexplode(array((0 until subspaces).map(s =>
-          slice(col("fullvec"), s * sub + 1, sub)): _*)))
+          slice(col("encvec"), s * sub + 1, sub)): _*)))
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "vec")
     val corpusCodes = nearestCellKeyed(subs,
         codebooks.select(col("s"), col("code").as("cell_id"), col("cvec")))
       .select(col("vec_id"), col("ivf_cell"), col("s"), col("cell_id").as("code"))
     val queries = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val probes = nearestCells(queries, "qvec", centroids, nProbes)
-      .select(col("query_id"), col("cell_id").as("ivf_cell"))
+    // dot(q, v) = dot(q, c(v)) + dot(q, r(v)): the LUT scores the RAW query
+    // against the residual codebooks, and the per-(query, probed cell) bias
+    // dot(q, c) restores cross-cell comparability. Raw encoding (residual =
+    // false) approximates v directly → zero bias. Probe list and LUT are
+    // queries × nProbes / queries × subspaces × codes rows — broadcast-small.
+    val qprobes = queries
+      .withColumn("probe_idx", explode(graft.functions.VectorExpressions
+        .nearestCentroidIndices(col("qvec"), cents._2, cents._3, nProbes)))
+      .withColumn("ivf_cell", element_at(cellIds, col("probe_idx") + 1))
+      .join(broadcast(centroids.select(col("cell_id").as("ivf_cell"), col("cvec"))),
+        Seq("ivf_cell"))
+      .select(col("query_id"), col("ivf_cell"),
+        (if (residual) dot(col("qvec"), col("cvec")) else lit(0.0)).as("bias"))
     val lut = queries.crossJoin(broadcast(codebooks))
       .select(col("query_id"), col("s"), col("code"),
         dot(slice(col("qvec"), col("s") * sub + 1, lit(sub)), col("cvec")).as("pd"))
     val adc = corpusCodes
-      .join(broadcast(probes), Seq("ivf_cell"))
+      .join(broadcast(qprobes), Seq("ivf_cell"))
       .join(broadcast(lut), Seq("query_id", "s", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd")).as("adc_dot"))
+      .agg((sum(col("pd")) + first(col("bias"))).as("adc_dot"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dot").desc, col("vec_id"))
     val candidates = adc.withColumn("r", row_number().over(wAdc))

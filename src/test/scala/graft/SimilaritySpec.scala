@@ -191,10 +191,19 @@ class SimilaritySpec extends AnyFunSuite {
         col("vec_id") < 20, k = 5, nCells = 4, nProbes = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (got & truth).size.toDouble / truth.size
-    info(s"ivfpq recall@5 at sf0.01 (2/4 probes): $recall")
+    info(s"ivfpq residual recall@5 at sf0.01 (2/4 probes): $recall")
     assert(recall >= 0.4, s"ivfpq recall degraded: $recall")
     // every query must still return a full top-k (k=5 for 20 queries)
     assert(got.size === truth.size)
+    val raw = Similarity.ivfPqTopK(e, "vec_id", "embedding", dim = 64,
+        col("vec_id") < 20, k = 5, nCells = 4, nProbes = 2, residual = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = (raw & truth).size.toDouble / truth.size
+    info(s"ivfpq raw recall@5 at sf0.01 (2/4 probes): $rawRecall")
+    // residual codes spend the codebook budget on the unexplained part —
+    // they must not LOSE to raw encoding (small slack for rerank ties)
+    assert(recall >= rawRecall - 0.05,
+      s"residual encoding ($recall) lost to raw ($rawRecall)")
   }
 
   test("zero-norm vectors lose everywhere: never rank-1, custom == built-in") {
