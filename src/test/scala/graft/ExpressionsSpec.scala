@@ -188,6 +188,30 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(run(9)(1L)._1 === Seq(0, 3, 1, 2))
   }
 
+  test("residual_vector subtracts the indexed centroid; edge cases degrade to raw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cents = Array(Array(1f, 2f), Array(10f, 20f))
+    val rows = Seq(
+      (1L, Some(Seq(5f, 7f)), Some(0)),   // → (4, 5)
+      (2L, Some(Seq(5f, 7f)), Some(1)),   // → (-5, -13)
+      (3L, Some(Seq(5f, 7f, 9f)), Some(0)), // longer vec: tail unchanged → (4, 5, 9)
+      (4L, Some(Seq(5f, 7f)), Some(99)),  // out-of-range idx → raw
+      (5L, Some(Seq(5f, 7f)), None),      // NULL idx → raw
+      (6L, None, Some(0)))                // NULL vec → NULL
+      .toDF("id", "v", "idx")
+    val out = rows.select(col("id"), graft.functions.VectorExpressions
+        .residualVector(col("v"), col("idx"), cents).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Float](1).toSeq)).toMap
+    assert(out(1L) === Seq(4f, 5f))
+    assert(out(2L) === Seq(-5f, -13f))
+    assert(out(3L) === Seq(4f, 5f, 9f))
+    assert(out(4L) === Seq(5f, 7f))
+    assert(out(5L) === Seq(5f, 7f))
+    assert(out(6L) === null)
+  }
+
   test("sliding_min equals a brute-force per-window scan; short/empty degrade") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
