@@ -364,6 +364,23 @@ object SparkEntry {
         col("doc_id"), col("lang"), col("n_tokens"), budget = 2000L)
     }),
 
+    // Output-side composition twin of pipeline_curate: exact-dedup to
+    // canonical docs, THEN pack the token stream, THEN assign output
+    // shards — one chained query pinning that the new operators compose
+    // (aliases, column types, join shapes) against a single chained oracle.
+    "pipeline_emit" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val canon = docs.join(
+        Dedup.exact(docs, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id")), Seq("doc_id"))
+      val withTok = canon.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val packed = operators.Packing.packSequences(withTok, "doc_id", "n_tokens", 512L)
+      operators.Sampling.hashShard(packed, col("doc_id"), 16)
+        .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+          col("seq_first"), col("shard"))
+    }),
+
     // Deterministic output sharding: md5-range shard ids + per-shard
     // manifest stats (the write-side step after packing/mixing — shards are
     // re-derivable and size-balanced on any partitioning or engine).
@@ -1285,6 +1302,30 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n_paras_kept,
           |  string_agg(para, e'\n\n' ORDER BY pos) AS text_dedup
           |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+      "pipeline_emit" ->
+        """WITH canon AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE doc_id IN (
+          |    SELECT min(doc_id)
+          |    FROM documents
+          |    GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))),
+          |toks AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS BIGINT) AS n_tokens,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM canon),
+          |cum AS (
+          |  SELECT doc_id, n_tokens, h,
+          |    sum(n_tokens) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+          |  FROM toks)
+          |SELECT doc_id, n_tokens,
+          |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+          |  CAST((tok_end - n_tokens) // 512 AS BIGINT) AS seq_first,
+          |  CAST(((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+          |      + strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16 // 256 AS INTEGER) AS shard
+          |FROM cum""".stripMargin,
 
       "pipeline_shard" ->
         """WITH t AS (
