@@ -481,14 +481,20 @@ object Similarity {
    * are the candidate-restricted ADC sum and the rerank window. No
    * corpus-sized join anywhere.
    */
-  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      queryPred: Column, k: Int, nCells: Int, nProbes: Int = 2,
-      subspaces: Int = 8, codes: Int = 16, rerank: Int = 50,
-      residual: Boolean = true): DataFrame = {
+  /** The three persistable IVF-PQ index artifacts for a corpus: coarse
+   * centroids (cell_id, cvec), residual codebooks (s, code, cvec), and the
+   * per-vector code table (vec_id, ivf_cell, s, code — the ~8-byte/vector
+   * compressed corpus). A production deployment writes these ONCE (plain
+   * parquet — IvfPqIndexSpec pins the round-trip) and searches them many
+   * times; the embed_ivfpq query rebuilds in-query only because the bench
+   * has nowhere persistent to write. */
+  def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nCells: Int, subspaces: Int = 8, codes: Int = 16,
+      residual: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     val sub = dim / subspaces
     val centroids = trainCentroids(df, idCol, vecCol, nCells)
       .transform(graft.Materialize(_))
-    val cents = collectedCentroids(centroids, "ivfPqTopK")
+    val cents = collectedCentroids(centroids, "ivfPqBuild")
     val cellIds = array(cents._1: _*)
     def encodeVec(vec: Column, idx: Column): Column =
       if (residual) graft.functions.VectorExpressions.residualVector(vec, idx, cents._2)
@@ -510,6 +516,19 @@ object Similarity {
     val corpusCodes = nearestCellKeyed(subs,
         codebooks.select(col("s"), col("code").as("cell_id"), col("cvec")))
       .select(col("vec_id"), col("ivf_cell"), col("s"), col("cell_id").as("code"))
+    (centroids, codebooks, corpusCodes)
+  }
+
+  /** Search prebuilt [[ivfPqBuild]] artifacts (possibly reloaded from
+   * parquet). `df` supplies raw vectors for the query set and the exact
+   * rerank; `residual` must match the build. */
+  def ivfPqSearch(centroids: DataFrame, codebooks: DataFrame, corpusCodes: DataFrame,
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryPred: Column, k: Int, nProbes: Int = 2, subspaces: Int = 8,
+      rerank: Int = 50, residual: Boolean = true): DataFrame = {
+    val sub = dim / subspaces
+    val cents = collectedCentroids(centroids, "ivfPqSearch")
+    val cellIds = array(cents._1: _*)
     val queries = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     // dot(q, v) = dot(q, c(v)) + dot(q, r(v)): the LUT scores the RAW query
@@ -547,6 +566,18 @@ object Similarity {
       .orderBy(cosRankKey(col("cos")).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** [[ivfPqBuild]] + [[ivfPqSearch]] in one call (the in-query form the
+   * embed_ivfpq bench entry uses; production persists the build). */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryPred: Column, k: Int, nCells: Int, nProbes: Int = 2,
+      subspaces: Int = 8, codes: Int = 16, rerank: Int = 50,
+      residual: Boolean = true): DataFrame = {
+    val (centroids, codebooks, corpusCodes) =
+      ivfPqBuild(df, idCol, vecCol, dim, nCells, subspaces, codes, residual)
+    ivfPqSearch(centroids, codebooks, corpusCodes, df, idCol, vecCol, dim,
+      queryPred, k, nProbes, subspaces, rerank, residual)
   }
 
   /**
