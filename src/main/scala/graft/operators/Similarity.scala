@@ -491,7 +491,6 @@ object Similarity {
   def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nCells: Int, subspaces: Int = 8, codes: Int = 16,
       residual: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
-    val sub = dim / subspaces
     val centroids = trainCentroids(df, idCol, vecCol, nCells)
       .transform(graft.Materialize(_))
     val cents = collectedCentroids(centroids, "ivfPqBuild")
@@ -499,9 +498,8 @@ object Similarity {
     def encodeVec(vec: Column, idx: Column): Column =
       if (residual) graft.functions.VectorExpressions.residualVector(vec, idx, cents._2)
       else vec
-    // corpus: coarse cell INDEX (map-side projection), residual against the
-    // assigned centroid, both carried through the subspace explode, then
-    // per-subspace PQ codes (also map-side)
+    // train the codebooks on the (residual-)encoded corpus, then encode
+    // with the shared stateless path
     val withCell = df.select(col(idCol).as("vec_id"), col(vecCol).as("fullvec"))
       .withColumn("cell_idx", graft.functions.VectorExpressions
         .nearestCentroidIndex(col("fullvec"), cents._2, cents._3))
@@ -509,14 +507,41 @@ object Similarity {
       .withColumn("encvec", encodeVec(col("fullvec"), col("cell_idx")))
     val codebooks = pqTrain(withCell.select(col("vec_id"), col("encvec")),
       "vec_id", "encvec", dim, subspaces, codes)
+    (centroids, codebooks,
+      ivfPqEncode(df, idCol, vecCol, dim, centroids, codebooks, subspaces, residual))
+  }
+
+  /**
+   * Encode vectors against PREBUILT index artifacts: coarse cell INDEX
+   * (map-side projection over the broadcast centroid matrix), residual
+   * against the assigned centroid, both carried through the subspace
+   * explode, then per-subspace PQ codes — every step a stateless
+   * projection, so this exact code path is STREAMING-LEGAL: point it at a
+   * readStream of new embeddings and append the output to the persisted
+   * code table (IvfPqIndexSpec pins stream == batch codes). This is how
+   * the index absorbs new data at 100 TB without retraining or rebuilds.
+   */
+  def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      centroids: DataFrame, codebooks: DataFrame, subspaces: Int = 8,
+      residual: Boolean = true): DataFrame = {
+    val sub = dim / subspaces
+    val cents = collectedCentroids(centroids, "ivfPqEncode")
+    val cellIds = array(cents._1: _*)
+    val withCell = df.select(col(idCol).as("vec_id"), col(vecCol).as("fullvec"))
+      .withColumn("cell_idx", graft.functions.VectorExpressions
+        .nearestCentroidIndex(col("fullvec"), cents._2, cents._3))
+      .withColumn("ivf_cell", element_at(cellIds, col("cell_idx") + 1))
+      .withColumn("encvec",
+        if (residual) graft.functions.VectorExpressions
+          .residualVector(col("fullvec"), col("cell_idx"), cents._2)
+        else col("fullvec"))
     val subs = withCell.select(col("vec_id"), col("ivf_cell"),
         posexplode(array((0 until subspaces).map(s =>
           slice(col("encvec"), s * sub + 1, sub)): _*)))
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "vec")
-    val corpusCodes = nearestCellKeyed(subs,
+    nearestCellKeyed(subs,
         codebooks.select(col("s"), col("code").as("cell_id"), col("cvec")))
       .select(col("vec_id"), col("ivf_cell"), col("s"), col("cell_id").as("code"))
-    (centroids, codebooks, corpusCodes)
   }
 
   /** Search prebuilt [[ivfPqBuild]] artifacts (possibly reloaded from

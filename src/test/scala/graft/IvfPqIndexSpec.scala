@@ -44,4 +44,34 @@ class IvfPqIndexSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ivfPqEncode is streaming-legal: stream-encoded codes equal batch codes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (centroids, codebooks, batchCodes) =
+      Similarity.ivfPqBuild(e, "vec_id", "embedding", dim = 64, nCells = 4)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val streamed = Similarity.ivfPqEncode(
+      input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 64, centroids, codebooks)
+    assert(streamed.isStreaming, "the encode plan must stay a streaming plan")
+    val q = streamed.writeStream.format("memory").queryName("ivfpq_stream_codes")
+      .outputMode("append").start()
+    try {
+      val rows = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      // two batches: the index must absorb increments, not just one load
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(asSet(spark.table("ivfpq_stream_codes")) === asSet(batchCodes),
+      "stream-appended codes must equal the batch encode of the same vectors")
+  }
 }
