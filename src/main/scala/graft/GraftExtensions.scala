@@ -12,7 +12,9 @@ import graft.functions.{CharNgrams, FloatDotProduct, MinHashSignature, SimHash64
  * `SparkSession.builder().withExtensions(new GraftExtensions)`); for an
  * already-running session use [[GraftExtensions.register]].
  *
- * Functions: `float_dot(a, b)`, `simhash64(hashes)`, `minhash_sig(hashes, k)`.
+ * Functions: `float_dot(a, b)`, `simhash64(hashes)`, `minhash_sig(hashes, k)`,
+ * `word_shingle_hashes(text, n)`, `char_ngrams(text, n)`,
+ * `sliding_min(arr, w)`, `hilbert_key(x, y, bits)`.
  * Optimizer rules: [[graft.plans.CollectSetSizeToCountDistinct]].
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
