@@ -117,6 +117,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "the running sum must be computed once, not per derived column")
   }
 
+  test("IVF-PQ search phase joins broadcast-only: no sort-merge, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val (cents, books, codes) = graft.operators.Similarity
+      .ivfPqBuild(e, "vec_id", "embedding", dim = 64, nCells = 4)
+    val p = graft.operators.Similarity
+      .ivfPqSearch(cents, books, codes, e, "vec_id", "embedding", dim = 64,
+        col("vec_id") < 10, k = 5)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("SortMergeJoin"), "probe/LUT/rerank joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2,
+      "probe restriction and LUT must be broadcast hash joins")
+  }
+
   test("global paragraph dedup prunes first-occurrence groups before the shuffle") {
     val p = planOf("dedup_paras_global")
     // Spark's rank-limit pushdown: a Partial WindowGroupLimit must run
