@@ -40,21 +40,31 @@ object Dedup {
    * killer for web crawls: a footer shared by a million pages survives in
    * exactly one of them.
    *
-   * Shape: posexplode (map-side) → one hash shuffle keyed by the paragraph
-   * (row_number picks the first occurrence; the shuffle carries each
-   * paragraph string once either way, since winners must be reassembled) →
-   * one keyed agg back to documents. No driver state, no joins. A document
-   * whose every paragraph already appeared elsewhere disappears from the
-   * output (callers wanting empty husks can left-join the input).
+   * Shape: posexplode (map-side) → one hash-AGGREGATE shuffle keyed by the
+   * paragraph (`min_by` picks the first occurrence) → one keyed agg back to
+   * documents. No driver state, no joins. A document whose every paragraph
+   * already appeared elsewhere disappears from the output (callers wanting
+   * empty husks can left-join the input).
+   *
+   * Skew note: first-occurrence selection is `groupBy(para).min_by`, NOT a
+   * `row_number` window partitioned by the paragraph. The two are
+   * row-identical, but a window cannot partial-aggregate — a boilerplate
+   * footer shared by millions of pages (the exact case this operator exists
+   * for) would funnel millions of rows into ONE window task. `min_by` is a
+   * declarative aggregate: every map task collapses its local copies of the
+   * hot paragraph to a single candidate before the exchange, so the reduce
+   * side of the hot key sees one row per upstream partition, not one per
+   * occurrence.
    */
   def paragraphDedupGlobal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val paras = df.select(col(idCol),
       size(TextAnalysis.splitParagraphs(col(textCol))).cast("long").as("n_paras"),
       posexplode(TextAnalysis.splitParagraphs(col(textCol))).as(Seq("pos", "para")))
-    val firstSeen = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("para")).orderBy(col(idCol), col("pos"))
-    paras.withColumn("rn", row_number().over(firstSeen))
-      .filter(col("rn") === 1)
+    paras.groupBy(col("para"))
+      .agg(min_by(struct(col(idCol), col("pos"), col("n_paras")),
+        struct(col(idCol), col("pos"))).as("w"))
+      .select(col(s"w.$idCol").as(idCol), col("w.pos").as("pos"),
+        col("w.n_paras").as("n_paras"), col("para"))
       .groupBy(col(idCol))
       .agg(first(col("n_paras")).as("n_paras"),
         count(lit(1)).as("n_paras_kept"),
@@ -165,6 +175,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /**
+   * Shared hot-bucket guard for banded self-joins: drop every row whose key
+   * (the given columns) occurs in more than `cap` rows. A banded candidate
+   * join produces cnt² pairs per bucket, so one degenerate bucket — the
+   * all-zero simhash of empty documents, an LSH band value shared by a
+   * boilerplate-dominated corpus slice — turns a linear-shuffle algorithm
+   * quadratic. Same cost/benefit as `maxDocFreq` for shingles: a bucket that
+   * popular carries almost no similarity signal (pairs it would propose are
+   * either found via their other bands/blocks or are degenerate-content
+   * matches), and dropping it bounds the join. Cap-using callers trade exact
+   * candidate recall for a hard blow-up bound and should not be
+   * oracle-compared.
+   */
+  private[graft] def capHotKeys(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val hot = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("hot_cnt"))
+      .filter(col("hot_cnt") > cap).select(keyCols.map(col): _*)
+    df.join(hot, keyCols, "left_anti")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /**
@@ -208,16 +237,20 @@ object Dedup {
    * clusters with executor churn should set `persist` or `checkpoint` —
    * lineage-truncated executor-local blocks are not fault-tolerant. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      maxBucketFreq: Option[Int] = None): DataFrame = {
     val signed = withMinhash(df, idCol, textCol, n, k).transform(graft.Materialize(_))
-    candidatesFromSigned(signed, k, bands)
+    candidatesFromSigned(signed, k, bands, maxBucketFreq)
   }
 
   /** LSH candidate pairs from a (materialized) signature frame — the single
    * definition both [[minhashCandidates]] and [[minhashDedup]] use, so the
-   * band construction can never diverge between the two entry points. */
-  private def candidatesFromSigned(signed: DataFrame, k: Int, bands: Int): DataFrame = {
-    val buckets = lshBuckets(signed, k, bands)
+   * band construction can never diverge between the two entry points.
+   * `maxBucketFreq` is the [[capHotKeys]] guard on (band, bucket). */
+  private def candidatesFromSigned(signed: DataFrame, k: Int, bands: Int,
+      maxBucketFreq: Option[Int] = None): DataFrame = {
+    val buckets0 = lshBuckets(signed, k, bands)
+    val buckets = maxBucketFreq.fold(buckets0)(capHotKeys(buckets0, Seq("band", "bucket"), _))
     buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -230,13 +263,15 @@ object Dedup {
    * step runs on a vanishing fraction of the corpus).
    */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+      threshold: Double, n: Int = 3, k: Int = 64, bands: Int = 16,
+      maxBucketFreq: Option[Int] = None): DataFrame = {
     // one signature materialization serves BOTH the LSH candidates and the
     // exact verify: `withMinhash` already carries the shingle hashes, so the
     // verify's shingle rows explode from the barrier instead of re-reading
     // and re-hashing every document's text
     val signed = withMinhash(df, idCol, textCol, n, k).transform(graft.Materialize(_))
-    val cand = candidatesFromSigned(signed, k, bands).transform(graft.Materialize(_))
+    val cand = candidatesFromSigned(signed, k, bands, maxBucketFreq)
+      .transform(graft.Materialize(_))
     val sh = signed.select(col("doc_id"),
       explode(array_distinct(col("shashes"))).as("shash"))
     val verified = jaccardFromShingles(sh, threshold, Some(cand))
@@ -361,16 +396,21 @@ object Dedup {
    * pigeonhole trick: split 64 bits into (maxDist+1) blocks — any pair
    * within maxDist agrees exactly on ≥1 whole block, so block value is the
    * LSH bucket key. Only block-colliding pairs get a popcount check.
+   * `maxBlockFreq` is the [[capHotKeys]] guard on (block, blockval) — e.g.
+   * the all-zero simhash every empty/whitespace doc produces puts them all
+   * in the same blocks, a cnt² blow-up with zero similarity signal.
    */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int,
+      maxBlockFreq: Option[Int] = None): DataFrame = {
     val blocks = maxDist + 1
     val width = 64 / blocks
     val hashed = withSimhash(df, idCol, textCol)
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val keyed = hashed.select(col("doc_id"), col("simhash"),
+    val keyed0 = hashed.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until blocks).map(b =>
           shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "blockval")
+    val keyed = maxBlockFreq.fold(keyed0)(capHotKeys(keyed0, Seq("block", "blockval"), _))
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
     keyed.as("a").join(keyed.as("b"), Seq("block", "blockval"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -37,6 +37,7 @@ object Packing {
    * token), `seq_first`/`seq_last` (first/last budget-sized sequence
    * the row touches), `n_seqs` (sequences straddled). Zero-weight rows
    * occupy no tokens: they report the sequence of their start offset.
+   * NULL weights are treated as zero (and reported as 0 in the output).
    */
   def packSequences(df: DataFrame, idCol: String, weightCol: String,
       budget: Long, nBuckets: Int = 256): DataFrame = {
@@ -48,14 +49,26 @@ object Packing {
         lit(0L).as("n_seqs")).limit(0)
     }
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    // Bucket on id >> 1, ALL math integral. Two distinct traps with extreme
+    // 64-bit ids: (a) Spark's `/` on longs is DOUBLE division, losing
+    // integer precision past 2^53 — ids would misbucket and break the
+    // prefix-sum ordering guarantee; (b) `maxId - minId` itself overflows
+    // when the id range spans more than 2^63. The halved id is monotonic in
+    // the id (so bucket ordering still agrees with id ordering), its range
+    // always fits a long, and truncating `div` equals floor because the
+    // shifted value is ≥ 0. (expr + backtick-quoting because the Column API
+    // has no integral-divide function.)
+    val (minH, maxH) = (minId >> 1, maxId >> 1)
     // ceil-div keeps every id in [0, nBuckets); width ≥ 1 avoids div-by-zero
-    val width = math.max((maxId - minId) / nBuckets + 1, 1L)
-    val bucket = ((col(idCol).cast("long") - lit(minId)) / lit(width)).cast("int")
+    val width = math.max((maxH - minH) / nBuckets + 1, 1L)
+    val quotedId = "`" + idCol.replace("`", "``") + "`"
+    val bucket =
+      expr(s"(shiftright(CAST($quotedId AS BIGINT), 1) - (${minH}L)) div ${width}L").cast("int")
 
     // per-bucket totals → exclusive prefix offsets (empty buckets carry the
     // running prefix forward so the array is dense and index-addressable)
     val totals = df.groupBy(bucket.as("b"))
-      .agg(sum(col(weightCol).cast("long")).as("t"))
+      .agg(sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = new Array[Long](nBuckets)
     var acc = 0L
@@ -64,7 +77,7 @@ object Packing {
 
     val w = Window.partitionBy(bucket).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val weight = col(weightCol).cast("long")
+    val weight = coalesce(col(weightCol).cast("long"), lit(0L))
     // materialize tok_end in its own projection: derived columns below then
     // reference ONE window expression (and one offset-array lookup) instead
     // of re-evaluating the running sum per output column (Project collapsing

@@ -80,9 +80,20 @@ object Similarity {
         count(lit(1)).as("n_vecs")) // + 0.0 folds IEEE −0.0 into +0.0 cross-engine
 
   /** All near-duplicate pairs with cosine ≥ threshold (brute force, i<j).
-   * Broadcast self-join — only for corpora that fit a broadcast; the scale
-   * variant is [[lshNearDupPairs]]. */
-  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+   * Broadcast self-join — DELIBERATELY not a scale path: this is the exact
+   * ground truth the LSH/IVF recall pins are measured against, and it
+   * broadcasts the whole corpus. The `maxRows` guard makes that contract
+   * enforced rather than documentation: a caller pointing it at a corpus
+   * beyond broadcast size gets an error naming [[lshNearDupPairs]] instead
+   * of a silent driver/executor OOM. The count probe is `limit(max+1)`, so
+   * the guard job scans just past the cap, not the whole corpus. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxRows: Int = 100000): DataFrame = {
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"nearDupPairs is the brute-force exact baseline and BROADCASTS the entire corpus; " +
+      s"it found > $maxRows rows (maxRows=$maxRows). Use lshNearDupPairs for corpora at " +
+      s"scale, or raise maxRows only if the corpus genuinely fits a broadcast.")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -126,11 +137,18 @@ object Similarity {
           lshBucket(col(vecCol), nPlanes, dim, seed = 42L + t)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .transform(graft.Materialize(_))
-    keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
+    // candidate dedup runs over BARE id pairs (16-byte keys) — carrying the
+    // float vectors through the cross-band distinct would shuffle each
+    // vector once per shared bucket; they are re-attached afterwards by two
+    // id-keyed joins against the corpus for the exact-cosine verify
+    val cand = keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    val vecs = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+    cand
+      .join(vecs.select(col("doc_id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(vecs.select(col("doc_id").as("id_b"), col("vec").as("vb")), "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
@@ -322,6 +340,18 @@ object Similarity {
 
   // ------------------------------------------------- product quantization
 
+  /** Subspace width, with the divisibility contract every PQ entry point
+   * shares: a non-divisible `dim` would silently drop the trailing
+   * `dim % subspaces` dimensions from both the corpus codes and the query
+   * LUT — recall degrades with no error anywhere downstream. */
+  private def subDim(dim: Int, subspaces: Int): Int = {
+    require(subspaces > 0, s"subspaces must be positive, got $subspaces")
+    require(dim % subspaces == 0,
+      s"dim ($dim) must be divisible by subspaces ($subspaces): a ragged split would " +
+      s"silently drop the trailing ${dim % subspaces} dimensions from PQ codes and LUTs")
+    dim / subspaces
+  }
+
   /** (vec_id, s, vec) rows: each vector split into `subspaces` contiguous
    * chunks, subspace index as a KEY COLUMN — so training/encoding over all
    * subspaces runs as ONE job chain instead of one per subspace (the
@@ -329,7 +359,7 @@ object Similarity {
    * fixed stage-scheduling cost dominated the whole query). */
   private def subVectors(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, subspaces: Int): DataFrame = {
-    val sub = dim / subspaces
+    val sub = subDim(dim, subspaces)
     df.select(col(idCol).as("vec_id"),
         posexplode(array((0 until subspaces).map(s =>
           slice(col(vecCol), s * sub + 1, sub)): _*)))
@@ -427,7 +457,7 @@ object Similarity {
   def pqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       queryPred: Column, k: Int, subspaces: Int = 8, codes: Int = 16,
       rerank: Int = 50): DataFrame = {
-    val sub = dim / subspaces
+    val sub = subDim(dim, subspaces)
     // no extra barriers here: pqTrain's output is a trivial relabeling
     // window over an ALREADY-materialized centroid table (recomputing it for
     // the two downstream uses is cheaper than an eager checkpoint job), and
@@ -450,9 +480,13 @@ object Similarity {
       .orderBy(col("adc_dot").desc, col("vec_id"))
     val candidates = adc.withColumn("r", row_number().over(wAdc)).filter(col("r") <= rerank)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    // exact re-rank of the shortlist
-    val scored = candidates
-      .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), "neighbor_id")
+    // exact re-rank of the shortlist: candidates are ≤ queries × rerank rows
+    // (config-bounded), so the corpus-side vector fetch is an EXPLICIT
+    // broadcast join — at toy scale auto-broadcast would pick this shape
+    // anyway, but production-scale size estimates must not be able to flip
+    // it into a corpus-wide sort-merge shuffle
+    val scored = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .join(broadcast(candidates), "neighbor_id")
       .join(broadcast(queries), "query_id")
       .withColumn("cos", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id")).orderBy(cosRankKey(col("cos")).desc, col("neighbor_id"))
@@ -524,7 +558,7 @@ object Similarity {
   def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       centroids: DataFrame, codebooks: DataFrame, subspaces: Int = 8,
       residual: Boolean = true): DataFrame = {
-    val sub = dim / subspaces
+    val sub = subDim(dim, subspaces)
     val cents = collectedCentroids(centroids, "ivfPqEncode")
     val cellIds = array(cents._1: _*)
     val withCell = df.select(col(idCol).as("vec_id"), col(vecCol).as("fullvec"))
@@ -551,7 +585,7 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       queryPred: Column, k: Int, nProbes: Int = 2, subspaces: Int = 8,
       rerank: Int = 50, residual: Boolean = true): DataFrame = {
-    val sub = dim / subspaces
+    val sub = subDim(dim, subspaces)
     val cents = collectedCentroids(centroids, "ivfPqSearch")
     val cellIds = array(cents._1: _*)
     val queries = df.filter(queryPred)
@@ -583,8 +617,12 @@ object Similarity {
     val candidates = adc.withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= rerank)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    val scored = candidates
-      .join(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), "neighbor_id")
+    // explicit broadcast: the rerank shortlist is ≤ queries × rerank rows by
+    // construction, and the broadcast-only search contract must hold by plan
+    // shape, not by stats-dependent auto-broadcast (which masks the risk at
+    // toy scale and can flip to a corpus-wide sort-merge join at 100 TB)
+    val scored = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .join(broadcast(candidates), "neighbor_id")
       .join(broadcast(queries), "query_id")
       .withColumn("cos", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))

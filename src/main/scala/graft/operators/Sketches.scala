@@ -97,15 +97,28 @@ object Sketches {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Percentile column name from the full quantile value — `0.5` → `p50`,
+   * `0.995` → `p99_5` — so close quantiles can never collide (the rounded
+   * `p${(q*100).round}` scheme mapped both 0.995 and 1.0 to `p100`).
+   * Decimal-exact via the string form: `0.995 * 100` in binary floats is
+   * 99.50000000000001. */
+  private def pName(quantile: Double): String =
+    "p" + (BigDecimal(quantile.toString) * 100)
+      .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
+
   /** Roll daily quantile sketches to a coarser grain and extract the asked
-   * quantiles — touches only the sketch table. */
+   * quantiles — touches only the sketch table. `k` must match the k the
+   * sketches were built with ([[dailyQuantileSketches]]): merging at a
+   * smaller k silently downsamples every input sketch to the coarser
+   * accuracy, so the caller's build-time accuracy spend would be lost. */
   def rollupQuantiles(sketches: DataFrame, groupCols: Seq[String],
-      quantiles: Seq[Double]): DataFrame = {
+      quantiles: Seq[Double],
+      k: Int = graft.functions.KllExpressions.defaultK): DataFrame = {
     val merged = sketches.groupBy(groupCols.map(col): _*)
-      .agg(graft.functions.KllExpressions.kllMergeAgg(col("qsketch")).as("merged"),
+      .agg(graft.functions.KllExpressions.kllMergeAgg(col("qsketch"), k).as("merged"),
         sum(col("n_rows")).as("n_rows"))
     val qCols = quantiles.map(q => graft.functions.KllExpressions
-      .kllQuantile(col("merged"), q).as(s"p${(q * 100).round}"))
+      .kllQuantile(col("merged"), q).as(pName(q)))
     merged.select((groupCols.map(col) ++ qCols :+ col("n_rows")): _*)
   }
 

@@ -345,8 +345,15 @@ object TextAnalysis {
    * a compact fingerprint set that overlaps heavily for documents sharing
    * any sufficiently long passage. Guarantees: any shared run of
    * w + k − 1 tokens produces ≥1 shared fingerprint.
+   *
+   * NULL text yields an EMPTY fingerprint set, same as too-short text —
+   * the expression chain underneath is null-intolerant (NULL in → NULL
+   * out), so the contract needs the explicit coalesce; without it a NULL
+   * doc's `size(fps)` is -1 and set-overlap joins silently drop the row.
    */
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
-    array_distinct(graft.functions.HashExpressions.slidingMin(
-      graft.functions.HashExpressions.wordShingleHashes(text, k), w))
+    coalesce(
+      array_distinct(graft.functions.HashExpressions.slidingMin(
+        graft.functions.HashExpressions.wordShingleHashes(text, k), w)),
+      array().cast("array<bigint>"))
 }

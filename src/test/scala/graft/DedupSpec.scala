@@ -141,4 +141,51 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(repart === out)
   }
+
+  test("global paragraph dedup absorbs a 100k-copy boilerplate paragraph") {
+    // the operator's reason to exist: a footer shared by (here) 1e5 pages.
+    // With the min_by formulation each map task collapses its local copies
+    // before the exchange (PlanShapeSpec pins partial_min_by in the plan);
+    // this case proves the hot key is also CORRECT at volume: the footer
+    // survives exactly once, in the minimum-id document.
+    val n = 100000L
+    val hot = spark.range(1, n + 1).select(col("id").as("doc_id"),
+      concat(lit("unique para "), col("id"), lit("\n\nshared footer boilerplate")).as("text"))
+    val out = Dedup.paragraphDedupGlobal(hot, "doc_id", "text")
+      .transform(graft.Materialize(_))
+    assert(out.count() === n) // every doc keeps its unique paragraph
+    val withFooter = out.filter(col("text_dedup").contains("shared footer")).collect()
+    assert(withFooter.length === 1 && withFooter(0).getLong(0) === 1L)
+    // kept-paragraph total: one per doc + the single surviving footer
+    assert(out.agg(sum(col("n_paras_kept"))).head().getLong(0) === n + 1)
+    graft.Materialize.release(out)
+  }
+
+  test("simhashPairs maxBlockFreq caps the degenerate all-zero bucket") {
+    // 50 empty docs all simhash to 0: every block collides, a cnt² blow-up
+    // carrying zero similarity signal — exactly what the cap is for
+    val empties = (100L until 150L).map(i => (i, "")).toDF("doc_id", "text")
+    val all = docs.union(empties)
+    val uncapped = Dedup.simhashPairs(all, "doc_id", "text", maxDist = 3)
+    assert(uncapped.filter(col("id_a") >= 100L).count() === 50L * 49 / 2)
+    val capped = Dedup.simhashPairs(all, "doc_id", "text", maxDist = 3,
+      maxBlockFreq = Some(10))
+    assert(capped.filter(col("id_a") >= 100L).count() === 0)
+    // genuine near-dups in cold buckets survive the cap
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)))
+  }
+
+  test("minhashCandidates maxBucketFreq caps a degenerate clone bucket") {
+    // 40 verbatim clones share every band bucket (freq 40); capping at 10
+    // drops those buckets while pairs in cold buckets keep their candidacy
+    val clones = (200L until 240L)
+      .map(i => (i, "identical clone document text repeated verbatim many times"))
+      .toDF("doc_id", "text")
+    val all = docs.union(clones)
+    val uncapped = Dedup.minhashCandidates(all, "doc_id", "text")
+    assert(uncapped.filter(col("id_a") >= 200L).count() === 40L * 39 / 2)
+    val capped = Dedup.minhashCandidates(all, "doc_id", "text", maxBucketFreq = Some(10))
+    assert(capped.filter(col("id_a") >= 200L).count() === 0)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)))
+  }
 }

@@ -72,4 +72,28 @@ class PackingSpec extends AnyFunSuite {
       Seq("doc_id", "n_tokens", "tok_start", "seq_first", "seq_last", "n_seqs"))
     assert(out.count() === 0L)
   }
+
+  test("NULL weights pack as zero tokens instead of failing the totals collect") {
+    val docs = Seq((0L, Some(3L)), (1L, None), (2L, Some(4L)))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.packSequences(docs, "doc_id", "n_tokens", 10L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 3L, 0L), (1L, 0L, 3L), (2L, 4L, 3L)))
+  }
+
+  test("extreme 64-bit ids bucket integrally (no double-division misbucketing)") {
+    // ids beyond 2^53 lose low bits under double division; `div` must keep
+    // the bucket ordering aligned with the id ordering
+    val big = Seq(
+      (Long.MaxValue - 2L, 1L), (Long.MaxValue - 1L, 2L),
+      (0L, 4L), (Long.MinValue + 1L, 8L))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.packSequences(big, "doc_id", "n_tokens", 10L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // id order: MinValue+1, 0, Max-2, Max-1 → offsets 0, 8, 12, 13
+    assert(got.toSeq === Seq(
+      (Long.MinValue + 1L, 0L), (0L, 8L),
+      (Long.MaxValue - 2L, 12L), (Long.MaxValue - 1L, 13L)))
+  }
 }

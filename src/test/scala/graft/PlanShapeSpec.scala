@@ -132,13 +132,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "probe restriction and LUT must be broadcast hash joins")
   }
 
-  test("global paragraph dedup prunes first-occurrence groups before the shuffle") {
+  test("global paragraph dedup partial-aggregates the hot key before the shuffle") {
     val p = planOf("dedup_paras_global")
-    // Spark's rank-limit pushdown: a Partial WindowGroupLimit must run
-    // map-side so only each partition's first-seen candidates shuffle
-    assert(p.contains("WindowGroupLimit"), p.take(400))
-    assert(countOccurrences(p, "WindowGroupLimit") === 2, "partial + final")
+    // first-occurrence selection must be a PARTIAL-AGGREGATABLE min_by, not
+    // a row_number window partitioned by the raw paragraph: a window cannot
+    // partial-aggregate, so a boilerplate footer shared by millions of pages
+    // would funnel every copy into one task. With min_by, each map task
+    // collapses its local copies of the hot paragraph before the exchange.
+    assert(p.contains("partial_min_by"),
+      "first-occurrence pick must partial-aggregate map-side: " + p.take(400))
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window "),
+      "no window over the raw-paragraph key")
     assert(countOccurrences(p, "Exchange") === 2,
-      "one paragraph-keyed window exchange + one doc-keyed agg exchange")
+      "one paragraph-keyed agg exchange + one doc-keyed agg exchange")
   }
 }

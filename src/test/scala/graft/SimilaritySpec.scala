@@ -42,6 +42,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("nearDupPairs refuses a corpus beyond its broadcast guard") {
+    // the brute-force baseline broadcasts the WHOLE corpus — the guard turns
+    // "silent OOM at scale" into an error that names the scale path
+    val big = spark.range(0, 50)
+      .select(col("id").as("vec_id"),
+        array(Seq(lit(1.0f), lit(0.0f)): _*).as("embedding"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(big, "vec_id", "embedding", 0.9, maxRows = 10)
+    }
+    assert(err.getMessage.contains("lshNearDupPairs"))
+    // at-or-under the cap still runs (boundary: exactly maxRows)
+    val ok = Similarity.nearDupPairs(big.limit(10), "vec_id", "embedding", 0.9, maxRows = 10)
+    assert(ok.count() === 45) // all identical direction → every i<j pair
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs (exact-verified)") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.load(spark, dir, "embeddings")

@@ -185,6 +185,28 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile rollup names distinguish close quantiles and honor the build-time k") {
+    val clean = events.filter(col("ts").isNotNull && col("value").isNotNull)
+    // p99.5 and p100 must get distinct column names (the old rounded scheme
+    // mapped both to p100); fractional quantiles use '_' for the point
+    val named = Sketches.rollupQuantiles(
+      Sketches.dailyQuantileSketches(clean, "ts", "value", Seq("event_type")),
+      Seq("event_type"), Seq(0.5, 0.995, 1.0))
+    assert(named.columns.toSeq === Seq("event_type", "p50", "p99_5", "p100", "n_rows"))
+    // k threads build → merge: a k=800 build rolled up at k=800 must keep
+    // the tighter rank error (vs the default-200 merge silently downsampling)
+    val bigK = 800
+    val est = Sketches.rollupQuantiles(
+        Sketches.dailyQuantileSketches(clean, "ts", "value", Seq("event_type"), k = bigK),
+        Seq("event_type"), Seq(1.0), k = bigK)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // q=1.0 is exact for any KLL sketch (max is always retained) — the test
+    // is that the k=800 sketches survive the merge without error
+    val exactMax = clean.groupBy(col("event_type")).agg(max("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est === exactMax)
+  }
+
   test("KLL merge is order-tolerant: daily rollup ≈ direct whole-corpus sketch") {
     val clean = events.filter(col("ts").isNotNull && col("value").isNotNull)
     val viaDaily = Sketches.rollupQuantiles(

@@ -67,6 +67,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(dup(0).getSeq[Long](0) === dup(1).getSeq[Long](0))
   }
 
+  test("winnowing fingerprints: NULL and too-short text both yield EMPTY sets") {
+    // the expression chain is null-intolerant, so without the explicit
+    // coalesce a NULL doc would get a NULL set (size -1, dropped by joins)
+    // instead of the documented empty set
+    val df = Seq((1L, null: String), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text")).as("fps"),
+        size(TextAnalysis.winnowFingerprints(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getInt(2)))).toMap
+    assert(out.values.forall { case (fps, n) => fps.isEmpty && n === 0 })
+  }
+
   test("fingerprint is stable under whitespace and case noise") {
     val df = Seq((1L, "Some  Document\tText "), (2L, "some document text")).toDF("doc_id", "text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
