@@ -23,6 +23,26 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, dir, name)
 
+  /** Persisted IVF-PQ index artifacts for `dir`'s embeddings table, built at
+   * most once per sf dir (tmp path keyed by dir + format version, `_SUCCESS`
+   * markers as the built test) and reloaded from parquet on every search —
+   * IvfPqIndexSpec pins that reloaded artifacts search identically to the
+   * in-memory build. Deterministic: the build itself is deterministic on one
+   * JVM, so a rebuilt index yields the same search results. */
+  private def ivfPqIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivfpq_v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val paths = Seq("centroids", "codebooks", "codes")
+      .map(n => new java.io.File(base, n).toString)
+    if (!paths.forall(p => new java.io.File(p, "_SUCCESS").exists())) {
+      val (cents, books, codes) = Similarity.ivfPqBuild(
+        table(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, nCells = 4)
+      Seq(cents, books, codes).zip(paths).foreach { case (df, p) =>
+        df.write.mode("overwrite").parquet(p) }
+    }
+    (s.read.parquet(paths(0)), s.read.parquet(paths(1)), s.read.parquet(paths(2)))
+  }
+
   /** Thresholds tuned to the driver's synthetic `events` table (~7 click/view
    * events per user per 10-day window at sf0.01) so all three bot rules fire;
    * the reference's own thresholds live in BotConfig() defaults and are
@@ -527,6 +547,19 @@ object SparkEntry {
       Similarity.ivfPqTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, queryPred = col("vec_id") < 10, k = 5, nCells = 4, nProbes = 2)
         .withColumn("rank", col("rank").cast("long"))),
+
+    // IVF-PQ SEARCH phase against PERSISTED index artifacts — the production
+    // shape (build once, search many): embed_ivfpq above times build+search
+    // (~90% of its cost is the two in-query Lloyd trainings), this entry
+    // reloads the parquet artifacts and times only the broadcast-only search
+    // plan a deployed index actually serves.
+    "embed_ivfpq_search" -> ((s, dir) => {
+      val (cents, books, codes) = ivfPqIndexFor(s, dir)
+      Similarity.ivfPqSearch(cents, books, codes, table(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, queryPred = col("vec_id") < 10,
+          k = 5, nProbes = 2)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
 
     // A5/A6/A7 DStream-parity keyed track-list state, run in batch over the
     // events clickstream (typed flatMapGroupsWithState → rows-only check).

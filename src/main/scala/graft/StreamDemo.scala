@@ -75,6 +75,36 @@ object StreamDemo {
     val bots = Sinks.readVerdicts(spark, out2, Seq("bot_ip"))
     println(s"=== E2 (track-list) bot verdicts: ${bots.count()}")
     bots.groupBy("reason").count().show(false)
+
+    // E3: IVF-PQ index maintenance — a prebuilt ANN index absorbs
+    // newly-arriving embeddings through the stateless streaming encode
+    // (no retrain, no rebuild): new vectors land in the persisted code
+    // table and the next search sees them. The 100 TB story end-to-end:
+    // build once, append increments forever.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val baseCorpus = emb.filter(col("vec_id") < 250)
+    val arriving = emb.filter(col("vec_id") >= 250)
+    val (cents, books, baseCodes) = graft.operators.Similarity
+      .ivfPqBuild(baseCorpus, "vec_id", "embedding", dim = 64, nCells = 4)
+    val embIn = Files.createTempDirectory("graft-demo-emb-in").toString
+    val codesOut = Files.createTempDirectory("graft-demo-codes").toString + "/codes"
+    val ckpt3 = Files.createTempDirectory("graft-demo-ckpt3").toString
+    arriving.repartition(4).write.mode("append").parquet(embIn)
+    val q3 = graft.operators.Similarity.ivfPqEncode(
+        spark.readStream.schema(emb.schema).parquet(embIn),
+        "vec_id", "embedding", dim = 64, cents, books)
+      .writeStream.format("parquet")
+      .option("path", codesOut).option("checkpointLocation", ckpt3)
+      .outputMode("append").start()
+    q3.processAllAvailable()
+    q3.stop()
+    val maintained = baseCodes.unionByName(spark.read.parquet(codesOut))
+    val hits = graft.operators.Similarity.ivfPqSearch(cents, books, maintained,
+      emb, "vec_id", "embedding", dim = 64, col("vec_id") < 10, k = 5)
+    println(s"=== E3 (ivfpq maintenance) search rows: ${hits.count()} " +
+      s"post-stream neighbors: ${hits.filter(col("neighbor_id") >= 250).count()}")
     spark.stop()
   }
 }

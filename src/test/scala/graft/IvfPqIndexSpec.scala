@@ -74,4 +74,42 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(asSet(spark.table("ivfpq_stream_codes")) === asSet(batchCodes),
       "stream-appended codes must equal the batch encode of the same vectors")
   }
+
+  test("the index absorbs streamed increments: searches see post-stream rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // index built when only half the corpus existed; the rest arrives later
+    val base = e.filter(col("vec_id") < 250)
+    val arriving = e.filter(col("vec_id") >= 250)
+    val (centroids, codebooks, baseCodes) =
+      Similarity.ivfPqBuild(base, "vec_id", "embedding", dim = 64, nCells = 4)
+
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = Similarity.ivfPqEncode(input.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 64, centroids, codebooks)
+      .writeStream.format("memory").queryName("ivfpq_increment_codes")
+      .outputMode("append").start()
+    try {
+      input.addData(arriving.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def search(codes: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqSearch(centroids, codebooks, codes, e,
+          "vec_id", "embedding", dim = 64, col("vec_id") < 10, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val maintained = search(
+      baseCodes.unionByName(spark.table("ivfpq_increment_codes")))
+    assert(maintained.size === 50)
+    assert(maintained.exists(_._2 >= 250L),
+      "searched results must include post-stream neighbors")
+    // the maintained code table is indistinguishable from a from-scratch
+    // batch encode of the full corpus against the same artifacts
+    val fromScratch = search(Similarity.ivfPqEncode(
+      e, "vec_id", "embedding", dim = 64, centroids, codebooks))
+    assert(maintained === fromScratch)
+  }
 }

@@ -25,6 +25,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "text_trigram_ll", // crossJoin(broadcast(1-row total))
     "embed_pq",        // ADC LUT: crossJoin(broadcast(codebook)) — k·d rows
     "embed_ivfpq",     // same ADC LUT shape as embed_pq
+    "embed_ivfpq_search", // same ADC LUT shape, against the persisted index
     "k_ttl_expiry")    // crossJoin(broadcast(1-row "now" scalar))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
