@@ -293,14 +293,33 @@ object SparkEntry {
       TextAnalysis.withLangId(table(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("lang_pred"), col("lang_score"))),
 
-    // Winnowing fingerprints (rolling k-gram hash + window minima) — the
-    // passage-level fingerprint for plagiarism/contamination checks.
+    // Winnowing fingerprints (SIGMOD'03 k=3-gram hashes, w=4 window minima)
+    // in the md5-derived DuckDB-replayable formulation: gram hash = first 15
+    // hex chars of md5 — fixed-length lowercase hex compares identically in
+    // both engines, so every window MIN agrees and the oracle replays the
+    // whole algorithm with list comprehensions. The production path is
+    // TextAnalysis.winnowFingerprints (codegen'd FNV + O(n) monotonic-deque
+    // SlidingMin, spec-pinned); this entry trades that speed for an exact
+    // oracle, since neither FNV-1a-over-UTF-16 nor xxhash64 exists in DuckDB.
+    // Fewer than w grams → one min over all grams (the standard short-doc
+    // degradation); no grams → empty set.
     "doc_winnow" -> ((s, dir) => {
-      val fps = TextAnalysis.winnowFingerprints(col("text"))
+      val toks = filter(TextAnalysis.tokens(col("text")), t => t =!= "")
+      val grams = when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3), i =>
+          substring(md5(concat_ws(" ",
+            get(toks, i), get(toks, i + 1), get(toks, i + 2))), 1, 15)))
+        .otherwise(array().cast("array<string>"))
+      val mins = when(size(grams) >= 4,
+        transform(sequence(lit(1), size(grams) - 3),
+          i => array_min(slice(grams, i, lit(4)))))
+        .otherwise(when(size(grams) > 0, array(array_min(grams)))
+          .otherwise(array().cast("array<string>")))
+      val fps = array_sort(array_distinct(mins))
       table(s, dir, "documents").select(
         col("doc_id"),
         size(fps).cast("long").as("n_fp"),
-        xxhash64(sort_array(fps)).as("fp_hash"))
+        md5(array_join(fps, ",")).as("fp_hash"))
     }),
 
     // PII redaction (emails/ids/phones → placeholders, precedence
@@ -1595,6 +1614,32 @@ object SparkEntry {
           |SELECT token, n,
           |       CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
           |FROM counts ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+      // winnowing replayed end-to-end: same tokenization as q_top_tokens,
+      // md5-prefix gram hashes (bit-identical cross-engine), 1-based list
+      // slices for the w=4 window minima, sorted-distinct set hashed with md5
+      "doc_winnow" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, CASE WHEN len(ts) >= 3 THEN
+          |      list_transform(range(1, len(ts) - 1),
+          |        i -> substring(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))
+          |    ELSE CAST([] AS VARCHAR[]) END AS gh
+          |  FROM tok),
+          |m AS (
+          |  SELECT doc_id, CASE
+          |      WHEN len(gh) >= 4 THEN
+          |        list_transform(range(1, len(gh) - 2), i -> list_min(gh[i:i+3]))
+          |      WHEN len(gh) > 0 THEN [list_min(gh)]
+          |      ELSE CAST([] AS VARCHAR[]) END AS mins
+          |  FROM g),
+          |f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
+          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+          |       md5(array_to_string(fps, ',')) AS fp_hash
+          |FROM f""".stripMargin,
 
       // 64-bit shingle hashes are distinct iff the n-gram strings are
       // (2^-64 collisions aside) — same equivalence the jaccard oracle uses

@@ -41,6 +41,38 @@ class StorageLayoutSpec extends AnyFunSuite {
       s"scan touched non-matching partitions: $scanned")
   }
 
+  test("IVF cell-partitioned write prunes the scan to the probed cells") {
+    // the ivfTopK 100 TB story made concrete: cell_id becomes a partition
+    // column at write time, so a query's nProbes-cell restriction is
+    // metadata-only partition pruning — the scan never opens the other
+    // nCells - nProbes directories
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = graft.operators.Similarity
+      .trainCentroids(e, "vec_id", "embedding", nCells = 16)
+    val assigned = graft.operators.Similarity.nearestCell(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
+      "nvec", centroids)
+    val dir = Files.createTempDirectory("ivf-part").toString + "/corpus"
+    assigned.write.partitionBy("cell_id").parquet(dir)
+
+    val cells = assigned.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cells.length > 4, s"need several populated cells, got ${cells.length}")
+    val probed = cells.take(3)
+    val probe = spark.read.parquet(dir).filter(col("cell_id").isin(probed: _*))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("cell_id"),
+      s"expected cell_id in PartitionFilters:\n${plan.take(1500)}")
+    // row parity with the unpartitioned frame, and file-level pruning proof
+    assert(probe.count() === assigned.filter(col("cell_id").isin(probed: _*)).count())
+    val scanned = probe.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => probed.exists(c => f.contains(s"cell_id=$c"))),
+      s"scan touched non-probed cells: $scanned")
+  }
+
   test("parquet schema evolution: appended columns merge, old rows read as null") {
     val dir = Files.createTempDirectory("schema-evo").toString + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
