@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.BotConfig
@@ -67,6 +67,26 @@ object SparkEntry {
    * customers joined against the deduped high-value (>300k) order key set —
    * the two queries differ ONLY in `joinType`, so they always partition the
    * customer set. */
+  /** Winnowing (k=3, w=4) fingerprint set in the md5-derived DuckDB-
+   * replayable formulation shared by doc_winnow and doc_winnow_pairs:
+   * gram hash = first 15 hex chars of md5 (fixed-length lowercase hex
+   * compares identically in both engines, so every window MIN agrees).
+   * Fewer than w grams → one min over all grams; no grams → empty set. */
+  private def md5WinnowFps(text: Column): Column = {
+    val toks = filter(TextAnalysis.tokens(text), t => t =!= "")
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        substring(md5(concat_ws(" ",
+          get(toks, i), get(toks, i + 1), get(toks, i + 2))), 1, 15)))
+      .otherwise(array().cast("array<string>"))
+    val mins = when(size(grams) >= 4,
+      transform(sequence(lit(1), size(grams) - 3),
+        i => array_min(slice(grams, i, lit(4)))))
+      .otherwise(when(size(grams) > 0, array(array_min(grams)))
+        .otherwise(array().cast("array<string>")))
+    array_sort(array_distinct(mins))
+  }
+
   private def highValueCustomerAgg(s: SparkSession, dir: String, joinType: String): DataFrame =
     table(s, dir, "customer")
       .join(table(s, dir, "orders").filter(col("o_totalprice") > 300000)
@@ -304,22 +324,22 @@ object SparkEntry {
     // Fewer than w grams → one min over all grams (the standard short-doc
     // degradation); no grams → empty set.
     "doc_winnow" -> ((s, dir) => {
-      val toks = filter(TextAnalysis.tokens(col("text")), t => t =!= "")
-      val grams = when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - 3), i =>
-          substring(md5(concat_ws(" ",
-            get(toks, i), get(toks, i + 1), get(toks, i + 2))), 1, 15)))
-        .otherwise(array().cast("array<string>"))
-      val mins = when(size(grams) >= 4,
-        transform(sequence(lit(1), size(grams) - 3),
-          i => array_min(slice(grams, i, lit(4)))))
-        .otherwise(when(size(grams) > 0, array(array_min(grams)))
-          .otherwise(array().cast("array<string>")))
-      val fps = array_sort(array_distinct(mins))
+      val fps = md5WinnowFps(col("text"))
       table(s, dir, "documents").select(
         col("doc_id"),
         size(fps).cast("long").as("n_fp"),
         md5(array_join(fps, ",")).as("fp_hash"))
+    }),
+
+    // Cross-document passage-overlap pairs over the same md5-winnow
+    // fingerprints (the corpus-level MOSS step): docs sharing ≥5 winnowed
+    // passages. Inverted-index self-join on the fingerprint — the oracle
+    // replays fingerprinting via list comprehensions, then the same
+    // unnest/join/count.
+    "doc_winnow_pairs" -> ((s, dir) => {
+      val withFps = table(s, dir, "documents")
+        .select(col("doc_id"), md5WinnowFps(col("text")).as("fps"))
+      Dedup.fingerprintOverlapPairs(withFps, "doc_id", "fps", minShared = 5)
     }),
 
     // PII redaction (emails/ids/phones → placeholders, precedence
@@ -392,6 +412,27 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(50)) === 0),
         "doc_id", "text", n = 3)
     }),
+
+    // Decontamination scale path: bloom-prefiltered two-tier check — same
+    // exact output as q_decontaminate (the verify join removes bloom false
+    // positives), but the eval shingle set never has to fit an exact
+    // broadcast. expectedItems deliberately undersized at test scale so the
+    // false-positive path is actually exercised.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.contaminationBloom(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 3, expectedItems = 1L << 14, fpp = 0.05)
+    }),
+
+    // Per-source document cap (repetition control): at most 10 docs per
+    // source in deterministic md5 order — bounded-state aggregate, no
+    // window funnel on a hot source.
+    "q_source_cap" -> ((s, dir) =>
+      operators.Sampling.capPerKey(
+          table(s, dir, "documents"), col("source"), col("doc_id"), n = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
 
     // Token-budget data mixing: per language, admit docs in deterministic
     // md5 order until 2000 tokens — the sampling step that builds a
@@ -1503,6 +1544,22 @@ object SparkEntry {
            |WHERE doc_id % 50 <> 0
            |GROUP BY 1""".stripMargin,
 
+      // identical to q_decontaminate: the bloom path is exact by design
+      "q_decontaminate_bloom" ->
+        s"""${shingleCtes()},
+           |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+           |FROM sh JOIN ev USING (shingle)
+           |WHERE doc_id % 50 <> 0
+           |GROUP BY 1""".stripMargin,
+
+      "q_source_cap" ->
+        """SELECT doc_id, source, n_chars FROM (
+          |  SELECT doc_id, source, n_chars,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents) t WHERE rn <= 10""".stripMargin,
+
       "pipeline_mix" ->
         """WITH t AS (SELECT doc_id, lang,
           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -1640,6 +1697,30 @@ object SparkEntry {
           |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
           |       md5(array_to_string(fps, ',')) AS fp_hash
           |FROM f""".stripMargin,
+
+      // same fingerprint CTE chain as doc_winnow, then unnest + self-join
+      "doc_winnow_pairs" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, CASE WHEN len(ts) >= 3 THEN
+          |      list_transform(range(1, len(ts) - 1),
+          |        i -> substring(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))
+          |    ELSE CAST([] AS VARCHAR[]) END AS gh
+          |  FROM tok),
+          |m AS (
+          |  SELECT doc_id, CASE
+          |      WHEN len(gh) >= 4 THEN
+          |        list_transform(range(1, len(gh) - 2), i -> list_min(gh[i:i+3]))
+          |      WHEN len(gh) > 0 THEN [list_min(gh)]
+          |      ELSE CAST([] AS VARCHAR[]) END AS mins
+          |  FROM g),
+          |fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM m)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+          |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
 
       // 64-bit shingle hashes are distinct iff the n-gram strings are
       // (2^-64 collisions aside) — same equivalence the jaccard oracle uses

@@ -120,6 +120,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
 
   /**
+   * [[contamination]]'s scale path for LARGE eval sets: row-identical output,
+   * but nothing requires the eval shingle universe to fit an exact broadcast
+   * set. The standard two-tier shape:
+   *
+   *   1. BUILD: the eval shingles are OR-folded into a fixed-size bloom
+   *      filter ([[graft.functions.BloomExpressions.BloomFilterAgg]] —
+   *      partials build map-side, the exchange carries one bitset per
+   *      partition). The only driver materialization is the filter itself,
+   *      sized by (expectedItems, fpp) — config-bounded, independent of the
+   *      eval set's actual row count;
+   *   2. PREFILTER: the training corpus's shingle stream is probed map-side
+   *      by the codegen'd membership expression — clean docs (the vast
+   *      majority) die in the scan stage without shuffling anything;
+   *   3. VERIFY: the tiny surviving fraction equi-joins the exact eval
+   *      shingle table (a plain shuffle join — deliberately NOT broadcast,
+   *      the premise is that the eval set is too big for that), which
+   *      removes every bloom false positive.
+   *
+   * The result is therefore EXACT — same oracle as [[contamination]] — while
+   * the cost model is: one bounded broadcast (the bloom), one map-side scan
+   * of the corpus, and a join whose left side is `fpp × corpus` plus true
+   * contamination. Undersizing `expectedItems` degrades only the prefilter
+   * rate (more verify-join traffic), never correctness.
+   */
+  def contaminationBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int, expectedItems: Long = 1L << 22,
+      fpp: Double = 0.01): DataFrame = {
+    val evalSh = evalShingles(eval, idCol, textCol, n).transform(graft.Materialize(_))
+    val bloomBytes = evalSh
+      .agg(graft.functions.BloomExpressions
+        .bloomFilterAgg(col("shash"), expectedItems, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val filter = graft.functions.BloomExpressions.filterFromBytes(bloomBytes)
+    val survivors = shingleHashRows(train, idCol, textCol, n)
+      .filter(graft.functions.BloomExpressions.mightContainLong(col("shash"), filter))
+    val out = graft.Materialize(
+      survivors.join(evalSh, Seq("shash"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared")))
+    graft.Materialize.release(evalSh)
+    out
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
    * Distributed as an inverted-index self-join on the shingle — the standard
    * scalable exact algorithm: |A∩B| from the join, |A|,|B| from per-doc
@@ -279,6 +323,43 @@ object Dedup {
     graft.Materialize.release(cand)
     graft.Materialize.release(signed)
     out
+  }
+
+  /**
+   * Cross-document passage-overlap pairs from per-doc fingerprint SETS — the
+   * corpus-level half of winnowing (Schleimer et al., SIGMOD'03 §5: MOSS):
+   * [[TextAnalysis.winnowFingerprints]] reduces each document to a sparse
+   * set of k-gram fingerprints; documents sharing ≥ `minShared` fingerprints
+   * share that many winnowed passages, catching partial/passage-level
+   * duplication that whole-document similarity (minhash over ALL shingles)
+   * dilutes away.
+   *
+   * Distributed exactly like [[ngramJaccard]]'s intersection: explode to
+   * (doc_id, fp) rows (map-side), inverted-index self-join on the
+   * fingerprint, one keyed count — shuffle ∝ total fingerprint volume
+   * (already ~2/(w+1) of the gram stream by the winnowing density bound),
+   * never all-pairs. `maxFpFreq` is the [[capHotKeys]] guard: a fingerprint
+   * appearing in more than that many docs (boilerplate passages) is a cnt²
+   * join blow-up carrying little overlap signal.
+   *
+   * Generic over the fingerprint element type (the codegen'd BIGINT
+   * production path and the md5-derived STRING oracle formulation both
+   * work). The fingerprint frame is materialized so Catalyst's projection
+   * collapse cannot inline the whole winnowing pipeline into both join
+   * sides (the minhash lesson, `minhashCandidates`).
+   */
+  def fingerprintOverlapPairs(df: DataFrame, idCol: String, fpCol: String,
+      minShared: Int, maxFpFreq: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fp0 = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(col(fpCol))).as("fp"))
+      .transform(graft.Materialize(_))
+    val fp = maxFpFreq.fold(fp0)(capHotKeys(fp0, Seq("fp"), _))
+    fp.as("a").join(fp.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   // ------------------------------------------------------------ clustering

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -63,11 +64,8 @@ object Sampling {
    * (token count) reaches `budget` — every stratum contributes at most
    * `budget` tokens, and the SAME rows are chosen on any partitioning or
    * engine (the order key is the same md5 the hash sample uses, so nested
-   * budgets select nested prefixes).
-   *
-   * One shuffle (the per-stratum window); the running sum is a single
-   * ascending-order pass — no iteration, no driver loop. Emits
-   * `cum_tokens` (inclusive) alongside the kept rows.
+   * budgets select nested prefixes). Emits `cum_tokens` (inclusive)
+   * alongside the kept rows.
    *
    * Semantics are PREFIX-TRUNCATION: the kept set is the longest hash-order
    * prefix whose total weight fits the budget. A row too large to fit still
@@ -76,13 +74,86 @@ object Sampling {
    * skipped around — by design, as skipping would make the selection
    * depend on every earlier row's weight individually rather than on the
    * prefix sum (and would need an iterative pass, not one window).
+   *
+   * Skew note: the per-stratum running sum is NOT one window per stratum —
+   * `Window.partitionBy(stratum)` would funnel every row of a hot stratum
+   * ("en" is half the web) into ONE task. Instead the same two-phase
+   * distributed scan [[Packing.packSequences]] uses, keyed by hash order:
+   *
+   *   1. rows bucket by the first two hex digits of the order key — 256
+   *      sub-ranges of each stratum's hash order, so a hot stratum spreads
+   *      across 256 tasks;
+   *   2. per-(stratum, bucket) weight totals become exclusive prefix
+   *      OFFSETS via a window over the TOTALS frame — ≤256 rows per
+   *      stratum, bounded work however large the data — then join back
+   *      (no driver collect: strata count is unbounded, so offsets stay
+   *      a distributed frame, unlike packSequences' bounded id-bucket
+   *      array);
+   *   3. the within-bucket running sum (a window partitioned by
+   *      (stratum, bucket), which reuses the join's hash partitioning)
+   *      plus the bucket's offset is the global per-stratum running sum.
    */
   def tokenBudgetMix(df: DataFrame, keyCol: Column, strataCol: Column,
       weightCol: Column, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol).orderBy(hexKey(keyCol), keyCol)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("cum_tokens", sum(weightCol).over(w))
+    val outCols = df.columns.toSeq.map(col) :+ col("cum_tokens")
+    val base = df.withColumn("__mix_s", strataCol)
+      .withColumn("__mix_ord", hexKey(keyCol))
+      .withColumn("__mix_b", conv(substring(col("__mix_ord"), 1, 2), 16, 10).cast("int"))
+    // per-(stratum, bucket) totals; `nn` (non-null weight count) preserves
+    // SQL sum-over-window null semantics exactly: the running sum is NULL
+    // only while the prefix has seen no non-null weight at all
+    val totals = base.groupBy(col("__mix_s"), col("__mix_b"))
+      .agg(coalesce(sum(weightCol), lit(0)).as("__mix_t"),
+        count(weightCol).as("__mix_nn"))
+    val wOff = Window.partitionBy(col("__mix_s")).orderBy(col("__mix_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__mix_s").as("__mix_os"), col("__mix_b").as("__mix_ob"),
+      coalesce(sum(col("__mix_t")).over(wOff), lit(0)).as("__mix_off"),
+      coalesce(sum(col("__mix_nn")).over(wOff), lit(0L)).as("__mix_nn_off"))
+    val wRun = Window.partitionBy(col("__mix_s"), col("__mix_b"))
+      .orderBy(col("__mix_ord"), keyCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // null-safe join keys: a NULL stratum (and the NULL bucket of a NULL
+    // order key) is a legitimate group — `Window.partitionBy` grouped NULLs
+    // together in the formulation this replaced, so a plain equi-join would
+    // silently drop those rows. The offsets side carries renamed keys so the
+    // self-derived join needs no lineage disambiguation.
+    base.join(offsets,
+        col("__mix_s") <=> col("__mix_os") && col("__mix_b") <=> col("__mix_ob"))
+      .drop("__mix_os", "__mix_ob")
+      .withColumn("__mix_run", sum(weightCol).over(wRun))
+      .withColumn("cum_tokens",
+        when(col("__mix_run").isNotNull, col("__mix_off") + col("__mix_run"))
+          .when(col("__mix_nn_off") > 0, col("__mix_off"))
+          .otherwise(lit(null)))
       .filter(col("cum_tokens") <= budget)
+      .select(outCols: _*)
+  }
+
+  /**
+   * Per-key row cap (repetition control): keep at most `n` rows per key —
+   * at most `n` documents per domain/source, the C4/RefinedWeb-style guard
+   * against any single site dominating a training mix. The kept rows are
+   * the first `n` of each key in deterministic md5-hash order of `idCol`
+   * (the repo's cross-engine convention: re-derivable on any partitioning
+   * or engine, and a smaller cap's pick is a prefix of a larger cap's).
+   *
+   * Skew is the entire design problem here — the hot key is the REASON the
+   * operator runs (one domain with 10⁸ pages). A `row_number` window would
+   * funnel that key into one task; an uncapped `collect_list` would buffer
+   * 10⁸ entries before truncating. Instead the per-group state is a bounded
+   * ordered set ([[graft.functions.TopNExpressions.TopNByOrderAgg]], ≤ n
+   * entries at every stage, partial-aggregated map-side), so the exchange
+   * carries ≤ n candidate ids per key per map partition. Kept ids then
+   * semi-join back to the input — one shuffle on the (unique, non-null,
+   * integral) id, skew-free by uniqueness.
+   */
+  def capPerKey(df: DataFrame, keyCol: Column, idCol: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val kept = df.groupBy(keyCol)
+      .agg(graft.functions.TopNExpressions
+        .topNByOrder(hexKey(idCol), idCol.cast("long"), n).as("__cap_ids"))
+      .select(explode(col("__cap_ids")).as("__cap_id"))
+    df.join(kept, idCol.cast("long") === col("__cap_id"), "left_semi")
   }
 }

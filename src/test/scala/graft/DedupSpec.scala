@@ -40,6 +40,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Map(1L -> 3L, 3L -> 1L)) // clean doc 2 absent
   }
 
+  test("contaminationBloom is row-identical to exact contamination, even undersized") {
+    val dir = "/root/testdata/sf0.01"
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val train = d.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val eval = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    val exact = toMap(Dedup.contamination(train, eval, "doc_id", "text", n = 3))
+    // well-sized bloom
+    val bloom = toMap(Dedup.contaminationBloom(train, eval, "doc_id", "text", n = 3))
+    assert(bloom === exact)
+    // pathologically undersized bloom (64 expected items for thousands of
+    // shingles → saturated filter, huge FP rate): the verify join must still
+    // make the output exact — undersizing degrades cost, never correctness
+    val tiny = toMap(Dedup.contaminationBloom(train, eval, "doc_id", "text",
+      n = 3, expectedItems = 64L, fpp = 0.5))
+    assert(tiny === exact)
+  }
+
   test("exact dedup is whitespace/case insensitive via normalization") {
     val messy = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, " HELLO\tWORLD ")).toDF("doc_id", "text")
     val out = Dedup.exact(messy, "doc_id", "text").collect()
@@ -63,6 +82,27 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh.subsetOf(exact))               // verification guarantees precision
     assert(mh.size >= (exact.size * 0.9).toInt)  // LSH recall ≥ 90% at j≥0.5
+  }
+
+  test("fingerprintOverlapPairs finds passage-level overlap via shared winnow fps") {
+    val shared = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3).trim
+    val docs = Seq(
+      (1L, shared + " unique tail one about rivers and stones"),
+      (2L, "completely different head text here then " + shared),
+      (3L, "nothing in common with those two documents at all whatsoever today"))
+      .toDF("doc_id", "text")
+    // production path: codegen'd FNV + SlidingMin fingerprints (ARRAY<BIGINT>)
+    val withFps = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+    val pairs = Dedup.fingerprintOverlapPairs(withFps, "doc_id", "fps", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // hot-fingerprint cap: every shared fp lives in 2 docs, so capping at 1
+    // removes the overlap evidence (the blow-up guard, at the recall cost
+    // documented on capHotKeys)
+    val capped = Dedup.fingerprintOverlapPairs(withFps, "doc_id", "fps",
+      minShared = 1, maxFpFreq = Some(1))
+    assert(capped.count() === 0L)
   }
 
   test("clusterPairs: transitive chains collapse to the min-id component") {

@@ -91,10 +91,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
-  test("token-budget mix is one stratum window over a pruned scan") {
+  test("token-budget mix: two-phase scan, data shuffles once, window keyed sub-stratum") {
     val p = planOf("pipeline_mix")
-    // exactly one exchange: the per-stratum window partitioning
-    assert(countOccurrences(p, "Exchange") === 1, p.take(400))
+    // never one task per stratum — the whole point of the two-phase scan
+    assert(!p.contains("SinglePartition"),
+      "running sum must never collapse to a single partition")
+    // three exchanges total: ONE carries the data (feeding the running-sum
+    // window); the other two carry only the ≤(strata × 256)-row totals /
+    // offsets frames (aggregate partial/final split + offsets window)
+    assert(countOccurrences(p, "Exchange") === 3, p.take(400))
+    assert(countOccurrences(p, "Window") === 2,
+      "one bounded offsets window + one running-sum window")
+    // the DATA-side window must partition by (stratum, bucket), not the
+    // stratum alone — a hot stratum spreads across its 256 hash-order buckets
+    assert("""windowspecdefinition\(__mix_s#\d+, __mix_b#\d+""".r.findFirstIn(p).isDefined,
+      "running-sum window must be keyed by (stratum, bucket)")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
       "scan must prune to the three used columns")
   }

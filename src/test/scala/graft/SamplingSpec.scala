@@ -82,6 +82,77 @@ class SamplingSpec extends AnyFunSuite {
     assert(!fr.contains(1000L))
   }
 
+  test("capPerKey keeps the md5-order prefix per key, invariant under partitioning") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val out = Sampling.capPerKey(docs, col("source"), col("doc_id"), n = 10)
+    // reference: the window formulation (fine at test scale) must agree
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val ref = docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === ref)
+    assert(out.groupBy("source").count().collect().forall(_.getLong(1) === 10L))
+    // partition-invariance (the determinism contract)
+    val repart = Sampling.capPerKey(docs.repartition(13, col("lang")),
+      col("source"), col("doc_id"), n = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart === got)
+    // nested caps: a smaller cap's pick is a prefix-subset of a larger one's
+    val small = Sampling.capPerKey(docs, col("source"), col("doc_id"), n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.size === 60 && small.subsetOf(got))
+  }
+
+  test("capPerKey survives a hot key and partial-aggregates before the exchange") {
+    import spark.implicits._
+    // one key carrying 200k rows (the operator's raison d'être) + a cold key
+    val hot = spark.range(0, 200000L).selectExpr("'megadomain' AS k", "id")
+      .union(spark.range(1000000L, 1000005L).selectExpr("'tiny' AS k", "id"))
+      .toDF("k", "id")
+    val out = Sampling.capPerKey(hot, col("k"), col("id"), n = 7)
+      .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("megadomain" -> 7L, "tiny" -> 5L))
+    // plan shape: the bounded aggregate must split partial/final around the
+    // exchange (ObjectHashAggregate with a partial top_n_by_order), so hot
+    // keys collapse map-side — the entire point vs a row_number window
+    val agg = hot.groupBy(col("k")).agg(graft.functions.TopNExpressions
+      .topNByOrder(md5(col("id").cast("string").cast("binary")), col("id"), 7).as("ids"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
+    assert(p.contains("partial_top_n_by_order"), p.take(400))
+  }
+
+  test("tokenBudgetMix two-phase scan is row-identical to the window formulation") {
+    import spark.implicits._
+    // fixture with a hot stratum, a null-weight row, an all-null-weight
+    // stratum, and a NULL stratum (windows group NULL keys together — the
+    // two-phase join must too, via null-safe keys)
+    val rows = (0L until 2000L).map(i => (i, Option("hot"), Some(1L + i % 5))) ++
+      (10000L until 10020L).map(i => (i, Option("cold"), Some(3L))) ++
+      Seq((20000L, Option("cold"), None),
+        (30000L, Option("nulls"), None), (30001L, Option("nulls"), None),
+        (40000L, None, Some(2L)), (40001L, None, Some(3L)))
+    val df = rows.toDF("doc_id", "lang", "n_tokens")
+    val got = Sampling.tokenBudgetMix(df, col("doc_id"), col("lang"),
+        col("n_tokens"), budget = 500L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cum_tokens"))).toSet
+    // reference: the single-window formulation this replaced (fine at test
+    // scale, hot-stratum funnel at 100 TB)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = df.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 500L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cum_tokens"))).toSet
+    assert(got === ref)
+    // the all-null-weight stratum must contribute nothing (NULL cum, filtered)
+    assert(!got.exists(f => f._1 == 30000L || f._1 == 30001L))
+    // the NULL stratum survives (null-safe join keys)
+    assert(got.exists(_._1 >= 40000L))
+  }
+
   test("stratified thresholds apply per stratum") {
     val out = Sampling.stratifiedHashSample(events, col("event_id"),
         col("event_type"), Map("click" -> "80"), defaultThreshold = "08")
