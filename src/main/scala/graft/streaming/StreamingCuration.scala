@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.operators.Dedup
 
@@ -30,6 +30,43 @@ object StreamingCuration {
    * `quarantineDir` with their `n_shared` overlap count (evidence for
    * audit, the reason quarantine isn't just a drop).
    */
+  /**
+   * Ingest-time per-key admission cap — the streaming twin of
+   * [[graft.operators.Sampling.capPerKey]]: admit at most `maxPerKey` rows
+   * per key over the stream's lifetime (at most N pages per domain as a
+   * crawl arrives). A stream cannot know the batch operator's global
+   * md5-order prefix (later "smaller-hash" rows would demand revoking
+   * already-emitted ones), so the streaming semantics are ARRIVAL-order
+   * admission: first `maxPerKey` rows win, ties within a micro-batch broken
+   * by ascending id for replay stability.
+   *
+   * State is ONE long per key (the admitted count) — bounded by the key
+   * universe, not the row count; per-batch work per key touches only that
+   * batch's rows. Admission decisions commit with the state store
+   * checkpoint, so a replayed batch re-admits exactly the same rows.
+   * Returns the admitted (key, id) pairs as an append stream; callers join
+   * the payload back on the id downstream (same shape as the batch
+   * operator's semi-join).
+   */
+  def perKeyCapGate(docs: DataFrame, keyCol: String, idCol: String,
+      maxPerKey: Int): Dataset[(String, Long)] = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(keyCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, maxPerKey - admitted).toInt
+          val take = rows.toSeq.sortBy(_._2).take(room)
+          if (take.nonEmpty) state.update(admitted + take.size)
+          take.iterator
+      }
+  }
+
   def startContaminationGate(docs: DataFrame, evalDocs: DataFrame,
       cleanDir: String, quarantineDir: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",

@@ -14,6 +14,32 @@ class StreamingCurationSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("per-key cap gate admits at most n rows per key across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)](spark)
+    val docs = input.toDF().toDF("source", "doc_id")
+    val outDir = tmp("cap-out")
+    val q = StreamingCuration.perKeyCapGate(docs, "source", "doc_id", maxPerKey = 3)
+      .toDF("source", "doc_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("cap-ckpt"))
+      .format("parquet").option("path", outDir).start()
+    try {
+      // batch 1: hot source already over cap in one batch (id order wins)
+      input.addData(("hot", 5L), ("hot", 1L), ("hot", 9L), ("hot", 3L), ("cold", 10L))
+      q.processAllAvailable()
+      // batch 2: hot is full — nothing more admitted; cold still has room
+      input.addData(("hot", 0L), ("cold", 11L), ("cold", 12L), ("cold", 13L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet
+    // hot: the 3 smallest ids of batch 1 (in-batch tie-break), never id 0
+    // from batch 2 (lifetime state, not per-batch); cold: 10 + first 2 more
+    assert(out === Set("hot" -> 1L, "hot" -> 3L, "hot" -> 5L,
+      "cold" -> 10L, "cold" -> 11L, "cold" -> 12L))
+  }
+
   test("contamination gate splits clean vs flagged across micro-batches") {
     import spark.implicits._
     val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
