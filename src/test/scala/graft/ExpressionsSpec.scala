@@ -233,4 +233,23 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0).toSeq
     assert(sql === Seq(1L, 1L, 3L, 3L))
   }
+
+  test("bloom agg + probe: zero false negatives, FP rate near fpp, merge across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomExpressions
+    // build distributed (13 partitions force partial-buffer merges)
+    val members = spark.range(0, 10000L).repartition(13)
+    val bytes = members.agg(BloomExpressions.bloomFilterAgg(col("id"), 10000L, 0.03))
+      .head().getAs[Array[Byte]](0)
+    val filter = BloomExpressions.filterFromBytes(bytes)
+    // the bloom invariant: NO false negatives, whatever the merge order
+    val missed = members.filter(!BloomExpressions.mightContainLong(col("id"), filter)).count()
+    assert(missed === 0L, "bloom filters must never produce false negatives")
+    // false-positive rate on 20k definite non-members tracks the configured fpp
+    val fp = spark.range(1000000L, 1020000L)
+      .filter(BloomExpressions.mightContainLong(col("id"), filter)).count()
+    val rate = fp.toDouble / 20000
+    assert(rate < 0.09, s"FP rate $rate vs configured 0.03")
+  }
 }
