@@ -67,24 +67,40 @@ object SparkEntry {
    * customers joined against the deduped high-value (>300k) order key set —
    * the two queries differ ONLY in `joinType`, so they always partition the
    * customer set. */
-  /** Winnowing (k=3, w=4) fingerprint set in the md5-derived DuckDB-
-   * replayable formulation shared by doc_winnow and doc_winnow_pairs:
-   * gram hash = first 15 hex chars of md5 (fixed-length lowercase hex
-   * compares identically in both engines, so every window MIN agrees).
-   * Fewer than w grams → one min over all grams; no grams → empty set. */
-  private def md5WinnowFps(text: Column): Column = {
-    val toks = filter(TextAnalysis.tokens(text), t => t =!= "")
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        substring(md5(concat_ws(" ",
-          get(toks, i), get(toks, i + 1), get(toks, i + 2))), 1, 15)))
-      .otherwise(array().cast("array<string>"))
-    val mins = when(size(grams) >= 4,
-      transform(sequence(lit(1), size(grams) - 3),
-        i => array_min(slice(grams, i, lit(4)))))
-      .otherwise(when(size(grams) > 0, array(array_min(grams)))
+  /** (doc_id, fps): winnowing (k=3, w=4) fingerprint sets in the
+   * md5-derived DuckDB-replayable formulation shared by doc_winnow and
+   * doc_winnow_pairs: gram hash = first 15 hex chars of md5 (fixed-length
+   * lowercase hex compares identically in both engines, so every window MIN
+   * agrees). Fewer than w grams → one min over all grams; no grams → empty
+   * set.
+   *
+   * Each stage is computed behind a [[graft.Materialize]] barrier so the
+   * lambda bodies reference STORED arrays. Collapsed into one projection,
+   * Spark's interpreted higher-order functions re-evaluate every referenced
+   * subtree per lambda element — `get(toks, i)` re-tokenizes the document
+   * for every gram index, and the window-min transform re-derives the whole
+   * gram array per window: measured ~100 ms/row at ~300 chars (a
+   * ten-minute single task at sf0.1). Staged, the same math is sub-ms/row.
+   * (The production path never pays this: `wordShingleHashes`/`slidingMin`
+   * are one-pass codegen'd expressions; this formulation exists only for
+   * oracle parity, where md5 is the one hash both engines share.) */
+  private def md5WinnowDocs(s: SparkSession, dir: String): DataFrame = {
+    val withToks = graft.Materialize(table(s, dir, "documents").select(col("doc_id"),
+      filter(TextAnalysis.tokens(col("text")), t => t =!= "").as("toks")))
+    val t = col("toks")
+    val withGrams = graft.Materialize(withToks.select(col("doc_id"),
+      when(size(t) >= 3,
+        transform(sequence(lit(0), size(t) - 3), i =>
+          substring(md5(concat_ws(" ",
+            get(t, i), get(t, i + 1), get(t, i + 2))), 1, 15)))
+        .otherwise(array().cast("array<string>")).as("gh")))
+    graft.Materialize.release(withToks)
+    val g = col("gh")
+    val mins = when(size(g) >= 4,
+      transform(sequence(lit(1), size(g) - 3), i => array_min(slice(g, i, lit(4)))))
+      .otherwise(when(size(g) > 0, array(array_min(g)))
         .otherwise(array().cast("array<string>")))
-    array_sort(array_distinct(mins))
+    withGrams.select(col("doc_id"), array_sort(array_distinct(mins)).as("fps"))
   }
 
   private def highValueCustomerAgg(s: SparkSession, dir: String, joinType: String): DataFrame =
@@ -323,24 +339,20 @@ object SparkEntry {
     // oracle, since neither FNV-1a-over-UTF-16 nor xxhash64 exists in DuckDB.
     // Fewer than w grams → one min over all grams (the standard short-doc
     // degradation); no grams → empty set.
-    "doc_winnow" -> ((s, dir) => {
-      val fps = md5WinnowFps(col("text"))
-      table(s, dir, "documents").select(
+    "doc_winnow" -> ((s, dir) =>
+      md5WinnowDocs(s, dir).select(
         col("doc_id"),
-        size(fps).cast("long").as("n_fp"),
-        md5(array_join(fps, ",")).as("fp_hash"))
-    }),
+        size(col("fps")).cast("long").as("n_fp"),
+        md5(array_join(col("fps"), ",")).as("fp_hash"))),
 
     // Cross-document passage-overlap pairs over the same md5-winnow
     // fingerprints (the corpus-level MOSS step): docs sharing ≥5 winnowed
     // passages. Inverted-index self-join on the fingerprint — the oracle
     // replays fingerprinting via list comprehensions, then the same
     // unnest/join/count.
-    "doc_winnow_pairs" -> ((s, dir) => {
-      val withFps = table(s, dir, "documents")
-        .select(col("doc_id"), md5WinnowFps(col("text")).as("fps"))
-      Dedup.fingerprintOverlapPairs(withFps, "doc_id", "fps", minShared = 5)
-    }),
+    "doc_winnow_pairs" -> ((s, dir) =>
+      Dedup.fingerprintOverlapPairs(md5WinnowDocs(s, dir), "doc_id", "fps",
+        minShared = 5)),
 
     // PII redaction (emails/ids/phones → placeholders, precedence
     // email > id > phone) with per-kind counts. The synthetic documents
