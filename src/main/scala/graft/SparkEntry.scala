@@ -597,6 +597,14 @@ object SparkEntry {
       Similarity.lshNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.3, nPlanes = 6, tables = 8)),
 
+    // SemDeDup-style cell-bucketed near-dup pairs: Lloyd-trained cells shard
+    // the corpus (map-side assignment, zero exchange), exact cosine verify
+    // within cells only. Approximate by construction (cell-boundary pairs
+    // are missed) -> rows-only; recall floor pinned by SimilaritySpec.
+    "embed_celldup" -> ((s, dir) =>
+      Similarity.cellNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nCells = 8)),
+
     // Product-quantization ANN: 8x16 codebooks (8 bytes/vector), ADC
     // shortlist + exact rerank — approximate by design, rows-only check;
     // recall vs brute force pinned by PqSpec.

@@ -154,6 +154,69 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /**
+   * SemDeDup-style cell-bucketed near-dup pairs (Abbas et al. 2023,
+   * arXiv:2303.09540: cluster the embedding space, then compare only within
+   * clusters): Lloyd-trained cells shard the corpus exactly like [[ivfTopK]]
+   * — assignment is the same map-side codegen'd argmax projection with ZERO
+   * exchange — and candidate pairs are the within-cell self-join, verified
+   * with exact cosine. The third embedding-dedup scale path beside
+   * [[nearDupPairs]] (exact, broadcast-gated) and [[lshNearDupPairs]]
+   * (hyperplane tables): one assignment scan + one equi-join keyed by
+   * cell_id, shuffle ∝ corpus × nProbes (ids only — see below), per-cell
+   * work (nProbes·n/nCells)² — nCells scales it quadratically down from
+   * all-pairs.
+   *
+   * Boundary pairs are the recall risk (two vectors straddling a cell edge
+   * never meet), so each vector is MULTI-ASSIGNED to its `nProbes` nearest
+   * cells ([[nearestCells]] — the dedup-side twin of IVF multi-probe): a
+   * pair is compared if the probe sets intersect. Still approximate by
+   * construction; SimilaritySpec pins the recall floor against the
+   * brute-force ground truth.
+   *
+   * The candidate join carries BARE (cell_id, doc_id) rows — the float
+   * vectors would otherwise shuffle once per probe per side — and the
+   * cross-probe `distinct` runs over 16-byte id pairs before vectors are
+   * re-attached by two id-keyed joins for the exact-cosine verify (same
+   * slim-exchange shape as [[lshNearDupPairs]]).
+   *
+   * `maxCellFreq` is the [[Dedup.capHotKeys]]-style guard for degenerate
+   * trainings (all vectors in one cell → cnt² blow-up); balanced Lloyd cells
+   * don't trip it.
+   */
+  def cellNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 64, nProbes: Int = 2,
+      iterations: Int = 2, sampleMod: Int = 1,
+      maxCellFreq: Option[Int] = None): DataFrame = {
+    require(nProbes >= 1 && nProbes <= nCells,
+      s"cellNearDupPairs: nProbes must be in [1, nCells], got $nProbes/$nCells")
+    val seeds = seedFarthestFirst(df, idCol, vecCol, nCells, sampleMod)
+    val centroids = trainCentroids(df, idCol, vecCol, nCells, iterations, Some(seeds))
+    val docs = graft.Materialize(
+      df.select(col(idCol).as("doc_id"), col(vecCol).as("vec")))
+    // materialized: the multi-probe assignment is map-side cheap, but
+    // without the barrier BOTH self-join sides would rescan the corpus
+    val assigned = nearestCells(docs, "vec", centroids, nProbes)
+      .select("cell_id", "doc_id")
+      .transform(graft.Materialize(_))
+    val capped = maxCellFreq.fold(assigned)(
+      Dedup.capHotKeys(assigned, Seq("cell_id"), _))
+    val cand = capped.as("a").join(capped.as("b"), Seq("cell_id"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val out = graft.Materialize(cand
+      .join(docs.select(col("doc_id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("vec").as("vb")), "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r")))
+    graft.Materialize.release(assigned)
+    graft.Materialize.release(docs)
+    graft.Materialize.release(centroids)
+    out
+  }
+
   /** Descending-cosine sort key for top-k ranking windows with the
    * NaN-loses rule (the assignment-side twin lives inside the codegen'd
    * [[graft.functions.NearestCentroidIndex]]): Spark sorts NaN above every

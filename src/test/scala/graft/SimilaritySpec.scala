@@ -171,6 +171,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"lsh recall degraded: $recall")
   }
 
+  test("SemDeDup cell-bucketed near-dup: recall floor and exact-verify precision") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cell = Similarity.cellNearDupPairs(e, "vec_id", "embedding", 0.3, nCells = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(cell.subsetOf(brute), "exact verification must keep only true pairs")
+    val recall = (cell & brute).size.toDouble / brute.size
+    info(s"celldup recall (threshold 0.3, 8 cells): $recall")
+    assert(recall >= 0.5, s"celldup recall degraded: $recall")
+  }
+
+  test("cellNearDupPairs maxCellFreq cap bounds a degenerate single-cell training") {
+    import spark.implicits._
+    // 60 identical vectors: every Lloyd training collapses them into one
+    // cell, so the uncapped within-cell join would propose 60*59/2 pairs;
+    // the cap drops the hot cell entirely and the result stays empty
+    val df = (1L to 60L).map(i => (i, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val capped = Similarity.cellNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.9, nCells = 4, maxCellFreq = Some(10))
+    assert(capped.count() === 0L)
+    val uncapped = Similarity.cellNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.9, nCells = 4)
+    assert(uncapped.count() === 60L * 59 / 2)
+  }
+
   test("IVF recall floor at sf0.01 guards the map-side assignment path") {
     val dir = "/root/testdata/sf0.01"
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
