@@ -446,6 +446,42 @@ object SparkEntry {
           table(s, dir, "documents"), col("source"), col("doc_id"), n = 10)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // Deequ-style declarative data-quality report: four column constraints
+    // compiled into ONE aggregation pass over orders (completeness,
+    // key-distinctness, bounds, value-set), plus referential integrity vs
+    // customer as a distinct-key left join — the pre-training sanity gate a
+    // pipeline runs before spending GPU-hours on a batch.
+    "q_data_quality" -> ((s, dir) => {
+      import operators.DataQuality
+      val orders = table(s, dir, "orders")
+      DataQuality.report(orders, Seq(
+          DataQuality.Completeness("o_orderpriority"),
+          DataQuality.Distinctness("o_orderkey"),
+          DataQuality.Bounds("o_totalprice", 0.0, 400000.0, minFraction = 0.95),
+          DataQuality.InSet("o_orderstatus", Seq("O", "F"), minFraction = 0.5)))
+        .union(DataQuality.refIntegrity(orders, "o_custkey",
+          table(s, dir, "customer"), "c_custkey"))
+    }),
+
+    // Percentile quality gate: drop the lowest-stop_ratio quartile (the
+    // "too few function words to be natural language" tail). Threshold is a
+    // one-row exact-percentile aggregate broadcast over the corpus — no
+    // rank window.
+    "text_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityGate(
+          TextAnalysis.withQuality(table(s, dir, "documents")),
+          col("stop_ratio"), q = 0.25)
+        .select(col("doc_id"), col("gate_score").as("score"))),
+
+    // KLL-sketch twin of text_quality_gate — the 100 TB path (mergeable
+    // bounded-memory threshold). Selected set drifts from exact only within
+    // the sketch rank error -> rows-only; drift pinned by TextGateSpec.
+    "text_quality_gate_kll" -> ((s, dir) =>
+      TextAnalysis.qualityGate(
+          TextAnalysis.withQuality(table(s, dir, "documents")),
+          col("stop_ratio"), q = 0.25, approx = true)
+        .select(col("doc_id"), col("gate_score").as("score"))),
+
     // Token-budget data mixing: per language, admit docs in deterministic
     // md5 order until 2000 tokens — the sampling step that builds a
     // fixed-size training mix from an arbitrarily large corpus.
@@ -1281,6 +1317,43 @@ object SparkEntry {
            |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
            |  CAST(n_trim - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_token_chars
            |FROM t""".stripMargin,
+
+      "q_data_quality" ->
+        """SELECT 'completeness(o_orderpriority)' AS check_name,
+          |  CAST(count(o_orderpriority) AS DOUBLE) / count(*) AS metric,
+          |  (CAST(count(o_orderpriority) AS DOUBLE) / count(*)) >= 1.0 AS passed
+          |FROM orders
+          |UNION ALL
+          |SELECT 'distinctness(o_orderkey)',
+          |  CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*),
+          |  (CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*)) >= 1.0
+          |FROM orders
+          |UNION ALL
+          |SELECT 'bounds(o_totalprice)',
+          |  CAST(count_if(o_totalprice BETWEEN 0 AND 400000) AS DOUBLE) / count(*),
+          |  (CAST(count_if(o_totalprice BETWEEN 0 AND 400000) AS DOUBLE) / count(*)) >= 0.95
+          |FROM orders
+          |UNION ALL
+          |SELECT 'in_set(o_orderstatus)',
+          |  CAST(count_if(o_orderstatus IN ('O', 'F')) AS DOUBLE) / count(*),
+          |  (CAST(count_if(o_orderstatus IN ('O', 'F')) AS DOUBLE) / count(*)) >= 0.5
+          |FROM orders
+          |UNION ALL
+          |SELECT 'ref_integrity(o_custkey)',
+          |  CAST(count(c.c_custkey) AS DOUBLE) / count(*),
+          |  (CAST(count(c.c_custkey) AS DOUBLE) / count(*)) >= 1.0
+          |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          |  ON o.o_custkey = c.c_custkey""".stripMargin,
+
+      "text_quality_gate" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |         x -> x IN ($stopwordList))) AS DOUBLE)
+           |      / len(string_split_regex(trim(text), '\\s+')) AS score
+           |  FROM documents),
+           |th AS (SELECT quantile_cont(score, 0.25) AS th FROM t)
+           |SELECT doc_id, score FROM t, th WHERE score >= th.th""".stripMargin,
 
       "text_redact" ->
         """WITH pii AS (

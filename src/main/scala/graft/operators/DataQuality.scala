@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deequ-style declarative data-quality constraint report (Schelter et al.,
+ * VLDB'18 "Automating Large-Scale Data Quality Verification": compile all
+ * declared constraints into ONE aggregation pass, then assert on the scalar
+ * metrics). Each check yields a `(check_name, metric, passed)` row where
+ * `metric` is the satisfied fraction in [0, 1] and `passed` compares it to
+ * the check's `minFraction`.
+ *
+ * Scale shape: every column check is an aggregate EXPRESSION, so [[report]]
+ * is a single `agg` over the table — partial aggregation absorbs everything
+ * map-side and the shuffle is one row per partition regardless of table
+ * size. The lone exception is [[Distinctness]] (a true `count(DISTINCT)`),
+ * which Catalyst plans via Expand in the same stage — still one pass over
+ * the data, at ×(distinct-checks+1) row expansion; use it deliberately.
+ * Referential integrity is the one check that genuinely needs a second
+ * relation, so it is a separate one-row frame ([[refIntegrity]]) unioned
+ * onto the report — the join carries only the distinct-projected key column
+ * of the dimension.
+ */
+object DataQuality {
+
+  /** One declarative constraint; `metric` must be an aggregate expression
+   * evaluating to the satisfied fraction of rows (DOUBLE in [0, 1]). */
+  sealed trait Check {
+    def name: String
+    def metric: Column
+    def minFraction: Double
+  }
+
+  /** Fraction of rows where `colName` is non-null. */
+  final case class Completeness(colName: String, minFraction: Double = 1.0)
+      extends Check {
+    val name = s"completeness($colName)"
+    def metric: Column = count(col(colName)).cast("double") / count(lit(1))
+  }
+
+  /** Distinct values over total rows — 1.0 iff the column is a key.
+   * (Deequ's "distinctness"; its "uniqueness" — values occurring exactly
+   * once — needs a per-value groupBy and is out of the one-pass budget.) */
+  final case class Distinctness(colName: String, minFraction: Double = 1.0)
+      extends Check {
+    val name = s"distinctness($colName)"
+    def metric: Column =
+      count_distinct(col(colName)).cast("double") / count(lit(1))
+  }
+
+  /** Fraction of rows with `lo <= colName <= hi` (nulls count as
+   * violations, same as Deequ's isContainedIn over an interval). */
+  final case class Bounds(colName: String, lo: Double, hi: Double,
+      minFraction: Double = 1.0) extends Check {
+    val name = s"bounds($colName)"
+    def metric: Column =
+      count_if(col(colName).between(lo, hi)).cast("double") / count(lit(1))
+  }
+
+  /** Fraction of rows whose value is one of `values` (nulls violate). */
+  final case class InSet(colName: String, values: Seq[String],
+      minFraction: Double = 1.0) extends Check {
+    val name = s"in_set($colName)"
+    def metric: Column =
+      count_if(col(colName).isin(values: _*)).cast("double") / count(lit(1))
+  }
+
+  /**
+   * All column checks compiled into one aggregation pass, unpivoted to
+   * `(check_name, metric, passed)` rows via a post-agg explode — the
+   * explode runs over the SINGLE result row, never the data.
+   */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "DataQuality.report: no checks declared")
+    val metricCols = checks.zipWithIndex.map { case (c, i) => c.metric.as(s"m$i") }
+    val row = df.agg(metricCols.head, metricCols.tail: _*)
+    val entries = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"), col(s"m$i").as("metric"),
+        (col(s"m$i") >= lit(c.minFraction)).as("passed"))
+    }
+    row.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.check_name"), col("e.metric"), col("e.passed"))
+  }
+
+  /**
+   * Referential-integrity check as a one-row report fragment: fraction of
+   * `df` rows whose `fkCol` has a match in `dim(pkCol)` (null FKs violate).
+   * The dimension is reduced to its distinct key column before the join —
+   * the only payload that ever shuffles is the key itself; Catalyst/AQE
+   * picks broadcast vs shuffle from the projected size. Union the result
+   * onto [[report]]'s output (same schema).
+   */
+  def refIntegrity(df: DataFrame, fkCol: String, dim: DataFrame,
+      pkCol: String, minFraction: Double = 1.0): DataFrame = {
+    val keys = dim.select(col(pkCol).as("__dq_pk")).distinct()
+    df.join(keys, col(fkCol) === col("__dq_pk"), "left")
+      .agg((count(col("__dq_pk")).cast("double") / count(lit(1))).as("metric"))
+      .select(lit(s"ref_integrity($fkCol)").as("check_name"), col("metric"),
+        (col("metric") >= lit(minFraction)).as("passed"))
+  }
+}

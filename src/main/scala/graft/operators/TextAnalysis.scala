@@ -59,6 +59,41 @@ object TextAnalysis {
         (length(trim(col(textCol))) - col("n_tokens") + 1).cast("double") / col("n_tokens"))
   }
 
+  /**
+   * Percentile quality gate: keep rows whose `scoreCol` is at or above the
+   * corpus q-quantile — the standard "drop the worst X% by heuristic score"
+   * curation step. The threshold is a ONE-ROW aggregate broadcast back over
+   * the corpus (`crossJoin(broadcast(...))`): one reduce + one map-side
+   * filter, never a global sort or rank window (a `row_number` formulation
+   * would funnel the whole corpus through one task).
+   *
+   * Two threshold engines, same gate shape:
+   *  - exact (`approx = false`): Spark's `percentile` — type-7 linear
+   *    interpolation, the same definition as DuckDB's `quantile_cont`, so
+   *    the gate is oracle-checkable. The exact aggregate buffers all values
+   *    on the final reducer, so it is the small/medium-corpus baseline.
+   *  - KLL (`approx = true`): mergeable bounded-memory sketch
+   *    ([[graft.functions.KllExpressions.kllSketchAgg]]) — the 100 TB path;
+   *    the selected set differs from exact only within the sketch's
+   *    normalized rank error (TextGateSpec pins the drift).
+   *
+   * Output = input columns + `gate_score` + `gate_th`.
+   */
+  def qualityGate(df: DataFrame, scoreCol: Column, q: Double,
+      approx: Boolean = false,
+      k: Int = graft.functions.KllExpressions.defaultK): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"qualityGate: q must be in (0, 1), got $q")
+    val scored = df.withColumn("gate_score", scoreCol.cast("double"))
+    val th =
+      if (approx)
+        scored.agg(graft.functions.KllExpressions.kllQuantile(
+          graft.functions.KllExpressions.kllSketchAgg(col("gate_score"), k), q)
+          .as("gate_th"))
+      else
+        scored.agg(expr(s"percentile(gate_score, $q)").as("gate_th"))
+    scored.crossJoin(broadcast(th)).filter(col("gate_score") >= col("gate_th"))
+  }
+
   /** Tiny per-language function-word lists for the n-gram/stopword heuristic
    * language identifier (public-domain word lists). */
   val langMarkers: Map[String, Seq[String]] = Map(
