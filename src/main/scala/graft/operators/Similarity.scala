@@ -298,15 +298,139 @@ object Similarity {
    * (xxhash64(id) % sampleMod == 0), not the corpus — one full scan to
    * sample, then k tiny jobs; at 100 TB the sample is the only thing that
    * grows with data and stays bounded by choosing sampleMod ∝ corpus/50k.
+   *
+   * When the sample fits `maxDriverSample` rows it is collected ONCE and the
+   * k rounds run driver-local — k sequential cluster barriers (the real cost
+   * of this loop: each round is a full job round-trip, whatever the data
+   * size) collapse into one collect. The local loop mirrors the distributed
+   * formulation's arithmetic and ordering EXACTLY (same double-accumulation
+   * order as the codegen'd max-cosine, NaN-is-greatest, min-(sim, id)
+   * tie-break — SeedingSpec pins path equality), so which path ran is
+   * unobservable in the output. Oversized samples, null ids/vectors, or
+   * non-orderable id types fall back to the distributed rounds.
    */
   def seedFarthestFirst(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, sampleMod: Int = 1): DataFrame = {
+      nCells: Int, sampleMod: Int = 1,
+      maxDriverSample: Int = 1 << 17): DataFrame = {
     val sample = graft.Materialize(
       df.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
         .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
     require(!sample.isEmpty,
       s"seedFarthestFirst: hash sample is empty (sampleMod=$sampleMod too coarse?)")
     val idType = sample.schema("cand_id").dataType
+    val localSeeds: Option[Seq[(Any, Array[Float])]] =
+      if (sample.limit(maxDriverSample + 1).count() <= maxDriverSample)
+        idOrdering(idType).flatMap { ord =>
+          val rows = sample.collect()
+          if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+          else Some(farthestFirstLocal(
+            rows.map(r => (r.get(0), r.getSeq[Float](1).toArray)), nCells, ord))
+        }
+      else None
+    localSeeds match {
+      case Some(seeds) =>
+        graft.Materialize.release(sample)
+        seedFrame(df, seeds, idType)
+      case None => seedFarthestFirstDistributed(df, sample, nCells, idType)
+    }
+  }
+
+  /** Spark-ordering-faithful comparator for the id types we can mirror
+   * driver-side: numerics natural, strings by unsigned UTF-8 byte order
+   * (Spark compares UTF8String bytes; Java String.compareTo differs on
+   * supplementary characters). */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(Ordering.by((a: Any) => a.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((a: Any) => a.asInstanceOf[Int]))
+      case ShortType => Some(Ordering.by((a: Any) => a.asInstanceOf[Short]))
+      case ByteType => Some(Ordering.by((a: Any) => a.asInstanceOf[Byte]))
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val m = math.min(x.length, y.length)
+          var i = 0
+          while (i < m) {
+            val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          java.lang.Integer.compare(x.length, y.length)
+        }
+      })
+      case _ => None
+    }
+  }
+
+  /** Driver-local Gonzalez rounds — the arithmetic twin of the distributed
+   * loop: cosine via the same double-accumulation order as the codegen'd
+   * [[graft.functions.MaxCosineSim]] (dot over min-length, denom =
+   * rowNorm × seedNorm, 0-denom → NaN, any-NaN poisons the max), winner =
+   * min (nearest_sim, id) under Spark's total double order
+   * (`java.lang.Double.compare`: NaN greatest, -0.0 < 0.0). The running max
+   * across rounds equals the per-round max over all seeds because double
+   * max is exact. */
+  private def farthestFirstLocal(cands: Array[(Any, Array[Float])], nCells: Int,
+      ord: Ordering[Any]): Seq[(Any, Array[Float])] = {
+    val n = cands.length
+    val norms = cands.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    var first = 0
+    var i = 1
+    while (i < n) { if (ord.lt(cands(i)._1, cands(first)._1)) first = i; i += 1 }
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    val isChosen = new Array[Boolean](n)
+    isChosen(first) = true
+    val best = Array.fill(n)(Double.NegativeInfinity)
+    var last = first
+    while (chosen.length < math.min(nCells, n)) {
+      val (_, sv) = cands(last)
+      val sn = norms(last)
+      var j = 0
+      while (j < n) {
+        if (!isChosen(j)) {
+          val (_, v) = cands(j)
+          val m = math.min(v.length, sv.length)
+          var d = 0.0
+          var t = 0
+          while (t < m) { d += v(t).toDouble * sv(t).toDouble; t += 1 }
+          val denom = norms(j) * sn
+          val cos = if (denom == 0d) Double.NaN else d / denom
+          best(j) = if (java.lang.Double.isNaN(best(j)) ||
+            java.lang.Double.isNaN(cos)) Double.NaN
+          else math.max(best(j), cos)
+        }
+        j += 1
+      }
+      var w = -1
+      var k = 0
+      while (k < n) {
+        if (!isChosen(k)) {
+          if (w < 0) w = k
+          else {
+            val c = java.lang.Double.compare(best(k), best(w))
+            if (c < 0 || (c == 0 && ord.lt(cands(k)._1, cands(w)._1))) w = k
+          }
+        }
+        k += 1
+      }
+      chosen += w
+      isChosen(w) = true
+      last = w
+    }
+    chosen.toSeq.map(cands)
+  }
+
+  /** The k distributed Gonzalez rounds (the fallback when the sample
+   * exceeds the driver cap): one tiny job per round over the materialized
+   * sample. */
+  private def seedFarthestFirstDistributed(df: DataFrame, sample: DataFrame,
+      nCells: Int, idType: org.apache.spark.sql.types.DataType): DataFrame = {
     // Seeds live on the driver (≤ nCells rows — config-bounded, never data):
     // each round scores the sample against them MAP-SIDE with the codegen'd
     // max-cosine loop (NaN-is-greatest, same ordering as the old per-pair
@@ -345,12 +469,17 @@ object Similarity {
       }
     }
     graft.Materialize.release(sample)
+    seedFrame(df, seeds.toSeq, idType)
+  }
+
+  private def seedFrame(df: DataFrame, seeds: Seq[(Any, Array[Float])],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cell_id", idType),
       org.apache.spark.sql.types.StructField("cvec",
         ArrayType(FloatType, containsNull = false))))
     df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(seeds.toSeq.map(s =>
+      java.util.Arrays.asList(seeds.map(s =>
         org.apache.spark.sql.Row(s._1, s._2.toSeq)): _*), schema)
   }
 

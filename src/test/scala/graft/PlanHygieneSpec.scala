@@ -26,7 +26,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "embed_pq",        // ADC LUT: crossJoin(broadcast(codebook)) — k·d rows
     "embed_ivfpq",     // same ADC LUT shape as embed_pq
     "embed_ivfpq_search", // same ADC LUT shape, against the persisted index
-    "k_ttl_expiry")    // crossJoin(broadcast(1-row "now" scalar))
+    "k_ttl_expiry",    // crossJoin(broadcast(1-row "now" scalar))
+    "text_quality_gate",     // crossJoin(broadcast(1-row percentile threshold))
+    "text_quality_gate_kll") // same shape, KLL-sketch threshold
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single
