@@ -641,6 +641,19 @@ object SparkEntry {
       Similarity.cellNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, nCells = 8)),
 
+    // Embedding-space decontamination: corpus rows (vec_id % 50 != 0) whose
+    // embedding is near any eval row (vec_id % 50 == 0). Cells train on the
+    // bounded EVAL side only; corpus contributes one map-side assignment
+    // scan + id-only shuffle. Approximate (probed-cell candidates) ->
+    // rows-only; recall floor pinned by SimilaritySpec.
+    "embed_decontaminate" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.embeddingContamination(
+        e.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", threshold = 0.3, nCells = 4, nProbes = 2)
+    }),
+
     // Product-quantization ANN: 8x16 codebooks (8 bytes/vector), ADC
     // shortlist + exact rerank — approximate by design, rows-only check;
     // recall vs brute force pinned by PqSpec.

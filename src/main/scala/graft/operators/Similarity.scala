@@ -191,7 +191,8 @@ object Similarity {
     require(nProbes >= 1 && nProbes <= nCells,
       s"cellNearDupPairs: nProbes must be in [1, nCells], got $nProbes/$nCells")
     val seeds = seedFarthestFirst(df, idCol, vecCol, nCells, sampleMod)
-    val centroids = trainCentroids(df, idCol, vecCol, nCells, iterations, Some(seeds))
+    val centroids = trainCentroids(df, idCol, vecCol, nCells, iterations,
+      Some(seeds), trainSampleMod = sampleMod)
     val docs = graft.Materialize(
       df.select(col(idCol).as("doc_id"), col(vecCol).as("vec")))
     // materialized: the multi-probe assignment is map-side cheap, but
@@ -213,6 +214,62 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r")))
     graft.Materialize.release(assigned)
     graft.Materialize.release(docs)
+    graft.Materialize.release(centroids)
+    out
+  }
+
+  /**
+   * Embedding-space benchmark decontamination — the vector twin of
+   * [[Dedup.contamination]]: flag corpus rows whose embedding is within
+   * `threshold` cosine of ANY reference (eval) row. Cells are trained on
+   * the REFERENCE side only — the bounded set — so training never scans the
+   * corpus; both sides then multi-assign map-side
+   * ([[nearestCells]], zero exchange) and candidates are the (cell_id)-keyed
+   * corpus×reference join over bare ids, exact-cosine verified, reduced to
+   * one row per contaminated corpus id with its strongest reference match
+   * (`max_by` — partial-aggregatable, no per-id window).
+   *
+   * Same approximation contract as [[cellNearDupPairs]]: a corpus/reference
+   * pair straddling all probed cells is missed; SimilaritySpec pins the
+   * recall floor against the brute-force ground truth. `maxCellFreq` caps
+   * degenerate cells.
+   *
+   * Scale: reference (eval benchmarks) is orders of magnitude smaller than
+   * the corpus — training and the reference side of the join are bounded by
+   * it; the corpus contributes one scan for assignment plus id-only shuffle
+   * ∝ corpus × nProbes.
+   */
+  def embeddingContamination(corpus: DataFrame, reference: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, nCells: Int = 16,
+      nProbes: Int = 2, iterations: Int = 2, sampleMod: Int = 1,
+      maxCellFreq: Option[Int] = None): DataFrame = {
+    require(nProbes >= 1 && nProbes <= nCells,
+      s"embeddingContamination: nProbes must be in [1, nCells], got $nProbes/$nCells")
+    val seeds = seedFarthestFirst(reference, idCol, vecCol, nCells, sampleMod)
+    val centroids = trainCentroids(reference, idCol, vecCol, nCells, iterations,
+      Some(seeds), trainSampleMod = sampleMod)
+    val corp = graft.Materialize(
+      corpus.select(col(idCol).as("doc_id"), col(vecCol).as("vec")))
+    val refs = graft.Materialize(
+      reference.select(col(idCol).as("ref_id"), col(vecCol).as("rvec")))
+    val corpCells = nearestCells(corp, "vec", centroids, nProbes)
+      .select("cell_id", "doc_id")
+    val refCells = nearestCells(refs, "rvec", centroids, nProbes)
+      .select("cell_id", "ref_id")
+    val capped = maxCellFreq.fold(corpCells)(
+      Dedup.capHotKeys(corpCells, Seq("cell_id"), _))
+    val cand = capped.join(refCells, Seq("cell_id"))
+      .select("doc_id", "ref_id").distinct()
+    val out = graft.Materialize(cand
+      .join(corp, "doc_id")
+      .join(refs, "ref_id")
+      .withColumn("cos", cosine(col("vec"), col("rvec")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("ref_id"), struct(col("cos"), col("ref_id"))).as("ref_id"),
+        round(max(col("cos")), 4).as("cos_r")))
+    graft.Materialize.release(corp)
+    graft.Materialize.release(refs)
     graft.Materialize.release(centroids)
     out
   }
@@ -496,17 +553,34 @@ object Similarity {
    * there. Cells that win no vectors in a round are dropped (the effective
    * cell count may shrink below nCells; re-seeding is deliberately omitted
    * to keep training deterministic).
+   *
+   * `trainSampleMod` > 1 runs every Lloyd round over the deterministic hash
+   * sample (xxhash64(id) % mod == 0) instead of the corpus — the 100 TB
+   * shape: quantizer quality needs a representative sample, not every row,
+   * so training cost is bounded by the mod choice while the ASSIGNMENT
+   * (wherever the trained cells are used) still covers the full corpus.
+   * The sample is materialized across rounds (one corpus scan to sample,
+   * then `iterations` sample-sized scans instead of corpus-sized ones).
    */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iterations: Int = 2, seeds: Option[DataFrame] = None): DataFrame = {
+      nCells: Int, iterations: Int = 2, seeds: Option[DataFrame] = None,
+      trainSampleMod: Int = 1): DataFrame = {
+    require(trainSampleMod >= 1,
+      s"trainCentroids: trainSampleMod must be >= 1, got $trainSampleMod")
+    val train =
+      if (trainSampleMod == 1) df
+      else graft.Materialize(
+        df.filter(pmod(xxhash64(col(idCol)), lit(trainSampleMod)) === 0))
+    if (trainSampleMod > 1) require(!train.isEmpty,
+      s"trainCentroids: hash sample is empty (trainSampleMod=$trainSampleMod too coarse?)")
     // cvec stays ARRAY<FLOAT> throughout: the codegen'd dot product reads
     // float elements positionally
     var centroids = seeds.getOrElse(
-      df.orderBy(col(idCol)).limit(nCells)
+      train.orderBy(col(idCol)).limit(nCells)
         .select(col(idCol).as("cell_id"), col(vecCol).as("cvec")))
     (0 until iterations).foreach { _ =>
       val assigned = nearestCell(
-        df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", centroids)
+        train.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", centroids)
         .select(col("cell_id"), col("vec"))
       val prev = centroids
       // element-wise mean per cell: explode positions, avg, re-assemble
@@ -527,6 +601,7 @@ object Similarity {
         .transform(graft.Materialize(_))
       graft.Materialize.release(prev)
     }
+    if (trainSampleMod > 1) graft.Materialize.release(train)
     centroids
   }
 

@@ -185,6 +185,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"celldup recall degraded: $recall")
   }
 
+  test("embeddingContamination: recall floor and exact-verify precision vs brute force") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val corpus = e.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+    val refs = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    // asymmetric brute-force ground truth: every (corpus, ref) pair >= 0.3
+    val brute = corpus.select(col("vec_id").as("doc_id"), col("embedding").as("v"))
+      .crossJoin(broadcast(refs.select(col("vec_id").as("ref_id"), col("embedding").as("r"))))
+      .withColumn("cos", Similarity.cosine(col("v"), col("r")))
+      .filter(col("cos") >= 0.3)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flagged = Similarity.embeddingContamination(corpus, refs,
+        "vec_id", "embedding", threshold = 0.3, nCells = 4, nProbes = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute.nonEmpty)
+    assert(flagged.subsetOf(brute), "exact verification must keep only true contaminations")
+    val recall = (flagged & brute).size.toDouble / brute.size
+    info(s"embedding decontamination recall (threshold 0.3, 4 cells, 2 probes): $recall")
+    assert(recall >= 0.5, s"decontamination recall degraded: $recall")
+  }
+
+  test("sample-trained centroids keep the celldup recall floor") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cell = Similarity.cellNearDupPairs(e, "vec_id", "embedding", 0.3,
+        nCells = 8, sampleMod = 2) // train cells on half the corpus
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cell.subsetOf(brute))
+    val recall = (cell & brute).size.toDouble / brute.size
+    info(s"celldup recall with sampleMod=2 training: $recall")
+    assert(recall >= 0.5, s"sample-trained recall degraded: $recall")
+  }
+
   test("cellNearDupPairs maxCellFreq cap bounds a degenerate single-cell training") {
     import spark.implicits._
     // 60 identical vectors: every Lloyd training collapses them into one
