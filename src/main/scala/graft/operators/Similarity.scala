@@ -187,7 +187,8 @@ object Similarity {
   def cellNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 64, nProbes: Int = 2,
       iterations: Int = 2, sampleMod: Int = 1,
-      maxCellFreq: Option[Int] = None): DataFrame = {
+      maxCellFreq: Option[Int] = None,
+      materializeResult: Boolean = true): DataFrame = {
     require(nProbes >= 1 && nProbes <= nCells,
       s"cellNearDupPairs: nProbes must be in [1, nCells], got $nProbes/$nCells")
     val seeds = seedFarthestFirst(df, idCol, vecCol, nCells, sampleMod)
@@ -206,16 +207,23 @@ object Similarity {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val out = graft.Materialize(cand
+    val raw = cand
       .join(docs.select(col("doc_id").as("id_a"), col("vec").as("va")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("vec").as("vb")), "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r")))
-    graft.Materialize.release(assigned)
-    graft.Materialize.release(docs)
-    graft.Materialize.release(centroids)
-    out
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+    // materializeResult = false keeps the lazy plan (for composition or
+    // plan introspection) — the caller then must not rely on the eager
+    // release of the intermediate barriers below
+    if (!materializeResult) raw
+    else {
+      val out = graft.Materialize(raw)
+      graft.Materialize.release(assigned)
+      graft.Materialize.release(docs)
+      graft.Materialize.release(centroids)
+      out
+    }
   }
 
   /**
@@ -242,7 +250,8 @@ object Similarity {
   def embeddingContamination(corpus: DataFrame, reference: DataFrame,
       idCol: String, vecCol: String, threshold: Double, nCells: Int = 16,
       nProbes: Int = 2, iterations: Int = 2, sampleMod: Int = 1,
-      maxCellFreq: Option[Int] = None): DataFrame = {
+      maxCellFreq: Option[Int] = None,
+      materializeResult: Boolean = true): DataFrame = {
     require(nProbes >= 1 && nProbes <= nCells,
       s"embeddingContamination: nProbes must be in [1, nCells], got $nProbes/$nCells")
     val seeds = seedFarthestFirst(reference, idCol, vecCol, nCells, sampleMod)
@@ -260,18 +269,22 @@ object Similarity {
       Dedup.capHotKeys(corpCells, Seq("cell_id"), _))
     val cand = capped.join(refCells, Seq("cell_id"))
       .select("doc_id", "ref_id").distinct()
-    val out = graft.Materialize(cand
+    val raw = cand
       .join(corp, "doc_id")
       .join(refs, "ref_id")
       .withColumn("cos", cosine(col("vec"), col("rvec")))
       .filter(col("cos") >= threshold)
       .groupBy(col("doc_id"))
       .agg(max_by(col("ref_id"), struct(col("cos"), col("ref_id"))).as("ref_id"),
-        round(max(col("cos")), 4).as("cos_r")))
-    graft.Materialize.release(corp)
-    graft.Materialize.release(refs)
-    graft.Materialize.release(centroids)
-    out
+        round(max(col("cos")), 4).as("cos_r"))
+    if (!materializeResult) raw
+    else {
+      val out = graft.Materialize(raw)
+      graft.Materialize.release(corp)
+      graft.Materialize.release(refs)
+      graft.Materialize.release(centroids)
+      out
+    }
   }
 
   /** Descending-cosine sort key for top-k ranking windows with the

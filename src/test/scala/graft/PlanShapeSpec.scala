@@ -157,4 +157,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOccurrences(p, "Exchange") === 2,
       "one paragraph-keyed agg exchange + one doc-keyed agg exchange")
   }
+
+  test("candidate-pair distinct exchanges carry bare ids, never vector payload") {
+    // the cross-bucket/cross-probe distinct must shuffle 16-byte id pairs;
+    // carrying the float vectors through it would move each vector once per
+    // shared bucket instead of once total (they re-attach by id afterwards).
+    // A distinct plans as an aggregate with NO aggregate functions grouping
+    // by every carried column — so "slim" is exactly "2 scalar grouping keys".
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import org.apache.spark.sql.types.ArrayType
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    // materializeResult = false: the final eager barrier would otherwise
+    // execute the query and hand back a bare cache-scan plan
+    val frames = Seq(
+      "embed_lsh" -> SparkEntry.queries("embed_lsh")(spark, dir),
+      "embed_celldup" -> Similarity.cellNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.3, nCells = 4, materializeResult = false),
+      "embed_decontaminate" -> Similarity.embeddingContamination(
+        e.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", threshold = 0.3, nCells = 4,
+        materializeResult = false))
+    for ((query, frame) <- frames) {
+      val plan = frame.queryExecution.sparkPlan
+      val distincts = plan.collect {
+        case a: BaseAggregateExec if a.aggregateExpressions.isEmpty => a
+      }
+      assert(distincts.nonEmpty, s"$query: no candidate-distinct aggregate found")
+      distincts.foreach { a =>
+        val arrays = a.groupingExpressions.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"$query: candidate distinct groups by array payload: $arrays")
+        assert(a.groupingExpressions.size === 2,
+          s"$query: candidate distinct should group by exactly the id pair, " +
+            s"got ${a.groupingExpressions}")
+      }
+    }
+  }
 }
