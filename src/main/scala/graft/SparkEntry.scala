@@ -446,6 +446,15 @@ object SparkEntry {
           table(s, dir, "documents"), col("source"), col("doc_id"), n = 10)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // Quantile-stratified balanced sample: 20 docs from each stop_ratio
+    // quartile in deterministic md5 order — equal mass per quality stratum,
+    // no ntile window funnel (boundaries are a one-row broadcast aggregate).
+    "q_balanced_sample" -> ((s, dir) =>
+      operators.Sampling.quantileStratifiedSample(
+          TextAnalysis.withQuality(table(s, dir, "documents")),
+          col("stop_ratio"), col("doc_id"), nBuckets = 4, perBucket = 20)
+        .select(col("doc_id"), col("bucket"), col("qss_score").as("score"))),
+
     // Deequ-style declarative data-quality report: four column constraints
     // compiled into ONE aggregation pass over orders (completeness,
     // key-distinctness, bounds, value-set), plus referential integrity vs
@@ -1367,6 +1376,23 @@ object SparkEntry {
            |  FROM documents),
            |th AS (SELECT quantile_cont(score, 0.25) AS th FROM t)
            |SELECT doc_id, score FROM t, th WHERE score >= th.th""".stripMargin,
+
+      "q_balanced_sample" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |         x -> x IN ($stopwordList))) AS DOUBLE)
+           |      / len(string_split_regex(trim(text), '\\s+')) AS score
+           |  FROM documents),
+           |b AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS bnds FROM t),
+           |a AS (SELECT doc_id, score,
+           |    CAST(len(list_filter(bnds, x -> score > x)) AS BIGINT) AS bucket
+           |  FROM t, b)
+           |SELECT doc_id, bucket, score FROM (
+           |  SELECT doc_id, bucket, score,
+           |    row_number() OVER (PARTITION BY bucket
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           |  FROM a) s WHERE rn <= 20""".stripMargin,
 
       "text_redact" ->
         """WITH pii AS (

@@ -156,4 +156,39 @@ object Sampling {
       .select(explode(col("__cap_ids")).as("__cap_id"))
     df.join(kept, idCol.cast("long") === col("__cap_id"), "left_semi")
   }
+
+  /**
+   * Quantile-stratified balanced sample: bucket rows by score into
+   * `nBuckets` equal-probability-mass strata (internal type-7 percentiles
+   * as boundaries) and keep the first `perBucket` rows of each stratum in
+   * deterministic md5 order — the "equal mass from every quality decile"
+   * mix that counteracts a curation pipeline's tendency to oversample the
+   * high-score head.
+   *
+   * Shape: the boundary array is ONE one-row aggregate broadcast back over
+   * the corpus (same gate shape as [[TextAnalysis.qualityGate]] — never a
+   * global ntile window, which would funnel the corpus through one task);
+   * bucket assignment is a map-side count of boundaries strictly below the
+   * score (ties fall to the lower bucket, identically in DuckDB); the
+   * per-bucket pick is the bounded ordered-set aggregate of [[capPerKey]].
+   * The exact percentile buffers values on one reducer — at true scale swap
+   * the boundary aggregate for the KLL sketch exactly as qualityGate does.
+   *
+   * Output = input columns + `qss_score` (DOUBLE) + `bucket` (0-based
+   * BIGINT).
+   */
+  def quantileStratifiedSample(df: DataFrame, scoreCol: Column, idCol: Column,
+      nBuckets: Int, perBucket: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val scored = df.withColumn("qss_score", scoreCol.cast("double"))
+    val qs = (1 until nBuckets).map(i =>
+      (BigDecimal(i) / nBuckets).toString).mkString(", ")
+    val bnds = scored.agg(
+      expr(s"percentile(qss_score, array($qs))").as("__qss_bnds"))
+    val bucketed = scored.crossJoin(broadcast(bnds))
+      .withColumn("bucket",
+        size(filter(col("__qss_bnds"), b => col("qss_score") > b)).cast("long"))
+      .drop("__qss_bnds")
+    capPerKey(bucketed, col("bucket"), idCol, perBucket)
+  }
 }

@@ -165,4 +165,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(clickRate > 0.4 && clickRate < 0.6, s"click rate $clickRate (≈50% expected)")
     assert(viewRate < 0.08, s"view rate $viewRate (≈3% expected)")
   }
+
+  test("quantileStratifiedSample takes equal mass per bucket, partition-invariant") {
+    val df = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("n_chars").cast("double").as("s"))
+    val out = Sampling.quantileStratifiedSample(df, col("s"), col("doc_id"),
+      nBuckets = 4, perBucket = 10)
+    val byBucket = out.groupBy("bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBucket.keySet === Set(0L, 1L, 2L, 3L))
+    assert(byBucket.values.forall(_ === 10L), s"unbalanced pick: $byBucket")
+    // row-keyed decisions: repartitioning must not change the picked set
+    val repart = Sampling.quantileStratifiedSample(
+        df.repartition(17, col("s")), col("s"), col("doc_id"),
+        nBuckets = 4, perBucket = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // smaller per-bucket picks nest inside larger ones (md5-prefix property)
+    val small = Sampling.quantileStratifiedSample(df, col("s"), col("doc_id"),
+        nBuckets = 4, perBucket = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(repart))
+  }
 }
