@@ -468,6 +468,7 @@ object SparkEntry {
           DataQuality.Distinctness("o_orderkey"),
           DataQuality.Bounds("o_totalprice", 0.0, 400000.0, minFraction = 0.95),
           DataQuality.InSet("o_orderstatus", Seq("O", "F"), minFraction = 0.5)))
+        .union(DataQuality.uniqueness(orders, "o_custkey", minFraction = 0.5))
         .union(DataQuality.refIntegrity(orders, "o_custkey",
           table(s, dir, "customer"), "c_custkey"))
     }),
@@ -1360,6 +1361,12 @@ object SparkEntry {
           |  CAST(count_if(o_orderstatus IN ('O', 'F')) AS DOUBLE) / count(*),
           |  (CAST(count_if(o_orderstatus IN ('O', 'F')) AS DOUBLE) / count(*)) >= 0.5
           |FROM orders
+          |UNION ALL
+          |SELECT 'uniqueness(o_custkey)',
+          |  (SELECT CAST(count_if(c = 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) FROM
+          |    (SELECT count(*) AS c FROM orders GROUP BY o_custkey)),
+          |  (SELECT CAST(count_if(c = 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) FROM
+          |    (SELECT count(*) AS c FROM orders GROUP BY o_custkey)) >= 0.5
           |UNION ALL
           |SELECT 'ref_integrity(o_custkey)',
           |  CAST(count(c.c_custkey) AS DOUBLE) / count(*),

@@ -84,6 +84,26 @@ object DataQuality {
   }
 
   /**
+   * Deequ's true uniqueness as a one-row report fragment: the fraction of
+   * ROWS whose value occurs exactly once (1.0 iff `colName` is a duplicate
+   * -free key; differs from [[Distinctness]], which counts distinct VALUES
+   * over rows). Needs a per-value count, so it is outside [[report]]'s
+   * one-pass budget — but both stages partial-aggregate (a hot value
+   * collapses map-side before either exchange) and the second stage runs
+   * over ≤ distinct-values rows. Null rows violate (count toward the
+   * denominator, never the numerator), matching Deequ. Union the result
+   * onto [[report]]'s output (same schema).
+   */
+  def uniqueness(df: DataFrame, colName: String,
+      minFraction: Double = 1.0): DataFrame = {
+    df.groupBy(col(colName)).agg(count(lit(1)).as("__dq_cnt"))
+      .agg((coalesce(sum(when(col("__dq_cnt") === 1 && col(colName).isNotNull,
+          lit(1L))), lit(0L)).cast("double") / sum(col("__dq_cnt"))).as("metric"))
+      .select(lit(s"uniqueness($colName)").as("check_name"), col("metric"),
+        (col("metric") >= lit(minFraction)).as("passed"))
+  }
+
+  /**
    * Referential-integrity check as a one-row report fragment: fraction of
    * `df` rows whose `fkCol` has a match in `dim(pkCol)` (null FKs violate).
    * The dimension is reduced to its distinct key column before the join —

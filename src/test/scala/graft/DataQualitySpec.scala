@@ -41,6 +41,18 @@ class DataQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected window in report plan:\n$plan")
   }
 
+  test("uniqueness counts exactly-once values; nulls and dups violate") {
+    // values: 1 (once), 2 (twice), null (once) -> unique rows = 1 of 4
+    val df = Seq(Some(1L), Some(2L), Some(2L), None).toDF("v")
+    val row = DataQuality.uniqueness(df, "v", minFraction = 0.5).collect().head
+    assert(row.getString(0) === "uniqueness(v)")
+    assert(row.getDouble(1) === 0.25)
+    assert(row.getBoolean(2) === false)
+    // a clean key column scores 1.0
+    val clean = DataQuality.uniqueness(Seq(1L, 2L, 3L).toDF("v"), "v").collect().head
+    assert(clean.getDouble(1) === 1.0 && clean.getBoolean(2))
+  }
+
   test("refIntegrity counts unmatched and null FKs as violations") {
     val dim = Seq(1L, 2L, 3L).toDF("pk")
     val fact = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
