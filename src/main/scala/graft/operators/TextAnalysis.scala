@@ -94,6 +94,26 @@ object TextAnalysis {
     scored.crossJoin(broadcast(th)).filter(col("gate_score") >= col("gate_th"))
   }
 
+  /** The q-quantile of `scoreCol` as a DRIVER-HELD scalar — the same two
+   * threshold engines as [[qualityGate]], for callers that apply the gate
+   * elsewhere (e.g. a stateless filter on an ingest stream, where a
+   * per-batch corpus aggregate is neither possible nor wanted —
+   * [[graft.streaming.StreamingCuration.qualityGateStream]]). Returns None
+   * on an empty/all-null corpus (no quantile exists). */
+  def quantileThreshold(df: DataFrame, scoreCol: Column, q: Double,
+      approx: Boolean = false,
+      k: Int = graft.functions.KllExpressions.defaultK): Option[Double] = {
+    require(q > 0.0 && q < 1.0, s"quantileThreshold: q must be in (0, 1), got $q")
+    val scored = df.select(scoreCol.cast("double").as("gate_score"))
+    val row =
+      if (approx)
+        scored.agg(graft.functions.KllExpressions.kllQuantile(
+          graft.functions.KllExpressions.kllSketchAgg(col("gate_score"), k), q)
+          .as("th")).head()
+      else scored.agg(expr(s"percentile(gate_score, $q)").as("th")).head()
+    if (row.isNullAt(0)) None else Some(row.getDouble(0))
+  }
+
   /** Tiny per-language function-word lists for the n-gram/stopword heuristic
    * language identifier (public-domain word lists). */
   val langMarkers: Map[String, Seq[String]] = Map(

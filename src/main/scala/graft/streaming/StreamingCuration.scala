@@ -67,6 +67,25 @@ object StreamingCuration {
       }
   }
 
+  /**
+   * Ingest-time percentile quality gate: the threshold is TRAINED ON THE
+   * BATCH CORPUS ([[graft.operators.TextAnalysis.quantileThreshold]], exact
+   * or KLL engine) and applied to arriving documents as a STATELESS
+   * map-side filter — a stream cannot compute its own corpus percentile
+   * (each micro-batch would gate against a different, batch-local
+   * threshold), so the production shape is: re-train the scalar on the
+   * persisted corpus at whatever cadence, restart or hot-swap the gate.
+   * Composable transform (not a sink): feed any writeStream.
+   *
+   * Output = input + `gate_score`, rows below `threshold` dropped —
+   * row-identical to the batch [[graft.operators.TextAnalysis.qualityGate]]
+   * over the same data and threshold (pinned in StreamingCurationSpec).
+   */
+  def qualityGateStream(docs: DataFrame,
+      scoreCol: org.apache.spark.sql.Column, threshold: Double): DataFrame =
+    docs.withColumn("gate_score", scoreCol.cast("double"))
+      .filter(col("gate_score") >= threshold)
+
   def startContaminationGate(docs: DataFrame, evalDocs: DataFrame,
       cleanDir: String, quarantineDir: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",

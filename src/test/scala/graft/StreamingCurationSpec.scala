@@ -73,4 +73,39 @@ class StreamingCurationSpec extends AnyFunSuite {
     // quarantine keeps the text for audit
     assert(spark.read.parquet(qDir).columns.toSet === Set("doc_id", "text", "n_shared"))
   }
+
+  test("streaming quality gate with a batch-trained threshold matches the batch gate") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.sources.Tables.load(
+      spark, "/root/testdata/sf0.01", "documents")
+    val scored = TextAnalysis.withQuality(corpus)
+    val th = TextAnalysis.quantileThreshold(scored, col("stop_ratio"), 0.25).get
+    val batchKept = TextAnalysis.qualityGate(scored, col("stop_ratio"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val outDir = tmp("gate-out")
+    val ckpt = tmp("gate-ckpt")
+    val input = MemoryStream[(Long, Double)](spark)
+    val gated = StreamingCuration.qualityGateStream(
+      input.toDF().toDF("doc_id", "stop_ratio"), col("stop_ratio"), th)
+    val q = gated.writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir).start()
+    try {
+      // replay the whole corpus through the stream in two batches
+      val rows = scored.select("doc_id", "stop_ratio")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamKept === batchKept,
+      "stream gate with the batch-trained threshold must match the batch gate")
+    // empty corpus -> no threshold, loudly optional
+    assert(TextAnalysis.quantileThreshold(
+      scored.filter(col("doc_id") < 0), col("stop_ratio"), 0.25).isEmpty)
+  }
 }
