@@ -683,14 +683,54 @@ object Similarity {
    * vectors by id, per subspace; empty cells drop), but all subspaces
    * trained simultaneously keyed by `s`. Output: (s, code, cvec) — one row
    * per codebook entry, `subspaces × codes` rows total.
+   *
+   * Seeding is a BOUNDED ordered-set aggregate + broadcast semi-join, not a
+   * `row_number` window partitioned by `s` — `s` has only `subspaces`
+   * distinct values, so the window formulation would funnel corpus ×
+   * subspaces rows through `subspaces` tasks (the same hot-key shape as the
+   * old paragraph dedup). Falls back to the window only for non-integral id
+   * types (the aggregate carries BIGINT payloads).
+   *
+   * `trainSampleMod` > 1 trains on the deterministic hash sample of VECTORS
+   * (consistent across subspaces) — the FAISS-style "train the quantizer on
+   * a sample" shape; encoding stays full-corpus wherever the codebooks are
+   * used.
    */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      subspaces: Int = 8, codes: Int = 16, iterations: Int = 2): DataFrame = {
-    val subs = subVectors(df, idCol, vecCol, dim, subspaces)
-    val wSeed = Window.partitionBy(col("s")).orderBy(col("vec_id"))
-    var centroids = subs.withColumn("rn", row_number().over(wSeed))
-      .filter(col("rn") <= codes)
-      .select(col("s"), col("vec_id").as("cell_id"), col("vec").as("cvec"))
+      subspaces: Int = 8, codes: Int = 16, iterations: Int = 2,
+      trainSampleMod: Int = 1): DataFrame = {
+    require(trainSampleMod >= 1,
+      s"pqTrain: trainSampleMod must be >= 1, got $trainSampleMod")
+    val train =
+      if (trainSampleMod == 1) df
+      else graft.Materialize(
+        df.filter(pmod(xxhash64(col(idCol)), lit(trainSampleMod)) === 0))
+    if (trainSampleMod > 1) require(!train.isEmpty,
+      s"pqTrain: hash sample is empty (trainSampleMod=$trainSampleMod too coarse?)")
+    val subs = subVectors(train, idCol, vecCol, dim, subspaces)
+    val integralId = train.schema(train.schema.fieldIndex(idCol)).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    var centroids =
+      if (integralId) {
+        // sign-bit flip makes unsigned hex order == signed numeric order
+        val ordKey = lpad(hex(col("vec_id").cast("long")
+          .bitwiseXOR(lit(Long.MinValue))), 16, "0")
+        val seedIds = subs.groupBy(col("s"))
+          .agg(graft.functions.TopNExpressions
+            .topNByOrder(ordKey, col("vec_id").cast("long"), codes).as("__seed_ids"))
+          .select(col("s").as("__seed_s"), explode(col("__seed_ids")).as("__seed_id"))
+        subs.join(broadcast(seedIds),
+            col("s") === col("__seed_s") && col("vec_id").cast("long") === col("__seed_id"))
+          .select(col("s"), col("vec_id").as("cell_id"), col("vec").as("cvec"))
+      } else {
+        val wSeed = Window.partitionBy(col("s")).orderBy(col("vec_id"))
+        subs.withColumn("rn", row_number().over(wSeed))
+          .filter(col("rn") <= codes)
+          .select(col("s"), col("vec_id").as("cell_id"), col("vec").as("cvec"))
+      }
     (0 until iterations).foreach { _ =>
       val assigned = nearestCellKeyed(subs, centroids)
       val prev = centroids
@@ -736,14 +776,15 @@ object Similarity {
    */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       queryPred: Column, k: Int, subspaces: Int = 8, codes: Int = 16,
-      rerank: Int = 50): DataFrame = {
+      rerank: Int = 50, trainSampleMod: Int = 1): DataFrame = {
     val sub = subDim(dim, subspaces)
     // no extra barriers here: pqTrain's output is a trivial relabeling
     // window over an ALREADY-materialized centroid table (recomputing it for
     // the two downstream uses is cheaper than an eager checkpoint job), and
     // corpusCodes feeds exactly one join — a barrier would only add a full
     // corpus-sized copy before the consumer reads it once
-    val codebooks = pqTrain(df, idCol, vecCol, dim, subspaces, codes)
+    val codebooks = pqTrain(df, idCol, vecCol, dim, subspaces, codes,
+      trainSampleMod = trainSampleMod)
     val corpusCodes = pqEncode(df, idCol, vecCol, dim, codebooks, subspaces)
     val queries = df.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
@@ -801,11 +842,20 @@ object Similarity {
    * compressed corpus). A production deployment writes these ONCE (plain
    * parquet — IvfPqIndexSpec pins the round-trip) and searches them many
    * times; the embed_ivfpq query rebuilds in-query only because the bench
-   * has nowhere persistent to write. */
+   * has nowhere persistent to write.
+   *
+   * `trainSampleMod` > 1 trains BOTH quantizers (coarse Lloyd rounds and
+   * the PQ codebooks) on the deterministic id-hash sample — the FAISS
+   * `train(sample)` / `add(everything)` split — while the cell assignment
+   * and code table still cover the full corpus. At 100 TB the trainings
+   * touch corpus/mod rows; encoding stays one map-side pass over all of
+   * it. */
   def ivfPqBuild(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nCells: Int, subspaces: Int = 8, codes: Int = 16,
-      residual: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
-    val centroids = trainCentroids(df, idCol, vecCol, nCells)
+      residual: Boolean = true,
+      trainSampleMod: Int = 1): (DataFrame, DataFrame, DataFrame) = {
+    val centroids = trainCentroids(df, idCol, vecCol, nCells,
+        trainSampleMod = trainSampleMod)
       .transform(graft.Materialize(_))
     val cents = collectedCentroids(centroids, "ivfPqBuild")
     val cellIds = array(cents._1: _*)
@@ -820,7 +870,8 @@ object Similarity {
       .withColumn("ivf_cell", element_at(cellIds, col("cell_idx") + 1))
       .withColumn("encvec", encodeVec(col("fullvec"), col("cell_idx")))
     val codebooks = pqTrain(withCell.select(col("vec_id"), col("encvec")),
-      "vec_id", "encvec", dim, subspaces, codes)
+      "vec_id", "encvec", dim, subspaces, codes,
+      trainSampleMod = trainSampleMod)
     (centroids, codebooks,
       ivfPqEncode(df, idCol, vecCol, dim, centroids, codebooks, subspaces, residual))
   }
