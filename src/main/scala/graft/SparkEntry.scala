@@ -455,6 +455,30 @@ object SparkEntry {
           col("stop_ratio"), col("doc_id"), nBuckets = 4, perBucket = 20)
         .select(col("doc_id"), col("bucket"), col("qss_score").as("score"))),
 
+    // Deterministic train/val/test split (~80/10/10 via md5-prefix ranges):
+    // disjoint + exhaustive by construction, leakage-proof (membership is a
+    // pure function of the row's own key, so a grown corpus never moves old
+    // rows across splits). Map-side CASE; aggregated per split here so the
+    // oracle pins every member through the checksums.
+    "q_hash_split" -> ((s, dir) =>
+      operators.Sampling.hashSplit(table(s, dir, "documents"), col("doc_id"),
+          Seq("train" -> "cc", "val" -> "e6"), "test")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis with a
+    // deterministic md5-derived u): 50 docs, inclusion probability ∝ token
+    // count. Rank key is a map-side projection; selection is a global
+    // TakeOrdered (bounded per-partition heaps) — and DuckDB replays the
+    // identical sample (same md5, same 52-bit hex parse, same ln).
+    "q_weighted_sample" -> ((s, dir) =>
+      operators.Sampling.weightedSample(
+        table(s, dir, "documents").select(col("doc_id"),
+          size(TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_tokens")),
+        col("doc_id"), col("n_tokens"), n = 50)),
+
     // Deequ-style declarative data-quality report: four column constraints
     // compiled into ONE aggregation pass over orders (completeness,
     // key-distinctness, bounds, value-set), plus referential integrity vs
@@ -1067,6 +1091,24 @@ object SparkEntry {
         table(s, dir, "events").filter(col("user_id").isNotNull),
         "user_id", "ts", "event_id", "event_type")),
 
+    // CDC changelog apply (the batch core of MERGE INTO): treating events as
+    // an upsert stream keyed by user, the latest event per user wins and a
+    // trailing 'error' tombstone erases the user. Latest-per-key is ONE
+    // partial-aggregatable max_by — a hot key's millions of versions
+    // collapse map-side, where the textbook row_number window would funnel
+    // them through a single task.
+    "q_merge_upsert" -> ((s, dir) =>
+      operators.Cdc.applyChangelog(
+        table(s, dir, "events").filter(col("user_id").isNotNull && col("ts").isNotNull),
+        col("user_id"), "user_id",
+        ordCols = Seq(col("ts"), col("event_id")),
+        payloadCols = Seq(
+          col("event_id") -> "last_event_id",
+          col("event_type") -> "last_type",
+          unix_timestamp(col("ts")) -> "last_ts_s",
+          col("value") -> "last_value"),
+        deletePred = col("event_type") === "error")),
+
     // Fuzzy self-join (edit distance ≤ 1) on customer names via
     // deletion-neighborhood blocking: candidates share a one-char-deletion
     // key (equi-join, shuffle ∝ rows × len), exact levenshtein verifies
@@ -1400,6 +1442,30 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY bucket
            |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            |  FROM a) s WHERE rn <= 20""".stripMargin,
+
+      "q_hash_split" ->
+        """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+          |            WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+          |            ELSE 'test' END AS split,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      // the same (md5-derived u, ln(u)/w) rank the Spark plan computes:
+      // 13 hex digits = 52 bits keep u exact in a double in both engines
+      "q_weighted_sample" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         CAST(len(regexp_extract_all(text,
+          |           '[A-Za-z0-9]+|[^A-Za-z0-9\t\n\f\r ]')) AS BIGINT) AS n_tokens
+          |  FROM documents)
+          |SELECT doc_id, n_tokens FROM (
+          |  SELECT doc_id, n_tokens,
+          |    ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+          |        + 0.5) / 4503599627370496.0) / n_tokens AS k
+          |  FROM t WHERE n_tokens > 0)
+          |ORDER BY k DESC, doc_id LIMIT 50""".stripMargin,
 
       "text_redact" ->
         """WITH pii AS (
@@ -1987,6 +2053,19 @@ object SparkEntry {
           |SELECT entity, state, ts_s AS valid_from_s,
           |       lead(ts_s) OVER (PARTITION BY entity ORDER BY ts_s, id) AS valid_to_s
           |FROM changes""".stripMargin,
+
+      // window formulation of the same latest-per-key pick the engine's
+      // partial-aggregatable max_by computes (the oracle may funnel; the
+      // engine must not)
+      "q_merge_upsert" ->
+        """WITH ranked AS (
+          |  SELECT user_id, event_id, event_type, ts, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+          |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+          |       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_s, value AS last_value
+          |FROM ranked WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
 
       // quadratic by design: the oracle IS the definition the blocked join
       // must reproduce exactly

@@ -121,4 +121,42 @@ object Layout {
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /**
+   * Small-files compaction: rewrite a parquet directory into files of
+   * roughly `targetBytes` each — the maintenance pass every streaming /
+   * incremental sink eventually needs (a 40 s-trigger foreachBatch sink
+   * writes ~2k files/day/partition; readers then pay per-file open +
+   * footer + scheduling cost, and at 100 TB the NameNode/listing itself
+   * becomes the bottleneck). The file count is derived from the CURRENT
+   * on-disk byte size (sum of data-file lengths from the filesystem
+   * listing, a metadata-only driver call — never a data scan), so the
+   * rewrite is one shuffle-free-read → repartition → write. Returns
+   * (filesBefore, filesAfter).
+   *
+   * `sortCols` optionally re-sorts while compacting (range partitioning +
+   * within-file sort, like [[writeZOrdered]]) so the rewrite also restores
+   * footer-stat locality that per-batch appends destroyed; without it the
+   * repartition is round-robin (pure coalescing, minimal cost).
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long,
+      sortCols: Seq[Column] = Nil): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+    out.write.mode("overwrite").parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    (dataFiles.length, after)
+  }
 }

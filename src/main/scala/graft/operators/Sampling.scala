@@ -47,6 +47,60 @@ object Sampling {
     df.withColumn("shard", ((bucket * nShards) / 256).cast("int"))
   }
 
+  /**
+   * Deterministic named splits (train/val/test): the md5-hash order is cut
+   * into contiguous prefix ranges by 2-hex-digit boundaries, so the splits
+   * are DISJOINT and EXHAUSTIVE by construction (every row lands in exactly
+   * one range), stable under repartitioning/engines like [[hashSample]],
+   * and leakage-proof — membership depends only on the row's own key, never
+   * on what else is in the dataset, so re-running on a grown corpus never
+   * moves an old row across splits. `boundaries` are (name, upperHex)
+   * pairs in increasing hex order; rows at or above the last boundary get
+   * `lastName`. E.g. 80/10/10: `Seq("train" -> "cc", "val" -> "e6")`,
+   * `"test"`. Map-side only (one string-compare CASE, no shuffle).
+   */
+  def hashSplit(df: DataFrame, keyCol: Column,
+      boundaries: Seq[(String, String)], lastName: String): DataFrame = {
+    require(boundaries.nonEmpty, "hashSplit: need at least one boundary")
+    require(boundaries.map(_._2) == boundaries.map(_._2).sorted,
+      s"hashSplit: boundaries must be in increasing hex order: $boundaries")
+    val key = hexKey(keyCol)
+    val split = boundaries.foldRight(lit(lastName): Column) {
+      case ((name, upper), acc) => when(key < lit(upper), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
+  /**
+   * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+   * "Weighted random sampling with a reservoir", IPL 2006): each row draws
+   * u ∈ (0,1) and ranks by u^(1/w) — the top `n` ranks are a weighted
+   * sample where inclusion probability is proportional to weight. Here u
+   * is DETERMINISTIC — the first 13 hex digits of md5(key) scaled to (0,1)
+   * — so the sample is re-derivable on any partitioning or engine (and
+   * DuckDB replays it exactly: same md5, same hex parse, same ln).
+   * Ranking uses the equivalent ln(u)/w (monotone in u^(1/w), avoids
+   * pow-near-1 precision loss at large weights).
+   *
+   * Shape: the rank key is a map-side projection; the top-n is a global
+   * TakeOrdered (per-partition bounded heaps, no single-partition sort).
+   * Rows with NULL or non-positive weight are excluded (a zero weight has
+   * zero inclusion probability; A-ES is undefined there).
+   */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, s"weightedSample: n must be >= 1, got $n")
+    // 13 hex digits = 52 bits: v and v + 0.5 are both EXACT doubles, so u is
+    // bit-identical in any IEEE engine (15+ digits would round at 2^53)
+    val u = (conv(substring(hexKey(keyCol), 1, 13), 16, 10).cast("long") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__ws_rank", log(u) / weightCol.cast("double"))
+      .orderBy(col("__ws_rank").desc, keyCol)
+      .limit(n)
+      .drop("__ws_rank")
+  }
+
   /** Per-stratum thresholds (e.g. oversample rare classes): rows in a
    * stratum not listed fall back to `defaultThreshold`. */
   def stratifiedHashSample(df: DataFrame, keyCol: Column, strataCol: Column,

@@ -187,4 +187,49 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(repart))
   }
+
+  test("hashSplit is disjoint, exhaustive, leakage-proof under corpus growth") {
+    val split = Sampling.hashSplit(events, col("event_id"),
+      Seq("train" -> "cc", "val" -> "e6"), "test")
+    val byId = split.select("event_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exhaustive: every row got exactly one label
+    assert(byId.size.toLong === events.count())
+    // ~80/10/10 mass
+    val frac = byId.values.groupBy(identity).view.mapValues(_.size.toDouble / byId.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.03, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.03, s"val ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.03, s"test ${frac("test")}")
+    // leakage-proof: membership is a function of the row key alone, so
+    // splitting HALF the corpus assigns the same labels to shared rows
+    val half = Sampling.hashSplit(events.filter(col("event_id") % 2 === 0),
+        col("event_id"), Seq("train" -> "cc", "val" -> "e6"), "test")
+      .select("event_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, s) => byId(id) == s })
+  }
+
+  test("weightedSample favors heavy rows, is partition-invariant and bounded") {
+    val df = spark.range(1000).select(col("id"),
+      when(col("id") < 10, 100000L).otherwise(lit(1L)).as("w"))
+    val picked = Sampling.weightedSample(df, col("id"), col("w"), n = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(picked.size === 50)
+    // the 10 overwhelming weights all make a 50-row sample
+    assert((0L until 10L).forall(picked), s"heavy rows missing: $picked")
+    // deterministic across partitionings
+    val repart = Sampling.weightedSample(df.repartition(13), col("id"), col("w"), n = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(repart === picked)
+    // null / non-positive weights are excluded, never crash the rank
+    val withBad = df.union(spark.range(2000, 2010).select(col("id"), lit(0L).as("w")))
+      .union(spark.range(3000, 3010).select(col("id"), lit(null).cast("long").as("w")))
+    val guarded = Sampling.weightedSample(withBad, col("id"), col("w"), n = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(guarded.forall(_ < 2000))
+    // selection is a global TakeOrdered (bounded heaps), not a full sort
+    val p = Sampling.weightedSample(df, col("id"), col("w"), n = 50)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"), p.take(300))
+  }
 }

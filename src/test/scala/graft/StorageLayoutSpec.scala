@@ -90,4 +90,44 @@ class StorageLayoutSpec extends AnyFunSuite {
     val unmergedCols = spark.read.parquet(dir).columns.toSet
     assert(unmergedCols.subsetOf(Set("id", "v1", "v2")) && unmergedCols.contains("id"))
   }
+
+  test("compact rewrites a many-small-files table into size-targeted files") {
+    val base = Files.createTempDirectory("compact").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    // simulate a streaming sink's droppings: 64 tiny files
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(64).write.parquet(in)
+    val inRows = spark.read.parquet(in).collect().toSet
+
+    val fs = new org.apache.hadoop.fs.Path(in)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val totalBytes = dataFiles(in).map(_.getLen).sum
+    // target ≈ a quarter of the table → expect ~4 files, far below 64
+    val target = totalBytes / 4
+    val (before, after) = graft.operators.Layout.compact(spark, in, out, target)
+    assert(before === 64)
+    assert(after <= 6 && after >= 3, s"expected ~4 compacted files, got $after")
+    // lossless: same rows, and no output file wildly above target
+    assert(spark.read.parquet(out).collect().toSet === inRows)
+    val maxOut = dataFiles(out).map(_.getLen).max
+    assert(maxOut < target * 3, s"a compacted file ($maxOut B) blew past the target ($target B)")
+
+    // sorted variant restores footer locality: each file's (min,max) user_id
+    // envelope must be disjoint from the others (range partitioning)
+    val outSorted = s"$base/out_sorted"
+    graft.operators.Layout.compact(spark, in, outSorted, target,
+      sortCols = Seq(col("user_id")))
+    val envelopes = dataFiles(outSorted).map { st =>
+      val f = spark.read.parquet(st.getPath.toString)
+      val r = f.agg(min("user_id"), max("user_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    envelopes.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo,
+        s"sorted compaction must produce non-overlapping ranges: $envelopes")
+      case _ =>
+    }
+  }
 }
