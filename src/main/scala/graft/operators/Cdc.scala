@@ -42,4 +42,27 @@ object Cdc {
       .select(col("__cdc_key").as(keyName) +:
         payloadCols.map { case (_, name) => col(s"__cdc_last.$name").as(name) }: _*)
   }
+
+  /**
+   * Streaming twin: maintain the snapshot as an O(delta)-per-batch
+   * [[graft.streaming.IncrementalView]] (latest-per-key is a commutative
+   * monoid — max over the (ord, payload) struct — so it slots into the
+   * same crash-safe LSM store: partial deltas per micro-batch, merge-on-
+   * read, manifest-idempotent replay, per-shard compaction). Column
+   * REQUIREMENTS: the changelog frame must already carry `ordCols` then
+   * `payloadCols` plus a boolean `deleteCol`; tombstones stay IN the store
+   * (a late-replayed upsert must still lose to a newer delete) and are
+   * dropped only by [[snapshotOf]] at read time.
+   */
+  def latestAgg(ordCols: Seq[String], payloadCols: Seq[String],
+      deleteCol: String): graft.streaming.LatestAgg =
+    graft.streaming.LatestAgg(ordCols, payloadCols :+ deleteCol)
+
+  /** Expand a [[latestAgg]] view read into the current snapshot: drop
+   * tombstoned keys, flatten the latest payload. */
+  def snapshotOf(view: DataFrame, keyCols: Seq[String], ordCols: Seq[String],
+      payloadCols: Seq[String], deleteCol: String): DataFrame =
+    view.filter(!col(s"__latest.$deleteCol"))
+      .select(keyCols.map(col) ++
+        (ordCols ++ payloadCols).map(n => col(s"__latest.$n").as(n)): _*)
 }

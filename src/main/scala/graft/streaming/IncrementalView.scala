@@ -41,7 +41,51 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *     crash anywhere in [[compact]] resolves to a correct view.
  *
  * The 100 TB layout is [[ShardedIncrementalView]].
+ *
+ * The maintained aggregate is pluggable ([[ViewAggregate]]): any
+ * commutative monoid whose partials merge associatively works — count+sum
+ * ([[CountSumAgg]], the default everywhere for compatibility) and
+ * latest-version-per-key ([[LatestAgg]], the streaming CDC snapshot) ship
+ * here. The store format is the PARTIAL schema, so one store must stick to
+ * one aggregate for its lifetime.
  */
+trait ViewAggregate extends Serializable {
+  /** One batch → one row per touched key (the delta's schema). */
+  def partial(batch: DataFrame, keyCols: Seq[String]): DataFrame
+  /** Fold frames of the partial schema: same schema in and out. */
+  def merge(parts: DataFrame, keyCols: Seq[String]): DataFrame
+}
+
+/** (count, sum) per key — the original incremental-view aggregate. */
+case class CountSumAgg(valueCol: String) extends ViewAggregate {
+  def partial(batch: DataFrame, keyCols: Seq[String]): DataFrame =
+    batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"))
+  def merge(parts: DataFrame, keyCols: Seq[String]): DataFrame =
+    parts.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_value")).as("sum_value"))
+}
+
+/**
+ * Latest version per key — the CDC-snapshot monoid (max over the
+ * (ordCols, payload) struct is associative and commutative, ties broken by
+ * the payload's field order; make ordCols total — e.g. (ts, change_id) —
+ * and ties never matter). Tombstones are RETAINED in the store (a delete
+ * is information: it must beat earlier upserts arriving late in a replay);
+ * [[graft.operators.Cdc.snapshotOf]] filters them at read. Per batch this
+ * is one partial-aggregatable max — a hot key's versions collapse
+ * map-side, and the delta carries ONE row per touched key.
+ */
+case class LatestAgg(ordCols: Seq[String], payloadCols: Seq[String])
+    extends ViewAggregate {
+  private def latest = col("__latest")
+  def partial(batch: DataFrame, keyCols: Seq[String]): DataFrame =
+    batch.groupBy(keyCols.map(col): _*)
+      .agg(max(struct((ordCols ++ payloadCols).map(col): _*)).as("__latest"))
+  def merge(parts: DataFrame, keyCols: Seq[String]): DataFrame =
+    parts.groupBy(keyCols.map(col): _*).agg(max(latest).as("__latest"))
+}
+
 object IncrementalView {
 
   private[streaming] val PTR = "_CURRENT_BASE"
@@ -97,16 +141,6 @@ object IncrementalView {
       .filter(p => f.exists(new Path(p, COMMIT)))
   }
 
-  /** Partial aggregate of one batch: (keys..., n_rows, sum_value). */
-  private def partial(batch: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
-    batch.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"))
-
-  /** Merge partials: same schema in, same schema out (monoid fold). */
-  private def merge(parts: DataFrame, keyCols: Seq[String]): DataFrame =
-    parts.groupBy(keyCols.map(col): _*)
-      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_value")).as("sum_value"))
-
   private def deltaName(batchId: Long, lineage: String): String = {
     val tag = if (lineage.isEmpty) "" else s"${lineage}_"
     f"delta_$tag%s$batchId%020d"
@@ -141,23 +175,30 @@ object IncrementalView {
    * of the SAME query, distinct across queries). */
   def applyBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
       valueCol: String, storeDir: String, lineage: String = ""): Unit =
-    writePartialDelta(partial(batch, keyCols, valueCol), batchId, storeDir, lineage)
+    applyBatch(batch, batchId, keyCols, CountSumAgg(valueCol), storeDir, lineage)
+
+  /** [[applyBatch]] for an arbitrary [[ViewAggregate]]. */
+  def applyBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
+      agg: ViewAggregate, storeDir: String, lineage: String): Unit =
+    writePartialDelta(agg.partial(batch, keyCols), batchId, storeDir, lineage)
 
   /** Merge the given parts (base and/or deltas) into the view contents. */
   private def mergeParts(spark: SparkSession, parts: Seq[Path],
-      keyCols: Seq[String], storeDir: String): DataFrame = {
+      keyCols: Seq[String], storeDir: String, agg: ViewAggregate): DataFrame = {
     if (parts.isEmpty)
       throw new IllegalStateException(s"incremental view at $storeDir has no data yet")
-    merge(parts.map(p => spark.read.parquet(p.toString)).reduce(_ unionByName _), keyCols)
+    agg.merge(parts.map(p => spark.read.parquet(p.toString)).reduce(_ unionByName _),
+      keyCols)
   }
 
   /** Current view contents: base generation (if any) merged with all live
    * deltas. */
-  def read(spark: SparkSession, storeDir: String, keyCols: Seq[String]): DataFrame =
+  def read(spark: SparkSession, storeDir: String, keyCols: Seq[String],
+      agg: ViewAggregate = CountSumAgg("")): DataFrame =
     mergeParts(spark,
       currentBaseName(spark, storeDir).map(b => new Path(storeDir, b)).toSeq ++
         liveDeltas(spark, storeDir),
-      keyCols, storeDir)
+      keyCols, storeDir, agg)
 
   /**
    * Fold base + live deltas into a new base generation. Step order:
@@ -173,7 +214,7 @@ object IncrementalView {
    * compaction) is neither absorbed nor listed, so it stays correctly live.
    */
   def compact(spark: SparkSession, storeDir: String, keyCols: Seq[String],
-      manifestRetention: Int = 1000): Unit = {
+      manifestRetention: Int = 1000, agg: ViewAggregate = CountSumAgg("")): Unit = {
     val f = fs(spark, storeDir)
     val old = currentBaseName(spark, storeDir)
     // GC: base dirs that are not the current pointer are orphans of a
@@ -192,7 +233,7 @@ object IncrementalView {
     val gen = f"base_$nextGen%020d"
     val genPath = new Path(storeDir, gen)
     mergeParts(spark, old.map(b => new Path(storeDir, b)).toSeq ++ folded,
-        keyCols, storeDir)
+        keyCols, storeDir, agg)
       .write.mode("errorifexists").parquet(genPath.toString)
     // CUMULATIVE manifest: carry ALL prior entries forward, even those whose
     // delta dirs are already gone. The manifest is the ONLY replay-no-op
@@ -233,12 +274,17 @@ object IncrementalView {
    * scoped by the checkpoint identity (see [[applyBatch]]). Compaction is
    * the caller's cadence decision (e.g. every N batches or offline). */
   def start(stream: DataFrame, keyCols: Seq[String], valueCol: String,
+      storeDir: String, checkpoint: String): StreamingQuery =
+    start(stream, keyCols, CountSumAgg(valueCol), storeDir, checkpoint)
+
+  /** [[start]] for an arbitrary [[ViewAggregate]]. */
+  def start(stream: DataFrame, keyCols: Seq[String], agg: ViewAggregate,
       storeDir: String, checkpoint: String): StreamingQuery = {
     val lineage = lineageOf(checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        applyBatch(batch, id, keyCols, valueCol, storeDir, lineage)
+        applyBatch(batch, id, keyCols, agg, storeDir, lineage)
       }
       .start()
   }
@@ -278,12 +324,17 @@ object ShardedIncrementalView {
 
   /** Apply one micro-batch across shards (only touched shards write). */
   def applyBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
-      valueCol: String, storeDir: String, shards: Int, lineage: String = ""): Unit = {
+      valueCol: String, storeDir: String, shards: Int, lineage: String = ""): Unit =
+    applyBatch(batch, batchId, keyCols, CountSumAgg(valueCol), storeDir, shards, lineage)
+
+  /** [[applyBatch]] for an arbitrary [[ViewAggregate]]. */
+  def applyBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
+      agg: ViewAggregate, storeDir: String, shards: Int, lineage: String): Unit = {
     // one aggregation pass over the batch; everything after runs on the
     // (small) partial frame
-    val partials = batch.withColumn("__shard", shardOf(keyCols, shards))
-      .groupBy((col("__shard") +: keyCols.map(col)): _*)
-      .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"))
+    val partials = agg.partial(
+        batch.withColumn("__shard", shardOf(keyCols, shards)),
+        "__shard" +: keyCols)
       .persist()
     try {
       val touched = partials.select(col("__shard")).distinct()
@@ -298,9 +349,9 @@ object ShardedIncrementalView {
 
   /** Current view: union of the shards that hold data. */
   def read(spark: SparkSession, storeDir: String, keyCols: Seq[String],
-      shards: Int): DataFrame = {
+      shards: Int, agg: ViewAggregate = CountSumAgg("")): DataFrame = {
     val parts = (0 until shards).flatMap { s =>
-      try Some(IncrementalView.read(spark, shardDir(storeDir, s), keyCols))
+      try Some(IncrementalView.read(spark, shardDir(storeDir, s), keyCols, agg))
       catch { case _: IllegalStateException => None } // shard never touched
     }
     if (parts.isEmpty)
@@ -311,11 +362,11 @@ object ShardedIncrementalView {
   /** Compact ONLY shards with outstanding deltas (each shard's compact()
    * no-ops cheaply otherwise). Returns the shard ids actually folded. */
   def compactTouched(spark: SparkSession, storeDir: String, keyCols: Seq[String],
-      shards: Int): Seq[Int] =
+      shards: Int, agg: ViewAggregate = CountSumAgg("")): Seq[Int] =
     (0 until shards).filter { s =>
       val dir = shardDir(storeDir, s)
       val before = baseGeneration(spark, dir)
-      IncrementalView.compact(spark, dir, keyCols)
+      IncrementalView.compact(spark, dir, keyCols, agg = agg)
       baseGeneration(spark, dir) != before
     }
 

@@ -231,4 +231,74 @@ class IncrementalViewSpec extends AnyFunSuite {
       assert(viewAsMap(store) === Map("a" -> ((2L, 6.0)), "b" -> ((1L, 2.0))))
     } finally q2.stop()
   }
+
+  // ------------------------------------------------ CDC latest-per-key view
+
+  private val cdcAgg = graft.operators.Cdc.latestAgg(Seq("cid"), Seq("v"), "del")
+
+  private def cdcSnapshot(store: String): Map[String, Double] =
+    graft.operators.Cdc.snapshotOf(
+        IncrementalView.read(spark, store, keys, cdcAgg),
+        keys, Seq("cid"), Seq("v"), "del")
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
+
+  test("streaming CDC view: latest wins across micro-batches, tombstones filtered") {
+    val store = tmp("cdc-stream")
+    val input = MemoryStream[(String, Long, Double, Boolean)](spark)
+    val q = IncrementalView.start(input.toDF().toDF("k", "cid", "v", "del"),
+      keys, cdcAgg, store, tmp("cdc-ckpt"))
+    try {
+      input.addData(("a", 1L, 1.0, false), ("b", 1L, 5.0, false))
+      q.processAllAvailable()
+      input.addData(("a", 2L, 2.0, false), ("b", 2L, 0.0, true)) // b deleted
+      q.processAllAvailable()
+      assert(cdcSnapshot(store) === Map("a" -> 2.0))
+      input.addData(("b", 3L, 9.0, false)) // resurrect
+      q.processAllAvailable()
+      assert(cdcSnapshot(store) === Map("a" -> 2.0, "b" -> 9.0))
+    } finally q.stop()
+  }
+
+  test("CDC view survives compaction; a late-replayed old upsert loses to a tombstone") {
+    val store = tmp("cdc-compact")
+    def apply(id: Long, rows: (String, Long, Double, Boolean)*): Unit =
+      IncrementalView.applyBatch(rows.toDF("k", "cid", "v", "del"),
+        id, keys, cdcAgg, store, "")
+    apply(0L, ("a", 1L, 1.0, false), ("b", 1L, 5.0, false))
+    apply(1L, ("b", 2L, 0.0, true)) // tombstone
+    assert(cdcSnapshot(store) === Map("a" -> 1.0))
+    IncrementalView.compact(spark, store, keys, agg = cdcAgg)
+    // the tombstone must survive the fold: a LATE delta carrying an OLD
+    // version of b (cid 1, an upsert) merges in and must still lose
+    assert(cdcSnapshot(store) === Map("a" -> 1.0))
+    apply(2L, ("b", 1L, 5.0, false))
+    assert(cdcSnapshot(store) === Map("a" -> 1.0),
+      "an old upsert replayed after the delete must not resurrect the key")
+    // second compaction folds the late delta into the base; still correct
+    IncrementalView.compact(spark, store, keys, agg = cdcAgg)
+    assert(cdcSnapshot(store) === Map("a" -> 1.0))
+  }
+
+  test("sharded CDC view: per-shard deltas, snapshot equals batch apply") {
+    import graft.streaming.ShardedIncrementalView
+    val store = tmp("cdc-sharded")
+    val log = Seq(
+      ("a", 1L, 1.0, false), ("b", 1L, 2.0, false), ("c", 1L, 3.0, false),
+      ("a", 2L, 10.0, false), ("c", 2L, 0.0, true))
+    log.grouped(2).zipWithIndex.foreach { case (rows, i) =>
+      ShardedIncrementalView.applyBatch(rows.toDF("k", "cid", "v", "del"),
+        i.toLong, keys, cdcAgg, store, shards = 4, lineage = "")
+    }
+    val snap = graft.operators.Cdc.snapshotOf(
+        ShardedIncrementalView.read(spark, store, keys, 4, cdcAgg),
+        keys, Seq("cid"), Seq("v"), "del")
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
+    assert(snap === Map("a" -> 10.0, "b" -> 2.0))
+    ShardedIncrementalView.compactTouched(spark, store, keys, 4, cdcAgg)
+    val after = graft.operators.Cdc.snapshotOf(
+        ShardedIncrementalView.read(spark, store, keys, 4, cdcAgg),
+        keys, Seq("cid"), Seq("v"), "del")
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
+    assert(after === snap)
+  }
 }
