@@ -497,6 +497,15 @@ object SparkEntry {
           table(s, dir, "customer"), "c_custkey"))
     }),
 
+    // Robust per-type outlier profile (Hampel: |v − median| > k·MAD).
+    // Mean/stddev anomaly rules break exactly when anomalies exist (they
+    // inflate the stddev); both medians have a 50% breakdown point. Exact
+    // percentiles here; the KLL sketch is the at-scale twin.
+    "q_outliers" -> ((s, dir) =>
+      operators.DataQuality.robustOutliers(
+          table(s, dir, "events"), col("event_type"), col("value"), k = 3.0)
+        .withColumnRenamed("grp", "event_type")),
+
     // Percentile quality gate: drop the lowest-stop_ratio quartile (the
     // "too few function words to be natural language" tail). Threshold is a
     // one-row exact-percentile aggregate broadcast over the corpus — no
@@ -1415,6 +1424,17 @@ object SparkEntry {
           |  (CAST(count(c.c_custkey) AS DOUBLE) / count(*)) >= 1.0
           |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
           |  ON o.o_custkey = c.c_custkey""".stripMargin,
+
+      "q_outliers" ->
+        """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+          |m AS (SELECT event_type, median(value) AS med FROM e GROUP BY 1),
+          |d AS (SELECT e.event_type, e.value, m.med FROM e JOIN m USING (event_type)),
+          |s AS (SELECT event_type, median(abs(value - med)) AS mad FROM d GROUP BY 1)
+          |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(count(*) FILTER (WHERE abs(value - med) > 3 * mad) AS BIGINT)
+          |         AS n_outliers,
+          |       round(any_value(d.med), 6) AS med, round(any_value(mad), 6) AS mad
+          |FROM d JOIN s USING (event_type) GROUP BY 1""".stripMargin,
 
       "text_quality_gate" ->
         s"""WITH t AS (

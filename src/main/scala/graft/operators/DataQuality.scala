@@ -119,4 +119,40 @@ object DataQuality {
       .select(lit(s"ref_integrity($fkCol)").as("check_name"), col("metric"),
         (col("metric") >= lit(minFraction)).as("passed"))
   }
+
+  /**
+   * Robust per-group outlier profile (Hampel identifier): a value is an
+   * outlier when |v − median| > k × MAD (median absolute deviation). The
+   * classic mean/stddev z-score breaks precisely when outliers exist — the
+   * outliers inflate the stddev that is supposed to expose them — while
+   * both medians have a 50% breakdown point.
+   *
+   * Shape: three passes over the data (group medians; MADs against the
+   * broadcast medians; the flag count against broadcast thresholds), each
+   * map-side except the percentile aggregates themselves. Exact percentile
+   * buffers a group's values on one reducer — the same accepted exact-path
+   * cost as `q_percentiles`; at true scale swap `percentile` for the KLL
+   * sketch exactly as `TextAnalysis.qualityGate` does. Output: one row per
+   * group — (group, n, n_outliers, med, mad), medians rounded to 6 digits
+   * for cross-engine comparison. Null values are excluded up front (a null
+   * is a completeness failure, not an outlier).
+   */
+  def robustOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
+      k: Double = 5.0): DataFrame = {
+    val rows = df.filter(valueCol.isNotNull)
+      .select(groupCol.as("__dq_g"), valueCol.cast("double").as("__dq_v"))
+    val meds = rows.groupBy(col("__dq_g")).agg(
+      expr("percentile(__dq_v, 0.5)").as("__dq_med"))
+    val withMed = rows.join(broadcast(meds), "__dq_g")
+    val mads = withMed.groupBy(col("__dq_g")).agg(
+      expr("percentile(abs(__dq_v - __dq_med), 0.5)").as("__dq_mad"))
+    withMed.join(broadcast(mads), "__dq_g")
+      .groupBy(col("__dq_g"))
+      .agg(count(lit(1)).as("n"),
+        count_if(abs(col("__dq_v") - col("__dq_med")) > lit(k) * col("__dq_mad"))
+          .as("n_outliers"),
+        round(first(col("__dq_med")), 6).as("med"),
+        round(first(col("__dq_mad")), 6).as("mad"))
+      .withColumnRenamed("__dq_g", "grp")
+  }
 }

@@ -79,4 +79,34 @@ class DataQualitySpec extends AnyFunSuite {
       DataQuality.report(t, Seq.empty)
     }
   }
+
+  test("robustOutliers flags spikes that inflate stddev past a z-score's reach") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 100 values at ~10 ± 1 contaminated with 20 spikes of 300: the spikes
+    // inflate stddev to ~109 so mean + 3σ ≈ 384 and the classical z-score
+    // flags NOTHING — while the median stays 10, MAD stays 1, and the
+    // Hampel rule flags exactly the 20 spikes (50% breakdown point).
+    val base = (0 until 100).map(i => ("g", 10.0 + (i % 3) - 1))
+    val rows = (base ++ Seq.fill(20)(("g", 300.0))).toDF("grp", "v")
+    val out = DataQuality.robustOutliers(rows, col("grp"), col("v"), k = 5.0)
+      .collect().head
+    assert(out.getAs[Long]("n") === 120L)
+    assert(out.getAs[Long]("n_outliers") === 20L)
+    assert(out.getAs[Double]("med") === 10.0)
+    // the classical rule indeed misses them (breakdown demonstration)
+    val st = rows.agg(org.apache.spark.sql.functions.stddev(col("v")),
+      org.apache.spark.sql.functions.avg(col("v"))).head()
+    assert(300.0 < st.getDouble(1) + 3 * st.getDouble(0),
+      "fixture must keep the spikes inside mean+3*stddev")
+    // nulls are excluded, not counted as outliers
+    val withNull = rows.union(Seq(("g", Option.empty[Double])).toDF("grp", "v"))
+    val n2 = DataQuality.robustOutliers(withNull, col("grp"), col("v"), k = 5.0)
+      .collect().head
+    assert(n2.getAs[Long]("n") === 120L && n2.getAs[Long]("n_outliers") === 20L)
+    // per-group isolation: a second clean group reports zero outliers
+    val two = rows.union(Seq(("h", 1.0), ("h", 2.0), ("h", 3.0)).toDF("grp", "v"))
+    val byG = DataQuality.robustOutliers(two, col("grp"), col("v"), k = 5.0)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("n_outliers")).toMap
+    assert(byG === Map("g" -> 20L, "h" -> 0L))
+  }
 }
