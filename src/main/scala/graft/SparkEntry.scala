@@ -497,6 +497,19 @@ object SparkEntry {
           table(s, dir, "customer"), "c_custkey"))
     }),
 
+    // PSI drift monitor (train/serve distribution shift): decile buckets
+    // from the REFERENCE side, both sides bucketed map-side against the
+    // broadcast boundaries, Laplace-smoothed Σ (pc−pr)·ln(pc/pr) per
+    // bucket. The generator's types share a distribution so total PSI ≈ 0
+    // here; the spec drives a genuinely drifted fixture past the 0.25 bar.
+    "q_drift_psi" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      operators.DataQuality.populationStability(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "click"),
+        col("value"), nBuckets = 10)
+    }),
+
     // Robust per-type outlier profile (Hampel: |v − median| > k·MAD).
     // Mean/stddev anomaly rules break exactly when anomalies exist (they
     // inflate the stddev); both medians have a 50% breakdown point. Exact
@@ -1424,6 +1437,31 @@ object SparkEntry {
           |  (CAST(count(c.c_custkey) AS DOUBLE) / count(*)) >= 1.0
           |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
           |  ON o.o_custkey = c.c_custkey""".stripMargin,
+
+      "q_drift_psi" ->
+        """WITH r AS (SELECT value FROM events
+          |           WHERE event_type = 'purchase' AND value IS NOT NULL),
+          |c AS (SELECT value FROM events
+          |      WHERE event_type = 'click' AND value IS NOT NULL),
+          |b AS (SELECT quantile_cont(value,
+          |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM r),
+          |rb AS (SELECT bucket, count(*) AS n FROM (
+          |  SELECT CAST(len(list_filter(bnds, x -> value > x)) AS BIGINT) AS bucket
+          |  FROM r, b) GROUP BY 1),
+          |cb AS (SELECT bucket, count(*) AS n FROM (
+          |  SELECT CAST(len(list_filter(bnds, x -> value > x)) AS BIGINT) AS bucket
+          |  FROM c, b) GROUP BY 1),
+          |g AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(10)),
+          |j AS (SELECT g.bucket,
+          |        CAST(coalesce(rb.n, 0) AS BIGINT) AS n_ref,
+          |        CAST(coalesce(cb.n, 0) AS BIGINT) AS n_cur
+          |      FROM g LEFT JOIN rb USING (bucket) LEFT JOIN cb USING (bucket)),
+          |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+          |SELECT bucket, n_ref, n_cur,
+          |  round(((n_cur + 0.5) / (tc + 5.0) - (n_ref + 0.5) / (tr + 5.0)) *
+          |        ln(((n_cur + 0.5) / (tc + 5.0)) / ((n_ref + 0.5) / (tr + 5.0))), 6)
+          |    AS contrib
+          |FROM j, t""".stripMargin,
 
       "q_outliers" ->
         """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),

@@ -137,6 +137,61 @@ object DataQuality {
    * for cross-engine comparison. Null values are excluded up front (a null
    * is a completeness failure, not an outlier).
    */
+  /**
+   * Population stability index (drift monitor): how far a current batch's
+   * value distribution moved from a reference snapshot — the standard
+   * train/serve drift gate (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25
+   * drifted). Buckets are the REFERENCE's `nBuckets` equal-mass quantile
+   * ranges, so "no drift" always means ~1/n mass per bucket; both sides
+   * then bucket map-side against the broadcast boundary array and PSI =
+   * Σ (p_cur − p_ref) · ln(p_cur / p_ref) over buckets. Counts are
+   * +0.5-smoothed (Laplace) so an empty bucket — the strongest drift
+   * signal — contributes a large finite term instead of ±∞.
+   *
+   * Output: one row per bucket (bucket, n_ref, n_cur, contrib) — `contrib`
+   * rounded to 6 digits for cross-engine comparison; total PSI = sum of
+   * contribs. Shape: one exact-percentile aggregate on the reference (KLL
+   * at true scale, as ever), then both scans are map-side with
+   * partial-aggregated bucket counts — drift monitoring costs two scans
+   * and shuffles ≤ nBuckets rows per side. Nulls are excluded on both
+   * sides (they are completeness failures, not distribution mass).
+   */
+  def populationStability(ref: DataFrame, cur: DataFrame, valueCol: Column,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"populationStability: nBuckets must be >= 2, got $nBuckets")
+    val qs = (1 until nBuckets).map(i => (BigDecimal(i) / nBuckets).toString)
+      .mkString(", ")
+    val bnds = ref.filter(valueCol.isNotNull)
+      .select(valueCol.cast("double").as("__psi_v"))
+      .agg(expr(s"percentile(__psi_v, array($qs))").as("__psi_bnds"))
+    def bucketed(df: DataFrame, cntName: String): DataFrame =
+      df.filter(valueCol.isNotNull)
+        .select(valueCol.cast("double").as("__psi_v"))
+        .crossJoin(broadcast(bnds))
+        .select(size(filter(col("__psi_bnds"), b => col("__psi_v") > b))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(cntName))
+    val buckets = spark(ref).range(nBuckets).select(col("id").as("bucket"))
+    val joined = buckets
+      .join(bucketed(ref, "n_ref"), Seq("bucket"), "left")
+      .join(bucketed(cur, "n_cur"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("__psi_tr"),
+      sum(col("n_cur")).as("__psi_tc"))
+    val half = lit(0.5)
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(((col("n_cur") + half) / (col("__psi_tc") + half * nBuckets) -
+               (col("n_ref") + half) / (col("__psi_tr") + half * nBuckets)) *
+          log(((col("n_cur") + half) / (col("__psi_tc") + half * nBuckets)) /
+              ((col("n_ref") + half) / (col("__psi_tr") + half * nBuckets))), 6)
+          .as("contrib"))
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
+
   def robustOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
       k: Double = 5.0): DataFrame = {
     val rows = df.filter(valueCol.isNotNull)

@@ -145,8 +145,16 @@ object Layout {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filterNot(_.getPath.getName.startsWith("_"))
+    // a FLAT parquet dir only: compacting a partitioned table through a
+    // plain read would inline the partition columns and destroy the layout
+    // — compact each partition dir individually instead
+    val subDirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    require(subDirs.isEmpty,
+      s"compact: $inPath contains subdirectories (${subDirs.take(3).mkString(", ")}…) " +
+        "— looks partitioned; compact each partition directory separately")
+    val dataFiles = entries.filter(_.isFile)
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inPath)

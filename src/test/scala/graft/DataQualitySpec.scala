@@ -80,6 +80,26 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("populationStability: ~0 on identical distributions, > 0.25 on a real shift") {
+    import org.apache.spark.sql.functions.col
+    def psi(ref: org.apache.spark.sql.DataFrame, cur: org.apache.spark.sql.DataFrame) =
+      DataQuality.populationStability(ref, cur, col("v"), nBuckets = 10)
+        .agg(org.apache.spark.sql.functions.sum("contrib")).head().getDouble(0)
+    val ref = spark.range(2000).select((col("id") % 100).cast("double").as("v"))
+    // same distribution, different rows → stable
+    val same = spark.range(2000, 4000).select((col("id") % 100).cast("double").as("v"))
+    assert(math.abs(psi(ref, same)) < 0.01)
+    // mean shift by half the range → drifted well past the 0.25 bar
+    val shifted = spark.range(2000).select(((col("id") % 100) + 50).cast("double").as("v"))
+    assert(psi(ref, shifted) > 0.25, s"shift must trip the PSI gate: ${psi(ref, shifted)}")
+    // empty current-side buckets contribute large finite terms, never NaN/inf
+    val collapsed = spark.range(2000).select(org.apache.spark.sql.functions.lit(1.0).as("v"))
+    val total = psi(ref, collapsed)
+    assert(!total.isNaN && !total.isInfinite && total > 1.0, s"collapsed psi: $total")
+    // always exactly nBuckets rows, even with empty buckets
+    assert(DataQuality.populationStability(ref, collapsed, col("v"), 10).count() === 10)
+  }
+
   test("robustOutliers flags spikes that inflate stddev past a z-score's reach") {
     import org.apache.spark.sql.functions.{col, lit}
     // 100 values at ~10 ± 1 contaminated with 20 spikes of 300: the spikes
