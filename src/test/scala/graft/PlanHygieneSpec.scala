@@ -29,7 +29,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "k_ttl_expiry",    // crossJoin(broadcast(1-row "now" scalar))
     "text_quality_gate",     // crossJoin(broadcast(1-row percentile threshold))
     "text_quality_gate_kll", // same shape, KLL-sketch threshold
-    "q_balanced_sample")     // crossJoin(broadcast(1-row boundary array))
+    "q_balanced_sample",     // crossJoin(broadcast(1-row boundary array))
+    "q_drift_psi")           // crossJoin(broadcast(1-row boundaries + totals))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single
