@@ -497,6 +497,16 @@ object SparkEntry {
           table(s, dir, "customer"), "c_custkey"))
     }),
 
+    // Overlapping token-window chunking (RAG/embedding prep): 50-token
+    // windows advancing by 40 (10-token overlap), pure map-side explode —
+    // no shuffle. Chunk text pinned via md5 to keep the result compact.
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkByTokens(table(s, dir, "documents"),
+          "doc_id", "text", chunk = 50, overlap = 10)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_chunk_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))),
+
     // PSI drift monitor (train/serve distribution shift): decile buckets
     // from the REFERENCE side, both sides bucketed map-side against the
     // broadcast boundaries, Laplace-smoothed Σ (pc−pr)·ln(pc/pr) per
@@ -1437,6 +1447,20 @@ object SparkEntry {
           |  (CAST(count(c.c_custkey) AS DOUBLE) / count(*)) >= 1.0
           |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
           |  ON o.o_custkey = c.c_custkey""".stripMargin,
+
+      "text_chunks" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |           FROM documents),
+          |s AS (SELECT doc_id, toks,
+          |             unnest(range(0, greatest(len(toks), 1), 40)) AS start
+          |      FROM t)
+          |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+          |       CAST(start AS BIGINT) AS start_tok,
+          |       CAST(len(toks[start + 1 : least(start + 50, len(toks))]) AS BIGINT)
+          |         AS n_chunk_tokens,
+          |       md5(array_to_string(toks[start + 1 : least(start + 50, len(toks))],
+          |           ' ')) AS chunk_md5
+          |FROM s""".stripMargin,
 
       "q_drift_psi" ->
         """WITH r AS (SELECT value FROM events

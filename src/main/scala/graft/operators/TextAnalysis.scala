@@ -411,4 +411,41 @@ object TextAnalysis {
       array_distinct(graft.functions.HashExpressions.slidingMin(
         graft.functions.HashExpressions.wordShingleHashes(text, k), w)),
       array().cast("array<bigint>"))
+
+  /**
+   * Overlapping token-window chunking — the embedding/context-window prep
+   * step (RAG corpora, long-doc embedding, packing long documents into
+   * model-sized pieces): each doc explodes into windows of `chunk`
+   * whitespace tokens advancing by `chunk − overlap`, so consecutive
+   * chunks share `overlap` tokens and no token is lost (the final window
+   * may be shorter). Output: one row per chunk — (id, chunk_id, start_tok,
+   * n_chunk_tokens, chunk_text).
+   *
+   * Shape: pure map-side explode — no shuffle, no state; chunk counts per
+   * doc are ⌈n/step⌉ so output size is input size × (1 + overlap/step).
+   * The tokenizer re-evaluates per CHUNK (projection collapse inlines the
+   * split into the post-explode slice) — a deliberate constant-factor
+   * trade for staying expression-only; at 100 TB the alternative is one
+   * `Materialize` barrier carrying the token arrays, which costs a full
+   * materialized copy to save the re-tokenize.
+   */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunk: Int, overlap: Int = 0): DataFrame = {
+    require(chunk >= 1, s"chunkByTokens: chunk must be >= 1, got $chunk")
+    require(overlap >= 0 && overlap < chunk,
+      s"chunkByTokens: overlap must be in [0, chunk), got $overlap (chunk=$chunk)")
+    val step = chunk - overlap
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("__ck_toks"))
+      .select(col(idCol), col("__ck_toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("__ck_toks")) - 1, lit(0)), lit(step))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        size(slice(col("__ck_toks"), col("col") + 1, lit(chunk)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__ck_toks"), col("col") + 1, lit(chunk)), " ")
+          .as("chunk_text"))
+  }
 }

@@ -240,4 +240,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(5L) === (("&lt; stays entity", 0L)))
     assert(out(6L) === (("one two", 2L)))
   }
+
+  test("chunkByTokens: lossless coverage, exact overlap, bounded windows") {
+    import org.apache.spark.sql.functions.col
+    val doc = (1 to 103).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkByTokens(df, "doc_id", "text", chunk = 10, overlap = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text")))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // starts advance by step = 7; last window starts ≤ 102
+    assert(d1.map(_._3).toSeq === (0L until 103L by 7L).toSeq)
+    // every window holds ≤ 10 tokens and only the last may be shorter
+    assert(d1.dropRight(1).forall(_._4 === 10L) && d1.last._4 <= 10L)
+    // consecutive chunks share exactly `overlap` tokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5.split(" ").takeRight(3).toSeq === b._5.split(" ").take(3).toSeq)
+    case _ => }
+    // lossless: de-overlapped concatenation reconstructs the document
+    val rebuilt = (d1.head._5.split(" ").toSeq ++
+      d1.tail.toSeq.flatMap(c => c._5.split(" ").drop(3).toSeq)).mkString(" ")
+    assert(rebuilt === doc)
+    // short doc → one chunk, intact
+    assert(chunks.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 3L, "a b c")))
+    // empty doc → a single empty chunk (split of "" is [""]), never zero rows
+    assert(chunks.count(_._1 == 3L) === 1)
+  }
 }
