@@ -497,6 +497,23 @@ object SparkEntry {
           table(s, dir, "customer"), "c_custkey"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): per-doc char-trigram
+    // likelihood ratio of the 'en' target model vs the corpus model,
+    // add-half smoothed over the source vocabulary. Models broadcast; the
+    // corpus-sized shuffle is the one gram-count aggregate.
+    "q_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(
+        table(s, dir, "documents"), col("lang") === "en")),
+
+    // DSIR composition: importance-RESAMPLE 100 docs toward the target
+    // domain — the A-ES weighted sample with weight = exp(logw). The
+    // corpus reshapes toward target-like text without a hard filter.
+    "pipeline_dsir" -> ((s, dir) =>
+      operators.Sampling.weightedSample(
+        TextAnalysis.importanceWeights(
+          table(s, dir, "documents"), col("lang") === "en"),
+        col("doc_id"), exp(col("logw")), n = 100)),
+
     // Overlapping token-window chunking (RAG/embedding prep): 50-token
     // windows advancing by 40 (10-token overlap), pure map-side explode —
     // no shuffle. Chunk text pinned via md5 to keep the result compact.
@@ -1447,6 +1464,47 @@ object SparkEntry {
           |  (CAST(count(c.c_custkey) AS DOUBLE) / count(*)) >= 1.0
           |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
           |  ON o.o_custkey = c.c_custkey""".stripMargin,
+
+      "q_dsir_weights" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |    unnest([substring(text, i, 3) FOR i IN range(1, greatest(len(text) - 2, 0) + 1)]) AS g
+          |  FROM documents),
+          |src AS (SELECT g, count(*) AS scnt FROM g GROUP BY 1),
+          |st AS (SELECT sum(scnt) AS stotal, count(*) AS vocab FROM src),
+          |tg AS (SELECT gg.g AS g, count(*) AS tcnt FROM g gg
+          |       JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+          |tt AS (SELECT coalesce(sum(tcnt), 0) AS ttotal FROM tg)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+          |  round(avg(ln((coalesce(tcnt, 0) + 0.5) / (ttotal + 0.5 * vocab)) -
+          |            ln((scnt + 0.5) / (stotal + 0.5 * vocab))), 4) + 0.0 AS logw
+          |FROM g JOIN src USING (g) LEFT JOIN tg USING (g)
+          |CROSS JOIN st CROSS JOIN tt
+          |GROUP BY doc_id""".stripMargin,
+
+      "pipeline_dsir" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |    unnest([substring(text, i, 3) FOR i IN range(1, greatest(len(text) - 2, 0) + 1)]) AS g
+          |  FROM documents),
+          |src AS (SELECT g, count(*) AS scnt FROM g GROUP BY 1),
+          |st AS (SELECT sum(scnt) AS stotal, count(*) AS vocab FROM src),
+          |tg AS (SELECT gg.g AS g, count(*) AS tcnt FROM g gg
+          |       JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+          |tt AS (SELECT coalesce(sum(tcnt), 0) AS ttotal FROM tg),
+          |w AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+          |    round(avg(ln((coalesce(tcnt, 0) + 0.5) / (ttotal + 0.5 * vocab)) -
+          |              ln((scnt + 0.5) / (stotal + 0.5 * vocab))), 4) + 0.0 AS logw
+          |  FROM g JOIN src USING (g) LEFT JOIN tg USING (g)
+          |  CROSS JOIN st CROSS JOIN tt
+          |  GROUP BY doc_id)
+          |SELECT doc_id, n_trigrams, logw FROM (
+          |  SELECT *,
+          |    ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+          |        + 0.5) / 4503599627370496.0) / exp(logw) AS k
+          |  FROM w)
+          |ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
 
       "text_chunks" ->
         """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

@@ -387,6 +387,52 @@ object TextAnalysis {
     out
   }
 
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every corpus doc by
+   * how much more likely its character trigrams are under a TARGET-domain
+   * model than under the source (corpus) model — the per-doc mean of
+   * ln p̂_target(g) − ln p̂_source(g). Sampling proportional to exp(logw)
+   * ([[graft.operators.Sampling.weightedSample]]) then reshapes the corpus
+   * toward the target domain. Both models are add-half smoothed over the
+   * SOURCE vocabulary, so grams the target never saw contribute a large
+   * negative (finite) term.
+   *
+   * Shape: identical to [[trigramLogLikelihood]] — one materialized
+   * (doc, gram) count frame feeds both models (bounded: ≤ charset³ rows,
+   * they broadcast) and the scorer; the only corpus-sized shuffle is the
+   * gram-count aggregate.
+   */
+  def importanceWeights(df: DataFrame, targetPred: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val docGrams = graft.Materialize(
+      df.select(col(idCol), targetPred.as("__is_tgt"),
+          explode(charTrigrams(col(textCol))).as("g"))
+        .groupBy(col(idCol), col("__is_tgt"), col("g"))
+        .agg(count(lit(1)).as("doc_cnt")))
+    val src = docGrams.groupBy(col("g")).agg(sum(col("doc_cnt")).as("scnt"))
+    val sTotV = src.agg(sum(col("scnt")).as("stotal"),
+      count(lit(1)).as("vocab"))
+    val tgt = docGrams.filter(col("__is_tgt"))
+      .groupBy(col("g")).agg(sum(col("doc_cnt")).as("tcnt"))
+    val tTot = tgt.agg(coalesce(sum(col("tcnt")), lit(0L)).as("ttotal"))
+    val half = lit(0.5)
+    docGrams.join(broadcast(src), Seq("g"))
+      .join(broadcast(tgt), Seq("g"), "left")
+      .crossJoin(broadcast(sTotV)).crossJoin(broadcast(tTot))
+      .select(col(idCol), col("doc_cnt"),
+        (col("doc_cnt") *
+          (log((coalesce(col("tcnt"), lit(0L)) + half) /
+               (col("ttotal") + half * col("vocab"))) -
+           log((col("scnt") + half) /
+               (col("stotal") + half * col("vocab"))))).as("wlogw"))
+      .groupBy(col(idCol))
+      .agg(sum(col("doc_cnt")).as("n_trigrams"),
+        // + 0.0 canonicalizes IEEE −0.0 → +0.0 (a ratio that rounds to
+        // zero from below stringifies as "-0.0" in some engines)
+        (round(sum(col("wlogw")) / sum(col("doc_cnt")), 4) + lit(0.0)).as("logw"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
    * md5 is bit-identical across engines (unlike xxhash64/DuckDB hash), so
    * it doubles as the exact-dedup key the oracle can recompute. */

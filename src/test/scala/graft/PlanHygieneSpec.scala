@@ -30,7 +30,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "text_quality_gate",     // crossJoin(broadcast(1-row percentile threshold))
     "text_quality_gate_kll", // same shape, KLL-sketch threshold
     "q_balanced_sample",     // crossJoin(broadcast(1-row boundary array))
-    "q_drift_psi")           // crossJoin(broadcast(1-row boundaries + totals))
+    "q_drift_psi",           // crossJoin(broadcast(1-row boundaries + totals))
+    "q_dsir_weights",        // crossJoin(broadcast(1-row model totals))
+    "pipeline_dsir")         // same weights plan under the A-ES sample
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single

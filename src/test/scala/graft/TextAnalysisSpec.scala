@@ -241,6 +241,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(6L) === (("one two", 2L)))
   }
 
+  test("DSIR importance weights pull the resample toward the target domain") {
+    import org.apache.spark.sql.functions.{col, exp}
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val w = TextAnalysis.importanceWeights(docs, col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val means = w.groupBy(col("lang") === "en")
+      .agg(org.apache.spark.sql.functions.avg("logw"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"target-domain docs must outscore the rest: $means")
+    // Resampling shift needs real domain separation (the testdata langs
+    // share most character-trigram mass, weights sit at ±0.02): build a
+    // corpus where 30% is target-like English and 70% is alien noise —
+    // exp(logw) resampling must over-represent the target side decisively.
+    import spark.implicits._
+    val tgt = (0 until 30).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog number $i", true))
+    val noise = (30 until 100).map(i =>
+      (i.toLong, s"zq$i xv${i * 7} qqkz wvx${i % 9} zzt jjq kqv wxz", false))
+    val mix = (tgt ++ noise).toDF("doc_id", "text", "is_tgt")
+    val mw = TextAnalysis.importanceWeights(mix, col("is_tgt"))
+      .join(mix.select(col("doc_id"), col("is_tgt")), "doc_id")
+    val picked = graft.operators.Sampling.weightedSample(
+        mw, col("doc_id"), exp(col("logw")), n = 30)
+      .filter(col("is_tgt")).count()
+    assert(picked >= 25,
+      s"resample must over-represent the 30%-share target: picked $picked of 30")
+  }
+
   test("chunkByTokens: lossless coverage, exact overlap, bounded windows") {
     import org.apache.spark.sql.functions.col
     val doc = (1 to 103).map(i => s"t$i").mkString(" ")
