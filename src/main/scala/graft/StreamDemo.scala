@@ -105,6 +105,33 @@ object StreamDemo {
       emb, "vec_id", "embedding", dim = 64, col("vec_id") < 10, k = 5)
     println(s"=== E3 (ivfpq maintenance) search rows: ${hits.count()} " +
       s"post-stream neighbors: ${hits.filter(col("neighbor_id") >= 250).count()}")
+
+    // E4: streaming CDC materialized view — an upsert/delete changelog
+    // streamed through the LSM incremental store (one partial delta per
+    // micro-batch), compacted, and read back as the current snapshot.
+    // 1000 entities × 3 versions; the last version of every 10th entity
+    // is a delete tombstone → snapshot must hold exactly 900 keys.
+    val cdcIn = Files.createTempDirectory("graft-demo-cdc-in").toString + "/log"
+    val cdcStore = Files.createTempDirectory("graft-demo-cdc").toString + "/store"
+    val ckpt4 = Files.createTempDirectory("graft-demo-ckpt4").toString
+    val changelog = spark.range(3000).select(
+      (col("id") % 1000).as("k"), col("id").as("cid"),
+      ((col("id") * 7) % 100).cast("double").as("v"),
+      (col("id") >= 2000 && col("id") % 10 === 0).as("del"))
+    changelog.repartition(6).write.parquet(cdcIn)
+    val cdcAgg = graft.operators.Cdc.latestAgg(Seq("cid"), Seq("v"), "del")
+    val q4 = graft.streaming.IncrementalView.start(
+      spark.readStream.schema(changelog.schema).option("maxFilesPerTrigger", "2")
+        .parquet(cdcIn),
+      Seq("k"), cdcAgg, cdcStore, ckpt4)
+    q4.processAllAvailable()
+    q4.stop()
+    graft.streaming.IncrementalView.compact(spark, cdcStore, Seq("k"), agg = cdcAgg)
+    val snapshot = graft.operators.Cdc.snapshotOf(
+      graft.streaming.IncrementalView.read(spark, cdcStore, Seq("k"), cdcAgg),
+      Seq("k"), Seq("cid"), Seq("v"), "del")
+    println(s"=== E4 (cdc view) snapshot keys: ${snapshot.count()} " +
+      s"(tombstoned: ${1000 - snapshot.count()})")
     spark.stop()
   }
 }

@@ -52,4 +52,34 @@ class TextFuzzSpec extends AnyFunSuite {
     for (s <- once)
       assert(!s.matches("(?s).*<[^>]+>.*"), s"tag survived one pass: $s")
   }
+
+  test("chunkByTokens is lossless and bounded for any (length, chunk, overlap)") {
+    val rnd = new scala.util.Random(11)
+    // 60 random (doc, chunk, overlap) combos across the parameter space
+    val cases = Seq.fill(60) {
+      val n = rnd.nextInt(120)                     // token count 0..119
+      val chunk = 1 + rnd.nextInt(20)              // 1..20
+      val overlap = rnd.nextInt(chunk)             // 0..chunk-1
+      (n, chunk, overlap)
+    }
+    cases.zipWithIndex.foreach { case ((n, chunk, overlap), i) =>
+      val toks = (0 until n).map(j => s"w$j")
+      val df = Seq((i.toLong, toks.mkString(" "))).toDF("doc_id", "text")
+      val rows = TextAnalysis.chunkByTokens(df, "doc_id", "text", chunk, overlap)
+        .orderBy("chunk_id")
+        .collect().map(r => (r.getAs[Long]("start_tok"),
+          r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk_text")))
+      val step = chunk - overlap
+      // every window bounded; starts on the exact step grid
+      assert(rows.forall(_._2 <= chunk), s"case $i: window over chunk size")
+      assert(rows.map(_._1).toSeq ===
+        (0L until math.max(toks.length, 1).toLong by step.toLong).toSeq, s"case $i")
+      // lossless: de-overlapped concatenation reconstructs the token stream
+      // (empty text tokenizes to [""], so expect a single empty chunk there)
+      val rebuilt = (rows.head._3.split(" ", -1).toSeq ++
+        rows.tail.toSeq.flatMap(c => c._3.split(" ", -1).drop(overlap).toSeq))
+      val expected = if (n == 0) Seq("") else toks
+      assert(rebuilt === expected, s"case $i: n=$n chunk=$chunk overlap=$overlap")
+    }
+  }
 }
