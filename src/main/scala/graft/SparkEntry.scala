@@ -497,6 +497,21 @@ object SparkEntry {
           table(s, dir, "customer"), "c_custkey"))
     }),
 
+    // Ordered conversion funnel (signup → click → purchase, first-touch):
+    // per stage ONE partial-aggregatable min(when) keyed by user, chained
+    // through user-keyed joins with a barrier per stage — no window over
+    // the event log, no per-user event buffering.
+    "q_funnel" -> ((s, dir) =>
+      operators.TimeSeries.funnel(table(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))),
+
+    // Retention cohort matrix: first-activity week × weeks-since, distinct
+    // actives per cell — two aggregates + one entity-keyed join. Exact
+    // distinct here; HLL is the documented at-scale swap.
+    "q_retention" -> ((s, dir) =>
+      operators.TimeSeries.retentionCohorts(
+        table(s, dir, "events"), "user_id", "ts", maxWeeks = 12)),
+
     // DSIR importance weights (Xie et al. 2023): per-doc char-trigram
     // likelihood ratio of the 'en' target model vs the corpus model,
     // add-half smoothed over the source vocabulary. Models broadcast; the
@@ -1464,6 +1479,34 @@ object SparkEntry {
           |  (CAST(count(c.c_custkey) AS DOUBLE) / count(*)) >= 1.0
           |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
           |  ON o.o_custkey = c.c_custkey""".stripMargin,
+
+      "q_funnel" ->
+        """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+          |                  event_type
+          |           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+          |s0 AS (SELECT user_id, min(ts_s) AS t FROM e
+          |       WHERE event_type = 'signup' GROUP BY 1),
+          |s1 AS (SELECT e.user_id, min(e.ts_s) AS t FROM e JOIN s0 USING (user_id)
+          |       WHERE e.event_type = 'click' AND e.ts_s > s0.t GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(e.ts_s) AS t FROM e JOIN s1 USING (user_id)
+          |       WHERE e.event_type = 'purchase' AND e.ts_s > s1.t GROUP BY 1)
+          |SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
+          |       CAST(count(*) AS BIGINT) AS n_entities FROM s0
+          |UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1
+          |UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2""".stripMargin,
+
+      "q_retention" ->
+        """WITH e AS (SELECT user_id,
+          |                  -- BIGINT first: // on DOUBLE is plain division
+          |                  -- and the BIGINT cast would ROUND, not floor
+          |                  CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+          |           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+          |f AS (SELECT user_id, min(w) AS c FROM e GROUP BY 1)
+          |SELECT CAST(c * 604800 AS BIGINT) AS cohort_week_s,
+          |       CAST(w - c AS BIGINT) AS week_offset,
+          |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+          |FROM e JOIN f USING (user_id) WHERE w - c <= 12
+          |GROUP BY 1, 2""".stripMargin,
 
       "q_dsir_weights" ->
         """WITH g AS (

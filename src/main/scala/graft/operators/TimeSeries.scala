@@ -98,4 +98,65 @@ object TimeSeries {
       .select(col("entity"), col("state"),
         col("ts_s").as("valid_from_s"), col("valid_to_s"))
   }
+
+  /**
+   * Ordered funnel: how many entities completed each stage IN ORDER —
+   * stage k counts entities with an event of type `stages(k)` strictly
+   * after their stage-(k−1) completion time (first-touch semantics: the
+   * earliest qualifying event per stage). The canonical conversion query.
+   *
+   * Shape: one conditional aggregate per stage, each a partial-aggregatable
+   * `min(when(...))` keyed by the entity, chained through entity-keyed
+   * joins — k stages = k narrow (entity, ts) frames, no window over the
+   * event log, no per-entity event buffering. Output: (stage_idx, stage,
+   * n_entities), monotonically non-increasing in stage_idx.
+   */
+  def funnel(df: DataFrame, entityCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: stages must be non-empty")
+    val ev = df.filter(col(tsCol).isNotNull && col(entityCol).isNotNull)
+      .select(col(entityCol).as("__f_e"), col(tsCol).cast("long").as("__f_ts"),
+        col(typeCol).as("__f_t"))
+    // each stage's reached-set is materialized: stage k's plan would
+    // otherwise re-derive stages 1..k−1 (the Lloyd-loop rule — barriers
+    // keep the chain linear in stages, not quadratic)
+    val reachedFrames = stages.drop(1).scanLeft(
+      graft.Materialize(ev.filter(col("__f_t") === stages.head)
+        .groupBy(col("__f_e")).agg(min(col("__f_ts")).as("__f_prev")))) {
+      (reached, st) =>
+        graft.Materialize(ev.filter(col("__f_t") === st)
+          .join(reached, "__f_e")
+          .filter(col("__f_ts") > col("__f_prev"))
+          .groupBy(col("__f_e")).agg(min(col("__f_ts")).as("__f_prev")))
+    }
+    reachedFrames.zip(stages).zipWithIndex.map { case ((r, st), i) =>
+      r.agg(count(lit(1)).as("n_entities"))
+        .select(lit(i.toLong).as("stage_idx"), lit(st).as("stage"),
+          col("n_entities"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Retention cohorts: entities grouped by their first-activity week
+   * (cohort), counted as retained in each later week they were active —
+   * the (cohort_week, week_offset) → distinct-actives matrix behind every
+   * retention curve. Two aggregates (first-touch per entity, then the
+   * cohort matrix) plus one entity-keyed join; distinct-actives is exact
+   * `count_distinct` (swap for HLL at true scale, as a2_approx_agg does).
+   */
+  def retentionCohorts(df: DataFrame, entityCol: String, tsCol: String,
+      maxWeeks: Int = 12): DataFrame = {
+    val weekSec = 7L * 86400L
+    val ev = df.filter(col(tsCol).isNotNull && col(entityCol).isNotNull)
+      .select(col(entityCol).as("__r_e"),
+        floor(col(tsCol).cast("long") / weekSec).cast("long").as("__r_w"))
+    val first = ev.groupBy(col("__r_e")).agg(min(col("__r_w")).as("__r_c"))
+    ev.join(first, "__r_e")
+      .select(col("__r_e"), col("__r_c"), (col("__r_w") - col("__r_c")).as("__r_off"))
+      .filter(col("__r_off") <= maxWeeks)
+      .groupBy(col("__r_c"), col("__r_off"))
+      .agg(count_distinct(col("__r_e")).as("n_active"))
+      .select((col("__r_c") * weekSec).as("cohort_week_s"),
+        col("__r_off").as("week_offset"), col("n_active"))
+  }
 }

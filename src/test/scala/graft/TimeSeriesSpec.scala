@@ -74,4 +74,43 @@ class TimeSeriesSpec extends AnyFunSuite {
       .filter(col("n_open") =!= 1)
     assert(opens.count() === 0)
   }
+
+  test("funnel counts only in-order completions, first-touch, strictly after") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes all three in order
+      (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2 clicked BEFORE signup — click must not count (nor the purchase after it)
+      (2L, 5L, "click"), (2L, 10L, "signup"), (2L, 12L, "purchase"),
+      // u3 signup + click only
+      (3L, 10L, "signup"), (3L, 40L, "click"),
+      // u4 purchase same second as click — strictly-after excludes it
+      (4L, 10L, "signup"), (4L, 20L, "click"), (4L, 20L, "purchase"),
+      // u5 never signed up
+      (5L, 10L, "click"), (5L, 20L, "purchase"))
+      .map { case (u, t, ty) => (u, new java.sql.Timestamp(t * 1000L), ty) }
+      .toDF("user_id", "ts", "event_type")
+    val out = TimeSeries.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(0L -> 4L, 1L -> 3L, 2L -> 1L))
+  }
+
+  test("retention cohorts: first week defines the cohort, offsets capped") {
+    import spark.implicits._
+    val week = 604800L
+    val ev = Seq(
+      (1L, 0L), (1L, week), (1L, 3 * week),        // cohort 0: active w0, w1, w3
+      (2L, 0L), (2L, 2 * week),                    // cohort 0: active w0, w2
+      (3L, week), (3L, week + 1), (3L, 2 * week),  // cohort 1: dup-active w0 counted once
+      (4L, 20L * week))                            // beyond maxWeeks from others, own cohort
+      .map { case (u, t) => (u, new java.sql.Timestamp(t * 1000L)) }
+      .toDF("user_id", "ts")
+    val out = TimeSeries.retentionCohorts(ev, "user_id", "ts", maxWeeks = 12)
+      .collect().map(r => (r.getLong(0) / week, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L,
+      (20L, 0L) -> 1L))
+  }
 }
