@@ -539,6 +539,38 @@ object SparkEntry {
           col("n_chunk_tokens"),
           md5(col("chunk_text").cast("binary")).as("chunk_md5"))),
 
+    // C4-style cleaning heuristics (Raffel et al. 2020): keep lines with
+    // terminal punctuation, ≥ 5 words, and no "javascript"; keep docs with
+    // ≥ 3 surviving lines, no "lorem ipsum", no curly braces. The corpus
+    // text is single-line word soup (no \n, no punctuation), so each doc is
+    // first wrapped in a deterministic multi-line page — same pattern as
+    // text_strip_html's synthesized page — whose keep/drop outcome varies
+    // by content and doc_id. Pure map-side array expressions — no shuffle.
+    "text_c4_filter" -> ((s, dir) => {
+      val page = concat_ws("\n",
+        concat(substring(col("text"), 1, 60), lit(" first sentence ends here.")),
+        lit("too short."),
+        lit("javascript is required to view this content properly."),
+        lit("this line has no terminal punctuation so it gets dropped"),
+        concat(substring(col("text"), 10, 30), lit(" and the second sentence!")),
+        when(col("doc_id") % 3 === 0,
+          lit("a third complete sentence appears only sometimes?"))
+          .otherwise(lit("just filler")),
+        when(col("doc_id") % 5 === 0, lit("lorem ipsum dolor sit amet."))
+          .when(col("doc_id") % 7 === 0, lit("code block { return 1; }"))
+          .otherwise(lit("clean footer line without punct")))
+      TextAnalysis.withC4Filter(
+        table(s, dir, "documents").select(col("doc_id"), page.as("text")))
+    }),
+
+    // TF-IDF top-5 terms per doc (smoothed idf = ln((N+1)/(df+1)) + 1):
+    // one (doc, term) count shuffle, a term-keyed df re-aggregation of
+    // those already-deduped counts, N broadcast as a one-row aggregate;
+    // the top-k window partitions by DOC (vocab-sized partitions — no
+    // hot key), never by term or globally.
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), topK = 5)),
+
     // PSI drift monitor (train/serve distribution shift): decile buckets
     // from the REFERENCE side, both sides bucketed map-side against the
     // broadcast boundaries, Laplace-smoothed Σ (pc−pr)·ln(pc/pr) per
@@ -1562,6 +1594,56 @@ object SparkEntry {
           |       md5(array_to_string(toks[start + 1 : least(start + 50, len(toks))],
           |           ' ')) AS chunk_md5
           |FROM s""".stripMargin,
+
+      "text_c4_filter" ->
+        """WITH pages AS (SELECT doc_id,
+          |    substring(text, 1, 60) || ' first sentence ends here.' || chr(10) ||
+          |    'too short.' || chr(10) ||
+          |    'javascript is required to view this content properly.' || chr(10) ||
+          |    'this line has no terminal punctuation so it gets dropped' || chr(10) ||
+          |    substring(text, 10, 30) || ' and the second sentence!' || chr(10) ||
+          |    CASE WHEN doc_id % 3 = 0
+          |         THEN 'a third complete sentence appears only sometimes?'
+          |         ELSE 'just filler' END || chr(10) ||
+          |    CASE WHEN doc_id % 5 = 0 THEN 'lorem ipsum dolor sit amet.'
+          |         WHEN doc_id % 7 = 0 THEN 'code block { return 1; }'
+          |         ELSE 'clean footer line without punct' END AS text
+          |  FROM documents),
+          |l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+          |      FROM pages),
+          |k AS (SELECT doc_id, text, ls,
+          |        list_filter(ls, x -> regexp_matches(trim(x), '[.!?"]$')
+          |          AND len(list_filter(string_split_regex(trim(x), '\s+'),
+          |                              w -> len(w) > 0)) >= 5
+          |          AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+          |      FROM l)
+          |SELECT doc_id,
+          |  CAST(len(ls) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept,
+          |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+          |     AND NOT contains(text, '{')) AS c4_keep,
+          |  CAST(coalesce(length(array_to_string(kept, chr(10))), 0) AS BIGINT)
+          |    AS clean_chars
+          |FROM k""".stripMargin,
+
+      "q_tfidf" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+          |       WHERE length(term) > 0 GROUP BY 1, 2),
+          |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+          |    round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) + 1.0), 6)
+          |      + 0.0 AS tfidf
+          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+          |SELECT doc_id, trank, term, tf, df_t, tfidf FROM (
+          |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY tfidf DESC, term) AS BIGINT) AS trank FROM scored)
+          |WHERE trank <= 5""".stripMargin,
 
       "q_drift_psi" ->
         """WITH r AS (SELECT value FROM events

@@ -475,6 +475,76 @@ object TextAnalysis {
    * `Materialize` barrier carrying the token arrays, which costs a full
    * materialized copy to save the re-tokenize.
    */
+  /**
+   * C4-style line/document cleaning (Raffel et al. 2020, "Exploring the
+   * Limits of Transfer Learning…", §2.2 — the public C4 heuristics):
+   * keep only lines that end in terminal punctuation, contain ≥ 5 words,
+   * and don't mention "javascript"; keep only documents with ≥ 3
+   * surviving lines, no "lorem ipsum", and no curly braces. Output: one
+   * row per input doc — (id, n_lines, n_kept, c4_keep, clean_chars) —
+   * so the caller can either gate on `c4_keep` or re-derive the cleaned
+   * text; `clean_chars` is the length of the kept lines rejoined.
+   *
+   * Shape: pure map-side higher-order array expressions over the line
+   * split — no shuffle, no window, no UDF; scales embarrassingly.
+   */
+  def withC4Filter(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      // \z, not $: Java's $ also matches before a trailing \r (lines are
+      // split on \n, so a CRLF doc leaves \r at line end); RE2's $ in the
+      // DuckDB oracle is strict end-of-string.
+      t.rlike("[.!?\"]\\z") &&
+        size(filter(split(t, wsClass + "+"), w => length(w) > 0)) >= 5 &&
+        !lower(t).contains("javascript")
+    })
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (size(kept) >= 3 &&
+        !lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{")).as("c4_keep"),
+      length(array_join(kept, "\n")).cast("long").as("clean_chars"))
+  }
+
+  /**
+   * TF-IDF top terms per document — the classic IR relevance weighting
+   * (Salton & Buckley 1988) with the smoothed idf sklearn popularized:
+   * idf = ln((N+1)/(df+1)) + 1, so unseen-in-corpus terms can't divide
+   * by zero and every idf stays positive. Returns the `topK` terms per
+   * doc by tf·idf (ties broken by term asc), with the raw tf/df counts.
+   *
+   * Shape: explode → partial-aggregated (doc, term) counts (one shuffle
+   * on (doc, term)), document frequency re-aggregated from those counts
+   * (one shuffle on term, already deduped per doc so it's a count not a
+   * countDistinct), N broadcast as a one-row aggregate, and the top-k
+   * pick is a window partitioned by DOC — high-cardinality keys whose
+   * partition size is one doc's vocabulary, so there is no hot-key
+   * funnel a boilerplate value could create. Score is rounded to 6dp
+   * (+0.0 canonicalizes IEEE −0.0) so rank order is engine-stable.
+   */
+  def tfIdfTopTerms(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"tfIdfTopTerms: topK must be >= 1, got $topK")
+    val tf = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df_t") + lit(1.0))) + lit(1.0)), 6) + lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("trank", row_number().over(w).cast("long"))
+      .filter(col("trank") <= topK)
+      .select(col(idCol), col("trank"), col("term"), col("tf"),
+        col("df_t"), col("tfidf"))
+  }
+
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
       chunk: Int, overlap: Int = 0): DataFrame = {
     require(chunk >= 1, s"chunkByTokens: chunk must be >= 1, got $chunk")

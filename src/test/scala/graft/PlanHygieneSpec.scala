@@ -32,7 +32,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_balanced_sample",     // crossJoin(broadcast(1-row boundary array))
     "q_drift_psi",           // crossJoin(broadcast(1-row boundaries + totals))
     "q_dsir_weights",        // crossJoin(broadcast(1-row model totals))
-    "pipeline_dsir")         // same weights plan under the A-ES sample
+    "pipeline_dsir",         // same weights plan under the A-ES sample
+    "q_tfidf")               // crossJoin(broadcast(1-row corpus count))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single

@@ -296,4 +296,63 @@ class TextAnalysisSpec extends AnyFunSuite {
     // empty doc → a single empty chunk (split of "" is [""]), never zero rows
     assert(chunks.count(_._1 == 3L) === 1)
   }
+
+  test("withC4Filter applies the line and document heuristics") {
+    val good = "this is a perfectly reasonable first sentence here."
+    val df = Seq(
+      // 3 good lines, one too-short line, one no-terminal-punct line,
+      // one javascript line → kept; doc passes
+      (1L, Seq(good, "too short line.", "no terminal punctuation at all here",
+        "please enable JavaScript to view this page.",
+        "another long and complete sentence follows right here!",
+        "and one more full sentence to meet the three line bar?").mkString("\n")),
+      // enough good lines but doc contains lorem ipsum → dropped
+      (2L, Seq(good, good, good, "lorem ipsum dolor sit amet").mkString("\n")),
+      // curly brace (code) → dropped
+      (3L, Seq(good, good, good, "function f() { return 1; }").mkString("\n")),
+      // only 2 surviving lines → dropped
+      (4L, Seq(good, good, "short.").mkString("\n")),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.withC4Filter(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[Boolean]("c4_keep")))).toMap
+    assert(out(1L) === ((6L, 3L, true)))
+    assert(out(2L)._3 === false && out(2L)._2 === 3L) // lines fine, doc fails
+    assert(out(3L)._3 === false)                      // curly brace kills it
+    assert(out(4L) === ((3L, 2L, false)))
+    assert(out(5L) === ((1L, 0L, false)))
+    // clean_chars = kept lines rejoined
+    val c1 = TextAnalysis.withC4Filter(df).filter(col("doc_id") === 1L)
+      .head().getAs[Long]("clean_chars")
+    assert(c1 === Seq(good,
+      "another long and complete sentence follows right here!",
+      "and one more full sentence to meet the three line bar?")
+      .mkString("\n").length.toLong)
+  }
+
+  test("tfIdfTopTerms ranks distinguishing terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "spark spark spark common common word"),
+      (2L, "duck duck common common word word"),
+      (3L, "goose goose goose common word word")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(df, topK = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("trank"),
+        r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df_t")))
+    // every doc's #1 term is its unique high-tf token, not the shared ones
+    val top1 = out.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    assert(top1 === Map(1L -> "spark", 2L -> "duck", 3L -> "goose"))
+    // df counts: "common"/"word" in all 3 docs, "spark" in 1
+    val spark1 = out.find(r => r._1 == 1L && r._3 == "spark").get
+    assert(spark1._4 === 3L && spark1._5 === 1L)
+    // exactly topK rows per doc, ranks 1..k
+    assert(out.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq === Seq(1L, 2L) })
+    // idf really discounts ubiquity: in doc 2, doc-unique "duck" (tf 2,
+    // score 2·(ln(4/2)+1) ≈ 3.39) outranks every-doc "word" at the SAME
+    // tf (score 2) — frequency alone doesn't win
+    val d2 = out.filter(_._1 == 2L).sortBy(_._2)
+    assert(d2.head._3 === "duck")
+    assert(d2.map(_._3).toSeq === Seq("duck", "common")) // tie at 2.0 → term asc
+  }
 }
