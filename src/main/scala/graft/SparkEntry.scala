@@ -1005,6 +1005,19 @@ object SparkEntry {
           "ts", "user_id", Seq("event_type")),
         Seq("event_type"))),
 
+    // Theta-sketch pairwise overlap: per-type sketches of the user
+    // audience, then every type pair's intersection / union / difference /
+    // Jaccard from SKETCH algebra — one raw-data pass + a 5-row pair grid,
+    // the set-operation question HLL can't answer. ORACLE-BACKED: theta
+    // estimates are exact below 2^lgK distinct keys (150/type at sf0.01 ≪
+    // 4096), so the rounded-long counts hash-match exact COUNT(DISTINCT)
+    // self-joins; the sampling regime above resolution is pinned by
+    // SketchesSpec instead.
+    "q_user_overlap" -> ((s, dir) =>
+      operators.Sketches.groupOverlap(
+        table(s, dir, "events").filter(col("user_id").isNotNull),
+        "event_type", "user_id")),
+
     // Mergeable frequent-items (top-k) sketch rollup: per-(type, day)
     // DataSketches sketches combined up to per-type top-5 categories —
     // the persisted-sketch pattern for heavy hitters at 100 TB (exact
@@ -2224,6 +2237,27 @@ object SparkEntry {
           |WHERE md5(CAST(event_id AS VARCHAR))
           |      < CASE WHEN event_type IN ('click','view') THEN '40' ELSE '10' END
           |GROUP BY 1""".stripMargin,
+
+      "q_user_overlap" ->
+        """WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+          |           WHERE user_id IS NOT NULL),
+          |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+          |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |             CAST(count(*) AS BIGINT) AS n_inter
+          |      FROM d a JOIN d b
+          |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+          |      GROUP BY 1, 2),
+          |g AS (SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+          |             ta.n AS n_a, tb.n AS n_b,
+          |             CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter
+          |      FROM t ta JOIN t tb ON ta.event_type < tb.event_type
+          |      LEFT JOIN i ON i.type_a = ta.event_type AND i.type_b = tb.event_type)
+          |SELECT type_a, type_b, n_a, n_b, n_inter,
+          |       n_a + n_b - n_inter AS n_union,
+          |       n_a - n_inter AS n_only_a,
+          |       round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) + 0.0
+          |         AS jaccard
+          |FROM g""".stripMargin,
 
       "q_anti_join" ->
         """SELECT c_mktsegment,

@@ -122,6 +122,61 @@ object Sketches {
     merged.select((groupCols.map(col) ++ qCols :+ col("n_rows")): _*)
   }
 
+  // ------------------------------------------------------- theta sketches
+
+  /** Mergeable SET-OPERATION twin of [[dailySketches]]: one Theta sketch
+   * per (group, day) ([[graft.functions.ThetaExpressions]]). HLL answers
+   * "how many distinct"; the Theta table additionally answers INTERSECTION
+   * and DIFFERENCE between any two sketched groups — audience overlap,
+   * train/val split leakage, cross-source key sharing — without ever
+   * re-scanning raw data or sketching pairs up front. */
+  def dailyThetaSketches(df: DataFrame, timeCol: String, keyCol: String,
+      groupCols: Seq[String],
+      lgK: Int = graft.functions.ThetaExpressions.defaultLgK): DataFrame = {
+    val day = floor(col(timeCol).cast("long") / 86400L).cast("long") * 86400L
+    df.groupBy((groupCols.map(col) :+ day.as("day_s")): _*)
+      .agg(graft.functions.ThetaExpressions.thetaSketchAgg(col(keyCol), lgK)
+          .as("theta_sketch"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /**
+   * Pairwise key-overlap matrix between the groups of `groupCol`: for every
+   * unordered group pair (a < b), the distinct-key counts of each side,
+   * their intersection, union, exclusive-to-a count, and Jaccard — the
+   * "how much audience do these segments share" / "how many keys leak
+   * across splits" question.
+   *
+   * Shape: ONE pass over raw data into per-group Theta sketches (map-side
+   * partial union, ≤ groups × 2^lgK bytes out), then the pair grid is a
+   * broadcast self-join over the GROUPS-row sketch table — all set algebra
+   * runs on sketches, so cost is groups² × sketch size, independent of raw
+   * data volume. Estimates are EXACT while per-group distinct counts stay
+   * under 2^lgK (counts here are emitted as rounded longs, which is what
+   * makes the query oracle-checkable at test scale); above resolution they
+   * carry DataSketches' ~2% error, spec-pinned.
+   */
+  def groupOverlap(df: DataFrame, groupCol: String, keyCol: String,
+      lgK: Int = graft.functions.ThetaExpressions.defaultLgK): DataFrame = {
+    import graft.functions.ThetaExpressions._
+    val sk = df.groupBy(col(groupCol))
+      .agg(thetaSketchAgg(col(keyCol), lgK).as("sk"))
+    val a = sk.select(col(groupCol).as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col(groupCol).as("type_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(thetaEstimate(col("sk_a"))).cast("long").as("n_a"),
+        round(thetaEstimate(col("sk_b"))).cast("long").as("n_b"),
+        round(thetaIntersectEstimate(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_inter"),
+        round(thetaUnionEstimate(col("sk_a"), col("sk_b"), lgK))
+          .cast("long").as("n_union"),
+        round(thetaAnotBEstimate(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_only_a"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / col("n_union"), 6) + lit(0.0))
+  }
+
   /** [[rollupTopK]] flattened to scalar columns — one row per (group, rank).
    * Downstream consumers (and the verify harness) that can't handle nested
    * arrays get the same information as (rank, item, item_count) rows;

@@ -228,6 +228,61 @@ class SketchesSpec extends AnyFunSuite {
         s"$t: daily-merged $d vs direct ${direct(t)}")
   }
 
+  test("theta overlap is EXACT below sketch resolution") {
+    import spark.implicits._
+    // two segments over a shared key space with a known intersection:
+    // a = [0, 300), b = [200, 700) → inter 100, union 700, a-only 200
+    val df = ((0L until 300L).map(k => ("a", k)) ++
+      (200L until 700L).map(k => ("b", k))).toDF("seg", "k")
+      .repartition(7) // partitioning must not matter
+    val row = Sketches.groupOverlap(df, "seg", "k").collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getAs[String]("type_a") === "a" && r.getAs[String]("type_b") === "b")
+    assert(r.getAs[Long]("n_a") === 300L && r.getAs[Long]("n_b") === 500L)
+    assert(r.getAs[Long]("n_inter") === 100L)
+    assert(r.getAs[Long]("n_union") === 700L)
+    assert(r.getAs[Long]("n_only_a") === 200L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 100.0 / 700.0) < 1e-6)
+  }
+
+  test("theta overlap stays error-bounded ABOVE sketch resolution") {
+    import spark.implicits._
+    // 20k distinct per side ≫ 2^12 nominal entries → sampling regime.
+    // a = [0, 20k), b = [10k, 30k) → inter 10k, union 30k
+    val df = ((0L until 20000L).map(k => ("a", k)) ++
+      (10000L until 30000L).map(k => ("b", k))).toDF("seg", "k")
+    val r = Sketches.groupOverlap(df, "seg", "k").collect().head
+    def ok(got: Long, want: Long, tol: Double) =
+      assert(math.abs(got - want) <= want * tol, s"got $got want $want ±${tol * 100}%")
+    ok(r.getAs[Long]("n_a"), 20000L, 0.05)
+    ok(r.getAs[Long]("n_b"), 20000L, 0.05)
+    ok(r.getAs[Long]("n_union"), 30000L, 0.05)
+    // intersection error compounds both sketches' sampling → looser bound
+    ok(r.getAs[Long]("n_inter"), 10000L, 0.10)
+    ok(r.getAs[Long]("n_only_a"), 10000L, 0.10)
+  }
+
+  test("theta union is merge-order invariant: daily rollup == direct sketch") {
+    import graft.functions.ThetaExpressions._
+    val daily = Sketches.dailyThetaSketches(
+      events.filter(col("ts").isNotNull), "ts", "user_id", Seq("event_type"))
+    val rolled = daily.groupBy(col("event_type"))
+      .agg(thetaEstimate(thetaMergeAgg(col("theta_sketch"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = events.filter(col("ts").isNotNull).groupBy(col("event_type"))
+      .agg(thetaEstimate(thetaSketchAgg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // theta union keeps hashes below min(theta) — a set property, so the
+    // rollup is not merely close, it is IDENTICAL to the direct sketch
+    assert(rolled === direct)
+    // and at sf0.01 cardinalities (150/type ≪ 4096) estimates are exact
+    val exact = Sketches.exactDistinct(
+      events.filter(col("ts").isNotNull), "user_id", Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) => assert(rolled(k) === ex.toDouble, k) }
+  }
+
   test("approx_percentile stays within the documented rank-error bound") {
     val sorted = events.filter(col("value").isNotNull)
       .filter(col("event_type") === "click")
