@@ -497,6 +497,16 @@ object SparkEntry {
           table(s, dir, "customer"), "c_custkey"))
     }),
 
+    // k-anonymity audit (Sweeney 2002): equivalence classes over the
+    // (nation, segment) quasi-identifiers with k=10 — one partial-
+    // aggregatable count keyed by the quasi tuple; the big classes are
+    // exactly the safe ones, so map-side combine absorbs any hot class.
+    // The release-time privacy twin of the quality gates; suppression
+    // (kAnonymize) is spec-pinned.
+    "q_k_anonymity" -> ((s, dir) =>
+      operators.DataQuality.kAnonymityReport(
+        table(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10)),
+
     // Ordered conversion funnel (signup → click → purchase, first-touch):
     // per stage ONE partial-aggregatable min(when) keyed by user, chained
     // through user-keyed joins with a barrier per stage — no window over
@@ -1491,6 +1501,13 @@ object SparkEntry {
            |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
            |  CAST(n_trim - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_token_chars
            |FROM t""".stripMargin,
+
+      "q_k_anonymity" ->
+        """SELECT c_nationkey, c_mktsegment,
+          |       CAST(count(*) AS BIGINT) AS class_size,
+          |       count(*) < 10 AS at_risk
+          |FROM customer
+          |GROUP BY 1, 2""".stripMargin,
 
       "q_data_quality" ->
         """SELECT 'completeness(o_orderpriority)' AS check_name,

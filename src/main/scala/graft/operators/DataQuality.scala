@@ -190,6 +190,36 @@ object DataQuality {
           .as("contrib"))
   }
 
+  /**
+   * k-anonymity report over a set of quasi-identifier columns (Sweeney
+   * 2002): every combination of quasi-identifier values is an equivalence
+   * class; rows in classes smaller than `k` are re-identifiable. Returns
+   * one row per class — (quasi cols..., class_size, at_risk) — the audit a
+   * release pipeline runs before publishing, and the input to suppression.
+   *
+   * Shape: one partial-aggregatable count keyed by the quasi-identifier
+   * tuple — map-side combine absorbs hot classes (the big classes are
+   * exactly the safe ones), shuffle carries one row per class.
+   */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityReport: need at least one quasi-identifier")
+    require(k >= 2, s"kAnonymityReport: k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
+
+  /** Suppression to k-anonymity: drop every row whose equivalence class
+   * has fewer than `k` members — the minimal-distortion release transform.
+   * The class sizes are a broadcast of [[kAnonymityReport]]'s RISKY rows
+   * only (small by definition: each holds < k rows), so the data-side pass
+   * is one map-side anti-join — the corpus never shuffles. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    val risky = kAnonymityReport(df, quasiCols, k)
+      .filter(col("at_risk")).select(quasiCols.map(col): _*)
+    df.join(broadcast(risky), quasiCols, "left_anti")
+  }
+
   private def spark(df: DataFrame) = df.sparkSession
 
   def robustOutliers(df: DataFrame, groupCol: Column, valueCol: Column,

@@ -528,10 +528,13 @@ object TextAnalysis {
   def tfIdfTopTerms(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", topK: Int = 5): DataFrame = {
     require(topK >= 1, s"tfIdfTopTerms: topK must be >= 1, got $topK")
-    val tf = df
+    // (doc, term) counts ONCE, materialized: both the df aggregate and the
+    // scoring join read this frame — tokenize/explode and the widest
+    // shuffle happen a single time (same idiom as trigramLogLikelihood)
+    val tf = graft.Materialize(df
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
       .filter(length(col("term")) > 0)
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))

@@ -129,4 +129,26 @@ class DataQualitySpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("n_outliers")).toMap
     assert(byG === Map("g" -> 20L, "h" -> 0L))
   }
+
+  test("kAnonymityReport sizes equivalence classes; kAnonymize suppresses < k") {
+    import spark.implicits._
+    // classes: (US,A)=5 rows, (US,B)=2, (DE,A)=3 — with k=3 only (US,B) is risky
+    val rows = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq.fill(3)(("DE", "A"))).zipWithIndex
+      .map { case ((c, s), i) => (i.toLong, c, s) }
+      .toDF("id", "country", "segment")
+    val rep = DataQuality.kAnonymityReport(rows, Seq("country", "segment"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("class_size"), r.getAs[Boolean]("at_risk")))).toMap
+    assert(rep === Map(("US", "A") -> ((5L, false)), ("US", "B") -> ((2L, true)),
+      ("DE", "A") -> ((3L, false))))
+    // suppression drops exactly the risky class's rows, keeps everything else
+    val kept = DataQuality.kAnonymize(rows, Seq("country", "segment"), k = 3)
+    assert(kept.count() === 8L)
+    assert(kept.filter(col("segment") === "B").count() === 0L)
+    // the released set is k-anonymous: every remaining class has ≥ k rows
+    val minClass = DataQuality.kAnonymityReport(kept, Seq("country", "segment"), k = 3)
+      .agg(min(col("class_size"))).head().getLong(0)
+    assert(minClass >= 3L)
+  }
 }

@@ -209,6 +209,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(half.forall { case (id, s) => byId(id) == s })
   }
 
+  test("split-leakage audit: theta overlap across hashSplit labels is zero") {
+    // the audit a pipeline runs before training: sketch each split's key
+    // population once, then assert pairwise intersections are empty —
+    // composition of hashSplit with the Theta overlap matrix, no exact
+    // distinct or pairwise self-join over raw keys anywhere
+    val split = Sampling.hashSplit(events, col("event_id"),
+      Seq("train" -> "cc", "val" -> "e6"), "test")
+    // lgK 14 → 16384 nominal entries ≥ the ~8k-key train split, so every
+    // estimate below stays in the exact regime and the equalities are hard
+    val overlap = graft.operators.Sketches
+      .groupOverlap(split, "split", "event_id", lgK = 14)
+      .collect()
+    assert(overlap.length === 3) // (test,train), (test,val), (train,val)
+    overlap.foreach { r =>
+      assert(r.getAs[Long]("n_inter") === 0L,
+        s"${r.getAs[String]("type_a")}∩${r.getAs[String]("type_b")}")
+      assert(r.getAs[Long]("n_only_a") === r.getAs[Long]("n_a"))
+      assert(r.getAs[Double]("jaccard") === 0.0)
+    }
+    // label populations are exact below 2^lgK: the three per-label counts
+    // recovered from the pair rows must sum to the whole corpus
+    val byLabel = (overlap.map(r => r.getAs[String]("type_a") -> r.getAs[Long]("n_a")) ++
+      overlap.map(r => r.getAs[String]("type_b") -> r.getAs[Long]("n_b"))).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel.values.sum === events.count())
+  }
+
   test("weightedSample favors heavy rows, is partition-invariant and bounded") {
     val df = spark.range(1000).select(col("id"),
       when(col("id") < 10, 100000L).otherwise(lit(1L)).as("w"))

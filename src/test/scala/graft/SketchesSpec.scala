@@ -87,6 +87,36 @@ class SketchesSpec extends AnyFunSuite {
     assert(streamedEst === batchEst)
   }
 
+  test("theta sketch works in a streaming window: stream estimate == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.ThetaExpressions._
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val streamed = input.toDF().toDF("ts", "user_id", "event_type")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(thetaEstimate(thetaSketchAgg(col("user_id"))).as("est"))
+    val q = streamed.writeStream.format("memory").queryName("theta_stream")
+      .outputMode("update").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rows = (1L to 500L).map(i => (ts(i * 3), i % 97, if (i % 2 == 0) "click" else "view"))
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedEst = spark.table("theta_stream")
+      .groupBy("event_type").agg(max(col("est")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batchEst = rows.toDF("ts", "user_id", "event_type")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(thetaEstimate(thetaSketchAgg(col("user_id"))).as("e"))
+      .groupBy("event_type").agg(max(col("e")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamedEst === batchEst)
+    // below resolution the streamed estimates are EXACT distinct counts
+    assert(streamedEst.values.forall(v => v == math.rint(v)))
+  }
+
   test("KLL quantile sketch works in a streaming window: stream quantile == batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
