@@ -507,6 +507,28 @@ object SparkEntry {
       operators.DataQuality.kAnonymityReport(
         table(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10)),
 
+    // ε-DP noisy count release (Laplace via inverse CDF): the noise uniform
+    // is an md5-derived EXACT dyadic (52-bit) per (group, salt), so the
+    // only engine-sensitive op is one ln — absorbed by the 4dp round. The
+    // private-release twin of q_k_anonymity; ε=0.5 → scale b=2 exact.
+    "q_dp_counts" -> ((s, dir) =>
+      operators.DataQuality.dpNoisyCounts(
+        table(s, dir, "events"), Seq("event_type"), eps = 0.5, salt = "round8")),
+
+    // PageRank over a deterministic 3-out-regular citation graph on the
+    // document ids (8 damped power-iteration rounds, dangling mass
+    // redistributed). Float contribution sums are reduction-order-
+    // dependent → rows-only; exactness is spec-pinned on fixtures
+    // (uniform cycle fixed point, mass conservation).
+    "q_pagerank" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array((1 to 3).map(i =>
+          pmod(col("doc_id") * 31 + lit(i * 97), lit(500))): _*)).as("dst"))
+      operators.LinkAnalysis.pageRank(edges, iterations = 8)
+        .select(col("id"), (round(col("pagerank"), 8) + lit(0.0)).as("pagerank"))
+    }),
+
     // Ordered conversion funnel (signup → click → purchase, first-touch):
     // per stage ONE partial-aggregatable min(when) keyed by user, chained
     // through user-keyed joins with a barrier per stage — no window over
@@ -578,8 +600,40 @@ object SparkEntry {
     // those already-deduped counts, N broadcast as a one-row aggregate;
     // the top-k window partitions by DOC (vocab-sized partitions — no
     // hot key), never by term or globally.
+    // Hashed-feature linear classifier inference (fastText-style hashing
+    // trick): 512 buckets, deterministic dyadic weights ((b*37)%41-20)/32 —
+    // every partial sum is an exact multiple of 1/32, so the bucket-sum
+    // order can't produce cross-engine float drift; logit adds the dyadic
+    // bias AFTER the single rounded division. The sigmoid `score` is
+    // excluded from the oracle columns (libm exp isn't bit-portable).
+    "q_text_classify" -> ((s, dir) => {
+      val model = s.range(512).select(col("id").as("bucket"),
+        (((col("id") * 37) % 41 - 20).cast("double") / lit(32.0)).as("weight"))
+      TextAnalysis.hashedLinearScore(
+          table(s, dir, "documents"), model, nBuckets = 512, bias = 0.125)
+        .select(col("doc_id"), col("n_tokens"), col("logit"), col("label"))
+    }),
+
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), topK = 5)),
+
+    // BPE merge-rule induction (tokenizer TRAINING as dataflow): the
+    // corpus collapses once into a (word, count) vocab; every round then
+    // touches only the vocab table — pair explode, weighted counts, one
+    // argmax row, map-side fold merge. Learning order is data-dependent
+    // (driver loop) → rows-only; determinism + classic merge sequences
+    // are spec-pinned (TokenizeSpec).
+    "q_bpe_merges" -> ((s, dir) =>
+      operators.Tokenize.bpeTrain(table(s, dir, "documents"), rounds = 8)),
+
+    // Okapi BM25 search scoring across the corpus — ZERO (doc, term)
+    // shuffle: per-term tfs are conditional-count columns of one doc-keyed
+    // aggregate, corpus constants (N, avgdl, dfs) one broadcast row, and
+    // the per-term scores add in fixed index order so no engine gets to
+    // pick a float reduction order. Rounded 6dp (house ln-parity rule).
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Scores(table(s, dir, "documents"),
+        Seq("spark", "merge", "window"))),
 
     // PSI drift monitor (train/serve distribution shift): decile buckets
     // from the REFERENCE side, both sides bucketed map-side against the
@@ -725,6 +779,27 @@ object SparkEntry {
     // Exact dedup: canonical doc per normalized-content fingerprint.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Cross-document duplicated-span coverage (Lee et al. 2022 ExactSubstr
+    // over word 5-grams): fraction of each doc's tokens inside a k-gram
+    // that also occurs in another doc. The synthetic corpus has no natural
+    // cross-doc 5-grams, so deterministic shared/unique tails are appended:
+    // docs ≡0 and ≡1 (mod 4) share a 7-token footer prefix (dup), the rest
+    // get a doc_id-personalized tail whose last tokens still repeat
+    // corpus-wide — partial-span coverage the interval union must merge.
+    // md5-derived gram hashes so the oracle replays the whole pipeline.
+    "dedup_spans" -> ((s, dir) => {
+      val page = concat_ws(" ", col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("alpha beta gamma delta epsilon zeta eta theta"))
+        .when(col("doc_id") % 4 === 1,
+          lit("alpha beta gamma delta epsilon zeta eta iota"))
+        .otherwise(concat(lit("unique tail "), col("doc_id").cast("string"),
+          lit(" closes this page quietly now indeed"))))
+      Dedup.duplicatedSpanStats(
+        table(s, dir, "documents").select(col("doc_id"), page.as("text")),
+        "doc_id", "text", k = 5, md5Grams = true)
+    }),
 
     // Exact n-gram Jaccard near-dup pairs (inverted-index join, no cross join).
     "ngram_jaccard" -> ((s, dir) =>
@@ -1509,6 +1584,21 @@ object SparkEntry {
           |FROM customer
           |GROUP BY 1, 2""".stripMargin,
 
+      // the Laplace inverse-CDF replayed on the same md5 dyadic uniform;
+      // expression order mirrors the Spark tree, 4dp round absorbs ln ulps
+      "q_dp_counts" ->
+        """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+          |u AS (
+          |  SELECT event_type, n,
+          |    (CAST('0x' || substring(md5(concat_ws('|', event_type, 'round8')),
+          |                            1, 13) AS BIGINT) + 0.5)
+          |      / 4503599627370496.0 AS u
+          |  FROM g)
+          |SELECT event_type,
+          |       round(n + (-(2.0) * sign(u - 0.5)
+          |                  * ln(1.0 - 2.0 * abs(u - 0.5))), 4) + 0.0 AS noisy_n
+          |FROM u""".stripMargin,
+
       "q_data_quality" ->
         """SELECT 'completeness(o_orderpriority)' AS check_name,
           |  CAST(count(o_orderpriority) AS DOUBLE) / count(*) AS metric,
@@ -1655,6 +1745,73 @@ object SparkEntry {
           |  CAST(coalesce(length(array_to_string(kept, chr(10))), 0) AS BIGINT)
           |    AS clean_chars
           |FROM k""".stripMargin,
+
+      // dyadic weights make every bucket partial sum exact, so the only
+      // rounded float ops are the one division and the bias add — both
+      // mirrored in this exact expression order
+      "q_text_classify" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          |                       x -> x <> '')) AS term
+          |  FROM documents),
+          |counts AS (
+          |  SELECT doc_id,
+          |         CAST('0x' || substring(md5(term), 1, 13) AS BIGINT) % 512 AS bucket,
+          |         count(*) AS cnt
+          |  FROM toks GROUP BY 1, 2),
+          |model AS (
+          |  SELECT i AS bucket, CAST((i * 37) % 41 - 20 AS DOUBLE) / 32.0 AS weight
+          |  FROM range(512) t(i)),
+          |dotted AS (
+          |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          |         sum(cnt * coalesce(m.weight, 0.0)) AS dot
+          |  FROM counts LEFT JOIN model m USING (bucket) GROUP BY 1)
+          |SELECT d.doc_id, CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |       0.125 + coalesce(t.dot / t.n_tokens, 0.0) AS logit,
+          |       (0.125 + coalesce(t.dot / t.n_tokens, 0.0)) > 0 AS label
+          |FROM documents d LEFT JOIN dotted t USING (doc_id)""".stripMargin,
+
+      // terms sorted lexically (merge, spark, window) = tf_0..tf_2; every
+      // float expression mirrors the Spark tree's parenthesization exactly,
+      // so the single 6dp rounding is the only tolerated drift
+      "q_bm25" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          |                       x -> x <> '')) AS term
+          |  FROM documents),
+          |st AS (
+          |  SELECT d.doc_id,
+          |         CAST(count(t.term) AS BIGINT) AS dl,
+          |         CAST(count(CASE WHEN t.term = 'merge' THEN 1 END) AS BIGINT) AS tf_0,
+          |         CAST(count(CASE WHEN t.term = 'spark' THEN 1 END) AS BIGINT) AS tf_1,
+          |         CAST(count(CASE WHEN t.term = 'window' THEN 1 END) AS BIGINT) AS tf_2
+          |  FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+          |  GROUP BY 1),
+          |c AS (
+          |  SELECT count(*) AS n_docs,
+          |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+          |         CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+          |         CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+          |         CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+          |  FROM st)
+          |SELECT st.doc_id, st.dl,
+          |  CAST((CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)
+          |     + (CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)
+          |     + (CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+          |  round(
+          |    ln(1.0 + (n_docs - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5))
+          |      * ((CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))
+          |         / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (st.dl / c.avgdl))))
+          |  + ln(1.0 + (n_docs - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5))
+          |      * ((CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))
+          |         / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (st.dl / c.avgdl))))
+          |  + ln(1.0 + (n_docs - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5))
+          |      * ((CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))
+          |         / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (st.dl / c.avgdl)))), 6)
+          |  + 0.0 AS bm25
+          |FROM st CROSS JOIN c""".stripMargin,
 
       "q_tfidf" ->
         """WITH toks AS (
@@ -1969,6 +2126,54 @@ object SparkEntry {
           |       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
           |       CAST(COUNT(*) AS BIGINT) AS n_copies
           |FROM documents GROUP BY 1""".stripMargin,
+
+      // the whole span pipeline replayed: page synthesis, tokenization,
+      // positioned md5 5-gram hashes, >1-doc gram keys, interval union via
+      // the same running-max segment merge (ROWS UNBOUNDED PRECEDING)
+      "dedup_spans" ->
+        """WITH page AS (
+          |  SELECT doc_id, concat_ws(' ', text, CASE
+          |      WHEN doc_id % 4 = 0 THEN 'alpha beta gamma delta epsilon zeta eta theta'
+          |      WHEN doc_id % 4 = 1 THEN 'alpha beta gamma delta epsilon zeta eta iota'
+          |      ELSE concat('unique tail ', CAST(doc_id AS VARCHAR),
+          |                  ' closes this page quietly now indeed') END) AS text
+          |  FROM documents),
+          |tok AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+          |  FROM page),
+          |g AS (
+          |  SELECT doc_id, len(ts) AS n_tokens, CASE WHEN len(ts) >= 5 THEN
+          |      list_transform(range(1, len(ts) - 3),
+          |        i -> substring(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))
+          |    ELSE CAST([] AS VARCHAR[]) END AS ghs
+          |  FROM tok),
+          |occ AS (
+          |  SELECT doc_id, r.i - 1 AS pos, ghs[r.i] AS gh
+          |  FROM g, UNNEST(range(1, len(ghs) + 1)) AS r(i)),
+          |dupg AS (
+          |  SELECT gh FROM occ GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+          |fl AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dupg USING (gh)),
+          |seg AS (
+          |  SELECT doc_id, pos,
+          |    CASE WHEN coalesce(max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) < pos
+          |      THEN 1 ELSE 0 END AS new_seg
+          |  FROM fl),
+          |seg2 AS (
+          |  SELECT doc_id, pos, sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+          |  FROM seg),
+          |cov AS (SELECT doc_id, seg_id, max(pos + 4) - min(pos) + 1 AS cov
+          |        FROM seg2 GROUP BY 1, 2),
+          |dup AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_tokens
+          |        FROM cov GROUP BY 1)
+          |SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+          |       CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          |       CASE WHEN g.n_tokens = 0 THEN 0.0
+          |            ELSE CAST(coalesce(d.dup_tokens, 0) AS DOUBLE) / g.n_tokens
+          |       END AS dup_fraction
+          |FROM g LEFT JOIN dup d USING (doc_id)""".stripMargin,
 
       "ngram_jaccard" ->
         s"""${shingleCtes()}

@@ -209,6 +209,40 @@ object DataQuality {
       .withColumn("at_risk", col("class_size") < k)
   }
 
+  /**
+   * ε-differentially-private count release (Dwork, McSherry, Nissim, Smith
+   * 2006): per-group counts plus Laplace(1/ε) noise via the inverse CDF,
+   * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|). The uniform `u` derives from an
+   * md5 hash of (group key, `salt`) — 13 hex chars = 52 bits, so u and
+   * every pre-ln term are EXACT dyadic doubles (the
+   * [[graft.operators.Sampling]] idiom): deterministic per (key, salt),
+   * replayable for release audits, and identically recomputable by a SQL
+   * oracle. A production release swaps in a sealed per-release seed as the
+   * salt; determinism given the seed is a feature (audit trail), not a
+   * leak, as long as the seed itself stays private.
+   *
+   * Shape: one partial-aggregatable count keyed by the group tuple; the
+   * noise is a map-side scalar expression over the aggregated rows. Group
+   * columns must render stably as strings (they key the hash).
+   */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], eps: Double,
+      salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "dpNoisyCounts: need at least one group column")
+    require(eps > 0, s"dpNoisyCounts: eps must be positive, got $eps")
+    val key = concat_ws("|",
+      groupCols.map(c => col(c).cast("string")) :+ lit(salt): _*)
+    // (v + 0.5) / 2^52: exact dyadic uniform in (0,1), never 0 or 1
+    val u = (conv(substring(md5(key), 1, 13), 16, 10).cast("long") + lit(0.5)) /
+      lit(4503599627370496.0)
+    val centered = u - lit(0.5)
+    val noise = -lit(1.0 / eps) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) :+
+        (round(col("__n") + noise, 4) + lit(0.0)).as("noisy_n"): _*)
+  }
+
   /** Suppression to k-anonymity: drop every row whose equivalence class
    * has fewer than `k` members — the minimal-distortion release transform.
    * The class sizes are a broadcast of [[kAnonymityReport]]'s RISKY rows

@@ -500,4 +500,83 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  // ------------------------------------------- duplicated substring spans
+
+  /**
+   * Cross-document duplicated-span coverage (Lee et al. 2022, arXiv
+   * 2107.06499 "Deduplicating Training Data Makes Language Models Better" —
+   * the ExactSubstr criterion, re-expressed over word k-grams so it
+   * distributes; suffix arrays don't): a token is DUPLICATED if it lies
+   * inside at least one k-gram that also occurs in some OTHER document.
+   * Output is one row per doc — (id, n_tokens, dup_tokens, dup_fraction) —
+   * the statistic that separates boilerplate-dominated documents (drop or
+   * trim) from ones that merely quote a little (keep).
+   *
+   * Scale shape:
+   *   1. positioned k-gram hashes per doc — map-side expressions;
+   *   2. gram doc-frequency — one partial-aggregatable shuffle keyed by the
+   *      gram hash;
+   *   3. occurrences are flagged by an equi-join of the positioned grams
+   *      against the >1-doc gram keys. The key side is ONE row per gram, so
+   *      a boilerplate gram shared by millions of docs multiplies nothing —
+   *      the join output equals the flagged-occurrence count, and AQE's
+   *      skew split absorbs the shuffle imbalance of the hot key itself;
+   *   4. covered tokens per doc = interval union of the flagged
+   *      [pos, pos+k-1] spans via the classic sort + running-max segment
+   *      merge — every window partitions by DOC, so partition size is
+   *      bounded by one document's gram count, never by corpus frequency.
+   *
+   * `md5Grams = true` derives gram hashes from md5 prefixes (15 hex chars)
+   * so a SQL oracle can replay the whole pipeline; the default is the
+   * codegen'd one-pass 64-bit [[graft.functions.HashExpressions.wordShingleHashes]]
+   * (identical output modulo ~2^-60 hash collisions; the spec pins both
+   * paths equal on a fixture).
+   */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int, md5Grams: Boolean = false): DataFrame = {
+    require(k >= 2, s"duplicatedSpanStats: k must be >= 2, got $k")
+    val toksed = df.select(col(idCol),
+      filter(TextAnalysis.tokens(col(textCol)), x => x =!= "").as("toks"))
+    val t = col("toks")
+    val gramArr =
+      if (md5Grams)
+        when(size(t) >= k,
+          transform(sequence(lit(0), size(t) - k), i =>
+            substring(md5(concat_ws(" ", slice(t, i + 1, lit(k)))), 1, 15)))
+          .otherwise(array().cast("array<string>"))
+      else
+        // re-tokenizes identically (same whitespace class, empties dropped)
+        graft.functions.HashExpressions.wordShingleHashes(concat_ws(" ", t), k)
+    // materialized: read twice (doc-frequency + the flag join-back)
+    val grams = graft.Materialize(toksed.select(col(idCol),
+      size(t).cast("long").as("n_tokens"), gramArr.as("grams")))
+    val pos = grams.select(col(idCol), posexplode(col("grams")).as(Seq("pos", "gh")))
+    val dupKeys = pos.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val flagged = pos.join(dupKeys, "gh").select(col(idCol), col("pos"))
+    val spanEnd = col("pos") + lit(k - 1)
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Long.MinValue, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Long.MinValue, 0)
+    val covered = flagged
+      .withColumn("new_seg",
+        when(coalesce(max(spanEnd).over(wPrev), lit(-1L)) < col("pos"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum(col("new_seg")).over(wRun))
+      .groupBy(col(idCol), col("seg_id"))
+      .agg((max(spanEnd) - min(col("pos")) + 1).as("cov"))
+      .groupBy(col(idCol)).agg(sum(col("cov")).as("dup_tokens"))
+    grams.select(col(idCol), col("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_fraction",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("dup_tokens").cast("double") / col("n_tokens")))
+      .select(col(idCol), col("n_tokens"), col("dup_tokens"), col("dup_fraction"))
+  }
 }

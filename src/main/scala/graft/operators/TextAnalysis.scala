@@ -567,4 +567,95 @@ object TextAnalysis {
         array_join(slice(col("__ck_toks"), col("col") + 1, lit(chunk)), " ")
           .as("chunk_text"))
   }
+
+  /**
+   * Okapi BM25 relevance of every document against a fixed query-term set
+   * (Robertson & Spärck Jones; the probabilistic idf variant
+   * ln(1 + (N − df + 0.5)/(df + 0.5)) that stays positive). Returns every
+   * doc with (dl, n_hits, bm25) — docs matching no query term score 0.
+   *
+   * Shape — NO (doc, term) shuffle at all: the per-term tfs are
+   * conditional-count columns of ONE doc-keyed aggregate (tokenize once,
+   * explode, partial-aggregatable — map-side combine collapses each doc's
+   * tokens before the exchange, so the shuffle carries ~one row per doc);
+   * corpus constants (N, Σdl, per-term df) are a single one-row aggregate
+   * that broadcasts. Per-term score columns then sum in FIXED index order —
+   * no float reduction whose order an engine could pick — which is what
+   * lets the oracle replay this bit-for-bit modulo one final rounding.
+   * Query terms are lowercase-matched; `terms.size` columns bound the
+   * width (queries are short; this is search scoring, not tf-idf).
+   */
+  def bm25Scores(df: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct.sorted
+    require(terms.nonEmpty, "bm25Scores: need at least one query term")
+    require(k1 > 0 && b >= 0 && b <= 1,
+      s"bm25Scores: need k1 > 0 and b in [0,1], got k1=$k1 b=$b")
+    val stats = df
+      .select(col(idCol), explode_outer(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol)).agg(
+        count(when(length(col("term")) > 0, 1)).as("dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          count(when(col("term") === t, 1)).as(s"tf_$i") }: _*)
+    val corpus = stats.agg(
+      count(lit(1)).as("n_docs"),
+      ((sum(col("dl")) / count(lit(1))).as("avgdl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))): _*)
+    val scored = stats.crossJoin(broadcast(corpus))
+    def sTerm(i: Int) = {
+      val tf = col(s"tf_$i").cast("double")
+      val dfT = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * ((tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / col("avgdl")))))
+    }
+    val nHits = terms.indices.map(i => (col(s"tf_$i") > 0).cast("long"))
+      .reduceLeft(_ + _)
+    scored.select(col(idCol), col("dl"), nHits.as("n_hits"),
+      (round(terms.indices.map(sTerm).reduceLeft(_ + _), 6) + lit(0.0)).as("bm25"))
+  }
+
+  /**
+   * Hashed-feature linear text classifier INFERENCE (the fastText /
+   * Vowpal Wabbit "hashing trick", Weinberger et al. 2009): every token
+   * hashes into one of `nBuckets` feature buckets; the model is one weight
+   * per bucket — a tiny table that BROADCASTS; a document's logit is
+   * `bias + (Σ_token w[h(token)]) / n_tokens` (mean pooling, fastText
+   * style) and its label the logit's sign. Model inference at corpus scale
+   * as pure dataflow: no per-row UDF, no ML runtime on executors — one
+   * partial-aggregatable (doc, bucket) count shuffle (the tf skeleton), a
+   * broadcast join against the weight table, one keyed sum.
+   *
+   * The bucket hash is the md5-prefix→bigint idiom (52 bits, exact in a
+   * double-free path, DuckDB-replayable); production would swap xxhash64 —
+   * identical plan shape. `model` is (bucket LONG, weight DOUBLE); buckets
+   * absent from it weigh 0. Tokenless docs score `bias`. Output:
+   * (id, n_tokens, logit, score, label). `score` (the sigmoid) is for
+   * callers; oracle checks pin `logit`/`label`, since libm `exp` is not
+   * bit-identical across engines.
+   */
+  def hashedLinearScore(df: DataFrame, model: DataFrame, nBuckets: Int,
+      bias: Double = 0.0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, s"hashedLinearScore: nBuckets must be >= 1, got $nBuckets")
+    val bucket = conv(substring(md5(col("term")), 1, 13), 16, 10)
+      .cast("long") % nBuckets
+    val counts = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col(idCol), bucket.as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val dotted = counts.join(broadcast(model), Seq("bucket"), "left")
+      .groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * coalesce(col("weight"), lit(0.0))).as("dot"))
+    df.select(col(idCol)).join(dotted, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("logit", lit(bias) + coalesce(col("dot") / col("n_tokens"), lit(0.0)))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+      .withColumn("label", col("logit") > 0)
+      .select(col(idCol), col("n_tokens"), col("logit"), col("score"), col("label"))
+  }
 }

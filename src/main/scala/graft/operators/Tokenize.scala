@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Tokenizer TRAINING as dataflow: BPE merge-rule induction over a corpus
+ * (Sennrich, Haddow, Birch 2016 — the subword algorithm GPT/Llama-family
+ * tokenizers descend from). The regex "BPE-ish" tokenizer
+ * ([[TextAnalysis.bpeishTokens]]) approximates a TRAINED tokenizer at
+ * inference; this operator is the training side: learn the merge table
+ * itself from corpus statistics.
+ */
+object Tokenize {
+
+  /**
+   * Learn `rounds` BPE merges. Returns the merge table —
+   * (round, left, right, merged, pair_n) — in learning order, the exact
+   * artifact a tokenizer ships (apply = replay rounds in order).
+   *
+   * Scale shape: the corpus collapses ONCE into a (word, count) vocabulary
+   * — the only corpus-sized shuffle; by Zipf the vocab is orders of
+   * magnitude smaller than the corpus, and every round after that touches
+   * ONLY the vocab table: adjacent symbol pairs explode → weighted
+   * partial-aggregatable counts → the argmax pair (a one-row sort over the
+   * pair table) → the merge applies map-side as a fold over each word's
+   * symbol array. Rounds are driver-looped with [[graft.Materialize]]
+   * barriers and per-round release (the clusterPairs discipline); the only
+   * driver-side values are one (pair, count) row per round. Ties break
+   * lexicographically, so training is deterministic on any partitioning.
+   *
+   * Stops early when no pair occurs twice (merging singletons is noise).
+   * Word boundaries come from the whitespace tokenizer — merges never
+   * cross words, matching standard pre-tokenized BPE.
+   */
+  def bpeTrain(df: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"bpeTrain: rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = graft.Materialize(df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("syms"), col("cnt")))
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, String, Long)]
+    var round = 0
+    var done = false
+    while (round < rounds && !done) {
+      val s = col("syms")
+      val best = vocab
+        .filter(size(s) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(0), size(s) - 2),
+          i => struct(get(s, i).as("l"), get(s, i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pair_n"))
+        .orderBy(col("pair_n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getAs[Long]("pair_n") < 2) done = true
+      else {
+        val (l, r, n) = (best.head.getAs[String]("l"),
+          best.head.getAs[String]("r"), best.head.getAs[Long]("pair_n"))
+        val m = l + r
+        merges += ((round, l, r, m, n))
+        // greedy left-to-right merge: fold each word's symbols, fusing
+        // (l, r) adjacencies; a freshly fused symbol only re-fuses if it
+        // itself equals `l` — classic non-overlapping BPE semantics
+        val fused = aggregate(s, array().cast("array<string>"), (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(x))))
+        val next = graft.Materialize(
+          vocab.select(fused.as("syms"), col("cnt")))
+        graft.Materialize.release(vocab)
+        vocab = next
+        round += 1
+      }
+    }
+    graft.Materialize.release(vocab)
+    merges.toSeq.toDF("round", "left", "right", "merged", "pair_n")
+      .select(col("round").cast("long").as("round"), col("left"),
+        col("right"), col("merged"), col("pair_n"))
+  }
+}

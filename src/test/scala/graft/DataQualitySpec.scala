@@ -130,6 +130,34 @@ class DataQualitySpec extends AnyFunSuite {
     assert(byG === Map("g" -> 20L, "h" -> 0L))
   }
 
+  test("dpNoisyCounts: deterministic per salt, Laplace-scaled, ε-monotone") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => (i.toLong, s"g${i % 200}")).toDF("id", "grp")
+    def release(eps: Double, salt: String) =
+      DataQuality.dpNoisyCounts(rows, Seq("grp"), eps, salt)
+        .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("noisy_n")).toMap
+    val a = release(0.5, "s1")
+    assert(a === release(0.5, "s1"))         // replayable given the salt
+    assert(a !== release(0.5, "s2"))         // a new release re-draws noise
+    // every group's true count is 10; Laplace(b=2) noise: the median of
+    // |noise| over 200 groups concentrates near b·ln2 ≈ 1.386
+    val absNoise = a.values.map(v => math.abs(v - 10.0)).toSeq.sorted
+    assert(absNoise.last > 0.0)              // noise actually applied
+    val median = absNoise(absNoise.size / 2)
+    assert(median > 0.6 && median < 2.8, s"median=$median")
+    // tighter ε ⇒ exactly proportionally smaller noise (same uniforms):
+    // b drops 2 → 0.2, so per-group |noise| shrinks ~10× (modulo 4dp round)
+    val tight = release(5.0, "s1")
+    val sumTight = a.keys.map(g => math.abs(tight(g) - 10.0)).sum
+    val sumWide = absNoise.sum
+    assert(sumTight < 0.15 * sumWide, s"tight=$sumTight wide=$sumWide")
+    // ε must be positive, groups non-empty
+    intercept[IllegalArgumentException](
+      DataQuality.dpNoisyCounts(rows, Seq("grp"), eps = 0.0, salt = "x"))
+    intercept[IllegalArgumentException](
+      DataQuality.dpNoisyCounts(rows, Seq(), eps = 1.0, salt = "x"))
+  }
+
   test("kAnonymityReport sizes equivalence classes; kAnonymize suppresses < k") {
     import spark.implicits._
     // classes: (US,A)=5 rows, (US,B)=2, (DE,A)=3 — with k=3 only (US,B) is risky

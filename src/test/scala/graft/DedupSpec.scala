@@ -201,6 +201,38 @@ class DedupSpec extends AnyFunSuite {
     graft.Materialize.release(out)
   }
 
+  test("duplicatedSpanStats: interval union of cross-doc k-gram spans, both hash paths") {
+    // d1/d2 share exactly "a b c d e" (two overlapping 4-grams each):
+    // d1 covers positions 0..4 of 8 → 5; d2 covers 2..6 of 8 → 5; d3 clean
+    val spans = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    for (md5Path <- Seq(true, false)) {
+      val out = Dedup.duplicatedSpanStats(spans, "doc_id", "text", k = 4,
+          md5Grams = md5Path)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"),
+            r.getAs[Double]("dup_fraction")))).toMap
+      assert(out === Map(1L -> ((8L, 5L, 0.625)), 2L -> ((8L, 5L, 0.625)),
+        3L -> ((8L, 0L, 0.0))), s"md5Grams=$md5Path")
+    }
+    // disjoint repeats do NOT merge: d4/d5 share "a b c" and "x y z" with a
+    // unique middle — two separate 3-token segments, not one 11-token span
+    val twoSeg = Seq(
+      (4L, "a b c m1 m2 m3 m4 m5 x y z"),
+      (5L, "a b c n1 n2 n3 n4 n5 x y z")).toDF("doc_id", "text")
+    val out2 = Dedup.duplicatedSpanStats(twoSeg, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(out2 === Map(4L -> 6L, 5L -> 6L))
+    // a doc shorter than k has no grams and zero coverage
+    val short = Seq((6L, "a b"), (7L, "a b")).toDF("doc_id", "text")
+    val out3 = Dedup.duplicatedSpanStats(short, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens")))).toMap
+    assert(out3 === Map(6L -> ((2L, 0L)), 7L -> ((2L, 0L))))
+  }
+
   test("simhashPairs maxBlockFreq caps the degenerate all-zero bucket") {
     // 50 empty docs all simhash to 0: every block collides, a cnt² blow-up
     // carrying zero similarity signal — exactly what the cap is for

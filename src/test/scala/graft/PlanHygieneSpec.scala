@@ -34,7 +34,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_dsir_weights",        // crossJoin(broadcast(1-row model totals))
     "pipeline_dsir",         // same weights plan under the A-ES sample
     "q_tfidf",               // crossJoin(broadcast(1-row corpus count))
-    "q_user_overlap")        // non-equi pair grid over the GROUPS-row sketch table
+    "q_user_overlap",        // non-equi pair grid over the GROUPS-row sketch table
+    "q_bm25",                // crossJoin(broadcast(1-row corpus constants))
+    "q_pagerank")            // crossJoin(broadcast(1-row dangling mass)) per round
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single

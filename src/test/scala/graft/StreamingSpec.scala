@@ -45,6 +45,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming session_window aggregation equals the batch sessionization") {
+    import spark.implicits._
+    val rows = Fixtures.requestsPerInterval("s1", 300) ++
+      Fixtures.requestsPerInterval("s2", 42)
+    val input = MemoryStream[LogRecord](spark)
+    // session windows stream append-only: sessions emit once the watermark
+    // passes last-event + gap, so a far-future sentinel (whose own session
+    // never closes) flushes every fixture session
+    val sentinel = LogRecord("zz-sentinel",
+      new java.sql.Timestamp(rows.map(_.time.getTime).max + 86400L * 1000), 0L, 0L, "cat0")
+    val stream = BotDetection.sessionAggregate(
+      input.toDF().withWatermark("time", "1 minute"), "30 seconds")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sess_mem").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_mem").collect().map(_.toSeq).toSet
+    val batch = BotDetection.sessionAggregate(rows.toDF(), "30 seconds")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("config-switched verdict sink: external branch writes via a runtime format") {
     import spark.implicits._
     val input = MemoryStream[LogRecord](spark)

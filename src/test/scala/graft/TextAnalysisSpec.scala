@@ -355,4 +355,74 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d2.head._3 === "duck")
     assert(d2.map(_._3).toSeq === Seq("duck", "common")) // tie at 2.0 → term asc
   }
+
+  test("bm25Scores: length normalization, idf, zero for query-free docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark spark filler filler filler filler filler"),
+      (2L, "spark spark spark"),
+      (3L, "filler words only here nothing relevant at all"),
+      (4L, "rare rare spark")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Scores(df, Seq("spark", "rare"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dl"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("bm25")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(3L) === ((8L, 0L, 0.0)))      // no query term → exactly 0
+    assert(out(4L)._2 === 2L)                // both terms hit
+    // same tf(spark)=3: the 3-token doc beats the 8-token doc (b-norm)
+    assert(out(2L)._3 > out(1L)._3)
+    // exact value for doc 2 against a scalar reimplementation of the
+    // formula (df(spark)=3 of N=4, avgdl=22/4)
+    val n = 4.0; val avgdl = 22 / 4.0
+    def idf(dfT: Double) = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+    def s(tf: Double, dfT: Double, dl: Double) =
+      idf(dfT) * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+    val exp2 = BigDecimal(s(3, 3, 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L)._3 === exp2)
+    // doc 4 sums both terms in fixed order; the rare term (df=1) carries
+    // a larger idf than the common one (df=3)
+    val exp4 = BigDecimal(s(2, 1, 3) + s(1, 3, 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(4L)._3 === exp4)
+    assert(idf(1.0) > idf(3.0))
+  }
+
+  test("hashedLinearScore: mean-pooled bucket weights, absent buckets weigh 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good good good"),  // logit = bias + w(good)
+      (2L, "good bad"),        // mean of the two weights
+      (3L, "unmodeled tokens only"), // every bucket absent → logit = bias
+      (4L, "")).toDF("doc_id", "text") // tokenless → logit = bias, n=0
+    val nB = 64
+    def b(term: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16) % nB
+    }
+    val model = Seq(b("good") -> 2.0, b("bad") -> -1.0).toDF("bucket", "weight")
+    // hash collisions between the fixture terms would invalidate the
+    // expected logits below — assert the buckets are genuinely distinct
+    val fixtureBuckets = Seq("good", "bad", "unmodeled", "tokens", "only").map(b)
+    assert(fixtureBuckets.distinct.size === fixtureBuckets.size)
+    val out = TextAnalysis.hashedLinearScore(docs, model, nB, bias = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("logit"),
+          r.getAs[Boolean]("label")))).toMap
+    assert(out(1L) === ((3L, 2.5, true)))        // 0.5 + 6/3
+    assert(out(2L) === ((2L, 1.0, true)))        // 0.5 + (2-1)/2
+    assert(out(3L) === ((3L, 0.5, true)))        // all-unmodeled → bias
+    assert(out(4L) === ((0L, 0.5, true)))        // tokenless → bias
+    // sigmoid is consistent with the logit
+    val s1 = TextAnalysis.hashedLinearScore(docs, model, nB, bias = 0.5)
+      .filter(col("doc_id") === 1L).head().getAs[Double]("score")
+    assert(math.abs(s1 - 1.0 / (1.0 + math.exp(-2.5))) < 1e-12)
+    // a negative-weight-dominated doc flips the label
+    val neg = TextAnalysis.hashedLinearScore(
+        Seq((9L, "bad bad bad bad")).toDF("doc_id", "text"), model, nB, bias = 0.5)
+      .head()
+    assert(neg.getAs[Double]("logit") === -0.5 && !neg.getAs[Boolean]("label"))
+  }
 }
