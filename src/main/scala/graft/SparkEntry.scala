@@ -617,6 +617,33 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), topK = 5)),
 
+    // Fellegi-Sunter probabilistic record linkage: nation-blocked customer
+    // self-pairs (Σ block² bounded by block choice; capHotKeys available),
+    // three agreement fields summed in FIXED order as log-odds, 6dp round.
+    // Matches at this threshold = same segment + same balance sign.
+    "q_record_linkage" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      val pairs = operators.RecordLinkage
+        .selfBlockPairs(c, "c_custkey", Seq("c_nationkey"))
+        .withColumn("seg_agree", col("c_mktsegment_a") === col("c_mktsegment_b"))
+        .withColumn("sign_agree", (col("c_acctbal_a") > 0) === (col("c_acctbal_b") > 0))
+        .withColumn("bal_agree", abs(col("c_acctbal_a") - col("c_acctbal_b")) < 1000)
+      operators.RecordLinkage.scorePairs(pairs, Seq(
+          ("seg_agree", 0.9, 0.2), ("sign_agree", 0.95, 0.5),
+          ("bal_agree", 0.6, 0.3)))
+        .filter(col("fs_score") >= 1.5)
+        .select(col("c_custkey_a").as("id_a"), col("c_custkey_b").as("id_b"),
+          col("seg_agree"), col("sign_agree"), col("bal_agree"), col("fs_score"))
+    }),
+
+    // Temperature-scaled domain mix weights (α = 0.5): the data-mix knob
+    // that up-samples small domains — one count aggregate + a one-row
+    // broadcast total; shares/boosts rounded at 6dp.
+    "q_alpha_mix" -> ((s, dir) =>
+      operators.Sampling.alphaMixWeights(
+        table(s, dir, "events"), col("event_type"), alpha = 0.5)),
+
     // BPE merge-rule induction (tokenizer TRAINING as dataflow): the
     // corpus collapses once into a (word, count) vocab; every round then
     // touches only the vocab table — pair explode, weighted counts, one
@@ -1771,6 +1798,41 @@ object SparkEntry {
           |       0.125 + coalesce(t.dot / t.n_tokens, 0.0) AS logit,
           |       (0.125 + coalesce(t.dot / t.n_tokens, 0.0)) > 0 AS label
           |FROM documents d LEFT JOIN dotted t USING (doc_id)""".stripMargin,
+
+      // the same fixed-order log-odds sum; thresholding happens on the
+      // ROUNDED score in both engines, so band membership can't drift
+      "q_record_linkage" ->
+        """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+          |           FROM customer),
+          |p AS (
+          |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          |         a.c_mktsegment = b.c_mktsegment AS seg_agree,
+          |         (a.c_acctbal > 0) = (b.c_acctbal > 0) AS sign_agree,
+          |         abs(a.c_acctbal - b.c_acctbal) < 1000 AS bal_agree
+          |  FROM c a JOIN c b
+          |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+          |s AS (
+          |  SELECT *, round(
+          |      (CASE WHEN seg_agree THEN ln(0.9 / 0.2)
+          |            ELSE ln((1.0 - 0.9) / (1.0 - 0.2)) END)
+          |    + (CASE WHEN sign_agree THEN ln(0.95 / 0.5)
+          |            ELSE ln((1.0 - 0.95) / (1.0 - 0.5)) END)
+          |    + (CASE WHEN bal_agree THEN ln(0.6 / 0.3)
+          |            ELSE ln((1.0 - 0.6) / (1.0 - 0.3)) END), 6) + 0.0 AS fs_score
+          |  FROM p)
+          |SELECT id_a, id_b, seg_agree, sign_agree, bal_agree, fs_score
+          |FROM s WHERE fs_score >= 1.5""".stripMargin,
+
+      "q_alpha_mix" ->
+        """WITH g AS (SELECT event_type AS domain, count(*) AS n
+          |           FROM events GROUP BY 1),
+          |t AS (SELECT sum(pow(n, 0.5)) AS pw_total,
+          |             CAST(sum(n) AS BIGINT) AS n_total FROM g)
+          |SELECT domain, CAST(n AS BIGINT) AS n,
+          |       round(pow(n, 0.5) / pw_total, 6) + 0.0 AS share,
+          |       round((pow(n, 0.5) / pw_total)
+          |             / (CAST(n AS DOUBLE) / n_total), 6) + 0.0 AS boost
+          |FROM g CROSS JOIN t""".stripMargin,
 
       // terms sorted lexically (merge, spark, window) = tf_0..tf_2; every
       // float expression mirrors the Spark tree's parenthesization exactly,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Probabilistic record linkage (Fellegi & Sunter 1969): candidate pairs
+ * from blocking, scored by per-field agreement log-odds. The linkage twin
+ * of the text dedup family — entity resolution over structured records.
+ */
+object RecordLinkage {
+
+  /**
+   * Self-linkage candidate pairs by blocking: records sharing `blockCols`
+   * pair up (id_a < id_b), every other column duplicated with `_a`/`_b`
+   * suffixes for the caller's agreement predicates.
+   *
+   * Scale: the join shuffles on the block key only — pair volume is
+   * Σ block_size², the classic blocking trade-off, so `maxBlockFreq`
+   * ([[Dedup.capHotKeys]]) bounds the quadratic term for degenerate
+   * blocks; choose block keys so typical blocks stay small and recall
+   * comes from MULTIPLE block passes (standard practice), not giant keys.
+   */
+  def selfBlockPairs(df: DataFrame, idCol: String, blockCols: Seq[String],
+      maxBlockFreq: Option[Int] = None): DataFrame = {
+    require(blockCols.nonEmpty, "selfBlockPairs: need at least one block column")
+    val others = df.columns.filterNot(blockCols.contains).toSeq
+    require(others.contains(idCol), s"selfBlockPairs: $idCol must not be a block column")
+    val capped = maxBlockFreq.fold(df)(Dedup.capHotKeys(df, blockCols, _))
+    def side(suffix: String) = capped.select(
+      (blockCols.map(col) ++ others.map(c => col(c).as(c + suffix))): _*)
+    side("_a").join(side("_b"), blockCols)
+      .filter(col(idCol + "_a") < col(idCol + "_b"))
+  }
+
+  /**
+   * Fellegi-Sunter match score over boolean agreement columns: each field
+   * contributes ln(m/u) on agreement and ln((1-m)/(1-u)) on disagreement
+   * (m = P(agree | match), u = P(agree | non-match)); fields sum in the
+   * GIVEN fixed order, so the float additions are engine-stable, and the
+   * single 6dp round absorbs ln ulps (house rule). Callers threshold the
+   * score into link / possible / non-link bands.
+   *
+   * Pure map-side over the pair frame — the expensive part of linkage is
+   * the blocking join, not the scoring.
+   */
+  def scorePairs(pairs: DataFrame,
+      fields: Seq[(String, Double, Double)]): DataFrame = {
+    require(fields.nonEmpty, "scorePairs: need at least one field spec")
+    fields.foreach { case (c, m, u) =>
+      require(0 < u && u < m && m < 1,
+        s"scorePairs: need 0 < u < m < 1 for field $c, got m=$m u=$u") }
+    val score = fields.map { case (c, m, u) =>
+      when(col(c), log(lit(m) / lit(u)))
+        .otherwise(log((lit(1.0) - lit(m)) / (lit(1.0) - lit(u))))
+    }.reduceLeft(_ + _)
+    pairs.withColumn("fs_score", round(score, 6) + lit(0.0))
+  }
+}

@@ -72,6 +72,30 @@ object Sampling {
   }
 
   /**
+   * Temperature-scaled domain mixing weights — the "α-sampling" recipe of
+   * multilingual pretraining mixes (mBERT/XLM-R; the Llama-style data-mix
+   * knob): share_i = n_i^α / Σ_j n_j^α. α = 1 keeps natural proportions,
+   * α → 0 flattens toward uniform; `boost` (share over natural share) is
+   * the per-domain up/down-sampling factor a mixer ([[tokenBudgetMix]])
+   * then applies. One partial-aggregatable count keyed by domain plus a
+   * ONE-ROW total that broadcasts; shares round at 6dp (pow/sum ulps).
+   */
+  def alphaMixWeights(df: DataFrame, domainCol: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"alphaMixWeights: alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(domainCol.as("domain")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(pow(col("n"), lit(alpha))).as("pw_total"),
+      sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n"),
+        (round(pow(col("n"), lit(alpha)) / col("pw_total"), 6) + lit(0.0))
+          .as("share"),
+        (round((pow(col("n"), lit(alpha)) / col("pw_total")) /
+            (col("n") / col("n_total")), 6) + lit(0.0)).as("boost"))
+  }
+
+  /**
    * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
    * "Weighted random sampling with a reservoir", IPL 2006): each row draws
    * u ∈ (0,1) and ranks by u^(1/w) — the top `n` ranks are a weighted

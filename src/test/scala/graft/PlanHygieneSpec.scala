@@ -36,7 +36,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_tfidf",               // crossJoin(broadcast(1-row corpus count))
     "q_user_overlap",        // non-equi pair grid over the GROUPS-row sketch table
     "q_bm25",                // crossJoin(broadcast(1-row corpus constants))
-    "q_pagerank")            // crossJoin(broadcast(1-row dangling mass)) per round
+    "q_pagerank",            // crossJoin(broadcast(1-row dangling mass)) per round
+    "q_alpha_mix")           // crossJoin(broadcast(1-row pow-total))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single

@@ -236,6 +236,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(byLabel.values.sum === events.count())
   }
 
+  test("alphaMixWeights flattens toward uniform as alpha drops") {
+    import spark.implicits._
+    val df = (Seq.fill(900)("big") ++ Seq.fill(90)("mid") ++ Seq.fill(10)("small"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "domain")
+    def shares(alpha: Double) =
+      Sampling.alphaMixWeights(df, col("domain"), alpha)
+        .collect().map(r => r.getAs[String]("domain") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("share"),
+            r.getAs[Double]("boost")))).toMap
+    val natural = shares(1.0)
+    assert(natural("big")._1 === 900L)
+    assert(math.abs(natural("big")._2 - 0.9) < 1e-6)   // α=1 keeps proportions
+    assert(math.abs(natural("small")._3 - 1.0) < 1e-6) // boost 1 everywhere
+    val cooled = shares(0.5)
+    assert(math.abs(cooled.values.map(_._2).sum - 1.0) < 1e-5) // shares sum to 1
+    assert(cooled("big")._2 < 0.9)        // head domain gives up share...
+    assert(cooled("small")._2 > 0.01)     // ...the tail gains it
+    assert(cooled("small")._3 > 1.0 && cooled("big")._3 < 1.0)
+    // exact: share(big, α=.5) = 30 / (30 + √90 + √10)
+    val expBig = 30.0 / (math.sqrt(900.0) + math.sqrt(90.0) + math.sqrt(10.0))
+    assert(math.abs(cooled("big")._2 - expBig) < 1e-6)
+    intercept[IllegalArgumentException](
+      Sampling.alphaMixWeights(df, col("domain"), alpha = 0.0))
+  }
+
   test("weightedSample favors heavy rows, is partition-invariant and bounded") {
     val df = spark.range(1000).select(col("id"),
       when(col("id") < 10, 100000L).otherwise(lit(1L)).as("w"))
