@@ -617,6 +617,21 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), topK = 5)),
 
+    // Directional 3-gram containment (Broder): near-subset detection the
+    // symmetric jaccard dilutes — same inverted-index shape, both
+    // directions reported, pairs kept when either direction ≥ 0.4.
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.4)),
+
+    // Exponentially time-decayed counts/sums per event type (half-life
+    // 1 day over the 30-day corpus): the one-pass mergeable "trending"
+    // aggregate — one-row max-ts broadcast, map-side weights, keyed sum.
+    "q_decay_counts" -> ((s, dir) =>
+      operators.TimeSeries.decayedCounts(
+        table(s, dir, "events"), col("event_type"), "ts", col("value"),
+        halfLifeS = 86400L)),
+
     // Fellegi-Sunter probabilistic record linkage: nation-blocked customer
     // self-pairs (Σ block² bounded by block choice; capHotKeys available),
     // three agreement fields summed in FIXED order as log-odds, 6dp round.
@@ -1798,6 +1813,30 @@ object SparkEntry {
           |       0.125 + coalesce(t.dot / t.n_tokens, 0.0) AS logit,
           |       (0.125 + coalesce(t.dot / t.n_tokens, 0.0)) > 0 AS label
           |FROM documents d LEFT JOIN dotted t USING (doc_id)""".stripMargin,
+
+      // same shingle equivalence as ngram_jaccard (64-bit hashes ≡ string
+      // shingles modulo 2^-64); divisions are exact-int / exact-int
+      "q_containment" ->
+        s"""${shingleCtes()}
+           |SELECT id_a, id_b,
+           |       CAST(c AS DOUBLE) / sa.n_sh AS containment_a,
+           |       CAST(c AS DOUBLE) / sb.n_sh AS containment_b
+           |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           |           JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE greatest(CAST(c AS DOUBLE) / sa.n_sh,
+           |               CAST(c AS DOUBLE) / sb.n_sh) >= 0.4""".stripMargin,
+
+      "q_decay_counts" ->
+        """WITH t AS (SELECT CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+          |             AS t_ref FROM events),
+          |w AS (SELECT event_type AS key, value,
+          |        pow(2.0, CAST(CAST(floor(epoch(ts)) AS BIGINT) - t_ref AS DOUBLE)
+          |                 / 86400.0) AS w
+          |      FROM events CROSS JOIN t)
+          |SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+          |       round(sum(w), 4) + 0.0 AS decayed_n,
+          |       round(sum(w * value), 4) + 0.0 AS decayed_sum
+          |FROM w GROUP BY 1""".stripMargin,
 
       // the same fixed-order log-odds sum; thresholding happens on the
       // ROUNDED score in both engines, so band membership can't drift

@@ -174,6 +174,47 @@ object Dedup {
     jaccardFromShingles(shingleHashRows(df, idCol, textCol, n).transform(graft.Materialize(_)),
       threshold, None, maxDocFreq)
 
+  /**
+   * Directional n-gram containment pairs (Broder 1997's "containment", the
+   * asymmetric companion of resemblance/jaccard): containment(A→B) =
+   * |A∩B| / |A|. Catches near-SUBSET relations symmetric jaccard dilutes —
+   * a short doc embedded verbatim in a long one, quote inclusion,
+   * boilerplate wrapping — the shapes that matter when deciding which of
+   * two overlapping documents to keep. Returns pairs where either
+   * direction ≥ `threshold`, with both directional scores.
+   *
+   * Same scale shape as [[ngramJaccard]]: inverted-index self-join on
+   * 64-bit shingle hashes (shuffle ∝ token count, never doc-pairs), sizes
+   * re-aggregated from the same materialized shingle rows, `maxDocFreq`
+   * stop-shingle cap available (cap users shouldn't be oracle-compared).
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPairs: threshold must be in (0,1], got $threshold")
+    val sh0 = graft.Materialize(shingleHashRows(df, idCol, textCol, n))
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val hot = sh0.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("shash"))
+        sh0.join(hot, Seq("shash"), "left_anti")
+      case None => sh0
+    }
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"), "shash")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("containment_a", col("n_common").cast("double") / col("n_a"))
+      .withColumn("containment_b", col("n_common").cast("double") / col("n_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment_a"), col("containment_b"))
+  }
+
   /** Shared inverted-index jaccard core over (doc_id, shash) rows; candidate
    * pairs optionally restricted by a left-semi join on `candidates`.
    *

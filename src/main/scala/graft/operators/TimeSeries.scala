@@ -53,6 +53,34 @@ object TimeSeries {
    * at or before that day (ties broken by `idCol` — deterministic).
    * Days with no event for that entity are the filled gaps.
    */
+  /**
+   * Exponentially time-decayed counts and sums per key, half-life form —
+   * the "trending now" statistic: an event at time t weighs
+   * 2^((t − t_ref)/halfLifeS) where t_ref is the corpus max timestamp, so
+   * the newest event weighs 1 and weight halves every `halfLifeS` looking
+   * back. One pass replaces windowed re-aggregation, and decayed state is
+   * MERGEABLE across shards/days (re-referencing multiplies every weight
+   * by one constant) — the sketch-family property, which is what makes
+   * this the at-scale trending primitive.
+   *
+   * Shape: a one-row max-ts broadcast, map-side weights, one partial-
+   * aggregatable keyed sum. Sums round at 4dp (float-sum order and
+   * pow parity across engines — the importanceWeights rule).
+   */
+  def decayedCounts(df: DataFrame, keyCol: Column, tsCol: String,
+      valueCol: Column, halfLifeS: Long): DataFrame = {
+    require(halfLifeS > 0, s"decayedCounts: halfLifeS must be positive, got $halfLifeS")
+    val tRef = df.agg(max(col(tsCol).cast("long")).as("t_ref"))
+    val w = pow(lit(2.0),
+      (col(tsCol).cast("long") - col("t_ref")).cast("double") /
+        lit(halfLifeS.toDouble))
+    df.crossJoin(broadcast(tRef))
+      .groupBy(keyCol.as("key"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(w), 4) + lit(0.0)).as("decayed_n"),
+        (round(sum(w * valueCol), 4) + lit(0.0)).as("decayed_sum"))
+  }
+
   def gapFillDaily(df: DataFrame, entityCol: String, tsCol: String,
       idCol: String, valueCol: String): DataFrame = {
     val daySec = 86400L

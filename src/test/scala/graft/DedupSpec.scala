@@ -201,6 +201,28 @@ class DedupSpec extends AnyFunSuite {
     graft.Materialize.release(out)
   }
 
+  test("containmentPairs finds near-subset relations jaccard dilutes") {
+    // d6 = a verbatim prefix of d1: containment(d6→d1) = 1.0 while its
+    // jaccard is only 4/13 — the asymmetric score is the point
+    val withSub = docs.union(
+      Seq((6L, "the quick brown fox jumps over")).toDF("doc_id", "text"))
+    val out = Dedup.containmentPairs(withSub, "doc_id", "text", n = 3,
+        threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b"))))
+      .toMap
+    // d6 ⊂ d1, d2, d3 (the sleepy/lazy edit in d2 is outside the prefix);
+    // d1=d3 verbatim; the d1/d2 pair (jaccard ≈ .77) stays excluded
+    assert(out.keySet === Set((1L, 3L), (1L, 6L), (2L, 6L), (3L, 6L)))
+    assert(out((1L, 3L)) === ((1.0, 1.0)))
+    assert(out((1L, 6L)) === ((4.0 / 13.0, 1.0)))
+    // symmetric jaccard at the same threshold sees only the exact pair
+    val jac = Dedup.ngramJaccard(withSub, "doc_id", "text", n = 3,
+        threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(jac === Set((1L, 3L)))
+  }
+
   test("duplicatedSpanStats: interval union of cross-doc k-gram spans, both hash paths") {
     // d1/d2 share exactly "a b c d e" (two overlapping 4-grams each):
     // d1 covers positions 0..4 of 8 → 5; d2 covers 2..6 of 8 → 5; d3 clean

@@ -37,7 +37,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_user_overlap",        // non-equi pair grid over the GROUPS-row sketch table
     "q_bm25",                // crossJoin(broadcast(1-row corpus constants))
     "q_pagerank",            // crossJoin(broadcast(1-row dangling mass)) per round
-    "q_alpha_mix")           // crossJoin(broadcast(1-row pow-total))
+    "q_alpha_mix",           // crossJoin(broadcast(1-row pow-total))
+    "q_decay_counts")        // crossJoin(broadcast(1-row max-ts reference))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single

@@ -22,6 +22,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     (2L, ts(5L * 86400), 103L, 7.0)
   ).toDF("user_id", "ts", "event_id", "value")
 
+  test("decayedCounts halves weight per elapsed half-life") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val hl = 100L
+    val t0 = 10000L // the max timestamp = reference (weight 1)
+    val df = Seq(
+      ("a", ts(t0), 10.0),
+      ("a", ts(t0 - hl), 10.0),      // one half-life back → weight 0.5
+      ("a", ts(t0 - 2 * hl), 10.0),  // two → 0.25
+      ("b", ts(t0 - hl), 8.0)).toDF("k", "ts", "value")
+    val out = operators.TimeSeries
+      .decayedCounts(df, col("k"), "ts", col("value"), halfLifeS = hl)
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("decayed_n"),
+          r.getAs[Double]("decayed_sum")))).toMap
+    assert(out("a") === ((3L, 1.75, 17.5)))  // 1 + ½ + ¼ (exact dyadics)
+    assert(out("b") === ((1L, 0.5, 4.0)))
+    // a fresh burst outranks a larger stale count: 2 events now beat
+    // 3 events from ≥ 3 half-lives ago
+    val trend = Seq(("new", ts(t0), 1.0), ("new", ts(t0), 1.0),
+      ("old", ts(t0 - 3 * hl), 1.0), ("old", ts(t0 - 3 * hl), 1.0),
+      ("old", ts(t0 - 4 * hl), 1.0)).toDF("k", "ts", "value")
+    val tr = operators.TimeSeries
+      .decayedCounts(trend, col("k"), "ts", col("value"), halfLifeS = hl)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Double]("decayed_n")).toMap
+    assert(tr("new") > tr("old") && tr("old") === 0.3125) // 2·⅛ + 1/16
+    intercept[IllegalArgumentException](operators.TimeSeries
+      .decayedCounts(df, col("k"), "ts", col("value"), halfLifeS = 0))
+  }
+
   test("gapFillDaily fills gaps forward and flags observed days") {
     val out = TimeSeries.gapFillDaily(events, "user_id", "ts", "event_id", "value")
       .collect().map(r => (r.getLong(0), r.getLong(1) / 86400, r.getBoolean(2), r.getDouble(3)))
