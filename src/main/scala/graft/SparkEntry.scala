@@ -617,6 +617,29 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), topK = 5)),
 
+    // Per-group OLS trend via the ANSI regr_* aggregates (slope of value
+    // over time, rescaled to per-day): one partial-aggregatable co-moment
+    // pass — the built-in path; q_corr_stats covers the correlation twin.
+    // 4dp round absorbs the engines' co-moment accumulation-order ulps.
+    "q_regression" -> ((s, dir) => {
+      val e = table(s, dir, "events").select(col("event_type"),
+        col("ts").cast("long").cast("double").as("x"), col("value").as("y"))
+      e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        (round(regr_slope(col("y"), col("x")) * lit(86400.0), 4) + lit(0.0))
+          .as("slope_per_day"),
+        (round(regr_intercept(col("y"), col("x")), 4) + lit(0.0)).as("intercept"),
+        (round(regr_r2(col("y"), col("x")), 4) + lit(0.0)).as("r2"))
+    }),
+
+    // Shannon entropy of the props distribution per event type — the
+    // curation-pipeline diversity audit (collapsed label distribution =
+    // sampling bug). Two small keyed aggregates, nothing corpus-wide.
+    "q_entropy" -> ((s, dir) =>
+      operators.DataQuality.categoricalEntropy(
+          table(s, dir, "events"), col("event_type"), col("props"))
+        .withColumnRenamed("grp", "event_type")),
+
     // Directional 3-gram containment (Broder): near-subset detection the
     // symmetric jaccard dilutes — same inverted-index shape, both
     // directions reported, pairs kept when either direction ≥ 0.4.
@@ -1813,6 +1836,33 @@ object SparkEntry {
           |       0.125 + coalesce(t.dot / t.n_tokens, 0.0) AS logit,
           |       (0.125 + coalesce(t.dot / t.n_tokens, 0.0)) > 0 AS label
           |FROM documents d LEFT JOIN dotted t USING (doc_id)""".stripMargin,
+
+      // DuckDB's regr_* implement the same ANSI definitions; both engines'
+      // co-moment accumulations agree within the 4dp round
+      "q_regression" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |  round(regr_slope(value, CAST(floor(epoch(ts)) AS BIGINT)) * 86400.0, 4)
+          |    + 0.0 AS slope_per_day,
+          |  round(regr_intercept(value, CAST(floor(epoch(ts)) AS BIGINT)), 4)
+          |    + 0.0 AS intercept,
+          |  round(regr_r2(value, CAST(floor(epoch(ts)) AS BIGINT)), 4) + 0.0 AS r2
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "q_entropy" ->
+        """WITH c AS (SELECT event_type, props AS cat, count(*) AS cnt
+          |           FROM events GROUP BY 1, 2),
+          |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+          |             CAST(count(*) AS BIGINT) AS n_cats
+          |      FROM c GROUP BY 1)
+          |SELECT c.event_type, t.n, t.n_cats,
+          |  round(-sum((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)), 4)
+          |    + 0.0 AS entropy,
+          |  CASE WHEN n_cats > 1 THEN
+          |    round(-sum((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n))
+          |          / ln(CAST(n_cats AS DOUBLE)), 4) + 0.0
+          |  ELSE 0.0 END AS norm_entropy
+          |FROM c JOIN t USING (event_type)
+          |GROUP BY 1, 2, 3""".stripMargin,
 
       // same shingle equivalence as ngram_jaccard (64-bit hashes ≡ string
       // shingles modulo 2^-64); divisions are exact-int / exact-int

@@ -210,6 +210,35 @@ object DataQuality {
   }
 
   /**
+   * Shannon entropy of a categorical distribution per group — the
+   * data-DIVERSITY metric of a curation pipeline (a domain whose label/
+   * source distribution collapsed is a sampling bug; a near-uniform one is
+   * healthy). Returns (grp, n, n_cats, entropy, norm_entropy) with
+   * norm_entropy = H / ln(n_cats) ∈ [0,1] (0 when a single category).
+   *
+   * Shape: two partial-aggregatable shuffles — (group, category) counts,
+   * then per-group Σ −p·ln p over the already-collapsed category rows
+   * (≤ categories per group, never raw data). 4dp round (float-sum order
+   * + ln parity, the importanceWeights rule).
+   */
+  def categoricalEntropy(df: DataFrame, groupCol: Column,
+      catCol: Column): DataFrame = {
+    val counts = df.groupBy(groupCol.as("grp"), catCol.as("cat"))
+      .agg(count(lit(1)).as("cnt"))
+    val p = col("cnt") / col("n")
+    counts
+      .join(counts.groupBy(col("grp"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_cats")), "grp")
+      .groupBy(col("grp"), col("n"), col("n_cats"))
+      .agg((-sum(p * log(p))).as("h"))
+      .select(col("grp"), col("n"), col("n_cats"),
+        (round(col("h"), 4) + lit(0.0)).as("entropy"),
+        when(col("n_cats") > 1,
+            round(col("h") / log(col("n_cats").cast("double")), 4) + lit(0.0))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+  }
+
+  /**
    * ε-differentially-private count release (Dwork, McSherry, Nissim, Smith
    * 2006): per-group counts plus Laplace(1/ε) noise via the inverse CDF,
    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|). The uniform `u` derives from an

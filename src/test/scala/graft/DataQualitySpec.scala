@@ -130,6 +130,27 @@ class DataQualitySpec extends AnyFunSuite {
     assert(byG === Map("g" -> 20L, "h" -> 0L))
   }
 
+  test("categoricalEntropy: uniform maxes out, collapse zeroes out") {
+    import spark.implicits._
+    val rows = (Seq.fill(25)("w") ++ Seq.fill(25)("x") ++ Seq.fill(25)("y") ++
+        Seq.fill(25)("z")).map(("uniform", _)) ++
+      Seq.fill(100)(("collapsed", "only")) ++
+      (Seq.fill(97)("a") ++ Seq.fill(1)("b") ++ Seq.fill(1)("c") ++
+        Seq.fill(1)("d")).map(("skewed", _))
+    val out = DataQuality.categoricalEntropy(
+        rows.toDF("grp", "cat"), col("grp"), col("cat"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_cats"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("norm_entropy")))).toMap
+    val ln4 = BigDecimal(math.log(4.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("uniform") === ((100L, 4L, ln4, 1.0)))
+    assert(out("collapsed") === ((100L, 1L, 0.0, 0.0)))
+    // same n_cats, skewed distribution: strictly less diverse than uniform
+    assert(out("skewed")._2 === 4L)
+    assert(out("skewed")._4 > 0.0 && out("skewed")._4 < 0.2)
+  }
+
   test("dpNoisyCounts: deterministic per salt, Laplace-scaled, ε-monotone") {
     import spark.implicits._
     val rows = (1 to 2000).map(i => (i.toLong, s"g${i % 200}")).toDF("id", "grp")
