@@ -682,6 +682,17 @@ object SparkEntry {
       operators.Sampling.alphaMixWeights(
         table(s, dir, "events"), col("event_type"), alpha = 0.5)),
 
+    // The trained-tokenizer round trip: learn 8 merges, then encode the
+    // corpus with them — encode is a stateless map-side projection (the
+    // streaming-legal half), subword streams hashed for stability.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = operators.Tokenize.bpeTrain(docs, rounds = 8)
+      operators.Tokenize.bpeEncode(docs, merges)
+        .select(col("doc_id"), col("n_subwords"),
+          md5(array_join(col("subwords"), " ")).as("sw_hash"))
+    }),
+
     // BPE merge-rule induction (tokenizer TRAINING as dataflow): the
     // corpus collapses once into a (word, count) vocab; every round then
     // touches only the vocab table — pair explode, weighted counts, one

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -82,5 +82,47 @@ object Tokenize {
     merges.toSeq.toDF("round", "left", "right", "merged", "pair_n")
       .select(col("round").cast("long").as("round"), col("left"),
         col("right"), col("merged"), col("pair_n"))
+  }
+
+  /**
+   * Apply a learned merge table ([[bpeTrain]]'s output) to a corpus:
+   * every word's characters are fused by each merge rule IN LEARNING
+   * ORDER — the standard BPE encode. Returns
+   * (id, subwords ARRAY<STRING>, n_subwords).
+   *
+   * The merge table is collected to the driver (config-bounded — it is
+   * the trained artifact, thousands of rows at most) and unrolled into a
+   * chain of `merges` fold expressions over each word — pure map-side, no
+   * shuffle, no UDF. The folds evaluate interpreted per element, so at
+   * vocabulary-scale merge counts a codegen'd expression would be the
+   * next step (the SlidingMin precedent); at demo merge counts the chain
+   * is fine and keeps encode streaming-legal (stateless projection).
+   */
+  def bpeEncode(df: DataFrame, mergeTable: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rules = mergeTable.orderBy(col("round"))
+      .select(col("left"), col("right"), col("merged"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val words = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val encodedWord = rules.foldLeft(split(col("w"), ""): Column) {
+      (syms, rule) =>
+        val (l, r, m) = rule
+        aggregate(syms, array().cast("array<string>"), (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(x))))
+    }
+    // collect_list order is partition-dependent: carry the token position
+    // and re-sort inside the row so the concatenation is deterministic
+    words.select(col(idCol), col("pos"), encodedWord.as("sw"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("sw")))),
+        s => s.getField("sw"))).as("subwords"))
+      .select(col(idCol), col("subwords"),
+        size(col("subwords")).cast("long").as("n_subwords"))
   }
 }

@@ -42,6 +42,29 @@ class TokenizeSpec extends AnyFunSuite {
       t.head.getAs[String]("right") === "b")
   }
 
+  test("bpeEncode applies the learned merges in order, positions preserved") {
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+    val train = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Tokenize.bpeTrain(train, rounds = 3) // ug, un, hug
+    val out = Tokenize.bpeEncode(
+        Seq((1L, "hug pun hugs"), (2L, "bun pug zap")).toDF("doc_id", "text"),
+        merges)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Seq[String]]("subwords"), r.getAs[Long]("n_subwords")))).toMap
+    assert(out(1L) === ((Seq("hug", "p", "un", "hug", "s"), 5L)))
+    // unseen word "zap" falls back to characters
+    assert(out(2L) === ((Seq("b", "un", "p", "ug", "z", "a", "p"), 7L)))
+    // an empty merge table encodes to raw characters
+    val raw = Tokenize.bpeEncode(
+        Seq((3L, "ab")).toDF("doc_id", "text"),
+        spark.emptyDataset[(Long, String, String, String, Long)]
+          .toDF("round", "left", "right", "merged", "pair_n"))
+      .head()
+    assert(raw.getAs[Seq[String]]("subwords") === Seq("a", "b"))
+  }
+
   test("bpeTrain stops early when no pair repeats") {
     val df = Seq((1L, "ab"), (2L, "cd")).toDF("doc_id", "text")
     assert(Tokenize.bpeTrain(df, rounds = 5).count() === 0L)
