@@ -68,13 +68,22 @@ object TimeSeries {
    * pow parity across engines — the importanceWeights rule).
    */
   def decayedCounts(df: DataFrame, keyCol: Column, tsCol: String,
-      valueCol: Column, halfLifeS: Long): DataFrame = {
+      valueCol: Column, halfLifeS: Long,
+      tRefEpochS: Option[Long] = None): DataFrame = {
     require(halfLifeS > 0, s"decayedCounts: halfLifeS must be positive, got $halfLifeS")
-    val tRef = df.agg(max(col(tsCol).cast("long")).as("t_ref"))
     val w = pow(lit(2.0),
       (col(tsCol).cast("long") - col("t_ref")).cast("double") /
         lit(halfLifeS.toDouble))
-    df.crossJoin(broadcast(tRef))
+    // An explicit reference time makes the weights a STATELESS projection:
+    // streaming-legal (plain update-mode agg, no data-dependent scalar) and
+    // shard-mergeable (decayed sums with one tRef add exactly). Without it,
+    // tRef = max ts — the batch "as of now" convenience, one-row broadcast.
+    val referenced = tRefEpochS match {
+      case Some(t) => df.withColumn("t_ref", lit(t))
+      case None =>
+        df.crossJoin(broadcast(df.agg(max(col(tsCol).cast("long")).as("t_ref"))))
+    }
+    referenced
       .groupBy(keyCol.as("key"))
       .agg(count(lit(1)).as("n_events"),
         (round(sum(w), 4) + lit(0.0)).as("decayed_n"),

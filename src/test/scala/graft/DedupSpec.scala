@@ -255,6 +255,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out3 === Map(6L -> ((2L, 0L)), 7L -> ((2L, 0L))))
   }
 
+  test("duplicatedSpanStats fuzz: hash paths agree, coverage bounded (seeded)") {
+    // small vocab forces heavy cross-doc gram sharing; seeded → replayable
+    val rnd = new scala.util.Random(0xD5EAD5L)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val fuzz = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 4
+    def run(md5Path: Boolean) =
+      Dedup.duplicatedSpanStats(fuzz, "doc_id", "text", k, md5Grams = md5Path)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"),
+            r.getAs[Double]("dup_fraction")))).toMap
+    val md5Out = run(true)
+    assert(md5Out === run(false)) // 64-bit fast path ≡ md5 oracle path
+    assert(md5Out.size === 40)
+    md5Out.values.foreach { case (n, dup, frac) =>
+      assert(dup >= 0L && dup <= n)          // coverage bounded by doc length
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (n >= k) assert(dup == 0L || dup >= k) // any coverage spans ≥ one gram
+      else assert(dup === 0L)                   // sub-k docs can't be covered
+    }
+  }
+
   test("simhashPairs maxBlockFreq caps the degenerate all-zero bucket") {
     // 50 empty docs all simhash to 0: every block collides, a cnt² blow-up
     // carrying zero similarity signal — exactly what the cap is for

@@ -49,6 +49,41 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(tr("new") > tr("old") && tr("old") === 0.3125) // 2·⅛ + 1/16
     intercept[IllegalArgumentException](operators.TimeSeries
       .decayedCounts(df, col("k"), "ts", col("value"), halfLifeS = 0))
+    // with a FIXED reference the statistic is shard-mergeable: the two
+    // halves' decayed sums add exactly to the whole-corpus run (weights
+    // here are dyadic, so even the 4dp rounds stay exact)
+    val whole = operators.TimeSeries.decayedCounts(df, col("k"), "ts",
+        col("value"), hl, tRefEpochS = Some(t0))
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Double]("decayed_n")).toMap
+    val parts = Seq(df.limit(2), df.except(df.limit(2))).map(part =>
+      operators.TimeSeries.decayedCounts(part, col("k"), "ts",
+          col("value"), hl, tRefEpochS = Some(t0))
+        .collect().map(r => r.getAs[String]("key") -> r.getAs[Double]("decayed_n")).toMap)
+    val merged = (parts(0).keySet ++ parts(1).keySet).map(k =>
+      k -> (parts(0).getOrElse(k, 0.0) + parts(1).getOrElse(k, 0.0))).toMap
+    assert(merged === whole)
+  }
+
+  test("decayedCounts with fixed tRef streams: stream result equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rows = (1L to 300L).map(i =>
+      (if (i % 3 == 0) "a" else "b", ts(5000L + i * 7), (i % 11).toDouble))
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    input.addData(rows)
+    val stream = operators.TimeSeries.decayedCounts(
+      input.toDF().toDF("k", "ts", "value"), col("k"), "ts", col("value"),
+      halfLifeS = 500L, tRefEpochS = Some(8000L))
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("decay_mem").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("decay_mem").collect().map(_.toSeq).toSet
+    val batch = operators.TimeSeries.decayedCounts(
+        rows.toDF("k", "ts", "value"), col("k"), "ts", col("value"),
+        halfLifeS = 500L, tRefEpochS = Some(8000L))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
   }
 
   test("gapFillDaily fills gaps forward and flags observed days") {
