@@ -617,6 +617,29 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), topK = 5)),
 
+    // Exact triangle counts + local clustering per node, degree-oriented
+    // wedge join (out-degree O(√m) after orientation — hub-proof). Graph:
+    // the deterministic ring-plus-chords on document ids, which guarantees
+    // (i, i+1, i+2) triangles. Oracle replays the orientation-free
+    // definition (canonical 3-way join) — same triangle set.
+    "q_triangles" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") + 1, lit(500)),
+          pmod(col("doc_id") + 2, lit(500)),
+          pmod(col("doc_id") * 31 + 97, lit(500)))).as("dst"))
+      operators.LinkAnalysis.triangleStats(edges)
+    }),
+
+    // First-order Markov transitions over each user's event path —
+    // one entity-partitioned lead window + two small keyed aggregates;
+    // p is an exact-int ratio (no rounding needed).
+    "q_transitions" -> ((s, dir) =>
+      operators.TimeSeries.transitionMatrix(
+        table(s, dir, "events").filter(col("user_id").isNotNull),
+        "user_id", "ts", "event_id", "event_type")),
+
     // Per-group OLS trend via the ANSI regr_* aggregates (slope of value
     // over time, rescaled to per-day): one partial-aggregatable co-moment
     // pass — the built-in path; q_corr_stats covers the correlation twin.
@@ -1847,6 +1870,51 @@ object SparkEntry {
           |       0.125 + coalesce(t.dot / t.n_tokens, 0.0) AS logit,
           |       (0.125 + coalesce(t.dot / t.n_tokens, 0.0)) > 0 AS label
           |FROM documents d LEFT JOIN dotted t USING (doc_id)""".stripMargin,
+
+      // orientation-free triangle definition: canonical edges, a<b<c
+      // 3-way join, corners exploded — identical triangle set to the
+      // engine's degree-oriented plan
+      "q_triangles" ->
+        """WITH e0 AS (
+          |  SELECT doc_id AS src, unnest([
+          |    (doc_id + 1) % 500, (doc_id + 2) % 500,
+          |    (doc_id * 31 + 97) % 500]) AS dst
+          |  FROM documents),
+          |und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+          |        FROM e0 WHERE src <> dst),
+          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+          |          SELECT lo AS id FROM und UNION ALL SELECT hi FROM und)
+          |        GROUP BY 1),
+          |tri AS (
+          |  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+          |  FROM und ab JOIN und bc ON ab.hi = bc.lo
+          |              JOIN und ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+          |corners AS (
+          |  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+          |  UNION ALL SELECT c FROM tri),
+          |t AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
+          |      FROM corners GROUP BY 1)
+          |SELECT deg.id, deg.degree,
+          |       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+          |       CASE WHEN deg.degree >= 2 THEN
+          |         CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+          |           / (deg.degree * (deg.degree - 1))
+          |       ELSE 0.0 END AS clustering
+          |FROM deg LEFT JOIN t USING (id)""".stripMargin,
+
+      "q_transitions" ->
+        """WITH seq AS (
+          |  SELECT event_type,
+          |         lead(event_type) OVER (PARTITION BY user_id
+          |                                ORDER BY ts, event_id) AS next_type
+          |  FROM events WHERE user_id IS NOT NULL),
+          |pairs AS (
+          |  SELECT event_type AS from_type, next_type AS to_type,
+          |         CAST(count(*) AS BIGINT) AS n
+          |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+          |tot AS (SELECT from_type, sum(n) AS tot FROM pairs GROUP BY 1)
+          |SELECT from_type, to_type, n, CAST(n AS DOUBLE) / tot AS p
+          |FROM pairs JOIN tot USING (from_type)""".stripMargin,
 
       // DuckDB's regr_* implement the same ANSI definitions; both engines'
       // co-moment accumulations agree within the 4dp round

@@ -90,6 +90,33 @@ object TimeSeries {
         (round(sum(w * valueCol), 4) + lit(0.0)).as("decayed_sum"))
   }
 
+  /**
+   * First-order Markov transition matrix over per-entity event sequences
+   * (the product-analytics "path analysis" primitive): for each entity,
+   * order events by (ts, tiebreak id) and count (state → next state)
+   * adjacencies; p is the row-normalized transition probability.
+   * Output: (from_type, to_type, n, p).
+   *
+   * Shape: ONE window (lead) partitioned by entity — partition size is one
+   * entity's history, no global sort — then two partial-aggregatable
+   * aggregates over the (from, to) pairs (≤ states² rows). p is an
+   * exact-int ratio: engine-stable with no rounding.
+   */
+  def transitionMatrix(df: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot")).as("p"))
+  }
+
   def gapFillDaily(df: DataFrame, entityCol: String, tsCol: String,
       idCol: String, valueCol: String): DataFrame = {
     val daySec = 86400L

@@ -55,6 +55,39 @@ class LinkAnalysisSpec extends AnyFunSuite {
     assert(got(3L) === got.values.max)
   }
 
+  test("triangleStats: cliques, paths, hubs, and edge canonicalization") {
+    import graft.operators.LinkAnalysis.triangleStats
+    // K4: every node in 3 triangles, clustering exactly 1
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val k4out = triangleStats(k4).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          r.getAs[Double]("clustering")))).toMap
+    assert(k4out.size === 4)
+    k4out.values.foreach(v => assert(v === ((3L, 3L, 1.0))))
+    // path a-b-c: zero triangles everywhere
+    val path = Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst")
+    assert(triangleStats(path).collect()
+      .forall(r => r.getAs[Long]("triangles") === 0L))
+    // star + one rim edge: exactly one triangle; the hub's clustering is
+    // 2·1/(4·3) while the rim pair's is 1
+    val star = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L, 1L -> 2L)
+      .toDF("src", "dst")
+    val s = triangleStats(star).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("triangles"), r.getAs[Double]("clustering")))).toMap
+    assert(s(0L) === ((1L, 2.0 / 12.0)))
+    assert(s(1L) === ((1L, 1.0)) && s(2L) === ((1L, 1.0)))
+    assert(s(3L) === ((0L, 0.0)) && s(4L) === ((0L, 0.0)))
+    // reversed duplicates and self-loops are erased before counting
+    val messy = Seq(1L -> 2L, 2L -> 1L, 1L -> 1L, 2L -> 3L, 3L -> 1L)
+      .toDF("src", "dst")
+    val m = triangleStats(messy).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("triangles")).toMap
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("pageRank rejects bad arguments") {
     val e = Seq(1L -> 2L).toDF("src", "dst")
     intercept[IllegalArgumentException](LinkAnalysis.pageRank(e, iterations = 0))

@@ -86,6 +86,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("transitionMatrix counts adjacencies per entity and row-normalizes") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, 10L, ts(1), "A"), (1L, 11L, ts(2), "B"),
+      (1L, 12L, ts(3), "A"), (1L, 13L, ts(4), "C"),
+      (2L, 20L, ts(1), "A"), (2L, 21L, ts(2), "B"),
+      (3L, 30L, ts(9), "Z")) // single event → no transition
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = operators.TimeSeries
+      .transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p")))).toMap
+    assert(out === Map(
+      ("A", "B") -> ((2L, 2.0 / 3.0)),
+      ("A", "C") -> ((1L, 1.0 / 3.0)),
+      ("B", "A") -> ((1L, 1.0))))
+    // equal timestamps order by the id tiebreak, not arrival order
+    val tied = Seq((9L, 2L, ts(5), "Y"), (9L, 1L, ts(5), "X"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val t = operators.TimeSeries
+      .transitionMatrix(tied, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(t === Set(("X", "Y")))
+  }
+
   test("gapFillDaily fills gaps forward and flags observed days") {
     val out = TimeSeries.gapFillDaily(events, "user_id", "ts", "event_id", "value")
       .collect().map(r => (r.getLong(0), r.getLong(1) / 86400, r.getBoolean(2), r.getDouble(3)))
