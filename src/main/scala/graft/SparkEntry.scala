@@ -678,6 +678,51 @@ object SparkEntry {
         table(s, dir, "events"), col("event_type"), "ts", col("value"),
         halfLifeS = 86400L)),
 
+    // Market-basket rules over (user, event_type) baskets: one distinct,
+    // one basket-keyed self-join (never baskets × items²), ratios are
+    // single IEEE divisions of exact longs → 6dp round is engine-stable.
+    "q_affinity" -> ((s, dir) =>
+      operators.Affinity.associationRules(
+        table(s, dir, "events").filter(col("user_id").isNotNull),
+        "user_id", "event_type")),
+
+    // Top first-5-event journeys: entity-partitioned row_number window +
+    // per-entity ordered assembly (array_sort of (rn, type) structs — no
+    // second window), partial-aggregatable path count, TakeOrdered top-N.
+    "q_top_paths" -> ((s, dir) =>
+      operators.TimeSeries.topPaths(
+        table(s, dir, "events").filter(col("user_id").isNotNull),
+        "user_id", "ts", "event_id", "event_type", k = 5, topN = 20)),
+
+    // CUSUM change-point scan on per-type daily totals via the closed form
+    // P_i − min(0, min_{j≤i} P_j): two stock windows (running sum + running
+    // min) partitioned by entity — no recursive state. Daily x and μ round
+    // at 4dp BEFORE the scan so the only float work the ordered scan does
+    // is over already-rounded values.
+    "q_cusum" -> ((s, dir) =>
+      operators.TimeSeries.cusum(
+        table(s, dir, "events"), "event_type", "ts", "value",
+        slack = 0.0, threshold = 500.0)),
+
+    // Interval × interval overlap join (user activity spans × event-type
+    // activity spans): bucket decomposition on BOTH sides makes it an
+    // equi-join on the day-bucket key; the max(lo_a, lo_b)-bucket rule
+    // emits each overlapping pair exactly once with no distinct shuffle.
+    "q_overlap_join" -> ((s, dir) => {
+      val e = table(s, dir, "events").filter(col("user_id").isNotNull)
+      val a = e.groupBy(col("user_id"))
+        .agg(min(col("ts").cast("long")).cast("double").as("lo_a"),
+          (max(col("ts").cast("long")) + 1).cast("double").as("hi_a"))
+      val b = e.groupBy(col("event_type"))
+        .agg(min(col("ts").cast("long")).cast("double").as("lo_b"),
+          (max(col("ts").cast("long")) + 1).cast("double").as("hi_b"))
+      operators.RangeJoin.bucketedOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b",
+          bucketWidth = 86400.0)
+        .select(col("user_id"), col("lo_a").cast("long").as("lo_a"),
+          col("hi_a").cast("long").as("hi_a"), col("event_type"),
+          col("lo_b").cast("long").as("lo_b"), col("hi_b").cast("long").as("hi_b"))
+    }),
+
     // Fellegi-Sunter probabilistic record linkage: nation-blocked customer
     // self-pairs (Σ block² bounded by block choice; capHotKeys available),
     // three agreement fields summed in FIXED order as log-odds, 6dp round.
@@ -1966,6 +2011,85 @@ object SparkEntry {
           |       round(sum(w), 4) + 0.0 AS decayed_n,
           |       round(sum(w * value), 4) + 0.0 AS decayed_sum
           |FROM w GROUP BY 1""".stripMargin,
+
+      // ratios are single IEEE divisions of exact BIGINTs in both engines,
+      // so the 6dp round can't straddle an ulp boundary
+      "q_affinity" ->
+        """WITH b AS (SELECT DISTINCT user_id AS basket, event_type AS item
+          |           FROM events
+          |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+          |nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+          |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+          |p AS (SELECT x.item AS item_a, y.item AS item_b,
+          |             CAST(count(*) AS BIGINT) AS n_ab
+          |      FROM b x JOIN b y USING (basket) WHERE x.item < y.item
+          |      GROUP BY 1, 2)
+          |SELECT item_a, item_b, n_ab,
+          |  round(CAST(n_ab AS DOUBLE) / n_baskets, 6) + 0.0 AS support,
+          |  round(CAST(n_ab AS DOUBLE) / na.n_item, 6) + 0.0 AS conf_a_to_b,
+          |  round(CAST(n_ab AS DOUBLE) / nbi.n_item, 6) + 0.0 AS conf_b_to_a,
+          |  round(CAST(n_ab * n_baskets AS DOUBLE) / (na.n_item * nbi.n_item), 6)
+          |    + 0.0 AS lift
+          |FROM p JOIN ic na ON na.item = item_a
+          |       JOIN ic nbi ON nbi.item = item_b
+          |       CROSS JOIN nb""".stripMargin,
+
+      // string_agg with an explicit ORDER BY replays the engine's
+      // (rn, type)-struct sort; the top-20 cut and the rank window share
+      // one deterministic (n_entities DESC, path) order
+      "q_top_paths" ->
+        """WITH r AS (
+          |  SELECT user_id, event_type,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts, event_id) AS rn
+          |  FROM events WHERE user_id IS NOT NULL),
+          |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          |      FROM r WHERE rn <= 5 GROUP BY 1),
+          |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_entities
+          |      FROM p GROUP BY 1)
+          |SELECT path, n_entities,
+          |       CAST(row_number() OVER (ORDER BY n_entities DESC, path) AS BIGINT)
+          |         AS rank
+          |FROM c ORDER BY n_entities DESC, path LIMIT 20""".stripMargin,
+
+      // daily x and mu are rounded BEFORE the ordered scan in both engines;
+      // day is unique per entity so RANGE/ROWS framing agree
+      "q_cusum" ->
+        """WITH d AS (
+          |  SELECT event_type,
+          |         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT)
+          |           AS day,
+          |         round(sum(value), 4) + 0.0 AS x
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT event_type, round(avg(x), 4) + 0.0 AS mu FROM d GROUP BY 1),
+          |pp AS (
+          |  SELECT d.event_type, day, x,
+          |         sum(x - mu - 0.0) OVER (PARTITION BY d.event_type ORDER BY day)
+          |           AS p
+          |  FROM d JOIN m USING (event_type)),
+          |s AS (
+          |  SELECT event_type, day, x,
+          |         round(p - least(0.0, min(p) OVER (PARTITION BY event_type
+          |                                           ORDER BY day)), 4) + 0.0
+          |           AS cusum
+          |  FROM pp)
+          |SELECT event_type, day, x, cusum, cusum > 500.0 AS changepoint
+          |FROM s""".stripMargin,
+
+      // the bucket decomposition is engine-internal: the oracle is the
+      // plain half-open inequality join over the same derived spans
+      "q_overlap_join" ->
+        """WITH e AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+          |a AS (SELECT user_id,
+          |             CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS lo_a,
+          |             CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) + 1 AS BIGINT) AS hi_a
+          |      FROM e GROUP BY 1),
+          |b AS (SELECT event_type,
+          |             CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS lo_b,
+          |             CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) + 1 AS BIGINT) AS hi_b
+          |      FROM e GROUP BY 1)
+          |SELECT user_id, lo_a, hi_a, event_type, lo_b, hi_b
+          |FROM a JOIN b ON a.lo_a < b.hi_b AND b.lo_b < a.hi_a""".stripMargin,
 
       // the same fixed-order log-odds sum; thresholding happens on the
       // ROUNDED score in both engines, so band membership can't drift

@@ -28,6 +28,33 @@ object RangeJoin {
     fact.join(broadcast(intervals),
       col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
 
+  /**
+   * Interval × interval OVERLAP join (half-open: `[aLo, aHi) ∩ [bLo, bHi)
+   * ≠ ∅` ⇔ `aLo < bHi && bLo < aHi`) — sessions × campaign windows,
+   * maintenance windows × incident spans. Same bucket decomposition as
+   * [[bucketedRange]] on BOTH sides, with the classic spatial-join dedup:
+   * a pair sharing several buckets is emitted only in the bucket of
+   * `max(aLo, bLo)` — the first bucket the two intervals genuinely share
+   * (floor is monotone, and each side's explode covers its own endpoints)
+   * — so no post-join `distinct` shuffle is needed at all. Shuffle ∝
+   * Σ spans/bucketWidth on each side, never |A| × |B|.
+   */
+  def bucketedOverlap(a: DataFrame, aLoCol: String, aHiCol: String,
+      b: DataFrame, bLoCol: String, bHiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketedOverlap: bucketWidth must be positive, got $bucketWidth")
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    def keyed(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bucket",
+        explode(sequence(bucketOf(col(lo)),
+          greatest(bucketOf(col(hi)), bucketOf(col(lo))))))
+    keyed(a, aLoCol, aHiCol).join(keyed(b, bLoCol, bHiCol), Seq("__bucket"))
+      .filter(col(aLoCol) < col(bHiCol) && col(bLoCol) < col(aHiCol))
+      .filter(col("__bucket") ===
+        greatest(bucketOf(col(aLoCol)), bucketOf(col(bLoCol))))
+      .drop("__bucket")
+  }
+
   def bucketedRange(fact: DataFrame, valueCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {

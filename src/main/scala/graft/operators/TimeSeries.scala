@@ -117,6 +117,80 @@ object TimeSeries {
         (col("n").cast("double") / col("tot")).as("p"))
   }
 
+  /**
+   * Top user journeys: each entity's first `k` event types (ordered by
+   * (ts, tiebreak id)) concatenated into a path string `A>B>C`, counted
+   * across entities, top `topN` paths by frequency (ties broken by path —
+   * deterministic). The product-analytics "common paths" report, and the
+   * sequence-frequency twin of [[transitionMatrix]] (which only sees
+   * adjacent pairs).
+   *
+   * Shape: one row_number window partitioned by entity (partition = one
+   * entity's history), a per-entity ordered collect (≤ k rows each,
+   * assembled with the same array_sort-of-struct trick as
+   * [[graft.operators.Dedup.paragraphDedupGlobal]] — no second window),
+   * one partial-aggregatable path count, and a TakeOrdered top-N (no
+   * global sort materialization).
+   */
+  def topPaths(df: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, typeCol: String, k: Int = 5, topN: Int = 20): DataFrame = {
+    require(k >= 1, s"topPaths: k must be >= 1, got $k")
+    require(topN >= 1, s"topPaths: topN must be >= 1, got $topN")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(idCol))
+    val paths = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col(entityCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
+          x => x.getField("t")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_entities"))
+    val ord = Window.partitionBy(lit(0))
+      .orderBy(col("n_entities").desc, col("path"))
+    paths.orderBy(col("n_entities").desc, col("path")).limit(topN)
+      .withColumn("rank", row_number().over(ord).cast("long"))
+  }
+
+  /**
+   * CUSUM change-point detection (Page 1954) on per-entity daily totals:
+   * flags days where the one-sided cumulative sum of deviations above the
+   * entity's own mean exceeds `threshold`, i.e. a sustained upward shift —
+   * the monitoring primitive behind "this user/key changed behavior".
+   *
+   * The textbook recursion S_i = max(0, S_{i-1} + (x_i − μ − slack)) is not
+   * a prefix sum, but it has the closed form S_i = P_i − min(0, min_{j≤i}
+   * P_j) with P the plain cumsum of deviations — so the whole thing is TWO
+   * stock window functions (running sum + running min) per entity instead
+   * of an order-dependent recursive state. Windows partition by entity
+   * (partition = one entity's day count); daily totals and the per-entity
+   * mean are partial-aggregatable hash aggregates. Sums round at 4dp
+   * before the scan (float-sum order across engines — the
+   * importanceWeights rule); the scan itself is then order-deterministic.
+   *
+   * Output: (entity, day, x, cusum, changepoint).
+   */
+  def cusum(df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, slack: Double, threshold: Double): DataFrame = {
+    require(threshold > 0, s"cusum: threshold must be positive, got $threshold")
+    val daySec = 86400L
+    val daily = df
+      .groupBy(col(entityCol),
+        floor(col(tsCol).cast("long") / daySec).cast("long").as("day"))
+      .agg((round(sum(col(valueCol)), 4) + lit(0.0)).as("x"))
+    val mu = daily.groupBy(col(entityCol))
+      .agg((round(avg(col("x")), 4) + lit(0.0)).as("mu"))
+    val scan = Window.partitionBy(col(entityCol)).orderBy(col("day"))
+    daily.join(mu, entityCol)
+      .withColumn("__p", sum(col("x") - col("mu") - lit(slack)).over(scan))
+      .withColumn("cusum",
+        (round(col("__p") - least(lit(0.0), min(col("__p")).over(scan)), 4)
+          + lit(0.0)))
+      .withColumn("changepoint", col("cusum") > threshold)
+      .select(col(entityCol), col("day"), col("x"), col("cusum"),
+        col("changepoint"))
+  }
+
   def gapFillDaily(df: DataFrame, entityCol: String, tsCol: String,
       idCol: String, valueCol: String): DataFrame = {
     val daySec = 86400L

@@ -38,7 +38,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_bm25",                // crossJoin(broadcast(1-row corpus constants))
     "q_pagerank",            // crossJoin(broadcast(1-row dangling mass)) per round
     "q_alpha_mix",           // crossJoin(broadcast(1-row pow-total))
-    "q_decay_counts")        // crossJoin(broadcast(1-row max-ts reference))
+    "q_decay_counts",        // crossJoin(broadcast(1-row max-ts reference))
+    "q_affinity")            // crossJoin(broadcast(1-row basket count))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single

@@ -52,6 +52,45 @@ class RangeJoinSpec extends AnyFunSuite {
       s"range join must hash/merge on the bucket key, got:\n$physical")
   }
 
+  private lazy val spansA = Seq(
+    (1L, 0.0, 5.0),    // touches b20 at 5 — half-open, no overlap
+    (2L, 4.0, 12.0),   // spans a bucket edge, overlaps b20 and b21
+    (3L, 30.0, 31.0),  // inside b22
+    (4L, 50.0, 60.0)   // overlaps nothing
+  ).toDF("a_id", "a_lo", "a_hi")
+
+  private lazy val spansB = Seq(
+    (20L, 5.0, 10.0),
+    (21L, 10.0, 20.0),
+    (22L, 25.0, 40.0),
+    (23L, 30.0, 31.0)  // identical to a3's span
+  ).toDF("b_id", "b_lo", "b_hi")
+
+  private def overlapPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("bucketedOverlap matches the naive inequality join, no duplicates") {
+    val naive = overlapPairs(spansA.crossJoin(spansB)
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")))
+    assert(naive === Seq((2L, 20L), (2L, 21L), (3L, 22L), (3L, 23L)))
+    for (w <- Seq(1.0, 3.0, 10.0, 1000.0)) {
+      // Seq (not Set) equality: a pair sharing several buckets must be
+      // emitted exactly once — the max(aLo,bLo)-bucket rule, not a distinct
+      assert(overlapPairs(RangeJoin.bucketedOverlap(
+        spansA, "a_lo", "a_hi", spansB, "b_lo", "b_hi", w)) === naive,
+        s"width $w")
+    }
+  }
+
+  test("bucketedOverlap plan is an equi-join on the bucket key") {
+    val physical = RangeJoin.bucketedOverlap(
+        spansA, "a_lo", "a_hi", spansB, "b_lo", "b_hi", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("NestedLoop") && !physical.contains("CartesianProduct"),
+      physical)
+  }
+
   test("empty intervals and empty facts yield empty results, not errors") {
     val noIntervals = intervals.filter(col("band") === "none")
     assert(RangeJoin.bucketedRange(facts, "x", noIntervals, "lo", "hi", 10.0).count() === 0)

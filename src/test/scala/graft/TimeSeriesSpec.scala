@@ -202,4 +202,56 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L,
       (20L, 0L) -> 1L))
   }
+
+  test("topPaths counts first-k journeys, ranks by count then path") {
+    import spark.implicits._
+    // u1 and u2 both A>B(>A beyond k), u3 just B, u4 just C
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (1L, 30L, 3L, "A"),
+      (2L, 10L, 4L, "A"), (2L, 20L, 5L, "B"),
+      (3L, 10L, 6L, "B"),
+      (4L, 10L, 7L, "C"))
+      .map { case (u, t, i, ty) => (u, new java.sql.Timestamp(t * 1000L), i, ty) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = TimeSeries.topPaths(ev, "user_id", "ts", "event_id", "event_type",
+        k = 2, topN = 20)
+      .collect().map(r => (r.getAs[String]("path"),
+        r.getAs[Long]("n_entities"), r.getAs[Long]("rank")))
+    assert(out.toSeq.sortBy(_._3) ===
+      Seq(("A>B", 2L, 1L), ("B", 1L, 2L), ("C", 1L, 3L))) // tie B<C by path
+    val top1 = TimeSeries.topPaths(ev, "user_id", "ts", "event_id", "event_type",
+      k = 2, topN = 1).collect()
+    assert(top1.map(_.getAs[String]("path")).toSeq === Seq("A>B"))
+    // same-ts ordering falls back to event_id: id order decides the path
+    val tie = Seq((9L, 10L, 1L, "X"), (9L, 10L, 2L, "Y"))
+      .map { case (u, t, i, ty) => (u, new java.sql.Timestamp(t * 1000L), i, ty) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(TimeSeries.topPaths(tie, "user_id", "ts", "event_id", "event_type")
+      .collect().head.getAs[String]("path") === "X>Y")
+  }
+
+  test("cusum closed form matches the textbook recursion") {
+    import spark.implicits._
+    // entity "e": daily x = 5 (2+3), 1, 9, 2; mu = 4.25, slack 0 →
+    // recursion S = max(0, S_prev + (x - mu)): 0.75, 0, 4.75, 2.5
+    val ev = Seq(
+      ("e", 0L * 86400 + 10, 2.0), ("e", 0L * 86400 + 20, 3.0),
+      ("e", 1L * 86400, 1.0), ("e", 2L * 86400, 9.0), ("e", 3L * 86400, 2.0),
+      // constant entity: every deviation 0 → cusum identically 0
+      ("f", 0L, 5.0), ("f", 86400L, 5.0))
+      .map { case (k, t, v) => (k, new java.sql.Timestamp(t * 1000L), v) }
+      .toDF("k", "ts", "value")
+    val out = TimeSeries.cusum(ev, "k", "ts", "value",
+        slack = 0.0, threshold = 4.0)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("day")) ->
+        ((r.getAs[Double]("cusum"), r.getAs[Boolean]("changepoint")))).toMap
+    assert(out(("e", 0L)) === ((0.75, false)))
+    assert(out(("e", 1L)) === ((0.0, false)))
+    assert(out(("e", 2L)) === ((4.75, true))) // the sustained shift day
+    assert(out(("e", 3L)) === ((2.5, false))) // decays back under threshold
+    assert(out(("f", 0L)) === ((0.0, false)))
+    assert(out(("f", 1L)) === ((0.0, false)))
+    intercept[IllegalArgumentException](
+      TimeSeries.cusum(ev, "k", "ts", "value", slack = 0.0, threshold = 0.0))
+  }
 }
