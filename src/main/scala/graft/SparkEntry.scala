@@ -723,6 +723,24 @@ object SparkEntry {
           col("lo_b").cast("long").as("lo_b"), col("hi_b").cast("long").as("hi_b"))
     }),
 
+    // Gap-based sessionization (30-min gap): two entity-partitioned windows
+    // (lag + running sum) then a keyed aggregate — all integer epoch-second
+    // arithmetic, hash-stable by construction.
+    "q_sessionize" -> ((s, dir) =>
+      operators.TimeSeries.sessionize(
+        table(s, dir, "events").filter(col("user_id").isNotNull),
+        "user_id", "ts", "event_id", gapS = 1800L)),
+
+    // Welch two-sample t-test per event type, variants split by user-id
+    // parity: one conditional-aggregate pass, map-side t/df projection over
+    // 4dp-rounded means/variances (sqrt is correctly-rounded IEEE — unlike
+    // exp/ln it can sit inside an oracle-compared expression).
+    "q_ab_test" -> ((s, dir) =>
+      operators.DataQuality.welchTTest(
+          table(s, dir, "events").filter(col("user_id").isNotNull),
+          col("event_type"), pmod(col("user_id"), lit(2)) === 0, col("value"))
+        .withColumnRenamed("grp", "event_type")),
+
     // Fellegi-Sunter probabilistic record linkage: nation-blocked customer
     // self-pairs (Σ block² bounded by block choice; capHotKeys available),
     // three agreement fields summed in FIXED order as log-odds, 6dp round.
@@ -2090,6 +2108,62 @@ object SparkEntry {
           |      FROM e GROUP BY 1)
           |SELECT user_id, lo_a, hi_a, event_type, lo_b, hi_b
           |FROM a JOIN b ON a.lo_a < b.hi_b AND b.lo_b < a.hi_a""".stripMargin,
+
+      // pure integer epoch-second arithmetic end to end — no rounds needed
+      "q_sessionize" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+          |  FROM events WHERE user_id IS NOT NULL),
+          |l AS (
+          |  SELECT user_id, event_id, t,
+          |         lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+          |           AS prev
+          |  FROM e),
+          |n AS (
+          |  SELECT user_id, event_id, t,
+          |         CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END
+          |           AS is_new
+          |  FROM l),
+          |s AS (
+          |  SELECT user_id, t,
+          |         CAST(sum(is_new) OVER (PARTITION BY user_id
+          |                                ORDER BY t, event_id) AS BIGINT)
+          |           AS session_seq
+          |  FROM n)
+          |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(min(t) AS BIGINT) AS start_s,
+          |       CAST(max(t) AS BIGINT) AS end_s,
+          |       CAST(max(t) - min(t) AS BIGINT) AS duration_s
+          |FROM s GROUP BY 1, 2""".stripMargin,
+
+      // identical expression trees over 4dp-rounded aggregates; FILTER
+      // replays Spark's count/avg/var_samp over when(variant, value)
+      "q_ab_test" ->
+        """WITH g AS (
+          |  SELECT event_type,
+          |         CAST(count(value) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+          |           AS n_a,
+          |         CAST(count(value) FILTER (WHERE user_id % 2 <> 0) AS BIGINT)
+          |           AS n_b,
+          |         round(avg(value) FILTER (WHERE user_id % 2 = 0), 4) + 0.0
+          |           AS mean_a,
+          |         round(avg(value) FILTER (WHERE user_id % 2 <> 0), 4) + 0.0
+          |           AS mean_b,
+          |         round(var_samp(value) FILTER (WHERE user_id % 2 = 0), 4) + 0.0
+          |           AS var_a,
+          |         round(var_samp(value) FILTER (WHERE user_id % 2 <> 0), 4) + 0.0
+          |           AS var_b
+          |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+          |SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b,
+          |  CASE WHEN n_a > 1 AND n_b > 1 AND var_a / n_a + var_b / n_b > 0 THEN
+          |    round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4) + 0.0
+          |  END AS t_stat,
+          |  CASE WHEN n_a > 1 AND n_b > 1 AND var_a / n_a + var_b / n_b > 0 THEN
+          |    round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+          |          / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+          |             + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4) + 0.0
+          |  END AS df_welch
+          |FROM g""".stripMargin,
 
       // the same fixed-order log-odds sum; thresholding happens on the
       // ROUNDED score in both engines, so band membership can't drift

@@ -239,6 +239,48 @@ object DataQuality {
   }
 
   /**
+   * Welch's two-sample t-test per group — the A/B-experiment readout:
+   * for each group, compare `valueCol` between the rows where `variantCol`
+   * is true (variant A) and false (variant B). Reports per-variant
+   * n/mean/variance and the Welch t statistic with Satterthwaite degrees
+   * of freedom; t and df are NULL when either variant has < 2 rows or both
+   * variances are zero (the statistic is undefined there, and NULL is
+   * honest where a sentinel would corrupt downstream thresholds).
+   *
+   * Shape: ONE partial-aggregatable hash aggregate over the group key
+   * (conditional aggregates, not a self-join per variant); everything
+   * after is a map-side scalar projection. Means and variances round at
+   * 4dp first, so the t/df arithmetic runs on already-stable inputs —
+   * and sqrt is IEEE-correctly-rounded, unlike exp/ln, so the composite
+   * stays engine-portable under the final 4dp round.
+   */
+  def welchTTest(df: DataFrame, groupCol: Column, variantCol: Column,
+      valueCol: Column): DataFrame = {
+    val va = when(variantCol, valueCol)
+    val vb = when(!variantCol, valueCol)
+    val g = df.groupBy(groupCol.as("grp")).agg(
+      count(va).as("n_a"), count(vb).as("n_b"),
+      (round(avg(va), 4) + lit(0.0)).as("mean_a"),
+      (round(avg(vb), 4) + lit(0.0)).as("mean_b"),
+      (round(var_samp(va), 4) + lit(0.0)).as("var_a"),
+      (round(var_samp(vb), 4) + lit(0.0)).as("var_b"))
+    val seA = col("var_a") / col("n_a")
+    val seB = col("var_b") / col("n_b")
+    val se = seA + seB
+    val defined = col("n_a") > 1 && col("n_b") > 1 && se > 0
+    g.select(col("grp"), col("n_a"), col("n_b"),
+      col("mean_a"), col("mean_b"), col("var_a"), col("var_b"),
+      when(defined,
+        round((col("mean_a") - col("mean_b")) / sqrt(se), 4) + lit(0.0))
+        .as("t_stat"),
+      when(defined,
+        round(se * se /
+          (seA * seA / (col("n_a") - 1) + seB * seB / (col("n_b") - 1)), 4)
+          + lit(0.0))
+        .as("df_welch"))
+  }
+
+  /**
    * ε-differentially-private count release (Dwork, McSherry, Nissim, Smith
    * 2006): per-group counts plus Laplace(1/ε) noise via the inverse CDF,
    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|). The uniform `u` derives from an

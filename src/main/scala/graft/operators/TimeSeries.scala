@@ -191,6 +191,42 @@ object TimeSeries {
         col("changepoint"))
   }
 
+  /**
+   * Gap-based sessionization: split each entity's event stream into
+   * sessions wherever the gap to the previous event exceeds `gapS`
+   * seconds, and aggregate per session — the web-analytics primitive
+   * behind "session duration / events per session / bounce rate".
+   *
+   * Shape: one lag window + one running-sum window (both partition by the
+   * entity key — partition size = one entity's history, no global sort),
+   * then a partial-aggregatable (entity, session) hash aggregate. All
+   * arithmetic is integer epoch-seconds — nothing to round, hash-stable
+   * across engines by construction.
+   *
+   * Output: (entity, session_seq (1-based per entity), n_events,
+   * start_s, end_s, duration_s).
+   */
+  def sessionize(df: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, gapS: Long): DataFrame = {
+    require(gapS > 0, s"sessionize: gapS must be positive, got $gapS")
+    // order by the TRUNCATED epoch seconds (+ id tiebreak), not raw ts:
+    // the truncation is what downstream aggregates see, and an oracle on
+    // epoch seconds must replay the exact same (t, id) order
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("__t"), col(idCol))
+    df.select(col(entityCol), col(idCol),
+        col(tsCol).cast("long").as("__t"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__t") - col("__prev") > gapS, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(w))
+      .groupBy(col(entityCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__t")).as("start_s"),
+        max(col("__t")).as("end_s"),
+        (max(col("__t")) - min(col("__t"))).as("duration_s"))
+  }
+
   def gapFillDaily(df: DataFrame, entityCol: String, tsCol: String,
       idCol: String, valueCol: String): DataFrame = {
     val daySec = 86400L

@@ -200,4 +200,28 @@ class DataQualitySpec extends AnyFunSuite {
       .agg(min(col("class_size"))).head().getLong(0)
     assert(minClass >= 3L)
   }
+
+  test("welchTTest matches a hand-computed statistic; undefined cases are NULL") {
+    // group g: A = [1,2,3] (n=3, mean=2, var=1), B = [2,4] (n=2, mean=3, var=2)
+    // se = 1/3 + 1 = 4/3; t = -1/sqrt(4/3) = -0.8660
+    // df = (4/3)² / ((1/3)²/2 + 1²/1) = (16/9)/(19/18) = 288/171 = 1.6842
+    val ab = Seq(
+      ("g", true, 1.0), ("g", true, 2.0), ("g", true, 3.0),
+      ("g", false, 2.0), ("g", false, 4.0),
+      // h: variant B has a single row → statistic undefined
+      ("h", true, 1.0), ("h", true, 2.0), ("h", false, 5.0),
+      // z: both variances zero → se = 0, undefined
+      ("z", true, 3.0), ("z", true, 3.0), ("z", false, 7.0), ("z", false, 7.0))
+      .toDF("grp_in", "variant", "v")
+    val out = DataQuality.welchTTest(ab, col("grp_in"), col("variant"), col("v"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          Option(r.getAs[java.lang.Double]("t_stat")),
+          Option(r.getAs[java.lang.Double]("df_welch"))))).toMap
+    assert(out("g")._1 === 3L && out("g")._2 === 2L)
+    assert(out("g")._3.map(_.doubleValue) === Some(-0.866))
+    assert(out("g")._4.map(_.doubleValue) === Some(1.6842))
+    assert(out("h")._3 === None && out("h")._4 === None)
+    assert(out("z")._3 === None && out("z")._4 === None)
+  }
 }

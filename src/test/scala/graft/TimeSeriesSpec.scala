@@ -230,6 +230,28 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().head.getAs[String]("path") === "X>Y")
   }
 
+  test("sessionize splits on gaps strictly greater than gapS") {
+    import spark.implicits._
+    // u1: ts 0,50 | 200,250 | 600 with gap 100 (150 and 350 break; 50 doesn't)
+    val ev = Seq((1L, 0L, 1L), (1L, 50L, 2L), (1L, 200L, 3L), (1L, 250L, 4L),
+      (1L, 600L, 5L),
+      // u2: gap exactly gapS does NOT split (strict >)
+      (2L, 0L, 6L), (2L, 100L, 7L))
+      .map { case (u, t, i) => (u, new java.sql.Timestamp(t * 1000L), i) }
+      .toDF("user_id", "ts", "event_id")
+    val out = TimeSeries.sessionize(ev, "user_id", "ts", "event_id", gapS = 100L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("session_seq")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("start_s"),
+          r.getAs[Long]("duration_s")))).toMap
+    assert(out === Map(
+      (1L, 1L) -> ((2L, 0L, 50L)),
+      (1L, 2L) -> ((2L, 200L, 50L)),
+      (1L, 3L) -> ((1L, 600L, 0L)),
+      (2L, 1L) -> ((2L, 0L, 100L))))
+    intercept[IllegalArgumentException](
+      TimeSeries.sessionize(ev, "user_id", "ts", "event_id", gapS = 0L))
+  }
+
   test("cusum closed form matches the textbook recursion") {
     import spark.implicits._
     // entity "e": daily x = 5 (2+3), 1, 9, 2; mu = 4.25, slack 0 →
