@@ -325,6 +325,47 @@ object DataQuality {
     df.join(broadcast(risky), quasiCols, "left_anti")
   }
 
+  /**
+   * Equi-width histogram per group — the numeric-profile companion of
+   * [[categoricalEntropy]]: each group's non-null values are bucketed into
+   * `nBins` equal-width bins over the group's own [min, max] range, giving
+   * the distribution shape a drift/quality dashboard plots. Returns one row
+   * per NON-EMPTY (group, bin): (grp, bin ∈ [1, nBins], cnt, lo, hi) with
+   * lo/hi the group's value range (rounded to 6 digits for cross-engine
+   * comparison). A group with a single distinct value lands entirely in
+   * bin 1.
+   *
+   * Shape: one partial-aggregatable bounds pass (per-group min/max — one
+   * row per group), broadcast back, then a map-side bucket expression and
+   * one partial-aggregatable (group, bin) count. Bucket arithmetic is
+   * written as `floor((v − lo) · nBins / (hi − lo))` — the exact same
+   * left-associated IEEE double operation order the SQL oracle uses, so
+   * bucket boundaries can never disagree between engines. The value `hi`
+   * itself clamps into bin `nBins` (`least`), matching width_bucket's
+   * closed-top convention without relying on any engine's width_bucket
+   * edge-case behavior.
+   */
+  def histogram(df: DataFrame, groupCol: Column, valueCol: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, s"histogram: nBins must be >= 1, got $nBins")
+    val rows = df.filter(valueCol.isNotNull)
+      .select(groupCol.as("__dq_g"), valueCol.cast("double").as("__dq_v"))
+    val bounds = rows.groupBy(col("__dq_g"))
+      .agg(min(col("__dq_v")).as("__dq_lo"), max(col("__dq_v")).as("__dq_hi"))
+    rows.join(broadcast(bounds), "__dq_g")
+      .select(col("__dq_g"), col("__dq_lo"), col("__dq_hi"),
+        when(col("__dq_hi") === col("__dq_lo"), lit(1))
+          .otherwise(least(lit(nBins),
+            floor((col("__dq_v") - col("__dq_lo")) * nBins /
+              (col("__dq_hi") - col("__dq_lo"))).cast("int") + 1))
+          .as("bin"))
+      .groupBy(col("__dq_g"), col("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        (round(first(col("__dq_lo")), 6) + lit(0.0)).as("lo"),
+        (round(first(col("__dq_hi")), 6) + lit(0.0)).as("hi"))
+      .withColumnRenamed("__dq_g", "grp")
+  }
+
   private def spark(df: DataFrame) = df.sparkSession
 
   def robustOutliers(df: DataFrame, groupCol: Column, valueCol: Column,

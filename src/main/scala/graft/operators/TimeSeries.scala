@@ -227,6 +227,52 @@ object TimeSeries {
         (max(col("__t")) - min(col("__t"))).as("duration_s"))
   }
 
+  /**
+   * Seasonal-naive forecast backtest per entity: daily totals are
+   * "forecast" by the value one season (`seasonDays`) earlier, scored
+   * against the naive lag-1 forecast — the standard sanity baseline every
+   * real forecasting model must beat, and the denominator of MASE
+   * (Hyndman & Koehler 2006, "Another look at measures of forecast
+   * accuracy"). Reports per entity: day counts, both MAEs, and
+   * mase = MAE_seasonal / MAE_naive1 (< 1 ⇒ the series is genuinely
+   * seasonal at that period; NULL when the naive MAE is 0 or nothing is
+   * scorable).
+   *
+   * Shape: one partial-aggregatable (entity, day) total, then two
+   * self-joins of that (entity-count × day-span)-sized daily table against
+   * day-shifted copies of itself — CALENDAR lags, not row lags, so a
+   * missing day never silently shifts the season (a row-based `lag(7)`
+   * reads "7 observations ago", which is only "one week ago" when the
+   * series is gapless). Days whose shifted day is absent are excluded
+   * from that MAE (the join is left, `avg` skips NULLs). Daily totals are
+   * rounded to 4 digits before the lags (the [[cusum]] idiom) so every
+   * downstream |error| is a difference of identically-rounded doubles —
+   * hash-stable across engines.
+   */
+  def seasonalNaiveBacktest(df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, seasonDays: Int = 7): DataFrame = {
+    require(seasonDays >= 2,
+      s"seasonalNaiveBacktest: seasonDays must be >= 2, got $seasonDays")
+    val daySec = 86400L
+    val daily = df
+      .groupBy(col(entityCol),
+        floor(col(tsCol).cast("long") / daySec).cast("long").as("day"))
+      .agg((round(sum(col(valueCol)), 4) + lit(0.0)).as("y"))
+    def shifted(by: Int, as: String): DataFrame = daily.select(
+      col(entityCol), (col("day") + by).as("day"), col("y").as(as))
+    val scored = daily
+      .join(shifted(seasonDays, "__ys"), Seq(entityCol, "day"), "left")
+      .join(shifted(1, "__y1"), Seq(entityCol, "day"), "left")
+    scored.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("__ys")).as("n_scored"),
+        (round(avg(abs(col("y") - col("__ys"))), 4) + lit(0.0)).as("mae_seasonal"),
+        (round(avg(abs(col("y") - col("__y1"))), 4) + lit(0.0)).as("mae_naive1"))
+      .withColumn("mase",
+        when(col("mae_naive1") > 0,
+          round(col("mae_seasonal") / col("mae_naive1"), 4) + lit(0.0)))
+  }
+
   def gapFillDaily(df: DataFrame, entityCol: String, tsCol: String,
       idCol: String, valueCol: String): DataFrame = {
     val daySec = 86400L
