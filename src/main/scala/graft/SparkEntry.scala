@@ -1539,6 +1539,23 @@ object SparkEntry {
           min(col("day_n")).as("min_day"), max(col("day_n")).as("max_day"))
     }),
 
+    // Per-group equi-width histogram: a partial-aggregatable bounds pass
+    // (one row per group) broadcast back, then a map-side bucket expression
+    // and one partial-aggregatable (group, bin) count — the numeric
+    // distribution-shape profile of a drift/quality dashboard.
+    "q_histogram_grouped" -> ((s, dir) =>
+      operators.DataQuality.histogram(table(s, dir, "orders"),
+          col("o_orderpriority"), col("o_totalprice"), nBins = 8)
+        .withColumn("bin", col("bin").cast("long"))),
+
+    // Seasonal-naive forecast backtest (MASE, Hyndman & Koehler 2006): one
+    // partial-aggregatable daily total, two CALENDAR-lag self-joins of the
+    // (entity × day) daily table, one keyed aggregate — row lags would
+    // silently shift seasons across gaps.
+    "ts_seasonal_naive" -> ((s, dir) =>
+      operators.TimeSeries.seasonalNaiveBacktest(
+        table(s, dir, "events"), "event_type", "ts", "value", seasonDays = 7)),
+
     // Explicit GROUPING SETS (beyond cube/rollup): per-type totals, per-day
     // totals, and the grand total in one pass, disambiguated by
     // grouping_id — partial aggregation applies per set, one shuffle.
@@ -2164,6 +2181,55 @@ object SparkEntry {
           |             + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4) + 0.0
           |  END AS df_welch
           |FROM g""".stripMargin,
+
+      // the bin expression replays Spark's exact left-associated double
+      // arithmetic ((v-lo)*n/(hi-lo)); hi clamps into bin nBins via least
+      // in both engines, so bucket edges can never disagree
+      "q_histogram_grouped" ->
+        """WITH r AS (SELECT o_orderpriority AS g,
+          |                  CAST(o_totalprice AS DOUBLE) AS v
+          |           FROM orders WHERE o_totalprice IS NOT NULL),
+          |b AS (SELECT g, min(v) AS lo, max(v) AS hi FROM r GROUP BY 1),
+          |x AS (SELECT r.g,
+          |        CASE WHEN b.hi = b.lo THEN 1
+          |             ELSE least(8, CAST(floor((r.v - b.lo) * 8 / (b.hi - b.lo))
+          |                           AS INT) + 1) END AS bin
+          |      FROM r JOIN b ON r.g = b.g),
+          |c AS (SELECT g, CAST(bin AS BIGINT) AS bin,
+          |             CAST(count(*) AS BIGINT) AS cnt
+          |      FROM x GROUP BY 1, 2)
+          |SELECT c.g AS grp, c.bin, c.cnt,
+          |       round(b.lo, 6) + 0.0 AS lo, round(b.hi, 6) + 0.0 AS hi
+          |FROM c JOIN b ON c.g = b.g""".stripMargin,
+
+      // calendar lags via day-shifted self-joins (a row-based lag(7) would
+      // shift across gaps); mase divides the already-4dp-rounded MAEs in
+      // both engines, so the only tolerated drift is the shared rounding
+      "ts_seasonal_naive" ->
+        """WITH d AS (
+          |  SELECT event_type,
+          |         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0)
+          |              AS BIGINT) AS day,
+          |         round(sum(value), 4) + 0.0 AS y
+          |  FROM events GROUP BY 1, 2),
+          |s AS (
+          |  SELECT d.event_type, d.day, d.y, s7.y AS ys, s1.y AS y1
+          |  FROM d
+          |  LEFT JOIN d s7 ON s7.event_type = d.event_type
+          |                AND s7.day = d.day - 7
+          |  LEFT JOIN d s1 ON s1.event_type = d.event_type
+          |                AND s1.day = d.day - 1),
+          |m AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          |         CAST(count(ys) AS BIGINT) AS n_scored,
+          |         round(avg(abs(y - ys)), 4) + 0.0 AS mae_seasonal,
+          |         round(avg(abs(y - y1)), 4) + 0.0 AS mae_naive1
+          |  FROM s GROUP BY 1)
+          |SELECT event_type, n_days, n_scored, mae_seasonal, mae_naive1,
+          |       CASE WHEN mae_naive1 > 0
+          |            THEN round(mae_seasonal / mae_naive1, 4) + 0.0
+          |       END AS mase
+          |FROM m""".stripMargin,
 
       // the same fixed-order log-odds sum; thresholding happens on the
       // ROUNDED score in both engines, so band membership can't drift

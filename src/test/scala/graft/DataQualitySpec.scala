@@ -224,4 +224,23 @@ class DataQualitySpec extends AnyFunSuite {
     assert(out("h")._3 === None && out("h")._4 === None)
     assert(out("z")._3 === None && out("z")._4 === None)
   }
+
+  test("histogram buckets per group over the group's own range") {
+    import spark.implicits._
+    // group a: 0..8 over 4 bins of width 2; hi itself clamps into bin 4.
+    // group b: constant value → single bin 1. Nulls are dropped.
+    val rows = ((0 to 8).map(v => ("a", Some(v.toDouble))) ++
+      Seq.fill(3)(("b", Some(5.0))) :+ (("b", None)))
+      .toDF("g", "v")
+    val out = DataQuality.histogram(rows, col("g"), col("v"), nBins = 4)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Int]("bin")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Double]("lo"), r.getAs[Double]("hi"))))
+      .toMap
+    assert(out === Map(
+      ("a", 1) -> ((2L, 0.0, 8.0)), ("a", 2) -> ((2L, 0.0, 8.0)),
+      ("a", 3) -> ((2L, 0.0, 8.0)), ("a", 4) -> ((3L, 0.0, 8.0)),
+      ("b", 1) -> ((3L, 5.0, 5.0))))
+    intercept[IllegalArgumentException](
+      DataQuality.histogram(rows, col("g"), col("v"), nBins = 0))
+  }
 }

@@ -276,4 +276,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TimeSeries.cusum(ev, "k", "ts", "value", slack = 0.0, threshold = 0.0))
   }
+
+  test("seasonalNaiveBacktest scores calendar lags, skipping missing days") {
+    import spark.implicits._
+    // e: daily totals 1,2,3,4,5 on days 0..4 (day 0 split into two rows to
+    // exercise the daily sum). season=2 → seasonal errors |3-1|,|4-2|,|5-3|
+    // (MAE 2), naive-1 errors |2-1|..|5-4| (MAE 1) → mase 2.
+    // g: days 0,1,3 — day 3's naive-1 lag (day 2) is MISSING, so it is
+    //    excluded; the seasonal lag (day 1) exists and scores |9-2|.
+    // c: constant series → both MAEs 0 → mase NULL (not a division blowup).
+    val ev = (Seq(
+      ("e", 0L * 86400 + 10, 0.4), ("e", 0L * 86400 + 20, 0.6),
+      ("e", 1L * 86400, 2.0), ("e", 2L * 86400, 3.0),
+      ("e", 3L * 86400, 4.0), ("e", 4L * 86400, 5.0),
+      ("g", 0L, 1.0), ("g", 86400L, 2.0), ("g", 3L * 86400, 9.0)) ++
+      Seq(0L, 86400L, 2L * 86400).map(t => ("c", t, 7.0)))
+      .map { case (k, t, v) => (k, new Timestamp(t * 1000L), v) }
+      .toDF("k", "ts", "value")
+    val out = TimeSeries.seasonalNaiveBacktest(ev, "k", "ts", "value",
+        seasonDays = 2)
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_scored"),
+          Option(r.getAs[java.lang.Double]("mae_seasonal")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("mae_naive1")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("mase")).map(_.doubleValue)))).toMap
+    assert(out("e") === ((5L, 3L, Some(2.0), Some(1.0), Some(2.0))))
+    assert(out("g") === ((3L, 1L, Some(7.0), Some(1.0), Some(7.0))))
+    assert(out("c") === ((3L, 1L, Some(0.0), Some(0.0), None)))
+    intercept[IllegalArgumentException](
+      TimeSeries.seasonalNaiveBacktest(ev, "k", "ts", "value", seasonDays = 1))
+  }
 }
