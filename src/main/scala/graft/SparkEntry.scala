@@ -1548,6 +1548,41 @@ object SparkEntry {
           col("o_orderpriority"), col("o_totalprice"), nBins = 8)
         .withColumn("bin", col("bin").cast("long"))),
 
+    // Chi-square independence per day-of-week: does the user-bucket
+    // "variant" shift WHICH event types occur (categorical outcome), where
+    // q_ab_test covers numeric shift? One (grp,a,b) cell count; margins
+    // derive from the collapsed cells. The generator assigns types
+    // independently of user, so chi2 stays near dof here; the spec drives
+    // a genuinely dependent fixture.
+    "q_chi_square" -> ((s, dir) =>
+      operators.DataQuality.chiSquareIndependence(
+          table(s, dir, "events").filter(col("user_id").isNotNull),
+          pmod(expr("cast(ts as bigint) div 86400"), lit(7)),
+          pmod(col("user_id"), lit(2)) === 0, col("event_type"))
+        .withColumnRenamed("grp", "dow")),
+
+    // Jensen-Shannon divergence of the event-type MIX between user
+    // cohorts — the categorical twin of q_drift_psi (numeric PSI).
+    // Bounded, symmetric, smoothing-free; JSD = sum of contribs.
+    "q_js_drift" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      operators.DataQuality.jsDivergence(
+        e.filter(pmod(col("user_id"), lit(2)) === 0),
+        e.filter(pmod(col("user_id"), lit(2)) =!= 0),
+        col("event_type"))
+    }),
+
+    // Reliability diagram + ECE: treat value's fractional part as a [0,1)
+    // "classifier score" for is-purchase and audit whether it is
+    // calibrated (it is not — flat acc across bins — which is exactly
+    // what the readout should show for an uninformative score).
+    "q_calibration" -> ((s, dir) =>
+      operators.DataQuality.calibrationReport(
+          table(s, dir, "events").filter(col("value").isNotNull),
+          col("value") - floor(col("value")),
+          col("event_type") === "purchase", nBins = 10)
+        .withColumn("bin", col("bin").cast("long"))),
+
     // Seasonal-naive forecast backtest (MASE, Hyndman & Koehler 2006): one
     // partial-aggregatable daily total, two CALENDAR-lag self-joins of the
     // (entity × day) daily table, one keyed aggregate — row lags would
@@ -2201,6 +2236,84 @@ object SparkEntry {
           |SELECT c.g AS grp, c.bin, c.cnt,
           |       round(b.lo, 6) + 0.0 AS lo, round(b.hi, 6) + 0.0 AS hi
           |FROM c JOIN b ON c.g = b.g""".stripMargin,
+
+      // the chi2 sum replays Spark's exact double casts and association
+      // order; unobserved cells are folded in via sum(o^2/e) - n, so both
+      // engines only touch observed cells
+      "q_chi_square" ->
+        """WITH r AS (
+          |  SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0)
+          |              AS BIGINT) % 7 AS g,
+          |         (user_id % 2 = 0) AS a, event_type AS b
+          |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+          |c AS (SELECT g, a, b, CAST(count(*) AS BIGINT) AS o
+          |      FROM r GROUP BY 1, 2, 3),
+          |a_t AS (SELECT g, a, CAST(sum(o) AS BIGINT) AS na FROM c GROUP BY 1, 2),
+          |b_t AS (SELECT g, b, CAST(sum(o) AS BIGINT) AS nb FROM c GROUP BY 1, 2),
+          |g_t AS (SELECT g, CAST(sum(o) AS BIGINT) AS n,
+          |               CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+          |               CAST(count(DISTINCT b) AS BIGINT) AS n_b
+          |        FROM c GROUP BY 1)
+          |SELECT g_t.g AS dow, g_t.n, g_t.n_a, g_t.n_b,
+          |       CAST((g_t.n_a - 1) * (g_t.n_b - 1) AS BIGINT) AS dof,
+          |       CASE WHEN (g_t.n_a - 1) * (g_t.n_b - 1) > 0 THEN
+          |         round(sum(CAST(c.o AS DOUBLE) * CAST(c.o AS DOUBLE) *
+          |                   CAST(g_t.n AS DOUBLE) /
+          |                   (CAST(a_t.na AS DOUBLE) * CAST(b_t.nb AS DOUBLE)))
+          |               - g_t.n, 4) + 0.0
+          |       END AS chi2
+          |FROM c
+          |JOIN a_t ON c.g = a_t.g AND c.a = a_t.a
+          |JOIN b_t ON c.g = b_t.g AND c.b = b_t.b
+          |JOIN g_t ON c.g = g_t.g
+          |GROUP BY g_t.g, g_t.n, g_t.n_a, g_t.n_b""".stripMargin,
+
+      // p = 0 contributes exactly 0 through the CASE (continuity), so no
+      // smoothing constant exists to disagree on; / on integers is double
+      // division in both engines
+      "q_js_drift" ->
+        """WITH r AS (SELECT event_type AS cat, CAST(count(*) AS BIGINT) AS n_ref
+          |           FROM events
+          |           WHERE user_id % 2 = 0 AND event_type IS NOT NULL
+          |           GROUP BY 1),
+          |c AS (SELECT event_type AS cat, CAST(count(*) AS BIGINT) AS n_cur
+          |      FROM events
+          |      WHERE user_id % 2 <> 0 AND event_type IS NOT NULL
+          |      GROUP BY 1),
+          |j AS (SELECT coalesce(r.cat, c.cat) AS cat,
+          |             CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+          |             CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+          |      FROM r FULL OUTER JOIN c ON r.cat = c.cat),
+          |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+          |SELECT cat, n_ref, n_cur,
+          |  round((CASE WHEN n_ref / tr > 0
+          |              THEN (n_ref / tr) *
+          |                   ln((n_ref / tr) / ((n_ref / tr + n_cur / tc) / 2))
+          |              ELSE 0.0 END +
+          |         CASE WHEN n_cur / tc > 0
+          |              THEN (n_cur / tc) *
+          |                   ln((n_cur / tc) / ((n_ref / tr + n_cur / tc) / 2))
+          |              ELSE 0.0 END) / 2, 6) + 0.0 AS contrib
+          |FROM j, t""".stripMargin,
+
+      // conf and acc round at 4dp BEFORE the |diff| in both engines, so
+      // the 6dp ece_contrib runs on already-stable inputs; score 1.0
+      // clamps into the top bin via least in both
+      "q_calibration" ->
+        """WITH r AS (SELECT value - floor(value) AS s,
+          |                  CAST(event_type = 'purchase' AS INT) AS y
+          |           FROM events
+          |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+          |b AS (SELECT CAST(least(10, CAST(floor(s * 10) AS INT) + 1) AS BIGINT)
+          |               AS bin,
+          |             CAST(count(*) AS BIGINT) AS n,
+          |             round(avg(s), 4) + 0.0 AS conf,
+          |             round(avg(CAST(y AS DOUBLE)), 4) + 0.0 AS acc
+          |      FROM r GROUP BY 1),
+          |t AS (SELECT sum(n) AS tot FROM b)
+          |SELECT bin, n, conf, acc,
+          |       round(n / tot * abs(conf - acc), 6) + 0.0 AS ece_contrib
+          |FROM b, t""".stripMargin,
 
       // calendar lags via day-shifted self-joins (a row-based lag(7) would
       // shift across gaps); mase divides the already-4dp-rounded MAEs in

@@ -386,4 +386,130 @@ object DataQuality {
         round(first(col("__dq_mad")), 6).as("mad"))
       .withColumnRenamed("__dq_g", "grp")
   }
+
+  /**
+   * Pearson chi-square test of independence between two categorical
+   * columns, per group — the A/B readout for CATEGORICAL outcomes (did the
+   * variant shift which event types users produce?), complementing
+   * [[welchTTest]] which covers numeric outcomes. Returns (grp, n, n_a,
+   * n_b, dof, chi2) with dof = (n_a−1)(n_b−1); chi2 is NULL when dof = 0
+   * (a degenerate table has no test).
+   *
+   * Uses the algebraic identity Σ_cells (o−e)²/e = Σ_observed o²/e − N
+   * (cells with o = 0 contribute exactly their expected mass, which the
+   * −N term accounts for), so unobserved cells never need generating —
+   * the computation touches only cells that actually occur.
+   *
+   * Shape: ONE partial-aggregatable (grp, a, b) count shuffle over raw
+   * data; margins and totals all derive from that collapsed cell table
+   * (≤ |A|·|B| rows per group) via broadcast joins. Nulls in either
+   * column are excluded (they are completeness failures, not categories).
+   */
+  def chiSquareIndependence(df: DataFrame, groupCol: Column, aCol: Column,
+      bCol: Column): DataFrame = {
+    val cells = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(groupCol.as("__dq_g"), aCol.as("__dq_a"), bCol.as("__dq_b"))
+      .agg(count(lit(1)).as("__dq_o"))
+    val aTot = cells.groupBy(col("__dq_g"), col("__dq_a"))
+      .agg(sum(col("__dq_o")).as("__dq_na"))
+    val bTot = cells.groupBy(col("__dq_g"), col("__dq_b"))
+      .agg(sum(col("__dq_o")).as("__dq_nb"))
+    val gTot = cells.groupBy(col("__dq_g"))
+      .agg(sum(col("__dq_o")).as("__dq_n"),
+        count_distinct(col("__dq_a")).as("__dq_ka"),
+        count_distinct(col("__dq_b")).as("__dq_kb"))
+    cells
+      .join(broadcast(aTot), Seq("__dq_g", "__dq_a"))
+      .join(broadcast(bTot), Seq("__dq_g", "__dq_b"))
+      .join(broadcast(gTot), Seq("__dq_g"))
+      .groupBy(col("__dq_g"))
+      .agg(first(col("__dq_n")).as("n"),
+        first(col("__dq_ka")).as("n_a"),
+        first(col("__dq_kb")).as("n_b"),
+        // explicit double casts in fixed association order: long·long·long
+        // would overflow at scale, and the SQL oracle replays the exact
+        // same IEEE operation sequence so the 4dp round can't diverge
+        sum(col("__dq_o").cast("double") * col("__dq_o").cast("double") *
+          col("__dq_n").cast("double") /
+          (col("__dq_na").cast("double") * col("__dq_nb").cast("double")))
+          .as("__dq_s"))
+      .select(col("__dq_g").as("grp"), col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        when((col("n_a") - 1) * (col("n_b") - 1) > 0,
+          round(col("__dq_s") - col("n"), 4) + lit(0.0)).as("chi2"))
+  }
+
+  /**
+   * Jensen–Shannon divergence between two CATEGORICAL distributions —
+   * the drift monitor for label/source/type mixes, complementing
+   * [[populationStability]] which buckets numeric values. Symmetric and
+   * bounded in [0, ln 2], and needs no smoothing: a category absent on
+   * one side contributes ½·p·ln 2 through the mixture, never ±∞ (the
+   * p = 0 branch of p·ln(p/m) is 0 by continuity, encoded as a `when`).
+   *
+   * Output: one row per category — (cat, n_ref, n_cur, contrib) with
+   * contrib rounded at 6dp; JSD = Σ contrib.
+   *
+   * Shape: two partial-aggregatable category counts (map-side combine
+   * absorbs hot categories), a full outer join on the ≤ |categories|
+   * collapsed rows, and one broadcast one-row total — raw data is scanned
+   * once per side and never shuffled.
+   */
+  def jsDivergence(ref: DataFrame, cur: DataFrame, catCol: Column): DataFrame = {
+    def counted(df: DataFrame, cntName: String): DataFrame =
+      df.filter(catCol.isNotNull).groupBy(catCol.as("cat"))
+        .agg(count(lit(1)).as(cntName))
+    val joined = counted(ref, "n_ref")
+      .join(counted(cur, "n_cur"), Seq("cat"), "full_outer")
+      .select(col("cat"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("__js_tr"),
+      sum(col("n_cur")).as("__js_tc"))
+    val p = col("n_ref") / col("__js_tr")
+    val q = col("n_cur") / col("__js_tc")
+    val m = (p + q) / 2
+    val term = (x: Column) => when(x > 0, x * log(x / m)).otherwise(lit(0.0))
+    joined.crossJoin(broadcast(tot))
+      .select(col("cat"), col("n_ref"), col("n_cur"),
+        (round((term(p) + term(q)) / 2, 6) + lit(0.0)).as("contrib"))
+  }
+
+  /**
+   * Reliability diagram + expected calibration error (Naeini et al. 2015):
+   * bin a classifier's [0, 1] scores into `nBins` equal-width bins; per
+   * bin report n, mean predicted score (confidence), observed positive
+   * rate (accuracy), and the bin's weighted |conf − acc| contribution —
+   * ECE = Σ contribs. The readout that decides whether a quality/toxicity
+   * classifier's scores can be thresholded as probabilities, run before
+   * using any model-scored filter in a curation pipeline.
+   *
+   * Bin arithmetic is `least(nBins, floor(score·nBins) + 1)` — score 1.0
+   * clamps into the top bin ([[histogram]]'s closed-top convention).
+   * conf and acc round at 4dp BEFORE the |diff|, so the contribution is
+   * computed from already-engine-stable inputs; contribs round at 6dp.
+   *
+   * Shape: one partial-aggregatable (bin) aggregate over a map-side bin
+   * projection, plus one broadcast one-row total — one scan, shuffle
+   * ≤ nBins rows.
+   */
+  def calibrationReport(df: DataFrame, scoreCol: Column, labelCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"calibrationReport: nBins must be >= 1, got $nBins")
+    val rows = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("double").as("__dq_s"),
+        labelCol.cast("boolean").cast("int").as("__dq_y"))
+    val binned = rows
+      .select(least(lit(nBins), floor(col("__dq_s") * nBins).cast("int") + 1)
+        .as("bin"), col("__dq_s"), col("__dq_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        (round(avg(col("__dq_s")), 4) + lit(0.0)).as("conf"),
+        (round(avg(col("__dq_y").cast("double")), 4) + lit(0.0)).as("acc"))
+    val tot = binned.agg(sum(col("n")).as("__dq_tot"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("conf"), col("acc"),
+        (round(col("n") / col("__dq_tot") * abs(col("conf") - col("acc")), 6)
+          + lit(0.0)).as("ece_contrib"))
+  }
 }

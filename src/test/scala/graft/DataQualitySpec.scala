@@ -243,4 +243,67 @@ class DataQualitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       DataQuality.histogram(rows, col("g"), col("v"), nBins = 0))
   }
+
+  test("chiSquareIndependence matches the textbook 2x2 statistic") {
+    import spark.implicits._
+    // g: 10/20/20/10 — expected 15 per cell, chi2 = 4·25/15 = 6.6667, dof 1.
+    // i: perfectly independent 2/2/2/2 → chi2 = 0.
+    // h: one outcome category only → dof 0 → chi2 NULL, not 0.
+    val rows = (
+      Seq.fill(10)(("g", true, "x")) ++ Seq.fill(20)(("g", true, "y")) ++
+      Seq.fill(20)(("g", false, "x")) ++ Seq.fill(10)(("g", false, "y")) ++
+      Seq.fill(2)(("i", true, "x")) ++ Seq.fill(2)(("i", true, "y")) ++
+      Seq.fill(2)(("i", false, "x")) ++ Seq.fill(2)(("i", false, "y")) ++
+      Seq.fill(3)(("h", true, "x")) :+ (("h", false, "x")))
+      .toDF("g", "a", "b")
+    val out = DataQuality.chiSquareIndependence(rows, col("g"), col("a"), col("b"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("dof"),
+          Option(r.getAs[java.lang.Double]("chi2")).map(_.doubleValue)))).toMap
+    assert(out("g") === ((60L, 2L, 2L, 1L, Some(6.6667))))
+    assert(out("i") === ((8L, 2L, 2L, 1L, Some(0.0))))
+    assert(out("h") === ((4L, 2L, 1L, 0L, None)))
+  }
+
+  test("jsDivergence is 0 on identical mass and finite on one-sided cats") {
+    import spark.implicits._
+    // ref {a,a,b,b} vs cur {a,a,c,c}: a contributes 0 (same mass); b and c
+    // each appear on ONE side only and still contribute the finite
+    // (1/2)·(1/2)·ln 2 — the no-smoothing-needed property under test.
+    val ref = Seq("a", "a", "b", "b").toDF("cat")
+    val cur = Seq("a", "a", "c", "c").toDF("cat")
+    val out = DataQuality.jsDivergence(ref, cur, col("cat"))
+      .collect().map(r => r.getAs[String]("cat") ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Double]("contrib")))).toMap
+    assert(out === Map(
+      "a" -> ((2L, 2L, 0.0)),
+      "b" -> ((2L, 0L, 0.173287)),
+      "c" -> ((0L, 2L, 0.173287))))
+    // total JSD = ln2 / 2 for half the mass swapping category
+    assert(math.abs(out.values.map(_._3).sum - math.log(2) / 2) < 1e-5)
+  }
+
+  test("calibrationReport bins scores, clamps 1.0, and weights ECE by mass") {
+    import spark.implicits._
+    // bin 1: scores .1/.3 (conf .2), labels F/T (acc .5) → |.3|·2/5 = .12
+    // bin 2: scores .6/.9/1.0 (1.0 clamps in), conf .8333, acc 1.0
+    //        → |.1667|·3/5 = .10002. Null score and null label drop.
+    val rows = Seq(
+      (Some(0.1), Some(false)), (Some(0.3), Some(true)),
+      (Some(0.6), Some(true)), (Some(0.9), Some(true)),
+      (Some(1.0), Some(true)),
+      (None, Some(true)), (Some(0.5), None))
+      .toDF("s", "y")
+    val out = DataQuality.calibrationReport(rows, col("s"), col("y"), nBins = 2)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("conf"), r.getAs[Double]("acc"),
+          r.getAs[Double]("ece_contrib")))).toMap
+    assert(out === Map(
+      1 -> ((2L, 0.2, 0.5, 0.12)),
+      2 -> ((3L, 0.8333, 1.0, 0.10002))))
+    intercept[IllegalArgumentException](
+      DataQuality.calibrationReport(rows, col("s"), col("y"), nBins = 0))
+  }
 }
