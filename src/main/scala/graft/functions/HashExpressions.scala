@@ -291,6 +291,80 @@ case class CharNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/**
+ * Character n-grams of a string COUNTED per row, as
+ * ARRAY<STRUCT<g: STRING, cnt: BIGINT>> — the map-side-combined sibling of
+ * [[CharNgrams]]. `explode(char_ngrams(text))` followed by a
+ * `groupBy(doc, g).count()` shuffles one row per gram INSTANCE (a
+ * corpus-sized exchange: ~|text| rows per document); exploding this
+ * expression's output yields the already-distinct (gram, count) pairs with
+ * NO shuffle at all — per-document counting is row-local work, exactly
+ * where it belongs at 100 TB. Slicing is by CODEPOINT (`substringSQL`,
+ * identical to SQL `substring`), so gram strings match [[CharNgrams]] and
+ * the DuckDB oracle byte-for-byte. Strings shorter than n yield an empty
+ * array. Pair order is first-occurrence (deterministic), though downstream
+ * aggregates never depend on it.
+ */
+case class NgramCountPairs(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"ngram_count_pairs: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ngram_count_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramCountPairs.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NgramCountPairs.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramCountPairs =
+    copy(child = newChild)
+}
+
+object NgramCountPairs {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** (gram, count) pairs over all length-n codepoint windows of `s`, keyed
+   * by first occurrence; callable from generated code. */
+  def compute(s: UTF8String, n: Int): GenericArrayData = {
+    val chars = s.numChars()
+    if (chars < n) return new GenericArrayData(Array.empty[Any])
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    val windows = chars - n + 1
+    var i = 0
+    while (i < windows) {
+      val g = s.substringSQL(i + 1, n)
+      val c = m.get(g)
+      if (c == null) m.put(g, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue()(0))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object CharNgrams {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -390,4 +464,7 @@ object HashExpressions {
     Bridge.column(WordShingleHashes(Bridge.expression(text), n))
   def charNgrams(text: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(text), n))
+
+  def ngramCountPairs(text: Column, n: Int): Column =
+    Bridge.column(NgramCountPairs(Bridge.expression(text), n))
 }

@@ -359,21 +359,26 @@ object TextAnalysis {
    * count aggregate (the "training"), then a trigram→model join + per-doc
    * mean — no model artifact, no UDF, fully oracle-expressible.
    *
-   * Scale: shuffle carries (doc_id, 3-char gram) and the model table is
-   * |distinct trigrams| (≤ charset³, effectively ~100k for web text) — it
-   * BROADCASTS; the scorer is map-side after the broadcast. `avg_logp` is
-   * rounded to 4 decimals so parallel summation order cannot leak into
-   * comparisons.
+   * Scale: per-doc gram counting is ROW-LOCAL (ngram_count_pairs), so no
+   * corpus-sized exchange exists; the only shuffle is the model aggregate
+   * over |distinct trigrams| (≤ charset³, effectively ~100k for web text),
+   * which BROADCASTS; the scorer is map-side after the broadcast.
+   * `avg_logp` is rounded to 4 decimals so parallel summation order cannot
+   * leak into comparisons.
    */
   def trigramLogLikelihood(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // per-(doc, gram) counts ONCE, materialized: both the model aggregate
-    // and the scorer read this frame — extraction and the widest shuffle
-    // happen a single time, and downstream rows are distinct (doc, gram)
-    // pairs rather than gram instances
+    // per-(doc, gram) counts computed ROW-LOCALLY by the codegen'd
+    // ngram_count_pairs expression and materialized once: the old
+    // explode-then-groupBy(doc, g) formulation shuffled one row per gram
+    // INSTANCE (a corpus-sized exchange); counting inside the row leaves
+    // only distinct (doc, gram) pairs, with no shuffle at all before the
+    // bounded model aggregate
     val docGrams = graft.Materialize(
-      df.select(col(idCol), explode(charTrigrams(col(textCol))).as("g"))
-        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("doc_cnt")))
+      df.select(col(idCol),
+          explode(graft.functions.HashExpressions.ngramCountPairs(
+            col(textCol), 3)).as("__p"))
+        .select(col(idCol), col("__p.g").as("g"), col("__p.cnt").as("doc_cnt")))
     val model = docGrams.groupBy(col("g")).agg(sum(col("doc_cnt")).as("cnt"))
     val total = model.agg(sum(col("cnt")).as("total"))
     // mean over gram INSTANCES = Σ doc_cnt·logp / Σ doc_cnt
@@ -399,17 +404,18 @@ object TextAnalysis {
    * negative (finite) term.
    *
    * Shape: identical to [[trigramLogLikelihood]] — one materialized
-   * (doc, gram) count frame feeds both models (bounded: ≤ charset³ rows,
-   * they broadcast) and the scorer; the only corpus-sized shuffle is the
-   * gram-count aggregate.
+   * (doc, gram) count frame (row-local counting, no corpus-sized shuffle)
+   * feeds both models (bounded: ≤ charset³ rows, they broadcast) and the
+   * scorer.
    */
   def importanceWeights(df: DataFrame, targetPred: Column,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val docGrams = graft.Materialize(
       df.select(col(idCol), targetPred.as("__is_tgt"),
-          explode(charTrigrams(col(textCol))).as("g"))
-        .groupBy(col(idCol), col("__is_tgt"), col("g"))
-        .agg(count(lit(1)).as("doc_cnt")))
+          explode(graft.functions.HashExpressions.ngramCountPairs(
+            col(textCol), 3)).as("__p"))
+        .select(col(idCol), col("__is_tgt"),
+          col("__p.g").as("g"), col("__p.cnt").as("doc_cnt")))
     val src = docGrams.groupBy(col("g")).agg(sum(col("doc_cnt")).as("scnt"))
     val sTotV = src.agg(sum(col("scnt")).as("stotal"),
       count(lit(1)).as("vocab"))

@@ -114,6 +114,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql === Seq("abc", "bcd"))
   }
 
+  test("ngram_count_pairs equals explode(char_ngrams) + groupBy counts") {
+    val texts = Seq("", "a", "ab", "abc", "abab", "aaaa", "héllo wörld",
+      "日本語のテキスト", "banana banana", "emoji 😀😀 text")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val viaPairs = df.select(col("id"),
+        explode(graft.functions.HashExpressions.ngramCountPairs(col("t"), 3)).as("p"))
+      .select(col("id"), col("p.g"), col("p.cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaGroup = df.select(col("id"),
+        explode(graft.functions.HashExpressions.charNgrams(col("t"), 3)).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaPairs === viaGroup)
+    // repeat counting: "abab" has ONE distinct pair per gram with count 1
+    // each ("aba", "bab"), "aaaa" collapses to ("aaa" -> 2)
+    assert(viaPairs((5L, "aaa")) === 2L)
+    // null text → null array → explode drops the row, same as char_ngrams
+    val nulls = Seq((0L, Option.empty[String])).toDF("id", "t")
+      .select(explode(graft.functions.HashExpressions.ngramCountPairs(col("t"), 3)))
+      .count()
+    assert(nulls === 0L)
+  }
+
   test("float_dot handles length mismatch and empty arrays") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(10.0f, 20.0f)), (Seq.empty[Float], Seq(1.0f)))
       .toDF("a", "b")
