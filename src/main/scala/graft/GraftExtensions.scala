@@ -14,7 +14,8 @@ import graft.functions.{CharNgrams, FloatDotProduct, MinHashSignature, SimHash64
  *
  * Functions: `float_dot(a, b)`, `simhash64(hashes)`, `minhash_sig(hashes, k)`,
  * `word_shingle_hashes(text, n)`, `char_ngrams(text, n)`,
- * `sliding_min(arr, w)`, `hilbert_key(x, y, bits)`.
+ * `sliding_min(arr, w)`, `hilbert_key(x, y, bits)`, `deflate_size(data)`,
+ * `ngram_count_pairs(text, n)`.
  * Optimizer rules: [[graft.plans.CollectSetSizeToCountDistinct]].
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -52,6 +53,13 @@ object GraftExtensions {
     "sliding_min" -> (info("sliding_min",
       "sliding_min(arr, w) - per-window minima of ARRAY<BIGINT> (winnowing pass)"),
       (es: Seq[Expression]) => SlidingMin(es(0), kLiteral("sliding_min", es(1)))),
+    "deflate_size" -> (info("deflate_size",
+      "deflate_size(data) - raw-DEFLATE byte count of STRING/BINARY (compressibility signal)"),
+      (es: Seq[Expression]) => graft.functions.DeflateSize(es(0))),
+    "ngram_count_pairs" -> (info("ngram_count_pairs",
+      "ngram_count_pairs(text, n) - per-row (gram, count) pairs over codepoint n-grams"),
+      (es: Seq[Expression]) => graft.functions.NgramCountPairs(
+        es(0), kLiteral("ngram_count_pairs", es(1)))),
     "hilbert_key" -> (info("hilbert_key",
       "hilbert_key(x, y, bits) - Hilbert-curve index of a 2-D point (layout key)"),
       // cast like the Column API does, so INT columns work from SQL too

@@ -397,6 +397,13 @@ object SparkEntry {
       TextAnalysis.repetitionStats(structured, "doc_id", "t")
     }),
 
+    // Compressibility quality signal (deflate ratio): boilerplate → ~0,
+    // pasted high-entropy junk → ~1, prose mid-band. Row-local codegen'd
+    // expression; rows-only (no deflate in the oracle engine) — orderings
+    // and edge cases are spec-pinned instead.
+    "text_compress" -> ((s, dir) =>
+      TextAnalysis.compressionSignals(table(s, dir, "documents"))),
+
     // Flagship end-to-end curation pipeline — the composition a training-data
     // run would execute as ONE query: exact-dedup to canonical docs
     // (reusing Dedup.exact), quality + language gates, PII redaction, final

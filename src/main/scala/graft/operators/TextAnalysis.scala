@@ -439,6 +439,31 @@ object TextAnalysis {
         (round(sum(col("wlogw")) / sum(col("doc_cnt")), 4) + lit(0.0)).as("logw"))
   }
 
+  /**
+   * Compressibility quality signals per document: UTF-8 byte length, raw
+   * DEFLATE size ([[graft.functions.DeflateSize]]), and their ratio —
+   * the Gopher/MassiveText-family heuristic that catches what token
+   * statistics miss: templated/boilerplate text compresses to a tiny
+   * fraction of its size (ratio → 0), while encrypted/binary junk pasted
+   * into a "text" field barely compresses (ratio → 1); natural prose sits
+   * in a stable mid band. Empty docs report ratio NULL (no evidence, not
+   * perfect compressibility).
+   *
+   * Shape: pure row-local projection — one codegen'd expression per row,
+   * no shuffle, no driver state; trivially 100 TB-safe. Not
+   * oracle-expressible (no deflate in the oracle engine): rows-only, with
+   * the orderings and edge cases pinned by spec.
+   */
+  def compressionSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        graft.functions.CompressExpressions.deflateSize(col(textCol))
+          .as("deflate_bytes"))
+      .withColumn("ratio", when(col("n_bytes") > 0,
+        round(col("deflate_bytes").cast("double") / col("n_bytes"), 4)
+          + lit(0.0)))
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
    * md5 is bit-identical across engines (unlike xxhash64/DuckDB hash), so
    * it doubles as the exact-dedup key the oracle can recompute. */

@@ -425,4 +425,43 @@ class TextAnalysisSpec extends AnyFunSuite {
       .head()
     assert(neg.getAs[Double]("logit") === -0.5 && !neg.getAs[Boolean]("label"))
   }
+
+  test("compressionSignals: boilerplate compresses, noise doesn't, empty is NULL") {
+    import spark.implicits._
+    // deterministic "high-entropy" text: hex of a seeded hash chain — no
+    // RNG, same bytes every run
+    val noise = (0 until 200).map(i =>
+      java.lang.Long.toHexString(
+        graft.functions.HashMix.mix64(i.toLong + 42L))).mkString
+    val docs = Seq(
+      (1L, "ab" * 2000),                      // pure repetition
+      (2L, ("the quick brown fox jumps over the lazy dog. " * 40) + noise),
+      (3L, noise),                            // incompressible
+      (4L, ""),                               // empty
+      (5L, null.asInstanceOf[String]))        // null text
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionSignals(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.getAs[java.lang.Double]("ratio")).map(_.doubleValue)))).toMap
+    // ordering pin: repetition << prose+noise < noise alone
+    val ratio = (id: Long) => out(id)._3.get
+    assert(ratio(1L) < 0.02, s"repetition ratio ${ratio(1L)}")
+    assert(ratio(1L) < ratio(2L) && ratio(2L) < ratio(3L))
+    assert(ratio(3L) > 0.4, s"noise ratio ${ratio(3L)}")
+    // empty: 0 bytes, 0 deflate, NULL ratio (not 'perfectly compressible')
+    assert(out(4L) === ((Some(0L), Some(0L), None)))
+    // null text: byte length NULL upstream → whole row null-propagated
+    assert(out(5L) === ((None, None, None)))
+    // determinism across evaluations (thread-local deflater reuse)
+    val again = TextAnalysis.compressionSignals(docs)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(again(1L) === Some(out(1L)._2.get) && again(3L) === Some(out(3L)._2.get))
+    // SQL surface
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT deflate_size('aaaaaaaaaaaaaaaaaaaaaaaa')")
+      .head().getLong(0)
+    assert(viaSql > 0L && viaSql < 24L)
+  }
 }
