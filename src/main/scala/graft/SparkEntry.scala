@@ -404,6 +404,16 @@ object SparkEntry {
     "text_compress" -> ((s, dir) =>
       TextAnalysis.compressionSignals(table(s, dir, "documents"))),
 
+    // Curriculum ordering key: easy→hard within each language at decile
+    // granularity, language-proportional in every prefix of the global
+    // ord_key order. One bounded percentile aggregate broadcast back;
+    // assignment is map-side — no global row_number window anywhere.
+    "pipeline_curriculum" -> ((s, dir) =>
+      operators.Sampling.curriculumOrder(
+        table(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        col("doc_id"), col("lang"), col("n_chars"), nBuckets = 10)),
+
     // Flagship end-to-end curation pipeline — the composition a training-data
     // run would execute as ONE query: exact-dedup to canonical docs
     // (reusing Dedup.exact), quality + language gates, PII redaction, final
@@ -2532,6 +2542,25 @@ object SparkEntry {
           |        + 0.5) / 4503599627370496.0) / n_tokens AS k
           |  FROM t WHERE n_tokens > 0)
           |ORDER BY k DESC, doc_id LIMIT 50""".stripMargin,
+
+      // per-stratum quantile boundaries (the PSI bucket idiom) + the same
+      // 52-bit dyadic md5 uniform; (bucket + u) / nBuckets replays Spark's
+      // exact IEEE order before the shared 6dp round
+      "pipeline_curriculum" ->
+        """WITH r AS (SELECT doc_id, lang, n_chars, CAST(n_chars AS DOUBLE) AS d
+          |           FROM documents
+          |           WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+          |b AS (SELECT lang, quantile_cont(d,
+          |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+          |      FROM r GROUP BY 1),
+          |x AS (SELECT r.doc_id, r.lang, r.n_chars,
+          |        CAST(len(list_filter(b.bnds, v -> r.d > v)) AS BIGINT) AS bucket,
+          |        (CAST('0x' || substring(md5(CAST(r.doc_id AS VARCHAR)), 1, 13)
+          |              AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+          |      FROM r JOIN b ON r.lang = b.lang)
+          |SELECT doc_id, lang, n_chars, bucket,
+          |       round((bucket + u) / 10, 6) + 0.0 AS ord_key
+          |FROM x""".stripMargin,
 
       "text_redact" ->
         """WITH pii AS (

@@ -125,6 +125,49 @@ object Sampling {
       .drop("__ws_rank")
   }
 
+  /**
+   * Deterministic curriculum ordering key: sorting by `ord_key` yields a
+   * training order that is (a) easy→hard WITHIN each stratum at
+   * `nBuckets`-quantile granularity and (b) stratum-PROPORTIONAL in every
+   * prefix — bucket b of every stratum holds ~1/nBuckets of that stratum's
+   * mass (per-stratum quantile boundaries), so the first k buckets of the
+   * global order contain ~k/nBuckets of EVERY stratum: no domain is
+   * front-loaded while difficulty still ramps. Within a bucket, rows
+   * spread uniformly by the row key's md5 (the [[hashSample]] 52-bit
+   * dyadic-uniform idiom) — deterministic across runs, partitionings,
+   * and engines.
+   *
+   * Output: (input columns…, bucket, ord_key). The writer pairs it with
+   * `repartitionByRange(ord_key) + sortWithinPartitions` exactly like the
+   * shard emitter — NO global row_number (a single-task window) exists or
+   * is needed; the key itself carries the order.
+   *
+   * Shape: one bounded per-stratum exact-percentile aggregate (≤ strata
+   * rows, broadcast back), then everything is a map-side projection —
+   * curriculum assignment costs one scan and shuffles only the boundary
+   * table. Rows with NULL stratum or difficulty are excluded (they have
+   * no place in the ramp; filter them, don't guess).
+   */
+  def curriculumOrder(df: DataFrame, keyCol: Column, stratumCol: Column,
+      difficultyCol: Column, nBuckets: Int = 20): DataFrame = {
+    require(nBuckets >= 2, s"curriculumOrder: nBuckets must be >= 2, got $nBuckets")
+    val qs = (1 until nBuckets).map(i => (BigDecimal(i) / nBuckets).toString)
+      .mkString(", ")
+    val rows = df.filter(stratumCol.isNotNull && difficultyCol.isNotNull)
+      .withColumn("__cu_s", stratumCol)
+      .withColumn("__cu_d", difficultyCol.cast("double"))
+    val bnds = rows.groupBy(col("__cu_s"))
+      .agg(expr(s"percentile(__cu_d, array($qs))").as("__cu_bnds"))
+    val u = (conv(substring(hexKey(keyCol), 1, 13), 16, 10).cast("long") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52 — exact dyadic, engine-portable
+    rows.join(broadcast(bnds), "__cu_s")
+      .withColumn("bucket",
+        size(filter(col("__cu_bnds"), b => col("__cu_d") > b)).cast("long"))
+      .withColumn("ord_key",
+        round((col("bucket") + u) / nBuckets, 6) + lit(0.0))
+      .drop("__cu_s", "__cu_d", "__cu_bnds")
+  }
+
   /** Per-stratum thresholds (e.g. oversample rare classes): rows in a
    * stratum not listed fall back to `defaultThreshold`. */
   def stratifiedHashSample(df: DataFrame, keyCol: Column, strataCol: Column,

@@ -284,4 +284,45 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("TakeOrderedAndProject"), p.take(300))
   }
+
+  test("curriculumOrder ramps difficulty per stratum and keeps prefixes proportional") {
+    import spark.implicits._
+    // A: difficulties 1..100, B: 1..50 — decile boundaries land between
+    // consecutive integers, so every (stratum, bucket) holds EXACTLY
+    // n_stratum/10 rows: each global prefix of k full buckets contains
+    // k/10 of BOTH strata.
+    val rows = ((1 to 100).map(i => (s"A$i", "A", Some(i.toDouble))) ++
+      (1 to 50).map(i => (s"B$i", "B", Some(i.toDouble))) :+
+      (("null_d", "A", Option.empty[Double])))
+      .toDF("id", "stratum", "d")
+    val out = Sampling.curriculumOrder(rows, col("id"), col("stratum"), col("d"),
+        nBuckets = 10)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[String]("stratum"),
+        r.getAs[Double]("d"), r.getAs[Long]("bucket"), r.getAs[Double]("ord_key")))
+    assert(out.length === 150) // null difficulty dropped
+    // exact equal-mass buckets per stratum
+    val byBucket = out.groupBy(t => (t._2, t._4)).view.mapValues(_.length).toMap
+    (0L to 9L).foreach { b =>
+      assert(byBucket(("A", b)) === 10, s"A bucket $b")
+      assert(byBucket(("B", b)) === 5, s"B bucket $b")
+    }
+    // difficulty ramps: every bucket's max difficulty <= next bucket's min
+    Seq("A", "B").foreach { s =>
+      val ranges = out.filter(_._2 == s).groupBy(_._4).view
+        .mapValues(ts => (ts.map(_._3).min, ts.map(_._3).max)).toMap
+      (0L to 8L).foreach(b =>
+        assert(ranges(b)._2 <= ranges(b + 1)._1, s"$s bucket $b overlap"))
+    }
+    // ord_key lives inside its bucket's [b/10, (b+1)/10) band
+    out.foreach { case (id, _, _, b, k) =>
+      assert(k >= b / 10.0 && k < (b + 1) / 10.0 + 1e-6, s"$id key $k bucket $b")
+    }
+    // deterministic across partitionings
+    val again = Sampling.curriculumOrder(rows.repartition(7), col("id"),
+        col("stratum"), col("d"), nBuckets = 10)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("ord_key")).toMap
+    assert(out.forall { case (id, _, _, _, k) => again(id) === k })
+    intercept[IllegalArgumentException](
+      Sampling.curriculumOrder(rows, col("id"), col("stratum"), col("d"), nBuckets = 1))
+  }
 }
