@@ -455,12 +455,23 @@ object DataQuality {
    * collapsed rows, and one broadcast one-row total — raw data is scanned
    * once per side and never shuffled.
    */
-  def jsDivergence(ref: DataFrame, cur: DataFrame, catCol: Column): DataFrame = {
-    def counted(df: DataFrame, cntName: String): DataFrame =
-      df.filter(catCol.isNotNull).groupBy(catCol.as("cat"))
-        .agg(count(lit(1)).as(cntName))
-    val joined = counted(ref, "n_ref")
-      .join(counted(cur, "n_cur"), Seq("cat"), "full_outer")
+  def jsDivergence(ref: DataFrame, cur: DataFrame, catCol: Column): DataFrame =
+    jsDivergenceCounts(categoryCounts(ref, catCol, "n_ref"),
+      categoryCounts(cur, catCol, "n_cur"))
+
+  /** Category counts in jsDivergence's expected shape — the bounded
+   * reference artifact a drift monitor trains once and reuses (see
+   * [[graft.streaming.StreamingDrift]]). */
+  def categoryCounts(df: DataFrame, catCol: Column,
+      cntName: String): DataFrame =
+    df.filter(catCol.isNotNull).groupBy(catCol.as("cat"))
+      .agg(count(lit(1)).as(cntName))
+
+  /** [[jsDivergence]] over already-collapsed (cat, n_ref) / (cat, n_cur)
+   * count tables — the shared core for the batch and streaming paths. */
+  def jsDivergenceCounts(refCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val joined = refCounts
+      .join(curCounts, Seq("cat"), "full_outer")
       .select(col("cat"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

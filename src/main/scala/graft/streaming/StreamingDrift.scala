@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.DataQuality
+
+/**
+ * Continuous distribution-drift monitor: per micro-batch, the Jensen–
+ * Shannon divergence of the batch's categorical mix against a
+ * BATCH-TRAINED reference ([[DataQuality.categoryCounts]] over the
+ * persisted corpus), written as one audit row per batch. The streaming
+ * twin of `q_js_drift`, with the same arithmetic via
+ * [[DataQuality.jsDivergenceCounts]] — a drifted upstream (a crawler
+ * suddenly feeding one domain, a schema change collapsing a label) shows
+ * up within one trigger interval instead of at the next corpus sweep.
+ *
+ * Shape per batch: one partial-aggregatable category count over the batch
+ * (shuffle ≤ batch categories), a full-outer join against the bounded
+ * reference counts, one scalar sum — never a corpus rescan. The reference
+ * is materialized ONCE at wiring time (it is a collapsed ≤-categories
+ * table; re-train and restart to move it, same contract as the
+ * percentile quality gate).
+ *
+ * Output rows: (batch_id, n_rows, n_cats, jsd, drifted). Replayed batches
+ * re-append their row (at-least-once, the repo's sink contract) —
+ * downstream reads `max(batch_id)` or dedups on batch_id. JSD is rounded
+ * at 6dp like the batch operator, so a replayed row is bit-identical to
+ * the original.
+ */
+object StreamingDrift {
+
+  def startJsDriftMonitor(stream: DataFrame, reference: DataFrame,
+      catCol: String, threshold: Double, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val refCounts = graft.Materialize(
+      DataQuality.categoryCounts(reference, col(catCol), "n_ref"))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // an empty batch carries no distribution evidence — jsd would be
+        // 0/0; emit nothing rather than a null-jsd row
+        if (!batch.isEmpty) {
+          val cur = DataQuality.categoryCounts(batch, col(catCol), "n_cur")
+          val summary = DataQuality.jsDivergenceCounts(refCounts, cur)
+            .agg(count(lit(1)).as("n_cats"),
+              (round(sum(col("contrib")), 6) + lit(0.0)).as("jsd"),
+              sum(col("n_cur")).as("n_rows"))
+            .select(lit(id).as("batch_id"),
+              coalesce(col("n_rows"), lit(0L)).as("n_rows"), col("n_cats"),
+              col("jsd"), (col("jsd") > threshold).as("drifted"))
+          summary.write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+  }
+}

@@ -108,4 +108,35 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(TextAnalysis.quantileThreshold(
       scored.filter(col("doc_id") < 0), col("stop_ratio"), 0.25).isEmpty)
   }
+
+  test("JS drift monitor flags a shifted batch mix, matches the batch operator") {
+    import spark.implicits._
+    val ref = Seq("a", "a", "b", "b").toDF("cat")
+    val input = MemoryStream[String](spark)
+    val outDir = tmp("drift-out")
+    val q = graft.streaming.StreamingDrift.startJsDriftMonitor(
+      input.toDF().toDF("cat"), ref, "cat", threshold = 0.25,
+      outDir, tmp("drift-ckpt"))
+    try {
+      // batch 0: same mix as the reference → jsd 0, not drifted
+      input.addData("a", "a", "b", "b")
+      q.processAllAvailable()
+      // batch 1: an entirely new category → jsd = ln 2, drifted
+      input.addData("c", "c", "c", "c")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_cats"),
+          r.getAs[Double]("jsd"), r.getAs[Boolean]("drifted")))).toMap
+    assert(out(0L) === ((4L, 2L, 0.0, false)))
+    // full category swap: JSD = ln 2 (the distribution's upper bound)
+    assert(out(1L)._1 === 4L && out(1L)._2 === 3L && out(1L)._4 === true)
+    assert(math.abs(out(1L)._3 - math.log(2)) < 1e-6)
+    // arithmetic parity with the batch operator on the same frames
+    val batchJsd = graft.operators.DataQuality.jsDivergence(
+        ref, Seq("c", "c", "c", "c").toDF("cat"), col("cat"))
+      .agg(sum(col("contrib"))).head().getDouble(0)
+    assert(math.abs(out(1L)._3 - batchJsd) < 1e-9)
+  }
 }
