@@ -1578,6 +1578,16 @@ object SparkEntry {
           pmod(col("user_id"), lit(2)) === 0, col("event_type"))
         .withColumnRenamed("grp", "dow")),
 
+    // Mann-Whitney U per event type: the NONPARAMETRIC A/B readout for
+    // heavy-tailed metrics (rank-based, tie-corrected z). Ranks come from
+    // collapsed (grp, value) counts bucketed by per-group quantiles — no
+    // per-group single-task window anywhere.
+    "q_mann_whitney" -> ((s, dir) =>
+      operators.DataQuality.mannWhitney(
+          table(s, dir, "events").filter(col("user_id").isNotNull),
+          col("event_type"), pmod(col("user_id"), lit(2)) === 0, col("value"))
+        .withColumnRenamed("grp", "event_type")),
+
     // Jensen-Shannon divergence of the event-type MIX between user
     // cohorts — the categorical twin of q_drift_psi (numeric PSI).
     // Bounded, symmetric, smoothing-free; JSD = sum of contribs.
@@ -2284,6 +2294,46 @@ object SparkEntry {
           |JOIN b_t ON c.g = b_t.g AND c.b = b_t.b
           |JOIN g_t ON c.g = g_t.g
           |GROUP BY g_t.g, g_t.n, g_t.n_a, g_t.n_b""".stripMargin,
+
+      // the rank sum is a sum of exact half-integers (order-exact in IEEE
+      // doubles), so the oracle reproduces u_a bit-for-bit with a plain
+      // window where the engine uses bucketed prefix sums; the z formula
+      // replays Spark's association order before the shared 4dp round
+      "q_mann_whitney" ->
+        """WITH r AS (
+          |  SELECT event_type AS g, (user_id % 2 = 0) AS a,
+          |         CAST(value AS DOUBLE) AS v
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+          |    AND event_type IS NOT NULL),
+          |c AS (SELECT g, v,
+          |        CAST(count(*) FILTER (WHERE a) AS BIGINT) AS na,
+          |        CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS nb
+          |      FROM r GROUP BY 1, 2),
+          |w AS (SELECT g, v, na, nb, na + nb AS t,
+          |        CAST(coalesce(sum(na + nb) OVER (PARTITION BY g ORDER BY v
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |          AS BIGINT) AS below
+          |      FROM c),
+          |s AS (SELECT g, CAST(sum(na) AS BIGINT) AS n_a,
+          |        CAST(sum(nb) AS BIGINT) AS n_b,
+          |        sum(CAST(na AS DOUBLE) *
+          |            (CAST(below AS DOUBLE) + (CAST(t AS DOUBLE) + 1) / 2)) AS ra,
+          |        sum(CAST(t AS DOUBLE) * t * t - t) AS ties
+          |      FROM w GROUP BY 1),
+          |f AS (SELECT g, n_a, n_b, ra, ties,
+          |        CAST(n_a AS DOUBLE) AS a, CAST(n_b AS DOUBLE) AS b
+          |      FROM s)
+          |SELECT g AS event_type, n_a, n_b,
+          |  (ra - a * (a + 1) / 2) + 0.0 AS u_a,
+          |  CASE WHEN n_a > 0 AND n_b > 0 AND
+          |            a * b / 12 * ((a + b + 1) - ties / ((a + b) * (a + b - 1))) > 0
+          |       THEN round((ra - a * (a + 1) / 2 - a * b / 2) /
+          |                  sqrt(a * b / 12 *
+          |                       ((a + b + 1) - ties / ((a + b) * (a + b - 1)))),
+          |                  4) + 0.0
+          |  END AS z_stat
+          |FROM f""".stripMargin,
 
       // p = 0 contributes exactly 0 through the CASE (continuity), so no
       // smoothing constant exists to disagree on; / on integers is double

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -385,6 +386,82 @@ object DataQuality {
         round(first(col("__dq_med")), 6).as("med"),
         round(first(col("__dq_mad")), 6).as("mad"))
       .withColumnRenamed("__dq_g", "grp")
+  }
+
+  /**
+   * Mann–Whitney U test per group — the NONPARAMETRIC A/B readout
+   * (heavy-tailed metrics like revenue or latency where Welch's
+   * normality-of-means assumption is shaky), completing the family:
+   * [[welchTTest]] (numeric, parametric), [[chiSquareIndependence]]
+   * (categorical), this (numeric, rank-based). Returns (grp, n_a, n_b,
+   * u_a, z_stat) — U for variant A with average ranks for ties, and the
+   * tie-corrected normal-approximation z; z is NULL when either side is
+   * empty or the variance degenerates (all values tied).
+   *
+   * Ranking without a per-group single-task window: values collapse to
+   * (grp, value) count rows first (ONE corpus-sized partial-aggregatable
+   * shuffle — ties collapse map-side); per-group quantile boundaries
+   * (bounded, broadcast) bucket the collapsed rows, so the running
+   * "count below" prefix is a window over (grp, bucket) — each task sees
+   * ~1/nBuckets of a group's distinct values — plus broadcast per-bucket
+   * offsets from a groups×buckets-sized table. The rank sum Σ n_a·(below +
+   * (ties+1)/2) is a sum of exact half-integers, so it is order-exact in
+   * IEEE doubles and the oracle can reproduce it bit-for-bit with plain
+   * windows.
+   */
+  def mannWhitney(df: DataFrame, groupCol: Column, variantCol: Column,
+      valueCol: Column, nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 2, s"mannWhitney: nBuckets must be >= 2, got $nBuckets")
+    val rows = df.filter(variantCol.isNotNull && valueCol.isNotNull)
+      .select(groupCol.as("__mw_g"), variantCol.as("__mw_a"),
+        valueCol.cast("double").as("__mw_v"))
+    val qs = (1 until nBuckets).map(i => (BigDecimal(i) / nBuckets).toString)
+      .mkString(", ")
+    val bnds = rows.groupBy(col("__mw_g"))
+      .agg(expr(s"percentile(__mw_v, array($qs))").as("__mw_bnds"))
+    val collapsed = rows
+      .groupBy(col("__mw_g"), col("__mw_v"))
+      .agg(count_if(col("__mw_a")).as("na"),
+        count_if(!col("__mw_a")).as("nb"))
+      .join(broadcast(bnds), "__mw_g")
+      .withColumn("__mw_b",
+        size(filter(col("__mw_bnds"), b => col("__mw_v") > b)))
+      .drop("__mw_bnds")
+      .withColumn("t", col("na") + col("nb"))
+    // per-(grp, bucket) totals → running offsets over a groups×buckets
+    // table (bounded; this window's partitions are ≤ nBuckets rows)
+    val offsets = collapsed.groupBy(col("__mw_g"), col("__mw_b"))
+      .agg(sum(col("t")).as("__mw_bt"))
+      .withColumn("__mw_off",
+        coalesce(sum(col("__mw_bt")).over(
+          Window.partitionBy(col("__mw_g")).orderBy(col("__mw_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__mw_bt")
+    val wLocal = Window.partitionBy(col("__mw_g"), col("__mw_b"))
+      .orderBy(col("__mw_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = collapsed.join(broadcast(offsets), Seq("__mw_g", "__mw_b"))
+      .withColumn("below",
+        col("__mw_off") + coalesce(sum(col("t")).over(wLocal), lit(0L)))
+    val g = ranked.groupBy(col("__mw_g"))
+      .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        // exact: every term is a half-integer (below, t integral)
+        sum(col("na").cast("double") *
+          (col("below").cast("double") + (col("t").cast("double") + 1) / 2))
+          .as("__mw_ra"),
+        sum(col("t").cast("double") * col("t") * col("t") - col("t"))
+          .as("__mw_ties"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = nA + nB
+    val uA = col("__mw_ra") - nA * (nA + 1) / 2
+    val variance = nA * nB / 12 *
+      ((n + 1) - col("__mw_ties") / (n * (n - 1)))
+    g.select(col("__mw_g").as("grp"), col("n_a"), col("n_b"),
+      (uA + lit(0.0)).as("u_a"),
+      when(col("n_a") > 0 && col("n_b") > 0 && variance > 0,
+        round((uA - nA * nB / 2) / sqrt(variance), 4) + lit(0.0))
+        .as("z_stat"))
   }
 
   /**

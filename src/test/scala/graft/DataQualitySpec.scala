@@ -266,6 +266,39 @@ class DataQualitySpec extends AnyFunSuite {
     assert(out("h") === ((4L, 2L, 1L, 0L, None)))
   }
 
+  test("mannWhitney matches textbook U and tie-corrected z; degenerate cases NULL") {
+    import spark.implicits._
+    // g1: A={1,2,3} all below B={4,5,6} → U_A = 0, z = -4.5/sqrt(5.25)
+    // g2: A={1,1}, B={1,2} — tied block of 3 at v=1 → avg rank 2,
+    //     R_A = 4, U_A = 1, tie-corrected var = 1 → z = -1
+    // g3: all four values identical → variance 0 → z NULL
+    // g4: B side empty → z NULL
+    val rows = (Seq(1, 2, 3).map(v => ("g1", true, v.toDouble)) ++
+      Seq(4, 5, 6).map(v => ("g1", false, v.toDouble)) ++
+      Seq(("g2", true, 1.0), ("g2", true, 1.0), ("g2", false, 1.0),
+        ("g2", false, 2.0)) ++
+      Seq(("g3", true, 5.0), ("g3", true, 5.0), ("g3", false, 5.0),
+        ("g3", false, 5.0)) ++
+      Seq(("g4", true, 1.0), ("g4", true, 2.0)))
+      .toDF("g", "a", "v")
+    def run(nB: Int) = DataQuality.mannWhitney(rows, col("g"), col("a"),
+        col("v"), nBuckets = nB)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("u_a"),
+          Option(r.getAs[java.lang.Double]("z_stat")).map(_.doubleValue)))).toMap
+    val out = run(32)
+    assert(out("g1")._1 === 3L && out("g1")._2 === 3L && out("g1")._3 === 0.0)
+    assert(math.abs(out("g1")._4.get - (-4.5 / math.sqrt(5.25))) < 1e-3)
+    assert(out("g2") === ((2L, 2L, 1.0, Some(-1.0))))
+    assert(out("g3")._3 === 2.0 && out("g3")._4 === None)
+    assert(out("g4")._2 === 0L && out("g4")._4 === None)
+    // ranks are bucketing-invariant: the quantile grid must never change
+    // the statistic, only the parallelism
+    assert(run(2) === out)
+    intercept[IllegalArgumentException](
+      DataQuality.mannWhitney(rows, col("g"), col("a"), col("v"), nBuckets = 1))
+  }
+
   test("jsDivergence is 0 on identical mass and finite on one-sided cats") {
     import spark.implicits._
     // ref {a,a,b,b} vs cur {a,a,c,c}: a contributes 0 (same mass); b and c
