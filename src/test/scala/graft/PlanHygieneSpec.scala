@@ -39,7 +39,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_pagerank",            // crossJoin(broadcast(1-row dangling mass)) per round
     "q_alpha_mix",           // crossJoin(broadcast(1-row pow-total))
     "q_decay_counts",        // crossJoin(broadcast(1-row max-ts reference))
-    "q_affinity")            // crossJoin(broadcast(1-row basket count))
+    "q_affinity",            // crossJoin(broadcast(1-row basket count))
+    "q_js_drift",            // crossJoin(broadcast(1-row category totals))
+    "q_calibration")         // crossJoin(broadcast(1-row bin-mass total))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single
@@ -49,7 +51,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_approx_percentiles", // GK summaries merge to one
     "q_top_tokens",         // final top-20 of per-partition partials
     "q_topk_sketch",        // ≤ k·groups sketch rows roll up to one
-    "q_sketch_rollup")      // ≤ groups HLL sketch rows roll up to one
+    "q_sketch_rollup",      // ≤ groups HLL sketch rows roll up to one
+    "q_js_drift",           // 1-row total over ≤ categories collapsed rows
+    "q_calibration")        // 1-row total over ≤ nBins collapsed rows
 
   test("no query plans a CartesianProduct, stray broadcast NL join, or global funnel") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
