@@ -160,22 +160,44 @@ object DataQuality {
   def populationStability(ref: DataFrame, cur: DataFrame, valueCol: Column,
       nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, s"populationStability: nBuckets must be >= 2, got $nBuckets")
+    val bnds = quantileBoundaries(ref, valueCol, nBuckets)
+    psiFromCounts(bucketCounts(ref, valueCol, bnds, "n_ref"),
+      bucketCounts(cur, valueCol, bnds, "n_cur"), nBuckets, spark(ref))
+  }
+
+  /** The reference's equal-mass quantile boundaries as a one-row frame —
+   * the bounded drift-reference artifact a monitor trains once (see
+   * [[graft.streaming.StreamingDrift]]). */
+  def quantileBoundaries(ref: DataFrame, valueCol: Column,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"quantileBoundaries: nBuckets must be >= 2, got $nBuckets")
     val qs = (1 until nBuckets).map(i => (BigDecimal(i) / nBuckets).toString)
       .mkString(", ")
-    val bnds = ref.filter(valueCol.isNotNull)
+    ref.filter(valueCol.isNotNull)
       .select(valueCol.cast("double").as("__psi_v"))
       .agg(expr(s"percentile(__psi_v, array($qs))").as("__psi_bnds"))
-    def bucketed(df: DataFrame, cntName: String): DataFrame =
-      df.filter(valueCol.isNotNull)
-        .select(valueCol.cast("double").as("__psi_v"))
-        .crossJoin(broadcast(bnds))
-        .select(size(filter(col("__psi_bnds"), b => col("__psi_v") > b))
-          .cast("long").as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(cntName))
-    val buckets = spark(ref).range(nBuckets).select(col("id").as("bucket"))
+  }
+
+  /** Map-side bucket counts against broadcast boundaries, in
+   * [[psiFromCounts]]'s expected (bucket, count) shape. */
+  def bucketCounts(df: DataFrame, valueCol: Column, bnds: DataFrame,
+      cntName: String): DataFrame =
+    df.filter(valueCol.isNotNull)
+      .select(valueCol.cast("double").as("__psi_v"))
+      .crossJoin(broadcast(bnds))
+      .select(size(filter(col("__psi_bnds"), b => col("__psi_v") > b))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(cntName))
+
+  /** [[populationStability]] over already-collapsed (bucket, n_ref) /
+   * (bucket, n_cur) count tables — the shared core for the batch and
+   * streaming drift paths. */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+      nBuckets: Int, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val buckets = spark.range(nBuckets).select(col("id").as("bucket"))
     val joined = buckets
-      .join(bucketed(ref, "n_ref"), Seq("bucket"), "left")
-      .join(bucketed(cur, "n_cur"), Seq("bucket"), "left")
+      .join(refCounts, Seq("bucket"), "left")
+      .join(curCounts, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

@@ -31,6 +31,42 @@ import graft.operators.DataQuality
  */
 object StreamingDrift {
 
+  /**
+   * Numeric twin of [[startJsDriftMonitor]]: per micro-batch PSI against
+   * the reference's equal-mass quantile buckets
+   * ([[DataQuality.quantileBoundaries]] + [[DataQuality.psiFromCounts]],
+   * the same arithmetic as `q_drift_psi`). Boundaries AND reference bucket
+   * counts are bounded one-row/≤-nBuckets artifacts materialized once at
+   * wiring; per batch the work is one map-side bucket projection and a
+   * ≤-nBuckets count. Output rows: (batch_id, n_rows, psi, drifted) —
+   * the standard gates read: < 0.1 stable, > 0.25 drifted.
+   */
+  def startPsiDriftMonitor(stream: DataFrame, reference: DataFrame,
+      valueCol: String, threshold: Double, outDir: String,
+      checkpoint: String, nBuckets: Int = 10): StreamingQuery = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val bnds = graft.Materialize(
+      DataQuality.quantileBoundaries(reference, col(valueCol), nBuckets))
+    val refCounts = graft.Materialize(
+      DataQuality.bucketCounts(reference, col(valueCol), bnds, "n_ref"))
+    val spark = reference.sparkSession
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val cur = DataQuality.bucketCounts(batch, col(valueCol), bnds, "n_cur")
+          val summary = DataQuality.psiFromCounts(refCounts, cur, nBuckets, spark)
+            .agg((round(sum(col("contrib")), 6) + lit(0.0)).as("psi"),
+              sum(col("n_cur")).as("n_rows"))
+            .select(lit(id).as("batch_id"),
+              coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+              col("psi"), (col("psi") > threshold).as("drifted"))
+          summary.write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+  }
+
   def startJsDriftMonitor(stream: DataFrame, reference: DataFrame,
       catCol: String, threshold: Double, outDir: String,
       checkpoint: String): StreamingQuery = {

@@ -139,4 +139,33 @@ class StreamingCurationSpec extends AnyFunSuite {
       .agg(sum(col("contrib"))).head().getDouble(0)
     assert(math.abs(out(1L)._3 - batchJsd) < 1e-9)
   }
+
+  test("PSI drift monitor: in-distribution batch stable, shifted batch flagged") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val input = MemoryStream[Double](spark)
+    val outDir = tmp("psi-out")
+    val q = graft.streaming.StreamingDrift.startPsiDriftMonitor(
+      input.toDF().toDF("v"), ref, "v", threshold = 0.25,
+      outDir, tmp("psi-ckpt"), nBuckets = 10)
+    try {
+      // batch 0: one value per reference decile → near-uniform mass, stable
+      input.addData((1 to 10).map(i => i * 100.0 - 50.0): _*)
+      q.processAllAvailable()
+      // batch 1: everything beyond the reference's p90 → drifted
+      input.addData((1 to 10).map(i => 950.0 + i): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("psi"),
+          r.getAs[Boolean]("drifted")))).toMap
+    assert(out(0L)._1 === 10L && !out(0L)._3, s"stable batch: ${out(0L)}")
+    assert(out(1L)._1 === 10L && out(1L)._3, s"shifted batch: ${out(1L)}")
+    // parity with the batch operator's total on the same frames
+    val batchPsi = graft.operators.DataQuality.populationStability(
+        ref, (1 to 10).map(i => 950.0 + i).toDF("v"), col("v"), nBuckets = 10)
+      .agg(sum(col("contrib"))).head().getDouble(0)
+    assert(math.abs(out(1L)._2 - batchPsi) < 1e-6)
+  }
 }
