@@ -181,6 +181,24 @@ object Ingest {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(dir)
 
+  /** Columnar-format directory sources: ORC twins of the parquet path —
+   * Spark's built-in reader gives predicate pushdown, column pruning, and
+   * vectorized decode for free, so a lake standardized on ORC plugs in
+   * without a conversion pass. Schema is explicit for the same
+   * schema-is-a-contract reason as CSV (and for the streaming source,
+   * which requires it). */
+  def orcDirBatch(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(dir)
+
+  /** Streaming twin of [[orcDirBatch]]: file-source listing/offset
+   * tracking over ORC drops. */
+  def orcDirStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .orc(dir)
+
   /** Normalized LogRecords straight from the wire frame (used when the
    * key/value round-trip isn't being exercised): one-hot + correct
    * epoch-seconds conversion, null-safe. */

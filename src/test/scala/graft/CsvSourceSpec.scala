@@ -75,6 +75,37 @@ class CsvSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ORC round-trip preserves the events table; streaming source admits files") {
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val dir = tmp("orc-events")
+    src.write.mode("overwrite").orc(dir)
+    val back = Ingest.orcDirBatch(spark, dir, eventsSchema)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      eventsSchema.map(f => (f.name, f.dataType)))
+    val a = src.orderBy("event_id").collect().map(_.toSeq)
+    val b = back.orderBy("event_id").collect().map(_.toSeq)
+    assert(b.length === a.length && a.zip(b).forall { case (x, y) => x == y })
+    // predicate pushdown reaches the ORC scan (the point of the format)
+    val plan = Ingest.orcDirBatch(spark, dir, eventsSchema)
+      .filter(col("event_id") === 1L)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id,1)]"),
+      plan.take(800))
+    // streaming twin: files admitted incrementally
+    val sdir = tmp("orc-stream")
+    src.limit(5).write.mode("append").orc(sdir)
+    val q = Ingest.orcDirStream(spark, sdir, eventsSchema)
+      .writeStream.format("memory").queryName("orc_stream_sink")
+      .option("checkpointLocation", tmp("orc-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("orc_stream_sink").count() === 5)
+      src.limit(3).write.mode("append").orc(sdir)
+      q.processAllAvailable()
+      assert(spark.table("orc_stream_sink").count() === 8)
+    } finally q.stop()
+  }
+
   private implicit class SeqOps(s: Seq[String]) {
     def asJava: java.util.List[String] = {
       val l = new java.util.ArrayList[String]()
