@@ -299,6 +299,47 @@ class DataQualitySpec extends AnyFunSuite {
       DataQuality.mannWhitney(rows, col("g"), col("a"), col("v"), nBuckets = 1))
   }
 
+  test("mannWhitney fuzz: matches a driver-side reference on seeded data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    // small value domain → heavy ties, the hard case for rank arithmetic
+    val data = (1 to 400).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextBoolean(), rnd.nextInt(12).toDouble))
+    val out = DataQuality.mannWhitney(data.toDF("g", "a", "v"), col("g"),
+        col("a"), col("v"), nBuckets = 4)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Double]("u_a"),
+          Option(r.getAs[java.lang.Double]("z_stat")).map(_.doubleValue)))).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.map(t => (t._3, t._2)).sortBy(_._1)
+      // average ranks with ties, driver-side
+      val ranks = scala.collection.mutable.Map[Double, Double]()
+      var i = 0
+      while (i < sorted.length) {
+        val v = sorted(i)._1
+        val j = sorted.indexWhere(_._1 > v, i) match {
+          case -1 => sorted.length; case x => x
+        }
+        ranks(v) = (i + 1 + j) / 2.0 // mean of ranks i+1..j
+        i = j
+      }
+      val a = sorted.filter(_._2)
+      val nA = a.length.toDouble
+      val nB = sorted.length - nA
+      val rA = a.map(t => ranks(t._1)).sum
+      val uA = rA - nA * (nA + 1) / 2
+      assert(out(g)._1 === a.length.toLong, s"group $g n_a")
+      assert(math.abs(out(g)._2 - uA) < 1e-9, s"group $g u_a")
+      val n = nA + nB
+      val ties = sorted.groupBy(_._1).values
+        .map(ts => math.pow(ts.length, 3) - ts.length).sum
+      val variance = nA * nB / 12 * ((n + 1) - ties / (n * (n - 1)))
+      if (nA > 0 && nB > 0 && variance > 0)
+        assert(math.abs(out(g)._3.get -
+          (uA - nA * nB / 2) / math.sqrt(variance)) < 1e-3, s"group $g z")
+    }
+  }
+
   test("jsDivergence is 0 on identical mass and finite on one-sided cats") {
     import spark.implicits._
     // ref {a,a,b,b} vs cur {a,a,c,c}: a contributes 0 (same mass); b and c
