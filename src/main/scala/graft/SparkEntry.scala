@@ -404,6 +404,12 @@ object SparkEntry {
     "text_compress" -> ((s, dir) =>
       TextAnalysis.compressionSignals(table(s, dir, "documents"))),
 
+    // Flesch-Kincaid readability: dictionary-free syllable heuristic
+    // (vowel runs floored at word count), sentences floored at 1 — pure
+    // row-local regexp projection, fully oracle-expressible.
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(table(s, dir, "documents"))),
+
     // Curriculum ordering key: easy→hard within each language at decile
     // granularity, language-proportional in every prefix of the global
     // ord_key order. One bounded percentile aggregate broadcast back;
@@ -2263,6 +2269,33 @@ object SparkEntry {
           |SELECT c.g AS grp, c.bin, c.cnt,
           |       round(b.lo, 6) + 0.0 AS lo, round(b.hi, 6) + 0.0 AS hi
           |FROM c JOIN b ON c.g = b.g""".stripMargin,
+
+      // identical regexp classes in both engines (RE2 and Java agree on
+      // these literal classes); wps/spw divisions and the linear combo
+      // replay Spark's association order before the shared 4dp round
+      "text_readability" ->
+        """WITH r AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS BIGINT)
+          |      AS n_words,
+          |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+          |      AS BIGINT)) AS n_sentences,
+          |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+          |      AS vr
+          |  FROM documents),
+          |x AS (SELECT doc_id, n_words, n_sentences,
+          |        greatest(n_words, vr) AS n_syllables,
+          |        CAST(n_words AS DOUBLE) / n_sentences AS wps,
+          |        CAST(greatest(n_words, vr) AS DOUBLE) / n_words AS spw
+          |      FROM r)
+          |SELECT doc_id, n_words, n_sentences, n_syllables,
+          |  CASE WHEN n_words > 0
+          |       THEN round(0.39 * wps + 11.8 * spw - 15.59, 4) + 0.0
+          |  END AS fk_grade,
+          |  CASE WHEN n_words > 0
+          |       THEN round(206.835 - 1.015 * wps - 84.6 * spw, 4) + 0.0
+          |  END AS reading_ease
+          |FROM x""".stripMargin,
 
       // the chi2 sum replays Spark's exact double casts and association
       // order; unobserved cells are folded in via sum(o^2/e) - n, so both

@@ -440,6 +440,43 @@ object TextAnalysis {
   }
 
   /**
+   * Flesch–Kincaid readability per document (Kincaid et al. 1975): the
+   * classic audience-level quality signal — too-low grade suggests
+   * fragments/listicles, implausibly high suggests run-on garbage. Word
+   * count = non-whitespace runs; sentences = terminator runs `[.!?]+`
+   * floored at 1 (a fragment is one sentence, not a division by zero);
+   * syllables = vowel-group runs floored at the word count (every word
+   * has ≥ 1 syllable — the standard heuristic, engine-mirrorable as plain
+   * regexp counts, no dictionary). Outputs NULL metrics for empty/no-word
+   * docs. 4dp rounds; everything is a row-local regexp projection, no
+   * shuffle.
+   */
+  def readability(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = size(regexp_extract_all(col(textCol),
+      lit("[^ \\t\\n\\f\\r]+"), lit(0))).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    val vruns = size(regexp_extract_all(col(textCol),
+      lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")
+    df.select(col(idCol), words.as("n_words"), sents.as("n_sentences"),
+        greatest(words, vruns).as("n_syllables"))
+      .withColumn("wps",
+        col("n_words").cast("double") / col("n_sentences"))
+      // ANSI mode: guard the by-words division (0-word docs NULL out here
+      // and stay NULL through the gated metrics)
+      .withColumn("spw", when(col("n_words") > 0,
+        col("n_syllables").cast("double") / col("n_words")))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        when(col("n_words") > 0,
+          round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - 15.59, 4)
+            + lit(0.0)).as("fk_grade"),
+        when(col("n_words") > 0,
+          round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 4)
+            + lit(0.0)).as("reading_ease"))
+  }
+
+  /**
    * Compressibility quality signals per document: UTF-8 byte length, raw
    * DEFLATE size ([[graft.functions.DeflateSize]]), and their ratio —
    * the Gopher/MassiveText-family heuristic that catches what token

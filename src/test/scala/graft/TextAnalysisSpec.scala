@@ -426,6 +426,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(neg.getAs[Double]("logit") === -0.5 && !neg.getAs[Boolean]("label"))
   }
 
+  test("readability: hand-computed FK on a known sentence, degenerate docs NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat."),     // 3 words, 1 sentence, 3 vowel runs
+      (2L, "hello world"),      // no terminator → sentences floored at 1
+      (3L, "zzz pfft"),         // no vowels → syllables floored at word count
+      (4L, ""),                 // empty → 0 words → NULL metrics
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("n_sentences"),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.getAs[java.lang.Double]("fk_grade")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("reading_ease")).map(_.doubleValue))))
+      .toMap
+    // wps = 3, spw = 1: grade = .39·3 + 11.8 − 15.59 = −2.62,
+    // ease = 206.835 − 3.045 − 84.6 = 119.19
+    assert(out(1L) === ((Some(3L), 1L, Some(3L), Some(-2.62), Some(119.19))))
+    assert(out(2L)._2 === 1L && out(2L)._1 === Some(2L))
+    assert(out(3L)._3 === Some(2L)) // floored at n_words, never 0
+    assert(out(4L) === ((Some(0L), 1L, Some(0L), None, None)))
+    assert(out(5L)._1 === None && out(5L)._4 === None)
+  }
+
   test("compressionSignals: boilerplate compresses, noise doesn't, empty is NULL") {
     import spark.implicits._
     // deterministic "high-entropy" text: hex of a seeded hash chain — no
