@@ -410,6 +410,12 @@ object SparkEntry {
     "text_readability" -> ((s, dir) =>
       TextAnalysis.readability(table(s, dir, "documents"))),
 
+    // Top-PMI collocations: row-local bigram pairing, two bounded count
+    // aggregates, TakeOrdered top-k on the ROUNDED score.
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(table(s, dir, "documents"), k = 20,
+        minCount = 5)),
+
     // Curriculum ordering key: easy→hard within each language at decile
     // granularity, language-proportional in every prefix of the global
     // ord_key order. One bounded percentile aggregate broadcast back;
@@ -2269,6 +2275,29 @@ object SparkEntry {
           |SELECT c.g AS grp, c.bin, c.cnt,
           |       round(b.lo, 6) + 0.0 AS lo, round(b.hi, 6) + 0.0 AS hi
           |FROM c JOIN b ON c.g = b.g""".stripMargin,
+
+      // adjacency over PRE-FILTERED non-empty tokens in both engines (a
+      // leading-whitespace empty token would otherwise break pairing);
+      // ranking on the rounded pmi with (w1, w2) tiebreak
+      "text_collocations" ->
+        """WITH t AS (
+          |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+          |           AS toks
+          |  FROM documents),
+          |b AS (SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2
+          |      FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+          |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+          |       FROM b GROUP BY 1, 2),
+          |uc AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS cu
+          |       FROM (SELECT unnest(toks) AS u FROM t) GROUP BY 1),
+          |nb AS (SELECT CAST(sum(c) AS DOUBLE) AS nb FROM bc),
+          |nu AS (SELECT CAST(sum(cu) AS DOUBLE) AS nu FROM uc)
+          |SELECT bc.w1, bc.w2, bc.c,
+          |  round(ln((bc.c / nb.nb) / ((a.cu / nu.nu) * (b2.cu / nu.nu))), 4)
+          |    + 0.0 AS pmi
+          |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b2 ON bc.w2 = b2.w, nb, nu
+          |WHERE bc.c >= 5
+          |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
       // identical regexp classes in both engines (RE2 and Java agree on
       // these literal classes); wps/spw divisions and the linear combo

@@ -440,6 +440,48 @@ object TextAnalysis {
   }
 
   /**
+   * Top-k PMI collocations (Church & Hanks 1990): adjacent whitespace-token
+   * bigrams scored by pointwise mutual information — the classic phrase /
+   * multi-word-expression miner ("new york" scores high because the pair
+   * co-occurs far above chance). `minCount` suppresses the PMI
+   * low-frequency pathology (a hapax pair always maxes PMI).
+   *
+   * Shape: pairing is ROW-LOCAL (zip of the token array with its own
+   * tail); the shuffles are the bigram and unigram count aggregates, both
+   * partial-aggregatable with bounded (≤ vocab / ≤ vocab²-observed)
+   * outputs; totals are one-row frames, and top-k is orderBy+limit →
+   * TakeOrdered bounded heaps. Ranking happens on the ROUNDED pmi
+   * (w1, w2 tiebreak), so engine float noise cannot reorder the boundary.
+   */
+  def collocations(df: DataFrame, k: Int = 20, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"collocations: k must be >= 1, got $k")
+    require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
+    val toks = df.select(
+      filter(tokens(col(textCol)), t => t =!= "").as("__co_toks"))
+    val tail = greatest(size(col("__co_toks")) - 1, lit(0))
+    val pairs = toks.select(explode(arrays_zip(
+        slice(col("__co_toks"), lit(1), tail).as("w1"),
+        slice(col("__co_toks"), lit(2), tail).as("w2"))).as("__co_p"))
+      .select(col("__co_p.w1").as("w1"), col("__co_p.w2").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val uni = toks.select(explode(col("__co_toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nb = bi.agg(sum(col("c")).cast("double").as("__co_nb"))
+    val nu = uni.agg(sum(col("cu")).cast("double").as("__co_nu"))
+    bi.filter(col("c") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cu").as("__co_ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("__co_cb")), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("w1"), col("w2"), col("c"),
+        (round(log((col("c") / col("__co_nb")) /
+          ((col("__co_ca") / col("__co_nu")) *
+           (col("__co_cb") / col("__co_nu")))), 4) + lit(0.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /**
    * Flesch–Kincaid readability per document (Kincaid et al. 1975): the
    * classic audience-level quality signal — too-low grade suggests
    * fragments/listicles, implausibly high suggests run-on garbage. Word

@@ -426,6 +426,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(neg.getAs[Double]("logit") === -0.5 && !neg.getAs[Boolean]("label"))
   }
 
+  test("collocations: hand-computed PMI, minCount suppresses hapax pairs") {
+    import spark.implicits._
+    // (new, york) ×3 and (old, deal) ×1; hapax pair has the HIGHER pmi
+    // (ln 16 > ln 16/3) — exactly the pathology minCount exists to drop
+    val docs = (Seq.fill(3)("new york") :+ "old deal" :+ "" :+ "   ")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, k = 5, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // Nb = 4 pairs, Nu = 8 tokens: pmi = ln((3/4)/((3/8)·(3/8)))
+    val expected = math.log((3.0 / 4) / ((3.0 / 8) * (3.0 / 8)))
+    assert(out.keySet === Set(("new", "york")))
+    assert(out(("new", "york"))._1 === 3L)
+    assert(math.abs(out(("new", "york"))._2 - expected) < 1e-4)
+    // minCount = 1 admits the hapax pair, which then outranks
+    val all = TextAnalysis.collocations(docs, k = 5, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(all.head === (("old", "deal")) && all.toSet.size === 2)
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(docs, k = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(docs, k = 1, minCount = 0))
+  }
+
   test("readability: hand-computed FK on a known sentence, degenerate docs NULL") {
     import spark.implicits._
     val docs = Seq(
