@@ -41,7 +41,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_decay_counts",        // crossJoin(broadcast(1-row max-ts reference))
     "q_affinity",            // crossJoin(broadcast(1-row basket count))
     "q_js_drift",            // crossJoin(broadcast(1-row category totals))
-    "q_calibration")         // crossJoin(broadcast(1-row bin-mass total))
+    "q_calibration",         // crossJoin(broadcast(1-row bin-mass total))
+    "text_collocations")     // crossJoin(broadcast(1-row bigram/unigram totals))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single
