@@ -1590,6 +1590,12 @@ object SparkEntry {
           pmod(col("user_id"), lit(2)) === 0, col("event_type"))
         .withColumnRenamed("grp", "dow")),
 
+    // JSON schema profile of the semi-structured props column: per key,
+    // carry count/fraction and how many values parse numeric — the
+    // producer-contract audit. Row-local explode, one per-key count.
+    "q_json_profile" -> ((s, dir) =>
+      operators.DataQuality.jsonProfile(table(s, dir, "events"), col("props"))),
+
     // Mann-Whitney U per event type: the NONPARAMETRIC A/B readout for
     // heavy-tailed metrics (rank-based, tie-corrected z). Ranks come from
     // collapsed (grp, value) counts bucketed by per-group quantiles — no
@@ -2356,6 +2362,20 @@ object SparkEntry {
           |JOIN b_t ON c.g = b_t.g AND c.b = b_t.b
           |JOIN g_t ON c.g = g_t.g
           |GROUP BY g_t.g, g_t.n, g_t.n_a, g_t.n_b""".stripMargin,
+
+      // unquoted scalar extraction and TRY_CAST numeric typing behave
+      // identically in both engines; null JSON rows leave keys AND the
+      // denominator
+      "q_json_profile" ->
+        """WITH r AS (SELECT props FROM events WHERE props IS NOT NULL),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM r),
+          |k AS (SELECT unnest(json_keys(props)) AS key, props FROM r),
+          |x AS (SELECT key, json_extract_string(props, '$.' || key) AS v
+          |      FROM k)
+          |SELECT key, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(count(TRY_CAST(v AS DOUBLE)) AS BIGINT) AS n_numeric,
+          |       round(count(*) / t.total, 4) + 0.0 AS frac
+          |FROM x, t GROUP BY key, t.total""".stripMargin,
 
       // the rank sum is a sum of exact half-integers (order-exact in IEEE
       // doubles), so the oracle reproduces u_a bit-for-bit with a plain

@@ -411,6 +411,34 @@ object DataQuality {
   }
 
   /**
+   * Schema-inference profile of a semi-structured JSON column: per key,
+   * how many documents carry it, the carry fraction, and how many values
+   * parse as numbers — the drift/contract audit for `props`-style columns
+   * where the schema lives in the data ("did a producer start sending
+   * user_id as a string?"). Typing uses `try_cast(… AS DOUBLE)` (never the
+   * throwing ANSI cast), identically in the oracle engine.
+   *
+   * Shape: one row-local key explode + value extraction, one
+   * partial-aggregatable per-key count (≤ distinct keys rows out), one
+   * broadcast one-row total. Null JSON rows are excluded from keys AND the
+   * denominator.
+   */
+  def jsonProfile(df: DataFrame, jsonCol: Column): DataFrame = {
+    val rows = df.filter(jsonCol.isNotNull).select(jsonCol.as("__jp_j"))
+    val tot = rows.agg(count(lit(1)).as("__jp_total"))
+    rows.select(explode(expr("json_object_keys(__jp_j)")).as("key"),
+        col("__jp_j"))
+      .withColumn("__jp_v",
+        expr("get_json_object(__jp_j, concat('$.', key))"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        count(expr("try_cast(__jp_v AS double)")).as("n_numeric"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n"), col("n_numeric"),
+        (round(col("n") / col("__jp_total"), 4) + lit(0.0)).as("frac"))
+  }
+
+  /**
    * Mann–Whitney U test per group — the NONPARAMETRIC A/B readout
    * (heavy-tailed metrics like revenue or latency where Welch's
    * normality-of-means assumption is shaky), completing the family:

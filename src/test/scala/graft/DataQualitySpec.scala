@@ -244,6 +244,24 @@ class DataQualitySpec extends AnyFunSuite {
       DataQuality.histogram(rows, col("g"), col("v"), nBins = 0))
   }
 
+  test("jsonProfile counts keys, numeric-typed values, and carry fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      Some("""{"a": 1, "b": "x"}"""),
+      Some("""{"a": 2.5, "b": "7", "c": true}"""),
+      None)
+      .toDF("props")
+    val out = DataQuality.jsonProfile(docs, col("props"))
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_numeric"),
+          r.getAs[Double]("frac")))).toMap
+    // total = 2 (null JSON excluded from the denominator)
+    assert(out === Map(
+      "a" -> ((2L, 2L, 1.0)),   // 1 and 2.5 both numeric
+      "b" -> ((2L, 1L, 1.0)),   // "x" no, "7" yes (stringified number)
+      "c" -> ((1L, 0L, 0.5))))  // boolean is not numeric
+  }
+
   test("chiSquareIndependence matches the textbook 2x2 statistic") {
     import spark.implicits._
     // g: 10/20/20/10 — expected 15 per cell, chi2 = 4·25/15 = 6.6667, dof 1.

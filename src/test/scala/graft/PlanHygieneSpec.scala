@@ -42,7 +42,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_affinity",            // crossJoin(broadcast(1-row basket count))
     "q_js_drift",            // crossJoin(broadcast(1-row category totals))
     "q_calibration",         // crossJoin(broadcast(1-row bin-mass total))
-    "text_collocations")     // crossJoin(broadcast(1-row bigram/unigram totals))
+    "text_collocations",     // crossJoin(broadcast(1-row bigram/unigram totals))
+    "q_json_profile")        // crossJoin(broadcast(1-row denominator))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single
