@@ -1021,6 +1021,14 @@ object SparkEntry {
           queryPred = col("vec_id") < 10, k = 10)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // Hard negatives for contrastive training: nearest DIFFERENT-label
+    // rows per anchor — the label filter sits in the join condition, so
+    // same-label pairs never reach the scorer.
+    "embed_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(table(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", queryPred = col("vec_id") < 10, k = 10)
+        .withColumn("rank", col("rank").cast("long"))),
+
     // Same top-k via the custom LogicalPlan+Strategy+SparkPlan operator
     // (bounded per-partition heaps; proves equal via the same oracle).
     "embed_topk_native" -> ((s, dir) => {
@@ -3062,6 +3070,19 @@ object SparkEntry {
            |SELECT query_id, neighbor_id,
            |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
            |FROM cos QUALIFY rank <= 10""".stripMargin,
+
+      // same cosine CTEs; the label-mismatch filter applies on the scored
+      // pairs before ranking, mirroring the engine's join condition
+      "embed_hard_negatives" ->
+        s"""${cosineCtes("a.vec_id < 10 AND a.vec_id <> b.vec_id")}
+           |SELECT query_id, neighbor_id,
+           |       CAST(row_number() OVER (PARTITION BY query_id
+           |         ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
+           |FROM cos
+           |JOIN embeddings la ON la.vec_id = query_id
+           |JOIN embeddings lb ON lb.vec_id = neighbor_id
+           |WHERE la.label <> lb.label
+           |QUALIFY rank <= 10""".stripMargin,
 
       "embed_neardup" ->
         s"""${cosineCtes("a.vec_id < b.vec_id")}

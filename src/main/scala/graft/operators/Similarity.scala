@@ -59,6 +59,35 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive training: for each query row,
+   * the k most-similar corpus rows with a DIFFERENT label — exactly the
+   * negatives that carry gradient signal (near the anchor in embedding
+   * space, wrong class). Same broadcast-queries / streamed-corpus shape
+   * as [[bruteForceTopK]] with the label-mismatch constraint in the join
+   * condition, so rejected same-label pairs never reach the scorer. The
+   * scale path swaps the scan for an ANN candidate set (ivfTopK /
+   * ivfPqSearch) and applies the same label filter on candidates.
+   */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    val queries = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col(labelCol).as("__hn_ql"))
+    val corpus = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      col(labelCol).as("__hn_nl"))
+    val scored = corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id") &&
+        col("__hn_ql") =!= col("__hn_nl"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(cosRankKey(col("cos")).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /**
    * Per-label embedding centroids, flattened to scalar rows
    * (label, pos, centroid, n_vecs) — one row per (class, dimension).
    * The supervision-side summary of an embedding table: class prototypes

@@ -21,6 +21,7 @@ class PlanHygieneSpec extends AnyFunSuite {
    * big side streams exactly once. */
   private val broadcastNlAllowed = Set(
     "embed_topk",      // brute-force baseline: corpus × broadcast queries
+    "embed_hard_negatives", // same shape, label-mismatch in the join condition
     "embed_neardup",   // brute-force pair scan, broadcast self side
     "text_trigram_ll", // crossJoin(broadcast(1-row total))
     "embed_pq",        // ADC LUT: crossJoin(broadcast(codebook)) — k·d rows

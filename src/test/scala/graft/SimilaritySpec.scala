@@ -35,6 +35,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq === Seq(2L, 5L, 3L)) // by descending cosine
   }
 
+  test("hard negatives: nearest different-label rows, same-label never scored") {
+    val labeled = Seq(
+      (1L, vec(1, 0, 0, 0), 0),
+      (2L, vec(0.99, 0.1, 0, 0), 0),  // MOST similar to v1, same label → excluded
+      (3L, vec(0.9, 0.3, 0, 0), 1),   // hard negative (close, wrong label)
+      (4L, vec(0, 1, 0, 0), 1),       // easy negative
+      (5L, vec(-1, 0, 0, 0), 2))      // opposite
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(labeled, "vec_id", "embedding", "label",
+        col("vec_id") === 1, k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    // ranked by cosine among different-label rows only: v3 then v4
+    assert(out.toSeq === Seq((3L, 1), (4L, 2)))
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(labeled, "vec_id", "embedding", "label",
+        col("vec_id") === 1, k = 0))
+  }
+
   test("near-dup pairs above threshold only") {
     val pairs = Similarity.nearDupPairs(tiny, "vec_id", "embedding", 0.95)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
