@@ -416,6 +416,11 @@ object SparkEntry {
       TextAnalysis.collocations(table(s, dir, "documents"), k = 20,
         minCount = 5)),
 
+    // Tokenizer-coverage audit: per-doc OOV rate vs the corpus's own
+    // top-500 vocabulary (TakeOrdered boundary, broadcast probe).
+    "q_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(table(s, dir, "documents"), vocabSize = 500)),
+
     // Curriculum ordering key: easy→hard within each language at decile
     // granularity, language-proportional in every prefix of the global
     // ord_key order. One bounded percentile aggregate broadcast back;
@@ -2289,6 +2294,25 @@ object SparkEntry {
           |SELECT c.g AS grp, c.bin, c.cnt,
           |       round(b.lo, 6) + 0.0 AS lo, round(b.hi, 6) + 0.0 AS hi
           |FROM c JOIN b ON c.g = b.g""".stripMargin,
+
+      // vocabulary boundary is deterministic ((count DESC, token) with
+      // LIMIT) in both engines; the probe is a left join on the token
+      "q_oov_rate" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split_regex(text, '\s+'),
+          |                            x -> x <> '')) AS tok
+          |  FROM documents),
+          |v AS (SELECT tok FROM (
+          |        SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+          |      ORDER BY n DESC, tok LIMIT 500),
+          |x AS (SELECT t.doc_id, v.tok AS intok
+          |      FROM toks t LEFT JOIN v ON t.tok = v.tok)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |       CAST(count(*) FILTER (WHERE intok IS NULL) AS BIGINT) AS n_oov,
+          |       round(count(*) FILTER (WHERE intok IS NULL) /
+          |             CAST(count(*) AS DOUBLE), 4) + 0.0 AS oov_rate
+          |FROM x GROUP BY 1""".stripMargin,
 
       // adjacency over PRE-FILTERED non-empty tokens in both engines (a
       // leading-whitespace empty token would otherwise break pairing);

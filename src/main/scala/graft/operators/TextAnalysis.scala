@@ -440,6 +440,37 @@ object TextAnalysis {
   }
 
   /**
+   * Out-of-vocabulary rate per document against the corpus's own top-N
+   * token vocabulary — the tokenizer-coverage audit: a doc whose tokens
+   * mostly fall outside the head vocabulary is foreign-language, garbled,
+   * or heavily numeric relative to the corpus, and a rising corpus-level
+   * OOV rate means the tokenizer vocabulary no longer fits the data.
+   *
+   * Shape: the vocabulary is a TakeOrdered top-N of the unigram counts
+   * (deterministic (count desc, token) boundary), broadcast as a
+   * ≤-vocabSize set; the per-doc probe is a row-local explode + left
+   * semi-ish flag aggregated per doc — one partial-aggregatable shuffle
+   * keyed by doc id. Docs with no tokens have no rows to aggregate and are
+   * absent from the output (no rate exists, fabricating 0 would read as
+   * "fully in-vocabulary").
+   */
+  def oovRate(df: DataFrame, vocabSize: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1, s"oovRate: vocabSize must be >= 1, got $vocabSize")
+    val toks = df.select(col(idCol),
+        explode(filter(tokens(col(textCol)), t => t =!= "")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__ov_n"))
+      .orderBy(col("__ov_n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(true).as("__ov_in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_if(col("__ov_in").isNull).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4) + lit(0.0))
+  }
+
+  /**
    * Top-k PMI collocations (Church & Hanks 1990): adjacent whitespace-token
    * bigrams scored by pointwise mutual information — the classic phrase /
    * multi-word-expression miner ("new york" scores high because the pair

@@ -426,6 +426,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(neg.getAs[Double]("logit") === -0.5 && !neg.getAs[Boolean]("label"))
   }
 
+  test("oovRate: head vocabulary in, tail out, deterministic boundary") {
+    import spark.implicits._
+    // "the" ×6, "cat" ×4, "dog" ×2, "zyx" ×1 — vocabSize 2 keeps {the, cat}
+    val docs = Seq(
+      (1L, "the cat the cat"),         // all in-vocab → 0.0
+      (2L, "the dog zyx cat dog the"), // 3 OOV of 6 → 0.5
+      (3L, ""))                        // tokenless → absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate")))).toMap
+    assert(out === Map(1L -> ((4L, 0L, 0.0)), 2L -> ((6L, 3L, 0.5))))
+    intercept[IllegalArgumentException](TextAnalysis.oovRate(docs, vocabSize = 0))
+  }
+
   test("collocations: hand-computed PMI, minCount suppresses hapax pairs") {
     import spark.implicits._
     // (new, york) ×3 and (old, deal) ×1; hapax pair has the HIGHER pmi
