@@ -33,15 +33,27 @@ object StreamDemo {
     val ckpt = Files.createTempDirectory("graft-demo-ckpt").toString
     BotGen.writeJsonDir(in, BotGen.events(nUsers = 200, nBots = 3, durationS = 600))
 
+    // observed ingest metrics ride the stream's own jobs (no extra scan):
+    // per-batch row counts + null-ip violations surface on query progress
+    val observedWire = operators.Observability.observeStream(
+      Ingest.toLogRecords(Ingest.jsonDirStream(spark, in, maxFilesPerTrigger = 2)),
+      "wire_ingest", org.apache.spark.sql.functions.col("ip"),
+      org.apache.spark.sql.functions.lit(1L))
     val verdicts = StreamingBotDetection.verdictStream(
-        Ingest.toLogRecords(Ingest.jsonDirStream(spark, in, maxFilesPerTrigger = 2)),
+        observedWire,
         BotDetection.referenceWindowing, BotConfig())
       .withColumn("expires_at_s",
         org.apache.spark.sql.functions.col("window_start_s") + 600L + Sinks.ttlSeconds)
 
     val q = Sinks.startParquetSink(verdicts, out, ckpt, triggerInterval = "1 seconds")
     q.processAllAvailable()
+    // per-batch rows summed across every progress event — the run's total
+    // ingest accounting, paid for by zero extra scans
+    val observedTotal = q.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("wire_ingest")))
+      .map(_.getAs[Long]("n_rows")).sum
     q.stop()
+    println(s"=== observed ingest total rows (accumulator-only): $observedTotal")
 
     val result = Sinks.readVerdicts(spark, out, Seq("ip", "window_start_s"))
     val byIp = result.groupBy("ip").count().orderBy(org.apache.spark.sql.functions.desc("count"))
