@@ -1026,6 +1026,13 @@ object SparkEntry {
           queryPred = col("vec_id") < 10, k = 10)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // IVF index health: per-cell occupancy + load factor after training —
+    // the retrain-trigger readout (hot cells inflate probe latency, empty
+    // cells waste probe budget). Rows-only: occupancy depends on Lloyd.
+    "embed_ivf_stats" -> ((s, dir) =>
+      Similarity.ivfCellStats(table(s, dir, "embeddings"), "vec_id",
+        "embedding", nCells = 8)),
+
     // Hard negatives for contrastive training: nearest DIFFERENT-label
     // rows per anchor — the label filter sits in the join condition, so
     // same-label pairs never reach the scorer.

@@ -1018,6 +1018,38 @@ object Similarity {
    * keeps its single map-side assignment, and a neighbor lives in exactly
    * one cell, so probes can never produce duplicate result pairs.
    */
+  /**
+   * IVF index health audit: per-cell occupancy after training — the
+   * readout a deployed ANN index is monitored by. `load_factor` is the
+   * cell's size relative to perfect balance (n·nCells/total): cells ≫ 1
+   * are scan hot-spots that inflate probe latency, empty cells (kept via
+   * the left join — they'd otherwise be invisible) waste probe budget and
+   * signal a bad training sample or drifted data. Retrain when the max
+   * load factor or empty-cell count crosses the deployment's bar.
+   *
+   * Shape: one map-side codegen'd assignment (zero exchange, the
+   * [[nearestCell]] contract) + one partial-aggregatable cell count
+   * (≤ nCells rows) + a one-row total broadcast.
+   */
+  def ivfCellStats(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame = {
+    val centroids = trainCentroids(df, idCol, vecCol, nCells)
+      .transform(graft.Materialize(_))
+    val counts = nearestCell(
+        df.select(col(idCol).as("__ics_id"), col(vecCol).as("__ics_v")),
+        "__ics_v", centroids)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_vecs"))
+    val perCell = centroids.select(col("cell_id"))
+      .join(counts, Seq("cell_id"), "left")
+      .select(col("cell_id"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val tot = perCell.agg(sum(col("n_vecs")).as("__ics_tot"))
+    perCell.crossJoin(broadcast(tot))
+      .select(col("cell_id"), col("n_vecs"),
+        (round(col("n_vecs") / col("__ics_tot"), 4) + lit(0.0)).as("frac"),
+        (round(col("n_vecs") * nCells / col("__ics_tot"), 4) + lit(0.0))
+          .as("load_factor"))
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nCells: Int, farthestFirst: Boolean = false,
       nProbes: Int = 1): DataFrame = {

@@ -44,7 +44,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_js_drift",            // crossJoin(broadcast(1-row category totals))
     "q_calibration",         // crossJoin(broadcast(1-row bin-mass total))
     "text_collocations",     // crossJoin(broadcast(1-row bigram/unigram totals))
-    "q_json_profile")        // crossJoin(broadcast(1-row denominator))
+    "q_json_profile",        // crossJoin(broadcast(1-row denominator))
+    "embed_ivf_stats")       // crossJoin(broadcast(1-row occupancy total))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single

@@ -35,6 +35,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq === Seq(2L, 5L, 3L)) // by descending cosine
   }
 
+  test("ivfCellStats accounts every vector once, load factors average to 1") {
+    import spark.implicits._
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, vec(math.cos(i * 0.4), math.sin(i * 0.4), i % 3, 1)))
+      .toDF("vec_id", "embedding")
+    val stats = Similarity.ivfCellStats(vecs, "vec_id", "embedding", nCells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("frac"),
+        r.getAs[Double]("load_factor")))
+    assert(stats.length === 4)                      // every cell reported
+    assert(stats.map(_._2).sum === 64L)             // every vector exactly once
+    assert(stats.forall(s => s._2 >= 0L))
+    // load factors average to 1 by construction (n·nCells/total)
+    assert(math.abs(stats.map(_._4).sum / 4 - 1.0) < 0.01)
+    assert(math.abs(stats.map(_._3).sum - 1.0) < 0.01)
+  }
+
   test("hard negatives: nearest different-label rows, same-label never scored") {
     val labeled = Seq(
       (1L, vec(1, 0, 0, 0), 0),
