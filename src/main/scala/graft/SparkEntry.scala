@@ -1610,6 +1610,13 @@ object SparkEntry {
           pmod(col("user_id"), lit(2)) === 0, col("event_type"))
         .withColumnRenamed("grp", "dow")),
 
+    // Join-key skew audit on the clickstream's user key: top-20 heaviest
+    // keys, load factors vs perfect balance, and the exact self-join row
+    // count — the decide-before-you-join salting diagnostic.
+    "q_key_skew" -> ((s, dir) =>
+      operators.DataQuality.keySkewAudit(table(s, dir, "events"),
+        col("user_id"), topK = 20)),
+
     // JSON schema profile of the semi-structured props column: per key,
     // carry count/fraction and how many values parse numeric — the
     // producer-contract audit. Row-local explode, one per-key count.
@@ -2401,6 +2408,25 @@ object SparkEntry {
           |JOIN b_t ON c.g = b_t.g AND c.b = b_t.b
           |JOIN g_t ON c.g = g_t.g
           |GROUP BY g_t.g, g_t.n, g_t.n_a, g_t.n_b""".stripMargin,
+
+      // summary stats ride every row from a one-row broadcast; the
+      // load-factor product runs in double in both engines (the long
+      // product would overflow at exactly the scales that need auditing)
+      "q_key_skew" ->
+        """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+          |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+          |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |             CAST(sum(n) AS BIGINT) AS total,
+          |             sum(CAST(n AS DOUBLE) * n) AS selfj FROM c),
+          |t AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20)
+          |SELECT t.key, t.n,
+          |       CAST(row_number() OVER (ORDER BY t.n DESC, t.key) AS BIGINT)
+          |         AS rank,
+          |       round(t.n / s.total, 6) + 0.0 AS frac,
+          |       round(CAST(t.n AS DOUBLE) * s.n_keys / s.total, 4) + 0.0
+          |         AS load_factor,
+          |       s.n_keys, CAST(s.selfj AS BIGINT) AS self_join_rows
+          |FROM t, s""".stripMargin,
 
       // unquoted scalar extraction and TRY_CAST numeric typing behave
       // identically in both engines; null JSON rows leave keys AND the

@@ -411,6 +411,43 @@ object DataQuality {
   }
 
   /**
+   * Join-key skew audit: the top-k heaviest keys with their mass fraction
+   * and load factor (n·n_keys/total — multiples of perfect balance), plus
+   * the Σn² self-equi-join row count carried on every row. This is the
+   * BEFORE-the-join diagnostic that decides the salting/AQE strategy:
+   * load factors tell you how hot the hot keys are (a task processing the
+   * top key does `load_factor`× the average work), and `self_join_rows`
+   * is the exact output size a self-join on this key would produce —
+   * checked BEFORE burning cluster-hours on an exploding join.
+   *
+   * Shape: one partial-aggregatable key count; everything downstream runs
+   * on the collapsed ≤|keys| table (a one-row summary aggregate broadcast
+   * back, TakeOrdered top-k, and a ≤ topK-row ranking window).
+   */
+  def keySkewAudit(df: DataFrame, keyCol: Column, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"keySkewAudit: topK must be >= 1, got $topK")
+    val counts = df.filter(keyCol.isNotNull)
+      .groupBy(keyCol.as("key")).agg(count(lit(1)).as("n"))
+    val summary = counts.agg(count(lit(1)).as("__ks_keys"),
+      sum(col("n")).as("__ks_total"),
+      // Σn² in double: exact for key counts below 2^26, and the estimate
+      // (not the join) is the product at scale anyway
+      sum(col("n").cast("double") * col("n")).as("__ks_self"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
+    val w = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("key"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(summary))
+      .select(col("key"), col("n"), col("rank"),
+        (round(col("n") / col("__ks_total"), 6) + lit(0.0)).as("frac"),
+        // n·keys in double: the long product would overflow (and throw,
+        // under ANSI) exactly on the corpora this audit exists for
+        (round(col("n").cast("double") * col("__ks_keys") / col("__ks_total"), 4)
+          + lit(0.0)).as("load_factor"),
+        col("__ks_keys").as("n_keys"),
+        col("__ks_self").cast("long").as("self_join_rows"))
+  }
+
+  /**
    * Schema-inference profile of a semi-structured JSON column: per key,
    * how many documents carry it, the carry fraction, and how many values
    * parse as numbers — the drift/contract audit for `props`-style columns

@@ -244,6 +244,25 @@ class DataQualitySpec extends AnyFunSuite {
       DataQuality.histogram(rows, col("g"), col("v"), nBins = 0))
   }
 
+  test("keySkewAudit ranks hot keys with load factors and self-join size") {
+    import spark.implicits._
+    // keys: a ×6, b ×2, c ×1, d ×1 → 4 keys, 10 rows,
+    // self-join = 36+4+1+1 = 42; load(a) = 6·4/10 = 2.4
+    val rows = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d") :+
+      null.asInstanceOf[String]).toDF("k")
+    val out = DataQuality.keySkewAudit(rows, col("k"), topK = 3)
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("rank"), r.getAs[Double]("frac"),
+          r.getAs[Double]("load_factor"), r.getAs[Long]("n_keys"),
+          r.getAs[Long]("self_join_rows")))).toMap
+    assert(out.size === 3) // topK caps the listing
+    assert(out("a") === ((6L, 1L, 0.6, 2.4, 4L, 42L)))
+    assert(out("b") === ((2L, 2L, 0.2, 0.8, 4L, 42L)))
+    assert(out("c")._2 === 3L) // (n desc, key) tie-break: c before d
+    intercept[IllegalArgumentException](
+      DataQuality.keySkewAudit(rows, col("k"), topK = 0))
+  }
+
   test("jsonProfile counts keys, numeric-typed values, and carry fractions") {
     import spark.implicits._
     val docs = Seq(

@@ -45,7 +45,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_calibration",         // crossJoin(broadcast(1-row bin-mass total))
     "text_collocations",     // crossJoin(broadcast(1-row bigram/unigram totals))
     "q_json_profile",        // crossJoin(broadcast(1-row denominator))
-    "embed_ivf_stats")       // crossJoin(broadcast(1-row occupancy total))
+    "embed_ivf_stats",       // crossJoin(broadcast(1-row occupancy total))
+    "q_key_skew")            // crossJoin(broadcast(1-row key-count summary))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single
