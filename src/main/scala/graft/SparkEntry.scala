@@ -1026,6 +1026,14 @@ object SparkEntry {
           queryPred = col("vec_id") < 10, k = 10)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // File-layout audit via the _metadata hidden columns: per-file bytes
+    // and row counts as a query (the compaction trigger), no driver
+    // listing. Rows-only: the oracle engine has no file-metadata surface
+    // over the same scan.
+    "q_layout_audit" -> ((s, dir) =>
+      operators.Layout.fileAudit(s, s"$dir/lineitem.parquet")
+        .select(col("bytes"), col("n_rows"), col("small_file"))),
+
     // IVF index health: per-cell occupancy + load factor after training —
     // the retrain-trigger readout (hot cells inflate probe latency, empty
     // cells waste probe budget). Rows-only: occupancy depends on Lloyd.

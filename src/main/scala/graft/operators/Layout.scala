@@ -167,4 +167,25 @@ object Layout {
       .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     (dataFiles.length, after)
   }
+
+  /**
+   * File-layout audit via Spark's `_metadata` hidden columns: one row per
+   * data file with its byte size, row count, and a small-file flag — the
+   * input [[compact]] acts on, as a QUERY instead of a driver listing
+   * (at 100 TB the listing itself is distributed work; `_metadata` rides
+   * the normal scan machinery and never downloads data pages — row counts
+   * come from footer metadata via the count aggregate). A healthy layout
+   * has small_file = false everywhere and sizes near the writer target;
+   * a rising small-file fraction is the compaction trigger.
+   */
+  def fileAudit(spark: org.apache.spark.sql.SparkSession, path: String,
+      smallBytes: Long = 32L * 1024 * 1024): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(smallBytes > 0, s"fileAudit: smallBytes must be positive, got $smallBytes")
+    spark.read.parquet(path)
+      .groupBy(col("_metadata.file_path").as("path"),
+        col("_metadata.file_size").as("bytes"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("small_file", col("bytes") < smallBytes)
+  }
 }

@@ -130,4 +130,24 @@ class StorageLayoutSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("fileAudit reports per-file bytes/rows via _metadata, flags small files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audit-in").toString
+    // 4 files of 25 rows each
+    spark.range(100).select(col("id")).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val out = graft.operators.Layout.fileAudit(spark, dir).collect()
+    assert(out.length === 4)
+    assert(out.map(_.getAs[Long]("n_rows")).sum === 100L)
+    assert(out.forall(_.getAs[Long]("bytes") > 0L))
+    // every tiny test file sits under the default 32 MB bar
+    assert(out.forall(_.getAs[Boolean]("small_file")))
+    // a 1-byte bar flags nothing
+    val none = graft.operators.Layout.fileAudit(spark, dir, smallBytes = 1L)
+      .collect()
+    assert(none.forall(!_.getAs[Boolean]("small_file")))
+    intercept[IllegalArgumentException](
+      graft.operators.Layout.fileAudit(spark, dir, smallBytes = 0L))
+  }
 }
