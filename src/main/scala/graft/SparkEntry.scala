@@ -2534,7 +2534,8 @@ object SparkEntry {
           |      FROM r GROUP BY 1),
           |t AS (SELECT sum(n) AS tot FROM b)
           |SELECT bin, n, conf, acc,
-          |       round(n / tot * abs(conf - acc), 6) + 0.0 AS ece_contrib
+          |       floor(n / tot * abs(conf - acc) * 1000000 + 0.5) / 1000000
+          |         + 0.0 AS ece_contrib
           |FROM b, t""".stripMargin,
 
       // calendar lags via day-shifted self-joins (a row-based lag(7) would

@@ -682,9 +682,15 @@ object DataQuality {
         (round(avg(col("__dq_s")), 4) + lit(0.0)).as("conf"),
         (round(avg(col("__dq_y").cast("double")), 4) + lit(0.0)).as("acc"))
     val tot = binned.agg(sum(col("n")).as("__dq_tot"))
+    // floor-based 6dp rounding, NOT round(): the contribution's inputs are
+    // deterministic (4dp-rounded conf/acc, integer n/tot), so its double is
+    // bit-identical cross-engine — but it lands on EXACT decimal .5 ties by
+    // construction (4dp factors over power-of-ten totals), where engine
+    // round() tie conventions disagree. floor(x·1e6 + 0.5)/1e6 is pure IEEE
+    // arithmetic on that identical double → identical everywhere.
+    val raw = col("n") / col("__dq_tot") * abs(col("conf") - col("acc"))
     binned.crossJoin(broadcast(tot))
       .select(col("bin"), col("n"), col("conf"), col("acc"),
-        (round(col("n") / col("__dq_tot") * abs(col("conf") - col("acc")), 6)
-          + lit(0.0)).as("ece_contrib"))
+        (floor(raw * 1e6 + lit(0.5)) / 1e6 + lit(0.0)).as("ece_contrib"))
   }
 }
