@@ -45,15 +45,26 @@ object StreamDemo {
       .withColumn("expires_at_s",
         org.apache.spark.sql.functions.col("window_start_s") + 600L + Sinks.ttlSeconds)
 
+    // accumulate observed metrics through a listener — recentProgress is
+    // CAPPED (spark.sql.streaming.numRecentProgressUpdates, default 100),
+    // so summing it silently undercounts any long-running query
+    val observedTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        Option(e.progress.observedMetrics.get("wire_ingest"))
+          .foreach(r => observedTotal.addAndGet(r.getAs[Long]("n_rows")))
+      override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     val q = Sinks.startParquetSink(verdicts, out, ckpt, triggerInterval = "1 seconds")
     q.processAllAvailable()
-    // per-batch rows summed across every progress event — the run's total
-    // ingest accounting, paid for by zero extra scans
-    val observedTotal = q.recentProgress
-      .flatMap(p => Option(p.observedMetrics.get("wire_ingest")))
-      .map(_.getAs[Long]("n_rows")).sum
     q.stop()
-    println(s"=== observed ingest total rows (accumulator-only): $observedTotal")
+    spark.streams.removeListener(listener)
+    println(s"=== observed ingest total rows (accumulator-only): ${observedTotal.get()}")
 
     val result = Sinks.readVerdicts(spark, out, Seq("ip", "window_start_s"))
     val byIp = result.groupBy("ip").count().orderBy(org.apache.spark.sql.functions.desc("count"))

@@ -499,7 +499,8 @@ object DataQuality {
   def mannWhitney(df: DataFrame, groupCol: Column, variantCol: Column,
       valueCol: Column, nBuckets: Int = 32): DataFrame = {
     require(nBuckets >= 2, s"mannWhitney: nBuckets must be >= 2, got $nBuckets")
-    val rows = df.filter(variantCol.isNotNull && valueCol.isNotNull)
+    val rows = df.filter(groupCol.isNotNull && variantCol.isNotNull &&
+        valueCol.isNotNull)
       .select(groupCol.as("__mw_g"), variantCol.as("__mw_a"),
         valueCol.cast("double").as("__mw_v"))
     val qs = (1 until nBuckets).map(i => (BigDecimal(i) / nBuckets).toString)
@@ -641,8 +642,13 @@ object DataQuality {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tot = joined.agg(sum(col("n_ref")).as("__js_tr"),
       sum(col("n_cur")).as("__js_tc"))
-    val p = col("n_ref") / col("__js_tr")
-    val q = col("n_cur") / col("__js_tc")
+    // a zero-total side carries zero mass everywhere: guard the division
+    // (ANSI mode throws DIVIDE_BY_ZERO on 0/0) — p = 0 is the continuous
+    // limit, and the other side's terms then contribute their full ln 2
+    val p = when(col("__js_tr") > 0, col("n_ref") / col("__js_tr"))
+      .otherwise(lit(0.0))
+    val q = when(col("__js_tc") > 0, col("n_cur") / col("__js_tc"))
+      .otherwise(lit(0.0))
     val m = (p + q) / 2
     val term = (x: Column) => when(x > 0, x * log(x / m)).otherwise(lit(0.0))
     joined.crossJoin(broadcast(tot))

@@ -182,6 +182,9 @@ object Layout {
       smallBytes: Long = 32L * 1024 * 1024): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(smallBytes > 0, s"fileAudit: smallBytes must be positive, got $smallBytes")
+    // same INT64-nanos tolerance as Tables.load: the audit must not depend
+    // on some earlier Tables.load having set the session conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path)
       .groupBy(col("_metadata.file_path").as("path"),
         col("_metadata.file_size").as("bytes"))

@@ -45,11 +45,28 @@ object Similarity {
    * (queries × corpus) scored rows partitioned by query.
    */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int): DataFrame = {
-    val queries = df.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val corpus = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
-    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      queryPred: Column, k: Int): DataFrame =
+    bruteForceTopKWhere(df, idCol, vecCol, queryPred, k,
+      extraCols = Nil, pairPred = lit(true))
+
+  /** [[bruteForceTopK]] with an extra pair predicate evaluated INSIDE the
+   * join condition (rejected pairs never reach the scorer). `extraCols`
+   * are carried onto both sides as `q_<name>` / `n_<name>` for the
+   * predicate to reference — the shared core of top-k and
+   * [[hardNegatives]], so ranking fixes (NaN demotion, tie-breaks) land
+   * in exactly one place. */
+  def bruteForceTopKWhere(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, extraCols: Seq[String],
+      pairPred: Column): DataFrame = {
+    require(k >= 1, s"bruteForceTopK: k must be >= 1, got $k")
+    val qSide = col(idCol).as("query_id") +: col(vecCol).as("qvec") +:
+      extraCols.map(c => col(c).as(s"q_$c"))
+    val nSide = col(idCol).as("neighbor_id") +: col(vecCol).as("nvec") +:
+      extraCols.map(c => col(c).as(s"n_$c"))
+    val queries = df.filter(queryPred).select(qSide: _*)
+    val corpus = df.select(nSide: _*)
+    val scored = corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id") && pairPred)
       .withColumn("cos", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(cosRankKey(col("cos")).desc, col("neighbor_id"))
@@ -71,20 +88,9 @@ object Similarity {
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queryPred: Column, k: Int): DataFrame = {
     require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
-    val queries = df.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        col(labelCol).as("__hn_ql"))
-    val corpus = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-      col(labelCol).as("__hn_nl"))
-    val scored = corpus.join(broadcast(queries),
-        col("query_id") =!= col("neighbor_id") &&
-        col("__hn_ql") =!= col("__hn_nl"))
-      .withColumn("cos", cosine(col("qvec"), col("nvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(cosRankKey(col("cos")).desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    bruteForceTopKWhere(df, idCol, vecCol, queryPred, k,
+      extraCols = Seq(labelCol),
+      pairPred = col(s"q_$labelCol") =!= col(s"n_$labelCol"))
   }
 
   /**

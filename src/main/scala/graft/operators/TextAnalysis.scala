@@ -457,8 +457,12 @@ object TextAnalysis {
   def oovRate(df: DataFrame, vocabSize: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(vocabSize >= 1, s"oovRate: vocabSize must be >= 1, got $vocabSize")
-    val toks = df.select(col(idCol),
-        explode(filter(tokens(col(textCol)), t => t =!= "")).as("tok"))
+    // materialized: both the vocabulary build and the probe read this
+    // frame — tokenize/scan the corpus ONCE, not twice (the trigram-model
+    // idiom; the two consumers share no exchange, so ReuseExchange can't
+    // dedup them)
+    val toks = graft.Materialize(df.select(col(idCol),
+      explode(filter(tokens(col(textCol)), t => t =!= "")).as("tok")))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__ov_n"))
       .orderBy(col("__ov_n").desc, col("tok")).limit(vocabSize)
       .select(col("tok"), lit(true).as("__ov_in"))
@@ -488,8 +492,10 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(k >= 1, s"collocations: k must be >= 1, got $k")
     require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
-    val toks = df.select(
-      filter(tokens(col(textCol)), t => t =!= "").as("__co_toks"))
+    // materialized: the bigram and unigram passes both read the token
+    // arrays — tokenize/scan once (the trigram-model idiom)
+    val toks = graft.Materialize(df.select(
+      filter(tokens(col(textCol)), t => t =!= "").as("__co_toks")))
     val tail = greatest(size(col("__co_toks")) - 1, lit(0))
     val pairs = toks.select(explode(arrays_zip(
         slice(col("__co_toks"), lit(1), tail).as("w1"),

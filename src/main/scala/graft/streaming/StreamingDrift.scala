@@ -53,8 +53,11 @@ object StreamingDrift {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          val cur = DataQuality.bucketCounts(batch, col(valueCol), bnds, "n_cur")
+        // "no valid observations → emit nothing": an all-NULL-value batch
+        // (exactly what an upstream schema break produces) must not append
+        // a fabricated smoothing-only "stable" verdict
+        val cur = DataQuality.bucketCounts(batch, col(valueCol), bnds, "n_cur")
+        if (!cur.isEmpty) {
           val summary = DataQuality.psiFromCounts(refCounts, cur, nBuckets, spark)
             .agg((round(sum(col("contrib")), 6) + lit(0.0)).as("psi"),
               sum(col("n_cur")).as("n_rows"))
@@ -76,10 +79,11 @@ object StreamingDrift {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // an empty batch carries no distribution evidence — jsd would be
-        // 0/0; emit nothing rather than a null-jsd row
-        if (!batch.isEmpty) {
-          val cur = DataQuality.categoryCounts(batch, col(catCol), "n_cur")
+        // a batch with no valid categories (empty OR all-NULL column)
+        // carries no distribution evidence — emit nothing rather than a
+        // zero-observation verdict
+        val cur = DataQuality.categoryCounts(batch, col(catCol), "n_cur")
+        if (!cur.isEmpty) {
           val summary = DataQuality.jsDivergenceCounts(refCounts, cur)
             .agg(count(lit(1)).as("n_cats"),
               (round(sum(col("contrib")), 6) + lit(0.0)).as("jsd"),

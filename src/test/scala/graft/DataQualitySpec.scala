@@ -394,6 +394,13 @@ class DataQualitySpec extends AnyFunSuite {
       "c" -> ((0L, 2L, 0.173287))))
     // total JSD = ln2 / 2 for half the mass swapping category
     assert(math.abs(out.values.map(_._3).sum - math.log(2) / 2) < 1e-5)
+    // one side empty (zero total): no DIVIDE_BY_ZERO under ANSI mode —
+    // q ≡ 0 is the continuous limit, each ref category contributes
+    // (1/2)·p·ln 2, summing to ln2/2 (P vs the zero measure)
+    val oneSided = DataQuality.jsDivergence(ref, cur.filter(col("cat") === "nope"),
+        col("cat"))
+      .collect().map(r => r.getAs[Double]("contrib"))
+    assert(math.abs(oneSided.sum - math.log(2) / 2) < 1e-5)
   }
 
   test("calibrationReport bins scores, clamps 1.0, and weights ECE by mass") {

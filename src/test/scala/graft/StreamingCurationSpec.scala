@@ -124,11 +124,15 @@ class StreamingCurationSpec extends AnyFunSuite {
       // batch 1: an entirely new category → jsd = ln 2, drifted
       input.addData("c", "c", "c", "c")
       q.processAllAvailable()
+      // batch 2: rows present but category all NULL — no evidence, no row
+      input.addData(null.asInstanceOf[String], null.asInstanceOf[String])
+      q.processAllAvailable()
     } finally q.stop()
     val out = spark.read.parquet(outDir).collect()
       .map(r => r.getAs[Long]("batch_id") ->
         ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_cats"),
           r.getAs[Double]("jsd"), r.getAs[Boolean]("drifted")))).toMap
+    assert(out.size === 2, s"all-NULL batch must emit nothing: $out")
     assert(out(0L) === ((4L, 2L, 0.0, false)))
     // full category swap: JSD = ln 2 (the distribution's upper bound)
     assert(out(1L)._1 === 4L && out(1L)._2 === 3L && out(1L)._4 === true)
