@@ -30,8 +30,19 @@ object SparkEntry {
    * in-memory build. Deterministic: the build itself is deterministic on one
    * JVM, so a rebuilt index yields the same search results. */
   private def ivfPqIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    // cache key includes a fingerprint of the SOURCE data (total length +
+    // max mtime of the embeddings files): a regenerated dataset at the same
+    // path must rebuild the index, never serve stale neighbors
+    val srcFp = {
+      val d = new java.io.File(dir, "embeddings.parquet")
+      val files = Option(if (d.isDirectory) d.listFiles() else Array(d))
+        .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+      java.lang.Long.toHexString(
+        files.map(f => f.length() ^ java.lang.Long.rotateLeft(f.lastModified(), 21))
+          .foldLeft(0L)(_ ^ _))
+    }
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivfpq_v1_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "graft_ivfpq_v1_" + srcFp + "_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val paths = Seq("centroids", "codebooks", "codes")
       .map(n => new java.io.File(base, n).toString)
     if (!paths.forall(p => new java.io.File(p, "_SUCCESS").exists())) {
@@ -2178,7 +2189,8 @@ object SparkEntry {
           |  round(CAST(n_ab AS DOUBLE) / n_baskets, 6) + 0.0 AS support,
           |  round(CAST(n_ab AS DOUBLE) / na.n_item, 6) + 0.0 AS conf_a_to_b,
           |  round(CAST(n_ab AS DOUBLE) / nbi.n_item, 6) + 0.0 AS conf_b_to_a,
-          |  round(CAST(n_ab * n_baskets AS DOUBLE) / (na.n_item * nbi.n_item), 6)
+          |  round(CAST(n_ab AS DOUBLE) * n_baskets /
+          |        (CAST(na.n_item AS DOUBLE) * nbi.n_item), 6)
           |    + 0.0 AS lift
           |FROM p JOIN ic na ON na.item = item_a
           |       JOIN ic nbi ON nbi.item = item_b

@@ -97,11 +97,18 @@ object TopNExpressions {
     override def eval(buf: Buf): Any =
       new GenericArrayData(buf.toArray.map(_._2))
 
+    // length-prefixed UTF-8 bytes, NOT writeUTF: writeUTF throws
+    // UTFDataFormatException beyond 65535 bytes, and the public Column API
+    // puts no bound on the order key (a caller passing raw document text
+    // instead of an md5 hex would fail at the shuffle boundary)
     override def serialize(buf: Buf): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
       out.writeInt(buf.size)
-      buf.foreach { case (ord, id) => out.writeUTF(ord); out.writeLong(id) }
+      buf.foreach { case (ord, id) =>
+        val b = ord.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b); out.writeLong(id)
+      }
       out.flush()
       bos.toByteArray
     }
@@ -111,7 +118,13 @@ object TopNExpressions {
       val buf = createAggregationBuffer()
       val count = in.readInt()
       var i = 0
-      while (i < count) { buf += ((in.readUTF(), in.readLong())); i += 1 }
+      while (i < count) {
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        buf += ((new String(b, java.nio.charset.StandardCharsets.UTF_8),
+          in.readLong()))
+        i += 1
+      }
       buf
     }
 

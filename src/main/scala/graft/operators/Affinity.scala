@@ -55,7 +55,10 @@ object Affinity {
         (round(col("n_ab") / col("n_baskets"), 6) + lit(0.0)).as("support"),
         (round(col("n_ab") / col("n_a"), 6) + lit(0.0)).as("conf_a_to_b"),
         (round(col("n_ab") / col("n_b"), 6) + lit(0.0)).as("conf_b_to_a"),
-        (round(col("n_ab") * col("n_baskets") /
-          (col("n_a") * col("n_b")), 6) + lit(0.0)).as("lift"))
+        // double-first products: the long·long numerator/denominator wrap
+        // (or throw, under ANSI) exactly at the basket volumes the 100 TB
+        // story claims; the oracle replays the same cast order
+        (round(col("n_ab").cast("double") * col("n_baskets") /
+          (col("n_a").cast("double") * col("n_b")), 6) + lit(0.0)).as("lift"))
   }
 }

@@ -163,7 +163,12 @@ object Layout {
       else df.repartitionByRange(nFiles, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
     out.write.mode("overwrite").parquet(outPath)
-    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+    // resolve the OUTPUT's filesystem — in/out may live on different FSes
+    // (hdfs → s3a compaction), and listing outPath on inPath's FS throws
+    // Wrong FS after the data was already rewritten
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val outFs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val after = outFs.listStatus(outP)
       .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     (dataFiles.length, after)
   }

@@ -423,8 +423,16 @@ object Similarity {
     require(!sample.isEmpty,
       s"seedFarthestFirst: hash sample is empty (sampleMod=$sampleMod too coarse?)")
     val idType = sample.schema("cand_id").dataType
+    // dim-aware cap: the row cap alone admits collects whose BOXED float
+    // payload (~16 B/element) exceeds driver heap at realistic dims —
+    // budget total elements (rows × dim ≤ maxDriverSample × 64) instead
+    val dim = sample.select(size(col("cand_vec"))).head() match {
+      case r if r.isNullAt(0) => 64
+      case r => math.max(1, r.getInt(0))
+    }
+    val rowCap = math.max(1024L, maxDriverSample.toLong * 64L / dim)
     val localSeeds: Option[Seq[(Any, Array[Float])]] =
-      if (sample.limit(maxDriverSample + 1).count() <= maxDriverSample)
+      if (sample.limit((rowCap + 1).toInt).count() <= rowCap)
         idOrdering(idType).flatMap { ord =>
           val rows = sample.collect()
           if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
@@ -782,6 +790,11 @@ object Similarity {
         .transform(graft.Materialize(_))
       graft.Materialize.release(prev)
     }
+    // after ≥1 Lloyd round the final centroids barrier is a lineage-
+    // truncated leaf, so the training sample is dead — release it (the
+    // trainCentroids discipline); with iterations == 0 the returned seed
+    // plan still reads the sample, so its barrier must stay
+    if (trainSampleMod > 1 && iterations >= 1) graft.Materialize.release(train)
     // codebook entries re-labeled 0..codes-1 deterministically by the
     // (arbitrary but stable) seed id they grew from
     centroids.select(col("s"),

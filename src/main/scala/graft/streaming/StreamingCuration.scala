@@ -61,7 +61,21 @@ object StreamingCuration {
         case (_, rows, state) =>
           val admitted = state.getOption.getOrElse(0L)
           val room = math.max(0L, maxPerKey - admitted).toInt
-          val take = rows.toSeq.sortBy(_._2).take(room)
+          // bounded smallest-`room` selection: a crawl burst can put the
+          // whole batch under ONE key, and buffering+sorting it (toSeq.
+          // sortBy) is exactly the hot-key OOM this operator exists to
+          // prevent — keep a ≤room-sized max-heap instead
+          val take =
+            if (room == 0) Seq.empty[(String, Long)]
+            else {
+              val heap = new scala.collection.mutable.PriorityQueue[(String, Long)]()(
+                Ordering.by(_._2)) // max at head
+              rows.foreach { r =>
+                if (heap.size < room) heap.enqueue(r)
+                else if (r._2 < heap.head._2) { heap.dequeue(); heap.enqueue(r) }
+              }
+              heap.dequeueAll.reverse
+            }
           if (take.nonEmpty) state.update(admitted + take.size)
           take.iterator
       }
