@@ -1629,6 +1629,15 @@ object SparkEntry {
           pmod(col("user_id"), lit(2)) === 0, col("event_type"))
         .withColumnRenamed("grp", "dow")),
 
+    // Cross-domain quantile normalization: per-type values mapped onto the
+    // global distribution by rank, so one threshold means the same thing
+    // in every domain. Bounded grids broadcast; transform is map-side.
+    "q_quantile_norm" -> ((s, dir) =>
+      operators.DataQuality.quantileNormalize(
+          table(s, dir, "events"), col("event_type"), col("value"),
+          nBuckets = 10)
+        .select(col("event_id"), col("v_norm"))),
+
     // Join-key skew audit on the clickstream's user key: top-20 heaviest
     // keys, load factors vs perfect balance, and the exact self-join row
     // count — the decide-before-you-join salting diagnostic.
@@ -2428,6 +2437,31 @@ object SparkEntry {
           |JOIN b_t ON c.g = b_t.g AND c.b = b_t.b
           |JOIN g_t ON c.g = g_t.g
           |GROUP BY g_t.g, g_t.n, g_t.n_a, g_t.n_b""".stripMargin,
+
+      // 1-based array indexing in both engines; the piecewise-linear
+      // blend replays Spark's clamp and association order before the
+      // shared 6dp round
+      "q_quantile_norm" ->
+        """WITH r AS (SELECT event_id, event_type AS g, CAST(value AS DOUBLE) AS v
+          |           FROM events
+          |           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+          |gg AS (SELECT g, quantile_cont(v, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
+          |                                   0.6, 0.7, 0.8, 0.9, 1.0]) AS gq
+          |       FROM r GROUP BY 1),
+          |gl AS (SELECT quantile_cont(v, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
+          |                                0.6, 0.7, 0.8, 0.9, 1.0]) AS lq
+          |       FROM r),
+          |x AS (SELECT r.event_id, r.v, gg.gq, gl.lq,
+          |        least(9, len(list_filter(gq[2:10], c -> r.v > c))) AS b
+          |      FROM r JOIN gg ON r.g = gg.g, gl)
+          |SELECT event_id,
+          |  round(lq[b + 1] +
+          |        CASE WHEN gq[b + 2] > gq[b + 1]
+          |             THEN least(1.0, greatest(0.0,
+          |                    (v - gq[b + 1]) / (gq[b + 2] - gq[b + 1])))
+          |             ELSE 0.0 END * (lq[b + 2] - lq[b + 1]), 6) + 0.0
+          |    AS v_norm
+          |FROM x""".stripMargin,
 
       // summary stats ride every row from a one-row broadcast; the
       // load-factor product runs in double in both engines (the long

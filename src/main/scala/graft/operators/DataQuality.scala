@@ -411,6 +411,50 @@ object DataQuality {
   }
 
   /**
+   * Cross-group quantile normalization: map each group's value
+   * distribution onto the GLOBAL one by rank — piecewise-linear
+   * interpolation between per-group and global quantile grids (inclusive
+   * 0..1 endpoints, `nBuckets` segments). The curation use: per-domain
+   * quality scores are not comparable (one domain's 0.6 is another's
+   * 0.9), so a single global filter threshold silently over-prunes some
+   * domains; after normalization a group's median maps to the global
+   * median and one threshold means the same thing everywhere.
+   *
+   * Shape: one bounded per-group exact-percentile aggregate + a one-row
+   * global grid, both broadcast; the transform itself is a map-side
+   * projection (bucket index + two array lookups + linear blend) — one
+   * scan, no data shuffle. Within-segment position clamps to [0, 1], so
+   * values at or beyond the grid edges map to the global edges.
+   */
+  def quantileNormalize(df: DataFrame, groupCol: Column, valueCol: Column,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"quantileNormalize: nBuckets must be >= 2, got $nBuckets")
+    val qs = (0 to nBuckets).map(i => (BigDecimal(i) / nBuckets).toString)
+      .mkString(", ")
+    val rows = df.filter(groupCol.isNotNull && valueCol.isNotNull)
+      .withColumn("__qn_g", groupCol)
+      .withColumn("__qn_v", valueCol.cast("double"))
+    val gGrid = rows.groupBy(col("__qn_g"))
+      .agg(expr(s"percentile(__qn_v, array($qs))").as("__qn_gq"))
+    val glGrid = rows.agg(expr(s"percentile(__qn_v, array($qs))").as("__qn_lq"))
+    // interior cuts strictly below v → segment index in [0, nBuckets-1]
+    val b = least(lit(nBuckets - 1),
+      size(filter(slice(col("__qn_gq"), 2, nBuckets - 1), c => col("__qn_v") > c)))
+    val lo = element_at(col("__qn_gq"), col("__qn_b") + 1)
+    val hi = element_at(col("__qn_gq"), col("__qn_b") + 2)
+    val glo = element_at(col("__qn_lq"), col("__qn_b") + 1)
+    val ghi = element_at(col("__qn_lq"), col("__qn_b") + 2)
+    val t = when(hi > lo,
+      least(lit(1.0), greatest(lit(0.0), (col("__qn_v") - lo) / (hi - lo))))
+      .otherwise(lit(0.0))
+    rows.join(broadcast(gGrid), "__qn_g").crossJoin(broadcast(glGrid))
+      .withColumn("__qn_b", b)
+      .withColumn("v_norm",
+        round(glo + t * (ghi - glo), 6) + lit(0.0))
+      .drop("__qn_g", "__qn_v", "__qn_gq", "__qn_lq", "__qn_b")
+  }
+
+  /**
    * Join-key skew audit: the top-k heaviest keys with their mass fraction
    * and load factor (n·n_keys/total — multiples of perfect balance), plus
    * the Σn² self-equi-join row count carried on every row. This is the

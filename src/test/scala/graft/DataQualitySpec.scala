@@ -244,6 +244,33 @@ class DataQualitySpec extends AnyFunSuite {
       DataQuality.histogram(rows, col("g"), col("v"), nBins = 0))
   }
 
+  test("quantileNormalize maps each group's ranks onto the global grid") {
+    import spark.implicits._
+    // A: 0..4, B: 0,10,20,30,40 — global p50 = 3.5. Each group's median
+    // must land on the global median; B's 30 (its p75) interpolates
+    // between the global p50 and max.
+    val rows = ((0 to 4).map(v => ("A", v.toDouble)) ++
+      (0 to 4).map(v => ("B", v * 10.0)))
+      .toDF("g", "v")
+    val out = DataQuality.quantileNormalize(rows, col("g"), col("v"),
+        nBuckets = 2)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("v")) ->
+        r.getAs[Double]("v_norm")).toMap
+    assert(out(("A", 2.0)) === 3.5 && out(("B", 20.0)) === 3.5)
+    assert(out(("A", 0.0)) === 0.0 && out(("B", 40.0)) === 40.0)
+    // B's 30 sits halfway through its upper segment → 3.5 + .5·(40 − 3.5)
+    assert(out(("B", 30.0)) === 21.75)
+    // a constant group has no rank information: deterministic map to the
+    // global lower grid point (t = 0), never a crash (hi == lo segment)
+    val withConst = rows.union(Seq(("C", 7.0), ("C", 7.0)).toDF("g", "v"))
+    val c = DataQuality.quantileNormalize(withConst, col("g"), col("v"),
+        nBuckets = 2)
+      .filter(col("g") === "C").collect().map(_.getAs[Double]("v_norm"))
+    assert(c.length === 2 && c.distinct.length === 1)
+    intercept[IllegalArgumentException](
+      DataQuality.quantileNormalize(rows, col("g"), col("v"), nBuckets = 1))
+  }
+
   test("keySkewAudit ranks hot keys with load factors and self-join size") {
     import spark.implicits._
     // keys: a ×6, b ×2, c ×1, d ×1 → 4 keys, 10 rows,

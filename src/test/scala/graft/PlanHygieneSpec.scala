@@ -46,7 +46,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "text_collocations",     // crossJoin(broadcast(1-row bigram/unigram totals))
     "q_json_profile",        // crossJoin(broadcast(1-row denominator))
     "embed_ivf_stats",       // crossJoin(broadcast(1-row occupancy total))
-    "q_key_skew")            // crossJoin(broadcast(1-row key-count summary))
+    "q_key_skew",            // crossJoin(broadcast(1-row key-count summary))
+    "q_quantile_norm")       // crossJoin(broadcast(1-row global quantile grid))
 
   /** Queries allowed an Exchange SinglePartition: a global scalar aggregate
    * or an exact global quantile over already-reduced rows — the single
