@@ -140,7 +140,7 @@ object Similarity {
   /** Deterministic random hyperplanes (seeded), as a literal array column —
    * computed once on the driver, broadcast as part of the plan. Float-typed
    * so the codegen'd float dot product applies. */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
     val rnd = new Random(seed)
     Array.fill(nPlanes, dim)(rnd.nextGaussian().toFloat)
   }
@@ -161,25 +161,44 @@ object Similarity {
    * seeds) of `nPlanes` sign bits each; candidates = pairs sharing a bucket
    * in any table; verified with exact cosine. Join is on (table, bucket) —
    * shuffle ∝ corpus × tables, not corpus².
+   *
+   * Cross-table dedup is FIRST-MATCH, not distinct: each side of the
+   * self-join carries the doc's full bucket signature (`tables` longs — 8×
+   * smaller than the float vector it replaces in the exchange), and a pair
+   * is emitted only at the FIRST table index where the signatures collide.
+   * Every emitted pair is unique by construction, so the cross-table
+   * `distinct` exchange that a naive formulation needs disappears entirely —
+   * one fewer full shuffle of the candidate set, and the barrier
+   * materializes `tables` longs per doc instead of `tables` copies of the
+   * vector. Vectors are re-attached afterwards by two id-keyed joins for
+   * the exact-cosine verify, so the candidate exchanges stay vector-free.
    */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
     // materialized (graft.Materialize — strategy via spark.graft.materialize):
     // projection collapse would re-inline the tables×nPlanes dot products
     // into both self-join sides (same blow-up as minhashCandidates)
-    val keyed = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
-        posexplode(array((0 until tables).map(t =>
-          lshBucket(col(vecCol), nPlanes, dim, seed = 42L + t)): _*)))
-      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    // all tables' bucket ids in ONE codegen'd pass over the vector — the
+    // hyperplane tensor rides along as a reference object instead of
+    // tables×nPlanes literal arrays (see [[LshSignatures]]: the literal form
+    // paid ~0.8 s of Janino compilation per query before any row ran)
+    val planeTensor: Array[Array[Array[Float]]] =
+      Array.tabulate(tables)(t => hyperplanes(nPlanes, dim, seed = 42L + t))
+    val sigs = df.select(col(idCol).as("doc_id"),
+        graft.functions.VectorExpressions.lshSignatures(col(vecCol), planeTensor).as("sig"))
       .transform(graft.Materialize(_))
-    // candidate dedup runs over BARE id pairs (16-byte keys) — carrying the
-    // float vectors through the cross-band distinct would shuffle each
-    // vector once per shared bucket; they are re-attached afterwards by two
-    // id-keyed joins against the corpus for the exact-cosine verify
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      posexplode(col("sig")).as(Seq("table", "bucket")))
+    // first-match: no earlier table where both signatures already collide.
+    // `table` is 0-based, so slice(sig, 1, table) is exactly the prefix of
+    // earlier tables; an empty prefix (table 0) vacuously passes.
+    val earlierCollision = exists(
+      zip_with(slice(col("a.sig"), lit(1), col("table")),
+        slice(col("b.sig"), lit(1), col("table")), (x, y) => x === y),
+      identity)
     val cand = keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.doc_id") < col("b.doc_id") && !earlierCollision)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
     val vecs = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
     cand
       .join(vecs.select(col("doc_id").as("id_a"), col("vec").as("va")), "id_a")

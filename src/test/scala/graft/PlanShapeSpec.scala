@@ -172,7 +172,6 @@ class PlanShapeSpec extends AnyFunSuite {
     // materializeResult = false: the final eager barrier would otherwise
     // execute the query and hand back a bare cache-scan plan
     val frames = Seq(
-      "embed_lsh" -> SparkEntry.queries("embed_lsh")(spark, dir),
       "embed_celldup" -> Similarity.cellNearDupPairs(e, "vec_id", "embedding",
         threshold = 0.3, nCells = 4, materializeResult = false),
       "embed_decontaminate" -> Similarity.embeddingContamination(
@@ -195,5 +194,47 @@ class PlanShapeSpec extends AnyFunSuite {
             s"got ${a.groupingExpressions}")
       }
     }
+  }
+
+  test("embed_lsh first-match dedup: no distinct exchange, candidate shuffles vector-free") {
+    // lshNearDupPairs dedups cross-table pairs by FIRST-MATCH on the bucket
+    // signature prefix, map-side — so the plan must contain NO aggregate at
+    // all (the cross-table distinct is gone), and the (table, bucket)
+    // candidate exchanges must carry only ids + the long-array signature,
+    // never the float vectors (those re-attach by id afterwards).
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val frame = SparkEntry.queries("embed_lsh")(spark, dir)
+    // exchanges are inserted by EnsureRequirements, so inspect the executed
+    // plan (unwrapping AQE) rather than sparkPlan
+    val plan = frame.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val aggs = plan.collect { case a: BaseAggregateExec => a }
+    assert(aggs.isEmpty,
+      s"embed_lsh should have no aggregate (first-match dedup), got $aggs")
+    // at spec scale the candidate join may plan as broadcast — the pin is on
+    // WHAT crosses the exchange (ids + long signature, no vectors), not on
+    // which exchange kind the tiny input picked
+    val candidateExchanges = plan.collect {
+      case ex: Exchange
+          if ex.output.exists(a => a.name == "table" || a.name == "bucket") => ex
+    }
+    assert(candidateExchanges.nonEmpty, "no (table, bucket) candidate exchange found")
+    candidateExchanges.foreach { ex =>
+      val floatArrays = ex.output.filter(a => a.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      assert(floatArrays.isEmpty,
+        s"candidate exchange carries float vectors: $floatArrays")
+    }
+    // first-match really is exhaustive-and-unique: same pair set as a
+    // distinct over all colliding tables would produce
+    val rows = frame.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.distinct.length, "first-match emitted a duplicate pair")
   }
 }

@@ -91,6 +91,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ok.count() === 45) // all identical direction → every i<j pair
   }
 
+  test("LshSignatures expression is bit-exact with the composed lshBucket columns") {
+    // the codegen'd tensor expression must reproduce the literal-array
+    // formulation exactly: same dot accumulation order, same strict > 0
+    // sign test, same per-table seeds — on real vectors AND a NULL vector
+    // (which the composed when(null > 0, …).otherwise(0) maps to all-zeros)
+    val dir = "/root/testdata/sf0.001"
+    val (dim, nPlanes, tables) = (64, 6, 8)
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), when(col("vec_id") % 97 === 0, lit(null))
+        .otherwise(col("embedding")).as("embedding"))
+    val planeTensor = Array.tabulate(tables)(t =>
+      Similarity.hyperplanes(nPlanes, dim, seed = 42L + t))
+    val both = e.select(col("vec_id"),
+      graft.functions.VectorExpressions.lshSignatures(col("embedding"), planeTensor).as("expr_sig"),
+      array((0 until tables).map(t =>
+        Similarity.lshBucket(col("embedding"), nPlanes, dim, seed = 42L + t)): _*).as("lit_sig"))
+    assert(both.filter(col("expr_sig") =!= col("lit_sig")).count() === 0)
+    assert(both.filter(col("vec_id") % 97 === 0)
+      .filter(col("expr_sig") =!= array((0 until tables).map(_ => lit(0L)): _*))
+      .count() === 0)
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs (exact-verified)") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
