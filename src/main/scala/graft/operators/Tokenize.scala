@@ -91,30 +91,24 @@ object Tokenize {
    * (id, subwords ARRAY<STRING>, n_subwords).
    *
    * The merge table is collected to the driver (config-bounded — it is
-   * the trained artifact, thousands of rows at most) and unrolled into a
-   * chain of `merges` fold expressions over each word — pure map-side, no
-   * shuffle, no UDF. The folds evaluate interpreted per element, so at
-   * vocabulary-scale merge counts a codegen'd expression would be the
-   * next step (the SlidingMin precedent); at demo merge counts the chain
-   * is fine and keeps encode streaming-legal (stateless projection).
+   * the trained artifact, thousands of rows at most) and applied by ONE
+   * codegen'd expression holding the table as a reference object
+   * ([[graft.functions.BpeApplyMerges]]) — pure map-side, no shuffle, no
+   * UDF, and the plan holds one node regardless of table size (a
+   * vocabulary-scale 30k-merge table previously meant 30k chained
+   * interpreted `aggregate()` folds). Encode stays streaming-legal
+   * (stateless projection).
    */
   def bpeEncode(df: DataFrame, mergeTable: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val rules = mergeTable.orderBy(col("round"))
       .select(col("left"), col("right"), col("merged"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .collect().map(r => Array(r.getString(0), r.getString(1), r.getString(2)))
     val words = df.select(col(idCol),
       posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
-    val encodedWord = rules.foldLeft(split(col("w"), ""): Column) {
-      (syms, rule) =>
-        val (l, r, m) = rule
-        aggregate(syms, array().cast("array<string>"), (acc, x) =>
-          when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-          .otherwise(concat(acc, array(x))))
-    }
+    val encodedWord =
+      graft.functions.TokenizeExpressions.bpeApplyMerges(split(col("w"), ""), rules)
     // collect_list order is partition-dependent: carry the token position
     // and re-sort inside the row so the concatenation is deterministic
     words.select(col(idCol), col("pos"), encodedWord.as("sw"))

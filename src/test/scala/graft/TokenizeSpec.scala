@@ -65,6 +65,59 @@ class TokenizeSpec extends AnyFunSuite {
     assert(raw.getAs[Seq[String]]("subwords") === Seq("a", "b"))
   }
 
+  test("BpeApplyMerges matches the interpreted aggregate-fold formulation") {
+    // the codegen'd expression must be drop-in identical to the previous
+    // chained-aggregate() folds: greedy left-to-right, fused symbol re-fuses
+    // only when it equals the next rule's left, rules applied in order
+    val rules = Seq(("h", "u", "hu"), ("hu", "g", "hug"), ("a", "a", "aa"),
+      ("aa", "aa", "aaaa"))
+    val words = Seq("hug", "aaaa", "aaaaa", "hugging", "zap", "h", "")
+      .toDF("w").filter(length(col("w")) > 0)
+    val expr = graft.functions.TokenizeExpressions.bpeApplyMerges(
+      split(col("w"), ""), rules.map(t => Array(t._1, t._2, t._3)).toArray)
+    val interp = rules.foldLeft(split(col("w"), ""): org.apache.spark.sql.Column) { (syms, rule) =>
+      val (l, r, m) = rule
+      aggregate(syms, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+        .otherwise(concat(acc, array(x))))
+    }
+    val rows = words.select(col("w"), expr.as("e"), interp.as("i")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"mismatch for word ${r.getString(0)}")
+    }
+    // spot-check the chain-fuse semantics directly
+    val m = rows.map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(m("aaaa") === Seq("aaaa")) // (a,a)→[aa,aa], then (aa,aa)→[aaaa]
+    assert(m("aaaaa") === Seq("aaaa", "a"))
+  }
+
+  test("bpeEncode stays codegen'd with a vocabulary-scale merge table") {
+    // 1200 rules ride along as ONE reference object: with codegen fallback
+    // disabled, any 64KB-method or compile failure would throw instead of
+    // silently degrading to interpreted eval
+    val noise = (0 until 1200).map(i =>
+      ((i + 2).toLong, s"q$i", s"r$i", s"q${i}r$i", 2L))
+    val table = ((0L, "a", "b", "ab", 9L) +: (1L, "ab", "ab", "abab", 9L) +:
+      noise).toDF("round", "left", "right", "merged", "pair_n")
+    val (fb, fm) = (spark.conf.getOption("spark.sql.codegen.fallback"),
+      spark.conf.getOption("spark.sql.codegen.factoryMode"))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = Tokenize.bpeEncode(
+        Seq((1L, "abab zq")).toDF("doc_id", "text"), table).head()
+      assert(out.getAs[Seq[String]]("subwords") === Seq("abab", "z", "q"))
+    } finally {
+      fb.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+      fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("bpeTrain stops early when no pair repeats") {
     val df = Seq((1L, "ab"), (2L, "cd")).toDF("doc_id", "text")
     assert(Tokenize.bpeTrain(df, rounds = 5).count() === 0L)
