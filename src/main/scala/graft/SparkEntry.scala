@@ -560,16 +560,20 @@ object SparkEntry {
       operators.DataQuality.dpNoisyCounts(
         table(s, dir, "events"), Seq("event_type"), eps = 0.5, salt = "round8")),
 
-    // PageRank over a deterministic 3-out-regular citation graph on the
-    // document ids (8 damped power-iteration rounds, dangling mass
-    // redistributed). Float contribution sums are reduction-order-
-    // dependent → rows-only; exactness is spec-pinned on fixtures
-    // (uniform cycle fixed point, mass conservation).
+    // PageRank over a deterministic 3-out citation graph on the document
+    // ids (8 damped power-iteration rounds, dangling mass redistributed).
+    // dst = (doc_id² + 97·i) mod 500 — the quadratic map is deliberately
+    // NON-bijective, so in-degrees vary and the ranks actually spread
+    // (the previous affine map was a permutation per i: in-degree exactly
+    // 3 everywhere → uniform fixed point, which verified nothing).
+    // Oracle-backed by a DuckDB recursive CTE replaying the same 8 rounds
+    // in double arithmetic; in-degrees stay small (≲ a dozen), so
+    // reduction-order float drift sits ~1e-16 — far inside the 8dp round.
     "q_pagerank" -> ((s, dir) => {
       val d = table(s, dir, "documents").select(col("doc_id"))
       val edges = d.select(col("doc_id").as("src"),
         explode(array((1 to 3).map(i =>
-          pmod(col("doc_id") * 31 + lit(i * 97), lit(500))): _*)).as("dst"))
+          pmod(col("doc_id") * col("doc_id") + lit(i * 97), lit(500))): _*)).as("dst"))
       operators.LinkAnalysis.pageRank(edges, iterations = 8)
         .select(col("id"), (round(col("pagerank"), 8) + lit(0.0)).as("pagerank"))
     }),
@@ -1973,6 +1977,29 @@ object SparkEntry {
           |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
           |FROM e JOIN f USING (user_id) WHERE w - c <= 12
           |GROUP BY 1, 2""".stripMargin,
+
+      // replays the 8 damped power-iteration rounds as a recursive CTE:
+      // references to `pr` in the recursive term read the PREVIOUS round
+      // (the working table), so the correlated sum over in-edges is
+      // exactly rank round r-1 — dangling mass is structurally 0 (every
+      // node has out-degree 3). Double literals match the engine's:
+      // (1.0 - 0.85) evaluates to the same non-exact double both sides.
+      "q_pagerank" ->
+        """WITH RECURSIVE
+          |e AS (
+          |  SELECT doc_id AS src, (doc_id*doc_id + 97*i) % 500 AS dst
+          |  FROM documents, (VALUES (1),(2),(3)) AS t(i)),
+          |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          |pr(r, id, pr) AS (
+          |  SELECT 0, doc_id, CAST(1 AS DOUBLE)/500 FROM documents
+          |  UNION ALL
+          |  SELECT p.r + 1, p.id,
+          |    (CAST(1 AS DOUBLE) - 0.85)/500 + 0.85 * coalesce((
+          |      SELECT sum(p2.pr / d.outdeg)
+          |      FROM pr p2 JOIN e ON e.src = p2.id JOIN deg d ON d.src = e.src
+          |      WHERE e.dst = p.id), CAST(0 AS DOUBLE))
+          |  FROM pr p WHERE p.r < 8)
+          |SELECT id, round(pr, 8) + 0.0 AS pagerank FROM pr WHERE r = 8""".stripMargin,
 
       "q_dsir_weights" ->
         """WITH g AS (
