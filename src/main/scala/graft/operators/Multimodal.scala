@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
  * extraction.
  *
  * The Spark-side plumbing (schema, partition-preserving batch iteration,
- * fixed-dim feature output) is real; the media DECODE step is a clearly
- * marked deterministic STUB — this container ships no image/audio codecs
- * (see the builder brief), so `stubDecode` derives pseudo-metadata and
- * pseudo-features from the bytes alone. Swapping in a real codec means
- * replacing `stubDecode`'s body; every schema and boundary stays the same.
+ * fixed-dim feature output) is real, and so is container-header METADATA
+ * decode: `decodeMeta` parses PNG IHDR and JPEG SOFn dimensions from the
+ * bytes (pure JVM, no codec needed). Pixel/sample decode — the model's
+ * actual input — is a clearly marked deterministic STUB: this container
+ * ships no image/audio codecs (see the builder brief), so `stubFeatures`/
+ * `stubResize`/`stubFrames` derive pseudo-outputs from the bytes alone.
+ * Swapping in a real codec means replacing those bodies; every schema and
+ * boundary stays the same.
  *
  * Scale notes: feature extraction runs in `mapPartitions` (the Scala
  * equivalent of a Pandas-UDF batch loop — per-partition setup cost amortized
@@ -42,8 +45,62 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("bytes"),
       md5(col(textCol)).as("checksum"))
 
-  /** STUB media decode: deterministic pseudo-metadata from the blob. A real
-   * implementation would parse the container header here. */
+  /** Media decode: REAL container-header parsing for PNG and JPEG (pure-JVM
+   * byte inspection, no codec), falling back to the deterministic stub for
+   * anything else. The fallback is what our text-as-bytes stand-in payloads
+   * always hit (valid UTF-8 cannot begin with 0x89 or 0xFF), so the
+   * DuckDB oracle over the documents table keeps its arithmetic form;
+   * MultimodalSpec exercises the real paths with crafted headers. Pixel
+   * DECODE (the model's input) stays env-blocked — header metadata is the
+   * one part of decode that needs no codec. */
+  private[operators] def decodeMeta(bytes: Array[Byte]): (String, Int, Int) =
+    parsePng(bytes).orElse(parseJpeg(bytes)).getOrElse(stubDecode(bytes))
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private val pngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG: 8-byte signature, then the IHDR chunk is REQUIRED first —
+   * width/height are the two big-endian u32s at offsets 16/20
+   * (ISO/IEC 15948 §5.2, §11.2.2). */
+  private def parsePng(b: Array[Byte]): Option[(String, Int, Int)] =
+    if (b.length >= 24 && b.startsWith(pngSignature) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some(("png", be32(b, 16), be32(b, 20)))
+    else None
+
+  /** JPEG: SOI (FF D8), then walk the marker segments to the first frame
+   * header SOFn (FF C0/C1/C2 — baseline/extended/progressive); its payload
+   * is [len u16, precision u8, height u16, width u16, …] (ITU-T T.81
+   * §B.2.2). Standalone markers (RSTn, TEM) carry no length. */
+  private def parseJpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // desynced: not a marker
+      val marker = b(i + 1) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2) return None
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          return if (i + 8 < b.length) Some(("jpeg", be16(b, i + 7), be16(b, i + 5)))
+          else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** STUB media decode: deterministic pseudo-metadata from the blob — the
+   * [[decodeMeta]] fallback when no known container header is present. */
   private def stubDecode(bytes: Array[Byte]): (String, Int, Int) = {
     val n = bytes.length
     val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
@@ -125,7 +182,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val (fmt, w, h) = stubDecode(bytes)
+        val (fmt, w, h) = decodeMeta(bytes)
         Row(id, Row(fmt, w, h, bytes.length.toLong), stubFeatures(bytes).toSeq)
       }
     }(enc)
