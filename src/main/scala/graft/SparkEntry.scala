@@ -356,6 +356,20 @@ object SparkEntry {
         size(col("fps")).cast("long").as("n_fp"),
         md5(array_join(col("fps"), ",")).as("fp_hash"))),
 
+    // The PRODUCTION winnowing path, benched: codegen'd FNV-1a gram hashes
+    // + O(n) monotonic-deque SlidingMin, all map-side. Rows-only by
+    // necessity (FNV-over-UTF-16 has no DuckDB analogue — doc_winnow above
+    // is the md5 twin that trades this speed for an exact oracle);
+    // value-correctness is spec-pinned by TextAnalysisSpec against a
+    // reference winnow on fixtures.
+    "doc_winnow_fast" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          md5(array_join(transform(col("fps"), _.cast("string")), ",")).as("fp_hash"))),
+
     // Cross-document passage-overlap pairs over the same md5-winnow
     // fingerprints (the corpus-level MOSS step): docs sharing ≥5 winnowed
     // passages. Inverted-index self-join on the fingerprint — the oracle
@@ -1120,8 +1134,11 @@ object SparkEntry {
 
     // IVF-PQ composition (the FAISS-style scale architecture): coarse cells
     // restrict the scan, PQ codes compress it, exact rerank finishes —
-    // map-side until the candidate ADC aggregate.
-    "embed_ivfpq" -> ((s, dir) =>
+    // map-side until the candidate ADC aggregate. Named _build because
+    // ~90% of its time is the two in-query Lloyd trainings: it benches the
+    // BUILD+search cost, by design — embed_ivfpq_search below is the
+    // production serving phase against persisted artifacts.
+    "embed_ivfpq_build" -> ((s, dir) =>
       Similarity.ivfPqTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, queryPred = col("vec_id") < 10, k = 5, nCells = 4, nProbes = 2)
         .withColumn("rank", col("rank").cast("long"))),

@@ -25,7 +25,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "embed_neardup",   // brute-force pair scan, broadcast self side
     "text_trigram_ll", // crossJoin(broadcast(1-row total))
     "embed_pq",        // ADC LUT: crossJoin(broadcast(codebook)) — k·d rows
-    "embed_ivfpq",     // same ADC LUT shape as embed_pq
+    "embed_ivfpq_build",     // same ADC LUT shape as embed_pq
     "embed_ivfpq_search", // same ADC LUT shape, against the persisted index
     "k_ttl_expiry",    // crossJoin(broadcast(1-row "now" scalar))
     "text_quality_gate",     // crossJoin(broadcast(1-row percentile threshold))
