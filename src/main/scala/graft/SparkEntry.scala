@@ -30,16 +30,20 @@ object SparkEntry {
    * in-memory build. Deterministic: the build itself is deterministic on one
    * JVM, so a rebuilt index yields the same search results. */
   private def ivfPqIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    // cache key includes a fingerprint of the SOURCE data (total length +
-    // max mtime of the embeddings files): a regenerated dataset at the same
-    // path must rebuild the index, never serve stale neighbors
+    // cache key includes a fingerprint of the SOURCE data (per-file name +
+    // length + mtime): a regenerated dataset at the same path must rebuild
+    // the index, never serve stale neighbors. MD5 over the sorted tuple
+    // list, not an XOR fold — XOR is order-independent and self-canceling
+    // (two files swapping identical attrs, or a pair of equal contributions,
+    // collide to the same key).
     val srcFp = {
       val d = new java.io.File(dir, "embeddings.parquet")
       val files = Option(if (d.isDirectory) d.listFiles() else Array(d))
         .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
-      java.lang.Long.toHexString(
-        files.map(f => f.length() ^ java.lang.Long.rotateLeft(f.lastModified(), 21))
-          .foldLeft(0L)(_ ^ _))
+      val desc = files.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+        .sorted.mkString("\n")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(desc.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     }
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_ivfpq_v1_" + srcFp + "_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
@@ -2527,10 +2531,13 @@ object SparkEntry {
           |FROM t, s""".stripMargin,
 
       // unquoted scalar extraction and TRY_CAST numeric typing behave
-      // identically in both engines; null JSON rows leave keys AND the
-      // denominator
+      // identically in both engines; NULL, malformed, and non-object JSON
+      // rows leave keys AND the denominator (Spark: json_object_keys IS
+      // NULL for all three; here: json_valid + json_type = OBJECT, since
+      // DuckDB's json_keys ERRORS on malformed input instead)
       "q_json_profile" ->
-        """WITH r AS (SELECT props FROM events WHERE props IS NOT NULL),
+        """WITH r AS (SELECT props FROM events WHERE props IS NOT NULL
+          |           AND json_valid(props) AND json_type(props) = 'OBJECT'),
           |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM r),
           |k AS (SELECT unnest(json_keys(props)) AS key, props FROM r),
           |x AS (SELECT key, json_extract_string(props, '$.' || key) AS v
@@ -2840,8 +2847,9 @@ object SparkEntry {
           |ORDER BY k DESC, doc_id LIMIT 50""".stripMargin,
 
       // per-stratum quantile boundaries (the PSI bucket idiom) + the same
-      // 52-bit dyadic md5 uniform; (bucket + u) / nBuckets replays Spark's
-      // exact IEEE order before the shared 6dp round
+      // 52-bit dyadic md5 uniform; (bucket + least(u, clamp)) / nBuckets
+      // replays Spark's exact IEEE order (same decimal-parsed clamp
+      // constant = 1 − 6e-7·nBuckets) before the shared 6dp round
       "pipeline_curriculum" ->
         """WITH r AS (SELECT doc_id, lang, n_chars, CAST(n_chars AS DOUBLE) AS d
           |           FROM documents
@@ -2855,7 +2863,7 @@ object SparkEntry {
           |              AS BIGINT) + 0.5) / 4503599627370496.0 AS u
           |      FROM r JOIN b ON r.lang = b.lang)
           |SELECT doc_id, lang, n_chars, bucket,
-          |       round((bucket + u) / 10, 6) + 0.0 AS ord_key
+          |       round((bucket + least(u, CAST(0.999994 AS DOUBLE))) / 10, 6) + 0.0 AS ord_key
           |FROM x""".stripMargin,
 
       "text_redact" ->

@@ -63,8 +63,21 @@ object StreamDemo {
     val q = Sinks.startParquetSink(verdicts, out, ckpt, triggerInterval = "1 seconds")
     q.processAllAvailable()
     q.stop()
+    // listener events are delivered async on the listener bus — reading the
+    // accumulator right after stop() can race the last batch's event. The
+    // bus has no public drain hook, so poll until the accumulator agrees
+    // with the (synchronously readable) recentProgress sum, bounded at 5 s;
+    // recentProgress is capped at numRecentProgressUpdates (default 100)
+    // batches, which this short demo never exceeds.
+    val progressTotal = q.recentProgress.iterator
+      .flatMap(p => Option(p.observedMetrics.get("wire_ingest")))
+      .map(_.getAs[Long]("n_rows")).sum
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (observedTotal.get() < progressTotal && System.nanoTime() < deadline)
+      Thread.sleep(50)
     spark.streams.removeListener(listener)
-    println(s"=== observed ingest total rows (accumulator-only): ${observedTotal.get()}")
+    println(s"=== observed ingest total rows (accumulator: ${observedTotal.get()}, " +
+      s"recentProgress: $progressTotal)")
 
     val result = Sinks.readVerdicts(spark, out, Seq("ip", "window_start_s"))
     val byIp = result.groupBy("ip").count().orderBy(org.apache.spark.sql.functions.desc("count"))

@@ -461,8 +461,10 @@ object DataQuality {
    * BEFORE-the-join diagnostic that decides the salting/AQE strategy:
    * load factors tell you how hot the hot keys are (a task processing the
    * top key does `load_factor`× the average work), and `self_join_rows`
-   * is the exact output size a self-join on this key would produce —
-   * checked BEFORE burning cluster-hours on an exploding join.
+   * estimates the output size a self-join on this key would produce
+   * (double-summed Σn², so exact below 2^53 total and n≈2^26 per key —
+   * the magnitude, which is what the decision needs, survives far beyond)
+   * — checked BEFORE burning cluster-hours on an exploding join.
    *
    * Shape: one partial-aggregatable key count; everything downstream runs
    * on the collapsed ≤|keys| table (a one-row summary aggregate broadcast
@@ -501,11 +503,14 @@ object DataQuality {
    *
    * Shape: one row-local key explode + value extraction, one
    * partial-aggregatable per-key count (≤ distinct keys rows out), one
-   * broadcast one-row total. Null JSON rows are excluded from keys AND the
-   * denominator.
+   * broadcast one-row total. NULL, malformed, and non-object JSON rows are
+   * excluded from keys AND the denominator (json_object_keys returns NULL
+   * for all three) — on a dirty corpus `frac` reads "fraction of parseable
+   * JSON objects carrying the key", not "fraction of rows".
    */
   def jsonProfile(df: DataFrame, jsonCol: Column): DataFrame = {
     val rows = df.filter(jsonCol.isNotNull).select(jsonCol.as("__jp_j"))
+      .filter(expr("json_object_keys(__jp_j) IS NOT NULL"))
     val tot = rows.agg(count(lit(1)).as("__jp_total"))
     rows.select(explode(expr("json_object_keys(__jp_j)")).as("key"),
         col("__jp_j"))

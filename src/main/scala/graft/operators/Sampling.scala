@@ -160,11 +160,18 @@ object Sampling {
       .agg(expr(s"percentile(__cu_d, array($qs))").as("__cu_bnds"))
     val u = (conv(substring(hexKey(keyCol), 1, 13), 16, 10).cast("long") + lit(0.5)) /
       lit(4503599627370496.0) // 2^52 — exact dyadic, engine-portable
+    // clamp u below 1 − 6e-7·nBuckets: without it a key with u ≈ 1 has
+    // (bucket + u)/nBuckets within half an ulp-of-6dp of the NEXT band's
+    // boundary, and the 6dp round would land it exactly ON (b+1)/nBuckets,
+    // breaking the strict [b/n, (b+1)/n) band invariant. The clamp keeps
+    // the rounded key ≤ boundary − 1e-6; decimal-parsed constant so the
+    // oracle's literal is bit-identical
+    val clamp = (BigDecimal(1) - BigDecimal("0.0000006") * nBuckets).toDouble
     rows.join(broadcast(bnds), "__cu_s")
       .withColumn("bucket",
         size(filter(col("__cu_bnds"), b => col("__cu_d") > b)).cast("long"))
       .withColumn("ord_key",
-        round((col("bucket") + u) / nBuckets, 6) + lit(0.0))
+        round((col("bucket") + least(u, lit(clamp))) / nBuckets, 6) + lit(0.0))
       .drop("__cu_s", "__cu_d", "__cu_bnds")
   }
 

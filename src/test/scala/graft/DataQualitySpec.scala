@@ -295,13 +295,16 @@ class DataQualitySpec extends AnyFunSuite {
     val docs = Seq(
       Some("""{"a": 1, "b": "x"}"""),
       Some("""{"a": 2.5, "b": "7", "c": true}"""),
-      None)
+      None,
+      Some("""{not json"""),    // malformed: out of keys AND denominator
+      Some("""[1, 2, 3]"""))    // valid non-object: likewise
       .toDF("props")
     val out = DataQuality.jsonProfile(docs, col("props"))
       .collect().map(r => r.getAs[String]("key") ->
         ((r.getAs[Long]("n"), r.getAs[Long]("n_numeric"),
           r.getAs[Double]("frac")))).toMap
-    // total = 2 (null JSON excluded from the denominator)
+    // total = 2: null, malformed, and non-object JSON all leave the
+    // denominator — frac is "fraction of parseable JSON objects"
     assert(out === Map(
       "a" -> ((2L, 2L, 1.0)),   // 1 and 2.5 both numeric
       "b" -> ((2L, 1L, 1.0)),   // "x" no, "7" yes (stringified number)

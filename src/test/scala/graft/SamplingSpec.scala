@@ -313,9 +313,10 @@ class SamplingSpec extends AnyFunSuite {
       (0L to 8L).foreach(b =>
         assert(ranges(b)._2 <= ranges(b + 1)._1, s"$s bucket $b overlap"))
     }
-    // ord_key lives inside its bucket's [b/10, (b+1)/10) band
+    // ord_key lives STRICTLY inside its bucket's [b/10, (b+1)/10) band —
+    // the u clamp guarantees the 6dp round can't land on the next boundary
     out.foreach { case (id, _, _, b, k) =>
-      assert(k >= b / 10.0 && k < (b + 1) / 10.0 + 1e-6, s"$id key $k bucket $b")
+      assert(k >= b / 10.0 && k < (b + 1) / 10.0, s"$id key $k bucket $b")
     }
     // deterministic across partitionings
     val again = Sampling.curriculumOrder(rows.repartition(7), col("id"),
