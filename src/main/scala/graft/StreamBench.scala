@@ -22,17 +22,25 @@ import graft.streaming.StreamingBotDetection
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    // state-store scaling knobs: SPARK_GRAFT_KEYS_MULT multiplies the key
+    // cardinality (users+bots) at constant event volume — the state-size
+    // axis; SPARK_GRAFT_STATE=rocksdb swaps in the RocksDB provider (the
+    // cluster-scale store whose working set is NOT bounded by heap)
+    val keysMult = sys.env.getOrElse("SPARK_GRAFT_KEYS_MULT", "1").toInt
+    val rocksdb = sys.env.get("SPARK_GRAFT_STATE").exists(_.equalsIgnoreCase("rocksdb"))
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (rocksdb) builder.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val nUsers = 5000
-    val nBots = 100
+    val nUsers = 5000 * keysMult
+    val nBots = 100 * keysMult
     val durationS = 600L
     val freq = 300
     val evs = BotGen.events(nUsers, nBots, durationS, freqPerSec = freq)
@@ -56,11 +64,17 @@ object StreamBench {
       .trigger(Trigger.ProcessingTime("0 seconds"))
       .start()
     q.processAllAvailable()
+    // read state-operator metrics BEFORE stop: lastProgress is the final
+    // batch's synchronously-published snapshot of the store
+    val stateOps = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+    val stateRows = stateOps.map(_.numRowsTotal).sum
+    val stateBytes = stateOps.map(_.memoryUsedBytes).sum
     q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
     val eps = evs.size / sec
+    val store = if (rocksdb) "rocksdb" else "hdfs"
     println(
-      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":${evs.size},"wall_sec":${"%.2f".format(sec)},"verdict_rows":${counts.get()}}""")
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":${evs.size},"wall_sec":${"%.2f".format(sec)},"verdict_rows":${counts.get()},"keys":${nUsers + nBots},"state_store":"$store","state_rows":$stateRows,"state_bytes":$stateBytes}""")
     spark.stop()
   }
 }
