@@ -1999,6 +1999,117 @@ object SparkEntry {
           |FROM e JOIN f USING (user_id) WHERE w - c <= 12
           |GROUP BY 1, 2""".stripMargin,
 
+      // replays BPE training as a recursive CTE: the working table is the
+      // (word, count) vocabulary with symbols joined by chr(31) (the unit
+      // separator — cannot appear in whitespace-tokenized text); each
+      // round computes the argmax pair over the PREVIOUS vocabulary
+      // (uncorrelated LIMIT-1 subquery over the recursive ref, the
+      // q_pagerank precedent) and fuses it greedily left-to-right with
+      // list_reduce (whose first-element seed equals the fold's
+      // empty-accumulator unconditional first append). Stops when the
+      // best pair count drops below 2, exactly like the engine.
+      "q_bpe_merges" ->
+        """WITH RECURSIVE
+          |w AS (SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS w FROM documents),
+          |v0 AS (SELECT w, count(*) AS cnt FROM w WHERE len(w) > 0 GROUP BY 1),
+          |pr(round, syms, cnt, l, r, m, pair_n) AS (
+          |  SELECT 0, array_to_string([w[i] FOR i IN range(1, len(w) + 1)], chr(31)), cnt,
+          |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+          |         CAST(NULL AS BIGINT)
+          |  FROM v0
+          |  UNION ALL
+          |  SELECT p.round + 1,
+          |    list_reduce(string_split(p.syms, chr(31)), (acc, x) -> CASE
+          |      WHEN string_split(acc, chr(31))[-1] = b.l AND x = b.r
+          |      THEN array_to_string(list_slice(string_split(acc, chr(31)), 1,
+          |             len(string_split(acc, chr(31))) - 1) || [b.m], chr(31))
+          |      ELSE acc || chr(31) || x END),
+          |    p.cnt, b.l, b.r, b.m, b.pair_n
+          |  FROM pr p, (
+          |    SELECT pair.l AS l, pair.r AS r, pair.l || pair.r AS m,
+          |           sum(cnt) AS pair_n
+          |    FROM (
+          |      SELECT cnt, unnest([{'l': sl[i], 'r': sl[i+1]} FOR i IN range(1, len(sl))]) AS pair
+          |      FROM (SELECT string_split(syms, chr(31)) AS sl, cnt FROM pr)
+          |    )
+          |    GROUP BY 1, 2, 3
+          |    ORDER BY pair_n DESC, l, r
+          |    LIMIT 1
+          |  ) b
+          |  WHERE p.round < 8 AND b.pair_n >= 2
+          |)
+          |SELECT DISTINCT CAST(round - 1 AS BIGINT) AS round, l AS "left", r AS "right",
+          |       m AS merged, CAST(pair_n AS BIGINT) AS pair_n
+          |FROM pr WHERE round >= 1""".stripMargin,
+
+      // the round trip: the same training CTE feeds a SECOND recursive
+      // CTE that replays encode — each distinct word's symbol string is
+      // folded through merge rule ri at step ri (the join on round = ri
+      // ends recursion when rules run out), then subword streams
+      // re-assemble per doc in token-position order
+      "q_bpe_encode" ->
+        """WITH RECURSIVE
+          |w AS (SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS w FROM documents),
+          |v0 AS (SELECT w, count(*) AS cnt FROM w WHERE len(w) > 0 GROUP BY 1),
+          |pr(round, syms, cnt, l, r, m, pair_n) AS (
+          |  SELECT 0, array_to_string([w[i] FOR i IN range(1, len(w) + 1)], chr(31)), cnt,
+          |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+          |         CAST(NULL AS BIGINT)
+          |  FROM v0
+          |  UNION ALL
+          |  SELECT p.round + 1,
+          |    list_reduce(string_split(p.syms, chr(31)), (acc, x) -> CASE
+          |      WHEN string_split(acc, chr(31))[-1] = b.l AND x = b.r
+          |      THEN array_to_string(list_slice(string_split(acc, chr(31)), 1,
+          |             len(string_split(acc, chr(31))) - 1) || [b.m], chr(31))
+          |      ELSE acc || chr(31) || x END),
+          |    p.cnt, b.l, b.r, b.m, b.pair_n
+          |  FROM pr p, (
+          |    SELECT pair.l AS l, pair.r AS r, pair.l || pair.r AS m,
+          |           sum(cnt) AS pair_n
+          |    FROM (
+          |      SELECT cnt, unnest([{'l': sl[i], 'r': sl[i+1]} FOR i IN range(1, len(sl))]) AS pair
+          |      FROM (SELECT string_split(syms, chr(31)) AS sl, cnt FROM pr)
+          |    )
+          |    GROUP BY 1, 2, 3
+          |    ORDER BY pair_n DESC, l, r
+          |    LIMIT 1
+          |  ) b
+          |  WHERE p.round < 8 AND b.pair_n >= 2
+          |),
+          |merges AS (
+          |  SELECT DISTINCT round - 1 AS round, l, r, m FROM pr WHERE round >= 1
+          |),
+          |tok AS (
+          |  SELECT doc_id, t.i AS pos, t.w AS w
+          |  FROM (SELECT doc_id,
+          |          unnest([{'i': i, 'w': ws[i]} FOR i IN
+          |                  range(1, len(ws) + 1)]) AS t
+          |        FROM (SELECT doc_id,
+          |                string_split_regex(trim(lower(text)), '[ \t\n\f\r]+') AS ws
+          |              FROM documents))
+          |  WHERE len(t.w) > 0
+          |),
+          |enc(w, syms, ri) AS (
+          |  SELECT w, array_to_string([w[i] FOR i IN range(1, len(w) + 1)], chr(31)), 0
+          |  FROM (SELECT DISTINCT w FROM tok)
+          |  UNION ALL
+          |  SELECT e.w,
+          |    list_reduce(string_split(e.syms, chr(31)), (acc, x) -> CASE
+          |      WHEN string_split(acc, chr(31))[-1] = mr.l AND x = mr.r
+          |      THEN array_to_string(list_slice(string_split(acc, chr(31)), 1,
+          |             len(string_split(acc, chr(31))) - 1) || [mr.m], chr(31))
+          |      ELSE acc || chr(31) || x END),
+          |    e.ri + 1
+          |  FROM enc e JOIN merges mr ON mr.round = e.ri
+          |),
+          |fin AS (SELECT w, syms FROM enc WHERE ri = (SELECT count(*) FROM merges))
+          |SELECT doc_id,
+          |  CAST(sum(len(string_split(f.syms, chr(31)))) AS BIGINT) AS n_subwords,
+          |  md5(string_agg(replace(f.syms, chr(31), ' '), ' ' ORDER BY tok.pos)) AS sw_hash
+          |FROM tok JOIN fin f USING (w)
+          |GROUP BY doc_id""".stripMargin,
+
       // replays the 8 damped power-iteration rounds as a recursive CTE:
       // references to `pr` in the recursive term read the PREVIOUS round
       // (the working table), so the correlated sum over in-edges is
