@@ -1148,7 +1148,7 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))),
 
     // IVF-PQ SEARCH phase against PERSISTED index artifacts — the production
-    // shape (build once, search many): embed_ivfpq above times build+search
+    // shape (build once, search many): embed_ivfpq_build above times build+search
     // (~90% of its cost is the two in-query Lloyd trainings), this entry
     // reloads the parquet artifacts and times only the broadcast-only search
     // plan a deployed index actually serves.
@@ -1732,6 +1732,49 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     // Shared CTE bodies, kept textually identical across queries.
     val base = eventsBaseSql
+    // BPE training replay, shared verbatim by q_bpe_merges and
+    // q_bpe_encode (ONE copy — the fold and stop condition must never
+    // desynchronize between the two): the working table is the
+    // (word, count) vocabulary with symbols joined by chr(31) (the unit
+    // separator — a corpus assumption: 0x1F is not whitespace, so a doc
+    // containing it would carry it into symbols; the engine treats it as
+    // an ordinary char while this joined encoding would split on it. The
+    // fixed corpora are ASCII text, verified 0x1F-free). Each round takes
+    // the argmax pair over the PREVIOUS vocabulary (uncorrelated LIMIT-1
+    // subquery over the recursive ref, the q_pagerank precedent) and
+    // fuses it greedily left-to-right with list_reduce, whose
+    // first-element seeding equals the fold's empty-accumulator
+    // unconditional first append. Stops when the best pair count drops
+    // below 2, exactly like the engine.
+    val bpeTrainCtes =
+      """w AS (SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS w FROM documents),
+        |v0 AS (SELECT w, count(*) AS cnt FROM w WHERE len(w) > 0 GROUP BY 1),
+        |pr(round, syms, cnt, l, r, m, pair_n) AS (
+        |  SELECT 0, array_to_string([w[i] FOR i IN range(1, len(w) + 1)], chr(31)), cnt,
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS BIGINT)
+        |  FROM v0
+        |  UNION ALL
+        |  SELECT p.round + 1,
+        |    list_reduce(string_split(p.syms, chr(31)), (acc, x) -> CASE
+        |      WHEN string_split(acc, chr(31))[-1] = b.l AND x = b.r
+        |      THEN array_to_string(list_slice(string_split(acc, chr(31)), 1,
+        |             len(string_split(acc, chr(31))) - 1) || [b.m], chr(31))
+        |      ELSE acc || chr(31) || x END),
+        |    p.cnt, b.l, b.r, b.m, b.pair_n
+        |  FROM pr p, (
+        |    SELECT pair.l AS l, pair.r AS r, pair.l || pair.r AS m,
+        |           sum(cnt) AS pair_n
+        |    FROM (
+        |      SELECT cnt, unnest([{'l': sl[i], 'r': sl[i+1]} FOR i IN range(1, len(sl))]) AS pair
+        |      FROM (SELECT string_split(syms, chr(31)) AS sl, cnt FROM pr)
+        |    )
+        |    GROUP BY 1, 2, 3
+        |    ORDER BY pair_n DESC, l, r
+        |    LIMIT 1
+        |  ) b
+        |  WHERE p.round < 8 AND b.pair_n >= 2
+        |)""".stripMargin
     val slidingAgg =
       s"""WITH base AS ($base),
          |win AS (
@@ -1999,84 +2042,23 @@ object SparkEntry {
           |FROM e JOIN f USING (user_id) WHERE w - c <= 12
           |GROUP BY 1, 2""".stripMargin,
 
-      // replays BPE training as a recursive CTE: the working table is the
-      // (word, count) vocabulary with symbols joined by chr(31) (the unit
-      // separator — cannot appear in whitespace-tokenized text); each
-      // round computes the argmax pair over the PREVIOUS vocabulary
-      // (uncorrelated LIMIT-1 subquery over the recursive ref, the
-      // q_pagerank precedent) and fuses it greedily left-to-right with
-      // list_reduce (whose first-element seed equals the fold's
-      // empty-accumulator unconditional first append). Stops when the
-      // best pair count drops below 2, exactly like the engine.
+      // the shared bpeTrainCtes (one copy, see its definition above) +
+      // the merge-table projection
       "q_bpe_merges" ->
-        """WITH RECURSIVE
-          |w AS (SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS w FROM documents),
-          |v0 AS (SELECT w, count(*) AS cnt FROM w WHERE len(w) > 0 GROUP BY 1),
-          |pr(round, syms, cnt, l, r, m, pair_n) AS (
-          |  SELECT 0, array_to_string([w[i] FOR i IN range(1, len(w) + 1)], chr(31)), cnt,
-          |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-          |         CAST(NULL AS BIGINT)
-          |  FROM v0
-          |  UNION ALL
-          |  SELECT p.round + 1,
-          |    list_reduce(string_split(p.syms, chr(31)), (acc, x) -> CASE
-          |      WHEN string_split(acc, chr(31))[-1] = b.l AND x = b.r
-          |      THEN array_to_string(list_slice(string_split(acc, chr(31)), 1,
-          |             len(string_split(acc, chr(31))) - 1) || [b.m], chr(31))
-          |      ELSE acc || chr(31) || x END),
-          |    p.cnt, b.l, b.r, b.m, b.pair_n
-          |  FROM pr p, (
-          |    SELECT pair.l AS l, pair.r AS r, pair.l || pair.r AS m,
-          |           sum(cnt) AS pair_n
-          |    FROM (
-          |      SELECT cnt, unnest([{'l': sl[i], 'r': sl[i+1]} FOR i IN range(1, len(sl))]) AS pair
-          |      FROM (SELECT string_split(syms, chr(31)) AS sl, cnt FROM pr)
-          |    )
-          |    GROUP BY 1, 2, 3
-          |    ORDER BY pair_n DESC, l, r
-          |    LIMIT 1
-          |  ) b
-          |  WHERE p.round < 8 AND b.pair_n >= 2
-          |)
+        s"""WITH RECURSIVE
+          |$bpeTrainCtes
           |SELECT DISTINCT CAST(round - 1 AS BIGINT) AS round, l AS "left", r AS "right",
           |       m AS merged, CAST(pair_n AS BIGINT) AS pair_n
           |FROM pr WHERE round >= 1""".stripMargin,
 
-      // the round trip: the same training CTE feeds a SECOND recursive
+      // the round trip: the same training CTEs feed a SECOND recursive
       // CTE that replays encode — each distinct word's symbol string is
       // folded through merge rule ri at step ri (the join on round = ri
       // ends recursion when rules run out), then subword streams
       // re-assemble per doc in token-position order
       "q_bpe_encode" ->
-        """WITH RECURSIVE
-          |w AS (SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS w FROM documents),
-          |v0 AS (SELECT w, count(*) AS cnt FROM w WHERE len(w) > 0 GROUP BY 1),
-          |pr(round, syms, cnt, l, r, m, pair_n) AS (
-          |  SELECT 0, array_to_string([w[i] FOR i IN range(1, len(w) + 1)], chr(31)), cnt,
-          |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-          |         CAST(NULL AS BIGINT)
-          |  FROM v0
-          |  UNION ALL
-          |  SELECT p.round + 1,
-          |    list_reduce(string_split(p.syms, chr(31)), (acc, x) -> CASE
-          |      WHEN string_split(acc, chr(31))[-1] = b.l AND x = b.r
-          |      THEN array_to_string(list_slice(string_split(acc, chr(31)), 1,
-          |             len(string_split(acc, chr(31))) - 1) || [b.m], chr(31))
-          |      ELSE acc || chr(31) || x END),
-          |    p.cnt, b.l, b.r, b.m, b.pair_n
-          |  FROM pr p, (
-          |    SELECT pair.l AS l, pair.r AS r, pair.l || pair.r AS m,
-          |           sum(cnt) AS pair_n
-          |    FROM (
-          |      SELECT cnt, unnest([{'l': sl[i], 'r': sl[i+1]} FOR i IN range(1, len(sl))]) AS pair
-          |      FROM (SELECT string_split(syms, chr(31)) AS sl, cnt FROM pr)
-          |    )
-          |    GROUP BY 1, 2, 3
-          |    ORDER BY pair_n DESC, l, r
-          |    LIMIT 1
-          |  ) b
-          |  WHERE p.round < 8 AND b.pair_n >= 2
-          |),
+        s"""WITH RECURSIVE
+          |$bpeTrainCtes,
           |merges AS (
           |  SELECT DISTINCT round - 1 AS round, l, r, m FROM pr WHERE round >= 1
           |),
@@ -2116,17 +2098,21 @@ object SparkEntry {
       // exactly rank round r-1 — dangling mass is structurally 0 (every
       // node has out-degree 3). Double literals match the engine's:
       // (1.0 - 0.85) evaluates to the same non-exact double both sides.
+      // The node count is DERIVED (count of documents == |src ∪ dst|,
+      // since dst = x mod 500 lands inside the 0-based doc_id range at
+      // every SF), never hardcoded — documents is 5000 rows at sf0.1.
       "q_pagerank" ->
         """WITH RECURSIVE
           |e AS (
           |  SELECT doc_id AS src, (doc_id*doc_id + 97*i) % 500 AS dst
           |  FROM documents, (VALUES (1),(2),(3)) AS t(i)),
           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
           |pr(r, id, pr) AS (
-          |  SELECT 0, doc_id, CAST(1 AS DOUBLE)/500 FROM documents
+          |  SELECT 0, doc_id, CAST(1 AS DOUBLE)/n.n FROM documents, n
           |  UNION ALL
           |  SELECT p.r + 1, p.id,
-          |    (CAST(1 AS DOUBLE) - 0.85)/500 + 0.85 * coalesce((
+          |    (CAST(1 AS DOUBLE) - 0.85)/(SELECT n FROM n) + 0.85 * coalesce((
           |      SELECT sum(p2.pr / d.outdeg)
           |      FROM pr p2 JOIN e ON e.src = p2.id JOIN deg d ON d.src = e.src
           |      WHERE e.dst = p.id), CAST(0 AS DOUBLE))
@@ -2646,9 +2632,14 @@ object SparkEntry {
       // rows leave keys AND the denominator (Spark: json_object_keys IS
       // NULL for all three; here: json_valid + json_type = OBJECT, since
       // DuckDB's json_keys ERRORS on malformed input instead)
+      // every predicate must be ORDER-INDEPENDENT: DuckDB may reorder
+      // ANDed conjuncts (and inline CTEs), and bare json_type raises on
+      // malformed input instead of filtering it — TRY_CAST AS JSON maps
+      // malformed rows to NULL, and json_type(NULL) ≠ 'OBJECT' filters
+      // them without ever evaluating a throwing expression
       "q_json_profile" ->
         """WITH r AS (SELECT props FROM events WHERE props IS NOT NULL
-          |           AND json_valid(props) AND json_type(props) = 'OBJECT'),
+          |           AND json_type(TRY_CAST(props AS JSON)) = 'OBJECT'),
           |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM r),
           |k AS (SELECT unnest(json_keys(props)) AS key, props FROM r),
           |x AS (SELECT key, json_extract_string(props, '$.' || key) AS v

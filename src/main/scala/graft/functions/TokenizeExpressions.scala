@@ -33,7 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpeApplyMerges(child: Expression, rules: Array[Array[String]])
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // propagate element nullability: NULL symbols pass through unchanged
+  // (a null never equals a rule's left/right — the same outcome as the
+  // fold formulation's three-valued `===` sending them to the append
+  // branch), so the output holds nulls exactly when the input can
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
   override def prettyName: String = "bpe_apply_merges"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -53,7 +60,7 @@ case class BpeApplyMerges(child: Expression, rules: Array[Array[String]])
     val n = arr.numElements()
     var cur = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { cur(i) = arr.getUTF8String(i); i += 1 }
+    while (i < n) { cur(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i); i += 1 }
     var curLen = n
     var buf = new Array[UTF8String](n)
     var ri = 0
@@ -64,7 +71,8 @@ case class BpeApplyMerges(child: Expression, rules: Array[Array[String]])
       var j = 0
       while (j < curLen) {
         val x = cur(j)
-        if (o > 0 && buf(o - 1) == l && x == r) buf(o - 1) = m
+        if (o > 0 && x != null && buf(o - 1) != null &&
+            buf(o - 1) == l && x == r) buf(o - 1) = m
         else { buf(o) = x; o += 1 }
         j += 1
       }
@@ -93,7 +101,9 @@ case class BpeApplyMerges(child: Expression, rules: Array[Array[String]])
       s"""
          |int $n = $a.numElements();
          |$u[] $cur = new $u[$n];
-         |for (int $i = 0; $i < $n; $i++) { $cur[$i] = $a.getUTF8String($i); }
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $cur[$i] = $a.isNullAt($i) ? null : $a.getUTF8String($i);
+         |}
          |int $curLen = $n;
          |$u[] $buf = new $u[$n];
          |for (int $ri = 0; $ri < $tbl.length; $ri++) {
@@ -101,7 +111,8 @@ case class BpeApplyMerges(child: Expression, rules: Array[Array[String]])
          |  int $o = 0;
          |  for (int $i = 0; $i < $curLen; $i++) {
          |    $u $x = $cur[$i];
-         |    if ($o > 0 && $buf[$o - 1].equals($rule[0]) && $x.equals($rule[1])) {
+         |    if ($o > 0 && $x != null && $buf[$o - 1] != null
+         |        && $buf[$o - 1].equals($rule[0]) && $x.equals($rule[1])) {
          |      $buf[$o - 1] = $rule[2];
          |    } else {
          |      $buf[$o++] = $x;

@@ -509,11 +509,17 @@ object DataQuality {
    * JSON objects carrying the key", not "fraction of rows".
    */
   def jsonProfile(df: DataFrame, jsonCol: Column): DataFrame = {
-    val rows = df.filter(jsonCol.isNotNull).select(jsonCol.as("__jp_j"))
-      .filter(expr("json_object_keys(__jp_j) IS NOT NULL"))
+    // keys are projected once and the guard filters on the alias; note
+    // Catalyst still pushes the predicate below the projection (re-inlining
+    // the parse into the scan filter), so the document is parsed ~twice per
+    // row, not once — acceptable: the parse is row-local and the alternative
+    // (a materialization barrier) costs more than it saves here
+    val rows = df.filter(jsonCol.isNotNull)
+      .select(jsonCol.as("__jp_j"), expr("json_object_keys(" +
+        "__jp_j)").as("__jp_keys"))
+      .filter(col("__jp_keys").isNotNull)
     val tot = rows.agg(count(lit(1)).as("__jp_total"))
-    rows.select(explode(expr("json_object_keys(__jp_j)")).as("key"),
-        col("__jp_j"))
+    rows.select(explode(col("__jp_keys")).as("key"), col("__jp_j"))
       .withColumn("__jp_v",
         expr("get_json_object(__jp_j, concat('$.', key))"))
       .groupBy(col("key"))

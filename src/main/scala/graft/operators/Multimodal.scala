@@ -78,14 +78,17 @@ object Multimodal {
   /** JPEG: SOI (FF D8), then walk the marker segments to the first frame
    * header SOFn (FF C0/C1/C2 — baseline/extended/progressive); its payload
    * is [len u16, precision u8, height u16, width u16, …] (ITU-T T.81
-   * §B.2.2). Standalone markers (RSTn, TEM) carry no length. */
+   * §B.2.2). Standalone markers (RSTn, TEM) carry no length; any number of
+   * 0xFF FILL bytes may legally precede a marker (§B.1.1.2) and are
+   * consumed, never parsed as a marker themselves. */
   private def parseJpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var i = 2
     while (i + 3 < b.length) {
       if ((b(i) & 0xff) != 0xff) return None // desynced: not a marker
       val marker = b(i + 1) & 0xff
-      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      if (marker == 0xff) i += 1 // fill byte: the NEXT 0xFF starts the marker
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
       else {
         val len = be16(b, i + 2)
         if (len < 2) return None

@@ -908,7 +908,7 @@ object Similarity {
    * per-vector code table (vec_id, ivf_cell, s, code — the ~8-byte/vector
    * compressed corpus). A production deployment writes these ONCE (plain
    * parquet — IvfPqIndexSpec pins the round-trip) and searches them many
-   * times; the embed_ivfpq query rebuilds in-query only because the bench
+   * times; the embed_ivfpq_build query rebuilds in-query only because the bench
    * has nowhere persistent to write.
    *
    * `trainSampleMod` > 1 trains BOTH quantizers (coarse Lloyd rounds and
@@ -1030,7 +1030,7 @@ object Similarity {
   }
 
   /** [[ivfPqBuild]] + [[ivfPqSearch]] in one call (the in-query form the
-   * embed_ivfpq bench entry uses; production persists the build). */
+   * embed_ivfpq_build bench entry uses; production persists the build). */
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       queryPred: Column, k: Int, nCells: Int, nProbes: Int = 2,
       subspaces: Int = 8, codes: Int = 16, rerank: Int = 50,

@@ -42,8 +42,9 @@ class MultimodalSpec extends AnyFunSuite {
       Array(0xff, 0xe0).map(_.toByte) ++ be16(6) ++ Array.fill(4)(0.toByte) ++
       Array(0xff, 0xc0).map(_.toByte) ++ be16(8) ++ Array(8.toByte) ++
       be16(100) ++ be16(200) ++ Array.fill(1)(0.toByte)
-    // progressive JPEG (SOF2) with a restart marker in the walk
-    val jpeg2 = Array(0xff, 0xd8, 0xff, 0xd0).map(_.toByte) ++
+    // progressive JPEG (SOF2) with a restart marker AND legal 0xFF fill
+    // bytes before the frame marker (T.81 B.1.1.2) in the walk
+    val jpeg2 = Array(0xff, 0xd8, 0xff, 0xd0, 0xff, 0xff, 0xff).map(_.toByte) ++
       Array(0xff, 0xc2).map(_.toByte) ++ be16(8) ++ Array(8.toByte) ++
       be16(77) ++ be16(99) ++ Array.fill(1)(0.toByte)
     // not a container → deterministic stub fallback (n=10 → 10%3=1 "jpeg")

@@ -94,6 +94,16 @@ class TokenizeSpec extends AnyFunSuite {
     assert(m("aaaaa") === Seq("aaaa", "a"))
   }
 
+  test("BpeApplyMerges passes NULL symbols through unchanged, never fusing them") {
+    // parity with the fold's three-valued ===: a null element goes to the
+    // append branch on both sides of a would-be fuse
+    val rules = Array(Array("a", "b", "ab"))
+    val df = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b', 'a', 'b') AS syms")
+    val out = df.select(graft.functions.TokenizeExpressions
+      .bpeApplyMerges(col("syms"), rules).as("r")).head().getSeq[String](0)
+    assert(out === Seq("a", null, "b", "ab"))
+  }
+
   test("bpeEncode stays codegen'd with a vocabulary-scale merge table") {
     // 1200 rules ride along as ONE reference object: with codegen fallback
     // disabled, any 64KB-method or compile failure would throw instead of
