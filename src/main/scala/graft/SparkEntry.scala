@@ -962,6 +962,23 @@ object SparkEntry {
           col("n_chars_norm"), col("n_chars_removed"))
     }),
 
+    // Encoding/mojibake audit: defects are synthesized deterministically by
+    // doc_id band (the flat docs are clean ASCII) — 2-byte mojibake (Ã©/Ã¯),
+    // 3-byte Windows-1252 mojibake (â€™/â€œ), U+FFFD replacement chars, C0
+    // controls — then counted back out. Map-side only; no shuffle.
+    "text_encoding_audit" -> ((s, dir) => {
+      val band = pmod(col("doc_id"), lit(5))
+      val noisy = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(band === 1, lit(" naÃ¯ve cafÃ©"))
+            .when(band === 2,
+              lit(" donâ€™t â€œquote"))
+            .when(band === 3, lit(" � bad�"))
+            .when(band === 4, lit(" \u0007alarm\u001B[0m"))
+            .otherwise(lit(""))).as("t"))
+      TextAnalysis.encodingAudit(noisy, "doc_id", "t")
+    }),
+
     // HTML → text extraction: docs wrapped in a deterministic page skeleton
     // (style/script elements, a comment, an anchor, entities), stripped
     // back to clean text + the pre-strip link count.
@@ -3057,6 +3074,39 @@ object SparkEntry {
           |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
           |  CAST(length(t) - length(text_norm) AS BIGINT) AS n_chars_removed
           |FROM norm""".stripMargin,
+
+      // identical defect synthesis (chr() spells every non-ASCII/control
+      // codepoint: 195/175='Ã''¯', 169='©', 226/8364/8482=â€™ bytes
+      // mis-decoded, 8220-family via 339='œ', 65533=U+FFFD, 7=BEL, 27=ESC),
+      // then the same RE2 counts; ppm is floor'd integer math — tie-free
+      "text_encoding_audit" ->
+        """WITH src AS (
+          |  SELECT doc_id, text ||
+          |    CASE doc_id % 5
+          |      WHEN 1 THEN ' na' || chr(195) || chr(175) || 've caf' || chr(195) || chr(169)
+          |      WHEN 2 THEN ' don' || chr(226) || chr(8364) || chr(8482) || 't ' || chr(226) || chr(8364) || chr(339) || 'quote'
+          |      WHEN 3 THEN ' ' || chr(65533) || ' bad' || chr(65533)
+          |      WHEN 4 THEN ' ' || chr(7) || 'alarm' || chr(27) || '[0m'
+          |      ELSE '' END AS t
+          |  FROM documents),
+          |counts AS (
+          |  SELECT doc_id, length(t) AS n,
+          |    len(regexp_extract_all(t, chr(65533))) AS repl,
+          |    len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS ctrl,
+          |    len(regexp_extract_all(t, chr(195) || '[\x80-\xBF]'))
+          |      + len(regexp_extract_all(t, chr(226) || chr(8364))) AS moji,
+          |    len(regexp_extract_all(t, '[^\x00-\x7F]')) AS nonascii
+          |  FROM src)
+          |SELECT doc_id,
+          |  CAST(repl AS BIGINT) AS n_replacement,
+          |  CAST(ctrl AS BIGINT) AS n_control,
+          |  CAST(moji AS BIGINT) AS n_mojibake,
+          |  CAST(nonascii AS BIGINT) AS n_nonascii,
+          |  CASE WHEN n = 0 THEN CAST(1000000 AS BIGINT)
+          |       ELSE CAST(floor((n - nonascii) * 1000000.0 / n) AS BIGINT)
+          |  END AS ascii_ppm,
+          |  (repl + ctrl + moji) > 0 AS needs_repair
+          |FROM counts""".stripMargin,
 
       "text_strip_html" ->
         """WITH src AS (

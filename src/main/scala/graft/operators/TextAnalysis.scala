@@ -225,6 +225,53 @@ object TextAnalysis {
       .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))
       .withColumn("n_chars_removed", col("n_chars_raw") - col("n_chars_norm"))
 
+  // ----------------------------------------------------- encoding hygiene
+
+  /** C0 controls minus \t\n\r, plus DEL — the "should never appear in clean
+   * text" set. Spelled with regex hex escapes (not literal chars) so the
+   * same pattern string works in Java regex and RE2 (DuckDB oracle). */
+  val controlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /**
+   * Encoding/mojibake audit (ftfy-style corpus hygiene, the check a crawl
+   * pipeline runs before any text filter): per document,
+   *
+   *   - `n_replacement` — U+FFFD replacement chars (a decoder already gave
+   *     up on these bytes; the text upstream is unrecoverable);
+   *   - `n_control`     — C0 controls (minus \t\n\r) + DEL;
+   *   - `n_mojibake`    — UTF-8-read-as-Latin-1/Windows-1252 signatures:
+   *     `Ã` + [U+0080,U+00BF] (a 2-byte sequence's lead 0xC3 mis-decoded,
+   *     covering é è ä ñ ï …) and the `â€` prefix (the 3-byte punctuation
+   *     block U+2018–U+201D/U+2026 mis-decoded via Windows-1252);
+   *   - `n_nonascii` / `ascii_ppm` — floor(10⁶·ascii/len): integer parts-
+   *     per-million instead of a rounded double so the oracle compare is
+   *     tie-free across engines' round() modes;
+   *   - `needs_repair`  — any of the three defect counts nonzero.
+   *
+   * Pure codegen'd `regexp_count` projection — map-side, no shuffle, linear
+   * in bytes; the patterns are RE2 ∩ java.util.regex so DuckDB replays them.
+   * Counts are non-overlapping left-to-right in both engines.
+   */
+  def encodingAudit(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val repl = regexp_count(t, lit("�"))
+    val ctrl = regexp_count(t, lit(controlClass))
+    val moji = regexp_count(t, lit("Ã[\\x80-\\xBF]")) +
+      regexp_count(t, lit("â€"))
+    val nonAscii = regexp_count(t, lit("[^\\x00-\\x7F]"))
+    val len = length(t)
+    df.select(col(idCol),
+      repl.cast("long").as("n_replacement"),
+      ctrl.cast("long").as("n_control"),
+      moji.cast("long").as("n_mojibake"),
+      nonAscii.cast("long").as("n_nonascii"),
+      when(len === 0, lit(1000000L))
+        .otherwise(floor((len - nonAscii).cast("double") * lit(1000000.0) / len)
+          .cast("long")).as("ascii_ppm"),
+      (repl + ctrl + moji > 0).as("needs_repair"))
+  }
+
   // -------------------------------------------------------- HTML stripping
 
   /** Basic named/numeric entities, decoded in fixed order with `&amp;` LAST:

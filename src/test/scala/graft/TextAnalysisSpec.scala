@@ -530,4 +530,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(viaSql > 0L && viaSql < 24L)
   }
+
+  test("encodingAudit: replacement/control/mojibake counts, ppm, repair flag") {
+    val docs = Seq(
+      (1L, "plain ascii text"),                       // clean
+      (2L, "cafÃ© naÃ¯ve"),       // 2-byte mojibake ×2
+      (3L, "donâ€™t â€œq"), // 3-byte mojibake ×2
+      (4L, "bad�bytes�"),                   // replacement ×2
+      (5L, "bell\u0007 esc\u001B tab\t nl\n del\u007F"), // controls: BEL ESC DEL
+      (6L, "résumé"),                       // real é: non-ascii, NOT mojibake
+      (7L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.encodingAudit(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, 0L, 1000000L, false)))
+    assert(out(2L) === ((0L, 0L, 2L, 4L, 666666L, true)))  // floor(8/12*1e6)
+    assert(out(3L) === ((0L, 0L, 2L, 6L, 500000L, true)))  // 12 chars, 6 non-ascii
+    assert(out(4L) === ((2L, 0L, 0L, 2L, 800000L, true)))  // floor(8/10*1e6)
+    assert(out(5L) === ((0L, 3L, 0L, 0L, 1000000L, true))) // all-ascii yet dirty
+    assert(out(6L) === ((0L, 0L, 0L, 2L, 666666L, false))) // clean UTF-8 passes
+    assert(out(7L) === ((0L, 0L, 0L, 0L, 1000000L, false))) // empty → clean
+  }
 }
