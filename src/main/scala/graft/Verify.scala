@@ -15,12 +15,21 @@ object Verify {
     // core count (e.g. SPARK_GRAFT_SHUFFLE=7 on local[3]) to flush any
     // partition-count/order dependence the symmetric default masks
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_NO_CODEGEN=1: run the whole catalog with codegen OFF —
+    // every custom expression takes its interpreted eval() path instead of
+    // doGenCode(), so a hash-clean run proves eval ≡ codegen catalog-wide
+    // (the per-expression parity specs only pin hand-picked inputs). Also
+    // what executors actually do whenever Janino falls back at scale.
+    if (sys.env.get("SPARK_GRAFT_NO_CODEGEN").exists(_ == "1")) {
+      builder.config("spark.sql.codegen.wholeStage", "false")
+        .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // engine-on config: functions + optimizer rules
     new java.io.File(outDir).mkdirs()
