@@ -82,4 +82,40 @@ class TextFuzzSpec extends AnyFunSuite {
       assert(rebuilt === expected, s"case $i: n=$n chunk=$chunk overlap=$overlap")
     }
   }
+
+  test("encodingAudit matches a driver-side reference counter on mixed soup") {
+    val rnd = new scala.util.Random(23)
+    // alphabet mixes clean ascii, allowed ws, counted controls, real
+    // accents, mojibake fragments and U+FFFD — including ADJACENT defects
+    // (e.g. ÃÃ©, â€â€) that exercise non-overlapping match semantics
+    val pool: IndexedSeq[String] = IndexedSeq(
+      "a", "Z", " ", "\t", "\n", "\u0000", "\u0007", "\u001B", "\u007F",
+      "é", "ü", "Ã", "©", "¯", "â", "€", "™", "�")
+    val docs = Seq.tabulate(400)(i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => pool(rnd.nextInt(pool.length))).mkString))
+    // independent reference: counts via explicit scans, not regex
+    def refCounts(s: String): (Long, Long, Long, Long, Long, Boolean) = {
+      val cs = s.toCharArray
+      val repl = cs.count(_ == '�').toLong
+      val ctrl = cs.count(c => (c <= '\u0008') || c == '\u000B' || c == '\u000C' ||
+        (c >= '\u000E' && c <= '\u001F') || c == '\u007F').toLong
+      // non-overlapping left-to-right: Ã + [80,BF], else â€, else advance
+      var i = 0; var moji = 0L
+      while (i < cs.length) {
+        if (i + 1 < cs.length && cs(i) == 'Ã' &&
+            cs(i + 1) >= '\u0080' && cs(i + 1) <= '¿') { moji += 1; i += 2 }
+        else if (i + 1 < cs.length && cs(i) == 'â' && cs(i + 1) == '€') { moji += 1; i += 2 }
+        else i += 1
+      }
+      val nonAscii = cs.count(_ > '\u007F').toLong
+      val ppm = if (cs.isEmpty) 1000000L
+        else math.floor((cs.length - nonAscii).toDouble * 1000000.0 / cs.length).toLong
+      (repl, ctrl, moji, nonAscii, ppm, repl + ctrl + moji > 0)
+    }
+    val got = TextAnalysis.encodingAudit(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    for ((id, s) <- docs)
+      assert(got(id) === refCounts(s), s"doc $id: ${s.map(_.toInt).mkString(",")}")
+  }
 }
