@@ -400,6 +400,27 @@ object SparkEntry {
           col("n_phones"), col("n_ids"), col("n_redactions"))
     }),
 
+    // Widened PII redaction (emails/cards/ids/IPv4/phones, precedence
+    // email > cc > id > ip > phone). PII is synthesized by doc_id band so
+    // every kind AND the precedence interplays (grouped vs flat card
+    // numbers, card-beats-phone, id inside wider digit context) are
+    // exercised on real rows; the oracle replays the same chain.
+    "text_redact_full" -> ((s, dir) => {
+      val band = pmod(col("doc_id"), lit(5))
+      val pii = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(band === 1, lit(" ping 10.0.0.1 then 255.255.255.255 ok"))
+            .when(band === 2, lit(" card 4111 1111 1111 1111 exp 12/26"))
+            .when(band === 3, lit(" pay 4111-1111-1111-1111 or 5500005555555559"))
+            .when(band === 4, lit(" ssn 123-45-6789 call +1 (415) 555-0123"))
+            .otherwise(concat(lit(" mail u"), col("doc_id").cast("string"),
+              lit("@example.com ip 8.8.8.8")))).as("t"))
+      TextAnalysis.withFullRedaction(pii, "t")
+        .select(col("doc_id"), col("text_redacted"), col("n_emails"),
+          col("n_ccs"), col("n_ids"), col("n_ips"), col("n_phones"),
+          col("n_redactions"))
+    }),
+
     // Within-document paragraph dedup (keep first occurrence, reassemble).
     // Paragraph structure is synthesized deterministically (the flat docs
     // have no blank lines): [head, text, head, footer, text] → [head, text,
@@ -3004,6 +3025,41 @@ object SparkEntry {
           |  CAST((length(text_redacted) - length(replace(text_redacted, '<EMAIL>', ''))) // 7
           |     + (length(text_redacted) - length(replace(text_redacted, '<PHONE>', ''))) // 7
           |     + (length(text_redacted) - length(replace(text_redacted, '<ID>', ''))) // 4 AS BIGINT) AS n_redactions
+          |FROM red""".stripMargin,
+
+      // same five-pattern chain in the same precedence order; counts by
+      // placeholder length arithmetic (<CC>/<ID>/<IP> are 4 chars,
+      // <EMAIL>/<PHONE> are 7)
+      "text_redact_full" ->
+        """WITH pii AS (
+          |  SELECT doc_id, text ||
+          |    CASE doc_id % 5
+          |      WHEN 1 THEN ' ping 10.0.0.1 then 255.255.255.255 ok'
+          |      WHEN 2 THEN ' card 4111 1111 1111 1111 exp 12/26'
+          |      WHEN 3 THEN ' pay 4111-1111-1111-1111 or 5500005555555559'
+          |      WHEN 4 THEN ' ssn 123-45-6789 call +1 (415) 555-0123'
+          |      ELSE ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com ip 8.8.8.8'
+          |    END AS t
+          |  FROM documents),
+          |red AS (
+          |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{2,4}\b', '<CC>', 'g'),
+          |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+          |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+          |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted
+          |  FROM pii)
+          |SELECT doc_id, text_redacted,
+          |  CAST((length(text_redacted) - length(replace(text_redacted, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_emails,
+          |  CAST((length(text_redacted) - length(replace(text_redacted, '<CC>', ''))) // 4 AS BIGINT) AS n_ccs,
+          |  CAST((length(text_redacted) - length(replace(text_redacted, '<ID>', ''))) // 4 AS BIGINT) AS n_ids,
+          |  CAST((length(text_redacted) - length(replace(text_redacted, '<IP>', ''))) // 4 AS BIGINT) AS n_ips,
+          |  CAST((length(text_redacted) - length(replace(text_redacted, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phones,
+          |  CAST((length(text_redacted) - length(replace(text_redacted, '<EMAIL>', ''))) // 7
+          |     + (length(text_redacted) - length(replace(text_redacted, '<CC>', ''))) // 4
+          |     + (length(text_redacted) - length(replace(text_redacted, '<ID>', ''))) // 4
+          |     + (length(text_redacted) - length(replace(text_redacted, '<IP>', ''))) // 4
+          |     + (length(text_redacted) - length(replace(text_redacted, '<PHONE>', ''))) // 7 AS BIGINT) AS n_redactions
           |FROM red""".stripMargin,
 
       "text_dedup_paras" ->

@@ -192,6 +192,43 @@ object TextAnalysis {
       .withColumn("n_ids", occurrences(col("text_redacted"), "<ID>"))
       .withColumn("n_redactions", col("n_emails") + col("n_phones") + col("n_ids"))
 
+  /** IPv4-shaped dotted quads. Octets deliberately not range-checked —
+   * redaction favors recall ("999.1.1.1" redacts too), and the simple form
+   * stays in the RE2 ∩ Java subset without a 4-way alternation. */
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  /** Payment-card-shaped digit runs: 4-4-4-{2,4} groups with optional
+   * per-gap space/dash separators — covers 14/15/16-digit cards grouped or
+   * flat (not the Amex 4-6-5 grouping). Word-bounded, so a longer digit
+   * run is never partially consumed (it falls through to the phone rule). */
+  val ccRe = "\\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{2,4}\\b"
+
+  /**
+   * [[redact]] widened with network/payment PII: emails → `<EMAIL>`,
+   * card-shaped runs → `<CC>`, SSN-shaped ids → `<ID>`, IPv4 quads →
+   * `<IP>`, phone-shaped digit runs → `<PHONE>`. Overlap precedence is the
+   * application order email > cc > id > ip > phone: a card number is
+   * consumed whole before the phone rule could eat its digit run, an SSN
+   * inside any wider context stays `<ID>`, and placeholders contain no
+   * digits or dots so later patterns never re-match inside earlier
+   * replacements. Same pure codegen'd `regexp_replace` chain — map-side,
+   * no shuffle, linear in bytes.
+   */
+  def redactFull(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      text, emailRe, "<EMAIL>"), ccRe, "<CC>"), idRe, "<ID>"),
+      ipRe, "<IP>"), phoneRe, "<PHONE>")
+
+  /** `text_redacted` + per-kind counts for the widened chain. */
+  def withFullRedaction(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("text_redacted", redactFull(col(textCol)))
+      .withColumn("n_emails", occurrences(col("text_redacted"), "<EMAIL>"))
+      .withColumn("n_ccs", occurrences(col("text_redacted"), "<CC>"))
+      .withColumn("n_ids", occurrences(col("text_redacted"), "<ID>"))
+      .withColumn("n_ips", occurrences(col("text_redacted"), "<IP>"))
+      .withColumn("n_phones", occurrences(col("text_redacted"), "<PHONE>"))
+      .withColumn("n_redactions", col("n_emails") + col("n_ccs") +
+        col("n_ids") + col("n_ips") + col("n_phones"))
+
   // ------------------------------------------------------- normalization
 
   /**

@@ -122,6 +122,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) === "fax <PHONE>")
   }
 
+  test("redactFull: card/ip kinds and the widened precedence chain") {
+    import spark.implicits._
+    val df = Seq(
+      // grouped and flat card shapes both become <CC>, never <PHONE>
+      (1L, "pay 4111 1111 1111 1111 now"),
+      (2L, "pay 4111-1111-1111-1111 or 5500005555555559"),
+      // amex grouping (4-6-5) is NOT card-shaped here → phone rule eats it
+      (3L, "amex 3782 822463 10005"),
+      // ip quads redact; octets not range-checked (recall over precision)
+      (4L, "ping 10.0.0.1 then 999.1.1.1"),
+      // version-ish dotted triple is NOT an ip
+      (5L, "spark 4.1.2 released"),
+      // ssn stays <ID> even with a card and phone in the same row
+      (6L, "ssn 123-45-6789 card 4111111111111111 call +1 (415) 555-0123"),
+      // 20-digit run: word-bounded cc can't partially consume → <PHONE>
+      (7L, "ref 41111111111111111111 end"),
+      (8L, "clean, nothing to hide")).toDF("doc_id", "text")
+    val out = TextAnalysis.withFullRedaction(df)
+      .select("doc_id", "text_redacted", "n_ccs", "n_ips", "n_phones", "n_ids")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) === (("pay <CC> now", 1L, 0L, 0L, 0L)))
+    assert(out(2L) === (("pay <CC> or <CC>", 2L, 0L, 0L, 0L)))
+    assert(out(3L) === (("amex <PHONE>", 0L, 0L, 1L, 0L)))
+    assert(out(4L) === (("ping <IP> then <IP>", 0L, 2L, 0L, 0L)))
+    assert(out(5L) === (("spark 4.1.2 released", 0L, 0L, 0L, 0L)))
+    assert(out(6L) === (("ssn <ID> card <CC> call <PHONE>", 1L, 0L, 1L, 1L)))
+    assert(out(7L) === (("ref <PHONE> end", 0L, 0L, 1L, 0L)))
+    assert(out(8L) === (("clean, nothing to hide", 0L, 0L, 0L, 0L)))
+  }
+
   test("paragraph dedup keeps first occurrences in order and reassembles") {
     import spark.implicits._
     val df = Seq(
