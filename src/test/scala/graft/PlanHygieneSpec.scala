@@ -78,4 +78,17 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
     assert(violations.isEmpty, s"\n${violations.mkString("\n")}")
   }
+
+  /** The pure per-document text transforms advertise "map-side only, no
+   * shuffle" in SCALING.md — pin it: their physical plans must contain NO
+   * exchange of any kind (scan → project, nothing else moves data). */
+  test("map-side text transforms plan zero exchanges") {
+    val mapSideOnly = Seq("text_normalize", "text_strip_html",
+      "text_encoding_audit", "text_redact", "text_redact_full")
+    for (name <- mapSideOnly) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("Exchange"), s"$name plans an Exchange:\n$plan")
+    }
+  }
 }
