@@ -290,15 +290,20 @@ object TextAnalysis {
    * Counts are non-overlapping left-to-right in both engines.
    */
   def encodingAudit(df: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+                    textCol: String = "text"): DataFrame =
+    df.select(col(idCol) +: encodingAuditCols(col(textCol)): _*)
+
+  /** The audit's metric columns over a text column — shared by the batch
+   * [[encodingAudit]] (which projects them with the id) and the streaming
+   * hygiene gate (which appends them to the full arriving row). */
+  def encodingAuditCols(t: Column): Seq[Column] = {
     val repl = regexp_count(t, lit("�"))
     val ctrl = regexp_count(t, lit(controlClass))
     val moji = regexp_count(t, lit("Ã[\\x80-\\xBF]")) +
       regexp_count(t, lit("â€"))
     val nonAscii = regexp_count(t, lit("[^\\x00-\\x7F]"))
     val len = length(t)
-    df.select(col(idCol),
+    Seq(
       repl.cast("long").as("n_replacement"),
       ctrl.cast("long").as("n_control"),
       moji.cast("long").as("n_mojibake"),

@@ -100,6 +100,25 @@ object StreamingCuration {
     docs.withColumn("gate_score", scoreCol.cast("double"))
       .filter(col("gate_score") >= threshold)
 
+  /**
+   * Ingest-time encoding-hygiene gate: unlike the percentile gate, the
+   * encoding audit ([[graft.operators.TextAnalysis.encodingAudit]]) is a
+   * pure row-local projection — no batch-trained artifact, no state — so
+   * it gates a stream out of the box. Output = the full arriving row +
+   * the audit metric columns + a `quarantine` flag (`needs_repair` OR
+   * `ascii_ppm` below `minAsciiPpm`); callers split on the flag into
+   * clean/quarantine sinks (quarantine keeps the defect counts as audit
+   * evidence, same contract as the contamination gate). Map-side only;
+   * row-identical to the batch audit (StreamingCurationSpec).
+   */
+  def hygieneGateStream(docs: DataFrame, minAsciiPpm: Long = 0L,
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs.select(col("*") +: TextAnalysis.encodingAuditCols(col(textCol)): _*)
+      .withColumn("quarantine",
+        col("needs_repair") || col("ascii_ppm") < minAsciiPpm)
+  }
+
   def startContaminationGate(docs: DataFrame, evalDocs: DataFrame,
       cleanDir: String, quarantineDir: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",

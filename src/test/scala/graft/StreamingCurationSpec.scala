@@ -172,4 +172,43 @@ class StreamingCurationSpec extends AnyFunSuite {
       .agg(sum(col("contrib"))).head().getDouble(0)
     assert(math.abs(out(1L)._2 - batchPsi) < 1e-6)
   }
+
+  test("encoding-hygiene gate flags dirty rows in-stream, matches the batch audit") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "plain ascii"),
+      (2L, "cafÃ© mojibake"),     // mojibake → repair
+      (3L, "bad�byte"),           // replacement char → repair
+      (4L, "ctrl\u0007here"),     // BEL → repair
+      (5L, "résumé fine"),        // real accents: clean, high ascii ppm
+      (6L, ""),                   // empty: clean by definition
+      (7L, "ééééa"))              // clean but ppm 200000 < floor → quarantine
+    val outDir = tmp("hyg-out"); val ckpt = tmp("hyg-ckpt")
+    val input = MemoryStream[(Long, String)](spark)
+    val gated = StreamingCuration.hygieneGateStream(
+      input.toDF().toDF("doc_id", "text"), minAsciiPpm = 400000L)
+    val q = gated.writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir).start()
+    try {
+      input.addData(docs.take(3)); q.processAllAvailable()
+      input.addData(docs.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir)
+    val flags = got.select("doc_id", "quarantine").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false, 6L -> false, 7L -> true))
+    // the streamed metric columns are row-identical to the batch audit
+    val metricCols = Seq("n_replacement", "n_control", "n_mojibake",
+      "n_nonascii", "ascii_ppm", "needs_repair")
+    val streamed = got.select("doc_id", metricCols: _*).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val batch = TextAnalysis.encodingAudit(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(streamed === batch)
+    // the payload rides through the gate (full row + metrics, not id-only)
+    assert(got.columns.take(2).toSeq === Seq("doc_id", "text"))
+  }
 }
