@@ -581,6 +581,18 @@ object SparkEntry {
           table(s, dir, "customer"), "c_custkey"))
     }),
 
+    // Per-source corpus health rollup. The flat docs carry no exact dups
+    // (FIXTURES.md), so every 10th doc is re-appended under a shifted id —
+    // the dup_docs column then measures something real. One aggregation
+    // pass; the two DISTINCTs expand map-side (no per-group sets).
+    "q_corpus_health" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val withDups = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      operators.DataQuality.corpusHealth(withDups)
+    }),
+
     // k-anonymity audit (Sweeney 2002): equivalence classes over the
     // (nation, segment) quasi-identifiers with k=10 — one partial-
     // aggregatable count keyed by the quasi tuple; the big classes are
@@ -2018,6 +2030,25 @@ object SparkEntry {
           |       round(n + (-(2.0) * sign(u - 0.5)
           |                  * ln(1.0 - 2.0 * abs(u - 0.5))), 4) + 0.0 AS noisy_n
           |FROM u""".stripMargin,
+
+      // identical dup synthesis, then the same one-pass rollup; DuckDB
+      // SUM yields HUGEINT and quantile_cont mirrors Spark's interpolated
+      // percentile (q_percentiles precedent)
+      "q_corpus_health" ->
+        """WITH corpus AS (
+          |  SELECT * FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text, lang, source, n_chars
+          |  FROM documents WHERE doc_id % 10 = 0)
+          |SELECT source,
+          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+          |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(floor(SUM(n_chars) * 1.0 / COUNT(*)) AS BIGINT) AS avg_chars_floor,
+          |  quantile_cont(n_chars, 0.5) AS p50_chars,
+          |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+          |FROM corpus GROUP BY 1""".stripMargin,
 
       "q_data_quality" ->
         """SELECT 'completeness(o_orderpriority)' AS check_name,

@@ -754,4 +754,36 @@ object DataQuality {
       .select(col("bin"), col("n"), col("conf"), col("acc"),
         (floor(raw * 1e6 + lit(0.5)) / 1e6 + lit(0.0)).as("ece_contrib"))
   }
+
+  // ---------------------------------------------------- corpus health
+
+  /**
+   * Per-source corpus health dashboard — the one-glance rollup a curation
+   * run reports per ingest source: volume, exact-duplicate count, language
+   * spread, size distribution (total / floor-mean / median chars), token
+   * mass. The ingredients exist as separate audits; this is the composed
+   * per-source report a 100 TB pipeline actually pages on.
+   *
+   * Scale shape: ONE groupBy(source) aggregation pass. The two
+   * count(DISTINCT) columns (content hash, language) plan via Catalyst's
+   * Expand in the same stage — ×3 map-side row expansion, NO per-group set
+   * collection, so per-group state stays bounded regardless of group size;
+   * the exact median is a percentile partial-aggregate (buffer per group ∝
+   * distinct lengths, the same machinery as q_percentiles — swap for a KLL
+   * sketch column if a source's length domain were unbounded). Duplicate
+   * detection hashes the full text map-side (md5, 16 bytes/doc into the
+   * exchange — the text itself never shuffles).
+   */
+  def corpusHealth(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text", langCol: String = "lang",
+      nCharsCol: String = "n_chars"): DataFrame =
+    df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(md5(col(textCol)))).as("dup_docs"),
+      countDistinct(col(langCol)).as("n_langs"),
+      sum(col(nCharsCol)).as("total_chars"),
+      floor(sum(col(nCharsCol)).cast("double") / count(lit(1)))
+        .cast("long").as("avg_chars_floor"),
+      percentile(col(nCharsCol), lit(0.5)).as("p50_chars"),
+      sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("total_tokens"))
 }

@@ -454,4 +454,21 @@ class DataQualitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       DataQuality.calibrationReport(rows, col("s"), col("y"), nBins = 0))
   }
+
+  test("corpusHealth: hand-computed per-source rollup incl. dups and median") {
+    // source A: 4 docs, one exact dup pair, 2 langs, chars 10/20/30/20
+    //   -> total 80, floor-mean 20, median (20+20)/2 = 20, tokens 2+2+3+2
+    // source B: 1 doc, no dups
+    val docs = Seq(
+      (1L, "aa bb", "en", "A", 10L),
+      (2L, "cc dd", "de", "A", 20L),
+      (3L, "ee ff gg", "en", "A", 30L),
+      (4L, "cc dd", "en", "A", 20L),   // exact dup of doc 2
+      (5L, "solo", "fr", "B", 7L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DataQuality.corpusHealth(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7)))).toMap
+    assert(out("A") === ((4L, 1L, 2L, 80L, 20L, 20.0, 9L)))
+    assert(out("B") === ((1L, 0L, 1L, 7L, 7L, 7.0, 1L)))
+  }
 }
