@@ -86,6 +86,61 @@ case class LatestAgg(ordCols: Seq[String], payloadCols: Seq[String])
     parts.groupBy(keyCols.map(col): _*).agg(max(latest).as("__latest"))
 }
 
+/**
+ * Sketch-backed corpus-health monoid: the per-source dashboard of
+ * [[graft.operators.DataQuality.corpusHealth]] maintained INCREMENTALLY —
+ * each batch contributes one partial row per touched source (counts/sums
+ * plus mergeable HLL sketches for distinct content/language and a KLL
+ * sketch for the char-length distribution), so the dashboard over a
+ * 100 TB corpus updates O(delta) per batch with NO corpus rescans. The
+ * price: the dup/lang/median columns become sketch estimates (HLL ≈0.8%
+ * rel. err at the default lgK=12, exact while a source stays under the
+ * sparse threshold; KLL rank error ≈1.7% at k=200, exact under k values).
+ * Counts and sums stay exact. Finalize store rows with
+ * [[CorpusHealthAgg.finish]].
+ */
+case class CorpusHealthAgg(textCol: String = "text", langCol: String = "lang",
+    nCharsCol: String = "n_chars") extends ViewAggregate {
+  import graft.functions.KllExpressions
+  def partial(batch: DataFrame, keyCols: Seq[String]): DataFrame =
+    batch.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(nCharsCol)).as("total_chars"),
+      sum(size(graft.operators.TextAnalysis.tokens(col(textCol))).cast("long"))
+        .as("total_tokens"),
+      hll_sketch_agg(md5(col(textCol))).as("content_hll"),
+      hll_sketch_agg(col(langCol)).as("lang_hll"),
+      KllExpressions.kllSketchAgg(col(nCharsCol).cast("double")).as("chars_kll"))
+  def merge(parts: DataFrame, keyCols: Seq[String]): DataFrame =
+    parts.groupBy(keyCols.map(col): _*).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("total_chars")).as("total_chars"),
+      sum(col("total_tokens")).as("total_tokens"),
+      hll_union_agg(col("content_hll")).as("content_hll"),
+      hll_union_agg(col("lang_hll")).as("lang_hll"),
+      KllExpressions.kllMergeAgg(col("chars_kll")).as("chars_kll"))
+}
+
+object CorpusHealthAgg {
+  import graft.functions.KllExpressions
+  /** Store partials → the dashboard columns ([[graft.operators.DataQuality
+   * .corpusHealth]] shape; sketch-derived columns carry an `_est` suffix).
+   * `dup_docs_est` clamps at 0 — HLL can estimate slightly ABOVE an exact
+   * small count. */
+  def finish(view: DataFrame, sourceCol: String = "source"): DataFrame =
+    view.select(col(sourceCol),
+      col("n_docs"),
+      greatest(lit(0L), col("n_docs") -
+        round(hll_sketch_estimate(col("content_hll"))).cast("long"))
+        .as("dup_docs_est"),
+      round(hll_sketch_estimate(col("lang_hll"))).cast("long").as("n_langs_est"),
+      col("total_chars"),
+      floor(col("total_chars").cast("double") / col("n_docs"))
+        .cast("long").as("avg_chars_floor"),
+      KllExpressions.kllQuantile(col("chars_kll"), 0.5).as("p50_chars_est"),
+      col("total_tokens"))
+}
+
 object IncrementalView {
 
   private[streaming] val PTR = "_CURRENT_BASE"

@@ -301,4 +301,41 @@ class IncrementalViewSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("v")).toMap
     assert(after === snap)
   }
+
+  test("corpus-health monoid: incremental view matches the batch rollup") {
+    import graft.streaming.CorpusHealthAgg
+    val store = tmp("health")
+    val srcKeys = Seq("source")
+    val agg = CorpusHealthAgg()
+    def docs(rows: (Long, String, String, String, Long)*) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // three batches; source A gets an exact dup across batches 0 and 2
+    val b0 = docs((1L, "aa bb", "en", "A", 10L), (2L, "cc dd", "de", "A", 20L),
+      (5L, "solo", "fr", "B", 7L))
+    val b1 = docs((3L, "ee ff gg", "en", "A", 30L))
+    val b2 = docs((4L, "cc dd", "en", "A", 20L), (6L, "duo xx", "fr", "B", 7L))
+    IncrementalView.applyBatch(b0, 0L, srcKeys, agg, store, "")
+    IncrementalView.applyBatch(b1, 1L, srcKeys, agg, store, "")
+    IncrementalView.applyBatch(b2, 2L, srcKeys, agg, store, "")
+    def healthMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7)))).toMap
+    val inc = healthMap(CorpusHealthAgg.finish(
+      IncrementalView.read(spark, store, srcKeys, agg)))
+    // at this cardinality every sketch is in its exact regime: the
+    // incremental estimates must EQUAL the one-shot exact rollup (the
+    // fixture keeps each source's two middle lengths equal, where the KLL
+    // inclusive-rank quantile and the interpolated percentile coincide)
+    val exact = graft.operators.DataQuality
+      .corpusHealth(b0.unionByName(b1).unionByName(b2)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7)))).toMap
+    assert(inc === exact)
+    assert(inc("A") === ((4L, 1L, 2L, 80L, 20L, 20.0, 9L)))
+    // compaction folds the three deltas without changing the dashboard
+    IncrementalView.compact(spark, store, srcKeys, agg = agg)
+    val afterCompact = healthMap(CorpusHealthAgg.finish(
+      IncrementalView.read(spark, store, srcKeys, agg)))
+    assert(afterCompact === inc)
+  }
 }
