@@ -114,9 +114,21 @@ object StreamingCuration {
   def hygieneGateStream(docs: DataFrame, minAsciiPpm: Long = 0L,
       textCol: String = "text"): DataFrame = {
     import graft.operators.TextAnalysis
+    val appended = Seq("n_replacement", "n_control", "n_mojibake",
+      "n_nonascii", "ascii_ppm", "needs_repair", "quarantine")
+    // re-gating this gate's own output (or any schema carrying these names)
+    // would make the references below ambiguous — fail at wiring time with
+    // the reason, not at analysis time with AMBIGUOUS_REFERENCE
+    val clash = docs.columns.toSet.intersect(appended.toSet)
+    require(clash.isEmpty,
+      s"hygieneGateStream: input already carries audit column(s) " +
+        s"${clash.mkString(", ")} — drop or rename them before re-gating")
     docs.select(col("*") +: TextAnalysis.encodingAuditCols(col(textCol)): _*)
-      .withColumn("quarantine",
-        col("needs_repair") || col("ascii_ppm") < minAsciiPpm)
+      // NULL text makes every audit metric NULL; the flag must stay TOTAL
+      // (a caller splits on it — a three-valued NULL would route the row to
+      // NEITHER sink), and an unparseable row is by definition quarantine
+      .withColumn("quarantine", coalesce(
+        col("needs_repair") || col("ascii_ppm") < minAsciiPpm, lit(true)))
   }
 
   def startContaminationGate(docs: DataFrame, evalDocs: DataFrame,

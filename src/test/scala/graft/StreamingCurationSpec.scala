@@ -184,7 +184,8 @@ class StreamingCurationSpec extends AnyFunSuite {
       (4L, "ctrl\u0007here"),     // BEL → repair
       (5L, "résumé fine"),        // real accents: clean, high ascii ppm
       (6L, ""),                   // empty: clean by definition
-      (7L, "ééééa"))              // clean but ppm 200000 < floor → quarantine
+      (7L, "ééééa"),              // clean but ppm 200000 < floor → quarantine
+      (8L, null.asInstanceOf[String])) // NULL text: flag must stay TOTAL
     val outDir = tmp("hyg-out"); val ckpt = tmp("hyg-ckpt")
     val input = MemoryStream[(Long, String)](spark)
     val gated = StreamingCuration.hygieneGateStream(
@@ -198,8 +199,10 @@ class StreamingCurationSpec extends AnyFunSuite {
     val got = spark.read.parquet(outDir)
     val flags = got.select("doc_id", "quarantine").collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // doc 8 (NULL text): metrics are NULL but the flag coalesces to TRUE —
+    // a tri-state flag would route the row to NEITHER split sink
     assert(flags === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
-      5L -> false, 6L -> false, 7L -> true))
+      5L -> false, 6L -> false, 7L -> true, 8L -> true))
     // the streamed metric columns are row-identical to the batch audit
     val metricCols = Seq("n_replacement", "n_control", "n_mojibake",
       "n_nonascii", "ascii_ppm", "needs_repair")
@@ -210,5 +213,10 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(streamed === batch)
     // the payload rides through the gate (full row + metrics, not id-only)
     assert(got.columns.take(2).toSeq === Seq("doc_id", "text"))
+    // re-gating the gate's own output would duplicate the audit columns and
+    // make every downstream reference ambiguous — refuse loudly at wiring
+    val regate = intercept[IllegalArgumentException](
+      StreamingCuration.hygieneGateStream(got))
+    assert(regate.getMessage.contains("audit column"))
   }
 }
