@@ -29,6 +29,39 @@ object SparkEntry {
    * IvfPqIndexSpec pins that reloaded artifacts search identically to the
    * in-memory build. Deterministic: the build itself is deterministic on one
    * JVM, so a rebuilt index yields the same search results. */
+  /** Fingerprint of one source table's files (name + length + mtime, MD5
+   * over the sorted tuple list): cache keys for derived artifacts must
+   * change whenever the dataset at the same path is regenerated. */
+  private def srcFingerprint(dir: String, tableFile: String): String = {
+    val d = new java.io.File(dir, tableFile)
+    val files = Option(if (d.isDirectory) d.listFiles() else Array(d))
+      .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+    val desc = files.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Deterministic JSON-lines materialization of the events table as the
+   * generator's wire format (`botgen.py:54`), cached per sf dir + source
+   * fingerprint like the IVF-PQ artifacts — so `wire_dsv2_scan` times the
+   * DSv2 SCAN, not the one-time wire-file write. */
+  private def wireLogsFor(s: SparkSession, dir: String): String = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_wire_v1_" + srcFingerprint(dir, "events.parquet") + "_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      table(s, dir, "events").select(to_json(struct(
+        unix_timestamp(col("ts")).as("time"),
+        (col("event_id") % 20 + 1000).as("categoryId"),
+        concat(lit("172.10."), (col("user_id") % 256).cast("string")).as("ip"),
+        col("event_type").as("action"))).as("value"))
+        .coalesce(4)
+        .write.mode("overwrite").text(base.toString)
+    }
+    base.toString
+  }
+
   private def ivfPqIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     // cache key includes a fingerprint of the SOURCE data (per-file name +
     // length + mtime): a regenerated dataset at the same path must rebuild
@@ -36,15 +69,7 @@ object SparkEntry {
     // list, not an XOR fold — XOR is order-independent and self-canceling
     // (two files swapping identical attrs, or a pair of equal contributions,
     // collide to the same key).
-    val srcFp = {
-      val d = new java.io.File(dir, "embeddings.parquet")
-      val files = Option(if (d.isDirectory) d.listFiles() else Array(d))
-        .getOrElse(Array.empty[java.io.File]).filter(_.isFile)
-      val desc = files.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
-        .sorted.mkString("\n")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(desc.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    }
+    val srcFp = srcFingerprint(dir, "embeddings.parquet")
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_ivfpq_v1_" + srcFp + "_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val paths = Seq("centroids", "codebooks", "codes")
@@ -181,6 +206,24 @@ object SparkEntry {
       table(s, dir, "events")
         .select(col("user_id").cast("string").as("ip"), col("event_type").as("action"))
         .dropDuplicates()),
+
+    // S4 via DataSource V2: the reference's Kafka-Connect FS connector
+    // (`LogsSourceTask.java:68-108`) re-expressed as a native Spark source
+    // (sources.v2.LogsDataSource, format "graft-logs"). The events table is
+    // materialized once as the generator's JSON-lines wire format, then
+    // round-tripped through the custom scan with a pushed filter and pruned
+    // projection — the aggregate must equal the oracle computed straight
+    // from the original parquet, proving split planning, JSON decode,
+    // pushdown and pruning are all value-exact.
+    "wire_dsv2_scan" -> ((s, dir) => {
+      val wireDir = wireLogsFor(s, dir)
+      s.read.format("graft-logs").option("regex", """part-.*\.txt""").load(wireDir)
+        .where(col("action") === "click")
+        .groupBy(col("categoryId"))
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("time")).as("first_s"),
+          max(col("time")).as("last_s"))
+    }),
 
     // K2 parity: verdict TTL — expires_at = window_end + 10 min; rows still
     // live relative to a deterministic "now" = max event time (SURVEY §2d K2).
@@ -1906,6 +1949,16 @@ object SparkEntry {
       "p7_dedup" ->
         """SELECT DISTINCT CAST(user_id AS VARCHAR) AS ip, event_type AS action
           |FROM events""".stripMargin,
+
+      // replay of the wire derivation (time = floor(epoch), categoryId =
+      // event_id%20+1000 as its decimal string — JSON numbers surface as
+      // strings under the wire schema's categoryId STRING)
+      "wire_dsv2_scan" ->
+        """SELECT CAST(event_id % 20 + 1000 AS VARCHAR) AS categoryId,
+          |       CAST(count(*) AS BIGINT) AS n_clicks,
+          |       CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
+          |       CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s
+          |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
 
       "k_ttl_expiry" ->
         s"""$slidingAgg

@@ -95,7 +95,10 @@ object Ingest {
    *   `source=kafka`: real Kafka subscription ([[kafkaStream]];
    *     requires `kafka.bootstrap.servers` + `topic`, optional
    *     `startingOffsets`, `maxOffsetsPerTrigger`)
-   * Both branches return the same wire-frame schema.
+   *   `source=dsv2`: the engine's own DataSource V2 log tailer
+   *     ([[graft.sources.v2.LogsDataSource]] — regex file discovery,
+   *     line-boundary offsets, `maxBytesPerTrigger` admission control)
+   * All branches return the same wire-frame schema.
    */
   def wireStream(spark: SparkSession, conf: Map[String, String]): DataFrame =
     conf.getOrElse("source", "files") match {
@@ -107,6 +110,11 @@ object Ingest {
       case "files" =>
         jsonDirStream(spark, conf("dir"),
           conf.get("maxFilesPerTrigger").map(_.toInt).getOrElse(100))
+      case "dsv2" =>
+        val r = spark.readStream.format("graft-logs")
+          .option("regex", conf.getOrElse("regex", ".*"))
+        conf.get("maxBytesPerTrigger").fold(r)(r.option("maxBytesPerTrigger", _))
+          .load(conf("dir"))
       case other =>
         throw new IllegalArgumentException(s"unknown wire source: $other")
     }

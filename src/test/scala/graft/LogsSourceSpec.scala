@@ -1,0 +1,303 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.collection.immutable.SortedMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Ingest
+import graft.sources.v2.LogsOffset
+
+/** DSv2 `graft-logs` source: split planning, pruning/pushdown, JSON-lines
+ * decode parity with the built-in reader, and the micro-batch offset
+ * protocol (reference connector semantics: `LogsSourceTask.java:68-108`,
+ * `FileReader.java:40-80`). */
+class LogsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = TestSpark.spark
+
+  private var dir: Path = _
+
+  private def write(name: String, lines: String*): Path = {
+    val p = dir.resolve(name)
+    Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    p
+  }
+
+  private def line(t: Long, cat: Int, ip: String, action: String): String =
+    s"""{"time": $t, "categoryId": $cat, "ip": "$ip", "action": "$action"}"""
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("graft-logs-spec")
+    write("a.log",
+      line(100, 1001, "172.10.0.1", "view"),
+      line(101, 1002, "172.10.0.2", "click"),
+      """{"time": 102, "categoryId": 1003, "action": "view"}""", // ip missing
+      "this is not json at all", // malformed -> all-null row
+      "", // blank -> skipped
+      line(103, 1004, "172.20.0.1", "click"))
+    write("b.log",
+      line(200, 1005, "172.20.0.2", "click"),
+      s"""{"time": 201, "categoryId": null, "ip": "172.10.0.3", "action": "view"}\r""") // CRLF + null field
+    write("c.tmp", line(999, 9999, "10.0.0.1", "view")) // filtered out by regex tests
+  }
+
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(dir)) { s =>
+      s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  private def logs(extra: (String, String)*): DataFrame = {
+    val r = spark.read.format("graft-logs").option("regex", """.*\.log""")
+    extra.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load(dir.toString)
+  }
+
+  // ---------- batch ----------
+
+  test("reads json-lines: well-formed, missing-field, malformed, blank, CRLF") {
+    val rows = logs().collect()
+    assert(rows.length === 7) // 8 .log lines minus the blank
+    // malformed line -> all-null record (FileReader.java:70-76 parity)
+    assert(rows.count(r => (0 until 4).forall(r.isNullAt)) === 1)
+    // CRLF line parsed cleanly, categoryId null honored
+    val crlf = rows.filter(r => !r.isNullAt(0) && r.getLong(0) == 201L)
+    assert(crlf.length === 1 && crlf.head.isNullAt(1) && crlf.head.getString(3) === "view")
+    // numeric categoryId arrives as its decimal string (schema says STRING)
+    assert(rows.filter(r => !r.isNullAt(0) && r.getLong(0) == 100L).head.getString(1) === "1001")
+  }
+
+  test("matches the built-in PERMISSIVE json reader row-for-row") {
+    val v2 = logs().collect().map(_.toSeq).toSet
+    // built-in reader on the same files (it would also read c.tmp, so point
+    // it at the two .log files explicitly)
+    val v1 = spark.read.schema(Ingest.wireSchema).option("mode", "PERMISSIVE")
+      .json(dir.resolve("a.log").toString, dir.resolve("b.log").toString)
+      .collect().map(_.toSeq).toSet
+    assert(v2 === v1)
+  }
+
+  test("regex option matches the connector's file discovery") {
+    val all = spark.read.format("graft-logs").load(dir.toString) // default regex .*
+    assert(all.count() === 8) // 9 lines minus the blank
+    assert(logs().count() === 7) // .log only
+  }
+
+  test("tiny maxSplitBytes cuts lines mid-byte yet loses and duplicates nothing") {
+    val whole = logs().collect().map(_.toSeq).toSet
+    for (split <- Seq("7", "33", "64", "100")) {
+      val cut = logs("maxSplitBytes" -> split)
+      assert(cut.rdd.getNumPartitions > 1, s"split=$split should plan multiple partitions")
+      assert(cut.collect().map(_.toSeq).toSet === whole, s"split=$split")
+    }
+  }
+
+  test("a line larger than the 64 KB read buffer survives splitting") {
+    val big = Files.createTempDirectory("graft-logs-big")
+    try {
+      val fat = "x" * 200000 // forces the accumulate path in LineRangeReader
+      Files.write(big.resolve("big.log"),
+        (line(1, 1, "a", fat) + "\n" + line(2, 2, "b", "click") + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+      val df = spark.read.format("graft-logs").option("maxSplitBytes", "1024").load(big.toString)
+      val rows = df.collect()
+      assert(rows.length === 2)
+      assert(rows.find(_.getLong(0) == 1L).get.getString(3).length === 200000)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(big)) { s =>
+        s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  test("filters are fully pushed: no residual FilterExec, result exact") {
+    val pushed = logs().where(col("action") === "click" && col("time") >= 101L).select("ip")
+    val plan = pushed.queryExecution.executedPlan
+    assert(plan.collect { case f: FilterExec => f }.isEmpty,
+      s"expected no post-scan Filter, got:\n$plan")
+    assert(plan.toString.contains("PushedFilters: ["), s"scan should report pushdown:\n$plan")
+    // exactness: same predicate evaluated Spark-side on an unfiltered scan
+    val sparkSide = logs().collect()
+      .filter(r => !r.isNullAt(3) && r.getString(3) == "click" && !r.isNullAt(0) && r.getLong(0) >= 101L)
+      .map(_.getString(2)).toSet
+    assert(pushed.collect().map(r => Option(r.getString(0)).orNull).toSet
+      === sparkSide.map(s => s: Any).toSet)
+  }
+
+  test("pushed null semantics: comparisons never pass nulls, IsNull does") {
+    // the malformed row and the missing-ip row
+    assert(logs().where(col("ip").isNull).count() === 2)
+    // a comparison on a null field is false, not unknown-leaks-through
+    assert(logs().where(col("ip") > "").count() === 5)
+    assert(logs().where(col("categoryId") === "1003").count() === 1)
+  }
+
+  test("filter on a column that is pruned away still applies") {
+    val df = logs().where(col("action") === "click").select("categoryId")
+    assert(df.columns.toSeq === Seq("categoryId"))
+    assert(df.collect().map(_.getString(0)).toSet === Set("1002", "1004", "1005"))
+  }
+
+  test("count(*) scans with an empty read schema") {
+    assert(logs().count() === 7)
+  }
+
+  test("In and StringStartsWith push down exactly") {
+    val in = logs().where(col("categoryId").isin("1001", "1005"))
+    assert(in.queryExecution.executedPlan.collect { case f: FilterExec => f }.isEmpty)
+    assert(in.count() === 2)
+    val pre = logs().where(col("ip").startsWith("172.20."))
+    assert(pre.queryExecution.executedPlan.collect { case f: FilterExec => f }.isEmpty)
+    assert(pre.count() === 2)
+  }
+
+  test("user schema may subset and reorder wire fields, never invent them") {
+    val df = spark.read.format("graft-logs")
+      .schema("action STRING, time LONG").option("regex", """.*\.log""").load(dir.toString)
+    assert(df.columns.toSeq === Seq("action", "time"))
+    assert(df.where(col("action") === "click").count() === 3)
+    val bad = intercept[Exception] {
+      spark.read.format("graft-logs").schema("nope STRING").load(dir.toString).collect()
+    }
+    assert(bad.getMessage.contains("unknown field") || bad.getCause != null)
+  }
+
+  // ---------- streaming ----------
+
+  test("offset json round-trips with sorted keys") {
+    val o = LogsOffset(SortedMap("b" -> 7L, "a" -> 3L))
+    assert(o.json() === """{"a":3,"b":7}""")
+    assert(LogsOffset.fromJson(o.json()) === o)
+  }
+
+  test("micro-batch stream: initial catch-up, appends, new files, no dups") {
+    val sdir = Files.createTempDirectory("graft-logs-stream")
+    val ckpt = Files.createTempDirectory("graft-logs-ckpt")
+    val out = Files.createTempDirectory("graft-logs-out")
+    def append(name: String, ls: String*): Unit =
+      Files.write(sdir.resolve(name), ls.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // parquet sink: supports checkpoint recovery (memory sink does not),
+    // so the restart leg proves end-to-end exactly-once
+    def start() = spark.readStream.format("graft-logs").load(sdir.toString)
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).start()
+    def emitted(): Seq[Long] =
+      spark.read.schema(Ingest.wireSchema).parquet(out.toString)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    try {
+      append("s.log", line(1, 1, "ip1", "view"), line(2, 2, "ip2", "click"))
+      val q = start()
+      try {
+        q.processAllAvailable()
+        assert(emitted() === Seq(1L, 2L))
+        append("s.log", line(3, 3, "ip3", "view"))
+        append("t.log", line(4, 4, "ip4", "click"))
+        q.processAllAvailable()
+        assert(emitted() === Seq(1L, 2L, 3L, 4L))
+      } finally q.stop()
+
+      // restart from the checkpoint: only NEW data is emitted, nothing re-emitted
+      append("s.log", line(5, 5, "ip5", "view"))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(emitted() === Seq(1L, 2L, 3L, 4L, 5L))
+      } finally q2.stop()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(sdir, ckpt, out).foreach { d =>
+        scala.util.Using.resource(Files.walk(d)) { s =>
+          s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
+
+  test("an unterminated tail line is held back until its newline arrives") {
+    val sdir = Files.createTempDirectory("graft-logs-tail")
+    val ckpt = Files.createTempDirectory("graft-logs-tail-ckpt")
+    try {
+      val p = sdir.resolve("s.log")
+      Files.write(p, (line(1, 1, "ip1", "view") + "\n").getBytes(StandardCharsets.UTF_8))
+      val partial = line(2, 2, "ip2", "click")
+      Files.write(p, partial.getBytes(StandardCharsets.UTF_8), StandardOpenOption.APPEND) // no \n
+      val q = spark.readStream.format("graft-logs").load(sdir.toString)
+        .writeStream.format("memory").queryName("logs_tail")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        q.processAllAvailable()
+        // offsets snap to the last line boundary: the partial record is invisible
+        assert(spark.table("logs_tail").collect().map(_.getLong(0)).toSeq === Seq(1L))
+        Files.write(p, "\n".getBytes(StandardCharsets.UTF_8), StandardOpenOption.APPEND)
+        q.processAllAvailable()
+        assert(spark.table("logs_tail").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+      } finally q.stop()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS logs_tail")
+      import scala.jdk.CollectionConverters._
+      Seq(sdir, ckpt).foreach { d =>
+        scala.util.Using.resource(Files.walk(d)) { s =>
+          s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
+
+  test("maxBytesPerTrigger paces catch-up across several micro-batches") {
+    val sdir = Files.createTempDirectory("graft-logs-paced")
+    val ckpt = Files.createTempDirectory("graft-logs-paced-ckpt")
+    try {
+      val lines = (1 to 20).map(i => line(i, i, s"ip$i", "view"))
+      Files.write(sdir.resolve("s.log"),
+        lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      val q = spark.readStream.format("graft-logs")
+        .option("maxBytesPerTrigger", "128") // ~2 lines per batch
+        .load(sdir.toString)
+        .writeStream.format("memory").queryName("logs_paced")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("logs_paced").count() === 20) // exact despite pacing
+        val batches = q.recentProgress.filter(_.numInputRows > 0)
+        assert(batches.length >= 5, s"expected several paced batches, got ${batches.length}")
+        assert(batches.forall(_.numInputRows <= 3))
+      } finally q.stop()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS logs_paced")
+      import scala.jdk.CollectionConverters._
+      Seq(sdir, ckpt).foreach { d =>
+        scala.util.Using.resource(Files.walk(d)) { s =>
+          s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
+
+  test("streaming plan composes with the engine's parse + SMT chain") {
+    // the DSv2 frame is schema-identical to Ingest.jsonDirStream, so the
+    // whole downstream bot pipeline is source-agnostic
+    val sdir = Files.createTempDirectory("graft-logs-chain")
+    try {
+      Files.write(sdir.resolve("s.log"),
+        (line(10, 1001, "172.20.0.9", "click") + "\n").getBytes(StandardCharsets.UTF_8))
+      val v2 = spark.read.format("graft-logs").load(sdir.toString)
+      assert(v2.schema === Ingest.wireSchema)
+      val keyed = Ingest.toKeyedRecords(v2).collect()
+      assert(keyed.head.getString(0) === "172.20.0.9")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(sdir)) { s =>
+        s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+}
