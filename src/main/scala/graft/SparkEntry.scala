@@ -207,6 +207,25 @@ object SparkEntry {
         .select(col("user_id").cast("string").as("ip"), col("event_type").as("action"))
         .dropDuplicates()),
 
+    // K1/K2 via DataSource V2: the verdict pipeline written through the
+    // engine's own two-phase-commit keyed store (sinks.v2.KvStore,
+    // format "graft-kv") and read back with ifNotExists + first-write-wins
+    // semantics — must round-trip to exactly the bot_detect_windowed
+    // oracle. The store is recreated per invocation (append-only stores
+    // accumulate epochs; a stale epoch-0 would mask regenerated data).
+    "k_kv_roundtrip" -> ((s, dir) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_kv_rt_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(base)
+      botDetect(s, dir).write.format("graft-kv")
+        .option("path", base.toString).mode("append").save()
+      graft.sinks.v2.KvStore.readCurrent(s, base.toString, Seq("ip", "window_start_s"))
+    }),
+
     // S4 via DataSource V2: the reference's Kafka-Connect FS connector
     // (`LogsSourceTask.java:68-108`) re-expressed as a native Spark source
     // (sources.v2.LogsDataSource, format "graft-logs"). The events table is
@@ -1952,6 +1971,14 @@ object SparkEntry {
            |FROM agg""".stripMargin,
 
       "bot_detect_windowed" ->
+        s"""$slidingAgg
+           |SELECT DISTINCT ip, window_start_s, clicks, views, n_categories,
+           |       $reasonCase AS reason
+           |FROM agg WHERE $isBotPred""".stripMargin,
+
+      // the kv round trip must be lossless: same oracle as the pipeline it
+      // stored (single epoch → first-write-wins is the identity)
+      "k_kv_roundtrip" ->
         s"""$slidingAgg
            |SELECT DISTINCT ip, window_start_s, clicks, views, n_categories,
            |       $reasonCase AS reason

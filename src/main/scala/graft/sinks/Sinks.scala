@@ -90,15 +90,26 @@ object Sinks {
   /**
    * Config-switched verdict sink (the sink-side mirror of
    * `Ingest.wireStream`): `sink=parquet` (default) | `console` |
-   * `external` (requires `format`; connector options are passed through
-   * from `option.`-prefixed keys, e.g. `option.keyspace=fraud_detector`).
-   * Prod parquet→Cassandra is a config change, not a code change.
+   * `kv` (the engine's own DSv2 two-phase-commit store,
+   * [[graft.sinks.v2.KvStore]] — exactly-once epochs, ifNotExists+TTL
+   * applied on read) | `external` (requires `format`; connector options
+   * are passed through from `option.`-prefixed keys, e.g.
+   * `option.keyspace=fraud_detector`). Prod parquet→Cassandra is a config
+   * change, not a code change.
    */
   def verdictSink(verdicts: DataFrame, conf: Map[String, String]): StreamingQuery =
     conf.getOrElse("sink", "parquet") match {
       case "parquet" =>
         startParquetSink(verdicts, conf("path"), conf("checkpoint"),
           conf.getOrElse("trigger", "40 seconds"))
+      case "kv" =>
+        verdicts.writeStream
+          .outputMode("update")
+          .format("graft-kv")
+          .option("path", conf("path"))
+          .option("checkpointLocation", conf("checkpoint"))
+          .trigger(Trigger.ProcessingTime(conf.getOrElse("trigger", "40 seconds")))
+          .start()
       case "console" => startConsoleSink(verdicts)
       case "external" =>
         startExternalSink(verdicts, conf("format"),

@@ -1,0 +1,413 @@
+package graft.sinks.v2
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/**
+ * `graft-kv` — a DataSource V2 keyed store with exactly-once two-phase
+ * commit, the native-connector re-expression of the engine's K1/K2 verdict
+ * sink semantics (reference: per-row Cassandra writes with `ifNotExists` +
+ * TTL, `Common.scala:9`, `cassandra/init.cql:5-7`; our foreachBatch parity
+ * is `Sinks.parquetAppend`/`readVerdicts`). Where foreachBatch bolts the
+ * sink on from the outside, this implements Spark's own write protocol:
+ *
+ *  - '''Task staging''': each task serializes its rows to a JSON-lines
+ *    segment under `_staging/` on the shared FS and reports the file in its
+ *    commit message; speculative/retried tasks stage distinct files and
+ *    Spark's commit coordinator picks one winner.
+ *  - '''Driver commit''': renames the winning segments into `segments/`,
+ *    then atomically rewrites `_manifest.json` (tmp + rename) adding one
+ *    epoch entry. Readers see ONLY manifest-listed segments, so a crashed
+ *    or aborted write is invisible — no half-visible batches, ever.
+ *  - '''Streaming epoch idempotence''': `StreamingWrite.commit(epochId)`
+ *    tags the manifest entry `stream:<queryId>:<epochId>`; a replayed epoch
+ *    (micro-batch retry after a sink commit but before the checkpoint
+ *    advanced) finds its tag already present, discards its staged files and
+ *    returns — the documented exactly-once contract.
+ *  - '''Append-only + dedup-on-read''': like the parquet sink, there is no
+ *    read-modify-write of a 100 TB table per micro-batch. `readCurrent`
+ *    applies first-write-wins per key (min epoch — `ifNotExists` parity)
+ *    and TTL expiry declaratively, so Catalyst plans the dedup as a normal
+ *    aggregate+semi-join the optimizer can push around.
+ *
+ * Values are typed via a persisted `_schema.json` (long/int/double/boolean/
+ * string, nullable); later writes must match it. Single writer per table
+ * (manifest rewrite is last-writer-wins), the same contract as Spark's own
+ * file sinks.
+ */
+class KvDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-kv"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = KvStore.pathOf(options.asScala.toMap)
+    KvStore.readSchema(KvStore.hadoopConf(), path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-kv: no _schema.json under $path — the store is written first, read after"))
+      .add(KvStore.epochCol, LongType, nullable = false) // reads surface the epoch
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new KvTable(schema, properties.asScala.toMap)
+}
+
+object KvStore {
+  /** epoch metadata column appended to every read row */
+  val epochCol = "_epoch"
+
+  private[v2] def pathOf(options: Map[String, String]): String =
+    options.getOrElse("path",
+      throw new IllegalArgumentException("graft-kv: 'path' option is required"))
+
+  private[v2] def hadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  private[v2] def supportedType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+    case _ => false
+  }
+
+  private[v2] def validateSchema(schema: StructType): Unit = {
+    val bad = schema.fields.filterNot(f => supportedType(f.dataType))
+    require(bad.isEmpty,
+      s"graft-kv supports long/int/double/boolean/string columns; unsupported: " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+  }
+
+  // ---- store layout helpers (driver side) ----
+
+  private[v2] def schemaFile(path: String) = new Path(path, "_schema.json")
+  private[v2] def manifestFile(path: String) = new Path(path, "_manifest.json")
+  private[v2] def segmentsDir(path: String) = new Path(path, "segments")
+  private[v2] def stagingDir(path: String) = new Path(path, "_staging")
+
+  private[v2] def readSchema(conf: Configuration, path: String): Option[StructType] = {
+    val f = schemaFile(path)
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(DataType.fromJson(bytes.toString("UTF-8")).asInstanceOf[StructType])
+      } finally in.close()
+    }
+  }
+
+  /** one committed epoch: ordinal, idempotence tag, its segment file names */
+  private[v2] case class Epoch(epoch: Long, tag: String, segments: Seq[String])
+
+  private[v2] def readManifest(conf: Configuration, path: String): Seq[Epoch] = {
+    val f = manifestFile(path)
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) return Seq.empty
+    val in = fs.open(f)
+    val root = try new ObjectMapper().readTree(in) finally in.close()
+    root.get("epochs").elements().asScala.map { e =>
+      Epoch(e.get("epoch").asLong(), e.get("tag").asText(),
+        e.get("segments").elements().asScala.map(_.asText()).toSeq)
+    }.toSeq
+  }
+
+  private def writeAtomic(fs: FileSystem, target: Path, content: Array[Byte]): Unit = {
+    val tmp = new Path(target.getParent, s".${target.getName}.tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(content) finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"graft-kv: rename $tmp -> $target failed")
+  }
+
+  private[v2] def writeManifest(conf: Configuration, path: String, epochs: Seq[Epoch]): Unit = {
+    val mapper = new ObjectMapper
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("epochs")
+    epochs.foreach { e =>
+      val n = arr.addObject()
+      n.put("epoch", e.epoch)
+      n.put("tag", e.tag)
+      val segs = n.putArray("segments")
+      e.segments.foreach(segs.add)
+    }
+    writeAtomic(manifestFile(path).getFileSystem(conf), manifestFile(path),
+      mapper.writeValueAsBytes(root))
+  }
+
+  /** Publish one epoch: ensure schema, move staged segments into place,
+   * rewrite the manifest. `tag` is the idempotence key — if it is already
+   * committed the staged files are discarded and nothing changes. */
+  private[graft] def commitEpoch(conf: Configuration, path: String, schema: StructType,
+      tag: String, staged: Seq[String]): Unit = synchronized {
+    val fs = new Path(path).getFileSystem(conf)
+    val existing = readSchema(conf, path)
+    existing match {
+      case Some(s) =>
+        require(s.fields.map(f => (f.name, f.dataType)).sameElements(
+          schema.fields.map(f => (f.name, f.dataType))),
+          s"graft-kv: write schema ${schema.simpleString} does not match the " +
+            s"store's ${s.simpleString} at $path")
+      case None =>
+        fs.mkdirs(new Path(path))
+        writeAtomic(fs, schemaFile(path), schema.json.getBytes("UTF-8"))
+    }
+    val manifest = readManifest(conf, path)
+    if (manifest.exists(_.tag == tag)) {
+      staged.foreach(s => fs.delete(new Path(s), false)) // replayed epoch
+      return
+    }
+    fs.mkdirs(segmentsDir(path))
+    val epoch = manifest.map(_.epoch).maxOption.fold(0L)(_ + 1L)
+    val names = staged.zipWithIndex.map { case (s, i) =>
+      val name = f"seg-$epoch%06d-$i%05d.jsonl"
+      val src = new Path(s)
+      if (!fs.rename(src, new Path(segmentsDir(path), name)))
+        throw new java.io.IOException(s"graft-kv: publish rename failed for $s")
+      name
+    }
+    writeManifest(conf, path, manifest :+ Epoch(epoch, tag, names))
+  }
+
+  // ---- public read helpers ----
+
+  /** Raw committed rows + the `_epoch` column. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-kv").option("path", path).load()
+
+  /**
+   * Cassandra-parity view: first write per key wins (`ifNotExists` — min
+   * epoch, matching `Sinks.readVerdicts` min batch_id) and, when the store
+   * carries `expires_at_s` and a `nowS` is given, expired rows are dropped
+   * like TTL eviction. Pure DataFrame ops — the dedup is one aggregate +
+   * semi-join Catalyst plans and scales like any keyed aggregation.
+   */
+  def readCurrent(spark: SparkSession, path: String, keyCols: Seq[String],
+      nowS: Option[Long] = None): DataFrame = {
+    val df = read(spark, path)
+    val first = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(epochCol)).as(epochCol))
+    val deduped = df.join(first, keyCols :+ epochCol, "left_semi")
+    val expired = nowS match {
+      case Some(now) if deduped.columns.contains("expires_at_s") =>
+        deduped.filter(col("expires_at_s") > now)
+      case _ => deduped
+    }
+    expired.drop(epochCol)
+  }
+}
+
+class KvTable(schema0: StructType, properties: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-kv:${properties.getOrElse("path", "?")}"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = properties ++ options.asScala
+    new ScanBuilder {
+      override def build(): Scan = new KvScan(KvStore.pathOf(opts), KvStore.hadoopConf())
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    KvStore.validateSchema(info.schema())
+    val path = KvStore.pathOf(properties ++ info.options().asScala)
+    new KvWriteBuilder(path, info.schema(), info.queryId(), KvStore.hadoopConf())
+  }
+}
+
+// ------------------------------------------------------------------ read
+
+class KvScan(path: String, conf: Configuration) extends Scan {
+  private val storedSchema = KvStore.readSchema(conf, path).getOrElse(
+    throw new IllegalArgumentException(s"graft-kv: empty store at $path"))
+
+  override def readSchema(): StructType =
+    storedSchema.add(KvStore.epochCol, LongType, nullable = false)
+
+  override def description(): String = s"graft-kv path=$path"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val segDir = KvStore.segmentsDir(path)
+      KvStore.readManifest(conf, path).flatMap { e =>
+        e.segments.map(s => KvSegmentPartition(new Path(segDir, s).toString, e.epoch))
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new KvReaderFactory(storedSchema, new SerializableConfiguration(conf))
+  }
+}
+
+case class KvSegmentPartition(file: String, epoch: Long) extends InputPartition
+
+class KvReaderFactory(schema: StructType, conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KvSegmentPartition]
+    new PartitionReader[InternalRow] {
+      private val path = new Path(p.file)
+      private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        path.getFileSystem(conf.value).open(path), "UTF-8"))
+      private val mapper = new ObjectMapper
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        val line = reader.readLine()
+        if (line == null) { row = null; false }
+        else {
+          val node = mapper.readTree(line)
+          val out = new GenericInternalRow(schema.length + 1)
+          var i = 0
+          while (i < schema.length) {
+            val f = schema.fields(i)
+            val v = node.get(f.name)
+            out.update(i,
+              if (v == null || v.isNull) null
+              else f.dataType match {
+                case LongType => java.lang.Long.valueOf(v.asLong())
+                case IntegerType => java.lang.Integer.valueOf(v.asInt())
+                case DoubleType => java.lang.Double.valueOf(v.asDouble())
+                case BooleanType => java.lang.Boolean.valueOf(v.asBoolean())
+                case StringType => UTF8String.fromString(v.asText())
+                case other => throw new IllegalStateException(s"graft-kv: $other")
+              })
+            i += 1
+          }
+          out.update(schema.length, p.epoch)
+          row = out
+          true
+        }
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+// ------------------------------------------------------------------ write
+
+class KvWriteBuilder(path: String, schema: StructType, queryId: String,
+    conf: Configuration) extends WriteBuilder {
+  override def build(): Write = new Write {
+    private val serConf = new SerializableConfiguration(conf)
+    override def description(): String = s"graft-kv path=$path"
+
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        new KvWriterFactory(path, schema, serConf)
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        KvStore.commitEpoch(conf, path, schema, s"batch:$queryId",
+          messages.collect { case m: KvCommitMessage => m.stagedFile }.toSeq)
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        KvWrite.cleanStaged(conf, messages)
+    }
+
+    override def toStreaming: StreamingWrite = new StreamingWrite {
+      override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+        new KvStreamingWriterFactory(path, schema, serConf)
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        KvStore.commitEpoch(conf, path, schema, s"stream:$queryId:$epochId",
+          messages.collect { case m: KvCommitMessage => m.stagedFile }.toSeq)
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        KvWrite.cleanStaged(conf, messages)
+    }
+  }
+}
+
+private object KvWrite {
+  def cleanStaged(conf: Configuration, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: KvCommitMessage if m != null =>
+        val p = new Path(m.stagedFile)
+        try p.getFileSystem(conf).delete(p, false) catch { case _: Exception => () }
+      case _ => ()
+    }
+}
+
+case class KvCommitMessage(stagedFile: String, rows: Long) extends WriterCommitMessage
+
+class KvWriterFactory(path: String, schema: StructType, conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, schema, conf.value, s"$partitionId-$taskId")
+}
+
+class KvStreamingWriterFactory(path: String, schema: StructType,
+    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, schema, conf.value, s"$epochId-$partitionId-$taskId")
+}
+
+/** Serializes its partition to one staged JSON-lines file; `commit` hands
+ * the file name to the driver, `abort` removes it. */
+class KvDataWriter(path: String, schema: StructType, conf: Configuration,
+    suffix: String) extends DataWriter[InternalRow] {
+  private val staged = new Path(KvStore.stagingDir(path),
+    s"stage-$suffix-${UUID.randomUUID()}.jsonl")
+  private val fs = staged.getFileSystem(conf)
+  private val out = {
+    fs.mkdirs(KvStore.stagingDir(path))
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(fs.create(staged, true), "UTF-8"))
+  }
+  private val mapper = new ObjectMapper
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val node: ObjectNode = mapper.createObjectNode()
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      if (record.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case LongType => node.put(f.name, record.getLong(i))
+        case IntegerType => node.put(f.name, record.getInt(i))
+        case DoubleType => node.put(f.name, record.getDouble(i))
+        case BooleanType => node.put(f.name, record.getBoolean(i))
+        case StringType => node.put(f.name, record.getUTF8String(i).toString)
+        case other => throw new IllegalStateException(s"graft-kv: $other")
+      }
+      i += 1
+    }
+    out.write(mapper.writeValueAsString(node))
+    out.write('\n')
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    KvCommitMessage(staged.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    try fs.delete(staged, false) catch { case _: Exception => () }
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.v2.KvStore
+
+/** `graft-kv` DSv2 keyed store: two-phase commit, manifest visibility,
+ * streaming epoch idempotence, first-write-wins + TTL read semantics
+ * (Cassandra `ifNotExists`+TTL parity, `cassandra/init.cql:5-7`). */
+class KvStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-kv-spec").resolve("store").toString
+
+  test("batch write + read round trip, all supported types and nulls") {
+    val p = tmp()
+    val df = Seq(
+      (1L, "a", 1.5, true, Some(10)),
+      (2L, "b", -0.25, false, None),
+      (3L, null.asInstanceOf[String], 0.0, true, Some(-7))
+    ).toDF("id", "s", "d", "b", "i")
+    df.write.format("graft-kv").option("path", p).mode("append").save()
+    val back = KvStore.read(spark, p)
+    assert(back.columns.toSeq === Seq("id", "s", "d", "b", "i", "_epoch"))
+    assert(back.count() === 3)
+    val r2 = back.where(col("id") === 2L).collect()(0)
+    assert(r2.getString(1) === "b" && r2.getDouble(2) === -0.25 && !r2.getBoolean(3)
+      && r2.isNullAt(4) && r2.getLong(5) === 0L)
+    assert(back.where(col("s").isNull).count() === 1)
+  }
+
+  test("appends become ordered epochs; readCurrent keeps the FIRST write per key") {
+    val p = tmp()
+    def w(rows: (String, Long)*): Unit =
+      rows.toDF("ip", "clicks").write.format("graft-kv").option("path", p)
+        .mode("append").save()
+    w(("a", 1L), ("b", 2L))
+    w(("a", 99L), ("c", 3L)) // "a" re-written: ifNotExists must keep clicks=1
+    val raw = KvStore.read(spark, p)
+    assert(raw.select("_epoch").distinct().collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L))
+    val cur = KvStore.readCurrent(spark, p, Seq("ip"))
+    assert(cur.columns.toSeq === Seq("ip", "clicks"))
+    assert(cur.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      === Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
+  test("TTL expiry on read, like the Cassandra 10-minute TTL") {
+    val p = tmp()
+    Seq(("a", 100L), ("b", 2000L)).toDF("ip", "expires_at_s")
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    assert(KvStore.readCurrent(spark, p, Seq("ip"), nowS = Some(500L))
+      .collect().map(_.getString(0)).toSeq === Seq("b"))
+    assert(KvStore.readCurrent(spark, p, Seq("ip"), nowS = Some(5000L)).count() === 0)
+  }
+
+  test("schema is pinned at first commit; a mismatched later write fails") {
+    val p = tmp()
+    Seq((1L, "x")).toDF("id", "s").write.format("graft-kv").option("path", p)
+      .mode("append").save()
+    val e = intercept[Exception] {
+      Seq((1L, 2L)).toDF("id", "other").write.format("graft-kv").option("path", p)
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("does not match") ||
+      Option(e.getCause).exists(_.getMessage.contains("does not match")))
+  }
+
+  test("unsupported column types are rejected with a clear message") {
+    val p = tmp()
+    val e = intercept[Exception] {
+      Seq((1L, Seq(1, 2))).toDF("id", "arr").write.format("graft-kv")
+        .option("path", p).mode("append").save()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("graft-kv supports"))
+  }
+
+  test("uncommitted staging is invisible to readers") {
+    val p = tmp()
+    Seq((1L, "a")).toDF("id", "s").write.format("graft-kv").option("path", p)
+      .mode("append").save()
+    // hand-plant a staged file (a crashed writer's leftovers)
+    val staging = new java.io.File(p, "_staging")
+    staging.mkdirs()
+    java.nio.file.Files.write(staging.toPath.resolve("stage-zombie.jsonl"),
+      "{\"id\":999,\"s\":\"ghost\"}\n".getBytes("UTF-8"))
+    assert(KvStore.read(spark, p).count() === 1)
+    assert(KvStore.read(spark, p).where(col("id") === 999L).count() === 0)
+  }
+
+  test("streaming writes commit per epoch and survive restart without dups") {
+    val p = tmp()
+    val ckpt = Files.createTempDirectory("graft-kv-ckpt").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    def start() = mem.toDF().toDF("ip", "clicks")
+      .writeStream.format("graft-kv").option("path", p)
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      mem.addData(("a", 1L), ("b", 2L))
+      q.processAllAvailable()
+      mem.addData(("c", 3L))
+      q.processAllAvailable()
+      assert(KvStore.read(spark, p).count() === 3)
+      assert(KvStore.read(spark, p).select("_epoch").distinct().count() >= 2)
+    } finally q.stop()
+    // restart on the same checkpoint: nothing replays into the store
+    val q2 = start()
+    try {
+      mem.addData(("d", 4L))
+      q2.processAllAvailable()
+      val rows = KvStore.readCurrent(spark, p, Seq("ip")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(rows === Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
+    } finally q2.stop()
+  }
+
+  test("a replayed streaming epoch is discarded, not double-committed") {
+    val p = tmp()
+    // drive the idempotence contract directly: same (queryId, epochId)
+    // committed twice with fresh staged files must publish exactly once
+    val conf = spark.sessionState.newHadoopConf()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def stage(content: String): String = {
+      val d = new java.io.File(p, "_staging"); d.mkdirs()
+      val f = java.io.File.createTempFile("stage-", ".jsonl", d)
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+      f.toString
+    }
+    KvStore.commitEpoch(conf, p, schema, "stream:q1:7", Seq(stage("{\"id\":1}\n")))
+    KvStore.commitEpoch(conf, p, schema, "stream:q1:7", Seq(stage("{\"id\":1}\n")))
+    KvStore.commitEpoch(conf, p, schema, "stream:q1:8", Seq(stage("{\"id\":2}\n")))
+    val ids = KvStore.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L))
+    // and the replayed epoch's staged file was cleaned up
+    val leftovers = Option(new java.io.File(p, "_staging").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".jsonl"))
+    assert(leftovers.isEmpty)
+  }
+
+  test("kv round trip preserves the verdict pipeline's results exactly") {
+    val p = tmp()
+    val verdicts = Seq(("172.20.0.1", 0L, "requests"), ("172.20.0.2", 0L, "categories"))
+      .toDF("ip", "window_start_s", "reason")
+    verdicts.write.format("graft-kv").option("path", p).mode("append").save()
+    val back = KvStore.readCurrent(spark, p, Seq("ip", "window_start_s"))
+    assert(back.collect().map(_.toSeq).toSet === verdicts.collect().map(_.toSeq).toSet)
+  }
+}
