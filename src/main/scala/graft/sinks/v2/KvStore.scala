@@ -312,8 +312,12 @@ class KvReaderFactory(schema: StructType, conf: SerializableConfiguration)
 
 // ------------------------------------------------------------------ write
 
+/** `SupportsStreamingUpdateAsAppend`: Update-mode micro-batches land as
+ * appends — correct for this store because dedup is on read (first write
+ * per key wins), the same contract the memory/kafka/foreach sinks use. */
 class KvWriteBuilder(path: String, schema: StructType, queryId: String,
-    conf: Configuration) extends WriteBuilder {
+    conf: Configuration) extends WriteBuilder
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   override def build(): Write = new Write {
     private val serConf = new SerializableConfiguration(conf)
     override def description(): String = s"graft-kv path=$path"

@@ -282,6 +282,34 @@ class LogsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("full native stack e2e: botgen files → graft-logs → bot pipeline → graft-kv") {
+    import graft.sources.BotGen
+    import graft.operators.BotDetection
+    import graft.functions.BotConfig
+    import graft.streaming.StreamingBotDetection
+    import graft.sinks.v2.KvStore
+    val dir = Files.createTempDirectory("graft-native-e2e").toString
+    val store = Files.createTempDirectory("graft-native-kv").resolve("store").toString
+    val ckpt = Files.createTempDirectory("graft-native-ckpt").toString
+    BotGen.writeJsonDir(dir, BotGen.events(nUsers = 100, nBots = 2, durationS = 600))
+
+    val wire = spark.readStream.format("graft-logs").load(dir) // DSv2 source
+    val verdicts = StreamingBotDetection.verdictStream(
+      Ingest.toLogRecords(wire), BotDetection.referenceWindowing, BotConfig())
+      .select(col("ip"), col("window_start_s"), col("reason"))
+    val q = verdicts.writeStream.outputMode("update")
+      .format("graft-kv").option("path", store) // DSv2 sink
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+
+    // ifNotExists read-back: both bots flagged, volume rule only ever bots
+    val rows = KvStore.readCurrent(spark, store, Seq("ip", "window_start_s"))
+      .select("ip", "reason").collect().map(r => (r.getString(0), r.getString(1)))
+    val flagged = rows.map(_._1).toSet
+    assert(Set(BotGen.botIp(0), BotGen.botIp(1)).subsetOf(flagged))
+    assert(rows.filter(_._2 == "requests").forall(_._1.startsWith("172.20.")))
+  }
+
   test("streaming plan composes with the engine's parse + SMT chain") {
     // the DSv2 frame is schema-identical to Ingest.jsonDirStream, so the
     // whole downstream bot pipeline is source-agnostic
