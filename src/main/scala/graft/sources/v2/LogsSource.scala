@@ -157,10 +157,34 @@ class LogsTable(schema0: StructType, properties: Map[String, String])
 }
 
 class LogsScanBuilder(fullSchema: StructType, options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var countStar = false
+
+  /** LIMIT n reaches the reader: each split stops after emitting n
+   * post-filter rows instead of decoding its whole byte range. Partial —
+   * Spark still applies the global limit across splits. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Global COUNT(*) pushes down PARTIALLY: each split emits one row with
+   * its matching-line count — no per-row JSON decode beyond filter columns,
+   * no per-row InternalRow materialization — and Spark's final aggregate
+   * sums the partials. Grouped or non-count aggregates stay Spark-side. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countStar = true
+    ok
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
 
   override def pruneColumns(required: StructType): Unit = {
     // Spark hands back a subset of our schema (possibly empty for count(*)).
@@ -194,11 +218,13 @@ class LogsScanBuilder(fullSchema: StructType, options: Map[String, String])
 
   override def build(): Scan =
     new LogsScan(requiredSchema, pushed, options,
-      SparkSession.active.sessionState.newHadoopConf())
+      SparkSession.active.sessionState.newHadoopConf(), limit, countStar)
 }
 
 class LogsScan(readSchema0: StructType, filters: Array[Filter],
-    options: Map[String, String], hadoopConf: Configuration) extends Scan {
+    options: Map[String, String], hadoopConf: Configuration,
+    limit: Option[Int] = None, countStar: Boolean = false)
+    extends Scan with SupportsReportStatistics {
 
   private val dir = options.getOrElse("path",
     throw new IllegalArgumentException("graft-logs: 'path' option is required"))
@@ -207,15 +233,28 @@ class LogsScan(readSchema0: StructType, filters: Array[Filter],
     .getOrElse(128L * 1024 * 1024)
   require(maxSplitBytes > 0, "graft-logs: maxSplitBytes must be positive")
 
-  override def readSchema(): StructType = readSchema0
+  override def readSchema(): StructType =
+    if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    else readSchema0
 
   override def description(): String =
-    s"graft-logs path=$dir, ReadSchema: ${readSchema0.simpleString}, " +
-      s"PushedFilters: [${filters.mkString(", ")}]"
+    s"graft-logs path=$dir, ReadSchema: ${readSchema().simpleString}, " +
+      s"PushedFilters: [${filters.mkString(", ")}]" +
+      (if (countStar) ", PushedAggregates: [COUNT(*)]" else "") +
+      limit.fold("")(n => s", PushedLimit: $n")
+
+  /** CBO sizing: the raw bytes the scan would read — lets the planner pick
+   * broadcast vs shuffle joins over log-derived frames sensibly instead of
+   * assuming the conservative default. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val total = LogsSource.listFiles(hadoopConf, dir, regex).map(_._2).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   private def readerFactory: LogsPartitionReaderFactory =
     new LogsPartitionReaderFactory(readSchema0, filters,
-      new SerializableConfiguration(hadoopConf))
+      new SerializableConfiguration(hadoopConf), limit, countStar)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
@@ -243,10 +282,11 @@ case class LogsInputPartition(path: String, start: Long, end: Long,
     exactBounds: Boolean) extends InputPartition
 
 class LogsPartitionReaderFactory(readSchema: StructType, filters: Array[Filter],
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration, limit: Option[Int] = None,
+    countStar: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new LogsPartitionReader(partition.asInstanceOf[LogsInputPartition],
-      readSchema, filters, conf.value)
+      readSchema, filters, conf.value, limit, countStar)
 }
 
 /**
@@ -261,16 +301,19 @@ class LogsPartitionReaderFactory(readSchema: StructType, filters: Array[Filter],
  * only filter a null passes.
  */
 class LogsPartitionReader(part: LogsInputPartition, readSchema: StructType,
-    filters: Array[Filter], conf: Configuration) extends PartitionReader[InternalRow] {
+    filters: Array[Filter], conf: Configuration, limit: Option[Int] = None,
+    countStar: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val path = new Path(part.path)
   private val in = path.getFileSystem(conf).open(path)
   private val lines = new LineRangeReader(in, part.start)
 
-  // union of columns the row needs and columns the filters test
+  // union of columns the row needs and columns the filters test; a pushed
+  // COUNT(*) decodes ONLY filter columns (none at all for a bare count)
   private def filterRefs(f: Filter): Seq[String] = f.references.toSeq
   private val parseFields: Array[String] =
-    (readSchema.fieldNames ++ filters.flatMap(filterRefs)).distinct
+    if (countStar) filters.flatMap(filterRefs).distinct
+    else (readSchema.fieldNames ++ filters.flatMap(filterRefs)).distinct
   private val outIdx: Array[Int] = readSchema.fieldNames.map(n => parseFields.indexOf(n))
   private val fieldIdx: Map[String, Int] = parseFields.zipWithIndex.toMap
   private val isTime: Array[Boolean] = parseFields.map(_ == "time")
@@ -278,12 +321,15 @@ class LogsPartitionReader(part: LogsInputPartition, readSchema: StructType,
   private val mapper = new ObjectMapper
   private var current: InternalRow = _
   private var done = false
+  private var emitted = 0L
 
   // s>0 under the Hadoop rule: skip the (possibly partial) line containing
   // byte `start` — the previous split emitted it.
   if (!part.exactBounds && part.start > 0) lines.readLine()
 
   override def next(): Boolean = {
+    if (countStar) return nextCount()
+    if (limit.exists(emitted >= _)) { done = true; return false }
     current = null
     while (current == null && !done) {
       val lineStart = lines.pos
@@ -301,10 +347,34 @@ class LogsPartitionReader(part: LogsInputPartition, readSchema: StructType,
             var i = 0
             while (i < outIdx.length) { row.update(i, vals(outIdx(i))); i += 1 }
             current = row
+            emitted += 1
           }
       }
     }
     current != null
+  }
+
+  /** pushed COUNT(*): drain the whole range counting filter matches, emit
+   * ONE partial-count row (Spark's final aggregate sums the splits). */
+  private def nextCount(): Boolean = {
+    if (done) return false
+    var count = 0L
+    var draining = true
+    while (draining) {
+      val lineStart = lines.pos
+      val withinRange =
+        if (part.exactBounds) lineStart < part.end
+        else lineStart <= part.end
+      if (!withinRange) draining = false
+      else lines.readLine() match {
+        case null => draining = false
+        case line if isBlank(line) => ()
+        case line => if (filters.isEmpty || filters.forall(eval(_, parse(line)))) count += 1
+      }
+    }
+    current = new GenericInternalRow(Array[Any](count))
+    done = true
+    true
   }
 
   override def get(): InternalRow = current

@@ -159,6 +159,42 @@ class LogsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pre.count() === 2)
   }
 
+  test("COUNT(*) pushes down: per-split partial counts, exact with and without filters") {
+    val counting = logs().groupBy().count() // the plan count() actually runs
+    assert(counting.queryExecution.executedPlan.toString.contains("PushedAggregates: [COUNT(*)]"),
+      s"count plan should push the aggregate:\n${counting.queryExecution.executedPlan}")
+    assert(counting.collect().head.getLong(0) === 7)
+    assert(logs().count() === 7)
+    // filtered count: filter columns are decoded for the predicate, rows never materialize
+    val clicks = logs().where(col("action") === "click")
+    assert(clicks.count() === 3)
+    // many tiny splits: partial counts must sum exactly across split boundaries
+    assert(logs("maxSplitBytes" -> "11").count() === 7)
+    assert(logs("maxSplitBytes" -> "11").where(col("action") === "click").count() === 3)
+    // grouped aggregates do NOT push (stay Spark-side) and remain correct
+    val grouped = logs().groupBy("action").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("∅") -> r.getLong(1)).toMap
+    assert(grouped("click") === 3 && grouped("view") === 3 && grouped("∅") === 1)
+  }
+
+  test("LIMIT pushes down: splits stop early, global limit still exact") {
+    val lim = logs().limit(3)
+    assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit: 3"))
+    assert(lim.collect().length === 3)
+    assert(logs("maxSplitBytes" -> "40").limit(5).collect().length === 5)
+    // limit under a pushed filter: only matching rows count toward it
+    assert(logs().where(col("action") === "click").limit(2).collect().length === 2)
+  }
+
+  test("the scan reports byte statistics for the optimizer") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val plan = logs().queryExecution.executedPlan
+    val scan = plan.collectFirst { case b: BatchScanExec => b }.get
+    val expected = Seq("a.log", "b.log").map(n => java.nio.file.Files.size(dir.resolve(n))).sum
+    val stats = scan.scan.asInstanceOf[graft.sources.v2.LogsScan].estimateStatistics()
+    assert(stats.sizeInBytes().getAsLong === expected)
+  }
+
   test("user schema may subset and reorder wire fields, never invent them") {
     val df = spark.read.format("graft-logs")
       .schema("action STRING, time LONG").option("regex", """.*\.log""").load(dir.toString)
