@@ -28,6 +28,10 @@ object StreamBench {
     // cluster-scale store whose working set is NOT bounded by heap)
     val keysMult = sys.env.getOrElse("SPARK_GRAFT_KEYS_MULT", "1").toInt
     val rocksdb = sys.env.get("SPARK_GRAFT_STATE").exists(_.equalsIgnoreCase("rocksdb"))
+    // SPARK_GRAFT_SOURCE=dsv2 swaps the built-in json file source for the
+    // engine's own DataSource V2 log tailer — same wire frame, so this
+    // measures the connector itself, not the pipeline
+    val dsv2 = sys.env.get("SPARK_GRAFT_SOURCE").exists(_.equalsIgnoreCase("dsv2"))
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-bench")
@@ -48,8 +52,14 @@ object StreamBench {
     BotGen.writeJsonDir(dir, evs, nFiles = 8)
 
     val counts = new java.util.concurrent.atomic.AtomicLong()
+    val wire =
+      if (dsv2) Ingest.wireStream(spark, Map("source" -> "dsv2", "dir" -> dir,
+        // ~1/4 of the corpus per micro-batch, the byte analogue of
+        // maxFilesPerTrigger=2 over 8 files
+        "maxBytesPerTrigger" -> (evs.size * 16L).toString))
+      else Ingest.jsonDirStream(spark, dir, maxFilesPerTrigger = 2)
     val verdicts = StreamingBotDetection.verdictStream(
-      Ingest.toLogRecords(Ingest.jsonDirStream(spark, dir, maxFilesPerTrigger = 2)),
+      Ingest.toLogRecords(wire),
       BotDetection.referenceWindowing, BotConfig())
     // warm the session before the measured run
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -73,8 +83,9 @@ object StreamBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val eps = evs.size / sec
     val store = if (rocksdb) "rocksdb" else "hdfs"
+    val source = if (dsv2) "graft-logs" else "json-files"
     println(
-      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":${evs.size},"wall_sec":${"%.2f".format(sec)},"verdict_rows":${counts.get()},"keys":${nUsers + nBots},"state_store":"$store","state_rows":$stateRows,"state_bytes":$stateBytes}""")
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":${evs.size},"wall_sec":${"%.2f".format(sec)},"verdict_rows":${counts.get()},"keys":${nUsers + nBots},"state_store":"$store","source":"$source","state_rows":$stateRows,"state_bytes":$stateBytes}""")
     spark.stop()
   }
 }
