@@ -198,6 +198,54 @@ object KvStore {
     spark.read.format("graft-kv").option("path", path).load()
 
   /**
+   * LSM compaction: collapse every committed epoch into ONE, containing the
+   * first-write-wins-resolved rows (and, when `nowS` is given, dropping
+   * TTL-expired rows for good). Read-equivalent before and after: existing
+   * keys keep their winning row at the new minimum epoch, and any FUTURE
+   * epoch is larger, so `readCurrent` still prefers the compacted row —
+   * exactly the semantics the epoch chain encoded. Bounds the manifest and
+   * the segment count, which otherwise grow one entry per micro-batch
+   * forever. Runs distributed: the resolve is the `readCurrent` plan and
+   * each partition stages one segment. Same single-writer contract as
+   * writes (a reader racing the segment swap can see a deleted segment —
+   * don't compact under live readers).
+   */
+  def compact(spark: SparkSession, path: String, keyCols: Seq[String],
+      nowS: Option[Long] = None): Unit = {
+    val conf = hadoopConf()
+    val schema = readSchema(conf, path).getOrElse(return)
+    val manifest = readManifest(conf, path)
+    if (manifest.length <= 1 && nowS.isEmpty) return // already compact
+    val resolved = readCurrent(spark, path, keyCols, nowS)
+    // route the resolved rows through the normal task-staging writer
+    val serConf = new SerializableConfiguration(conf)
+    val staged = resolved.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val w = new KvDataWriter(path, schema, serConf.value, s"compact-$pid")
+        try {
+          rows.foreach(w.write)
+          Iterator.single(w.commit().asInstanceOf[KvCommitMessage].stagedFile)
+        } catch { case e: Throwable => w.abort(); throw e }
+      }
+    }.collect().toSeq // bounded: one path string per partition
+    val fs = new Path(path).getFileSystem(conf)
+    val old = manifest.flatMap(_.segments)
+    // publish: move staged segments in, swap the manifest to ONE epoch
+    // (epoch id continues past the old maximum so replay tags stay unique)
+    val epoch = manifest.map(_.epoch).maxOption.fold(0L)(_ + 1L)
+    fs.mkdirs(segmentsDir(path))
+    val names = staged.zipWithIndex.map { case (s, i) =>
+      val name = f"seg-$epoch%06d-$i%05d.jsonl"
+      if (!fs.rename(new Path(s), new Path(segmentsDir(path), name)))
+        throw new java.io.IOException(s"graft-kv: compact publish failed for $s")
+      name
+    }
+    writeManifest(conf, path, Seq(Epoch(epoch, s"compact:${UUID.randomUUID()}", names)))
+    old.foreach(n => fs.delete(new Path(segmentsDir(path), n), false))
+  }
+
+  /**
    * Cassandra-parity view: first write per key wins (`ifNotExists` — min
    * epoch, matching `Sinks.readVerdicts` min batch_id) and, when the store
    * carries `expires_at_s` and a `nowS` is given, expired rows are dropped

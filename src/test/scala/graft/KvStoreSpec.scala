@@ -148,6 +148,33 @@ class KvStoreSpec extends AnyFunSuite {
     assert(leftovers.isEmpty)
   }
 
+  test("compaction collapses epochs, preserves first-write-wins, purges TTL") {
+    val p = tmp()
+    def w(rows: (String, Long, Long)*): Unit =
+      rows.toDF("ip", "clicks", "expires_at_s").write.format("graft-kv")
+        .option("path", p).mode("append").save()
+    w(("a", 1L, 10000L), ("b", 2L, 100L)) // b expires at 100
+    w(("a", 99L, 10000L), ("c", 3L, 10000L))
+    w(("d", 4L, 10000L))
+    val before = KvStore.readCurrent(spark, p, Seq("ip"), nowS = Some(500L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    KvStore.compact(spark, p, Seq("ip"), nowS = Some(500L))
+    // read-equivalent after compaction
+    val after = KvStore.readCurrent(spark, p, Seq("ip"), nowS = Some(500L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(after === before)
+    assert(after === Seq(("a", 1L), ("c", 3L), ("d", 4L)))
+    // physically one epoch now; the loser row ("a",99) and expired "b" are GONE
+    val raw = KvStore.read(spark, p)
+    assert(raw.select("_epoch").distinct().count() === 1)
+    assert(raw.count() === 3)
+    // future writes still epoch-order correctly against the compacted state
+    w(("a", 123L, 10000L), ("e", 5L, 10000L))
+    val later = KvStore.readCurrent(spark, p, Seq("ip"), nowS = Some(500L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(later === Seq(("a", 1L), ("c", 3L), ("d", 4L), ("e", 5L)))
+  }
+
   test("kv round trip preserves the verdict pipeline's results exactly") {
     val p = tmp()
     val verdicts = Seq(("172.20.0.1", 0L, "requests"), ("172.20.0.2", 0L, "categories"))
