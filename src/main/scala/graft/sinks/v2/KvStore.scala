@@ -291,7 +291,8 @@ class KvTable(schema0: StructType, properties: Map[String, String])
 
 // ------------------------------------------------------------------ read
 
-class KvScan(path: String, conf: Configuration) extends Scan {
+class KvScan(path: String, conf: Configuration)
+    extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val storedSchema = KvStore.readSchema(conf, path).getOrElse(
     throw new IllegalArgumentException(s"graft-kv: empty store at $path"))
 
@@ -299,6 +300,22 @@ class KvScan(path: String, conf: Configuration) extends Scan {
     storedSchema.add(KvStore.epochCol, LongType, nullable = false)
 
   override def description(): String = s"graft-kv path=$path"
+
+  /** Committed-segment byte size: without this the planner assumes the
+   * conservative default and the ifNotExists semi-join in `readCurrent`
+   * sort-merges even on tiny stores instead of broadcasting. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val total = {
+        val fs = new Path(path).getFileSystem(conf)
+        KvStore.readManifest(conf, path).flatMap(_.segments).map { s =>
+          val p = new Path(KvStore.segmentsDir(path), s)
+          try fs.getFileStatus(p).getLen catch { case _: Exception => 0L }
+        }.sum
+      }
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {

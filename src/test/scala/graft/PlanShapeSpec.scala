@@ -237,4 +237,40 @@ class PlanShapeSpec extends AnyFunSuite {
     val rows = frame.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.length === rows.distinct.length, "first-match emitted a duplicate pair")
   }
+
+  test("wire_dsv2_scan: pushed filter reaches the custom scan, no residual Filter") {
+    val p = planOf("wire_dsv2_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(action), EqualTo(action,click)]"),
+      s"the action filter must be fully pushed into the scan:\n${p.take(800)}")
+    // pruning is even tighter than the projection: action is consumed BY the
+    // pushed filter, so only the two aggregated columns are JSON-decoded
+    assert(p.contains("ReadSchema: struct<time:bigint,categoryId:string>"),
+      s"ip AND action must be pruned out of the JSON decode:\n${p.take(800)}")
+    // nothing left for Spark to filter between scan and aggregate
+    assert(countOccurrences(p, "Filter") === 0, s"no residual Filter expected:\n$p")
+  }
+
+  test("k_kv_roundtrip read side: one shuffle for ifNotExists resolve, no cartesian") {
+    // plan the READ side alone (the catalog query also performs the write)
+    val store = new java.io.File(sys.props("java.io.tmpdir"), "graft_kv_plan_pin")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(store)
+    import spark.implicits._
+    Seq(("a", 1L), ("b", 2L)).toDF("ip", "clicks").write.format("graft-kv")
+      .option("path", store.toString).mode("append").save()
+    try {
+      val p = graft.sinks.v2.KvStore.readCurrent(spark, store.toString, Seq("ip"))
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+      // min-epoch resolve: partial + final aggregate around one exchange,
+      // then the semi join back — broadcast at this size
+      assert(p.contains("HashAggregate"))
+      // scan statistics make the resolved-min side broadcastable: the semi
+      // join must NOT sort-merge at this size
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(countOccurrences(p, "Exchange") <= 2, p)
+    } finally rm(store)
+  }
 }
