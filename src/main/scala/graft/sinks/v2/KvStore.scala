@@ -278,7 +278,10 @@ class KvTable(schema0: StructType, properties: Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = properties ++ options.asScala
     new ScanBuilder {
-      override def build(): Scan = new KvScan(KvStore.pathOf(opts), KvStore.hadoopConf())
+      override def build(): Scan = new KvScan(KvStore.pathOf(opts), KvStore.hadoopConf(),
+        // time travel: `atEpoch` reads the store as of that committed epoch
+        // (inclusive) — the manifest IS the snapshot log
+        opts.get("atEpoch").map(_.toLong))
     }
   }
 
@@ -291,8 +294,13 @@ class KvTable(schema0: StructType, properties: Map[String, String])
 
 // ------------------------------------------------------------------ read
 
-class KvScan(path: String, conf: Configuration)
+class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  private def visibleManifest: Seq[KvStore.Epoch] = {
+    val all = KvStore.readManifest(conf, path)
+    atEpoch.fold(all)(e => all.filter(_.epoch <= e))
+  }
   private val storedSchema = KvStore.readSchema(conf, path).getOrElse(
     throw new IllegalArgumentException(s"graft-kv: empty store at $path"))
 
@@ -308,7 +316,7 @@ class KvScan(path: String, conf: Configuration)
     new org.apache.spark.sql.connector.read.Statistics {
       private val total = {
         val fs = new Path(path).getFileSystem(conf)
-        KvStore.readManifest(conf, path).flatMap(_.segments).map { s =>
+        visibleManifest.flatMap(_.segments).map { s =>
           val p = new Path(KvStore.segmentsDir(path), s)
           try fs.getFileStatus(p).getLen catch { case _: Exception => 0L }
         }.sum
@@ -320,7 +328,7 @@ class KvScan(path: String, conf: Configuration)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val segDir = KvStore.segmentsDir(path)
-      KvStore.readManifest(conf, path).flatMap { e =>
+      visibleManifest.flatMap { e =>
         e.segments.map(s => KvSegmentPartition(new Path(segDir, s).toString, e.epoch))
       }.toArray
     }

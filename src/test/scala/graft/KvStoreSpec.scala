@@ -175,6 +175,23 @@ class KvStoreSpec extends AnyFunSuite {
     assert(later === Seq(("a", 1L), ("c", 3L), ("d", 4L), ("e", 5L)))
   }
 
+  test("time travel: atEpoch reads the store as of a committed snapshot") {
+    val p = tmp()
+    def w(rows: (String, Long)*): Unit =
+      rows.toDF("ip", "clicks").write.format("graft-kv").option("path", p)
+        .mode("append").save()
+    w(("a", 1L))
+    w(("b", 2L))
+    w(("c", 3L))
+    def at(e: Long): Set[String] =
+      spark.read.format("graft-kv").option("path", p).option("atEpoch", e.toString)
+        .load().collect().map(_.getString(0)).toSet
+    assert(at(0L) === Set("a"))
+    assert(at(1L) === Set("a", "b"))
+    assert(at(99L) === Set("a", "b", "c")) // future epoch = latest
+    assert(KvStore.read(spark, p).count() === 3) // un-travel read unchanged
+  }
+
   test("kv round trip preserves the verdict pipeline's results exactly") {
     val p = tmp()
     val verdicts = Seq(("172.20.0.1", 0L, "requests"), ("172.20.0.2", 0L, "categories"))
