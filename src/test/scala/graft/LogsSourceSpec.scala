@@ -186,6 +186,15 @@ class LogsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(logs().where(col("action") === "click").limit(2).collect().length === 2)
   }
 
+  test("plain scans take the vectorized path; a pushed count stays row-based") {
+    val plan = logs().where(col("action") === "click").select("ip")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected the columnar path:\n$plan")
+    val countPlan = logs().groupBy().count().queryExecution.executedPlan.toString
+    assert(!countPlan.contains("ColumnarToRow"),
+      s"a pushed COUNT(*) emits one row per split, not batches:\n$countPlan")
+  }
+
   test("the scan reports byte statistics for the optimizer") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val plan = logs().queryExecution.executedPlan
