@@ -56,10 +56,14 @@ object MediaCodec {
    * the supported envelope: wrong signature, depth ≠ 8, palette/interlaced
    * images, truncated data, or a chunk CRC mismatch.
    */
+  /** Decoded rasters are capped at 128 MB: one hostile-but-well-formed IHDR
+   * must not be able to OOM an executor with a single row. */
+  val maxDecodedBytes: Long = 128L << 20
+
   def decodePng(b: Array[Byte]): Option[PngImage] = {
     if (b.length < 8 || !b.startsWith(pngSignature)) return None
     var width, height, colorType = -1
-    var idat = Array.emptyByteArray
+    val idatChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (offset, len)
     var pos = 8
     var sawEnd = false
     while (pos + 8 <= b.length && !sawEnd) {
@@ -79,20 +83,29 @@ object MediaCodec {
           val interlace = b(pos + 20) & 0xff
           if (bitDepth != 8 || channelsOf(colorType) < 0 || interlace != 0) return None
           if (width <= 0 || height <= 0) return None
-        case "IDAT" =>
-          val grown = new Array[Byte](idat.length + len)
-          System.arraycopy(idat, 0, grown, 0, idat.length)
-          System.arraycopy(b, pos + 8, grown, idat.length, len)
-          idat = grown
+        case "IDAT" => idatChunks += ((pos + 8, len)) // concat once at the end
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunk: skip
       }
       pos += 12 + len
     }
-    if (width < 0 || !sawEnd || idat.isEmpty) return None
+    if (width < 0 || !sawEnd || idatChunks.isEmpty) return None
     val ch = channelsOf(colorType)
-    val stride = width * ch
-    val rawLen = (stride + 1) * height
+    // Long math BEFORE any allocation: a hostile IHDR (2^30 × 3 channels)
+    // overflows Int stride/rawLen, and even non-overflowing huge dims must
+    // bounce off the size cap, not attempt the allocation
+    val strideL = width.toLong * ch
+    val rawLenL = (strideL + 1L) * height
+    if (rawLenL > maxDecodedBytes) return None
+    val stride = strideL.toInt
+    val rawLen = rawLenL.toInt
+    // single linear concat — libpng-style encoders emit IDAT in 8-32 KB
+    // chunks, so grow-and-copy per chunk would be quadratic
+    val idat = new Array[Byte](idatChunks.map(_._2.toLong).sum.toInt)
+    var w = 0
+    idatChunks.foreach { case (off, len) =>
+      System.arraycopy(b, off, idat, w, len); w += len
+    }
     val raw = new Array[Byte](rawLen)
     val inf = new Inflater
     inf.setInput(idat)
@@ -100,7 +113,10 @@ object MediaCodec {
       var off = 0
       while (off < rawLen && !inf.finished()) {
         val n = inf.inflate(raw, off, rawLen - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 with no appetite for input = truncated stream OR a zlib
+        // FDICT preset-dictionary header (needsDictionary) — both
+        // undecodable; without the dictionary check this loop never exits
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         off += n
       }
       if (off != rawLen) return None

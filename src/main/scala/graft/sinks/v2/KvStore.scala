@@ -93,6 +93,12 @@ object KvStore {
     require(bad.isEmpty,
       s"graft-kv supports long/int/double/boolean/string columns; unsupported: " +
         bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    // reserved: reads append _epoch, so a stored column of that name would
+    // make every read ambiguous (store-to-store copies hit this — drop the
+    // metadata column before re-writing)
+    require(!schema.fieldNames.contains(epochCol),
+      s"graft-kv: '$epochCol' is a reserved read-side metadata column; " +
+        s"drop it before writing (e.g. store-to-store copies)")
   }
 
   // ---- store layout helpers (driver side) ----
@@ -251,6 +257,14 @@ object KvStore {
    * carries `expires_at_s` and a `nowS` is given, expired rows are dropped
    * like TTL eviction. Pure DataFrame ops — the dedup is one aggregate +
    * semi-join Catalyst plans and scales like any keyed aggregation.
+   *
+   * Granularity contract: first-write-wins resolves BETWEEN epochs. Rows
+   * inside one epoch are a set with no defined order (tasks commit in
+   * parallel), so same-key rows written in the SAME batch all survive —
+   * there is no deterministic winner to pick, and inventing one would make
+   * results partition-order-dependent. Callers wanting strict one-row-per-
+   * key semantics write key-distinct frames (the verdict pipeline does).
+   * Same contract as `Sinks.readVerdicts` min-batch_id dedup.
    */
   def readCurrent(spark: SparkSession, path: String, keyCols: Seq[String],
       nowS: Option[Long] = None): DataFrame = {

@@ -143,6 +143,30 @@ object LogsSource {
     else if (start == 0) 0L
     else fallback
   }
+
+  /** Position just past the first '\n' at/after `from` (≤ `len`), or `from`
+   * when the remaining bytes hold no complete line yet. Forward chunked
+   * scan — used by the admission-control progress guarantee to admit one
+   * whole line that exceeds the per-trigger byte budget. */
+  def firstLineBoundaryAfter(fs: FileSystem, path: Path, from: Long, len: Long,
+      chunk: Int = 1 << 20): Long = {
+    val in = fs.open(path)
+    try {
+      var pos = from
+      val buf = new Array[Byte](chunk)
+      while (pos < len) {
+        val n = math.min(chunk.toLong, len - pos).toInt
+        in.readFully(pos, buf, 0, n)
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') return pos + i + 1
+          i += 1
+        }
+        pos += n
+      }
+      from // no complete line yet — defer
+    } finally in.close()
+  }
 }
 
 class LogsTable(schema0: StructType, properties: Map[String, String])
@@ -243,11 +267,16 @@ class LogsScan(readSchema0: StructType, filters: Array[Filter],
       (if (countStar) ", PushedAggregates: [COUNT(*)]" else "") +
       limit.fold("")(n => s", PushedLimit: $n")
 
+  // one listing per scan: statistics and split planning must observe the
+  // SAME directory state, and a driver against an object store should not
+  // pay two full recursive LISTs per query
+  private lazy val files: Seq[(String, Long)] = LogsSource.listFiles(hadoopConf, dir, regex)
+
   /** CBO sizing: the raw bytes the scan would read — lets the planner pick
    * broadcast vs shuffle joins over log-derived frames sensibly instead of
    * assuming the conservative default. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val total = LogsSource.listFiles(hadoopConf, dir, regex).map(_._2).sum
+    private val total = files.map(_._2).sum
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
@@ -258,7 +287,6 @@ class LogsScan(readSchema0: StructType, filters: Array[Filter],
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val files = LogsSource.listFiles(hadoopConf, dir, regex)
       files.iterator.flatMap { case (path, len) =>
         // Hadoop text-split rule: adjacent [s,e) ranges; reader of s>0
         // discards the line containing byte s and reads one line past e.
@@ -616,6 +644,13 @@ class LogsMicroBatchStream(dir: String, regex: String, options: Map[String, Stri
   override def latestOffset(): V2Offset =
     latestOffset(LogsOffset.empty, ReadLimit.allAvailable())
 
+  // fairness cursor: each trigger starts the budget walk one file further
+  // along the sorted listing, so a continuously-growing early-sorting file
+  // cannot starve later files under a byte cap. Admission order is
+  // ephemeral driver state — committed (start, end) ranges are what
+  // replays, so rotation never affects checkpoint determinism.
+  private var rotation = 0
+
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
     val prev = start.asInstanceOf[LogsOffset].positions
     var budget: Long = limit match {
@@ -623,9 +658,16 @@ class LogsMicroBatchStream(dir: String, regex: String, options: Map[String, Stri
       case _ => Long.MaxValue // allAvailable (and any other kind: no cap)
     }
     val fs = new Path(dir).getFileSystem(hadoopConf)
-    val b = SortedMap.newBuilder[String, Long]
+    val b = scala.collection.mutable.Map[String, Long]()
     b ++= prev // deleted files keep their committed position
-    LogsSource.listFiles(hadoopConf, dir, regex).foreach { case (pathStr, len) =>
+    val files = LogsSource.listFiles(hadoopConf, dir, regex)
+    val ordered = if (files.isEmpty) files else {
+      val r = rotation % files.length
+      rotation += 1
+      files.drop(r) ++ files.take(r)
+    }
+    var totalAdvance = 0L
+    ordered.foreach { case (pathStr, len) =>
       val p = prev.getOrElse(pathStr, 0L)
       if (len < p)
         throw new IllegalStateException(
@@ -638,9 +680,26 @@ class LogsMicroBatchStream(dir: String, regex: String, options: Map[String, Stri
         else LogsSource.lastLineBoundary(fs, new Path(pathStr), capTarget, fallback = p)
       val advance = math.max(0L, target - p)
       budget -= advance
+      totalAdvance += advance
       b += (pathStr -> math.max(p, target))
     }
-    LogsOffset(b.result())
+    // progress guarantee: a line longer than the byte budget would otherwise
+    // stall the stream FOREVER (cap lands mid-line → boundary search falls
+    // back to p → same state next trigger). If the budget admitted nothing,
+    // admit one complete line from the first file that has one — Spark's
+    // own file-source admission similarly always admits at least one unit.
+    if (totalAdvance == 0L && budget < Long.MaxValue) {
+      ordered.iterator
+        .map { case (pathStr, len) =>
+          val p = prev.getOrElse(pathStr, 0L)
+          (pathStr, len,
+            if (len > p) LogsSource.firstLineBoundaryAfter(fs, new Path(pathStr), p, len) else p)
+        }
+        .collectFirst { case (pathStr, _, boundary) if boundary > prev.getOrElse(pathStr, 0L) =>
+          b += (pathStr -> boundary)
+        }
+    }
+    LogsOffset(SortedMap.from(b))
   }
 
   override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {

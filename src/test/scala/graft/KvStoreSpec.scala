@@ -175,6 +175,33 @@ class KvStoreSpec extends AnyFunSuite {
     assert(later === Seq(("a", 1L), ("c", 3L), ("d", 4L), ("e", 5L)))
   }
 
+  test("the reserved _epoch column is rejected at write (store-to-store copies)") {
+    val p1 = tmp()
+    val p2 = tmp()
+    Seq(("a", 1L)).toDF("ip", "clicks").write.format("graft-kv").option("path", p1)
+      .mode("append").save()
+    val e = intercept[Exception] {
+      KvStore.read(spark, p1) // includes _epoch
+        .write.format("graft-kv").option("path", p2).mode("append").save()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("reserved"))
+    // the documented fix works
+    KvStore.read(spark, p1).drop("_epoch").write.format("graft-kv")
+      .option("path", p2).mode("append").save()
+    assert(KvStore.readCurrent(spark, p2, Seq("ip")).count() === 1)
+  }
+
+  test("within-epoch same-key rows are a set: both survive (documented contract)") {
+    val p = tmp()
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("ip", "clicks")
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    // no defined intra-epoch winner — both 'a' rows persist, deterministically
+    val rows = KvStore.readCurrent(spark, p, Seq("ip")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(rows === Seq(("a", 1L), ("a", 2L), ("b", 3L)))
+  }
+
   test("time travel: atEpoch reads the store as of a committed snapshot") {
     val p = tmp()
     def w(rows: (String, Long)*): Unit =

@@ -327,6 +327,37 @@ class LogsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a line longer than maxBytesPerTrigger still makes progress (no livelock)") {
+    val sdir = Files.createTempDirectory("graft-logs-fatline")
+    val ckpt = Files.createTempDirectory("graft-logs-fatline-ckpt")
+    try {
+      val fat = line(1, 1, "ip1", "x" * 600) // ~650 bytes >> the 64-byte budget
+      Files.write(sdir.resolve("s.log"),
+        (line(0, 0, "ip0", "view") + "\n" + fat + "\n" + line(2, 2, "ip2", "view") + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+      val q = spark.readStream.format("graft-logs")
+        .option("maxBytesPerTrigger", "64")
+        .load(sdir.toString)
+        .writeStream.format("memory").queryName("logs_fat")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        // pre-fix this livelocked: the cap landed mid-fat-line every trigger,
+        // the boundary search fell back, and processAllAvailable never drained
+        q.processAllAvailable()
+        assert(spark.table("logs_fat").collect().map(_.getLong(0)).sorted.toSeq
+          === Seq(0L, 1L, 2L))
+      } finally q.stop()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS logs_fat")
+      import scala.jdk.CollectionConverters._
+      Seq(sdir, ckpt).foreach { d =>
+        scala.util.Using.resource(Files.walk(d)) { s =>
+          s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
+
   test("full native stack e2e: botgen files → graft-logs → bot pipeline → graft-kv") {
     import graft.sources.BotGen
     import graft.operators.BotDetection

@@ -125,6 +125,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaCodec.decodePng(deep).isEmpty)
   }
 
+  test("hostile PNGs bounce: FDICT zlib header, overflowing and huge IHDR dims") {
+    // take a valid PNG and set the zlib FDICT flag inside IDAT (fixing both
+    // the zlib header checksum and the chunk CRC — an adversarial producer
+    // can do exactly this); without the needsDictionary() check the inflate
+    // loop never terminates
+    val good = MediaCodec.encodePng(4, 4, 1, raster(4, 4, 1)((x, y, _) => x + y))
+    val idatData = 8 /*sig*/ + 25 /*IHDR*/ + 8 /*IDAT len+type*/
+    val bad = good.clone()
+    val cmf = bad(idatData) & 0xff
+    var flg = (bad(idatData + 1) & 0xff) | 0x20 // set FDICT
+    flg = (flg & ~0x1f) | ((31 - (cmf * 256 + (flg & ~0x1f)) % 31) % 31) // re-balance FCHECK
+    bad(idatData + 1) = flg.toByte
+    // recompute the IDAT chunk CRC so corruption isn't what rejects it
+    val idatLen = ((bad(idatData - 8) & 0xff) << 24) | ((bad(idatData - 7) & 0xff) << 16) |
+      ((bad(idatData - 6) & 0xff) << 8) | (bad(idatData - 5) & 0xff)
+    val crc = new java.util.zip.CRC32
+    crc.update(bad, idatData - 4, 4 + idatLen)
+    val cv = crc.getValue.toInt
+    bad(idatData + idatLen) = (cv >>> 24).toByte
+    bad(idatData + idatLen + 1) = (cv >>> 16).toByte
+    bad(idatData + idatLen + 2) = (cv >>> 8).toByte
+    bad(idatData + idatLen + 3) = cv.toByte
+    assert(MediaCodec.decodePng(bad).isEmpty) // returns, and returns None
+
+    // IHDR with dims that overflow Int stride/rawLen, CRC valid
+    def withDims(w: Int, h: Int): Array[Byte] = {
+      val img = good.clone()
+      def putBe32(off: Int, v: Int): Unit = {
+        img(off) = (v >>> 24).toByte; img(off + 1) = (v >>> 16).toByte
+        img(off + 2) = (v >>> 8).toByte; img(off + 3) = v.toByte
+      }
+      putBe32(16, w); putBe32(20, h)
+      val c = new java.util.zip.CRC32
+      c.update(img, 12, 4 + 13)
+      putBe32(29, c.getValue.toInt)
+      img
+    }
+    assert(MediaCodec.decodePng(withDims(0x40000000, 3)).isEmpty) // Int overflow
+    assert(MediaCodec.decodePng(withDims(100000, 100000)).isEmpty) // 10 GB raster
+    assert(MediaCodec.decodePng(withDims(4, 4)).isDefined) // surgery harness sane
+  }
+
   test("nearest-neighbor resize picks exact source pixels") {
     val img = MediaCodec.PngImage(4, 4, 1, 0,
       raster(4, 4, 1)((x, y, _) => y * 4 + x))
