@@ -1306,6 +1306,15 @@ object SparkEntry {
       operators.Multimodal.withPixelStats(
         operators.Multimodal.syntheticPngTable(table(s, dir, "documents"), "doc_id"))),
 
+    // REAL sample decode, oracle-verified — the audio twin of
+    // multimodal_pixels: arithmetic PCM is encoded as 16-bit WAV, decoded
+    // back by MediaCodec.decodeWav, and reduced to exact integer sample
+    // stats (incl. the zero-crossing count); the DuckDB oracle replays the
+    // sample arithmetic in closed form.
+    "multimodal_audio" -> ((s, dir) =>
+      operators.Multimodal.withSampleStats(
+        operators.Multimodal.syntheticWavTable(table(s, dir, "documents"), "doc_id"))),
+
     // Oracle-backed slice of the multimodal table (checksum + byte length).
     "multimodal_checksum" -> ((s, dir) =>
       operators.Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
@@ -3619,6 +3628,32 @@ object SparkEntry {
           |     generate_series(0, 2) AS gc(c)
           |WHERE gx.x < 8 + d.doc_id % 8 AND gy.y < 8 + d.doc_id % 4
           |GROUP BY 1""".stripMargin,
+
+      // closed-form replay of the synthetic PCM (sample(i) =
+      // ((doc_id*7 + 3i²) mod 2001) − 1000 over n = 500 + doc_id%300);
+      // zero crossings = sign flips over the zero-filtered sequence, the
+      // same rule the engine's decoder applies
+      "multimodal_audio" ->
+        """WITH s AS (
+          |  SELECT d.doc_id, g.i, ((d.doc_id*7 + 3*g.i*g.i) % 2001) - 1000 AS v
+          |  FROM documents d, generate_series(0, 799) AS g(i)
+          |  WHERE g.i < 500 + d.doc_id % 300),
+          |nz AS (
+          |  SELECT doc_id, i, sign(v) AS sg,
+          |         lag(sign(v)) OVER (PARTITION BY doc_id ORDER BY i) AS prev_sg
+          |  FROM s WHERE v <> 0),
+          |zc AS (
+          |  SELECT doc_id,
+          |         CAST(count(*) FILTER (WHERE prev_sg IS NOT NULL AND sg <> prev_sg) AS BIGINT)
+          |           AS zero_crossings
+          |  FROM nz GROUP BY 1)
+          |SELECT s.doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+          |       CAST(count(*) AS BIGINT) AS n_samples,
+          |       CAST(sum(s.v) AS BIGINT) AS sample_sum,
+          |       CAST(min(s.v) AS INT) AS sample_min, CAST(max(s.v) AS INT) AS sample_max,
+          |       zc.zero_crossings
+          |FROM s JOIN zc ON s.doc_id = zc.doc_id
+          |GROUP BY 1, zc.zero_crossings""".stripMargin,
 
       "a3_typed_agg" ->
         s"""WITH base AS ($base)

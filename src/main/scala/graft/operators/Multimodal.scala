@@ -373,6 +373,76 @@ object Multimodal {
   }
 
   /**
+   * Deterministic synthetic WAV payloads — the audio twin of
+   * [[syntheticPngTable]]: 16-bit mono PCM at 8 kHz, `n = 500 + id%300`
+   * samples, `sample(i) = ((id*7 + 3i²) mod 2001) − 1000` — integer
+   * arithmetic a SQL oracle replays exactly.
+   */
+  def syntheticWavTable(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (500 + id % 300).toInt
+        val samples = Array.tabulate(n)(i => (((id * 7 + 3L * i * i) % 2001) - 1000).toInt)
+        Row(id, MediaCodec.encodeWav(8000, 1, samples))
+      }
+    }(enc)
+  }
+
+  /**
+   * EXACT sample statistics from real WAV PCM decode — integer outputs
+   * hash-comparable against a closed-form SQL replay (`multimodal_audio`
+   * oracle): sum/min/max over all samples plus the zero-crossing count
+   * (sign flips ignoring zero samples, the same rule [[wavFeatures]] uses).
+   * Any defect in RIFF chunk walking or 16-bit LE sample decoding changes
+   * `sample_sum` or `zero_crossings` and fails the gate. Non-WAV rows
+   * yield nulls.
+   */
+  def withSampleStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sample_sum", LongType),
+      StructField("sample_min", IntegerType),
+      StructField("sample_max", IntegerType),
+      StructField("zero_crossings", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        MediaCodec.decodeWav(r.getAs[Array[Byte]](1)) match {
+          case Some(w) if w.samples.nonEmpty =>
+            var s = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            var zc = 0L
+            var prevSign = 0
+            var i = 0
+            while (i < w.samples.length) {
+              val v = w.samples(i)
+              s += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              val sign = Integer.signum(v)
+              if (sign != 0) {
+                if (prevSign != 0 && sign != prevSign) zc += 1
+                prevSign = sign
+              }
+              i += 1
+            }
+            Row(id, w.sampleRate, w.samples.length.toLong, s, mn, mx, zc)
+          case _ => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /**
    * EXACT pixel statistics from real PNG decode — integer outputs so the
    * result is hash-comparable against a closed-form SQL replay of the
    * pixel arithmetic (the `multimodal_pixels` oracle): any defect in chunk

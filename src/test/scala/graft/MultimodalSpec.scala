@@ -258,6 +258,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f(12) - n / 8000.0f) < 1e-6) // duration seconds
   }
 
+  test("withSampleStats computes exact integer stats incl. zero crossings") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // 0s are skipped by the crossing rule: signs +,+,-,0,-,+ → flips at
+    // (+→-) and (-→+) = 2 crossings; sum/min/max straightforward
+    val samples = Array(5, 3, -2, 0, -7, 4)
+    val bytes = MediaCodec.encodeWav(8000, 1, samples)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(Row(1L, bytes)), schema)
+    val r = Multimodal.withSampleStats(df).collect()(0)
+    assert(r.getInt(1) === 8000 && r.getLong(2) === 6L)
+    assert(r.getLong(3) === 3L && r.getInt(4) === -7 && r.getInt(5) === 5)
+    assert(r.getLong(6) === 2L)
+    // non-WAV rows yield nulls, not errors
+    val junk = spark.createDataFrame(java.util.Arrays.asList(
+      Row(2L, "not audio".getBytes("UTF-8"))), schema)
+    assert(Multimodal.withSampleStats(junk).collect()(0).isNullAt(3))
+  }
+
   test("text payloads still hit the stub — documents-corpus oracle unchanged") {
     val out = Multimodal.withFeatures(media).orderBy("media_id").collect()
     assert(out(0).getStruct(1).isNullAt(4)) // no audio meta on the stub path
