@@ -84,6 +84,35 @@ object StreamDemo {
     println(s"=== E1 (windowed) verdict rows: ${result.count()} distinct ips: ${byIp.count()}")
     byIp.show(10, false)
 
+    // E1-native: the SAME logical pipeline over the SAME input files, but
+    // through the engine's own connectors end to end — DataSource V2 log
+    // tailer in (line-boundary offsets), two-phase-commit kv store out
+    // (ifNotExists read-back). The verdict set must match E1 exactly: the
+    // connector layer is pluggable, the semantics are not.
+    locally {
+      val kvStore = Files.createTempDirectory("graft-demo-kv").toString + "/verdicts"
+      val ckptN = Files.createTempDirectory("graft-demo-ckpt-n").toString
+      val nativeVerdicts = StreamingBotDetection.verdictStream(
+          Ingest.toLogRecords(Ingest.wireStream(spark, Map("source" -> "dsv2", "dir" -> in))),
+          BotDetection.referenceWindowing, BotConfig())
+        .select(org.apache.spark.sql.functions.col("ip"),
+          org.apache.spark.sql.functions.col("window_start_s"),
+          org.apache.spark.sql.functions.col("reason"))
+      val qn = Sinks.verdictSink(nativeVerdicts, Map(
+        "sink" -> "kv", "path" -> kvStore, "checkpoint" -> ckptN, "trigger" -> "1 seconds"))
+      qn.processAllAvailable()
+      qn.stop()
+      val nativeResult = graft.sinks.v2.KvStore
+        .readCurrent(spark, kvStore, Seq("ip", "window_start_s"))
+      val nativeSet = nativeResult.select("ip", "window_start_s", "reason").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val e1Set = result.select("ip", "window_start_s", "reason").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      println(s"=== E1-native (graft-logs → graft-kv) verdict rows: ${nativeSet.size} " +
+        s"matches E1: ${nativeSet == e1Set}")
+      require(nativeSet == e1Set, "native-connector run diverged from the file/parquet run")
+    }
+
     // E2 parity (the reference's DStream path, SURVEY.md §3 E2): keyed
     // track-list state over the same wire frame, emitting (bot_ip, reason)
     // like the Cassandra `bots` table — driven here by the deterministic
