@@ -1315,6 +1315,14 @@ object SparkEntry {
       operators.Multimodal.withSampleStats(
         operators.Multimodal.syntheticWavTable(table(s, dir, "documents"), "doc_id"))),
 
+    // REAL GIF decode (LZW + palette), oracle-verified: synthetic animated
+    // GIFs round-trip through encodeGif/decodeGif; rgb_sum over every
+    // decoded frame must equal the DuckDB closed-form replay — one wrong
+    // LZW code, bit-unpack, or palette byte fails the hash.
+    "multimodal_gif_frames" -> ((s, dir) =>
+      operators.Multimodal.withFrameStats(
+        operators.Multimodal.syntheticGifTable(table(s, dir, "documents"), "doc_id"))),
+
     // Oracle-backed slice of the multimodal table (checksum + byte length).
     "multimodal_checksum" -> ((s, dir) =>
       operators.Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
@@ -3654,6 +3662,28 @@ object SparkEntry {
           |       zc.zero_crossings
           |FROM s JOIN zc ON s.doc_id = zc.doc_id
           |GROUP BY 1, zc.zero_crossings""".stripMargin,
+
+      // closed-form replay of the synthetic GIF (palette entry i =
+      // (i, 7i mod 256, 13i mod 256); frame pixel index =
+      // (11·id + 29f + 3x + 5y) mod 256); series crop per doc as in
+      // multimodal_pixels
+      "multimodal_gif_frames" ->
+        """SELECT d.doc_id AS media_id,
+          |       CAST(9 + d.doc_id % 7 AS INT) AS width,
+          |       CAST(6 + d.doc_id % 5 AS INT) AS height,
+          |       CAST(2 + d.doc_id % 3 AS INT) AS n_frames,
+          |       CAST(sum(
+          |         ((11*d.doc_id + 29*gf.f + 3*gx.x + 5*gy.y) % 256)
+          |         + (((11*d.doc_id + 29*gf.f + 3*gx.x + 5*gy.y) % 256) * 7) % 256
+          |         + (((11*d.doc_id + 29*gf.f + 3*gx.x + 5*gy.y) % 256) * 13) % 256
+          |       ) AS BIGINT) AS rgb_sum
+          |FROM documents d,
+          |     generate_series(0, 3) AS gf(f),
+          |     generate_series(0, 14) AS gx(x),
+          |     generate_series(0, 9) AS gy(y)
+          |WHERE gf.f < 2 + d.doc_id % 3 AND gx.x < 9 + d.doc_id % 7
+          |  AND gy.y < 6 + d.doc_id % 5
+          |GROUP BY 1""".stripMargin,
 
       "a3_typed_agg" ->
         s"""WITH base AS ($base)

@@ -256,6 +256,252 @@ object MediaCodec {
     PngImage(w, h, img.channels, img.colorType, out)
   }
 
+  // ---------------------------------------------------------------- GIF
+
+  /** One decoded GIF frame: region geometry within the logical screen,
+   * centiseconds of delay (0 for stills), and the region's pixels as RGB
+   * triplets after palette lookup. Frames are the raw per-frame regions —
+   * disposal-method compositing is deliberately NOT applied (frame
+   * sampling and per-frame statistics, the training-pipeline uses, operate
+   * on frames in isolation; a player's compositor is out of scope). */
+  final case class GifFrame(left: Int, top: Int, width: Int, height: Int,
+      delayCs: Int, pixels: Array[Byte])
+
+  final case class GifImage(width: Int, height: Int, frames: Seq[GifFrame])
+
+  /**
+   * GIF87a/89a decode: logical screen + palette parsing and full LZW
+   * decompression (variable-width LSB-first codes, clear/EOI handling,
+   * 4096-entry dictionary) for every frame. The one "video-like" container
+   * decodable with zero codec dependencies — animated GIFs give the
+   * pipeline REAL frame sampling. Interlaced frames and rasters beyond
+   * [[maxDecodedBytes]] return None (never throws).
+   */
+  def decodeGif(b: Array[Byte]): Option[GifImage] = {
+    if (b.length < 13) return None
+    val hdr = new String(b, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    try decodeGifUnsafe(b) catch { case _: Exception => None }
+  }
+
+  private def decodeGifUnsafe(b: Array[Byte]): Option[GifImage] = {
+    val width = le16(b, 6)
+    val height = le16(b, 8)
+    if (width <= 0 || height <= 0) return None
+    val packed = b(10) & 0xff
+    var pos = 13
+    val globalPal: Array[Byte] =
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        val p = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+        pos += 3 * n
+        p
+      } else null
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
+    var delayCs = 0
+    while (pos < b.length) {
+      (b(pos) & 0xff) match {
+        case 0x3b => return Some(GifImage(width, height, frames.toSeq)) // trailer
+        case 0x21 => // extension: label + sub-blocks
+          val label = b(pos + 1) & 0xff
+          pos += 2
+          if (label == 0xf9 && (b(pos) & 0xff) >= 4)
+            delayCs = le16(b, pos + 2) // graphic control: next frame's delay
+          while ((b(pos) & 0xff) != 0) pos += 1 + (b(pos) & 0xff)
+          pos += 1
+        case 0x2c => // image descriptor
+          val left = le16(b, pos + 1)
+          val top = le16(b, pos + 3)
+          val fw = le16(b, pos + 5)
+          val fh = le16(b, pos + 7)
+          val fpacked = b(pos + 9) & 0xff
+          pos += 10
+          if ((fpacked & 0x40) != 0) return None // interlaced: unsupported
+          val pal: Array[Byte] =
+            if ((fpacked & 0x80) != 0) {
+              val n = 2 << (fpacked & 7)
+              val p = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+              pos += 3 * n
+              p
+            } else globalPal
+          if (pal == null) return None
+          if (fw <= 0 || fh <= 0 || fw.toLong * fh * 3 > maxDecodedBytes) return None
+          val minCode = b(pos) & 0xff
+          pos += 1
+          // concatenate the length-prefixed data sub-blocks
+          val data = new java.io.ByteArrayOutputStream
+          while ((b(pos) & 0xff) != 0) {
+            val n = b(pos) & 0xff
+            data.write(b, pos + 1, n)
+            pos += 1 + n
+          }
+          pos += 1
+          val indices = lzwDecode(data.toByteArray, minCode, fw * fh).getOrElse(return None)
+          val px = new Array[Byte](fw * fh * 3)
+          var i = 0
+          while (i < fw * fh) {
+            val idx = (indices(i) & 0xff) * 3
+            if (idx + 2 >= pal.length) return None // index outside palette
+            px(i * 3) = pal(idx); px(i * 3 + 1) = pal(idx + 1); px(i * 3 + 2) = pal(idx + 2)
+            i += 1
+          }
+          frames += GifFrame(left, top, fw, fh, delayCs, px)
+          delayCs = 0
+        case _ => return None // desynced
+      }
+    }
+    None // no trailer
+  }
+
+  /** GIF-flavor LZW: variable-width codes packed LSB-first, dictionary of
+   * index sequences seeded with the clear code's alphabet, grown one entry
+   * per code up to 4096, reset on CLEAR. Returns exactly `expected` indices
+   * or None. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int, expected: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 1 || minCodeSize > 11) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    // dictionary as prefix links: prefix(code), suffix(code)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var free = eoi + 1
+    var codeSize = minCodeSize + 1
+    var prev = -1
+    var acc = 0L
+    var accBits = 0
+    var bytePos = 0
+    val stack = new Array[Byte](4096)
+
+    def emit(code: Int): Boolean = { // expand code via prefix links
+      var sp = 0
+      var c = code
+      while (c >= clear) { // walk to the root
+        if (sp >= stack.length || c >= free) return false
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      if (outLen + sp + 1 > expected) return false
+      out(outLen) = c.toByte; outLen += 1
+      while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+      true
+    }
+    def firstIndexOf(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+
+    while (outLen < expected) {
+      while (accBits < codeSize) {
+        if (bytePos >= data.length) return None // truncated
+        acc |= (data(bytePos) & 0xffL) << accBits
+        accBits += 8
+        bytePos += 1
+      }
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>>= codeSize
+      accBits -= codeSize
+      if (code == clear) {
+        free = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outLen == expected) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code must be a literal
+        out(outLen) = code.toByte; outLen += 1
+        prev = code
+      } else {
+        if (code > free || (code == free && free >= 4096)) return None
+        val cur = if (code == free) {
+          // KwKwK case: current = prev + firstIndex(prev)
+          if (free >= 4096) return None
+          prefix(free) = prev; suffix(free) = firstIndexOf(prev)
+          free += 1
+          if (!emit(free - 1)) return None
+          free - 1
+        } else {
+          if (!emit(code)) return None
+          if (free < 4096) {
+            prefix(free) = prev; suffix(free) = firstIndexOf(code)
+            free += 1
+          }
+          code
+        }
+        if (free >= (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = cur
+      }
+    }
+    Some(out)
+  }
+
+  /**
+   * GIF89a encode for the round-trip gates: one global 256-color palette,
+   * any number of full-screen frames of palette indices, animation delays.
+   * LZW emission is the classic "uncompressed" strategy — literal codes
+   * with a CLEAR before the dictionary would force a width growth — which
+   * any conformant decoder (including [[decodeGif]]) must accept.
+   */
+  def encodeGif(width: Int, height: Int, palette: Array[Byte],
+      frames: Seq[Array[Byte]], delayCs: Int = 4): Array[Byte] = {
+    require(palette.length == 768, "palette must be 256 RGB entries")
+    require(frames.nonEmpty)
+    frames.foreach(f => require(f.length == width * height, "frame size mismatch"))
+    val out = new java.io.ByteArrayOutputStream
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xff); out.write(width >>> 8)
+    out.write(height & 0xff); out.write(height >>> 8)
+    out.write(0x80 | 7) // global table, 2^(7+1)=256 entries
+    out.write(0); out.write(0) // bg index, aspect
+    out.write(palette)
+    frames.foreach { frame =>
+      if (frames.length > 1) { // graphic control (delay) per animated frame
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0) // packed: no disposal, no transparency
+        out.write(delayCs & 0xff); out.write(delayCs >>> 8)
+        out.write(0); out.write(0) // transparent idx, terminator
+      }
+      out.write(0x2c)
+      out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+      out.write(width & 0xff); out.write(width >>> 8)
+      out.write(height & 0xff); out.write(height >>> 8)
+      out.write(0) // no local table, not interlaced
+      out.write(8) // LZW min code size (256 literals)
+      // literal emission, 9-bit codes, CLEAR every 254 literals so the
+      // decoder's dictionary never reaches the 512 width-growth threshold
+      val bits = new java.io.ByteArrayOutputStream
+      var acc = 0L
+      var accBits = 0
+      def put(code: Int): Unit = {
+        acc |= (code.toLong & 0x1ff) << accBits
+        accBits += 9
+        while (accBits >= 8) {
+          bits.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8
+        }
+      }
+      put(256) // initial CLEAR
+      var i = 0
+      while (i < frame.length) {
+        put(frame(i) & 0xff)
+        i += 1
+        if (i % 254 == 0 && i < frame.length) put(256)
+      }
+      put(257) // EOI
+      if (accBits > 0) bits.write((acc & 0xff).toInt)
+      val payload = bits.toByteArray
+      var off = 0
+      while (off < payload.length) { // ≤255-byte sub-blocks
+        val n = math.min(255, payload.length - off)
+        out.write(n)
+        out.write(payload, off, n)
+        off += n
+      }
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------------- WAV
 
   private def le32(b: Array[Byte], off: Int): Int =

@@ -277,7 +277,24 @@ object Multimodal {
             val out = MediaCodec.encodePng(w, h, img.channels,
               MediaCodec.resizeNearest(img, w, h).pixels)
             (out, stubFrames(bytes, nFrames)) // stills have no frames to sample
-          case None => MediaCodec.decodeWav(bytes) match {
+          case None => MediaCodec.decodeGif(bytes) match {
+            case Some(gif) if gif.frames.nonEmpty =>
+              // REAL frame sampling: nFrames evenly spaced decoded frames,
+              // fingerprinted over their raw region pixels; the thumbnail
+              // is the first frame, resampled and re-encoded as PNG (the
+              // canonical-format conversion a curation pipeline performs)
+              val picked =
+                if (gif.frames.length <= nFrames) gif.frames
+                else (0 until nFrames).map(i => gif.frames(i * gif.frames.length / nFrames))
+              val fps = picked.map { f =>
+                java.security.MessageDigest.getInstance("MD5").digest(f.pixels)
+                  .map("%02x".format(_)).mkString
+              }
+              val f0 = gif.frames.head
+              val thumb = MediaCodec.encodePng(w, h, 3, MediaCodec.resizeNearest(
+                MediaCodec.PngImage(f0.width, f0.height, 3, 2, f0.pixels), w, h).pixels)
+              (thumb, fps)
+            case _ => MediaCodec.decodeWav(bytes) match {
             case Some(wav) =>
               val win = math.max(1, wav.samples.length / nFrames)
               val fs = wav.samples.grouped(win).take(nFrames).map { chunk =>
@@ -288,6 +305,7 @@ object Multimodal {
               }.toSeq
               (bytes, fs) // audio passes through un-resized
             case None => (stubResize(bytes, w, h), stubFrames(bytes, nFrames))
+            }
           }
         }
         Row(id, resized, resized.length.toLong, frames)
@@ -325,10 +343,18 @@ object Multimodal {
               Row(id, Row("wav", null, null, bytes.length.toLong, wav.sampleRate,
                 wav.channels, wav.samples.length.toLong),
                 wavFeatures(wav).toSeq)
-            case None =>
-              val (fmt, w, h) = decodeMeta(bytes)
-              Row(id, Row(fmt, w, h, bytes.length.toLong, null, null, null),
-                stubFeatures(bytes).toSeq)
+            case None => MediaCodec.decodeGif(bytes) match {
+              case Some(gif) if gif.frames.nonEmpty =>
+                // image statistics over the first frame (the thumbnail frame)
+                val f0 = gif.frames.head
+                val asRgb = MediaCodec.PngImage(f0.width, f0.height, 3, 2, f0.pixels)
+                Row(id, Row("gif", gif.width, gif.height, bytes.length.toLong,
+                  null, null, null), pngFeatures(asRgb).toSeq)
+              case _ =>
+                val (fmt, w, h) = decodeMeta(bytes)
+                Row(id, Row(fmt, w, h, bytes.length.toLong, null, null, null),
+                  stubFeatures(bytes).toSeq)
+            }
           }
         }
       }
@@ -389,6 +415,76 @@ object Multimodal {
         val n = (500 + id % 300).toInt
         val samples = Array.tabulate(n)(i => (((id * 7 + 3L * i * i) % 2001) - 1000).toInt)
         Row(id, MediaCodec.encodeWav(8000, 1, samples))
+      }
+    }(enc)
+  }
+
+  /**
+   * Deterministic synthetic animated GIFs — the video-ish twin of
+   * [[syntheticPngTable]]: `w = 9 + id%7`, `h = 6 + id%5`,
+   * `nFrames = 2 + id%3`, palette entry i = (i, 7i mod 256, 13i mod 256),
+   * frame f pixel index (x,y) = `(11·id + 29f + 3x + 5y) mod 256` — all
+   * integer arithmetic a SQL oracle replays.
+   */
+  def syntheticGifTable(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val palette = Array.tabulate(768) { j =>
+      val i = j / 3
+      (j % 3 match {
+        case 0 => i
+        case 1 => (i * 7) % 256
+        case 2 => (i * 13) % 256
+      }).toByte
+    }
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (9 + id % 7).toInt
+        val h = (6 + id % 5).toInt
+        val n = (2 + id % 3).toInt
+        val frames = (0 until n).map { f =>
+          Array.tabulate(w * h) { p =>
+            val x = p % w
+            val y = p / w
+            ((11 * id + 29 * f + 3 * x + 5 * y) % 256).toByte
+          }
+        }
+        Row(id, MediaCodec.encodeGif(w, h, palette, frames))
+      }
+    }(enc)
+  }
+
+  /**
+   * EXACT frame statistics from real GIF decode — LZW decompression and
+   * palette lookup verified end to end against a closed-form SQL replay
+   * (`multimodal_gif_frames` oracle): `rgb_sum` sums every decoded RGB
+   * byte across ALL frames, so one wrong LZW code or palette entry fails
+   * the hash. Non-GIF rows yield nulls.
+   */
+  def withFrameStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("rgb_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        MediaCodec.decodeGif(r.getAs[Array[Byte]](1)) match {
+          case Some(gif) =>
+            var s = 0L
+            gif.frames.foreach { f =>
+              var i = 0
+              while (i < f.pixels.length) { s += f.pixels(i) & 0xff; i += 1 }
+            }
+            Row(id, gif.width, gif.height, gif.frames.length, s)
+          case None => Row(id, null, null, null, null)
+        }
       }
     }(enc)
   }

@@ -213,6 +213,144 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(15) === 1.0f) // alpha coverage (opaque)
   }
 
+  // ---------------- real GIF codec ----------------
+
+  private val testPalette: Array[Byte] = Array.tabulate(768) { j =>
+    val i = j / 3
+    (j % 3 match { case 0 => i; case 1 => (i * 2) % 256; case _ => 255 - i }).toByte
+  }
+
+  private def paletteRgb(idx: Int): Seq[Byte] =
+    Seq(testPalette(idx * 3), testPalette(idx * 3 + 1), testPalette(idx * 3 + 2))
+
+  test("GIF round-trips palette pixels exactly, single and animated") {
+    val w = 11; val h = 7
+    val f0 = Array.tabulate(w * h)(p => ((p * 3 + 5) % 256).toByte)
+    val still = MediaCodec.decodeGif(MediaCodec.encodeGif(w, h, testPalette, Seq(f0)))
+    assert(still.isDefined && still.get.frames.length === 1)
+    assert(still.get.width === w && still.get.height === h)
+    assert(still.get.frames.head.pixels.toSeq ===
+      f0.flatMap(b => paletteRgb(b & 0xff)).toSeq)
+
+    val frames = (0 until 4).map(f => Array.tabulate(w * h)(p => ((p + f * 37) % 256).toByte))
+    val anim = MediaCodec.decodeGif(
+      MediaCodec.encodeGif(w, h, testPalette, frames, delayCs = 10)).get
+    assert(anim.frames.length === 4)
+    assert(anim.frames.forall(_.delayCs === 10))
+    anim.frames.zip(frames).foreach { case (got, want) =>
+      assert(got.pixels.toSeq === want.flatMap(b => paletteRgb(b & 0xff)).toSeq)
+    }
+  }
+
+  test("LZW decoder handles real compression: dictionary growth and KwKwK") {
+    // a genuine LZW compressor (the decoder's exact dual): dictionary of
+    // sequences, variable width, clear handling — our production encoder
+    // only emits literals, so this is what exercises the decoder's
+    // dictionary-reconstruction and KwKwK paths
+    def lzwCompress(indices: Array[Byte], minCode: Int): Array[Byte] = {
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val bits = new java.io.ByteArrayOutputStream
+      var acc = 0L; var accBits = 0; var codeSize = minCode + 1
+      def put(code: Int): Unit = {
+        acc |= code.toLong << accBits; accBits += codeSize
+        while (accBits >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+      }
+      var dict = scala.collection.mutable.Map[Seq[Byte], Int]()
+      def reset(): Unit = {
+        dict = scala.collection.mutable.Map((0 until clear).map(i => Seq(i.toByte) -> i): _*)
+      }
+      reset()
+      var free = eoi + 1
+      put(clear)
+      var cur = Seq.empty[Byte]
+      indices.foreach { b =>
+        val ext = cur :+ b
+        if (dict.contains(ext)) cur = ext
+        else {
+          put(dict(cur))
+          dict(ext) = free; free += 1
+          // width grows when the NEXT code could be `free` (decoder is one
+          // entry behind, growing after it ADDS free-1, i.e. same point)
+          if (free > (1 << codeSize) && codeSize < 12) codeSize += 1
+          if (free >= 4096) { put(clear); codeSize = minCode + 1; free = eoi + 1; reset() }
+          cur = Seq(b)
+        }
+      }
+      if (cur.nonEmpty) put(dict(cur))
+      put(eoi)
+      if (accBits > 0) bits.write((acc & 0xff).toInt)
+      bits.toByteArray
+    }
+    def gifWith(payload: Array[Byte], w: Int, h: Int, minCode: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      out.write("GIF89a".getBytes); out.write(w & 0xff); out.write(w >> 8)
+      out.write(h & 0xff); out.write(h >> 8); out.write(0x80 | 7); out.write(0); out.write(0)
+      out.write(testPalette)
+      out.write(0x2c); (0 until 4).foreach(_ => out.write(0))
+      out.write(w & 0xff); out.write(w >> 8); out.write(h & 0xff); out.write(h >> 8)
+      out.write(0); out.write(minCode)
+      var off = 0
+      while (off < payload.length) {
+        val n = math.min(255, payload.length - off)
+        out.write(n); out.write(payload, off, n); off += n
+      }
+      out.write(0); out.write(0x3b)
+      out.toByteArray
+    }
+    // runs (aaaa... triggers KwKwK), repeats (abab...), and a mixed texture
+    val cases = Seq(
+      Array.fill(64)(7.toByte),
+      Array.tabulate(64)(i => (if (i % 2 == 0) 3 else 9).toByte),
+      Array.tabulate(500)(i => ((i * i + i / 3) % 256).toByte),
+      Array.tabulate(5000)(i => ((i * 31) % 251 % 256).toByte))
+    for (indices <- cases) {
+      val w = indices.length match { case 64 => 8; case 500 => 20; case _ => 50 }
+      val h = indices.length / w
+      val img = gifWith(lzwCompress(indices.take(w * h), 8), w, h, 8)
+      val dec = MediaCodec.decodeGif(img)
+      assert(dec.isDefined, s"case len=${indices.length}")
+      assert(dec.get.frames.head.pixels.toSeq ===
+        indices.take(w * h).flatMap(b => paletteRgb(b & 0xff)).toSeq,
+        s"case len=${indices.length}")
+    }
+  }
+
+  test("GIF decode rejects malformed input, never throws") {
+    val good = MediaCodec.encodeGif(6, 4, testPalette,
+      Seq(Array.tabulate(24)(_.toByte)))
+    assert(MediaCodec.decodeGif(good).isDefined)
+    for (cut <- Seq(0, 5, 12, 13, 100, good.length - 2))
+      assert(MediaCodec.decodeGif(good.take(cut)).isEmpty, s"cut=$cut")
+    // interlace flag set on the image descriptor → unsupported → None
+    val inter = good.clone()
+    val desc = 13 + 768 // header + global palette → 0x2C descriptor offset
+    assert((inter(desc) & 0xff) === 0x2c)
+    inter(desc + 9) = 0x40.toByte
+    assert(MediaCodec.decodeGif(inter).isEmpty)
+    // truncated LZW stream (sub-blocks intact, codes cut): corrupt a code byte
+    val junk = "GIF89a then nothing useful".getBytes("UTF-8")
+    assert(MediaCodec.decodeGif(junk).isEmpty)
+  }
+
+  test("withFeatures and frame sampling treat animated GIFs as first-class") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val frames = (0 until 5).map(f => Array.tabulate(64)(p => ((p + f) % 256).toByte))
+    val bytes = MediaCodec.encodeGif(8, 8, testPalette, frames)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(Row(1L, bytes)), schema)
+    val meta = Multimodal.withFeatures(df).collect()(0).getStruct(1)
+    assert(meta.getString(0) === "gif" && meta.getInt(1) === 8 && meta.getInt(2) === 8)
+    val rf = Multimodal.withResizedFrames(df, w = 4, h = 4, nFrames = 3).collect()(0)
+    val fps = rf.getSeq[String](3)
+    assert(fps.length === 3 && fps.distinct.length === 3) // 3 distinct real frames
+    // the thumbnail is a decodable PNG at the target size
+    val thumb = MediaCodec.decodePng(rf.getAs[Array[Byte]](1))
+    assert(thumb.isDefined && thumb.get.width === 4 && thumb.get.height === 4)
+  }
+
   // ---------------- real WAV codec ----------------
 
   test("WAV PCM round-trips samples exactly; 8-bit and padding honored") {
