@@ -628,10 +628,27 @@ object LogsOffset {
  */
 class LogsMicroBatchStream(dir: String, regex: String, options: Map[String, String],
     hadoopConf: Configuration, readerFactory: LogsPartitionReaderFactory)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val maxBytesPerTrigger: Option[Long] =
     options.get("maxBytesPerTrigger").map(_.toLong)
+
+  // Trigger.AvailableNow: snapshot the line-boundary frontier once at query
+  // start; every subsequent latestOffset is capped at it, so the query
+  // drains exactly the data present at start (in maxBytesPerTrigger-paced
+  // batches if configured) and then STOPS — the batch-drain mode schedulers
+  // use for catch-up jobs.
+  private var availableNowCap: Option[SortedMap[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val fs = new Path(dir).getFileSystem(hadoopConf)
+    val b = SortedMap.newBuilder[String, Long]
+    LogsSource.listFiles(hadoopConf, dir, regex).foreach { case (pathStr, len) =>
+      b += (pathStr -> LogsSource.lastLineBoundary(fs, new Path(pathStr), len, fallback = 0L))
+    }
+    availableNowCap = Some(b.result())
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     maxBytesPerTrigger.map(ReadLimit.maxBytes).getOrElse(ReadLimit.allAvailable())
@@ -660,7 +677,15 @@ class LogsMicroBatchStream(dir: String, regex: String, options: Map[String, Stri
     val fs = new Path(dir).getFileSystem(hadoopConf)
     val b = scala.collection.mutable.Map[String, Long]()
     b ++= prev // deleted files keep their committed position
-    val files = LogsSource.listFiles(hadoopConf, dir, regex)
+    // under AvailableNow, only the start-time snapshot is eligible, capped
+    // at the frontier it recorded (itself a line boundary)
+    val files = availableNowCap match {
+      case Some(cap) =>
+        LogsSource.listFiles(hadoopConf, dir, regex).collect {
+          case (p, len) if cap.contains(p) => (p, math.min(len, cap(p)))
+        }
+      case None => LogsSource.listFiles(hadoopConf, dir, regex)
+    }
     val ordered = if (files.isEmpty) files else {
       val r = rotation % files.length
       rotation += 1

@@ -358,6 +358,45 @@ class LogsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Trigger.AvailableNow drains the start-time snapshot, then stops") {
+    val sdir = Files.createTempDirectory("graft-logs-an")
+    val ckpt = Files.createTempDirectory("graft-logs-an-ckpt")
+    try {
+      Files.write(sdir.resolve("s.log"),
+        (1 to 10).map(i => line(i, i, s"ip$i", "view")).mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8))
+      val out = Files.createTempDirectory("graft-logs-an-out")
+      def run(): Unit = {
+        // parquet sink: memory can't recover a checkpoint for the 2nd drain
+        val q = spark.readStream.format("graft-logs")
+          .option("maxBytesPerTrigger", "128") // paced drain, several batches
+          .load(sdir.toString)
+          .writeStream.format("parquet").option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+      }
+      def emitted(): Seq[Long] =
+        spark.read.schema(Ingest.wireSchema).parquet(out.toString)
+          .collect().map(_.getLong(0)).sorted.toSeq
+      run()
+      assert(emitted() === (1L to 10L))
+      // appended later: invisible to the finished run, drained by the next
+      Files.write(sdir.resolve("s.log"),
+        (line(11, 11, "ip11", "view") + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.APPEND)
+      run()
+      assert(emitted() === (1L to 11L))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(sdir, ckpt).foreach { d =>
+        scala.util.Using.resource(Files.walk(d)) { s =>
+          s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
+
   test("full native stack e2e: botgen files → graft-logs → bot pipeline → graft-kv") {
     import graft.sources.BotGen
     import graft.operators.BotDetection
