@@ -298,7 +298,8 @@ object MediaCodec {
         p
       } else null
     val frames = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
-    var delayCs = 0
+    var totalPixelBytes = 0L // the cap is CUMULATIVE: many per-cap frames
+    var delayCs = 0          // from tiny LZW input must not OOM either
     while (pos < b.length) {
       (b(pos) & 0xff) match {
         case 0x3b => return Some(GifImage(width, height, frames.toSeq)) // trailer
@@ -325,7 +326,9 @@ object MediaCodec {
               p
             } else globalPal
           if (pal == null) return None
-          if (fw <= 0 || fh <= 0 || fw.toLong * fh * 3 > maxDecodedBytes) return None
+          if (fw <= 0 || fh <= 0) return None
+          totalPixelBytes += fw.toLong * fh * 3
+          if (totalPixelBytes > maxDecodedBytes) return None
           val minCode = b(pos) & 0xff
           pos += 1
           // concatenate the length-prefixed data sub-blocks
@@ -358,7 +361,10 @@ object MediaCodec {
    * per code up to 4096, reset on CLEAR. Returns exactly `expected` indices
    * or None. */
   private def lzwDecode(data: Array[Byte], minCodeSize: Int, expected: Int): Option[Array[Byte]] = {
-    if (minCodeSize < 1 || minCodeSize > 11) return None
+    // GIF spec range is 2..8 (literals are palette indices, max 256): a
+    // larger root size would let literal codes > 255 truncate mod-256 into
+    // wrong-but-in-range palette indices — garbage decoded as Some(...)
+    if (minCodeSize < 2 || minCodeSize > 8) return None
     val clear = 1 << minCodeSize
     val eoi = clear + 1
     val out = new Array[Byte](expected)

@@ -77,8 +77,8 @@ object KvStore {
   val epochCol = "_epoch"
 
   private[v2] def pathOf(options: Map[String, String]): String =
-    options.getOrElse("path",
-      throw new IllegalArgumentException("graft-kv: 'path' option is required"))
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException("graft-kv: 'path' option is required"))
 
   private[v2] def hadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
@@ -187,15 +187,22 @@ object KvStore {
     }
     fs.mkdirs(segmentsDir(path))
     val epoch = manifest.map(_.epoch).maxOption.fold(0L)(_ + 1L)
-    val names = staged.zipWithIndex.map { case (s, i) =>
-      val name = f"seg-$epoch%06d-$i%05d.jsonl"
-      val src = new Path(s)
-      if (!fs.rename(src, new Path(segmentsDir(path), name)))
+    val names = publishSegments(fs, path, epoch, staged)
+    writeManifest(conf, path, manifest :+ Epoch(epoch, tag, names))
+  }
+
+  /** Rename staged files into `segments/` under manifest-unique names. The
+   * UUID component makes a crashed publish harmless: its orphans are never
+   * listed by the manifest and can never collide with the names a later
+   * publish (which may compute the SAME epoch ordinal) picks. */
+  private def publishSegments(fs: FileSystem, path: String, epoch: Long,
+      staged: Seq[String]): Seq[String] =
+    staged.zipWithIndex.map { case (s, i) =>
+      val name = f"seg-$epoch%06d-$i%05d-${UUID.randomUUID().toString.take(8)}.jsonl"
+      if (!fs.rename(new Path(s), new Path(segmentsDir(path), name)))
         throw new java.io.IOException(s"graft-kv: publish rename failed for $s")
       name
     }
-    writeManifest(conf, path, manifest :+ Epoch(epoch, tag, names))
-  }
 
   // ---- public read helpers ----
 
@@ -238,17 +245,19 @@ object KvStore {
     val fs = new Path(path).getFileSystem(conf)
     val old = manifest.flatMap(_.segments)
     // publish: move staged segments in, swap the manifest to ONE epoch
-    // (epoch id continues past the old maximum so replay tags stay unique)
+    // (epoch id continues past the old maximum so replay tags stay unique;
+    // segment names carry a UUID so a crash between renames and the
+    // manifest swap leaves only harmless never-listed orphans)
     val epoch = manifest.map(_.epoch).maxOption.fold(0L)(_ + 1L)
     fs.mkdirs(segmentsDir(path))
-    val names = staged.zipWithIndex.map { case (s, i) =>
-      val name = f"seg-$epoch%06d-$i%05d.jsonl"
-      if (!fs.rename(new Path(s), new Path(segmentsDir(path), name)))
-        throw new java.io.IOException(s"graft-kv: compact publish failed for $s")
-      name
-    }
+    val names = publishSegments(fs, path, epoch, staged)
     writeManifest(conf, path, Seq(Epoch(epoch, s"compact:${UUID.randomUUID()}", names)))
     old.foreach(n => fs.delete(new Path(segmentsDir(path), n), false))
+    // sweep leftover compact staging (a retried/speculative task that
+    // committed after its twin won never gets an abort; compact runs under
+    // the single-writer contract, so anything still staged is garbage)
+    Option(fs.globStatus(new Path(stagingDir(path), "stage-compact-*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
   }
 
   /**
@@ -291,11 +300,15 @@ class KvTable(schema0: StructType, properties: Map[String, String])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = properties ++ options.asScala
+    // DSv2 options are case-insensitive by contract (the map arrives
+    // lowercased), and table properties keep the user's casing — match both
+    def opt(name: String): Option[String] =
+      opts.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
     new ScanBuilder {
       override def build(): Scan = new KvScan(KvStore.pathOf(opts), KvStore.hadoopConf(),
         // time travel: `atEpoch` reads the store as of that committed epoch
         // (inclusive) — the manifest IS the snapshot log
-        opts.get("atEpoch").map(_.toLong))
+        opt("atEpoch").map(_.toLong))
     }
   }
 
@@ -311,9 +324,22 @@ class KvTable(schema0: StructType, properties: Map[String, String])
 class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  private def visibleManifest: Seq[KvStore.Epoch] = {
-    val all = KvStore.readManifest(conf, path)
-    atEpoch.fold(all)(e => all.filter(_.epoch <= e))
+  // ONE manifest read per scan: statistics and split planning must observe
+  // the same committed state (a write or compact landing between the two
+  // calls must not make stats describe segments planning won't scan)
+  private lazy val fullManifest: Seq[KvStore.Epoch] = KvStore.readManifest(conf, path)
+
+  private lazy val visibleManifest: Seq[KvStore.Epoch] = atEpoch match {
+    case None => fullManifest
+    case Some(e) =>
+      val visible = fullManifest.filter(_.epoch <= e)
+      // a compaction may have vacuumed the requested history — an empty
+      // "snapshot" would be silently wrong, not merely incomplete
+      if (visible.isEmpty && fullManifest.nonEmpty)
+        throw new IllegalArgumentException(
+          s"graft-kv: no committed state at or before epoch $e — history up to epoch " +
+            s"${fullManifest.map(_.epoch).min} was compacted away")
+      visible
   }
   private val storedSchema = KvStore.readSchema(conf, path).getOrElse(
     throw new IllegalArgumentException(s"graft-kv: empty store at $path"))

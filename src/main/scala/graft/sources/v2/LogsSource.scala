@@ -634,18 +634,21 @@ class LogsMicroBatchStream(dir: String, regex: String, options: Map[String, Stri
   private val maxBytesPerTrigger: Option[Long] =
     options.get("maxBytesPerTrigger").map(_.toLong)
 
-  // Trigger.AvailableNow: snapshot the line-boundary frontier once at query
+  // Trigger.AvailableNow: snapshot each file's RAW length once at query
   // start; every subsequent latestOffset is capped at it, so the query
   // drains exactly the data present at start (in maxBytesPerTrigger-paced
   // batches if configured) and then STOPS — the batch-drain mode schedulers
-  // use for catch-up jobs.
+  // use for catch-up jobs. The raw length is deliberately NOT snapped to a
+  // line boundary here: latestOffset's own boundary search snaps below the
+  // cap, and snapping at prepare time would need a fallback value that can
+  // only be wrong (0 would fake an append-only violation against any
+  // already-committed offset when the tail window holds no newline).
   private var availableNowCap: Option[SortedMap[String, Long]] = None
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    val fs = new Path(dir).getFileSystem(hadoopConf)
     val b = SortedMap.newBuilder[String, Long]
     LogsSource.listFiles(hadoopConf, dir, regex).foreach { case (pathStr, len) =>
-      b += (pathStr -> LogsSource.lastLineBoundary(fs, new Path(pathStr), len, fallback = 0L))
+      b += (pathStr -> len)
     }
     availableNowCap = Some(b.result())
   }
@@ -691,10 +694,10 @@ class LogsMicroBatchStream(dir: String, regex: String, options: Map[String, Stri
       rotation += 1
       files.drop(r) ++ files.take(r)
     }
-    var totalAdvance = 0L
+    val stalled = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     ordered.foreach { case (pathStr, len) =>
       val p = prev.getOrElse(pathStr, 0L)
-      if (len < p)
+      if (len < p) // raw-length caps are ≥ any committed offset when append-only holds
         throw new IllegalStateException(
           s"graft-logs: $pathStr shrank below committed offset $p (len=$len); logs must be append-only")
       // saturating add: budget is Long.MaxValue when uncapped
@@ -705,26 +708,46 @@ class LogsMicroBatchStream(dir: String, regex: String, options: Map[String, Stri
         else LogsSource.lastLineBoundary(fs, new Path(pathStr), capTarget, fallback = p)
       val advance = math.max(0L, target - p)
       budget -= advance
-      totalAdvance += advance
+      if (advance == 0L && len > p) stalled += ((pathStr, p, len))
       b += (pathStr -> math.max(p, target))
     }
     // progress guarantee: a line longer than the byte budget would otherwise
-    // stall the stream FOREVER (cap lands mid-line → boundary search falls
-    // back to p → same state next trigger). If the budget admitted nothing,
-    // admit one complete line from the first file that has one — Spark's
-    // own file-source admission similarly always admits at least one unit.
-    if (totalAdvance == 0L && budget < Long.MaxValue) {
-      ordered.iterator
-        .map { case (pathStr, len) =>
-          val p = prev.getOrElse(pathStr, 0L)
-          (pathStr, len,
-            if (len > p) LogsSource.firstLineBoundaryAfter(fs, new Path(pathStr), p, len) else p)
-        }
-        .collectFirst { case (pathStr, _, boundary) if boundary > prev.getOrElse(pathStr, 0L) =>
+    // stall ITS FILE forever (cap lands mid-line → boundary search falls
+    // back to p → same state next trigger — and rotation alone can't help,
+    // no budget ever fits the line). Admit one complete line from the first
+    // stalled file in rotation order — at most one budget overshoot per
+    // trigger, and the rotating start means every stalled file gets its
+    // turn within nFiles triggers even while other files stay busy.
+    // Spark's own file-source admission similarly always admits ≥1 unit.
+    if (budget < Long.MaxValue) {
+      stalled.iterator
+        .map { case (pathStr, p, len) => (pathStr, p, forceAdmitBoundary(fs, pathStr, p, len)) }
+        .collectFirst { case (pathStr, p, boundary) if boundary > p =>
           b += (pathStr -> boundary)
         }
     }
     LogsOffset(SortedMap.from(b))
+  }
+
+  // Resumable bounded tail scan for the progress guarantee: a growing
+  // newline-less tail must not be re-read end-to-end every trigger. Each
+  // trigger extends the scan by one bounded window from where the last
+  // trigger stopped; the cursor resets when the file finally advances.
+  private val tailScanPos = scala.collection.mutable.Map.empty[String, Long]
+  private val tailScanWindow: Long = 8L << 20
+
+  private def forceAdmitBoundary(fs: FileSystem, pathStr: String, p: Long, len: Long): Long = {
+    val from = math.max(p, tailScanPos.getOrElse(pathStr, p))
+    val upTo = math.min(len, from + tailScanWindow)
+    if (from >= upTo) return p
+    val boundary = LogsSource.firstLineBoundaryAfter(fs, new Path(pathStr), from, upTo)
+    if (boundary > from) {
+      tailScanPos.remove(pathStr)
+      boundary // scans were exhaustive from p, so this is the FIRST newline
+    } else {
+      tailScanPos(pathStr) = upTo // resume here next trigger
+      p
+    }
   }
 
   override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {

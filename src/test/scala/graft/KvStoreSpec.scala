@@ -217,6 +217,16 @@ class KvStoreSpec extends AnyFunSuite {
     assert(at(1L) === Set("a", "b"))
     assert(at(99L) === Set("a", "b", "c")) // future epoch = latest
     assert(KvStore.read(spark, p).count() === 3) // un-travel read unchanged
+    // DSv2 options are case-insensitive: any casing selects the snapshot
+    assert(spark.read.format("graft-kv").option("path", p).option("ATEPOCH", "0")
+      .load().collect().map(_.getString(0)).toSet === Set("a"))
+    // travel to vacuumed history fails loudly, never returns a silent empty
+    KvStore.compact(spark, p, Seq("ip"))
+    val e = intercept[Exception] {
+      spark.read.format("graft-kv").option("path", p).option("atEpoch", "1").load().collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("compacted away"))
   }
 
   test("kv round trip preserves the verdict pipeline's results exactly") {

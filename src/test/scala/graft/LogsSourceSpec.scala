@@ -358,6 +358,41 @@ class LogsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a stalled fat line advances even while OTHER files keep the budget busy") {
+    import graft.sources.v2.{LogsMicroBatchStream, LogsOffset, LogsPartitionReaderFactory}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val sdir = Files.createTempDirectory("graft-logs-starve")
+    try {
+      val fat = line(1, 1, "ipA", "y" * 500) // far beyond the 64-byte budget
+      Files.write(sdir.resolve("a.log"), (fat + "\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(sdir.resolve("b.log"),
+        (line(100, 1, "ipB", "view") + "\n").getBytes(StandardCharsets.UTF_8))
+      val stream = new LogsMicroBatchStream(sdir.toString, ".*", Map.empty,
+        spark.sessionState.newHadoopConf(),
+        new LogsPartitionReaderFactory(Ingest.wireSchema, Array.empty,
+          new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf())))
+      var off = stream.initialOffset().asInstanceOf[LogsOffset]
+      var fatAdmitted = false
+      var i = 0
+      while (!fatAdmitted && i < 6) {
+        // b.log keeps growing every trigger — the pre-fix guarantee (only
+        // fires when NOTHING advanced) would starve a.log forever here
+        Files.write(sdir.resolve("b.log"),
+          (line(101 + i, 1, "ipB", "view") + "\n").getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.APPEND)
+        off = stream.latestOffset(off, ReadLimit.maxBytes(64)).asInstanceOf[LogsOffset]
+        fatAdmitted = off.positions.exists { case (p, pos) => p.endsWith("a.log") && pos > 0 }
+        i += 1
+      }
+      assert(fatAdmitted, s"a.log never advanced past its fat line: ${off.positions}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(sdir)) { s =>
+        s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("Trigger.AvailableNow drains the start-time snapshot, then stops") {
     val sdir = Files.createTempDirectory("graft-logs-an")
     val ckpt = Files.createTempDirectory("graft-logs-an-ckpt")

@@ -316,6 +316,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF raster cap is cumulative across frames; bad LZW root sizes bounce") {
+    // a single over-cap frame trips the cumulative guard before any decode
+    val big = {
+      val out = new java.io.ByteArrayOutputStream
+      out.write("GIF89a".getBytes); out.write(0x40); out.write(0x1f) // w=8000
+      out.write(0x40); out.write(0x1f) // h=8000 → 192 MB RGB > 128 MB cap
+      out.write(0x80 | 7); out.write(0); out.write(0)
+      out.write(testPalette)
+      out.write(0x2c); (0 until 4).foreach(_ => out.write(0))
+      out.write(0x40); out.write(0x1f); out.write(0x40); out.write(0x1f)
+      out.write(0); out.write(8); out.write(0); out.write(0x3b)
+      out.toByteArray
+    }
+    assert(MediaCodec.decodeGif(big).isEmpty)
+    // LZW min code size outside the spec's 2..8 (literals would exceed the
+    // palette and truncate mod 256 into garbage) → None, not wrong pixels
+    val ok = MediaCodec.encodeGif(6, 4, testPalette, Seq(Array.tabulate(24)(_.toByte)))
+    val minCodeOff = 13 + 768 + 10 // header + palette + descriptor
+    assert((ok(minCodeOff) & 0xff) === 8)
+    for (bad <- Seq(1, 9, 11)) {
+      val img = ok.clone(); img(minCodeOff) = bad.toByte
+      assert(MediaCodec.decodeGif(img).isEmpty, s"minCode=$bad")
+    }
+  }
+
   test("GIF decode rejects malformed input, never throws") {
     val good = MediaCodec.encodeGif(6, 4, testPalette,
       Seq(Array.tabulate(24)(_.toByte)))
