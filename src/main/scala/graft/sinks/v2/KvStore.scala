@@ -172,10 +172,27 @@ object KvStore {
     val existing = readSchema(conf, path)
     existing match {
       case Some(s) =>
-        require(s.fields.map(f => (f.name, f.dataType)).sameElements(
-          schema.fields.map(f => (f.name, f.dataType))),
-          s"graft-kv: write schema ${schema.simpleString} does not match the " +
-            s"store's ${s.simpleString} at $path")
+        // schema EVOLUTION, not schema anarchy: every stored field must
+        // keep its name and type; NEW nullable fields may be appended. Old
+        // segments simply lack the new keys, which the JSON reader already
+        // surfaces as nulls — evolution costs zero rewrites.
+        val stored = s.fields.map(f => (f.name, f.dataType)).toMap
+        val incoming = schema.fields.map(f => (f.name, f.dataType)).toMap
+        val conflicts = stored.collect {
+          case (n, dt) if incoming.get(n).exists(_ != dt) =>
+            s"$n: ${dt.simpleString} -> ${incoming(n).simpleString}"
+        }
+        require(conflicts.isEmpty,
+          s"graft-kv: write changes stored column types at $path: ${conflicts.mkString(", ")}")
+        val dropped = stored.keySet -- incoming.keySet
+        require(dropped.isEmpty,
+          s"graft-kv: write omits stored columns ${dropped.mkString(", ")} at $path — " +
+            s"select them (as nulls if needed); dropping columns is not supported")
+        val added = schema.fields.filterNot(f => stored.contains(f.name))
+        if (added.nonEmpty) {
+          val widened = StructType(s.fields ++ added.map(_.copy(nullable = true)))
+          writeAtomic(fs, schemaFile(path), widened.json.getBytes("UTF-8"))
+        }
       case None =>
         fs.mkdirs(new Path(path))
         writeAtomic(fs, schemaFile(path), schema.json.getBytes("UTF-8"))

@@ -91,8 +91,16 @@ object LogsSource {
     StructField("ip", StringType),
     StructField("action", StringType)))
 
+  /** Provenance metadata a user schema may request alongside wire fields —
+   * the DSv2 form of the connector's per-record file/offset SourceRecord
+   * metadata (`Util.toSourceRecord`): `_file` = source path, `_pos` = the
+   * record's line-start byte offset. Not part of the default schema. */
+  val fileCol = "_file"
+  val posCol = "_pos"
+
   private val wireTypes: Map[String, DataType] =
-    wireSchema.fields.map(f => f.name -> f.dataType).toMap
+    wireSchema.fields.map(f => f.name -> f.dataType).toMap ++
+      Map(fileCol -> StringType, posCol -> LongType)
 
   def validateSchema(schema: StructType): Unit =
     schema.fields.foreach { f =>
@@ -288,11 +296,15 @@ class LogsScan(readSchema0: StructType, filters: Array[Filter],
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       files.iterator.flatMap { case (path, len) =>
-        // Hadoop text-split rule: adjacent [s,e) ranges; reader of s>0
-        // discards the line containing byte s and reads one line past e.
-        (0L until len by maxSplitBytes).map { s =>
-          LogsInputPartition(path, s, math.min(s + maxSplitBytes, len), exactBounds = false)
-        }
+        if (LogsInputPartition.isGzip(path))
+          // gzip is not splittable: one whole-member partition per file
+          Seq(LogsInputPartition(path, 0L, len, exactBounds = false, gzip = true))
+        else
+          // Hadoop text-split rule: adjacent [s,e) ranges; reader of s>0
+          // discards the line containing byte s and reads one line past e.
+          (0L until len by maxSplitBytes).map { s =>
+            LogsInputPartition(path, s, math.min(s + maxSplitBytes, len), exactBounds = false)
+          }
       }.toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory = readerFactory
@@ -305,9 +317,15 @@ class LogsScan(readSchema0: StructType, filters: Array[Filter],
 /** One byte range of one log file. `exactBounds=false` → Hadoop split rule
  * (batch; boundaries may cut lines). `exactBounds=true` → both bounds are
  * known line starts (streaming offsets) and the reader emits exactly the
- * lines starting in `[start, end)`. */
+ * lines starting in `[start, end)`. `gzip=true` → the partition is a whole
+ * compressed member: start is 0, `end` bounds the COMPRESSED bytes, and
+ * the reader decodes to EOF (gzip is neither splittable nor tailable). */
 case class LogsInputPartition(path: String, start: Long, end: Long,
-    exactBounds: Boolean) extends InputPartition
+    exactBounds: Boolean, gzip: Boolean = false) extends InputPartition
+
+object LogsInputPartition {
+  def isGzip(path: String): Boolean = path.toLowerCase(java.util.Locale.ROOT).endsWith(".gz")
+}
 
 class LogsPartitionReaderFactory(readSchema: StructType, filters: Array[Filter],
     conf: SerializableConfiguration, limit: Option[Int] = None,
@@ -377,15 +395,34 @@ class LogsPartitionReader(part: LogsInputPartition, readSchema: StructType,
 
   private val path = new Path(part.path)
   private val in = path.getFileSystem(conf).open(path)
-  private val lines = new LineRangeReader(in, part.start)
+  private val lines =
+    if (part.gzip) {
+      // whole-member decode of the admitted compressed prefix; positions
+      // below are UNCOMPRESSED offsets from 0
+      new LineRangeReader(new java.util.zip.GZIPInputStream(
+        new LimitedInputStream(in, part.end)), 0L)
+    } else {
+      in.seek(part.start)
+      new LineRangeReader(in, part.start)
+    }
 
   // union of columns the row needs and columns the filters test; a pushed
-  // COUNT(*) decodes ONLY filter columns (none at all for a bare count)
+  // COUNT(*) decodes ONLY filter columns (none at all for a bare count).
+  // _file/_pos are provenance metadata filled from the partition, never
+  // parsed out of the JSON.
   private def filterRefs(f: Filter): Seq[String] = f.references.toSeq
+  private def isMeta(n: String) = n == LogsSource.fileCol || n == LogsSource.posCol
   private val parseFields: Array[String] =
-    if (countStar) filters.flatMap(filterRefs).distinct
-    else (readSchema.fieldNames ++ filters.flatMap(filterRefs)).distinct
-  private val outIdx: Array[Int] = readSchema.fieldNames.map(n => parseFields.indexOf(n))
+    (if (countStar) filters.flatMap(filterRefs).distinct
+     else (readSchema.fieldNames ++ filters.flatMap(filterRefs)).distinct)
+      .filterNot(isMeta)
+  // output slots: ≥0 = index into parsed values; -1 = _file; -2 = _pos
+  private val outIdx: Array[Int] = readSchema.fieldNames.map {
+    case LogsSource.fileCol => -1
+    case LogsSource.posCol => -2
+    case n => parseFields.indexOf(n)
+  }
+  private val fileUtf8 = UTF8String.fromString(part.path)
   private val fieldIdx: Map[String, Int] = parseFields.zipWithIndex.toMap
   private val isTime: Array[Boolean] = parseFields.map(_ == "time")
 
@@ -395,8 +432,14 @@ class LogsPartitionReader(part: LogsInputPartition, readSchema: StructType,
   private var emitted = 0L
 
   // s>0 under the Hadoop rule: skip the (possibly partial) line containing
-  // byte `start` — the previous split emitted it.
-  if (!part.exactBounds && part.start > 0) lines.readLine()
+  // byte `start` — the previous split emitted it. (gzip members are whole
+  // partitions: always start 0, read to decoded EOF.)
+  if (!part.gzip && !part.exactBounds && part.start > 0) lines.readLine()
+
+  private def withinRange(lineStart: Long): Boolean =
+    if (part.gzip) true // bounded by the compressed prefix, EOF terminates
+    else if (part.exactBounds) lineStart < part.end
+    else lineStart <= part.end // reads one line past end; next split discards it
 
   override def next(): Boolean = {
     if (countStar) return nextCount()
@@ -404,10 +447,7 @@ class LogsPartitionReader(part: LogsInputPartition, readSchema: StructType,
     current = null
     while (current == null && !done) {
       val lineStart = lines.pos
-      val withinRange =
-        if (part.exactBounds) lineStart < part.end
-        else lineStart <= part.end // reads one line past end; next split discards it
-      if (!withinRange) { done = true; return false }
+      if (!withinRange(lineStart)) { done = true; return false }
       lines.readLine() match {
         case null => done = true; return false
         case line if isBlank(line) => () // skipped, like spark.read.json
@@ -416,7 +456,14 @@ class LogsPartitionReader(part: LogsInputPartition, readSchema: StructType,
           if (filters.forall(eval(_, vals))) {
             val row = new GenericInternalRow(readSchema.length)
             var i = 0
-            while (i < outIdx.length) { row.update(i, vals(outIdx(i))); i += 1 }
+            while (i < outIdx.length) {
+              row.update(i, outIdx(i) match {
+                case -1 => fileUtf8
+                case -2 => java.lang.Long.valueOf(lineStart)
+                case j => vals(j)
+              })
+              i += 1
+            }
             current = row
             emitted += 1
           }
@@ -433,10 +480,7 @@ class LogsPartitionReader(part: LogsInputPartition, readSchema: StructType,
     var draining = true
     while (draining) {
       val lineStart = lines.pos
-      val withinRange =
-        if (part.exactBounds) lineStart < part.end
-        else lineStart <= part.end
-      if (!withinRange) draining = false
+      if (!withinRange(lineStart)) draining = false
       else lines.readLine() match {
         case null => draining = false
         case line if isBlank(line) => ()
@@ -524,19 +568,38 @@ class LogsPartitionReader(part: LogsInputPartition, readSchema: StructType,
   }
 }
 
+/** Reads at most `limit` bytes from the underlying stream — bounds a gzip
+ * member to the compressed prefix an offset admitted, so replays decode the
+ * identical bytes even if the file grew since (it shouldn't; see the
+ * atomic-placement contract). */
+class LimitedInputStream(in: java.io.InputStream, limit: Long) extends java.io.InputStream {
+  private var remaining = limit
+  override def read(): Int =
+    if (remaining <= 0) -1
+    else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (remaining <= 0) return -1
+    val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
+    if (n > 0) remaining -= n
+    n
+  }
+  override def close(): Unit = in.close()
+}
+
 /**
- * Byte-accurate line reader over an `FSDataInputStream` starting at a given
- * offset. `pos` is always the byte offset of the next unread line's first
- * byte. Lines are terminated by '\n' (a trailing '\r' is stripped); the
- * final line may be EOF-terminated. Buffered (64 KB) so `maxSplitBytes`
- * ranges stream sequentially regardless of FS block size.
+ * Byte-accurate line reader over an `InputStream` the caller has positioned
+ * at byte offset `start` (plain files are seeked there; gzip members always
+ * start at 0 of the uncompressed stream). `pos` is always the byte offset
+ * of the next unread line's first byte. Lines are terminated by '\n' (a
+ * trailing '\r' is stripped); the final line may be EOF-terminated.
+ * Buffered (64 KB) so `maxSplitBytes` ranges stream sequentially regardless
+ * of FS block size.
  */
-class LineRangeReader(in: org.apache.hadoop.fs.FSDataInputStream, start: Long) {
+class LineRangeReader(in: java.io.InputStream, start: Long) {
   private val buf = new Array[Byte](64 * 1024)
   private var bufLen = 0
   private var bufPos = 0
-  private var filePos = start // offset of buf(bufPos) in the file
-  in.seek(start)
+  private var filePos = start // offset of buf(bufPos) in the (logical) file
 
   /** byte offset of the first byte of the next line to be read */
   def pos: Long = filePos
@@ -704,7 +767,13 @@ class LogsMicroBatchStream(dir: String, regex: String, options: Map[String, Stri
       val room = math.max(0L, budget)
       val capTarget = if (room >= len - p) len else p + room
       val target =
-        if (capTarget <= p) p
+        if (LogsInputPartition.isGzip(pathStr))
+          // all-or-nothing: a compressed member can't be cut at a line, and
+          // once admitted it is FROZEN (growth would change the decoded
+          // prefix — gz logs must be placed atomically, like Spark's own
+          // file source requires)
+          if (p > 0) p else if (room >= len) len else p
+        else if (capTarget <= p) p
         else LogsSource.lastLineBoundary(fs, new Path(pathStr), capTarget, fallback = p)
       val advance = math.max(0L, target - p)
       budget -= advance
@@ -737,6 +806,8 @@ class LogsMicroBatchStream(dir: String, regex: String, options: Map[String, Stri
   private val tailScanWindow: Long = 8L << 20
 
   private def forceAdmitBoundary(fs: FileSystem, pathStr: String, p: Long, len: Long): Long = {
+    // a stalled gzip member's "one unit" is the whole file
+    if (LogsInputPartition.isGzip(pathStr)) return if (p == 0) len else p
     val from = math.max(p, tailScanPos.getOrElse(pathStr, p))
     val upTo = math.min(len, from + tailScanWindow)
     if (from >= upTo) return p
@@ -756,8 +827,10 @@ class LogsMicroBatchStream(dir: String, regex: String, options: Map[String, Stri
     e.iterator.flatMap { case (path, endPos) =>
       val startPos = s.getOrElse(path, 0L)
       if (endPos > startPos)
-        // both bounds are line starts → exact [start, end) line semantics
-        Some(LogsInputPartition(path, startPos, endPos, exactBounds = true))
+        // both bounds are line starts → exact [start, end) line semantics;
+        // gzip members arrive whole (start always 0)
+        Some(LogsInputPartition(path, startPos, endPos, exactBounds = true,
+          gzip = LogsInputPartition.isGzip(path)))
       else None
     }.toArray[InputPartition]
   }

@@ -60,16 +60,40 @@ class KvStoreSpec extends AnyFunSuite {
     assert(KvStore.readCurrent(spark, p, Seq("ip"), nowS = Some(5000L)).count() === 0)
   }
 
-  test("schema is pinned at first commit; a mismatched later write fails") {
+  test("schema evolves by widening only: adds backfill null, drops and retypes fail") {
     val p = tmp()
     Seq((1L, "x")).toDF("id", "s").write.format("graft-kv").option("path", p)
       .mode("append").save()
-    val e = intercept[Exception] {
+    // dropping a stored column is rejected
+    val eDrop = intercept[Exception] {
       Seq((1L, 2L)).toDF("id", "other").write.format("graft-kv").option("path", p)
         .mode("append").save()
     }
-    assert(e.getMessage.contains("does not match") ||
-      Option(e.getCause).exists(_.getMessage.contains("does not match")))
+    assert((eDrop.getMessage + Option(eDrop.getCause).map(_.getMessage).getOrElse(""))
+      .contains("omits stored columns"))
+    // retyping a stored column is rejected
+    val eType = intercept[Exception] {
+      Seq((1L, 2L)).toDF("id", "s").write.format("graft-kv").option("path", p)
+        .mode("append").save()
+    }
+    assert((eType.getMessage + Option(eType.getCause).map(_.getMessage).getOrElse(""))
+      .contains("changes stored column types"))
+    // ADDING a nullable column widens the store; old rows read as null
+    Seq((2L, "y", 3.5)).toDF("id", "s", "score").write.format("graft-kv")
+      .option("path", p).mode("append").save()
+    val rows = KvStore.read(spark, p).orderBy("id").collect()
+    assert(rows.map(_.schema.fieldNames.toSeq).head === Seq("id", "s", "score", "_epoch"))
+    assert(rows(0).isNullAt(2)) // pre-evolution row backfills null
+    assert(rows(1).getDouble(2) === 3.5)
+    // and the widened store keeps accepting the ORIGINAL narrower frame? No:
+    // once widened, the store schema includes the new column — narrower
+    // writes must select it (the drop rule, applied to the widened schema)
+    val eNarrow = intercept[Exception] {
+      Seq((3L, "z")).toDF("id", "s").write.format("graft-kv").option("path", p)
+        .mode("append").save()
+    }
+    assert((eNarrow.getMessage + Option(eNarrow.getCause).map(_.getMessage).getOrElse(""))
+      .contains("omits stored columns"))
   }
 
   test("unsupported column types are rejected with a clear message") {

@@ -204,6 +204,25 @@ class LogsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.sizeInBytes().getAsLong === expected)
   }
 
+  test("_file and _pos provenance columns carry source path and line offset") {
+    val df = spark.read.format("graft-logs")
+      .schema("time LONG, _file STRING, _pos LONG")
+      .option("regex", """b\.log""").load(dir.toString)
+    val rows = df.orderBy("_pos").collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getString(1).endsWith("b.log")))
+    assert(rows(0).getLong(2) === 0L) // first line starts at byte 0
+    // second line starts right after the first line + its newline
+    val firstLineBytes = java.nio.file.Files.readAllBytes(dir.resolve("b.log"))
+      .takeWhile(_ != '\n').length + 1
+    assert(rows(1).getLong(2) === firstLineBytes.toLong)
+    // provenance composes with pushdown: filter on a wire column still pushes
+    val filtered = spark.read.format("graft-logs")
+      .schema("action STRING, _file STRING").option("regex", """.*\.log""")
+      .load(dir.toString).where(col("action") === "click")
+    assert(filtered.collect().length === 3)
+  }
+
   test("user schema may subset and reorder wire fields, never invent them") {
     val df = spark.read.format("graft-logs")
       .schema("action STRING, time LONG").option("regex", """.*\.log""").load(dir.toString)
@@ -354,6 +373,56 @@ class LogsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         scala.util.Using.resource(Files.walk(d)) { s =>
           s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
         }
+      }
+    }
+  }
+
+  test("gzip members read whole: batch, streaming, pushdown, provenance") {
+    val gdir = Files.createTempDirectory("graft-logs-gz")
+    try {
+      def gz(name: String, lines: String*): Unit = {
+        val out = new java.util.zip.GZIPOutputStream(
+          java.nio.file.Files.newOutputStream(gdir.resolve(name)))
+        out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        out.close()
+      }
+      gz("r1.log.gz", line(1, 1, "ip1", "view"), line(2, 2, "ip2", "click"))
+      Files.write(gdir.resolve("plain.log"),
+        (line(3, 3, "ip3", "view") + "\n").getBytes(StandardCharsets.UTF_8))
+      // batch: mixed plain + gz directory decodes both
+      val df = spark.read.format("graft-logs").load(gdir.toString)
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // gz is one partition regardless of maxSplitBytes; plain still splits
+      val parts = spark.read.format("graft-logs").option("maxSplitBytes", "7")
+        .load(gdir.toString)
+      assert(parts.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // pushdown + count + provenance through the gzip path
+      assert(df.where(col("action") === "click").count() === 1)
+      assert(df.count() === 3)
+      val prov = spark.read.format("graft-logs").schema("time LONG, _pos LONG")
+        .option("regex", """.*\.gz""").load(gdir.toString).orderBy("_pos").collect()
+      assert(prov.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      assert(prov(0).getLong(1) === 0L) // uncompressed line offsets
+
+      // streaming: each member admitted whole, exactly once; a new .gz
+      // arriving later is drained by the next trigger
+      val ckpt = Files.createTempDirectory("graft-logs-gz-ckpt")
+      val q = spark.readStream.format("graft-logs").load(gdir.toString)
+        .writeStream.format("memory").queryName("logs_gz")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("logs_gz").count() === 3)
+        gz("r2.log.gz", line(4, 4, "ip4", "view"))
+        q.processAllAvailable()
+        assert(spark.table("logs_gz").collect().map(_.getLong(0)).sorted.toSeq
+          === Seq(1L, 2L, 3L, 4L))
+      } finally q.stop()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS logs_gz")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(gdir)) { s =>
+        s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
       }
     }
   }
