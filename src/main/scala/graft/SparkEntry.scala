@@ -1323,6 +1323,21 @@ object SparkEntry {
       operators.Multimodal.withFrameStats(
         operators.Multimodal.syntheticGifTable(table(s, dir, "documents"), "doc_id"))),
 
+    // multimodal_jpeg: arithmetic flat-block rasters encoded as REAL baseline
+    // JPEG (Huffman DC/AC, byte stuffing, restart markers, 4:2:0 subsampling
+    // + fixed-point YCbCr->RGB on odd ids), entropy-decoded back, exact
+    // pixel stats vs a closed-form DuckDB replay of the block arithmetic.
+    "multimodal_jpeg" -> ((s, dir) =>
+      operators.Multimodal.withJpegStats(
+        operators.Multimodal.syntheticJpegTable(table(s, dir, "documents"), "doc_id"))),
+
+    // multimodal_video_frames: REAL video — MJPEG AVI containers decoded
+    // frame by frame (RIFF walk + per-frame JPEG entropy decode), container
+    // metadata + all-frame luma sum vs the closed-form replay.
+    "multimodal_video_frames" -> ((s, dir) =>
+      operators.Multimodal.withVideoStats(
+        operators.Multimodal.syntheticAviTable(table(s, dir, "documents"), "doc_id"))),
+
     // Oracle-backed slice of the multimodal table (checksum + byte length).
     "multimodal_checksum" -> ((s, dir) =>
       operators.Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
@@ -3683,6 +3698,63 @@ object SparkEntry {
           |     generate_series(0, 9) AS gy(y)
           |WHERE gf.f < 2 + d.doc_id % 3 AND gx.x < 9 + d.doc_id % 7
           |  AND gy.y < 6 + d.doc_id % 5
+          |GROUP BY 1""".stripMargin,
+
+      // closed-form replay of the flat-block JPEG arithmetic: per block
+      // (bx,by) the decoded value is v = (17·id + 11·bx + 23·by) mod 256
+      // exactly (unit quant, DC-only blocks); odd ids add the fixed-point
+      // YCbCr->RGB offsets (floor((k·(c-128) + 32768)/65536), the decoder's
+      // arithmetic >> 16) with flat per-image chroma
+      "multimodal_jpeg" ->
+        """WITH px AS (
+          |  SELECT d.doc_id AS media_id,
+          |         CAST(8*(2 + d.doc_id % 3) AS INT) AS width,
+          |         CAST(8*(1 + d.doc_id % 2) AS INT) AS height,
+          |         d.doc_id % 2 AS is_color,
+          |         CAST(floor((91881*((9*d.doc_id) % 256 - 128) + 32768)/65536.0) AS BIGINT) AS off_r,
+          |         -CAST(floor((22554*((5*d.doc_id) % 256 - 128)
+          |                      + 46802*((9*d.doc_id) % 256 - 128) + 32768)/65536.0) AS BIGINT) AS off_g,
+          |         CAST(floor((116130*((5*d.doc_id) % 256 - 128) + 32768)/65536.0) AS BIGINT) AS off_b,
+          |         (17*d.doc_id + 11*bx.x + 23*by.y) % 256 AS v
+          |  FROM documents d,
+          |       generate_series(0, 3) AS bx(x),
+          |       generate_series(0, 1) AS by(y)
+          |  WHERE bx.x < 2 + d.doc_id % 3 AND by.y < 1 + d.doc_id % 2
+          |)
+          |SELECT media_id, width, height,
+          |       CAST(CASE WHEN is_color = 1 THEN 3 ELSE 1 END AS INT) AS n_channels,
+          |       CAST(SUM(CASE WHEN is_color = 1
+          |         THEN 64*(LEAST(255, GREATEST(0, v + off_r))
+          |                + LEAST(255, GREATEST(0, v + off_g))
+          |                + LEAST(255, GREATEST(0, v + off_b)))
+          |         ELSE 64*v END) AS BIGINT) AS pixel_sum,
+          |       CAST(MIN(CASE WHEN is_color = 1
+          |         THEN LEAST(LEAST(255, GREATEST(0, v + off_r)),
+          |                    LEAST(255, GREATEST(0, v + off_g)),
+          |                    LEAST(255, GREATEST(0, v + off_b)))
+          |         ELSE v END) AS INT) AS pixel_min,
+          |       CAST(MAX(CASE WHEN is_color = 1
+          |         THEN GREATEST(LEAST(255, GREATEST(0, v + off_r)),
+          |                       LEAST(255, GREATEST(0, v + off_g)),
+          |                       LEAST(255, GREATEST(0, v + off_b)))
+          |         ELSE v END) AS INT) AS pixel_max
+          |FROM px
+          |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+      // MJPEG AVI replay: 16x16 grayscale, nFrames = 2 + id%3 at 10 fps,
+      // frame f block value (7·id + 29·f + 11·bx + 23·by) mod 256
+      "multimodal_video_frames" ->
+        """SELECT d.doc_id AS media_id,
+          |       CAST(16 AS INT) AS width,
+          |       CAST(16 AS INT) AS height,
+          |       CAST(2 + d.doc_id % 3 AS INT) AS n_frames,
+          |       CAST(100000 AS INT) AS usec_per_frame,
+          |       CAST(SUM(64*((7*d.doc_id + 29*gf.f + 11*gx.x + 23*gy.y) % 256)) AS BIGINT) AS luma_sum
+          |FROM documents d,
+          |     generate_series(0, 3) AS gf(f),
+          |     generate_series(0, 1) AS gx(x),
+          |     generate_series(0, 1) AS gy(y)
+          |WHERE gf.f < 2 + d.doc_id % 3
           |GROUP BY 1""".stripMargin,
 
       "a3_typed_agg" ->

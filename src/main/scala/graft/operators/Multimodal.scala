@@ -19,12 +19,17 @@ import org.apache.spark.sql.types._
  *    oracle-backed by `multimodal_pixels`), and real nearest-neighbor
  *    resize re-encoded as PNG;
  *  - full SAMPLE decode for WAV PCM ([[MediaCodec.decodeWav]]) feeding real
- *    RMS / zero-crossing / amplitude-histogram features.
- * Only JPEG entropy decode and video frames — genuinely codec-bound — keep
- * the clearly marked deterministic STUB (`stubFeatures`/`stubResize`/
- * `stubFrames` derive pseudo-outputs from the bytes alone). Swapping in a
- * real codec there means replacing those bodies; every schema and boundary
- * stays the same.
+ *    RMS / zero-crossing / amplitude-histogram features;
+ *  - full baseline-JPEG entropy decode ([[JpegCodec.decodeJpeg]] — Huffman
+ *    + IDCT are byte/float math) and real VIDEO frame decode for MJPEG AVIs
+ *    ([[Mjpeg.decodeAvi]]), both oracle-backed (`multimodal_jpeg`,
+ *    `multimodal_video_frames`).
+ * Only payloads outside every decodable container (e.g. the text-as-bytes
+ * stand-ins, or codecs that genuinely need native libraries: H.264/VP9
+ * video, Vorbis/AAC audio) fall back to the clearly marked deterministic
+ * STUB (`stubFeatures`/`stubResize`/`stubFrames` derive pseudo-outputs from
+ * the bytes alone). Swapping in a real codec there means replacing those
+ * bodies; every schema and boundary stays the same.
  *
  * Scale notes: feature extraction runs in `mapPartitions` (the Scala
  * equivalent of a Pandas-UDF batch loop — per-partition setup cost amortized
@@ -65,7 +70,8 @@ object Multimodal {
    * DECODE (the model's input) stays env-blocked — header metadata is the
    * one part of decode that needs no codec. */
   private[operators] def decodeMeta(bytes: Array[Byte]): (String, Int, Int) =
-    parsePng(bytes).orElse(parseJpeg(bytes)).getOrElse(stubDecode(bytes))
+    parsePng(bytes).orElse(parseJpeg(bytes)).orElse(Mjpeg.parseAviMeta(bytes))
+      .getOrElse(stubDecode(bytes))
 
   private def be32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
@@ -277,6 +283,32 @@ object Multimodal {
             val out = MediaCodec.encodePng(w, h, img.channels,
               MediaCodec.resizeNearest(img, w, h).pixels)
             (out, stubFrames(bytes, nFrames)) // stills have no frames to sample
+          case None => JpegCodec.decodeJpeg(bytes) match {
+          case Some(jp) =>
+            // REAL JPEG path: entropy decode -> resample -> re-encode as PNG
+            // (the canonical-format conversion of an image pipeline)
+            val asPng = MediaCodec.PngImage(jp.width, jp.height, jp.channels,
+              if (jp.channels == 1) 0 else 2, jp.pixels)
+            val out = MediaCodec.encodePng(w, h, jp.channels,
+              MediaCodec.resizeNearest(asPng, w, h).pixels)
+            (out, stubFrames(bytes, nFrames))
+          case None => Mjpeg.decodeAvi(bytes) match {
+          case Some(vid) =>
+            // REAL video frame sampling: nFrames evenly spaced DECODED
+            // frames, fingerprinted over raster pixels; thumbnail = first
+            // frame resampled and re-encoded as PNG
+            val picked =
+              if (vid.frames.length <= nFrames) vid.frames
+              else (0 until nFrames).map(i => vid.frames(i * vid.frames.length / nFrames))
+            val fps = picked.map { f =>
+              java.security.MessageDigest.getInstance("MD5").digest(f.pixels)
+                .map("%02x".format(_)).mkString
+            }
+            val f0 = vid.frames.head
+            val thumb = MediaCodec.encodePng(w, h, f0.channels, MediaCodec.resizeNearest(
+              MediaCodec.PngImage(f0.width, f0.height, f0.channels,
+                if (f0.channels == 1) 0 else 2, f0.pixels), w, h).pixels)
+            (thumb, fps)
           case None => MediaCodec.decodeGif(bytes) match {
             case Some(gif) if gif.frames.nonEmpty =>
               // REAL frame sampling: nFrames evenly spaced decoded frames,
@@ -308,6 +340,8 @@ object Multimodal {
             }
           }
         }
+          }
+          }
         Row(id, resized, resized.length.toLong, frames)
       }
     }(enc)
@@ -350,10 +384,28 @@ object Multimodal {
                 val asRgb = MediaCodec.PngImage(f0.width, f0.height, 3, 2, f0.pixels)
                 Row(id, Row("gif", gif.width, gif.height, bytes.length.toLong,
                   null, null, null), pngFeatures(asRgb).toSeq)
-              case _ =>
-                val (fmt, w, h) = decodeMeta(bytes)
-                Row(id, Row(fmt, w, h, bytes.length.toLong, null, null, null),
-                  stubFeatures(bytes).toSeq)
+              case _ => JpegCodec.decodeJpeg(bytes) match {
+              case Some(jp) =>
+                // REAL JPEG features: entropy-decoded raster statistics
+                val asImg = MediaCodec.PngImage(jp.width, jp.height, jp.channels,
+                  if (jp.channels == 1) 0 else 2, jp.pixels)
+                Row(id, Row("jpeg", jp.width, jp.height, bytes.length.toLong,
+                  null, null, null), pngFeatures(asImg).toSeq)
+              case None => Mjpeg.decodeAvi(bytes) match {
+                case Some(vid) =>
+                  // REAL video: image statistics over the first decoded frame;
+                  // n_samples carries the frame count (the clip's sample axis)
+                  val f0 = vid.frames.head
+                  val asImg = MediaCodec.PngImage(f0.width, f0.height, f0.channels,
+                    if (f0.channels == 1) 0 else 2, f0.pixels)
+                  Row(id, Row("avi", vid.width, vid.height, bytes.length.toLong,
+                    null, null, vid.frames.length.toLong), pngFeatures(asImg).toSeq)
+                case None =>
+                  val (fmt, w, h) = decodeMeta(bytes)
+                  Row(id, Row(fmt, w, h, bytes.length.toLong, null, null, null),
+                    stubFeatures(bytes).toSeq)
+              }
+              }
             }
           }
         }
@@ -533,6 +585,150 @@ object Multimodal {
             }
             Row(id, w.sampleRate, w.samples.length.toLong, s, mn, mx, zc)
           case _ => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /**
+   * Deterministic synthetic JPEG payloads — the baseline-JPEG twin of
+   * [[syntheticPngTable]]: `w = 8·(2 + id%3)`, `h = 8·(1 + id%2)`, each 8×8
+   * block FLAT with `v(bx,by) = (17·id + 11·bx + 23·by) mod 256`, encoded
+   * with the unit quant table so decode is bit-exact (DC-only blocks).
+   * Even ids are grayscale; odd ids are 4:2:0 YCbCr with flat per-image
+   * chroma `cb = 5·id mod 256`, `cr = 9·id mod 256`, exercising subsampling
+   * and the fixed-point color conversion. Every third id adds DRI=2 restart
+   * markers. All arithmetic a SQL oracle replays in closed form.
+   */
+  def syntheticJpegTable(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (8 * (2 + id % 3)).toInt
+        val h = (8 * (1 + id % 2)).toInt
+        val yPlane = Array.tabulate(w * h) { p =>
+          val bx = (p % w) / 8
+          val by = (p / w) / 8
+          ((17 * id + 11 * bx + 23 * by) % 256).toByte
+        }
+        val ri = if (id % 3 == 0) 2 else 0
+        val bytes =
+          if (id % 2 == 0) JpegCodec.encodeGray(w, h, yPlane, restartInterval = ri)
+          else {
+            val cw = (w + 1) / 2; val ch = (h + 1) / 2
+            val cb = ((5 * id) % 256).toByte
+            val cr = ((9 * id) % 256).toByte
+            JpegCodec.encodeYcc(w, h, yPlane,
+              Array.fill(cw * ch)(cb), Array.fill(cw * ch)(cr),
+              restartInterval = ri)
+          }
+        Row(id, bytes)
+      }
+    }(enc)
+  }
+
+  /**
+   * Deterministic synthetic MJPEG AVIs — real VIDEO payloads: 16×16
+   * grayscale, `nFrames = 2 + id%3` at 10 fps, frame f block value
+   * `(7·id + 29·f + 11·bx + 23·by) mod 256` (flat blocks, unit quant —
+   * bit-exact decode; see [[syntheticJpegTable]]).
+   */
+  def syntheticAviTable(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 16; val h = 16
+        val n = (2 + id % 3).toInt
+        val frames = (0 until n).map { f =>
+          JpegCodec.encodeGray(w, h, Array.tabulate(w * h) { p =>
+            val bx = (p % w) / 8
+            val by = (p / w) / 8
+            ((7 * id + 29 * f + 11 * bx + 23 * by) % 256).toByte
+          })
+        }
+        Row(id, Mjpeg.encodeAvi(w, h, fps = 10, frames))
+      }
+    }(enc)
+  }
+
+  /**
+   * EXACT pixel statistics from real baseline-JPEG decode — the
+   * `multimodal_jpeg` oracle: integer sum/min/max over the decoded raster
+   * (gray or RGB), hash-compared against a closed-form SQL replay of the
+   * block arithmetic + fixed-point color conversion. Any defect in Huffman
+   * decode, restart handling, dequantization, IDCT, subsampling or the
+   * YCbCr→RGB integer math changes `pixel_sum` and fails the gate.
+   * Non-JPEG rows yield nulls.
+   */
+  def withJpegStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_channels", IntegerType),
+      StructField("pixel_sum", LongType),
+      StructField("pixel_min", IntegerType),
+      StructField("pixel_max", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        JpegCodec.decodeJpeg(r.getAs[Array[Byte]](1)) match {
+          case Some(img) =>
+            var s = 0L
+            var mn = 255
+            var mx = 0
+            var i = 0
+            while (i < img.pixels.length) {
+              val v = img.pixels(i) & 0xff
+              s += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            Row(id, img.width, img.height, img.channels, s, mn, mx)
+          case None => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /**
+   * EXACT frame statistics from real MJPEG video decode — the
+   * `multimodal_video_frames` oracle: container metadata (dims, frame
+   * count, per-frame duration) plus `luma_sum` over EVERY decoded frame's
+   * pixels, so one wrong Huffman code in any frame or a mis-walked RIFF
+   * chunk fails the hash. Non-AVI rows yield nulls.
+   */
+  def withVideoStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("usec_per_frame", IntegerType),
+      StructField("luma_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Mjpeg.decodeAvi(r.getAs[Array[Byte]](1)) match {
+          case Some(vid) =>
+            var s = 0L
+            vid.frames.foreach { f =>
+              var i = 0
+              while (i < f.pixels.length) { s += f.pixels(i) & 0xff; i += 1 }
+            }
+            Row(id, vid.width, vid.height, vid.frames.length, vid.usecPerFrame, s)
+          case None => Row(id, null, null, null, null, null)
         }
       }
     }(enc)

@@ -447,4 +447,78 @@ class MultimodalSpec extends AnyFunSuite {
     val f = out(0).getSeq[Float](2)
     assert(math.abs(f.sum - 1.0f) < 1e-5) // byte-histogram stub signature
   }
+
+  // ---------------- real JPEG + MJPEG video dispatch ----------------
+
+  private def mediaDf(bytes: Array[Byte]) = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    spark.createDataFrame(java.util.Arrays.asList(Row(1L, bytes)), schema)
+  }
+
+  test("withFeatures computes real raster statistics for JPEG payloads") {
+    val px = Array.fill(16 * 8)(102.toByte) // flat: exact decode
+    val df = mediaDf(graft.operators.JpegCodec.encodeGray(16, 8, px))
+    val row = Multimodal.withFeatures(df).collect()(0)
+    val meta = row.getStruct(1)
+    assert(meta.getString(0) === "jpeg" && meta.getInt(1) === 16 && meta.getInt(2) === 8)
+    val f = row.getSeq[Float](2)
+    assert(math.abs(f(0) - 102 / 255.0f) < 1e-6) // exact channel mean
+    assert(f(3) === 0.0f) // flat raster: zero stddev
+  }
+
+  test("withResizedFrames re-encodes real JPEGs as PNG at the target dims") {
+    val px = Array.tabulate(16 * 16)(i => ((i % 16) * 16).toByte)
+    val df = mediaDf(graft.operators.JpegCodec.encodeGray(16, 16, px))
+    val rf = Multimodal.withResizedFrames(df, w = 4, h = 4).collect()(0)
+    val thumb = MediaCodec.decodePng(rf.getAs[Array[Byte]](1))
+    assert(thumb.isDefined && thumb.get.width === 4 && thumb.get.height === 4)
+    assert(thumb.get.channels === 1) // grayscale stays single-channel
+  }
+
+  test("withFeatures and frame sampling treat MJPEG AVI video as first-class") {
+    val frames = (0 until 5).map { f =>
+      graft.operators.JpegCodec.encodeGray(16, 16,
+        Array.fill(16 * 16)(((40 + 29 * f) % 256).toByte))
+    }
+    val df = mediaDf(graft.operators.Mjpeg.encodeAvi(16, 16, 10, frames))
+    val row = Multimodal.withFeatures(df).collect()(0)
+    val meta = row.getStruct(1)
+    assert(meta.getString(0) === "avi" && meta.getInt(1) === 16 && meta.getInt(2) === 16)
+    assert(meta.getLong(6) === 5L) // n_samples carries the frame count
+    val rf = Multimodal.withResizedFrames(df, w = 4, h = 4, nFrames = 3).collect()(0)
+    val fps = rf.getSeq[String](3)
+    assert(fps.length === 3 && fps.distinct.length === 3) // 3 distinct DECODED frames
+    val thumb = MediaCodec.decodePng(rf.getAs[Array[Byte]](1))
+    assert(thumb.isDefined && thumb.get.width === 4 && thumb.get.height === 4)
+  }
+
+  test("withJpegStats / withVideoStats produce exact integer statistics") {
+    val px = Array.tabulate(16 * 8) { p => // flat per 8x8 block
+      val v = 17 + 11 * ((p % 16) / 8)
+      v.toByte
+    }
+    val jdf = mediaDf(graft.operators.JpegCodec.encodeGray(16, 8, px))
+    val j = Multimodal.withJpegStats(jdf).collect()(0)
+    assert(j.getInt(1) === 16 && j.getInt(2) === 8 && j.getInt(3) === 1)
+    assert(j.getLong(4) === 64L * 17 + 64L * 28)
+    assert(j.getInt(5) === 17 && j.getInt(6) === 28)
+
+    val frames = (0 until 2).map(f => graft.operators.JpegCodec.encodeGray(8, 8,
+      Array.fill(64)((50 + f).toByte)))
+    val vdf = mediaDf(graft.operators.Mjpeg.encodeAvi(8, 8, 10, frames))
+    val v = Multimodal.withVideoStats(vdf).collect()(0)
+    assert(v.getInt(3) === 2 && v.getInt(4) === 100000)
+    assert(v.getLong(5) === 64L * 50 + 64L * 51)
+  }
+
+  test("decodeMeta reports AVI container dimensions") {
+    val avi = graft.operators.Mjpeg.encodeAvi(24, 16, 10,
+      Seq(graft.operators.JpegCodec.encodeGray(24, 16, Array.fill(24 * 16)(9.toByte))))
+    val df = mediaDf(avi)
+    val meta = Multimodal.withFeatures(df).collect()(0).getStruct(1)
+    assert(meta.getString(0) === "avi" && meta.getInt(1) === 24 && meta.getInt(2) === 16)
+  }
 }

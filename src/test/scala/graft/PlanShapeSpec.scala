@@ -277,7 +277,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("media decode gates are pure map pipelines: zero exchanges") {
     // encode → decode → stats is row-local by construction; a shuffle here
     // would mean the codec queries stopped scaling linearly with the corpus
-    for (q <- Seq("multimodal_pixels", "multimodal_audio", "multimodal_gif_frames")) {
+    for (q <- Seq("multimodal_pixels", "multimodal_audio", "multimodal_gif_frames",
+        "multimodal_jpeg", "multimodal_video_frames")) {
       val p = planOf(q)
       assert(countOccurrences(p, "Exchange") === 0, s"$q should not shuffle:\n${p.take(600)}")
       assert(!p.contains("BroadcastExchange"), s"$q should not broadcast")
