@@ -1338,6 +1338,19 @@ object SparkEntry {
       operators.Multimodal.withVideoStats(
         operators.Multimodal.syntheticAviTable(table(s, dir, "documents"), "doc_id"))),
 
+    // image_neardup: cross-format IMAGE dedup end to end — the same raster
+    // stored as PNG (id 2g) and as a REAL lossy quality-80 JPEG (id 2g+1),
+    // found by 64-bit perceptual hash (gray→32×32→DCT→median bits) through
+    // the generic hamming pigeonhole join. The oracle is the construction:
+    // exactly the (2g, 2g+1) pairs — recall AND precision as one hash gate
+    // (measured margins: intra ≤ 2 bits, cross ≥ 10, threshold 3).
+    "image_neardup" -> ((s, dir) =>
+      operators.Dedup.hammingPairs(
+        operators.Multimodal.imagePhash(
+          operators.Multimodal.syntheticFormatDupTable(table(s, dir, "documents"), "doc_id")),
+        "media_id", "phash", maxDist = 3, maxBlockFreq = Some(64))
+        .select(col("id_a"), col("id_b"))),
+
     // Oracle-backed slice of the multimodal table (checksum + byte length).
     "multimodal_checksum" -> ((s, dir) =>
       operators.Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
@@ -3740,6 +3753,14 @@ object SparkEntry {
           |         ELSE v END) AS INT) AS pixel_max
           |FROM px
           |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+      // the construction IS the oracle: ids (2g, 2g+1) hold the same image
+      // in two formats, and the pHash pipeline must return exactly those
+      // pairs — nothing missed (recall), nothing extra (precision)
+      "image_neardup" ->
+        """SELECT CAST(2*g.g AS BIGINT) AS id_a, CAST(2*g.g + 1 AS BIGINT) AS id_b
+          |FROM generate_series(0, 9999) AS g(g)
+          |WHERE g.g < (SELECT count(*) // 2 FROM documents)""".stripMargin,
 
       // MJPEG AVI replay: 16x16 grayscale, nFrames = 2 + id%3 at 10 fps,
       // frame f block value (7·id + 29·f + 11·bx + 23·by) mod 256

@@ -523,17 +523,30 @@ object Dedup {
    * in the same blocks, a cnt² blow-up with zero similarity signal.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int,
-      maxBlockFreq: Option[Int] = None): DataFrame = {
+      maxBlockFreq: Option[Int] = None): DataFrame =
+    hammingPairs(withSimhash(df, idCol, textCol), "doc_id", "simhash",
+      maxDist, maxBlockFreq)
+
+  /**
+   * Generic hamming-ball self-join over ANY 64-bit sketch column (simhash,
+   * image pHash, audio fingerprint): the pigeonhole block-bucket shape of
+   * [[simhashPairs]], factored so every modality shares one scale story —
+   * split 64 bits into (maxDist+1) blocks, bucket-join on (block index,
+   * block value), popcount-verify only colliding pairs. Shuffle is corpus-
+   * sized (blocks × rows), never all-pairs; `maxBlockFreq` caps degenerate
+   * buckets (all-zero sketches of empty payloads).
+   */
+  def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, maxBlockFreq: Option[Int] = None): DataFrame = {
     val blocks = maxDist + 1
     val width = 64 / blocks
-    val hashed = withSimhash(df, idCol, textCol)
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val keyed0 = hashed.select(col("doc_id"), col("simhash"),
+    val keyed0 = hashed.select(col(idCol).as("doc_id"), col(hashCol).as("hash64"),
         posexplode(array((0 until blocks).map(b =>
-          shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)))
+          shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "blockval")
     val keyed = maxBlockFreq.fold(keyed0)(capHotKeys(keyed0, Seq("block", "blockval"), _))
-    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    val hamming = bit_count(col("a.hash64").bitwiseXOR(col("b.hash64")))
     keyed.as("a").join(keyed.as("b"), Seq("block", "blockval"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

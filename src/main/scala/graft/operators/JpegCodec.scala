@@ -71,6 +71,15 @@ object JpegCodec {
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99)
 
+  /** libjpeg-convention quality scaling of a base quant table: Q=50 is the
+   * table itself, higher quality divides the steps (less loss), lower
+   * multiplies them. Entries stay in the 8-bit DQT range [1, 255]. */
+  def scaledQuant(base: Array[Int], quality: Int): Array[Int] = {
+    require(quality >= 1 && quality <= 100, s"quality=$quality")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    base.map(v => math.min(255, math.max(1, (v * scale + 50) / 100)))
+  }
+
   val stdChrominanceQuant: Array[Int] = Array(
     17, 18, 24, 47, 99, 99, 99, 99,
     18, 21, 26, 66, 99, 99, 99, 99,

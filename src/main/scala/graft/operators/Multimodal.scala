@@ -734,6 +734,221 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------ perceptual image hash
+
+  private val phashN = 32
+  private lazy val cos32: Array[Array[Double]] =
+    Array.tabulate(phashN, phashN)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * phashN)))
+
+  /** 64-bit perceptual hash (pHash): gray → nearest-resample to 32×32 →
+   * orthonormal 2-D DCT-II → the low-frequency 8×8 corner → bit k = 1 iff
+   * coefficient k exceeds the MEDIAN of the 63 non-DC coefficients.
+   * Deterministic double math; near-duplicate images (recompressions,
+   * format conversions, small edits) land within a few bits. */
+  private[graft] def phash64(gray: Array[Byte]): Long = {
+    require(gray.length == phashN * phashN)
+    val tmp = new Array[Double](phashN * phashN)
+    var u = 0
+    while (u < 8) { // only 8 output rows are ever read: skip the other 24
+      var y = 0
+      while (y < phashN) {
+        var s = 0.0
+        var x = 0
+        while (x < phashN) { s += (gray(y * phashN + x) & 0xff) * cos32(u)(x); x += 1 }
+        tmp(y * 8 + u) = s
+        y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var uu = 0
+      while (uu < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < phashN) { s += tmp(y * 8 + uu) * cos32(v)(y); y += 1 }
+        val cu = if (uu == 0) math.sqrt(0.5) else 1.0
+        val cv = if (v == 0) math.sqrt(0.5) else 1.0
+        coef(v * 8 + uu) = 2.0 / phashN * cu * cv * s
+        uu += 1
+      }
+      v += 1
+    }
+    val sorted = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(sorted)
+    val median = sorted(31) // exact middle of the 63 non-DC coefficients
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (coef(k) > median) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** Any decodable raster → 32×32 luma plane (BT.601 integer luma, then
+   * exact nearest-neighbor resample — the same index math as
+   * [[MediaCodec.resizeNearest]]). */
+  private[graft] def toGray32(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte]): Array[Byte] = {
+    val g = new Array[Byte](phashN * phashN)
+    var y = 0
+    while (y < phashN) {
+      val sy = (y.toLong * height / phashN).toInt
+      var x = 0
+      while (x < phashN) {
+        val sx = (x.toLong * width / phashN).toInt
+        val o = (sy * width + sx) * channels
+        val v =
+          if (channels >= 3)
+            (299 * (pixels(o) & 0xff) + 587 * (pixels(o + 1) & 0xff) +
+              114 * (pixels(o + 2) & 0xff)) / 1000
+          else pixels(o) & 0xff
+        g(y * phashN + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    g
+  }
+
+  private def decodeAnyRaster(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    MediaCodec.decodePng(bytes).map(i => (i.width, i.height, i.channels, i.pixels))
+      .orElse(JpegCodec.decodeJpeg(bytes).map(i => (i.width, i.height, i.channels, i.pixels)))
+      .orElse(MediaCodec.decodeGif(bytes).collect {
+        case g if g.frames.nonEmpty =>
+          val f = g.frames.head
+          (f.width, f.height, 3, f.pixels)
+      })
+      .orElse(Mjpeg.decodeAvi(bytes).map { v =>
+        val f = v.frames.head
+        (f.width, f.height, f.channels, f.pixels)
+      })
+
+  /**
+   * Perceptual hash per media row — the IMAGE near-dedup sketch, the visual
+   * twin of text SimHash. Every decodable container participates (PNG,
+   * JPEG, GIF first frame, MJPEG first frame), so a duplicate survives
+   * FORMAT CONVERSION: the same picture stored as PNG and as a lossy JPEG
+   * hashes within a few bits. Undecodable rows yield null. Row-local
+   * (mapPartitions, no shuffle); pair finding is then
+   * [[Dedup.hammingPairs]] — the shared pigeonhole block join.
+   */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      rows.map { r =>
+        decodeAnyRaster(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, ch, px)) => Row(r.getLong(0), phash64(toGray32(w, h, ch, px)))
+          case None => Row(r.getLong(0), null)
+        }
+      }
+    }(enc)
+  }
+
+  /** The `image_neardup` source raster for group g: a LOW-FREQUENCY
+   * bipolar composition — every DCT cell (u,v) in the 8×8 low corner
+   * (except DC) contributes ±amp·cos·cos with a per-group pseudo-random
+   * SIGN. Like real photographs (and unlike white noise, pHash's
+   * pathological case), the energy is low-frequency dominated, so every
+   * pHash coefficient sits far from the median: stable under JPEG loss,
+   * and a fresh 63-bit sign pattern per group for cross-pair spread. */
+  private[graft] def dupPattern(g: Long, amp: Double = 6.0): Array[Byte] = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    // RANK-SPACED coefficient targets: shuffle ±{1..32}\{0-free} ranks over
+    // the 63 non-DC cells (Fisher-Yates on a splitmix stream), scale by
+    // amp, and PRE-DIVIDE by the DCT's 16·Cu·Cv gain so the decoded pHash
+    // coefficient of cell k is rank_k·amp exactly. Every coefficient then
+    // sits ≥ amp away from its neighbors — and from the MEDIAN — by
+    // construction, which is what makes the bits stable under codec loss
+    // (a uniform ±A design clusters values AT the median and lets rounding
+    // noise decide the intra-cluster order).
+    var seed = splitmix(g)
+    def nextLong(): Long = { seed = splitmix(seed); seed }
+    val ranks = ((-31 to -1) ++ (1 to 32)).toArray // 63 distinct non-zero ranks
+    var i = ranks.length - 1
+    while (i > 0) {
+      val j = ((nextLong() >>> 1) % (i + 1)).toInt
+      val t = ranks(i); ranks(i) = ranks(j); ranks(j) = t
+      i -= 1
+    }
+    val n = phashN
+    def c0(u: Int): Double = if (u == 0) math.sqrt(0.5) else 1.0
+    val coefTarget = new Array[Double](64)
+    // cell k (1..63) maps to (u,v) = (k%8, k/8) over the 8×8 corner
+    var k = 1
+    while (k < 64) {
+      val u = k % 8
+      val v = k / 8
+      coefTarget(k) = ranks(k - 1) * amp / (16.0 * c0(u) * c0(v))
+      k += 1
+    }
+    // 32×32 target synthesized on the pHash DCT basis itself, then 2×2
+    // block-replicated to 64×64: nearest-resample back to 32×32 recovers
+    // the target EXACTLY
+    val cu = Array.tabulate(8, n)((u, x) => math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+    val out = new Array[Byte](4 * n * n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        var s = 128.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            if (u != 0 || v != 0) s += coefTarget(v * 8 + u) * cu(u)(x) * cu(v)(y)
+            u += 1
+          }
+          v += 1
+        }
+        val b = (if (s < 0) 0 else if (s > 255) 255 else s.toInt).toByte
+        val o = (2 * y) * (2 * n) + 2 * x
+        out(o) = b; out(o + 1) = b
+        out(o + 2 * n) = b; out(o + 2 * n + 1) = b
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /**
+   * Deterministic cross-format duplicate corpus for the `image_neardup`
+   * gate: ids pair up as (2g, 2g+1) — the SAME 64×64 low-frequency raster
+   * ([[dupPattern]]) stored once as lossless PNG and once as a REAL lossy
+   * baseline JPEG (std luminance table at quality 80). A format-converted duplicate is
+   * exactly what image dedup must catch; unrelated groups carry independent
+   * sign patterns, so their pHashes sit ~32 bits apart.
+   */
+  def syntheticFormatDupTable(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val px = dupPattern(id / 2)
+        val bytes =
+          if (id % 2 == 0) MediaCodec.encodePng(64, 64, 1, px)
+          else JpegCodec.encodeGray(64, 64, px,
+            quant = JpegCodec.scaledQuant(JpegCodec.stdLuminanceQuant, 80))
+        Row(id, bytes)
+      }
+    }(enc)
+  }
+
   /**
    * EXACT pixel statistics from real PNG decode — integer outputs so the
    * result is hash-comparable against a closed-form SQL replay of the

@@ -521,4 +521,76 @@ class MultimodalSpec extends AnyFunSuite {
     val meta = Multimodal.withFeatures(df).collect()(0).getStruct(1)
     assert(meta.getString(0) === "avi" && meta.getInt(1) === 24 && meta.getInt(2) === 16)
   }
+
+  // ---------------- perceptual hash / cross-format image dedup ----------------
+
+  private def phOf(bytes: Array[Byte]): Long = {
+    import graft.operators.{JpegCodec, MediaCodec => MC}
+    val img = MC.decodePng(bytes).map(i => (i.width, i.height, i.channels, i.pixels))
+      .orElse(JpegCodec.decodeJpeg(bytes).map(i => (i.width, i.height, i.channels, i.pixels))).get
+    Multimodal.phash64(Multimodal.toGray32(img._1, img._2, img._3, img._4))
+  }
+
+  test("pHash: format-converted duplicates land within 3 bits; strangers far away") {
+    import graft.operators.{JpegCodec, MediaCodec => MC}
+    val q80 = JpegCodec.scaledQuant(JpegCodec.stdLuminanceQuant, 80)
+    val hashes = (0 until 50).map { g =>
+      val px = Multimodal.dupPattern(g)
+      (phOf(MC.encodePng(64, 64, 1, px)),
+        phOf(JpegCodec.encodeGray(64, 64, px, quant = q80)))
+    }
+    hashes.zipWithIndex.foreach { case ((png, jpg), g) =>
+      assert(java.lang.Long.bitCount(png ^ jpg) <= 3, s"group $g intra distance")
+    }
+    for (i <- hashes.indices; j <- (i + 1) until hashes.length)
+      assert(java.lang.Long.bitCount(hashes(i)._1 ^ hashes(j)._2) >= 8, s"cross ($i,$j)")
+  }
+
+  test("pHash is invariant to exact resampling scale (replication)") {
+    import graft.operators.{MediaCodec => MC}
+    val px = Multimodal.dupPattern(7)
+    // 2x replicate 64x64 -> 128x128: nearest subsample recovers same 32x32
+    val up = new Array[Byte](128 * 128)
+    for (y <- 0 until 128; x <- 0 until 128)
+      up(y * 128 + x) = px((y / 2) * 64 + (x / 2))
+    assert(phOf(MC.encodePng(64, 64, 1, px)) === phOf(MC.encodePng(128, 128, 1, up)))
+  }
+
+  test("imagePhash covers every container and yields null for text") {
+    import graft.operators.{JpegCodec, MediaCodec => MC, Mjpeg}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val px = Multimodal.dupPattern(3)
+    val gif = MC.encodeGif(8, 8, testPalette, Seq(Array.tabulate(64)(_.toByte)))
+    val avi = Mjpeg.encodeAvi(64, 64, 10, Seq(JpegCodec.encodeGray(64, 64, px)))
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, MC.encodePng(64, 64, 1, px)),
+      Row(2L, JpegCodec.encodeGray(64, 64, px)),
+      Row(3L, gif),
+      Row(4L, avi),
+      Row(5L, "just some text bytes, not an image at all".getBytes("UTF-8")))
+    val out = Multimodal.imagePhash(spark.createDataFrame(rows, schema))
+      .orderBy("media_id").collect()
+    assert(!out(0).isNullAt(1) && !out(1).isNullAt(1) && !out(2).isNullAt(1) && !out(3).isNullAt(1))
+    assert(out(4).isNullAt(1))
+    // PNG and unit-quant JPEG of the same raster: near-identical hashes
+    assert(java.lang.Long.bitCount(out(0).getLong(1) ^ out(1).getLong(1)) <= 3)
+    // the AVI's first frame IS that raster: same story through the container
+    assert(java.lang.Long.bitCount(out(0).getLong(1) ^ out(3).getLong(1)) <= 3)
+  }
+
+  test("hammingPairs: generic sketch join finds <=maxDist pairs only") {
+    import spark.implicits._
+    val hashed = Seq(
+      (1L, 0x0f0f0f0f0f0f0f0fL),
+      (2L, 0x0f0f0f0f0f0f0f0cL), // 2 bits from id 1
+      (3L, 0x0f0f0f0f0f0f0f00L), // 4 bits from id 1, 2 from id 2
+      (4L, 0xf0f0f0f0f0f0f0f0L)  // 64 bits from id 1
+    ).toDF("media_id", "phash")
+    val pairs = graft.operators.Dedup.hammingPairs(hashed, "media_id", "phash", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)))
+  }
 }

@@ -274,6 +274,14 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally rm(store)
   }
 
+  test("image_neardup joins on pigeonhole blocks, never all-pairs") {
+    val p = planOf("image_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // the self-join key is (block, blockval): shuffle ∝ corpus, not corpus²
+    assert(p.contains("block"), p.take(600))
+  }
+
   test("media decode gates are pure map pipelines: zero exchanges") {
     // encode → decode → stats is row-local by construction; a shuffle here
     // would mean the codec queries stopped scaling linearly with the corpus
