@@ -1338,6 +1338,19 @@ object SparkEntry {
       operators.Multimodal.withVideoStats(
         operators.Multimodal.syntheticAviTable(table(s, dir, "documents"), "doc_id"))),
 
+    // audio_neardup: requantization-duplicate AUDIO dedup — the same PCM
+    // clip stored as 16-bit (id 2g) and requantized to 8-bit (id 2g+1),
+    // found by the 64-bit spectral fingerprint (8 frames × 8 DCT bands,
+    // order-statistic threshold = amplitude-invariant) through the same
+    // hamming pigeonhole join. Oracle = the construction pairs (measured
+    // margins: intra 0 bits, cross ≥ 12, threshold 3).
+    "audio_neardup" -> ((s, dir) =>
+      operators.Dedup.hammingPairs(
+        operators.Multimodal.audioPhash(
+          operators.Multimodal.syntheticRequantDupTable(table(s, dir, "documents"), "doc_id")),
+        "media_id", "afp", maxDist = 3, maxBlockFreq = Some(64))
+        .select(col("id_a"), col("id_b"))),
+
     // image_neardup: cross-format IMAGE dedup end to end — the same raster
     // stored as PNG (id 2g) and as a REAL lossy quality-80 JPEG (id 2g+1),
     // found by 64-bit perceptual hash (gray→32×32→DCT→median bits) through
@@ -3758,6 +3771,12 @@ object SparkEntry {
       // in two formats, and the pHash pipeline must return exactly those
       // pairs — nothing missed (recall), nothing extra (precision)
       "image_neardup" ->
+        """SELECT CAST(2*g.g AS BIGINT) AS id_a, CAST(2*g.g + 1 AS BIGINT) AS id_b
+          |FROM generate_series(0, 9999) AS g(g)
+          |WHERE g.g < (SELECT count(*) // 2 FROM documents)""".stripMargin,
+
+      // same construction on the audio axis: 16-bit vs 8-bit requantized
+      "audio_neardup" ->
         """SELECT CAST(2*g.g AS BIGINT) AS id_a, CAST(2*g.g + 1 AS BIGINT) AS id_b
           |FROM generate_series(0, 9999) AS g(g)
           |WHERE g.g < (SELECT count(*) // 2 FROM documents)""".stripMargin,

@@ -562,8 +562,13 @@ object MediaCodec {
     Some(WavAudio(sampleRate, channels, bits, samples))
   }
 
-  /** WAV PCM encode (testing + pipeline symmetry): 16-bit integer PCM. */
-  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Int]): Array[Byte] = {
+  /** WAV PCM encode (testing + pipeline symmetry): 16-bit integer PCM, or
+   * 8-bit unsigned when `bits = 8` (samples then given as −128..127 and
+   * stored re-centered, the inverse of [[decodeWav]]'s convention). */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Int],
+      bits: Int = 16): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"bits=$bits")
+    if (bits == 8) return encodeWav8(sampleRate, channels, samples)
     val dataLen = samples.length * 2
     val out = new Array[Byte](44 + dataLen)
     def putAscii(off: Int, s: String): Unit =
@@ -584,6 +589,32 @@ object MediaCodec {
     var i = 0
     while (i < samples.length) {
       putLe16(44 + i * 2, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  private def encodeWav8(sampleRate: Int, channels: Int,
+      samples: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](44 + samples.length)
+    def putAscii(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+    }
+    putAscii(0, "RIFF"); putLe32(4, 36 + samples.length); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16); putLe16(20, 1)
+    putLe16(22, channels); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * channels) // byte rate
+    putLe16(32, channels); putLe16(34, 8) // block align, bits
+    putAscii(36, "data"); putLe32(40, samples.length)
+    var i = 0
+    while (i < samples.length) {
+      out(44 + i) = ((samples(i) + 128) & 0xff).toByte // unsigned per spec
       i += 1
     }
     out

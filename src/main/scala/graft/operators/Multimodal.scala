@@ -858,13 +858,30 @@ object Multimodal {
    * pathological case), the energy is low-frequency dominated, so every
    * pHash coefficient sits far from the median: stable under JPEG loss,
    * and a fresh 63-bit sign pattern per group for cross-pair spread. */
-  private[graft] def dupPattern(g: Long, amp: Double = 6.0): Array[Byte] = {
-    def splitmix(x0: Long): Long = {
-      var x = x0 + 0x9E3779B97F4A7C15L
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x ^ (x >>> 31)
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic Fisher-Yates shuffle of the non-zero ranks lo..hi on a
+   * splitmix stream seeded by g — the sign-and-spacing source for the
+   * synthetic duplicate corpora ([[dupPattern]], [[requantPattern]]). */
+  private def shuffledRanks(g: Long, lo: Int, hi: Int): Array[Int] = {
+    var seed = splitmix(g)
+    def nextLong(): Long = { seed = splitmix(seed); seed }
+    val ranks = ((lo to -1) ++ (1 to hi)).toArray
+    var i = ranks.length - 1
+    while (i > 0) {
+      val j = ((nextLong() >>> 1) % (i + 1)).toInt
+      val t = ranks(i); ranks(i) = ranks(j); ranks(j) = t
+      i -= 1
     }
+    ranks
+  }
+
+  private[graft] def dupPattern(g: Long, amp: Double = 6.0): Array[Byte] = {
     // RANK-SPACED coefficient targets: shuffle ±{1..32}\{0-free} ranks over
     // the 63 non-DC cells (Fisher-Yates on a splitmix stream), scale by
     // amp, and PRE-DIVIDE by the DCT's 16·Cu·Cv gain so the decoded pHash
@@ -873,15 +890,7 @@ object Multimodal {
     // construction, which is what makes the bits stable under codec loss
     // (a uniform ±A design clusters values AT the median and lets rounding
     // noise decide the intra-cluster order).
-    var seed = splitmix(g)
-    def nextLong(): Long = { seed = splitmix(seed); seed }
-    val ranks = ((-31 to -1) ++ (1 to 32)).toArray // 63 distinct non-zero ranks
-    var i = ranks.length - 1
-    while (i > 0) {
-      val j = ((nextLong() >>> 1) % (i + 1)).toInt
-      val t = ranks(i); ranks(i) = ranks(j); ranks(j) = t
-      i -= 1
-    }
+    val ranks = shuffledRanks(g, -31, 32) // 63 distinct non-zero ranks
     val n = phashN
     def c0(u: Int): Double = if (u == 0) math.sqrt(0.5) else 1.0
     val coefTarget = new Array[Double](64)
@@ -921,6 +930,131 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  // ----------------------------------------------- audio fingerprint
+
+  private val afpFrames = 8
+  private val afpFrameLen = 1024
+  private lazy val afpCos: Array[Array[Double]] =
+    Array.tabulate(afpFrames, afpFrameLen)((b, i) =>
+      math.cos((2 * i + 1) * b * math.Pi / (2.0 * afpFrameLen)))
+
+  /** 64-bit audio fingerprint — the acoustic twin of [[phash64]]: channel-0
+   * PCM nearest-resampled to 8×1024 samples, each frame projected onto its
+   * 8 lowest DCT-II bands, bit (t,b) = 1 iff coefficient exceeds the MEDIAN
+   * of the 64-cell time-frequency grid. The threshold is a pure ORDER
+   * statistic, so the hash is invariant to amplitude scaling — the same
+   * clip requantized (16-bit → 8-bit), volume-normalized, or gain-ridden
+   * lands within a few bits. */
+  private[graft] def audioPhash64(w: MediaCodec.WavAudio): Long = {
+    val nMono = w.samples.length / w.channels
+    if (nMono == 0) return 0L
+    val total = afpFrames * afpFrameLen
+    val coef = new Array[Double](64)
+    var t = 0
+    while (t < afpFrames) {
+      var b = 0
+      while (b < afpFrames) {
+        var s = 0.0
+        var i = 0
+        while (i < afpFrameLen) {
+          val k = t * afpFrameLen + i
+          val src = (k.toLong * nMono / total).toInt
+          s += w.samples(src * w.channels) * afpCos(b)(i)
+          i += 1
+        }
+        coef(t * 8 + b) = s
+        b += 1
+      }
+      t += 1
+    }
+    val sorted = coef.clone()
+    java.util.Arrays.sort(sorted)
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (coef(k) > median) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** Audio fingerprint per media row: decodable WAV PCM → [[audioPhash64]],
+   * anything else null. Row-local; pair finding via [[Dedup.hammingPairs]]
+   * — the same pigeonhole join text SimHash and image pHash ride. */
+  def audioPhash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("afp", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodec.decodeWav(r.getAs[Array[Byte]](1)) match {
+          case Some(w) if w.samples.nonEmpty => Row(r.getLong(0), audioPhash64(w))
+          case _ => Row(r.getLong(0), null)
+        }
+      }
+    }(enc)
+  }
+
+  /** The `audio_neardup` source clip for group g: 8 frames × 8 DCT bands
+   * with RANK-SPACED amplitudes (the [[dupPattern]] recipe on the audio
+   * axis — 64 shuffled non-zero ranks, min cell margin amp·512 in the
+   * fingerprint's coefficient domain, far above requantization noise). */
+  private[graft] def requantPattern(g: Long, amp: Double = 50.0): Array[Int] = {
+    val ranks = shuffledRanks(g, -32, 32) // 64 distinct non-zero ranks
+    val out = new Array[Int](afpFrames * afpFrameLen)
+    var t = 0
+    while (t < afpFrames) {
+      var i = 0
+      while (i < afpFrameLen) {
+        var s = 0.0
+        var b = 0
+        while (b < afpFrames) {
+          s += ranks(t * 8 + b) * amp * afpCos(b)(i)
+          b += 1
+        }
+        val v = Math.round(s).toInt
+        out(t * afpFrameLen + i) =
+          if (v < -32768) -32768 else if (v > 32767) 32767 else v
+        i += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  /**
+   * Deterministic requantization-duplicate corpus for the `audio_neardup`
+   * gate: ids pair as (2g, 2g+1) — the SAME synthesized clip
+   * ([[requantPattern]]) stored once as 16-bit PCM and once REQUANTIZED to
+   * 8-bit (256× coarser steps, the classic low-fi re-encode). The
+   * fingerprint's order-statistic threshold is amplitude-scale-invariant,
+   * so the pair survives; unrelated groups carry independent rank grids.
+   */
+  def syntheticRequantDupTable(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val s16 = requantPattern(id / 2)
+        val bytes =
+          if (id % 2 == 0) MediaCodec.encodeWav(8000, 1, s16)
+          else {
+            val s8 = s16.map { v =>
+              val q = Math.round(v / 256.0).toInt
+              if (q < -128) -128 else if (q > 127) 127 else q
+            }
+            MediaCodec.encodeWav(8000, 1, s8, bits = 8)
+          }
+        Row(id, bytes)
+      }
+    }(enc)
   }
 
   /**

@@ -581,6 +581,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(out(0).getLong(1) ^ out(3).getLong(1)) <= 3)
   }
 
+  test("audio fingerprint: amplitude-invariant, requantization lands at 0 bits") {
+    import graft.operators.{MediaCodec => MC}
+    def fp(bytes: Array[Byte]): Long =
+      Multimodal.audioPhash64(MC.decodeWav(bytes).get)
+    val hashes = (0 until 40).map { g =>
+      val s16 = Multimodal.requantPattern(g)
+      val s8 = s16.map(v => math.max(-128, math.min(127, Math.round(v / 256.0).toInt)))
+      val half = s16.map(_ / 2) // pure gain change
+      (fp(MC.encodeWav(8000, 1, s16)), fp(MC.encodeWav(8000, 1, s8, bits = 8)),
+        fp(MC.encodeWav(8000, 1, half)))
+    }
+    hashes.zipWithIndex.foreach { case ((a, b, c), g) =>
+      assert(java.lang.Long.bitCount(a ^ b) <= 3, s"group $g requantized")
+      assert(java.lang.Long.bitCount(a ^ c) <= 3, s"group $g gain-halved")
+    }
+    for (i <- hashes.indices; j <- (i + 1) until hashes.length)
+      assert(java.lang.Long.bitCount(hashes(i)._1 ^ hashes(j)._2) >= 8, s"cross ($i,$j)")
+  }
+
+  test("audioPhash yields null for non-WAV rows and hashes stereo clips") {
+    import graft.operators.{MediaCodec => MC}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val mono = Multimodal.requantPattern(5)
+    val stereo = mono.flatMap(v => Seq(v, -v)) // channel 0 must drive the hash
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, MC.encodeWav(8000, 1, mono)),
+      Row(2L, MC.encodeWav(8000, 2, stereo)),
+      Row(3L, "definitely not audio".getBytes("UTF-8")))
+    val out = Multimodal.audioPhash(spark.createDataFrame(rows, schema))
+      .orderBy("media_id").collect()
+    assert(!out(0).isNullAt(1) && out(2).isNullAt(1))
+    assert(out(0).getLong(1) === out(1).getLong(1)) // stereo: same channel-0 stream
+  }
+
   test("hammingPairs: generic sketch join finds <=maxDist pairs only") {
     import spark.implicits._
     val hashed = Seq(

@@ -274,12 +274,14 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally rm(store)
   }
 
-  test("image_neardup joins on pigeonhole blocks, never all-pairs") {
-    val p = planOf("image_neardup")
-    assert(!p.contains("CartesianProduct"), p.take(600))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
-    // the self-join key is (block, blockval): shuffle ∝ corpus, not corpus²
-    assert(p.contains("block"), p.take(600))
+  test("sketch near-dup gates join on pigeonhole blocks, never all-pairs") {
+    for (q <- Seq("image_neardup", "audio_neardup")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(600)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(600)}")
+      // the self-join key is (block, blockval): shuffle ∝ corpus, not corpus²
+      assert(p.contains("block"), s"$q:\n${p.take(600)}")
+    }
   }
 
   test("media decode gates are pure map pipelines: zero exchanges") {
