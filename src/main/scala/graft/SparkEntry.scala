@@ -226,6 +226,33 @@ object SparkEntry {
       graft.sinks.v2.KvStore.readCurrent(s, base.toString, Seq("ip", "window_start_s"))
     }),
 
+    // The kv store driven ENTIRELY through SQL DDL (GraftKvCatalog): CTAS
+    // creates store + schema in one statement, INSERT INTO lands a second
+    // two-phase-commit epoch, and the readback selects the `_epoch`
+    // METADATA column — provenance the oracle replays as literal epoch
+    // numbers per slice. Exercises TableCatalog resolution, metadata
+    // columns, and the pruned catalog scan end to end.
+    "k_kv_sql" -> ((s, dir) => {
+      val wh = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_kvcat_q_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(wh)
+      s.conf.set("spark.sql.catalog.graftkv", "graft.sinks.v2.GraftKvCatalog")
+      s.conf.set("spark.sql.catalog.graftkv.warehouse", wh.toString)
+      table(s, dir, "events").createOrReplaceTempView("kv_sql_events")
+      s.sql("""CREATE TABLE graftkv.cat.agg AS
+               SELECT CAST(event_id % 20 AS BIGINT) AS cat,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM kv_sql_events WHERE event_type = 'click' GROUP BY 1""")
+      s.sql("""INSERT INTO graftkv.cat.agg
+               SELECT CAST(event_id % 20 AS BIGINT), CAST(count(*) AS BIGINT)
+               FROM kv_sql_events WHERE event_type = 'view' GROUP BY 1""")
+      s.sql("SELECT cat, n, _epoch FROM graftkv.cat.agg")
+    }),
+
     // S4 via DataSource V2: the reference's Kafka-Connect FS connector
     // (`LogsSourceTask.java:68-108`) re-expressed as a native Spark source
     // (sources.v2.LogsDataSource, format "graft-logs"). The events table is
@@ -2045,6 +2072,17 @@ object SparkEntry {
       "p7_dedup" ->
         """SELECT DISTINCT CAST(user_id AS VARCHAR) AS ip, event_type AS action
           |FROM events""".stripMargin,
+
+      // each SQL write = one committed epoch: CTAS is epoch 0, the INSERT
+      // is epoch 1 — the metadata column is replayed as those literals
+      "k_kv_sql" ->
+        """SELECT CAST(event_id % 20 AS BIGINT) AS cat,
+          |       CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS _epoch
+          |FROM events WHERE event_type = 'click' GROUP BY 1
+          |UNION ALL
+          |SELECT CAST(event_id % 20 AS BIGINT),
+          |       CAST(count(*) AS BIGINT), CAST(1 AS BIGINT)
+          |FROM events WHERE event_type = 'view' GROUP BY 1""".stripMargin,
 
       // replay of the wire derivation (time = floor(epoch), categoryId =
       // event_id%20+1000 as its decimal string — JSON numbers surface as

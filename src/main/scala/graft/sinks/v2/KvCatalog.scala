@@ -1,0 +1,228 @@
+package graft.sinks.v2
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * SQL catalog over `graft-kv` stores — the DDL face of the keyed store.
+ * Registered via `spark.sql.catalog.<name> = graft.sinks.v2.GraftKvCatalog`
+ * (+ `spark.sql.catalog.<name>.warehouse = <dir>`), it maps identifiers to
+ * store directories (`<warehouse>/<namespace…>/<table>`) so the engine's
+ * exactly-once kv machinery drives plain SQL:
+ *
+ *   CREATE TABLE kv.ns.t (k BIGINT, v STRING);
+ *   INSERT INTO kv.ns.t SELECT …;          -- two-phase-commit epoch
+ *   SELECT * FROM kv.ns.t;                 -- pruned scan, stats reported
+ *   SELECT * FROM kv.ns.t VERSION AS OF 1; -- manifest time travel
+ *   ALTER TABLE kv.ns.t ADD COLUMN w DOUBLE; -- widening-only evolution
+ *
+ * Catalog tables expose the committed epoch as a METADATA column (`_epoch`,
+ * `SupportsMetadataColumns`): invisible to `SELECT *` and never demanded by
+ * INSERT, but selectable by name — the proper Spark shape for system
+ * columns, vs. the path-based `spark.read.format("graft-kv")` surface which
+ * (compatibly) keeps appending it to the schema.
+ */
+class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private def conf = KvStore.hadoopConf()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-kv catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(new Path(warehouse))(new Path(_, _))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+
+  private def isStore(p: Path): Boolean = {
+    val fs = p.getFileSystem(conf)
+    fs.exists(KvStore.schemaFile(p.toString))
+  }
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(isStore)
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** `VERSION AS OF <epoch>` — the manifest is the snapshot log, so time
+   * travel is just an upper bound on visible epochs. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val epoch = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-kv: VERSION AS OF takes a committed epoch number, got '$version'")
+    }
+    loadAt(ident, Some(epoch))
+  }
+
+  private def loadAt(ident: Identifier, atEpoch: Option[Long]): Table = {
+    val path = tablePath(ident)
+    val schema = KvStore.readSchema(conf, path.toString)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new KvCatalogTable(ident, schema, path.toString, atEpoch)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "graft-kv tables are unpartitioned (keys live in rows)")
+    KvStore.validateSchema(schema)
+    val path = tablePath(ident)
+    val fs = path.getFileSystem(conf)
+    if (isStore(path)) throw new TableAlreadyExistsException(ident)
+    fs.mkdirs(path)
+    KvStore.writeAtomic(fs, KvStore.schemaFile(path.toString),
+      schema.json.getBytes("UTF-8"))
+    new KvCatalogTable(ident, schema, path.toString, None)
+  }
+
+  /** Widening-only evolution, same contract as the write path: ADD COLUMN
+   * appends nullable fields; drops, renames and retypes are refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    val stored = KvStore.readSchema(conf, path.toString)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val widened = changes.foldLeft(stored) { (s, change) =>
+      change match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "graft-kv: nested columns are not supported")
+          val name = add.fieldNames.head
+          require(!s.fieldNames.contains(name), s"column $name already exists")
+          require(KvStore.supportedType(add.dataType), s"unsupported type ${add.dataType}")
+          s.add(StructField(name, add.dataType, nullable = true))
+        case other => throw new UnsupportedOperationException(
+          s"graft-kv: only widening ADD COLUMN is supported, got $other")
+      }
+    }
+    KvStore.validateSchema(widened)
+    KvStore.writeAtomic(path.getFileSystem(conf),
+      KvStore.schemaFile(path.toString), widened.json.getBytes("UTF-8"))
+    new KvCatalogTable(ident, widened, path.toString, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    if (!isStore(path)) false
+    else path.getFileSystem(conf).delete(path, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    if (!isStore(from)) throw new NoSuchTableException(oldIdent)
+    val to = tablePath(newIdent)
+    val fs = from.getFileSystem(conf)
+    if (isStore(to)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(to.getParent)
+    require(fs.rename(from, to), s"graft-kv: rename $from -> $to failed")
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(s => s.isDirectory && !isStore(s.getPath))
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Array.empty // single-level namespaces
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    p.getFileSystem(conf).exists(p) && !isStore(p)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    nsPath(namespace).getFileSystem(conf).mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft-kv namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    val fs = p.getFileSystem(conf)
+    if (!namespaceExists(namespace)) false
+    else {
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(p, true)
+    }
+  }
+}
+
+/**
+ * A catalog-resolved kv table: clean data schema (INSERT never sees system
+ * columns), `_epoch` exposed as a metadata column, scans pruned to exactly
+ * the requested fields, writes through the same two-phase-commit epoch
+ * machinery as the path-based surface.
+ */
+class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
+    atEpoch: Option[Long])
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = storedSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = KvStore.epochCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "committed epoch that produced the row"
+    })
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var projection: StructType = storedSchema // no metadata by default
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        projection = requiredSchema
+      override def build(): Scan =
+        new KvScan(path, KvStore.hadoopConf(), atEpoch, Some(projection))
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    KvStore.validateSchema(info.schema())
+    new KvWriteBuilder(path, info.schema(), info.queryId(), KvStore.hadoopConf())
+  }
+}

@@ -139,7 +139,7 @@ object KvStore {
     }.toSeq
   }
 
-  private def writeAtomic(fs: FileSystem, target: Path, content: Array[Byte]): Unit = {
+  private[v2] def writeAtomic(fs: FileSystem, target: Path, content: Array[Byte]): Unit = {
     val tmp = new Path(target.getParent, s".${target.getName}.tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(content) finally out.close()
@@ -321,11 +321,17 @@ class KvTable(schema0: StructType, properties: Map[String, String])
     // lowercased), and table properties keep the user's casing — match both
     def opt(name: String): Option[String] =
       opts.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
-    new ScanBuilder {
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // column pruning: the scan decodes ONLY the requested JSON fields —
+      // a 2-column projection over a wide store reads 2 fields per row
+      private var projection: Option[StructType] = None
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        projection = Some(requiredSchema)
       override def build(): Scan = new KvScan(KvStore.pathOf(opts), KvStore.hadoopConf(),
         // time travel: `atEpoch` reads the store as of that committed epoch
         // (inclusive) — the manifest IS the snapshot log
-        opt("atEpoch").map(_.toLong))
+        opt("atEpoch").map(_.toLong), projection)
     }
   }
 
@@ -338,7 +344,8 @@ class KvTable(schema0: StructType, properties: Map[String, String])
 
 // ------------------------------------------------------------------ read
 
-class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None)
+class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
+    projection: Option[StructType] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // ONE manifest read per scan: statistics and split planning must observe
@@ -362,7 +369,8 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None)
     throw new IllegalArgumentException(s"graft-kv: empty store at $path"))
 
   override def readSchema(): StructType =
-    storedSchema.add(KvStore.epochCol, LongType, nullable = false)
+    projection.getOrElse(
+      storedSchema.add(KvStore.epochCol, LongType, nullable = false))
 
   override def description(): String = s"graft-kv path=$path"
 
@@ -390,13 +398,16 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None)
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new KvReaderFactory(storedSchema, new SerializableConfiguration(conf))
+      new KvReaderFactory(readSchema(), new SerializableConfiguration(conf))
   }
 }
 
 case class KvSegmentPartition(file: String, epoch: Long) extends InputPartition
 
-class KvReaderFactory(schema: StructType, conf: SerializableConfiguration)
+/** Reads a segment into exactly `out` — any subset/order of the stored
+ * columns plus the `_epoch` metadata column (filled from the partition,
+ * not the file). Unrequested JSON fields are never decoded into rows. */
+class KvReaderFactory(out: StructType, conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvSegmentPartition]
@@ -412,25 +423,27 @@ class KvReaderFactory(schema: StructType, conf: SerializableConfiguration)
         if (line == null) { row = null; false }
         else {
           val node = mapper.readTree(line)
-          val out = new GenericInternalRow(schema.length + 1)
+          val outRow = new GenericInternalRow(out.length)
           var i = 0
-          while (i < schema.length) {
-            val f = schema.fields(i)
-            val v = node.get(f.name)
-            out.update(i,
-              if (v == null || v.isNull) null
-              else f.dataType match {
-                case LongType => java.lang.Long.valueOf(v.asLong())
-                case IntegerType => java.lang.Integer.valueOf(v.asInt())
-                case DoubleType => java.lang.Double.valueOf(v.asDouble())
-                case BooleanType => java.lang.Boolean.valueOf(v.asBoolean())
-                case StringType => UTF8String.fromString(v.asText())
-                case other => throw new IllegalStateException(s"graft-kv: $other")
-              })
+          while (i < out.length) {
+            val f = out.fields(i)
+            if (f.name == KvStore.epochCol) outRow.update(i, p.epoch)
+            else {
+              val v = node.get(f.name)
+              outRow.update(i,
+                if (v == null || v.isNull) null
+                else f.dataType match {
+                  case LongType => java.lang.Long.valueOf(v.asLong())
+                  case IntegerType => java.lang.Integer.valueOf(v.asInt())
+                  case DoubleType => java.lang.Double.valueOf(v.asDouble())
+                  case BooleanType => java.lang.Boolean.valueOf(v.asBoolean())
+                  case StringType => UTF8String.fromString(v.asText())
+                  case other => throw new IllegalStateException(s"graft-kv: $other")
+                })
+            }
             i += 1
           }
-          out.update(schema.length, p.epoch)
-          row = out
+          row = outRow
           true
         }
       }

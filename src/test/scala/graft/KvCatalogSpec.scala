@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * SQL DDL surface of the kv store (`GraftKvCatalog`): create/insert/select
+ * round trips, metadata-column semantics, time travel, widening-only ALTER,
+ * pruned scans, namespace ops, and rename/drop.
+ */
+class KvCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val warehouse = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kvcat_").toString
+    spark.conf.set("spark.sql.catalog.kvtest", "graft.sinks.v2.GraftKvCatalog")
+    spark.conf.set("spark.sql.catalog.kvtest.warehouse", dir)
+    dir
+  }
+
+  private def sql(q: String) = { warehouse; spark.sql(q) }
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trips through SQL only") {
+    sql("CREATE TABLE kvtest.ns.verdicts (ip STRING, clicks BIGINT, bot BOOLEAN)")
+    sql("INSERT INTO kvtest.ns.verdicts VALUES ('1.2.3.4', 10, true), ('5.6.7.8', 2, false)")
+    val rows = sql("SELECT ip, clicks, bot FROM kvtest.ns.verdicts ORDER BY ip").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+      Seq(("1.2.3.4", 10L, true), ("5.6.7.8", 2L, false)))
+    // SHOW TABLES sees it
+    val shown = sql("SHOW TABLES IN kvtest.ns").collect().map(_.getString(1))
+    assert(shown.contains("verdicts"))
+  }
+
+  test("_epoch is a METADATA column: absent from star, selectable by name") {
+    sql("CREATE TABLE kvtest.ns.meta_t (k BIGINT, v STRING)")
+    sql("INSERT INTO kvtest.ns.meta_t VALUES (1, 'a')")
+    sql("INSERT INTO kvtest.ns.meta_t VALUES (2, 'b')")
+    assert(sql("SELECT * FROM kvtest.ns.meta_t").columns.toSeq === Seq("k", "v"))
+    val withEpoch = sql("SELECT k, _epoch FROM kvtest.ns.meta_t ORDER BY k").collect()
+    assert(withEpoch.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 0L), (2L, 1L))) // one committed epoch per INSERT
+  }
+
+  test("VERSION AS OF time-travels on the epoch manifest") {
+    sql("CREATE TABLE kvtest.ns.tt (k BIGINT)")
+    sql("INSERT INTO kvtest.ns.tt VALUES (1)")
+    sql("INSERT INTO kvtest.ns.tt VALUES (2)")
+    assert(sql("SELECT * FROM kvtest.ns.tt").count() === 2)
+    assert(sql("SELECT * FROM kvtest.ns.tt VERSION AS OF 0").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("ALTER TABLE ADD COLUMN widens; old rows read null; retype refused") {
+    sql("CREATE TABLE kvtest.ns.ev (k BIGINT, v STRING)")
+    sql("INSERT INTO kvtest.ns.ev VALUES (1, 'x')")
+    sql("ALTER TABLE kvtest.ns.ev ADD COLUMN score DOUBLE")
+    sql("INSERT INTO kvtest.ns.ev VALUES (2, 'y', 0.5)")
+    val rows = sql("SELECT k, score FROM kvtest.ns.ev ORDER BY k").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getDouble(1) === 0.5)
+    intercept[Exception](sql("ALTER TABLE kvtest.ns.ev DROP COLUMN v"))
+  }
+
+  test("scans prune to the requested columns") {
+    sql("CREATE TABLE kvtest.ns.wide (a BIGINT, b STRING, c DOUBLE, d BOOLEAN)")
+    sql("INSERT INTO kvtest.ns.wide VALUES (1, 'x', 1.0, true)")
+    val df = sql("SELECT a FROM kvtest.ns.wide")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.output.map(_.name) === Seq("a"), scan.toString)
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("CTAS creates the store and loads it in one statement") {
+    warehouse
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("ctas_src")
+    sql("CREATE TABLE kvtest.ns.ctas AS SELECT k, v FROM ctas_src")
+    assert(sql("SELECT count(*) AS n FROM kvtest.ns.ctas").collect()(0).getLong(0) === 2L)
+  }
+
+  test("rename and drop; namespaces list and drop") {
+    sql("CREATE TABLE kvtest.ns2.a (k BIGINT)")
+    sql("INSERT INTO kvtest.ns2.a VALUES (7)")
+    sql("ALTER TABLE kvtest.ns2.a RENAME TO ns2.b")
+    assert(sql("SELECT * FROM kvtest.ns2.b").count() === 1)
+    intercept[Exception](sql("SELECT * FROM kvtest.ns2.a").collect())
+    sql("DROP TABLE kvtest.ns2.b")
+    assert(!sql("SHOW TABLES IN kvtest.ns2").collect().map(_.getString(1)).contains("b"))
+    val namespaces = sql("SHOW NAMESPACES IN kvtest").collect().map(_.getString(0))
+    assert(namespaces.contains("ns2"))
+  }
+
+  test("streaming writeStream.toTable lands exactly-once epochs in the store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    sql("CREATE TABLE kvtest.ns.streamed (k BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    mem.addData(1L, 2L, 3L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kvcat_ck_").toString
+    val q = mem.toDF().toDF("k").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable("kvtest.ns.streamed")
+    q.awaitTermination(60000)
+    assert(sql("SELECT * FROM kvtest.ns.streamed").count() === 3)
+  }
+
+  test("unsupported column types are refused at CREATE time") {
+    intercept[Exception](
+      sql("CREATE TABLE kvtest.ns.badtype (k BIGINT, arr ARRAY<BIGINT>)"))
+  }
+}
