@@ -233,24 +233,29 @@ object SparkEntry {
     // numbers per slice. Exercises TableCatalog resolution, metadata
     // columns, and the pruned catalog scan end to end.
     "k_kv_sql" -> ((s, dir) => {
-      val wh = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_kvcat_q_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      // Spark's CatalogManager caches catalog instances per NAME after
+      // first resolution, so the warehouse conf of a reused name would be
+      // stale on a second dir in the same session — one catalog per dir
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = s"graftkv_$tag"
+      val wh = new java.io.File(sys.props("java.io.tmpdir"), s"graft_kvcat_q_$tag")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()
       }
       rm(wh)
-      s.conf.set("spark.sql.catalog.graftkv", "graft.sinks.v2.GraftKvCatalog")
-      s.conf.set("spark.sql.catalog.graftkv.warehouse", wh.toString)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sinks.v2.GraftKvCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.cat.agg") // same-dir rerun (bench best-of-N)
       table(s, dir, "events").createOrReplaceTempView("kv_sql_events")
-      s.sql("""CREATE TABLE graftkv.cat.agg AS
+      s.sql(s"""CREATE TABLE $cat.cat.agg AS
                SELECT CAST(event_id % 20 AS BIGINT) AS cat,
                       CAST(count(*) AS BIGINT) AS n
                FROM kv_sql_events WHERE event_type = 'click' GROUP BY 1""")
-      s.sql("""INSERT INTO graftkv.cat.agg
+      s.sql(s"""INSERT INTO $cat.cat.agg
                SELECT CAST(event_id % 20 AS BIGINT), CAST(count(*) AS BIGINT)
                FROM kv_sql_events WHERE event_type = 'view' GROUP BY 1""")
-      s.sql("SELECT cat, n, _epoch FROM graftkv.cat.agg")
+      s.sql(s"SELECT cat, n, _epoch FROM $cat.cat.agg")
     }),
 
     // S4 via DataSource V2: the reference's Kafka-Connect FS connector
@@ -3807,17 +3812,17 @@ object SparkEntry {
 
       // the construction IS the oracle: ids (2g, 2g+1) hold the same image
       // in two formats, and the pHash pipeline must return exactly those
-      // pairs — nothing missed (recall), nothing extra (precision)
+      // pairs — nothing missed (recall), nothing extra (precision). Pairs
+      // derive from doc_id itself (contiguous 0..N-1), so the replay scales
+      // with the corpus instead of assuming a row-count cap
       "image_neardup" ->
-        """SELECT CAST(2*g.g AS BIGINT) AS id_a, CAST(2*g.g + 1 AS BIGINT) AS id_b
-          |FROM generate_series(0, 9999) AS g(g)
-          |WHERE g.g < (SELECT count(*) // 2 FROM documents)""".stripMargin,
+        """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1 AS BIGINT) AS id_b
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
 
       // same construction on the audio axis: 16-bit vs 8-bit requantized
       "audio_neardup" ->
-        """SELECT CAST(2*g.g AS BIGINT) AS id_a, CAST(2*g.g + 1 AS BIGINT) AS id_b
-          |FROM generate_series(0, 9999) AS g(g)
-          |WHERE g.g < (SELECT count(*) // 2 FROM documents)""".stripMargin,
+        """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1 AS BIGINT) AS id_b
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
 
       // MJPEG AVI replay: 16x16 grayscale, nFrames = 2 + id%3 at 10 fps,
       // frame f block value (7·id + 29·f + 11·bx + 23·by) mod 256

@@ -712,8 +712,11 @@ object JpegCodec {
             var run = 0
             var k = 1
             while (k < 64) {
+              // scan position k holds coefficient zigzag(k); its quant step
+              // is q(zigzag(k)) — the SAME natural-order entry the DQT
+              // writer emits at position k and the decoder dequantizes with
               // baseline amplitudes are 10-bit: clamp the rare ±1024 corner
-              val vq0 = Math.round(freq(zigzag(k)) / q(k)).toInt
+              val vq0 = Math.round(freq(zigzag(k)) / q(zigzag(k))).toInt
               val vq = if (vq0 > 1023) 1023 else if (vq0 < -1023) -1023 else vq0
               if (vq == 0) run += 1
               else {

@@ -118,7 +118,9 @@ object Mjpeg {
     tag("RIFF"); w32(riffLen); tag("AVI ")
     tag("LIST"); w32(hdrlLen); tag("hdrl")
     tag("avih"); w32(56)
-    w32(usec); w32(maxFrame.toLong.toInt * fps); w32(0); w32(0x10) // HASINDEX
+    w32(usec)
+    w32(math.min(maxFrame.toLong * fps, Int.MaxValue.toLong).toInt) // bytes/sec, saturated
+    w32(0); w32(0x10) // padding, HASINDEX
     w32(jpegFrames.length); w32(0); w32(1); w32(maxFrame)
     w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
     tag("LIST"); w32(strlLen); tag("strl")

@@ -748,7 +748,7 @@ object Multimodal {
    * format conversions, small edits) land within a few bits. */
   private[graft] def phash64(gray: Array[Byte]): Long = {
     require(gray.length == phashN * phashN)
-    val tmp = new Array[Double](phashN * phashN)
+    val tmp = new Array[Double](phashN * 8) // only 8 spectral rows are read
     var u = 0
     while (u < 8) { // only 8 output rows are ever read: skip the other 24
       var y = 0
