@@ -85,7 +85,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also write the full per-query JSON to a file: driver stdout capture
+    // truncates (BENCH_r09.json carried only a `tail` string, `parsed:
+    // null`), so the artifact on disk is the canonical machine-readable
+    // record of a bench run. Best-effort — a read-only cwd must not fail
+    // the bench itself.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"bench_results.json write skipped: $e") }
     spark.stop()
   }
 }

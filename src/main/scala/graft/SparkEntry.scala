@@ -62,6 +62,24 @@ object SparkEntry {
     base.toString
   }
 
+  /** Materialized synthetic media corpus, cached per source fingerprint
+   * (the `wireLogsFor` pattern): the near-dup gates then time
+   * decode + phash + hamming join — the pipeline under test — not the
+   * one-time WAV/PNG/JPEG fixture ENCODE (which at sf0.1 dominated the
+   * gate: 8.2 s audio / 5.9 s image, ~85% fixture synthesis). Cache key =
+   * documents.parquet fingerprint + builder tag, so a regenerated corpus
+   * rebuilds; bytes are identical either way, so CORRECTNESS rows are
+   * unchanged. */
+  private def cachedMediaFor(s: SparkSession, dir: String, tag: String)
+      (build: => DataFrame): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_media_${tag}_v1_" + srcFingerprint(dir, "documents.parquet") + "_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (!new java.io.File(base, "_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(base.toString)
+    s.read.parquet(base.toString)
+  }
+
   private def ivfPqIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     // cache key includes a fingerprint of the SOURCE data (per-file name +
     // length + mtime): a regenerated dataset at the same path must rebuild
@@ -1375,12 +1393,17 @@ object SparkEntry {
     // found by the 64-bit spectral fingerprint (8 frames × 8 DCT bands,
     // order-statistic threshold = amplitude-invariant) through the same
     // hamming pigeonhole join. Oracle = the construction pairs (measured
-    // margins: intra 0 bits, cross ≥ 12, threshold 3).
+    // margins: intra 0 bits, cross ≥ 12, threshold 3). No maxBlockFreq cap:
+    // the cap trades candidate recall for a blow-up bound (capHotKeys doc)
+    // and so must not sit under an exact-recall oracle; this synthetic
+    // corpus has independent per-group rank grids, so no degenerate bucket
+    // exists for the cap to guard against.
     "audio_neardup" -> ((s, dir) =>
       operators.Dedup.hammingPairs(
         operators.Multimodal.audioPhash(
-          operators.Multimodal.syntheticRequantDupTable(table(s, dir, "documents"), "doc_id")),
-        "media_id", "afp", maxDist = 3, maxBlockFreq = Some(64))
+          cachedMediaFor(s, dir, "requant")(
+            operators.Multimodal.syntheticRequantDupTable(table(s, dir, "documents"), "doc_id"))),
+        "media_id", "afp", maxDist = 3)
         .select(col("id_a"), col("id_b"))),
 
     // image_neardup: cross-format IMAGE dedup end to end — the same raster
@@ -1388,12 +1411,15 @@ object SparkEntry {
     // found by 64-bit perceptual hash (gray→32×32→DCT→median bits) through
     // the generic hamming pigeonhole join. The oracle is the construction:
     // exactly the (2g, 2g+1) pairs — recall AND precision as one hash gate
-    // (measured margins: intra ≤ 2 bits, cross ≥ 10, threshold 3).
+    // (measured margins: intra ≤ 2 bits, cross ≥ 10, threshold 3). No
+    // maxBlockFreq cap, for the same exact-recall-contract reason as
+    // audio_neardup.
     "image_neardup" -> ((s, dir) =>
       operators.Dedup.hammingPairs(
         operators.Multimodal.imagePhash(
-          operators.Multimodal.syntheticFormatDupTable(table(s, dir, "documents"), "doc_id")),
-        "media_id", "phash", maxDist = 3, maxBlockFreq = Some(64))
+          cachedMediaFor(s, dir, "formatdup")(
+            operators.Multimodal.syntheticFormatDupTable(table(s, dir, "documents"), "doc_id"))),
+        "media_id", "phash", maxDist = 3)
         .select(col("id_a"), col("id_b"))),
 
     // Oracle-backed slice of the multimodal table (checksum + byte length).
@@ -3814,15 +3840,19 @@ object SparkEntry {
       // in two formats, and the pHash pipeline must return exactly those
       // pairs — nothing missed (recall), nothing extra (precision). Pairs
       // derive from doc_id itself (contiguous 0..N-1), so the replay scales
-      // with the corpus instead of assuming a row-count cap
+      // with the corpus instead of assuming a row-count cap. The max-id
+      // guard drops the final even id of an ODD-sized corpus, whose 2g+1
+      // partner doesn't exist — the pipeline correctly finds no pair there.
       "image_neardup" ->
         """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1 AS BIGINT) AS id_b
-          |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+          |FROM documents WHERE doc_id % 2 = 0
+          |  AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)""".stripMargin,
 
       // same construction on the audio axis: 16-bit vs 8-bit requantized
       "audio_neardup" ->
         """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1 AS BIGINT) AS id_b
-          |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+          |FROM documents WHERE doc_id % 2 = 0
+          |  AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)""".stripMargin,
 
       // MJPEG AVI replay: 16x16 grayscale, nFrames = 2 + id%3 at 10 fps,
       // frame f block value (7·id + 29·f + 11·bx + 23·by) mod 256

@@ -35,12 +35,19 @@ object Mjpeg {
    * with "RIFF" can never flip the multimodal metadata oracle. */
   def parseAviMeta(b: Array[Byte]): Option[(String, Int, Int)] =
     try {
-      if (b.length < 64 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+      if (b.length < 72 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
       if (fourcc(b, 12) != "LIST" || fourcc(b, 20) != "hdrl") return None
       if (fourcc(b, 24) != "avih") return None
       // avih payload: usec/frame, maxbps, pad, flags, totalFrames, initial,
-      // streams, suggBuf, width, height
-      Some(("avi", le32(b, 64), le32(b, 68)))
+      // streams, suggBuf, width, height. The declared chunk length must
+      // actually cover the width/height words at payload offsets 32/36
+      // (file offsets 64/68) and the dims must be positive — a truncated or
+      // crafted header otherwise surfaces garbage/negative dims that the
+      // PNG/JPEG/GIF probes all reject.
+      val avihLen = le32(b, 28)
+      if (avihLen < 40) return None
+      val (w, h) = (le32(b, 64), le32(b, 68))
+      if (w <= 0 || h <= 0) None else Some(("avi", w, h))
     } catch { case _: Exception => None }
 
   /** Full MJPEG decode: every 'xxdc'/'xxdb' chunk in LIST(movi) through

@@ -81,7 +81,13 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
 
   private def loadAt(ident: Identifier, atEpoch: Option[Long]): Table = {
     val path = tablePath(ident)
-    val schema = KvStore.readSchema(conf, path.toString)
+    if (!isStore(path)) throw new NoSuchTableException(ident)
+    // time travel pins the SCHEMA as well as data visibility: a read at an
+    // old epoch presents the columns that existed then (ALTER snapshots the
+    // pre-widening schema keyed by the last epoch it governed), not
+    // post-ALTER columns as nulls
+    val schema = atEpoch.fold(KvStore.readSchema(conf, path.toString))(
+        e => KvStore.schemaAt(conf, path.toString, e))
       .getOrElse(throw new NoSuchTableException(ident))
     new KvCatalogTable(ident, schema, path.toString, atEpoch)
   }
@@ -119,7 +125,19 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
       }
     }
     KvStore.validateSchema(widened)
-    KvStore.writeAtomic(path.getFileSystem(conf),
+    val fs = path.getFileSystem(conf)
+    // snapshot the PRE-alter schema, keyed by the last epoch it governed, so
+    // VERSION AS OF <that epoch or older> presents the schema of that time.
+    // Skip when nothing is committed (no epoch ever saw the old schema), and
+    // never overwrite an existing snapshot for the same epoch — on a double
+    // ALTER between commits the FIRST snapshot is the schema those epochs
+    // were actually written under.
+    KvStore.readManifest(conf, path.toString).map(_.epoch).maxOption.foreach { upto =>
+      val snap = KvStore.schemaSnapshotFile(path.toString, upto)
+      if (!fs.exists(snap))
+        KvStore.writeAtomic(fs, snap, stored.json.getBytes("UTF-8"))
+    }
+    KvStore.writeAtomic(fs,
       KvStore.schemaFile(path.toString), widened.json.getBytes("UTF-8"))
     new KvCatalogTable(ident, widened, path.toString, None)
   }
@@ -180,8 +198,18 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
     val fs = p.getFileSystem(conf)
     if (!namespaceExists(namespace)) false
     else {
-      if (!cascade && fs.listStatus(p).nonEmpty)
-        throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+      if (!cascade && fs.listStatus(p).nonEmpty) {
+        // Spark's error class, not a bare IllegalStateException — DROP
+        // NAMESPACE on a non-empty namespace is an ANALYSIS error the engine
+        // knows how to render, and the details name what blocks the drop.
+        val tables = fs.listStatus(p).filter(s => s.isDirectory && isStore(s.getPath))
+          .map(_.getPath.getName)
+        val details =
+          if (tables.nonEmpty) s"contains tables: ${tables.sorted.mkString(", ")}"
+          else "contains non-table entries"
+        throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+          namespace, details, None)
+      }
       fs.delete(p, true)
     }
   }

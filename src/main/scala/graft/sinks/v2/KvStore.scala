@@ -108,8 +108,10 @@ object KvStore {
   private[v2] def segmentsDir(path: String) = new Path(path, "segments")
   private[v2] def stagingDir(path: String) = new Path(path, "_staging")
 
-  private[v2] def readSchema(conf: Configuration, path: String): Option[StructType] = {
-    val f = schemaFile(path)
+  private[v2] def readSchema(conf: Configuration, path: String): Option[StructType] =
+    readSchemaFile(conf, schemaFile(path))
+
+  private def readSchemaFile(conf: Configuration, f: Path): Option[StructType] = {
     val fs = f.getFileSystem(conf)
     if (!fs.exists(f)) None
     else {
@@ -121,6 +123,34 @@ object KvStore {
         while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
         Some(DataType.fromJson(bytes.toString("UTF-8")).asInstanceOf[StructType])
       } finally in.close()
+    }
+  }
+
+  /** Schema snapshot written by ALTER TABLE: the schema that was in effect
+   * for every epoch <= `upto` (the max committed epoch at alter time) —
+   * what makes `VERSION AS OF` present the schema of THAT epoch, the
+   * snapshot-schema semantics of comparable table formats, instead of
+   * post-ALTER columns as nulls. */
+  private[v2] def schemaSnapshotFile(path: String, upto: Long): Path =
+    new Path(path, s"_schema.upto.$upto.json")
+
+  /** Resolve the schema that governed `epoch`: the snapshot with the
+   * SMALLEST `upto >= epoch` (snapshots are closed on the alter after that
+   * epoch), else the current schema (no alter has happened since). */
+  private[v2] def schemaAt(conf: Configuration, path: String, epoch: Long): Option[StructType] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val snaps =
+      if (!fs.exists(dir)) Array.empty[Long]
+      else fs.listStatus(dir).map(_.getPath.getName).flatMap { n =>
+        if (n.startsWith("_schema.upto.") && n.endsWith(".json"))
+          scala.util.Try(
+            n.stripPrefix("_schema.upto.").stripSuffix(".json").toLong).toOption
+        else None
+      }
+    snaps.filter(_ >= epoch).minOption match {
+      case Some(upto) => readSchemaFile(conf, schemaSnapshotFile(path, upto))
+      case None => readSchema(conf, path)
     }
   }
 

@@ -108,4 +108,36 @@ class KvCatalogSpec extends AnyFunSuite {
     intercept[Exception](
       sql("CREATE TABLE kvtest.ns.badtype (k BIGINT, arr ARRAY<BIGINT>)"))
   }
+
+  test("VERSION AS OF presents the schema of that epoch, not post-ALTER columns") {
+    sql("CREATE TABLE kvtest.ns.ttschema (k BIGINT)")
+    sql("INSERT INTO kvtest.ns.ttschema VALUES (1)") // epoch 0, schema (k)
+    sql("ALTER TABLE kvtest.ns.ttschema ADD COLUMN v STRING")
+    sql("INSERT INTO kvtest.ns.ttschema VALUES (2, 'x')") // epoch 1, schema (k, v)
+    // snapshot semantics (Delta/Iceberg-style): the pre-ALTER epoch shows
+    // the pre-ALTER schema — no phantom null column
+    assert(sql("SELECT * FROM kvtest.ns.ttschema VERSION AS OF 0").columns.toSeq === Seq("k"))
+    assert(sql("SELECT * FROM kvtest.ns.ttschema VERSION AS OF 1").columns.toSeq === Seq("k", "v"))
+    // a second widening keeps each epoch pinned to ITS schema
+    sql("ALTER TABLE kvtest.ns.ttschema ADD COLUMN w DOUBLE")
+    sql("INSERT INTO kvtest.ns.ttschema VALUES (3, 'y', 0.5)") // epoch 2
+    assert(sql("SELECT * FROM kvtest.ns.ttschema VERSION AS OF 0").columns.toSeq === Seq("k"))
+    assert(sql("SELECT * FROM kvtest.ns.ttschema VERSION AS OF 1").columns.toSeq === Seq("k", "v"))
+    assert(sql("SELECT * FROM kvtest.ns.ttschema VERSION AS OF 2").columns.toSeq === Seq("k", "v", "w"))
+    // the current read sees everything, old rows null-filled
+    assert(sql("SELECT * FROM kvtest.ns.ttschema").columns.toSeq === Seq("k", "v", "w"))
+    assert(sql("SELECT * FROM kvtest.ns.ttschema").count() === 3)
+  }
+
+  test("DROP NAMESPACE on a non-empty namespace raises the Spark error class") {
+    sql("CREATE TABLE kvtest.ns3.keep (k BIGINT)")
+    // the catalog throws NonEmptyNamespaceException; Spark's DROP NAMESPACE
+    // exec surfaces it as the SCHEMA_NOT_EMPTY analysis error condition —
+    // the proper error class, not an internal error
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      sql("DROP NAMESPACE kvtest.ns3"))
+    assert(Option(e.getCondition).exists(_.contains("NOT_EMPTY")), e.toString)
+    sql("DROP NAMESPACE kvtest.ns3 CASCADE")
+    assert(!sql("SHOW NAMESPACES IN kvtest").collect().map(_.getString(0)).contains("ns3"))
+  }
 }
