@@ -1192,6 +1192,23 @@ object SparkEntry {
         "doc_id", "text", k = 5, md5Grams = true)
     }),
 
+    // The REMOVAL action on dedup_spans (Lee et al. 2022's production step):
+    // same page synthesis and flagged-span machinery, but the covered tokens
+    // are CUT from every doc and the survivors re-joined — the shared
+    // footers vanish from all copies, the unique tails survive verbatim.
+    "dedup_spans_trim" -> ((s, dir) => {
+      val page = concat_ws(" ", col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("alpha beta gamma delta epsilon zeta eta theta"))
+        .when(col("doc_id") % 4 === 1,
+          lit("alpha beta gamma delta epsilon zeta eta iota"))
+        .otherwise(concat(lit("unique tail "), col("doc_id").cast("string"),
+          lit(" closes this page quietly now indeed"))))
+      Dedup.trimDuplicatedSpans(
+        table(s, dir, "documents").select(col("doc_id"), page.as("text")),
+        "doc_id", "text", k = 5, md5Grams = true)
+    }),
+
     // Exact n-gram Jaccard near-dup pairs (inverted-index join, no cross join).
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
@@ -3578,6 +3595,52 @@ object SparkEntry {
           |            ELSE CAST(coalesce(d.dup_tokens, 0) AS DOUBLE) / g.n_tokens
           |       END AS dup_fraction
           |FROM g LEFT JOIN dup d USING (doc_id)""".stripMargin,
+
+      // the trim replay: same page/tok/gram/dup-key CTEs as dedup_spans, then
+      // covered positions = the UNION of flagged [pos, pos+4] windows
+      // (position-set union ≡ the engine's interval union), kept tokens =
+      // anti-join of enumerated tokens against covered, re-joined in order
+      "dedup_spans_trim" ->
+        """WITH page AS (
+          |  SELECT doc_id, concat_ws(' ', text, CASE
+          |      WHEN doc_id % 4 = 0 THEN 'alpha beta gamma delta epsilon zeta eta theta'
+          |      WHEN doc_id % 4 = 1 THEN 'alpha beta gamma delta epsilon zeta eta iota'
+          |      ELSE concat('unique tail ', CAST(doc_id AS VARCHAR),
+          |                  ' closes this page quietly now indeed') END) AS text
+          |  FROM documents),
+          |tok AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+          |  FROM page),
+          |g AS (
+          |  SELECT doc_id, len(ts) AS n_tokens, CASE WHEN len(ts) >= 5 THEN
+          |      list_transform(range(1, len(ts) - 3),
+          |        i -> substring(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))
+          |    ELSE CAST([] AS VARCHAR[]) END AS ghs
+          |  FROM tok),
+          |occ AS (
+          |  SELECT doc_id, r.i - 1 AS pos, ghs[r.i] AS gh
+          |  FROM g, UNNEST(range(1, len(ghs) + 1)) AS r(i)),
+          |dupg AS (
+          |  SELECT gh FROM occ GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+          |fl AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dupg USING (gh)),
+          |covered AS (
+          |  SELECT DISTINCT doc_id, u.p FROM fl, UNNEST(range(pos, pos + 5)) AS u(p)),
+          |tokpos AS (
+          |  SELECT doc_id, r.i - 1 AS p, ts[r.i] AS tk
+          |  FROM tok, UNNEST(range(1, len(ts) + 1)) AS r(i)),
+          |kept AS (
+          |  SELECT t.doc_id, t.p, t.tk FROM tokpos t
+          |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+          |  WHERE c.doc_id IS NULL),
+          |agg AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+          |         string_agg(tk, ' ' ORDER BY p) AS trimmed_text
+          |  FROM kept GROUP BY 1)
+          |SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+          |       CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+          |       coalesce(a.trimmed_text, '') AS trimmed_text
+          |FROM g LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
       "ngram_jaccard" ->
         s"""${shingleCtes()}

@@ -633,4 +633,73 @@ object Dedup {
           .otherwise(col("dup_tokens").cast("double") / col("n_tokens")))
       .select(col(idCol), col("n_tokens"), col("dup_tokens"), col("dup_fraction"))
   }
+
+  /**
+   * The REMOVAL action on [[duplicatedSpanStats]]'s coverage statistic (Lee
+   * et al. 2022's production step: training corpora don't just measure
+   * duplicated spans, they cut them): every token inside a cross-document
+   * duplicated k-gram is dropped from EVERY document, and the survivors are
+   * re-joined into `trimmed_text`. Removing from all copies (rather than
+   * keeping one canonical occurrence) is the deterministic distributed
+   * choice — no doc ordering, no coordination across documents — and is the
+   * conservative variant for boilerplate (headers/footers vanish everywhere).
+   *
+   * Scale shape — stages 1-3 are [[duplicatedSpanStats]] verbatim; then:
+   *   4. flagged [pos, pos+k-1] spans merge into disjoint segments via the
+   *      same per-DOC sort + running-max interval union (partition size
+   *      bounded by one document, never corpus frequency);
+   *   5. segments fold back as ONE array column per doc (a doc's merged
+   *      segment list is at most |tokens|/1 entries, usually a handful), and
+   *      a codegen'd higher-order `filter` keeps tokens outside every
+   *      segment — the rebuild is map-side, no further shuffle.
+   *
+   * Output: (id, n_tokens, kept_tokens, trimmed_text).
+   */
+  def trimDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, md5Grams: Boolean = false): DataFrame = {
+    require(k >= 2, s"trimDuplicatedSpans: k must be >= 2, got $k")
+    val toksed = df.select(col(idCol),
+      filter(TextAnalysis.tokens(col(textCol)), x => x =!= "").as("toks"))
+    val t = col("toks")
+    val gramArr =
+      if (md5Grams)
+        when(size(t) >= k,
+          transform(sequence(lit(0), size(t) - k), i =>
+            substring(md5(concat_ws(" ", slice(t, i + 1, lit(k)))), 1, 15)))
+          .otherwise(array().cast("array<string>"))
+      else
+        graft.functions.HashExpressions.wordShingleHashes(concat_ws(" ", t), k)
+    val grams = graft.Materialize(toksed.select(col(idCol), t, gramArr.as("grams")))
+    val pos = grams.select(col(idCol), posexplode(col("grams")).as(Seq("pos", "gh")))
+    val dupKeys = pos.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val flagged = pos.join(dupKeys, "gh").select(col(idCol), col("pos"))
+    val spanEnd = col("pos") + lit(k - 1)
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Long.MinValue, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Long.MinValue, 0)
+    val segs = flagged
+      .withColumn("new_seg",
+        when(coalesce(max(spanEnd).over(wPrev), lit(-1L)) < col("pos"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum(col("new_seg")).over(wRun))
+      .groupBy(col(idCol), col("seg_id"))
+      .agg(min(col("pos")).cast("long").as("s"), max(spanEnd).cast("long").as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("segs"))
+    grams.join(segs, Seq(idCol), "left")
+      .withColumn("segs",
+        coalesce(col("segs"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .select(col(idCol),
+        size(t).cast("long").as("n_tokens"),
+        filter(t, (_, i) =>
+          !exists(col("segs"), g => i >= g("s") && i <= g("e"))).as("kept"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        concat_ws(" ", col("kept")).as("trimmed_text"))
+  }
 }

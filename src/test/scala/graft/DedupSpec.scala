@@ -255,6 +255,46 @@ class DedupSpec extends AnyFunSuite {
     assert(out3 === Map(6L -> ((2L, 0L)), 7L -> ((2L, 0L))))
   }
 
+  test("trimDuplicatedSpans cuts exactly the flagged spans from every copy") {
+    // the duplicatedSpanStats fixture: d1/d2 share "a b c d e"; d3 is clean
+    val spans = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    for (md5Path <- Seq(true, false)) {
+      val out = Dedup.trimDuplicatedSpans(spans, "doc_id", "text", k = 4,
+          md5Grams = md5Path)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("kept_tokens"),
+            r.getAs[String]("trimmed_text")))).toMap
+      // the shared run vanishes from BOTH copies; surroundings survive intact
+      assert(out === Map(
+        1L -> ((8L, 3L, "f g h")),
+        2L -> ((8L, 3L, "x y z")),
+        3L -> ((8L, 8L, "p q r s t u v w"))), s"md5Grams=$md5Path")
+    }
+    // disjoint repeats cut as two separate segments, middles untouched
+    val twoSeg = Seq(
+      (4L, "a b c m1 m2 m3 m4 m5 x y z"),
+      (5L, "a b c n1 n2 n3 n4 n5 x y z")).toDF("doc_id", "text")
+    val out2 = Dedup.trimDuplicatedSpans(twoSeg, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("trimmed_text")).toMap
+    assert(out2 === Map(4L -> "m1 m2 m3 m4 m5", 5L -> "n1 n2 n3 n4 n5"))
+    // a fully-boilerplate doc trims to the empty string, not a null
+    val full = Seq((6L, "a b c d"), (7L, "a b c d")).toDF("doc_id", "text")
+    val out3 = Dedup.trimDuplicatedSpans(full, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_tokens"), r.getAs[String]("trimmed_text")))).toMap
+    assert(out3 === Map(6L -> ((0L, "")), 7L -> ((0L, ""))))
+    // trim is consistent with the coverage statistic: kept = n - dup
+    val stats = Dedup.duplicatedSpanStats(spans, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens") - r.getAs[Long]("dup_tokens"))).toMap
+    val kept = Dedup.trimDuplicatedSpans(spans, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kept_tokens")).toMap
+    assert(stats === kept)
+  }
+
   test("duplicatedSpanStats fuzz: hash paths agree, coverage bounded (seeded)") {
     // small vocab forces heavy cross-doc gram sharing; seeded → replayable
     val rnd = new scala.util.Random(0xD5EAD5L)
