@@ -241,12 +241,25 @@ class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
-        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var projection: StructType = storedSchema // no metadata by default
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         projection = requiredSchema
+      // supported filters (incl. on the _epoch metadata column) are absorbed
+      // completely: segment min/max pruning + row-exact reader evaluation,
+      // so SELECT … WHERE k = … plans no residual Filter and skips every
+      // segment whose recorded key range can't match
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        val (ok, residual) = filters.partition(KvFilters.supports(storedSchema, _))
+        pushed = ok
+        residual
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       override def build(): Scan =
-        new KvScan(path, KvStore.hadoopConf(), atEpoch, Some(projection))
+        new KvScan(path, KvStore.hadoopConf(), atEpoch, Some(projection), pushed.toSeq)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

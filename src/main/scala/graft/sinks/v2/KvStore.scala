@@ -154,8 +154,15 @@ object KvStore {
     }
   }
 
-  /** one committed epoch: ordinal, idempotence tag, its segment file names */
-  private[v2] case class Epoch(epoch: Long, tag: String, segments: Seq[String])
+  /** one committed segment: file name + optional column-stats JSON
+   * (`{"rows":N,"cols":{"k":{"min":…,"max":…,"nulls":N}}}`) recorded by the
+   * writer task — what lets a filtered scan skip the segment entirely */
+  private[v2] case class Segment(name: String, stats: Option[String])
+
+  /** one committed epoch: ordinal, idempotence tag, its segments */
+  private[v2] case class Epoch(epoch: Long, tag: String, segs: Seq[Segment]) {
+    def segments: Seq[String] = segs.map(_.name)
+  }
 
   private[v2] def readManifest(conf: Configuration, path: String): Seq[Epoch] = {
     val f = manifestFile(path)
@@ -164,8 +171,14 @@ object KvStore {
     val in = fs.open(f)
     val root = try new ObjectMapper().readTree(in) finally in.close()
     root.get("epochs").elements().asScala.map { e =>
-      Epoch(e.get("epoch").asLong(), e.get("tag").asText(),
-        e.get("segments").elements().asScala.map(_.asText()).toSeq)
+      // segment entries are plain names (pre-stats manifests) or
+      // {"name":…, "stats":{…}} objects — both remain readable forever
+      val segs = e.get("segments").elements().asScala.map { s =>
+        if (s.isTextual) Segment(s.asText(), None)
+        else Segment(s.get("name").asText(),
+          Option(s.get("stats")).filterNot(_.isNull).map(_.toString))
+      }.toSeq
+      Epoch(e.get("epoch").asLong(), e.get("tag").asText(), segs)
     }.toSeq
   }
 
@@ -187,7 +200,18 @@ object KvStore {
       n.put("epoch", e.epoch)
       n.put("tag", e.tag)
       val segs = n.putArray("segments")
-      e.segments.foreach(segs.add)
+      e.segs.foreach { s =>
+        s.stats match {
+          case None => segs.add(s.name) // stats-free entries keep the old shape
+          case Some(js) =>
+            val o = segs.addObject()
+            o.put("name", s.name)
+            // explicit type argument: Jackson's generic `set[T <: JsonNode]`
+            // would otherwise infer the match's unified branch type
+            // (ArrayNode) and insert a failing cast
+            o.set[JsonNode]("stats", mapper.readTree(js))
+        }
+      }
     }
     writeAtomic(manifestFile(path).getFileSystem(conf), manifestFile(path),
       mapper.writeValueAsBytes(root))
@@ -196,8 +220,15 @@ object KvStore {
   /** Publish one epoch: ensure schema, move staged segments into place,
    * rewrite the manifest. `tag` is the idempotence key — if it is already
    * committed the staged files are discarded and nothing changes. */
+  /** a task-staged segment awaiting publish: file path + stats JSON */
+  private[v2] case class StagedSeg(file: String, stats: Option[String])
+
   private[graft] def commitEpoch(conf: Configuration, path: String, schema: StructType,
-      tag: String, staged: Seq[String]): Unit = synchronized {
+      tag: String, staged: Seq[String]): Unit =
+    commitEpochSegs(conf, path, schema, tag, staged.map(StagedSeg(_, None)))
+
+  private[graft] def commitEpochSegs(conf: Configuration, path: String, schema: StructType,
+      tag: String, staged: Seq[StagedSeg]): Unit = synchronized {
     val fs = new Path(path).getFileSystem(conf)
     val existing = readSchema(conf, path)
     existing match {
@@ -229,13 +260,13 @@ object KvStore {
     }
     val manifest = readManifest(conf, path)
     if (manifest.exists(_.tag == tag)) {
-      staged.foreach(s => fs.delete(new Path(s), false)) // replayed epoch
+      staged.foreach(s => fs.delete(new Path(s.file), false)) // replayed epoch
       return
     }
     fs.mkdirs(segmentsDir(path))
     val epoch = manifest.map(_.epoch).maxOption.fold(0L)(_ + 1L)
-    val names = publishSegments(fs, path, epoch, staged)
-    writeManifest(conf, path, manifest :+ Epoch(epoch, tag, names))
+    val segs = publishSegments(fs, path, epoch, staged)
+    writeManifest(conf, path, manifest :+ Epoch(epoch, tag, segs))
   }
 
   /** Rename staged files into `segments/` under manifest-unique names. The
@@ -243,12 +274,12 @@ object KvStore {
    * listed by the manifest and can never collide with the names a later
    * publish (which may compute the SAME epoch ordinal) picks. */
   private def publishSegments(fs: FileSystem, path: String, epoch: Long,
-      staged: Seq[String]): Seq[String] =
+      staged: Seq[StagedSeg]): Seq[Segment] =
     staged.zipWithIndex.map { case (s, i) =>
       val name = f"seg-$epoch%06d-$i%05d-${UUID.randomUUID().toString.take(8)}.jsonl"
-      if (!fs.rename(new Path(s), new Path(segmentsDir(path), name)))
-        throw new java.io.IOException(s"graft-kv: publish rename failed for $s")
-      name
+      if (!fs.rename(new Path(s.file), new Path(segmentsDir(path), name)))
+        throw new java.io.IOException(s"graft-kv: publish rename failed for ${s.file}")
+      Segment(name, s.stats)
     }
 
   // ---- public read helpers ----
@@ -285,10 +316,11 @@ object KvStore {
         val w = new KvDataWriter(path, schema, serConf.value, s"compact-$pid")
         try {
           rows.foreach(w.write)
-          Iterator.single(w.commit().asInstanceOf[KvCommitMessage].stagedFile)
+          val m = w.commit().asInstanceOf[KvCommitMessage]
+          Iterator.single((m.stagedFile, m.statsJson))
         } catch { case e: Throwable => w.abort(); throw e }
       }
-    }.collect().toSeq // bounded: one path string per partition
+    }.collect().toSeq.map { case (f, st) => StagedSeg(f, st) } // bounded: one entry per partition
     val fs = new Path(path).getFileSystem(conf)
     val old = manifest.flatMap(_.segments)
     // publish: move staged segments in, swap the manifest to ONE epoch
@@ -352,16 +384,27 @@ class KvTable(schema0: StructType, properties: Map[String, String])
     def opt(name: String): Option[String] =
       opts.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
     new ScanBuilder
-        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       // column pruning: the scan decodes ONLY the requested JSON fields —
       // a 2-column projection over a wide store reads 2 fields per row
       private var projection: Option[StructType] = None
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         projection = Some(requiredSchema)
+      // supported filters are absorbed COMPLETELY (segment min/max pruning
+      // + row-exact reader evaluation) — they return no residual
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        val (ok, residual) = filters.partition(KvFilters.supports(schema0, _))
+        pushed = ok
+        residual
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       override def build(): Scan = new KvScan(KvStore.pathOf(opts), KvStore.hadoopConf(),
         // time travel: `atEpoch` reads the store as of that committed epoch
         // (inclusive) — the manifest IS the snapshot log
-        opt("atEpoch").map(_.toLong), projection)
+        opt("atEpoch").map(_.toLong), projection, pushed.toSeq)
     }
   }
 
@@ -375,7 +418,8 @@ class KvTable(schema0: StructType, properties: Map[String, String])
 // ------------------------------------------------------------------ read
 
 class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
-    projection: Option[StructType] = None)
+    projection: Option[StructType] = None,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // ONE manifest read per scan: statistics and split planning must observe
@@ -398,11 +442,27 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
   private val storedSchema = KvStore.readSchema(conf, path).getOrElse(
     throw new IllegalArgumentException(s"graft-kv: empty store at $path"))
 
+  /** segments surviving pushed-filter min/max pruning — statistics and
+   * split planning both observe the PRUNED set, so the planner's size
+   * estimate reflects what the scan will actually read */
+  private lazy val survivingSegments: Seq[(String, Long)] = {
+    val mapper = new ObjectMapper
+    visibleManifest.flatMap { e =>
+      e.segs.collect {
+        case s if filters.isEmpty || !KvFilters.pruneSegment(
+            storedSchema, filters, e.epoch, s.stats.map(mapper.readTree)) =>
+          (s.name, e.epoch)
+      }
+    }
+  }
+
   override def readSchema(): StructType =
     projection.getOrElse(
       storedSchema.add(KvStore.epochCol, LongType, nullable = false))
 
-  override def description(): String = s"graft-kv path=$path"
+  override def description(): String =
+    s"graft-kv path=$path" +
+      (if (filters.isEmpty) "" else s" PushedFilters: ${filters.mkString("[", ", ", "]")}")
 
   /** Committed-segment byte size: without this the planner assumes the
    * conservative default and the ifNotExists semi-join in `readCurrent`
@@ -411,7 +471,7 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
     new org.apache.spark.sql.connector.read.Statistics {
       private val total = {
         val fs = new Path(path).getFileSystem(conf)
-        visibleManifest.flatMap(_.segments).map { s =>
+        survivingSegments.map { case (s, _) =>
           val p = new Path(KvStore.segmentsDir(path), s)
           try fs.getFileStatus(p).getLen catch { case _: Exception => 0L }
         }.sum
@@ -423,12 +483,13 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val segDir = KvStore.segmentsDir(path)
-      visibleManifest.flatMap { e =>
-        e.segments.map(s => KvSegmentPartition(new Path(segDir, s).toString, e.epoch))
+      survivingSegments.map { case (s, epoch) =>
+        KvSegmentPartition(new Path(segDir, s).toString, epoch): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new KvReaderFactory(readSchema(), new SerializableConfiguration(conf))
+      new KvReaderFactory(readSchema(), new SerializableConfiguration(conf),
+        storedSchema, filters)
   }
 }
 
@@ -436,8 +497,13 @@ case class KvSegmentPartition(file: String, epoch: Long) extends InputPartition
 
 /** Reads a segment into exactly `out` — any subset/order of the stored
  * columns plus the `_epoch` metadata column (filled from the partition,
- * not the file). Unrequested JSON fields are never decoded into rows. */
-class KvReaderFactory(out: StructType, conf: SerializableConfiguration)
+ * not the file). Unrequested JSON fields are never decoded into rows.
+ * Pushed filters are evaluated row-exactly HERE, against the parsed JSON
+ * node (filter columns need not be in the projection — with no residual
+ * Filter in the plan, Spark only requests the output columns). */
+class KvReaderFactory(out: StructType, conf: SerializableConfiguration,
+    storedSchema: StructType,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvSegmentPartition]
@@ -446,36 +512,58 @@ class KvReaderFactory(out: StructType, conf: SerializableConfiguration)
       private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
         path.getFileSystem(conf.value).open(path), "UTF-8"))
       private val mapper = new ObjectMapper
+      private val compiled = KvFilters.compile(storedSchema, filters)
       private var row: InternalRow = _
 
-      override def next(): Boolean = {
-        val line = reader.readLine()
-        if (line == null) { row = null; false }
-        else {
-          val node = mapper.readTree(line)
-          val outRow = new GenericInternalRow(out.length)
-          var i = 0
-          while (i < out.length) {
-            val f = out.fields(i)
-            if (f.name == KvStore.epochCol) outRow.update(i, p.epoch)
-            else {
-              val v = node.get(f.name)
-              outRow.update(i,
-                if (v == null || v.isNull) null
-                else f.dataType match {
-                  case LongType => java.lang.Long.valueOf(v.asLong())
-                  case IntegerType => java.lang.Integer.valueOf(v.asInt())
-                  case DoubleType => java.lang.Double.valueOf(v.asDouble())
-                  case BooleanType => java.lang.Boolean.valueOf(v.asBoolean())
-                  case StringType => UTF8String.fromString(v.asText())
-                  case other => throw new IllegalStateException(s"graft-kv: $other")
-                })
-            }
-            i += 1
+      private def matches(node: JsonNode): Boolean = compiled.forall { cf =>
+        val value: Option[Any] =
+          if (cf.name == KvStore.epochCol) Some(p.epoch)
+          else {
+            val v = node.get(cf.name)
+            if (v == null || v.isNull) None
+            else Some(cf.dt match {
+              case LongType | IntegerType => v.asLong()
+              case DoubleType => v.asDouble()
+              case BooleanType => v.asBoolean()
+              case StringType => UTF8String.fromString(v.asText())
+              case other => throw new IllegalStateException(s"graft-kv: $other")
+            })
           }
-          row = outRow
-          true
+        cf.pred(value)
+      }
+
+      override def next(): Boolean = {
+        var line = reader.readLine()
+        while (line != null) {
+          val node = mapper.readTree(line)
+          if (matches(node)) {
+            val outRow = new GenericInternalRow(out.length)
+            var i = 0
+            while (i < out.length) {
+              val f = out.fields(i)
+              if (f.name == KvStore.epochCol) outRow.update(i, p.epoch)
+              else {
+                val v = node.get(f.name)
+                outRow.update(i,
+                  if (v == null || v.isNull) null
+                  else f.dataType match {
+                    case LongType => java.lang.Long.valueOf(v.asLong())
+                    case IntegerType => java.lang.Integer.valueOf(v.asInt())
+                    case DoubleType => java.lang.Double.valueOf(v.asDouble())
+                    case BooleanType => java.lang.Boolean.valueOf(v.asBoolean())
+                    case StringType => UTF8String.fromString(v.asText())
+                    case other => throw new IllegalStateException(s"graft-kv: $other")
+                  })
+              }
+              i += 1
+            }
+            row = outRow
+            return true
+          }
+          line = reader.readLine()
         }
+        row = null
+        false
       }
       override def get(): InternalRow = row
       override def close(): Unit = reader.close()
@@ -499,8 +587,9 @@ class KvWriteBuilder(path: String, schema: StructType, queryId: String,
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
         new KvWriterFactory(path, schema, serConf)
       override def commit(messages: Array[WriterCommitMessage]): Unit =
-        KvStore.commitEpoch(conf, path, schema, s"batch:$queryId",
-          messages.collect { case m: KvCommitMessage => m.stagedFile }.toSeq)
+        KvStore.commitEpochSegs(conf, path, schema, s"batch:$queryId",
+          messages.collect { case m: KvCommitMessage =>
+            KvStore.StagedSeg(m.stagedFile, m.statsJson) }.toSeq)
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         KvWrite.cleanStaged(conf, messages)
     }
@@ -509,8 +598,9 @@ class KvWriteBuilder(path: String, schema: StructType, queryId: String,
       override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
         new KvStreamingWriterFactory(path, schema, serConf)
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-        KvStore.commitEpoch(conf, path, schema, s"stream:$queryId:$epochId",
-          messages.collect { case m: KvCommitMessage => m.stagedFile }.toSeq)
+        KvStore.commitEpochSegs(conf, path, schema, s"stream:$queryId:$epochId",
+          messages.collect { case m: KvCommitMessage =>
+            KvStore.StagedSeg(m.stagedFile, m.statsJson) }.toSeq)
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         KvWrite.cleanStaged(conf, messages)
     }
@@ -527,7 +617,8 @@ private object KvWrite {
     }
 }
 
-case class KvCommitMessage(stagedFile: String, rows: Long) extends WriterCommitMessage
+case class KvCommitMessage(stagedFile: String, rows: Long,
+    statsJson: Option[String] = None) extends WriterCommitMessage
 
 class KvWriterFactory(path: String, schema: StructType, conf: SerializableConfiguration)
     extends DataWriterFactory {
@@ -554,19 +645,41 @@ class KvDataWriter(path: String, schema: StructType, conf: Configuration,
   }
   private val mapper = new ObjectMapper
   private var rows = 0L
+  // per-column min/max/nulls, folded as rows stream through — the segment
+  // stats a filtered scan prunes on. Strings compare as UTF8 bytes
+  // (Spark's string ordering), so the recorded bounds are valid for
+  // pruning comparisons against pushed UTF8String values.
+  private val mins = new Array[Any](schema.length)
+  private val maxs = new Array[Any](schema.length)
+  private val nulls = new Array[Long](schema.length)
+
+  private def fold(i: Int, v: Any, cmp: (Any, Any) => Int): Unit = {
+    if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
+    if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
+  }
 
   override def write(record: InternalRow): Unit = {
     val node: ObjectNode = mapper.createObjectNode()
     var i = 0
     while (i < schema.length) {
       val f = schema.fields(i)
-      if (record.isNullAt(i)) node.putNull(f.name)
+      if (record.isNullAt(i)) { node.putNull(f.name); nulls(i) += 1 }
       else f.dataType match {
-        case LongType => node.put(f.name, record.getLong(i))
-        case IntegerType => node.put(f.name, record.getInt(i))
-        case DoubleType => node.put(f.name, record.getDouble(i))
-        case BooleanType => node.put(f.name, record.getBoolean(i))
-        case StringType => node.put(f.name, record.getUTF8String(i).toString)
+        case LongType =>
+          val v = record.getLong(i); node.put(f.name, v)
+          fold(i, v, (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+        case IntegerType =>
+          val v = record.getInt(i); node.put(f.name, v)
+          fold(i, v, (a, b) => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int]))
+        case DoubleType =>
+          val v = record.getDouble(i); node.put(f.name, v)
+          fold(i, v, (a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]))
+        case BooleanType =>
+          val v = record.getBoolean(i); node.put(f.name, v)
+          fold(i, v, (a, b) => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]))
+        case StringType =>
+          val v = record.getUTF8String(i).clone(); node.put(f.name, v.toString)
+          fold(i, v, (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
         case other => throw new IllegalStateException(s"graft-kv: $other")
       }
       i += 1
@@ -576,9 +689,31 @@ class KvDataWriter(path: String, schema: StructType, conf: Configuration,
     rows += 1
   }
 
+  private def statsJson: String = {
+    val root = mapper.createObjectNode()
+    root.put("rows", rows)
+    val cols = root.putObject("cols")
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      val c = cols.putObject(f.name)
+      c.put("nulls", nulls(i))
+      if (mins(i) != null) f.dataType match {
+        case LongType => c.put("min", mins(i).asInstanceOf[Long]); c.put("max", maxs(i).asInstanceOf[Long])
+        case IntegerType => c.put("min", mins(i).asInstanceOf[Int]); c.put("max", maxs(i).asInstanceOf[Int])
+        case DoubleType => c.put("min", mins(i).asInstanceOf[Double]); c.put("max", maxs(i).asInstanceOf[Double])
+        case BooleanType => c.put("min", mins(i).asInstanceOf[Boolean]); c.put("max", maxs(i).asInstanceOf[Boolean])
+        case StringType => c.put("min", mins(i).toString); c.put("max", maxs(i).toString)
+        case _ => ()
+      }
+      i += 1
+    }
+    mapper.writeValueAsString(root)
+  }
+
   override def commit(): WriterCommitMessage = {
     out.close()
-    KvCommitMessage(staged.toString, rows)
+    KvCommitMessage(staged.toString, rows, Some(statsJson))
   }
 
   override def abort(): Unit = {

@@ -109,6 +109,63 @@ class KvCatalogSpec extends AnyFunSuite {
       sql("CREATE TABLE kvtest.ns.badtype (k BIGINT, arr ARRAY<BIGINT>)"))
   }
 
+  test("key filter pushdown: no residual Filter, non-matching segments skipped") {
+    sql("CREATE TABLE kvtest.ns.pruned (k BIGINT, v STRING)")
+    // three epochs with disjoint key ranges; single-partition range() → one
+    // writer task → one segment each, so segment count == epoch count
+    sql("INSERT INTO kvtest.ns.pruned SELECT id, concat('a', id) FROM range(0, 10, 1, 1)")
+    sql("INSERT INTO kvtest.ns.pruned SELECT id, concat('b', id) FROM range(100, 110, 1, 1)")
+    sql("INSERT INTO kvtest.ns.pruned SELECT id, concat('c', id) FROM range(200, 210, 1, 1)")
+    val all = sql("SELECT * FROM kvtest.ns.pruned")
+    assert(all.rdd.getNumPartitions === 3) // one partition per segment
+
+    // equality: fully absorbed — no residual FilterExec, 2 of 3 segments pruned
+    val eq = sql("SELECT * FROM kvtest.ns.pruned WHERE k = 105")
+    val filters = eq.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filters.isEmpty, eq.queryExecution.executedPlan.toString)
+    assert(eq.rdd.getNumPartitions === 1)
+    val row = eq.collect()
+    assert(row.length === 1 && row(0).getString(1) === "b105")
+
+    // range: only the matching segment survives planning
+    val rng = sql("SELECT * FROM kvtest.ns.pruned WHERE k >= 200")
+    assert(rng.rdd.getNumPartitions === 1)
+    assert(rng.count() === 10)
+    // string bounds prune too
+    val sf = sql("SELECT * FROM kvtest.ns.pruned WHERE v = 'a3'")
+    assert(sf.rdd.getNumPartitions === 1)
+    assert(sf.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // filter column outside the projection still evaluates row-exactly
+    val proj = sql("SELECT v FROM kvtest.ns.pruned WHERE k = 7")
+    assert(proj.collect().map(_.getString(0)).toSeq === Seq("a7"))
+    // _epoch metadata filter prunes by the manifest itself
+    val ep = sql("SELECT k FROM kvtest.ns.pruned WHERE _epoch = 1")
+    assert(ep.rdd.getNumPartitions === 1)
+    assert(ep.collect().map(_.getLong(0)).sorted.toSeq === (100L until 110L))
+    // an unsupported predicate stays residual and still answers correctly
+    val res = sql("SELECT k FROM kvtest.ns.pruned WHERE k % 100 = 5")
+    assert(res.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 105L, 205L))
+    // nothing-matches prunes everything without an error
+    assert(sql("SELECT * FROM kvtest.ns.pruned WHERE k = 999").count() === 0)
+  }
+
+  test("filter pushdown composes with time travel and survives compaction") {
+    sql("CREATE TABLE kvtest.ns.prunett (k BIGINT, v STRING)")
+    sql("INSERT INTO kvtest.ns.prunett VALUES (1, 'one'), (2, 'two')")
+    sql("INSERT INTO kvtest.ns.prunett VALUES (3, 'three')")
+    // time travel restricts epochs; the filter prunes within the snapshot
+    val tt = sql("SELECT v FROM kvtest.ns.prunett VERSION AS OF 0 WHERE k = 3")
+    assert(tt.count() === 0)
+    val tt2 = sql("SELECT v FROM kvtest.ns.prunett VERSION AS OF 1 WHERE k = 3")
+    assert(tt2.collect().map(_.getString(0)).toSeq === Seq("three"))
+    // compaction rewrites segments through the normal writer → fresh stats
+    graft.sinks.v2.KvStore.compact(spark, s"$warehouse/ns/prunett", Seq("k"))
+    val post = sql("SELECT v FROM kvtest.ns.prunett WHERE k = 2")
+    assert(post.collect().map(_.getString(0)).toSeq === Seq("two"))
+  }
+
   test("VERSION AS OF presents the schema of that epoch, not post-ALTER columns") {
     sql("CREATE TABLE kvtest.ns.ttschema (k BIGINT)")
     sql("INSERT INTO kvtest.ns.ttschema VALUES (1)") // epoch 0, schema (k)
