@@ -288,6 +288,19 @@ object KvStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-kv").option("path", path).load()
 
+  /** Raw committed rows as of one committed epoch (inclusive). */
+  def readAt(spark: SparkSession, path: String, epoch: Long): DataFrame =
+    spark.read.format("graft-kv").option("path", path)
+      .option("atEpoch", epoch.toString).load()
+
+  /** Max committed epoch, if any write has landed. */
+  def latestEpoch(path: String): Option[Long] =
+    readManifest(hadoopConf(), path).map(_.epoch).maxOption
+
+  /** Stored data schema, if the store has been created. */
+  def schemaOf(path: String): Option[StructType] =
+    readSchema(hadoopConf(), path)
+
   /**
    * LSM compaction: collapse every committed epoch into ONE, containing the
    * first-write-wins-resolved rows (and, when `nowS` is given, dropping
@@ -355,8 +368,16 @@ object KvStore {
    * Same contract as `Sinks.readVerdicts` min-batch_id dedup.
    */
   def readCurrent(spark: SparkSession, path: String, keyCols: Seq[String],
-      nowS: Option[Long] = None): DataFrame = {
-    val df = read(spark, path)
+      nowS: Option[Long] = None, atEpoch: Option[Long] = None): DataFrame = {
+    // PIN one committed epoch for the whole plan: the store appears twice
+    // below (the min-epoch aggregate and the semi-join probe), and each
+    // occurrence plans its own scan with its own manifest read — a commit
+    // landing between the two would otherwise produce a torn view (a row
+    // whose winning epoch the aggregate never saw). Resolving the epoch
+    // HERE, once, makes every scan in the plan read the same snapshot no
+    // matter when it materializes.
+    val pinned = atEpoch.orElse(latestEpoch(path))
+    val df = pinned.fold(read(spark, path))(e => readAt(spark, path, e))
     val first = df.groupBy(keyCols.map(col): _*)
       .agg(min(col(epochCol)).as(epochCol))
     val deduped = df.join(first, keyCols :+ epochCol, "left_semi")

@@ -312,4 +312,68 @@ class StreamingSpec extends AnyFunSuite {
     // verdict for a key the final batch answer lacks
     assert(batch.map(s => (s(0), s(1))).subsetOf(resumed.map(s => (s(0), s(1)))))
   }
+
+  test("kv enrichment pins one committed epoch: no torn view under concurrent INSERT") {
+    import spark.implicits._
+    import graft.sinks.v2.KvStore
+    val p = java.nio.file.Files.createTempDirectory("graft_enrich_kv_").toString
+    Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "v")
+      .write.format("graft-kv").option("path", p).mode("append").save() // epoch 0
+    // readCurrent pins the epoch at CONSTRUCTION: a commit landing after
+    // the plan is built but before it materializes must be invisible —
+    // lazy materialization is exactly when a torn view would sneak in
+    val pinned = KvStore.readCurrent(spark, p, Seq("k"))
+    Seq((4L, "four"), (5L, "five")).toDF("k", "v")
+      .write.format("graft-kv").option("path", p).mode("append").save() // epoch 1
+    assert(pinned.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L),
+      "post-pin commit leaked into a pinned current view")
+    // and a fresh view sees the new epoch
+    assert(KvStore.readCurrent(spark, p, Seq("k")).count() === 5)
+  }
+
+  test("kv stream-static enrichment refreshes per micro-batch, one epoch per batch") {
+    import spark.implicits._
+    import graft.sinks.v2.KvStore
+    import graft.streaming.KvEnrich
+    val dim = java.nio.file.Files.createTempDirectory("graft_enrich_dim_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_enrich_out_").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_enrich_ck_").toString
+    Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "v")
+      .write.format("graft-kv").option("path", dim).mode("append").save() // epoch 0
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = KvEnrich.enrichedSink(mem.toDF().toDF("k"), dim, Seq("k"), outDir, ckpt)
+    try {
+      mem.addData(1L, 2L, 3L, 4L, 5L, 6L)
+      q.processAllAvailable()
+      // dimension grows BETWEEN batches — the stream must pick it up
+      Seq((4L, "four"), (5L, "five"), (6L, "six")).toDF("k", "v")
+        .write.format("graft-kv").option("path", dim).mode("append").save() // epoch 1
+      mem.addData(1L, 2L, 3L, 4L, 5L, 6L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+    // batch 1 saw epoch 0: keys 1-3 enriched, 4-6 left-join nulls
+    val b0 = out.filter(col("_dim_epoch") === 0L).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(b0 === Map(1L -> Some("one"), 2L -> Some("two"), 3L -> Some("three"),
+      4L -> None, 5L -> None, 6L -> None))
+    // batch 2 saw epoch 1: everything enriched
+    val b1 = out.filter(col("_dim_epoch") === 1L).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(b1 === Map(1L -> Some("one"), 2L -> Some("two"), 3L -> Some("three"),
+      4L -> Some("four"), 5L -> Some("five"), 6L -> Some("six")))
+    // epoch audit column partitions the output cleanly: one epoch per batch
+    assert(out.select("_dim_epoch").distinct().collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(0L, 1L))
+    // pre-first-commit shape check: an empty store enriches to nulls with a
+    // schema identical to the joined output (no downstream schema flip)
+    val empty = java.nio.file.Files.createTempDirectory("graft_enrich_e_").toString
+    Seq((9L, "z")).toDF("k", "v").write.format("graft-kv").option("path", empty)
+      .mode("append").save()
+    val shaped = KvEnrich.enrichBatch(Seq(9L).toDF("k"), empty, Seq("k"), None)
+    assert(shaped.columns.toSeq ===
+      KvEnrich.enrichBatch(Seq(9L).toDF("k"), empty, Seq("k"), Some(0L)).columns.toSeq)
+    assert(shaped.collect().head.isNullAt(1))
+  }
 }
