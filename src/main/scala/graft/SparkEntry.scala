@@ -1439,6 +1439,21 @@ object SparkEntry {
         "media_id", "phash", maxDist = 3)
         .select(col("id_a"), col("id_b"))),
 
+    // image_neardup_robust: pHash under the transforms dedup actually
+    // faces — ids group as (4g..4g+3): base PNG, QUALITY-50 JPEG, 96×96
+    // nearest resample (non-integer 1.5× scale), and quality-80 JPEG of
+    // the 2× upscale. The oracle is the construction: exactly the 6
+    // intra-group pairs per group — recall AND precision at threshold 6
+    // (measured margins: intra ≤ 4 bits, cross ≥ 20; MultimodalSpec pins
+    // the floors).
+    "image_neardup_robust" -> ((s, dir) =>
+      operators.Dedup.hammingPairs(
+        operators.Multimodal.imagePhash(
+          cachedMediaFor(s, dir, "robustdup")(
+            operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))),
+        "media_id", "phash", maxDist = 6)
+        .select(col("id_a"), col("id_b"))),
+
     // Oracle-backed slice of the multimodal table (checksum + byte length).
     "multimodal_checksum" -> ((s, dir) =>
       operators.Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
@@ -3916,6 +3931,15 @@ object SparkEntry {
         """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1 AS BIGINT) AS id_b
           |FROM documents WHERE doc_id % 2 = 0
           |  AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)""".stripMargin,
+
+      // the robustness construction: every within-group pair (groups of 4
+      // variants) and nothing else — both recall under quality-50/resample
+      // transforms and precision against the ~20-bit cross-group spread
+      "image_neardup_robust" ->
+        """SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+          |FROM documents a JOIN documents b
+          |  ON a.doc_id < b.doc_id
+          | AND a.doc_id - (a.doc_id % 4) = b.doc_id - (b.doc_id % 4)""".stripMargin,
 
       // MJPEG AVI replay: 16x16 grayscale, nFrames = 2 + id%3 at 10 fps,
       // frame f block value (7·id + 29·f + 11·bx + 23·by) mod 256

@@ -1083,6 +1083,64 @@ object Multimodal {
     }(enc)
   }
 
+  /** Nearest-neighbor resample of a grayscale raster (the same sampling
+   * rule as [[toGray32]]) — the resize arm of the robustness corpus. */
+  private[graft] def resizeNearest(src: Array[Byte], sw: Int, sh: Int,
+      dw: Int, dh: Int): Array[Byte] = {
+    val out = new Array[Byte](dw * dh)
+    var y = 0
+    while (y < dh) {
+      val sy = (y.toLong * sh / dh).toInt
+      var x = 0
+      while (x < dw) {
+        out(y * dw + x) = src(sy * sw + (x.toLong * sw / dw).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /**
+   * Robustness corpus for the `image_neardup_robust` gate: ids group as
+   * (4g .. 4g+3) — FOUR variants of one [[dupPattern]] raster, covering the
+   * geometric/quality transforms image dedup actually faces (format
+   * conversion alone, the `image_neardup` corpus, is pHash's easiest case):
+   *
+   *   - 4g+0: lossless PNG of the 64×64 base;
+   *   - 4g+1: REAL baseline JPEG at QUALITY 50 (double the q80 gate's
+   *     quantization loss);
+   *   - 4g+2: 96×96 nearest RESAMPLE (non-integer 1.5× scale — sampling
+   *     phase shifts, unlike the exact 2× replication);
+   *   - 4g+3: resize AND loss combined — quality-80 JPEG of the 2×
+   *     (128×128) replication.
+   *
+   * Unrelated groups carry independent sign patterns (~32-bit spread), so
+   * one hamming threshold separates all intra pairs from all cross pairs;
+   * the margins are measured and pinned in MultimodalSpec.
+   */
+  def syntheticRobustDupTable(ids: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val base = dupPattern(id / 4)
+        val bytes = (id % 4) match {
+          case 0 => MediaCodec.encodePng(64, 64, 1, base)
+          case 1 => JpegCodec.encodeGray(64, 64, base,
+            quant = JpegCodec.scaledQuant(JpegCodec.stdLuminanceQuant, 50))
+          case 2 => MediaCodec.encodePng(96, 96, 1, resizeNearest(base, 64, 64, 96, 96))
+          case _ => JpegCodec.encodeGray(128, 128, resizeNearest(base, 64, 64, 128, 128),
+            quant = JpegCodec.scaledQuant(JpegCodec.stdLuminanceQuant, 80))
+        }
+        Row(id, bytes)
+      }
+    }(enc)
+  }
+
   /**
    * EXACT pixel statistics from real PNG decode — integer outputs so the
    * result is hash-comparable against a closed-form SQL replay of the

@@ -546,6 +546,27 @@ class MultimodalSpec extends AnyFunSuite {
       assert(java.lang.Long.bitCount(hashes(i)._1 ^ hashes(j)._2) >= 8, s"cross ($i,$j)")
   }
 
+  test("pHash robustness: quality-50, 1.5x resample, resize+loss all stay in the gate") {
+    // measured margins over 30 groups x 4 variants (base PNG, q50 JPEG,
+    // 96x96 nearest resample, q80 JPEG of the 2x upscale)
+    val ids = spark.range(0, 120).toDF("doc_id")
+    val hashed = Multimodal.imagePhash(
+        Multimodal.syntheticRobustDupTable(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed.size === 120)
+    val groups = hashed.groupBy(_._1 / 4).view.mapValues(_.values.toSeq).toMap
+    var intraMax = 0
+    for (g <- groups.values; Seq(a, b) <- g.combinations(2))
+      intraMax = intraMax.max(java.lang.Long.bitCount(a ^ b))
+    var crossMin = 64
+    for ((gi, hi) <- groups; (gj, hj) <- groups; if gi < gj; a <- hi; b <- hj)
+      crossMin = crossMin.min(java.lang.Long.bitCount(a ^ b))
+    info(s"robust corpus margins: intra max = $intraMax, cross min = $crossMin")
+    // the recall/precision floors the gate depends on (threshold sits between)
+    assert(intraMax <= 6, s"intra max $intraMax blew the gate threshold")
+    assert(crossMin >= 12, s"cross min $crossMin crowds the gate threshold")
+  }
+
   test("pHash is invariant to exact resampling scale (replication)") {
     import graft.operators.{MediaCodec => MC}
     val px = Multimodal.dupPattern(7)
