@@ -1283,9 +1283,14 @@ object SparkEntry {
     // the corpus (map-side assignment, zero exchange), exact cosine verify
     // within cells only. Approximate by construction (cell-boundary pairs
     // are missed) -> rows-only; recall floor pinned by SimilaritySpec.
-    "embed_celldup" -> ((s, dir) =>
-      Similarity.cellNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, nCells = 8)),
+    // SemDeDup cells with the cell COUNT scaled to the corpus (constant
+    // expected cell size): a fixed count made within-cell pairs — and the
+    // measured runtime — quadratic (sf1 rehearsal: n^1.8 → fixed).
+    "embed_celldup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.cellNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.3, nCells = Similarity.autoCellCount(e.count(), targetCellSize = 250))
+    }),
 
     // Embedding-space decontamination: corpus rows (vec_id % 50 != 0) whose
     // embedding is near any eval row (vec_id % 50 == 0). Cells train on the

@@ -238,6 +238,26 @@ object Similarity {
    * trainings (all vectors in one cell → cnt² blow-up); balanced Lloyd cells
    * don't trip it.
    */
+  /**
+   * Corpus-scaled cell count for [[cellNearDupPairs]] — SemDeDup's own
+   * recipe (Abbas et al. use cluster counts proportional to corpus size,
+   * e.g. 50k for LAION): hold the EXPECTED CELL SIZE constant so the
+   * within-cell pair verify stays ∝ n · cellSize (linear), instead of a
+   * fixed cell count whose population — and pair count — grows
+   * quadratically with the corpus. The sf0.1→sf1 rehearsal measured the
+   * fixed-count version at ~n^1.8; this is the fix.
+   *
+   * Envelope: assignment is a flat codegen'd argmax over a driver-held
+   * centroid matrix, so its cost is n·nCells·dim — with nCells ∝ n that
+   * term turns quadratic around ~10⁶ vectors (centroid matrix ~MBs and
+   * assignment flops dominate). Beyond that, the two-level IVF-PQ path
+   * ([[ivfPqBuild]]/[[ivfPqSearch]]) with coarse-then-fine assignment is
+   * the scale path; `maxCells` caps this helper inside the flat regime.
+   */
+  def autoCellCount(n: Long, targetCellSize: Int = 64, minCells: Int = 8,
+      maxCells: Int = 16384): Int =
+    math.min(maxCells.toLong, math.max(minCells.toLong, n / targetCellSize)).toInt
+
   def cellNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 64, nProbes: Int = 2,
       iterations: Int = 2, sampleMod: Int = 1,
