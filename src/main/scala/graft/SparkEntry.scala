@@ -1285,11 +1285,16 @@ object SparkEntry {
     // are missed) -> rows-only; recall floor pinned by SimilaritySpec.
     // SemDeDup cells with the cell COUNT scaled to the corpus (constant
     // expected cell size): a fixed count made within-cell pairs — and the
-    // measured runtime — quadratic (sf1 rehearsal: n^1.8 → fixed).
+    // measured runtime — quadratic (sf1 rehearsal: n^1.8 → fixed). The
+    // seeding/training sample scales the same way so the k seeding rounds
+    // stay one driver-local collect; past the flat-argmax cutoff the
+    // assignment switches to the two-level coarse→fine scan automatically.
     "embed_celldup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
+      val n = e.count()
       Similarity.cellNearDupPairs(e, "vec_id", "embedding",
-        threshold = 0.3, nCells = Similarity.autoCellCount(e.count(), targetCellSize = 250))
+        threshold = 0.3, nCells = Similarity.autoCellCount(n, targetCellSize = 250),
+        sampleMod = Similarity.autoSampleMod(n))
     }),
 
     // Embedding-space decontamination: corpus rows (vec_id % 50 != 0) whose

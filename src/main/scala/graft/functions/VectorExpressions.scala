@@ -419,6 +419,253 @@ case class NearestCentroidIndices(child: Expression,
 }
 
 /**
+ * Two-level (coarse→fine) multi-probe nearest-cell indices — the scale
+ * path past the flat argmax: a flat [[NearestCentroidIndices]] scan costs
+ * nCells·dim per row, which turns the whole assignment quadratic once the
+ * cell count scales with the corpus (`Similarity.autoCellCount`). Here the
+ * FINE centroids are pre-grouped (driver-side, bounded) under ~√nCells
+ * COARSE centroids; per row: score all coarse groups (√c·d), probe the
+ * best `q`, score only their member fine cells (~q·√c·d), and emit the `p`
+ * best fine indices — ~(1+q)·√c·d per row instead of c·d.
+ *
+ * Approximate by construction (a fine cell in an unprobed coarse group is
+ * never scored — SimilaritySpec pins the candidate recall floor against
+ * the flat scan). Ordering contract matches the flat expression: nearest
+ * first by −cos, ties and unscored cells resolved to the SMALLEST fine
+ * index, so eval ≡ codegen bit-for-bit and results are partition-order
+ * independent.
+ */
+case class TwoLevelNearestCellIndices(child: Expression,
+    coarse: Array[Array[Float]], coarseNorms: Array[Double],
+    members: Array[Array[Int]],
+    fine: Array[Array[Float]], fineNorms: Array[Double],
+    q: Int, p: Int)
+    extends UnaryExpression {
+  require(q > 0, s"coarse probe count must be positive, got $q")
+  require(p > 0, s"fine probe count must be positive, got $p")
+  require(coarse.length == members.length,
+    s"coarse group count ${coarse.length} != member list count ${members.length}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "two_level_nearest_cell_indices"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.sql}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val fineKeys = new Array[Double](fine.length)
+    java.util.Arrays.fill(fineKeys, Double.PositiveInfinity)
+    val scored = new Array[Boolean](fine.length)
+    val coarseKeys = new Array[Double](coarse.length)
+    java.util.Arrays.fill(coarseKeys, Double.PositiveInfinity)
+    val v = child.eval(input)
+    var vnorm = 0.0
+    var x: ArrayData = null
+    var n = 0
+    if (v != null) {
+      x = v.asInstanceOf[ArrayData]
+      n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) { val f = x.getFloat(i).toDouble; s += f * f; i += 1 }
+      vnorm = math.sqrt(s)
+      var c = 0
+      while (c < coarse.length) {
+        val cv = coarse(c)
+        val m = math.min(n, cv.length)
+        var d = 0.0
+        var j = 0
+        while (j < m) { d += x.getFloat(j).toDouble * cv(j).toDouble; j += 1 }
+        val denom = vnorm * coarseNorms(c)
+        if (denom != 0d) {
+          val cos = d / denom
+          if (!java.lang.Double.isNaN(cos)) coarseKeys(c) = -cos
+        }
+        c += 1
+      }
+    }
+    // probe the q best coarse groups (ties → smaller group index), scoring
+    // their member fine cells; everything else stays +inf/unscored
+    val takeG = math.min(q, coarse.length)
+    val usedG = new Array[Boolean](coarse.length)
+    var r = 0
+    while (r < takeG) {
+      var best = -1
+      var bestKey = 0.0
+      var c = 0
+      while (c < coarse.length) {
+        if (!usedG(c) && (best == -1 || coarseKeys(c) < bestKey)) {
+          best = c; bestKey = coarseKeys(c)
+        }
+        c += 1
+      }
+      usedG(best) = true
+      val mem = members(best)
+      var k = 0
+      while (k < mem.length) {
+        val fi = mem(k)
+        scored(fi) = true
+        if (x != null) {
+          val fv = fine(fi)
+          val m = math.min(n, fv.length)
+          var d = 0.0
+          var j = 0
+          while (j < m) { d += x.getFloat(j).toDouble * fv(j).toDouble; j += 1 }
+          val denom = vnorm * fineNorms(fi)
+          if (denom != 0d) {
+            val cos = d / denom
+            if (!java.lang.Double.isNaN(cos)) fineKeys(fi) = -cos
+          }
+        }
+        k += 1
+      }
+      r += 1
+    }
+    // select the p best SCORED-ELIGIBLE fine cells: among probed members
+    // first (by key, ties to smaller index); if fewer than p were probed,
+    // fill from unprobed cells in index order — mirrors the flat
+    // expression's behavior on null/empty vectors (all-inf keys → index
+    // order) so degenerate rows stay deterministic
+    val take = math.min(p, fine.length)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](fine.length)
+    r = 0
+    while (r < take) {
+      var best = -1
+      var bestKey = 0.0
+      var bestScored = false
+      var c = 0
+      while (c < fine.length) {
+        if (!used(c)) {
+          val better =
+            if (best == -1) true
+            else if (scored(c) != bestScored) scored(c) // probed beats unprobed
+            else if (fineKeys(c) != bestKey) fineKeys(c) < bestKey
+            else false // equal key: earlier (smaller) index already won
+          if (better) { best = c; bestKey = fineKeys(c); bestScored = scored(c) }
+        }
+        c += 1
+      }
+      used(best) = true; out(r) = best; r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gCoarse = ctx.addReferenceObj("tlncCoarse", coarse, "float[][]")
+    val gCoarseNorms = ctx.addReferenceObj("tlncCoarseNorms", coarseNorms, "double[]")
+    val gMembers = ctx.addReferenceObj("tlncMembers", members, "int[][]")
+    val gFine = ctx.addReferenceObj("tlncFine", fine, "float[][]")
+    val gFineNorms = ctx.addReferenceObj("tlncFineNorms", fineNorms, "double[]")
+    val childGen = child.genCode(ctx)
+    val pfx = ctx.freshName("tlnc")
+    val value = ctx.freshName("tlncResult")
+    val code =
+      code"""
+         |${childGen.code}
+         |double[] ${pfx}FineKeys = new double[$gFine.length];
+         |java.util.Arrays.fill(${pfx}FineKeys, Double.POSITIVE_INFINITY);
+         |boolean[] ${pfx}Scored = new boolean[$gFine.length];
+         |double[] ${pfx}CoarseKeys = new double[$gCoarse.length];
+         |java.util.Arrays.fill(${pfx}CoarseKeys, Double.POSITIVE_INFINITY);
+         |org.apache.spark.sql.catalyst.util.ArrayData ${pfx}X = null;
+         |int ${pfx}N = 0;
+         |double ${pfx}Vnorm = 0.0;
+         |if (!${childGen.isNull}) {
+         |  ${pfx}X = ${childGen.value};
+         |  ${pfx}N = ${pfx}X.numElements();
+         |  double ${pfx}S = 0.0;
+         |  for (int ${pfx}J = 0; ${pfx}J < ${pfx}N; ${pfx}J++) {
+         |    double ${pfx}F = (double) ${pfx}X.getFloat(${pfx}J);
+         |    ${pfx}S += ${pfx}F * ${pfx}F;
+         |  }
+         |  ${pfx}Vnorm = java.lang.Math.sqrt(${pfx}S);
+         |  for (int ${pfx}C = 0; ${pfx}C < $gCoarse.length; ${pfx}C++) {
+         |    float[] ${pfx}Cv = $gCoarse[${pfx}C];
+         |    int ${pfx}M = java.lang.Math.min(${pfx}N, ${pfx}Cv.length);
+         |    double ${pfx}D = 0.0;
+         |    for (int ${pfx}J = 0; ${pfx}J < ${pfx}M; ${pfx}J++) {
+         |      ${pfx}D += (double) ${pfx}X.getFloat(${pfx}J) * (double) ${pfx}Cv[${pfx}J];
+         |    }
+         |    double ${pfx}Denom = ${pfx}Vnorm * $gCoarseNorms[${pfx}C];
+         |    if (${pfx}Denom != 0.0) {
+         |      double ${pfx}Cos = ${pfx}D / ${pfx}Denom;
+         |      if (!Double.isNaN(${pfx}Cos)) ${pfx}CoarseKeys[${pfx}C] = -${pfx}Cos;
+         |    }
+         |  }
+         |}
+         |int ${pfx}TakeG = java.lang.Math.min($q, $gCoarse.length);
+         |boolean[] ${pfx}UsedG = new boolean[$gCoarse.length];
+         |for (int ${pfx}R = 0; ${pfx}R < ${pfx}TakeG; ${pfx}R++) {
+         |  int ${pfx}Best = -1;
+         |  double ${pfx}BestKey = 0.0;
+         |  for (int ${pfx}C = 0; ${pfx}C < $gCoarse.length; ${pfx}C++) {
+         |    if (!${pfx}UsedG[${pfx}C] &&
+         |        (${pfx}Best == -1 || ${pfx}CoarseKeys[${pfx}C] < ${pfx}BestKey)) {
+         |      ${pfx}Best = ${pfx}C; ${pfx}BestKey = ${pfx}CoarseKeys[${pfx}C];
+         |    }
+         |  }
+         |  ${pfx}UsedG[${pfx}Best] = true;
+         |  int[] ${pfx}Mem = $gMembers[${pfx}Best];
+         |  for (int ${pfx}K = 0; ${pfx}K < ${pfx}Mem.length; ${pfx}K++) {
+         |    int ${pfx}Fi = ${pfx}Mem[${pfx}K];
+         |    ${pfx}Scored[${pfx}Fi] = true;
+         |    if (${pfx}X != null) {
+         |      float[] ${pfx}Fv = $gFine[${pfx}Fi];
+         |      int ${pfx}M = java.lang.Math.min(${pfx}N, ${pfx}Fv.length);
+         |      double ${pfx}D = 0.0;
+         |      for (int ${pfx}J = 0; ${pfx}J < ${pfx}M; ${pfx}J++) {
+         |        ${pfx}D += (double) ${pfx}X.getFloat(${pfx}J) * (double) ${pfx}Fv[${pfx}J];
+         |      }
+         |      double ${pfx}Denom = ${pfx}Vnorm * $gFineNorms[${pfx}Fi];
+         |      if (${pfx}Denom != 0.0) {
+         |        double ${pfx}Cos = ${pfx}D / ${pfx}Denom;
+         |        if (!Double.isNaN(${pfx}Cos)) ${pfx}FineKeys[${pfx}Fi] = -${pfx}Cos;
+         |      }
+         |    }
+         |  }
+         |}
+         |int ${pfx}Take = java.lang.Math.min($p, $gFine.length);
+         |int[] ${pfx}Out = new int[${pfx}Take];
+         |boolean[] ${pfx}Used = new boolean[$gFine.length];
+         |for (int ${pfx}R = 0; ${pfx}R < ${pfx}Take; ${pfx}R++) {
+         |  int ${pfx}Best = -1;
+         |  double ${pfx}BestKey = 0.0;
+         |  boolean ${pfx}BestScored = false;
+         |  for (int ${pfx}C = 0; ${pfx}C < $gFine.length; ${pfx}C++) {
+         |    if (!${pfx}Used[${pfx}C]) {
+         |      boolean ${pfx}Better;
+         |      if (${pfx}Best == -1) ${pfx}Better = true;
+         |      else if (${pfx}Scored[${pfx}C] != ${pfx}BestScored) ${pfx}Better = ${pfx}Scored[${pfx}C];
+         |      else if (${pfx}FineKeys[${pfx}C] != ${pfx}BestKey) ${pfx}Better = ${pfx}FineKeys[${pfx}C] < ${pfx}BestKey;
+         |      else ${pfx}Better = false;
+         |      if (${pfx}Better) {
+         |        ${pfx}Best = ${pfx}C;
+         |        ${pfx}BestKey = ${pfx}FineKeys[${pfx}C];
+         |        ${pfx}BestScored = ${pfx}Scored[${pfx}C];
+         |      }
+         |    }
+         |  }
+         |  ${pfx}Used[${pfx}Best] = true; ${pfx}Out[${pfx}R] = ${pfx}Best;
+         |}
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $value =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(${pfx}Out);
+       """.stripMargin
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode.variable(
+        value, dataType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TwoLevelNearestCellIndices =
+    copy(child = newChild)
+}
+
+/**
  * Residual against a driver-held centroid matrix: out = vec − matrix[idx],
  * element-wise over the common prefix (a vector longer than the centroid
  * keeps its tail unchanged; shorter stays shorter). The encode-side step of
@@ -630,6 +877,17 @@ object VectorExpressions {
   def nearestCentroidIndices(vec: Column,
       centroids: Array[Array[Float]], norms: Array[Double], p: Int): Column =
     Bridge.column(NearestCentroidIndices(Bridge.expression(vec), centroids, norms, p))
+
+  /** Coarse→fine multi-probe nearest cells: score √c coarse groups, probe
+   * the best q, emit the p best member fine indices (see
+   * [[TwoLevelNearestCellIndices]] for cost and ordering contract). */
+  def twoLevelNearestCellIndices(vec: Column,
+      coarse: Array[Array[Float]], coarseNorms: Array[Double],
+      members: Array[Array[Int]],
+      fine: Array[Array[Float]], fineNorms: Array[Double],
+      q: Int, p: Int): Column =
+    Bridge.column(TwoLevelNearestCellIndices(Bridge.expression(vec),
+      coarse, coarseNorms, members, fine, fineNorms, q, p))
 
   /** vec − centroids[idx] element-wise (see [[ResidualVector]]). */
   def residualVector(vec: Column, idx: Column,

@@ -258,11 +258,26 @@ object Similarity {
       maxCells: Int = 16384): Int =
     math.min(maxCells.toLong, math.max(minCells.toLong, n / targetCellSize)).toInt
 
+  /** Corpus-scaled seeding/training sample modulus: keeps the farthest-first
+   * hash sample inside the driver-local cap (`seedFarthestFirst`'s
+   * `maxDriverSample`), where the k seeding rounds are one collect instead
+   * of k sequential cluster jobs — at corpus-scaled cell counts (hundreds+
+   * of seeds) the distributed fallback is hundreds of driver round-trips. */
+  def autoSampleMod(n: Long, targetSample: Long = 1L << 16): Int =
+    math.max(1L, n / targetSample).toInt
+
+  /** flat argmax assignment up to this many cells; beyond it,
+   * [[cellNearDupPairs]] switches to the coarse→fine two-level scan —
+   * below the cutoff the flat loop is cheaper than two passes, above it
+   * the √c factor wins and keeps corpus-scaled cell counts affordable */
+  val twoLevelCellCutoff: Int = 64
+
   def cellNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 64, nProbes: Int = 2,
       iterations: Int = 2, sampleMod: Int = 1,
       maxCellFreq: Option[Int] = None,
-      materializeResult: Boolean = true): DataFrame = {
+      materializeResult: Boolean = true,
+      twoLevel: Option[Boolean] = None): DataFrame = {
     require(nProbes >= 1 && nProbes <= nCells,
       s"cellNearDupPairs: nProbes must be in [1, nCells], got $nProbes/$nCells")
     val seeds = seedFarthestFirst(df, idCol, vecCol, nCells, sampleMod)
@@ -270,9 +285,11 @@ object Similarity {
       Some(seeds), trainSampleMod = sampleMod)
     val docs = graft.Materialize(
       df.select(col(idCol).as("doc_id"), col(vecCol).as("vec")))
+    val useTwoLevel = twoLevel.getOrElse(nCells > twoLevelCellCutoff)
     // materialized: the multi-probe assignment is map-side cheap, but
     // without the barrier BOTH self-join sides would rescan the corpus
-    val assigned = nearestCells(docs, "vec", centroids, nProbes)
+    val assigned = (if (useTwoLevel) nearestCellsTwoLevel(docs, "vec", centroids, nProbes)
+                    else nearestCells(docs, "vec", centroids, nProbes))
       .select("cell_id", "doc_id")
       .transform(graft.Materialize(_))
     val capped = maxCellFreq.fold(assigned)(
@@ -426,6 +443,114 @@ object Similarity {
     val cents = collectedCentroids(centroids, "nearestCells")
     val idxs = graft.functions.VectorExpressions
       .nearestCentroidIndices(col(vecName), cents._2, cents._3, nProbes)
+    in.withColumn("cell_id",
+      explode(transform(idxs, i => element_at(array(cents._1: _*), i + 1))))
+  }
+
+  /** Deterministic driver-local Lloyd (cosine) over the FINE CENTROIDS —
+   * groups them under ~√c coarse centroids for [[nearestCellsTwoLevel]].
+   * Runs on c vectors (bounded: the centroid table, not the corpus); seeds
+   * are farthest-first from index 0, empty groups keep their previous
+   * vector, ties break to the smaller index everywhere. */
+  private[operators] def groupCentroidsLocal(fine: Array[Array[Float]],
+      fineNorms: Array[Double], nGroups: Int, iterations: Int = 3)
+      : (Array[Array[Float]], Array[Double], Array[Array[Int]]) = {
+    val c = fine.length
+    val g = math.max(1, math.min(nGroups, c))
+    val dim = fine.map(_.length).max
+    def cos(a: Array[Float], na: Double, b: Array[Float], nb: Double): Double = {
+      val m = math.min(a.length, b.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) { d += a(j).toDouble * b(j).toDouble; j += 1 }
+      val denom = na * nb
+      if (denom == 0d) Double.NegativeInfinity
+      else { val v = d / denom; if (java.lang.Double.isNaN(v)) Double.NegativeInfinity else v }
+    }
+    // farthest-first seeds over the centroid set
+    val seedIdx = new Array[Int](g)
+    seedIdx(0) = 0
+    val bestSim = Array.fill(c)(Double.NegativeInfinity)
+    var s = 0
+    while (s < g - 1) {
+      var i = 0
+      while (i < c) {
+        val v = cos(fine(i), fineNorms(i), fine(seedIdx(s)), fineNorms(seedIdx(s)))
+        if (v > bestSim(i)) bestSim(i) = v
+        i += 1
+      }
+      var far = -1
+      var farSim = Double.PositiveInfinity
+      i = 0
+      while (i < c) {
+        if (!seedIdx.take(s + 1).contains(i) && bestSim(i) < farSim) {
+          far = i; farSim = bestSim(i)
+        }
+        i += 1
+      }
+      seedIdx(s + 1) = if (far >= 0) far else 0
+      s += 1
+    }
+    var coarse = seedIdx.map(fine(_).clone())
+    var coarseNorms = seedIdx.map(fineNorms(_))
+    val assign = new Array[Int](c)
+    var it = 0
+    while (it < iterations) {
+      var i = 0
+      while (i < c) {
+        var best = 0
+        var bestV = Double.NegativeInfinity
+        var k = 0
+        while (k < g) {
+          val v = cos(fine(i), fineNorms(i), coarse(k), coarseNorms(k))
+          if (v > bestV) { bestV = v; best = k }
+          k += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val cnts = new Array[Int](g)
+      i = 0
+      while (i < c) {
+        val k = assign(i)
+        cnts(k) += 1
+        val v = fine(i)
+        var j = 0
+        while (j < v.length) { sums(k)(j) += v(j); j += 1 }
+        i += 1
+      }
+      coarse = Array.tabulate(g) { k =>
+        if (cnts(k) == 0) coarse(k)
+        else Array.tabulate(dim)(j => (sums(k)(j) / cnts(k)).toFloat)
+      }
+      coarseNorms = coarse.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+      it += 1
+    }
+    val members = Array.tabulate(g)(k => (0 until c).filter(assign(_) == k).toArray)
+    (coarse, coarseNorms, members)
+  }
+
+  /**
+   * Coarse→fine twin of [[nearestCells]] — the assignment scale path once
+   * the cell count itself scales with the corpus ([[autoCellCount]]): the
+   * flat argmax costs nCells·dim per row (quadratic overall when
+   * nCells ∝ n); grouping the fine centroids under ~√nCells coarse
+   * centroids (driver-local Lloyd over the BOUNDED centroid table) cuts
+   * per-row cost to ~(1+coarseProbes)·√nCells·dim. Same output shape as
+   * [[nearestCells]]; approximate — a fine cell in an unprobed coarse
+   * group is invisible to that row (SimilaritySpec pins candidate recall
+   * against the flat scan).
+   */
+  def nearestCellsTwoLevel(in: DataFrame, vecName: String, centroids: DataFrame,
+      nProbes: Int, coarseProbes: Int = 3): DataFrame = {
+    val cents = collectedCentroids(centroids, "nearestCellsTwoLevel")
+    val nGroups = math.max(1, math.round(math.sqrt(cents._2.length.toDouble)).toInt)
+    val (coarse, coarseNorms, members) =
+      groupCentroidsLocal(cents._2, cents._3, nGroups)
+    val idxs = graft.functions.VectorExpressions.twoLevelNearestCellIndices(
+      col(vecName), coarse, coarseNorms, members, cents._2, cents._3,
+      coarseProbes, nProbes)
     in.withColumn("cell_id",
       explode(transform(idxs, i => element_at(array(cents._1: _*), i + 1))))
   }

@@ -211,6 +211,53 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(run(9)(1L)._1 === Seq(0, 3, 1, 2))
   }
 
+  test("two_level_nearest_cell_indices: coarse routing, flat parity, eval==codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // four fine cells in two cleanly separable coarse groups (+x vs -x)
+    val fine = Array(Array(1f, 0f), Array(0.9f, 0.1f), Array(-1f, 0f), Array(-0.9f, -0.1f))
+    val fnorms = fine.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+    val coarse = Array(Array(1f, 0.05f), Array(-1f, -0.05f))
+    val cnorms = coarse.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+    val members = Array(Array(0, 1), Array(2, 3))
+    val rows = Seq(
+      (1L, Seq(1f, 0.02f)),   // +x side
+      (2L, Seq(-1f, 0.3f)),   // -x side
+      (3L, Seq(0f, 0f)))      // zero-norm: nothing scores
+      .toDF("id", "v")
+    def run(q: Int, p: Int) = rows.select(col("id"),
+        graft.functions.VectorExpressions.twoLevelNearestCellIndices(
+          col("v"), coarse, cnorms, members, fine, fnorms, q, p).as("idxs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    // q=1: only the matching coarse group's members are eligible
+    val one = run(1, 2)
+    assert(one(1L) === Seq(0, 1))
+    assert(one(2L) === Seq(2, 3))
+    // zero-norm vector: no group scores; first group's members in index order
+    assert(one(3L) === Seq(0, 1))
+    // q = all groups: ordering must equal the flat multi-probe scan
+    val flat = rows.select(col("id"),
+        graft.functions.VectorExpressions
+          .nearestCentroidIndices(col("v"), fine, fnorms, 4).as("idxs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val all = run(2, 4)
+    for (id <- Seq(1L, 2L)) assert(all(id) === flat(id), s"id $id vs flat")
+    // interpreted eval must agree bit-for-bit with the codegen'd run above
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def evalOf(v: Seq[Float], q: Int, p: Int): Seq[Int] =
+      graft.functions.TwoLevelNearestCellIndices(
+          Literal.create(v, ArrayType(FloatType)),
+          coarse, cnorms, members, fine, fnorms, q, p)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+    assert(evalOf(Seq(1f, 0.02f), 1, 2) === one(1L))
+    assert(evalOf(Seq(-1f, 0.3f), 1, 2) === one(2L))
+    assert(evalOf(Seq(0f, 0f), 1, 2) === one(3L))
+    assert(evalOf(Seq(1f, 0.02f), 2, 4) === all(1L))
+    assert(evalOf(Seq(-1f, 0.3f), 2, 4) === all(2L))
+  }
+
   test("residual_vector subtracts the indexed centroid; edge cases degrade to raw") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

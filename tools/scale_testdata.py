@@ -41,9 +41,12 @@ KEYS = {
 
 def main():
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for table, keys in KEYS.items():
+        if only is not None and table not in only:
+            continue
         p = os.path.join(src, f"{table}.parquet")
         out = os.path.join(dst, f"{table}.parquet")
         cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{p}'").fetchall()]
