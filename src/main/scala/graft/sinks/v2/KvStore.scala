@@ -441,7 +441,32 @@ class KvTable(schema0: StructType, properties: Map[String, String])
 class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
     projection: Option[StructType] = None,
     filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
-    extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Join-induced filters injected at EXECUTION time (the DSv2 face of
+   * dynamic partition pruning): after a join's build side runs, Spark hands
+   * the probe-side scan the key values it actually needs (typically an IN
+   * set) — they compose with the statically pushed filters for segment
+   * pruning and row evaluation, so e.g. the stream-static enrichment join
+   * reads only the segments containing the batch's keys. Runtime filters
+   * are an optimization contract (the join re-checks), so absorbing only
+   * the supported subset is always safe. */
+  @volatile private var runtimeFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only the scan's OUTPUT columns: Spark resolves these refs against the
+    // pruned projection, and a join can only inject filters on columns it
+    // reads anyway — advertising a pruned-away column fails DPP resolution
+    readSchema().fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(fs: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters = fs.toSeq.filter(KvFilters.supports(storedSchema, _))
+
+  private def effectiveFilters: Seq[org.apache.spark.sql.sources.Filter] =
+    filters ++ runtimeFilters
 
   // ONE manifest read per scan: statistics and split planning must observe
   // the same committed state (a write or compact landing between the two
@@ -463,15 +488,16 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
   private val storedSchema = KvStore.readSchema(conf, path).getOrElse(
     throw new IllegalArgumentException(s"graft-kv: empty store at $path"))
 
-  /** segments surviving pushed-filter min/max pruning — statistics and
-   * split planning both observe the PRUNED set, so the planner's size
-   * estimate reflects what the scan will actually read */
-  private lazy val survivingSegments: Seq[(String, Long)] = {
+  /** segments surviving min/max pruning under `fs` — recomputed per call
+   * because runtime filters can arrive AFTER statistics were estimated
+   * (Spark re-plans input partitions post-`filter()`) */
+  private def survivingSegments(fs: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[(String, Long)] = {
     val mapper = new ObjectMapper
     visibleManifest.flatMap { e =>
       e.segs.collect {
-        case s if filters.isEmpty || !KvFilters.pruneSegment(
-            storedSchema, filters, e.epoch, s.stats.map(mapper.readTree)) =>
+        case s if fs.isEmpty || !KvFilters.pruneSegment(
+            storedSchema, fs, e.epoch, s.stats.map(mapper.readTree)) =>
           (s.name, e.epoch)
       }
     }
@@ -485,14 +511,15 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
     s"graft-kv path=$path" +
       (if (filters.isEmpty) "" else s" PushedFilters: ${filters.mkString("[", ", ", "]")}")
 
-  /** Committed-segment byte size: without this the planner assumes the
-   * conservative default and the ifNotExists semi-join in `readCurrent`
-   * sort-merges even on tiny stores instead of broadcasting. */
+  /** Committed-segment byte size (post static-filter pruning): without
+   * this the planner assumes the conservative default and the ifNotExists
+   * semi-join in `readCurrent` sort-merges even on tiny stores instead of
+   * broadcasting. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       private val total = {
         val fs = new Path(path).getFileSystem(conf)
-        survivingSegments.map { case (s, _) =>
+        survivingSegments(filters).map { case (s, _) =>
           val p = new Path(KvStore.segmentsDir(path), s)
           try fs.getFileStatus(p).getLen catch { case _: Exception => 0L }
         }.sum
@@ -504,13 +531,13 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val segDir = KvStore.segmentsDir(path)
-      survivingSegments.map { case (s, epoch) =>
+      survivingSegments(effectiveFilters).map { case (s, epoch) =>
         KvSegmentPartition(new Path(segDir, s).toString, epoch): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new KvReaderFactory(readSchema(), new SerializableConfiguration(conf),
-        storedSchema, filters)
+        storedSchema, effectiveFilters)
   }
 }
 

@@ -261,4 +261,33 @@ class KvStoreSpec extends AnyFunSuite {
     val back = KvStore.readCurrent(spark, p, Seq("ip", "window_start_s"))
     assert(back.collect().map(_.toSeq).toSet === verdicts.collect().map(_.toSeq).toSet)
   }
+
+  test("runtime filter injection prunes segments at execution (DPP contract)") {
+    import org.apache.spark.sql.sources.{In, StringContains}
+    val p = tmp()
+    // three epochs with disjoint key ranges, one single-task segment each
+    for (base <- Seq(0L, 100L, 200L))
+      (base until base + 10L).map(k => (k, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.format("graft-kv").option("path", p).mode("append").save()
+    val conf = spark.sessionState.newHadoopConf()
+    val scan = new graft.sinks.v2.KvScan(p, conf)
+    // the scan advertises every stored column (+ _epoch) as filterable
+    val attrs = scan.filterAttributes().map(_.describe()).toSet
+    assert(attrs === Set("k", "v", "_epoch"))
+    assert(scan.toBatch.planInputPartitions().length === 3)
+    // a join hands the scan its needed key set after the build side runs:
+    // planInputPartitions — re-invoked by Spark post-filter — must shrink
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("k", Array(105L))))
+    assert(scan.toBatch.planInputPartitions().length === 1)
+    // an unsupported runtime filter is ignored (optimization contract:
+    // absorbing nothing is always safe), restoring the full split set
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](StringContains("v", "x")))
+    assert(scan.toBatch.planInputPartitions().length === 3)
+    // end to end: a broadcast equi-join over the store stays correct with
+    // runtime filtering available (whether or not Spark chooses to inject)
+    val dim = Seq(105L, 205L).toDF("k")
+    val joined = KvStore.read(spark, p).join(broadcast(dim), "k")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(joined === Set((105L, "v105"), (205L, "v205")))
+  }
 }
