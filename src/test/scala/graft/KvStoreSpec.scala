@@ -262,6 +262,21 @@ class KvStoreSpec extends AnyFunSuite {
     assert(back.collect().map(_.toSeq).toSet === verdicts.collect().map(_.toSeq).toSet)
   }
 
+  test("kv scans read through the columnar path (ColumnarToRow over BatchScan)") {
+    val p = tmp()
+    Seq((1L, "a", 1.5, true), (2L, null.asInstanceOf[String], -0.25, false))
+      .toDF("k", "s", "d", "b")
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    val df = KvStore.read(spark, p).select("k", "s", "d", "b")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    // values (incl. nulls and every supported type) survive the batch copy
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows(0).getLong(0) === 1L && rows(0).getString(1) === "a" &&
+      rows(0).getDouble(2) === 1.5 && rows(0).getBoolean(3))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) === -0.25 && !rows(1).getBoolean(3))
+  }
+
   test("runtime filter injection prunes segments at execution (DPP contract)") {
     import org.apache.spark.sql.sources.{In, StringContains}
     val p = tmp()
