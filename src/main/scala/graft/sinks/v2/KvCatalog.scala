@@ -223,7 +223,56 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
  */
 class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
     atEpoch: Option[Long])
-    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
+    with SupportsDelete {
+
+  /**
+   * METADATA-ONLY delete (the Delta/Iceberg "metadata delete" shape):
+   * `DELETE FROM kv.ns.t WHERE …` succeeds only when every visible segment
+   * is DECIDABLE from manifest stats — fully matching (dropped whole) or
+   * provably non-matching (kept untouched). Partial overlaps refuse, so a
+   * delete never rewrites data files. The canonical use is epoch rollback
+   * — `DELETE … WHERE _epoch = 3` yanks one poisoned micro-batch, since
+   * `_epoch` bounds are always exact — and `TRUNCATE TABLE` (Spark calls
+   * deleteWhere(AlwaysTrue)). Epoch ENTRIES survive with their segments
+   * removed: the idempotence tags must keep absorbing a replayed
+   * micro-batch even after its data was rolled back. Same single-writer
+   * contract as writes/compaction.
+   */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val conf = KvStore.hadoopConf()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    atEpoch.isEmpty &&
+      filters.forall(KvFilters.supports(storedSchema, _)) &&
+      KvStore.readManifest(conf, path).forall(e => e.segs.forall { s =>
+        val st = s.stats.map(mapper.readTree)
+        KvFilters.segmentFullyMatches(storedSchema, filters.toSeq, e.epoch, st) ||
+          KvFilters.pruneSegment(storedSchema, filters.toSeq, e.epoch, st)
+      })
+  }
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"graft-kv: DELETE on ${ident} is not metadata-only for ${filters.mkString(", ")} — " +
+        "a segment partially matches; rewrite via INSERT OVERWRITE instead")
+    val conf = KvStore.hadoopConf()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val manifest = KvStore.readManifest(conf, path)
+    val (kept, dropped) = manifest.map { e =>
+      val (drop, keep) = e.segs.partition(s =>
+        KvFilters.segmentFullyMatches(storedSchema, filters.toSeq, e.epoch,
+          s.stats.map(mapper.readTree)))
+      (e.copy(segs = keep), drop)
+    }.unzip
+    KvStore.writeManifest(conf, path, kept)
+    // files go AFTER the manifest swap: a crash in between leaves orphans
+    // the manifest never lists (harmless), never a manifest pointing at
+    // deleted files
+    val fs = new Path(path).getFileSystem(KvStore.hadoopConf())
+    dropped.flatten.foreach(s =>
+      try fs.delete(new Path(KvStore.segmentsDir(path), s.name), false)
+      catch { case _: Exception => () })
+  }
 
   override def name(): String = ident.toString
   override def schema(): StructType = storedSchema

@@ -59,6 +59,7 @@ private[v2] object KvFilters {
 
   /** Can the source fully absorb this filter (prune + row-exact eval)? */
   def supports(schema: StructType, f: Filter): Boolean = f match {
+    case _: AlwaysTrue => true
     case EqualTo(a, v) => dtOf(schema, a).exists(dt => norm(dt, v).isDefined)
     case EqualNullSafe(a, v) =>
       dtOf(schema, a).exists(dt => v == null || norm(dt, v).isDefined)
@@ -78,7 +79,8 @@ private[v2] object KvFilters {
   final case class Compiled(name: String, dt: DataType, pred: Option[Any] => Boolean)
 
   /** Compile pushed filters (call on the executor: closures stay local). */
-  def compile(schema: StructType, fs: Seq[Filter]): Seq[Compiled] = fs.map { f =>
+  def compile(schema: StructType, fs: Seq[Filter]): Seq[Compiled] = fs.collect {
+    case f if !f.isInstanceOf[AlwaysTrue] =>
     val a = attrOf(f)
     val dt = dtOf(schema, a).getOrElse(
       throw new IllegalStateException(s"graft-kv: unpushable filter compiled: $f"))
@@ -114,29 +116,36 @@ private[v2] object KvFilters {
     case other => throw new IllegalStateException(s"graft-kv filter on $other")
   }
 
+  /** per-column segment bounds: (min, max, nulls, rows) — `_epoch` is
+   * exact (min = max = the committed epoch); anything else comes from the
+   * writer-recorded stats, None = unknown */
+  private def bounds(stats: Option[JsonNode], epoch: Long)(a: String, dt: DataType)
+      : Option[(Option[Any], Option[Any], Long, Long)] =
+    if (a == KvStore.epochCol) Some((Some(epoch), Some(epoch), 0L, 1L))
+    else for {
+      st <- stats
+      rowsN <- Option(st.get("rows"))
+      cs <- Option(st.get("cols"))
+      cn <- Option(cs.get(a))
+    } yield {
+      val nulls = Option(cn.get("nulls")).map(_.asLong).getOrElse(0L)
+      val min = Option(cn.get("min")).filterNot(_.isNull).map(jsonVal(dt, _))
+      val max = Option(cn.get("max")).filterNot(_.isNull).map(jsonVal(dt, _))
+      (min, max, nulls, rowsN.asLong)
+    }
+
   /** Conservative segment pruning: true = the segment provably contains NO
    * matching row for the conjunction of pushed filters. Missing stats (a
    * pre-stats manifest, or a column this old segment never saw — schema
    * evolution) mean "don't know" and never prune. */
   def pruneSegment(schema: StructType, filters: Seq[Filter], epoch: Long,
       stats: Option[JsonNode]): Boolean = {
-    def bounds(a: String, dt: DataType): Option[(Option[Any], Option[Any], Long, Long)] =
-      if (a == KvStore.epochCol) Some((Some(epoch), Some(epoch), 0L, 1L))
-      else for {
-        st <- stats
-        rowsN <- Option(st.get("rows"))
-        cs <- Option(st.get("cols"))
-        cn <- Option(cs.get(a))
-      } yield {
-        val nulls = Option(cn.get("nulls")).map(_.asLong).getOrElse(0L)
-        val min = Option(cn.get("min")).filterNot(_.isNull).map(jsonVal(dt, _))
-        val max = Option(cn.get("max")).filterNot(_.isNull).map(jsonVal(dt, _))
-        (min, max, nulls, rowsN.asLong)
-      }
-    filters.exists { f =>
+    filters.exists {
+      case _: AlwaysTrue => false
+      case f =>
       val a = attrOf(f)
       dtOf(schema, a).exists { dt =>
-        bounds(a, dt).exists { case (min, max, nulls, rows) =>
+        bounds(stats, epoch)(a, dt).exists { case (min, max, nulls, rows) =>
           val allNull = min.isEmpty && nulls >= rows && rows > 0
           def outside(v: Any): Boolean =
             min.exists(m => cmp(dt, v, m) < 0) || max.exists(m => cmp(dt, v, m) > 0)
@@ -162,4 +171,48 @@ private[v2] object KvFilters {
       }
     }
   }
+
+  /** Metadata-only full-match decision: true = EVERY row of the segment
+   * provably satisfies the whole conjunction, so the segment can be
+   * deleted (or kept) on manifest stats alone — the Delta/Iceberg-style
+   * "metadata delete" test. Conservative: anything undecidable (missing
+   * stats, bounds that merely overlap the predicate) is false. An empty
+   * filter list means DELETE-all (TRUNCATE): vacuously full-match. */
+  def segmentFullyMatches(schema: StructType, filters: Seq[Filter], epoch: Long,
+      stats: Option[JsonNode]): Boolean =
+    filters.forall {
+      case _: AlwaysTrue => true
+      case f =>
+        val a = attrOf(f)
+        dtOf(schema, a).exists { dt =>
+          bounds(stats, epoch)(a, dt).exists { case (min, max, nulls, rows) =>
+            def minMaxEq(v: Any): Boolean = (min, max) match {
+              case (Some(lo), Some(hi)) =>
+                cmp(dt, lo, v) == 0 && cmp(dt, hi, v) == 0
+              case _ => false
+            }
+            if (rows == 0) true // empty segment: trivially all-match
+            else f match {
+              case EqualTo(_, v) => nulls == 0 && norm(dt, v).exists(minMaxEq)
+              case EqualNullSafe(_, null) => nulls == rows
+              case EqualNullSafe(_, v) => nulls == 0 && norm(dt, v).exists(minMaxEq)
+              case In(_, vs) =>
+                nulls == 0 && vs.flatMap(norm(dt, _)).exists(minMaxEq) &&
+                  min.isDefined && max.isDefined &&
+                  cmp(dt, min.get, max.get) == 0
+              case GreaterThan(_, v) =>
+                nulls == 0 && norm(dt, v).exists(k => min.exists(m => cmp(dt, m, k) > 0))
+              case GreaterThanOrEqual(_, v) =>
+                nulls == 0 && norm(dt, v).exists(k => min.exists(m => cmp(dt, m, k) >= 0))
+              case LessThan(_, v) =>
+                nulls == 0 && norm(dt, v).exists(k => max.exists(m => cmp(dt, m, k) < 0))
+              case LessThanOrEqual(_, v) =>
+                nulls == 0 && norm(dt, v).exists(k => max.exists(m => cmp(dt, m, k) <= 0))
+              case IsNull(_) => nulls == rows
+              case IsNotNull(_) => nulls == 0
+              case _ => false
+            }
+          }
+        }
+    }
 }

@@ -166,6 +166,32 @@ class KvCatalogSpec extends AnyFunSuite {
     assert(post.collect().map(_.getString(0)).toSeq === Seq("two"))
   }
 
+  test("metadata-only DELETE: epoch rollback, range-aligned delete, truncate, refusal") {
+    sql("CREATE TABLE kvtest.ns.del (k BIGINT, v STRING)")
+    sql("INSERT INTO kvtest.ns.del SELECT id, concat('a', id) FROM range(0, 10, 1, 1)")
+    sql("INSERT INTO kvtest.ns.del SELECT id, concat('b', id) FROM range(100, 110, 1, 1)")
+    sql("INSERT INTO kvtest.ns.del SELECT id, concat('c', id) FROM range(200, 210, 1, 1)")
+    // epoch rollback: yank the poisoned micro-batch, others untouched
+    sql("DELETE FROM kvtest.ns.del WHERE _epoch = 1")
+    assert(sql("SELECT count(*) FROM kvtest.ns.del").collect()(0).getLong(0) === 20L)
+    assert(sql("SELECT * FROM kvtest.ns.del WHERE k >= 100 AND k < 200").count() === 0)
+    // epoch ENTRIES survive (idempotence tags must keep absorbing replays)
+    assert(graft.sinks.v2.KvStore.latestEpoch(s"$warehouse/ns/del") === Some(2L))
+    // range-aligned delete drops the whole segment it covers
+    sql("DELETE FROM kvtest.ns.del WHERE k >= 200")
+    assert(sql("SELECT count(*) FROM kvtest.ns.del").collect()(0).getLong(0) === 10L)
+    // a partial overlap is NOT metadata-only and must refuse, not rewrite
+    val e = intercept[Exception](sql("DELETE FROM kvtest.ns.del WHERE k = 5"))
+    assert(e.getMessage.toLowerCase.contains("delete"), e.toString)
+    assert(sql("SELECT count(*) FROM kvtest.ns.del").collect()(0).getLong(0) === 10L)
+    // TRUNCATE = delete-all; epoch numbering continues after
+    sql("TRUNCATE TABLE kvtest.ns.del")
+    assert(sql("SELECT count(*) FROM kvtest.ns.del").count() === 1) // count row
+    assert(sql("SELECT * FROM kvtest.ns.del").count() === 0)
+    sql("INSERT INTO kvtest.ns.del VALUES (7, 'post')")
+    assert(sql("SELECT _epoch FROM kvtest.ns.del").collect()(0).getLong(0) === 3L)
+  }
+
   test("VERSION AS OF presents the schema of that epoch, not post-ALTER columns") {
     sql("CREATE TABLE kvtest.ns.ttschema (k BIGINT)")
     sql("INSERT INTO kvtest.ns.ttschema VALUES (1)") // epoch 0, schema (k)
