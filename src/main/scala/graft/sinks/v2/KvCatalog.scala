@@ -278,7 +278,7 @@ class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
   override def schema(): StructType = storedSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {

@@ -228,7 +228,7 @@ object KvStore {
     commitEpochSegs(conf, path, schema, tag, staged.map(StagedSeg(_, None)))
 
   private[graft] def commitEpochSegs(conf: Configuration, path: String, schema: StructType,
-      tag: String, staged: Seq[StagedSeg]): Unit = synchronized {
+      tag: String, staged: Seq[StagedSeg], overwrite: Boolean = false): Unit = synchronized {
     val fs = new Path(path).getFileSystem(conf)
     val existing = readSchema(conf, path)
     existing match {
@@ -266,7 +266,18 @@ object KvStore {
     fs.mkdirs(segmentsDir(path))
     val epoch = manifest.map(_.epoch).maxOption.fold(0L)(_ + 1L)
     val segs = publishSegments(fs, path, epoch, staged)
-    writeManifest(conf, path, manifest :+ Epoch(epoch, tag, segs))
+    if (overwrite) {
+      // INSERT OVERWRITE / streaming Complete mode: the new epoch REPLACES
+      // all committed state. Manifest swap first (atomic visibility), old
+      // segment files after — a crash in between leaves unlisted orphans,
+      // never a manifest pointing at deleted files. Epoch numbering
+      // continues past the old maximum so replay tags stay unique.
+      val old = manifest.flatMap(_.segments)
+      writeManifest(conf, path, Seq(Epoch(epoch, tag, segs)))
+      old.foreach(n =>
+        try fs.delete(new Path(segmentsDir(path), n), false)
+        catch { case _: Exception => () })
+    } else writeManifest(conf, path, manifest :+ Epoch(epoch, tag, segs))
   }
 
   /** Rename staged files into `segments/` under manifest-unique names. The
@@ -396,7 +407,7 @@ class KvTable(schema0: StructType, properties: Map[String, String])
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = properties ++ options.asScala
@@ -672,10 +683,19 @@ class KvReaderFactory(out: StructType, conf: SerializableConfiguration,
  * per key wins), the same contract the memory/kafka/foreach sinks use. */
 class KvWriteBuilder(path: String, schema: StructType, queryId: String,
     conf: Configuration) extends WriteBuilder
-    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  /** INSERT OVERWRITE (batch) / Complete output mode (streaming): the
+   * committed epoch replaces all prior state atomically instead of
+   * appending — Spark signals both through `truncate()`. */
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
   override def build(): Write = new Write {
     private val serConf = new SerializableConfiguration(conf)
-    override def description(): String = s"graft-kv path=$path"
+    override def description(): String =
+      s"graft-kv path=$path" + (if (overwrite) " (overwrite)" else "")
 
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -683,7 +703,7 @@ class KvWriteBuilder(path: String, schema: StructType, queryId: String,
       override def commit(messages: Array[WriterCommitMessage]): Unit =
         KvStore.commitEpochSegs(conf, path, schema, s"batch:$queryId",
           messages.collect { case m: KvCommitMessage =>
-            KvStore.StagedSeg(m.stagedFile, m.statsJson) }.toSeq)
+            KvStore.StagedSeg(m.stagedFile, m.statsJson) }.toSeq, overwrite)
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         KvWrite.cleanStaged(conf, messages)
     }
@@ -694,7 +714,7 @@ class KvWriteBuilder(path: String, schema: StructType, queryId: String,
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         KvStore.commitEpochSegs(conf, path, schema, s"stream:$queryId:$epochId",
           messages.collect { case m: KvCommitMessage =>
-            KvStore.StagedSeg(m.stagedFile, m.statsJson) }.toSeq)
+            KvStore.StagedSeg(m.stagedFile, m.statsJson) }.toSeq, overwrite)
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         KvWrite.cleanStaged(conf, messages)
     }

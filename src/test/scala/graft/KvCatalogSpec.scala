@@ -192,6 +192,50 @@ class KvCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT _epoch FROM kvtest.ns.del").collect()(0).getLong(0) === 3L)
   }
 
+  test("INSERT OVERWRITE replaces all committed state; epochs keep advancing") {
+    sql("CREATE TABLE kvtest.ns.ovw (k BIGINT, v STRING)")
+    sql("INSERT INTO kvtest.ns.ovw VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO kvtest.ns.ovw VALUES (3, 'c')")
+    sql("INSERT OVERWRITE kvtest.ns.ovw VALUES (9, 'z')")
+    val rows = sql("SELECT k, v, _epoch FROM kvtest.ns.ovw").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((9L, "z")))
+    // the overwrite epoch continues past the replaced history
+    assert(rows(0).getLong(2) === 2L)
+    // dataframe-surface overwrite mode rides the same path
+    Seq((10L, "y")).toDF("k", "v").write.format("graft-kv")
+      .option("path", s"$warehouse/ns/ovw").mode("overwrite").save()
+    assert(sql("SELECT k FROM kvtest.ns.ovw").collect().map(_.getLong(0)).toSeq === Seq(10L))
+  }
+
+  test("streaming Complete mode overwrites the store per epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    sql("CREATE TABLE kvtest.ns.complete (k BIGINT, n BIGINT)")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kvcat_cm_").toString
+    val q = mem.toDF().toDF("k").groupBy("k").count().toDF("k", "n").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .toTable("kvtest.ns.complete")
+    mem.addData(1L, 1L, 2L)
+    q.awaitTermination(60000)
+    val q2 = mem.toDF().toDF("k").groupBy("k").count().toDF("k", "n").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .toTable("kvtest.ns.complete")
+    mem.addData(1L, 3L)
+    q2.awaitTermination(60000)
+    // Complete mode: the store holds exactly the LATEST full result —
+    // counts restored from checkpoint state plus the new data, nothing
+    // duplicated from the first epoch's rows
+    val out = sql("SELECT k, n FROM kvtest.ns.complete").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("VERSION AS OF presents the schema of that epoch, not post-ALTER columns") {
     sql("CREATE TABLE kvtest.ns.ttschema (k BIGINT)")
     sql("INSERT INTO kvtest.ns.ttschema VALUES (1)") // epoch 0, schema (k)
