@@ -146,7 +146,7 @@ object StreamDemo {
     // (no retrain, no rebuild): new vectors land in the persisted code
     // table and the next search sees them. The 100 TB story end-to-end:
     // build once, append increments forever.
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, concat, count, lit, sum, when}
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding"))
     val baseCorpus = emb.filter(col("vec_id") < 250)
@@ -197,6 +197,44 @@ object StreamDemo {
       Seq("k"), Seq("cid"), Seq("v"), "del")
     println(s"=== E4 (cdc view) snapshot keys: ${snapshot.count()} " +
       s"(tombstoned: ${1000 - snapshot.count()})")
+
+    // E5: epoch-consistent stream-static enrichment — the serving pattern
+    // the kv catalog enables. A user-dimension kv table grows by one epoch
+    // BETWEEN micro-batches; each batch joins the event stream against ONE
+    // committed epoch (pinned per batch, tagged _dim_epoch), so batch 1
+    // enriches only the first dimension epoch's users and batch 2 picks up
+    // the new epoch — no torn views under the concurrent write.
+    val dimStore = Files.createTempDirectory("graft-demo-dim").toString + "/store"
+    val enrichIn = Files.createTempDirectory("graft-demo-enrich-in").toString + "/ev"
+    val enrichOut = Files.createTempDirectory("graft-demo-enrich-out").toString + "/out"
+    val ckpt5 = Files.createTempDirectory("graft-demo-ckpt5").toString
+    spark.range(50).select(col("id").as("user_id"),
+        concat(lit("tier-"), (col("id") % 3).cast("string")).as("tier"))
+      .write.format("graft-kv").option("path", dimStore).mode("append").save()
+    spark.range(100).select(col("id").as("event_id"), (col("id") % 100).as("user_id"))
+      .coalesce(1).write.parquet(enrichIn)
+    val q5a = graft.streaming.KvEnrich.enrichedSink(
+      spark.readStream.schema("event_id LONG, user_id LONG").parquet(enrichIn),
+      dimStore, Seq("user_id"), enrichOut, ckpt5)
+    q5a.processAllAvailable(); q5a.stop()
+    // dimension epoch 1 lands between batches; a second batch of events
+    spark.range(50, 100).select(col("id").as("user_id"),
+        concat(lit("tier-"), (col("id") % 3).cast("string")).as("tier"))
+      .write.format("graft-kv").option("path", dimStore).mode("append").save()
+    spark.range(100, 200).select(col("id").as("event_id"), (col("id") % 100).as("user_id"))
+      .coalesce(1).write.mode("append").parquet(enrichIn)
+    val q5b = graft.streaming.KvEnrich.enrichedSink(
+      spark.readStream.schema("event_id LONG, user_id LONG").parquet(enrichIn),
+      dimStore, Seq("user_id"), enrichOut, ckpt5)
+    q5b.processAllAvailable(); q5b.stop()
+    val enriched = spark.read.parquet(enrichOut)
+    val perEpoch = enriched.groupBy("_dim_epoch")
+      .agg(count(lit(1)).as("rows"),
+        sum(when(col("tier").isNull, 1L).otherwise(0L)).as("unmatched"))
+      .orderBy("_dim_epoch").collect()
+      .map(r => s"epoch ${r.getLong(0)}: ${r.getLong(1)} rows, ${r.getLong(2)} unmatched")
+      .mkString("; ")
+    println(s"=== E5 (kv enrichment) ${enriched.count()} enriched rows [$perEpoch]")
     spark.stop()
   }
 }
