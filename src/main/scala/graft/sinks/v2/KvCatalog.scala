@@ -79,6 +79,23 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
     loadAt(ident, Some(epoch))
   }
 
+  /** `TIMESTAMP AS OF <t>` — the manifest records each epoch's commit
+   * wall-clock, so a timestamp resolves to the NEWEST epoch committed at
+   * or before it (micros per the TableCatalog contract). Pre-timestamp
+   * manifests carry ts_ms = 0 and so are visible to any positive
+   * timestamp — the compatible reading for legacy stores. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = tablePath(ident)
+    if (!isStore(path)) throw new NoSuchTableException(ident)
+    val tsMs = timestampMicros / 1000L
+    val epochs = KvStore.readManifest(conf, path.toString)
+    val at = epochs.filter(_.tsMs <= tsMs).map(_.epoch).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-kv: no epoch committed at or before timestamp ${tsMs} ms" +
+          epochs.map(_.tsMs).minOption.fold("")(m => s" — earliest commit is at $m ms")))
+    loadAt(ident, Some(at))
+  }
+
   private def loadAt(ident: Identifier, atEpoch: Option[Long]): Table = {
     val path = tablePath(ident)
     if (!isStore(path)) throw new NoSuchTableException(ident)

@@ -159,8 +159,11 @@ object KvStore {
    * writer task — what lets a filtered scan skip the segment entirely */
   private[v2] case class Segment(name: String, stats: Option[String])
 
-  /** one committed epoch: ordinal, idempotence tag, its segments */
-  private[v2] case class Epoch(epoch: Long, tag: String, segs: Seq[Segment]) {
+  /** one committed epoch: ordinal, idempotence tag, its segments, and the
+   * commit wall-clock (ms; 0 on pre-timestamp manifests) — what
+   * `TIMESTAMP AS OF` resolves against */
+  private[v2] case class Epoch(epoch: Long, tag: String, segs: Seq[Segment],
+      tsMs: Long = 0L) {
     def segments: Seq[String] = segs.map(_.name)
   }
 
@@ -178,7 +181,8 @@ object KvStore {
         else Segment(s.get("name").asText(),
           Option(s.get("stats")).filterNot(_.isNull).map(_.toString))
       }.toSeq
-      Epoch(e.get("epoch").asLong(), e.get("tag").asText(), segs)
+      Epoch(e.get("epoch").asLong(), e.get("tag").asText(), segs,
+        Option(e.get("ts_ms")).map(_.asLong).getOrElse(0L))
     }.toSeq
   }
 
@@ -199,6 +203,7 @@ object KvStore {
       val n = arr.addObject()
       n.put("epoch", e.epoch)
       n.put("tag", e.tag)
+      n.put("ts_ms", e.tsMs)
       val segs = n.putArray("segments")
       e.segs.foreach { s =>
         s.stats match {
@@ -273,11 +278,12 @@ object KvStore {
       // never a manifest pointing at deleted files. Epoch numbering
       // continues past the old maximum so replay tags stay unique.
       val old = manifest.flatMap(_.segments)
-      writeManifest(conf, path, Seq(Epoch(epoch, tag, segs)))
+      writeManifest(conf, path, Seq(Epoch(epoch, tag, segs, System.currentTimeMillis())))
       old.foreach(n =>
         try fs.delete(new Path(segmentsDir(path), n), false)
         catch { case _: Exception => () })
-    } else writeManifest(conf, path, manifest :+ Epoch(epoch, tag, segs))
+    } else writeManifest(conf, path,
+      manifest :+ Epoch(epoch, tag, segs, System.currentTimeMillis()))
   }
 
   /** Rename staged files into `segments/` under manifest-unique names. The
@@ -354,7 +360,8 @@ object KvStore {
     val epoch = manifest.map(_.epoch).maxOption.fold(0L)(_ + 1L)
     fs.mkdirs(segmentsDir(path))
     val names = publishSegments(fs, path, epoch, staged)
-    writeManifest(conf, path, Seq(Epoch(epoch, s"compact:${UUID.randomUUID()}", names)))
+    writeManifest(conf, path,
+      Seq(Epoch(epoch, s"compact:${UUID.randomUUID()}", names, System.currentTimeMillis())))
     old.foreach(n => fs.delete(new Path(segmentsDir(path), n), false))
     // sweep leftover compact staging (a retried/speculative task that
     // committed after its twin won never gets an abort; compact runs under

@@ -236,6 +236,27 @@ class KvCatalogSpec extends AnyFunSuite {
     assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("TIMESTAMP AS OF resolves commits by wall-clock") {
+    def utc(i: java.time.Instant): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC).format(i)
+    sql("CREATE TABLE kvtest.ns.tsv (k BIGINT)")
+    sql("INSERT INTO kvtest.ns.tsv VALUES (1)") // epoch 0
+    val between = java.time.Instant.now()
+    Thread.sleep(1100) // ms-granularity commit stamps need daylight
+    sql("INSERT INTO kvtest.ns.tsv VALUES (2)") // epoch 1
+    val t1 = sql(s"SELECT k FROM kvtest.ns.tsv TIMESTAMP AS OF '${utc(between)}'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(t1 === Seq(1L))
+    val now = java.time.Instant.now().plusSeconds(1)
+    assert(sql(s"SELECT k FROM kvtest.ns.tsv TIMESTAMP AS OF '${utc(now)}'")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // a timestamp before the first commit names no state
+    val e = intercept[Exception](
+      sql("SELECT * FROM kvtest.ns.tsv TIMESTAMP AS OF '2000-01-01 00:00:00'").collect())
+    assert(e.getMessage.contains("no epoch committed"), e.toString)
+  }
+
   test("VERSION AS OF presents the schema of that epoch, not post-ALTER columns") {
     sql("CREATE TABLE kvtest.ns.ttschema (k BIGINT)")
     sql("INSERT INTO kvtest.ns.ttschema VALUES (1)") // epoch 0, schema (k)
