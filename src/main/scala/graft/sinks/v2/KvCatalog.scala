@@ -274,19 +274,25 @@ class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
         "a segment partially matches; rewrite via INSERT OVERWRITE instead")
     val conf = KvStore.hadoopConf()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
-    val manifest = KvStore.readManifest(conf, path)
-    val (kept, dropped) = manifest.map { e =>
-      val (drop, keep) = e.segs.partition(s =>
-        KvFilters.segmentFullyMatches(storedSchema, filters.toSeq, e.epoch,
-          s.stats.map(mapper.readTree)))
-      (e.copy(segs = keep), drop)
-    }.unzip
-    KvStore.writeManifest(conf, path, kept)
-    // files go AFTER the manifest swap: a crash in between leaves orphans
-    // the manifest never lists (harmless), never a manifest pointing at
-    // deleted files
-    val fs = new Path(path).getFileSystem(KvStore.hadoopConf())
-    dropped.flatten.foreach(s =>
+    // the partition re-evaluates against the CURRENT manifest on every CAS
+    // attempt, so a concurrent append during the delete is never dropped —
+    // only segments that fully match the predicate at commit time go
+    var dropped: Seq[KvStore.Segment] = Nil
+    KvStore.mutateManifest(conf, path) { manifest =>
+      val parts = manifest.map { e =>
+        val (drop, keep) = e.segs.partition(s =>
+          KvFilters.segmentFullyMatches(storedSchema, filters.toSeq, e.epoch,
+            s.stats.map(mapper.readTree)))
+        (e.copy(segs = keep), drop)
+      }
+      dropped = parts.flatMap(_._2)
+      Some(parts.map(_._1))
+    }
+    // files go AFTER the manifest commit: a crash in between leaves
+    // orphans the manifest never lists (harmless), never a manifest
+    // pointing at deleted files
+    val fs = new Path(path).getFileSystem(conf)
+    dropped.foreach(s =>
       try fs.delete(new Path(KvStore.segmentsDir(path), s.name), false)
       catch { case _: Exception => () })
   }

@@ -50,9 +50,15 @@ import org.apache.spark.util.SerializableConfiguration
  *    aggregate+semi-join the optimizer can push around.
  *
  * Values are typed via a persisted `_schema.json` (long/int/double/boolean/
- * string, nullable); later writes must match it. Single writer per table
- * (manifest rewrite is last-writer-wins), the same contract as Spark's own
- * file sinks.
+ * string, nullable); later writes must match it. MULTI-WRITER safe:
+ * manifest state lives in an immutable versioned commit log under
+ * `_commits/` and every mutation goes through an optimistic-concurrency
+ * CAS (atomic create-if-absent of the next version; losers re-read and
+ * retry) — concurrent appends serialize, replayed streaming epochs still
+ * hit their idempotence tags, and compaction detects-and-aborts rather
+ * than erase a concurrent write. Schema evolution remains
+ * read-modify-write on `_schema.json` (concurrent WIDENINGS may race;
+ * widening conflicts are validated on the next commit).
  */
 class KvDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -167,8 +173,71 @@ object KvStore {
     def segments: Seq[String] = segs.map(_.name)
   }
 
-  private[v2] def readManifest(conf: Configuration, path: String): Seq[Epoch] = {
-    val f = manifestFile(path)
+  // ---- versioned commit log (optimistic concurrency) ----
+  //
+  // The manifest is a sequence of IMMUTABLE version files under
+  // `_commits/` (`%020d.json`, each holding the FULL epoch list — the
+  // Delta-style commit protocol). The current state is the highest
+  // version; publishing version V+1 is an ATOMIC create-if-absent, so two
+  // concurrent writers cannot both claim it — the loser re-reads and
+  // retries its mutation against the winner's state. This removes the
+  // old single-writer last-writer-wins hazard entirely: concurrent
+  // appends serialize, a replayed streaming epoch still hits its
+  // idempotence tag, and readers always see a fully-written snapshot
+  // (version files are never modified after publish). Pre-OCC stores
+  // (bare `_manifest.json`) read as version 0 and upgrade on their next
+  // commit.
+
+  private[v2] def commitsDir(path: String) = new Path(path, "_commits")
+
+  private def versionFile(path: String, v: Long) =
+    new Path(commitsDir(path), f"$v%020d.json")
+
+  /** Atomic create-if-absent of an immutable version file — the CAS
+   * primitive. POSIX local FS: hard link (atomic fail-if-exists; plain
+   * rename OVERWRITES there). Distributed FS (HDFS & co): `rename`, which
+   * fails when the destination exists. Either way a published file is
+   * complete — readers can never observe a torn commit. */
+  private def publishExclusive(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+    if (fs.exists(target)) { fs.delete(tmp, false); return false }
+    if ("file".equalsIgnoreCase(Option(target.toUri.getScheme).getOrElse(fs.getScheme))) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); false
+      }
+    } else {
+      val ok = try fs.rename(tmp, target) catch { case _: Exception => false }
+      if (!ok) fs.delete(tmp, false)
+      ok
+    }
+  }
+
+  /** (current version, epochs): the highest `_commits/` version file, or
+   * the legacy `_manifest.json` as version 0 when no commit log exists. */
+  private[v2] def readVersionedManifest(conf: Configuration, path: String): (Long, Seq[Epoch]) = {
+    val dir = commitsDir(path)
+    val fs = dir.getFileSystem(conf)
+    val versions =
+      if (!fs.exists(dir)) Array.empty[Long]
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .flatMap(n => if (n.endsWith(".json") && !n.startsWith("."))
+          scala.util.Try(n.stripSuffix(".json").toLong).toOption else None)
+    versions.maxOption match {
+      case Some(v) => (v, parseManifest(conf, versionFile(path, v)))
+      case None => (0L, parseManifest(conf, manifestFile(path)))
+    }
+  }
+
+  private[v2] def readManifest(conf: Configuration, path: String): Seq[Epoch] =
+    readVersionedManifest(conf, path)._2
+
+  private def parseManifest(conf: Configuration, f: Path): Seq[Epoch] = {
     val fs = f.getFileSystem(conf)
     if (!fs.exists(f)) return Seq.empty
     val in = fs.open(f)
@@ -186,6 +255,46 @@ object KvStore {
     }.toSeq
   }
 
+  /** keep a short tail of old version files (debugging); each version
+   * holds the FULL epoch list, so old versions carry no needed state */
+  private val keepVersions = 10
+
+  /**
+   * The single mutation primitive every manifest change goes through:
+   * read the current version, apply `f` (None = no-op, e.g. a replayed
+   * idempotence tag), publish as version+1 via the CAS; on conflict
+   * re-read and re-apply. Returns the manifest that is current after the
+   * call (the applied result, or the state that made `f` a no-op).
+   */
+  private[v2] def mutateManifest(conf: Configuration, path: String)(
+      f: Seq[Epoch] => Option[Seq[Epoch]]): Seq[Epoch] = {
+    val fs = new Path(path).getFileSystem(conf)
+    fs.mkdirs(commitsDir(path))
+    var attempts = 0
+    while (attempts < 200) {
+      val (v, cur) = readVersionedManifest(conf, path)
+      f(cur) match {
+        case None => return cur
+        case Some(next) =>
+          val tmp = new Path(commitsDir(path), s".tmp-${UUID.randomUUID()}")
+          val out = fs.create(tmp, true)
+          try out.write(manifestBytes(next)) finally out.close()
+          if (publishExclusive(fs, tmp, versionFile(path, v + 1))) {
+            // bound the commit log; every version is a full snapshot
+            if (v + 1 > keepVersions)
+              (1L to v - keepVersions).foreach(old =>
+                try fs.delete(versionFile(path, old), false)
+                catch { case _: Exception => () })
+            return next
+          }
+      }
+      attempts += 1
+      Thread.sleep(5L + (System.nanoTime() % 20L).abs)
+    }
+    throw new java.io.IOException(
+      s"graft-kv: commit contention at $path exceeded $attempts attempts")
+  }
+
   private[v2] def writeAtomic(fs: FileSystem, target: Path, content: Array[Byte]): Unit = {
     val tmp = new Path(target.getParent, s".${target.getName}.tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
@@ -195,7 +304,7 @@ object KvStore {
       throw new java.io.IOException(s"graft-kv: rename $tmp -> $target failed")
   }
 
-  private[v2] def writeManifest(conf: Configuration, path: String, epochs: Seq[Epoch]): Unit = {
+  private def manifestBytes(epochs: Seq[Epoch]): Array[Byte] = {
     val mapper = new ObjectMapper
     val root = mapper.createObjectNode()
     val arr = root.putArray("epochs")
@@ -218,8 +327,7 @@ object KvStore {
         }
       }
     }
-    writeAtomic(manifestFile(path).getFileSystem(conf), manifestFile(path),
-      mapper.writeValueAsBytes(root))
+    mapper.writeValueAsBytes(root)
   }
 
   /** Publish one epoch: ensure schema, move staged segments into place,
@@ -263,27 +371,47 @@ object KvStore {
         fs.mkdirs(new Path(path))
         writeAtomic(fs, schemaFile(path), schema.json.getBytes("UTF-8"))
     }
-    val manifest = readManifest(conf, path)
-    if (manifest.exists(_.tag == tag)) {
+    if (readManifest(conf, path).exists(_.tag == tag)) {
       staged.foreach(s => fs.delete(new Path(s.file), false)) // replayed epoch
       return
     }
     fs.mkdirs(segmentsDir(path))
-    val epoch = manifest.map(_.epoch).maxOption.fold(0L)(_ + 1L)
-    val segs = publishSegments(fs, path, epoch, staged)
-    if (overwrite) {
-      // INSERT OVERWRITE / streaming Complete mode: the new epoch REPLACES
-      // all committed state. Manifest swap first (atomic visibility), old
-      // segment files after — a crash in between leaves unlisted orphans,
-      // never a manifest pointing at deleted files. Epoch numbering
-      // continues past the old maximum so replay tags stay unique.
-      val old = manifest.flatMap(_.segments)
-      writeManifest(conf, path, Seq(Epoch(epoch, tag, segs, System.currentTimeMillis())))
-      old.foreach(n =>
+    // move staged files into `segments/` ONCE (names are unlisted until the
+    // manifest commit lands, so they're invisible on every retry path);
+    // the epoch ordinal is then recomputed per CAS attempt — a concurrent
+    // writer claiming the same ordinal just bumps ours on retry
+    val segs = publishSegments(fs, path, 0L, staged)
+    var replacedSegs: Seq[String] = Nil
+    var applied = false
+    mutateManifest(conf, path) { m =>
+      if (m.exists(_.tag == tag)) {
+        // replayed epoch discovered under the CAS: our published segment
+        // files are unlisted orphans — tidy them and change nothing
+        segs.foreach(s =>
+          try fs.delete(new Path(segmentsDir(path), s.name), false)
+          catch { case _: Exception => () })
+        applied = false
+        None
+      } else {
+        val epoch = m.map(_.epoch).maxOption.fold(0L)(_ + 1L)
+        applied = true
+        if (overwrite) {
+          // INSERT OVERWRITE / streaming Complete mode: the new epoch
+          // REPLACES all committed state. Manifest commit first (atomic
+          // visibility), old segment files after — a crash in between
+          // leaves unlisted orphans, never a manifest pointing at deleted
+          // files. Epoch numbering continues past the old maximum so
+          // replay tags stay unique.
+          replacedSegs = m.flatMap(_.segments)
+          Some(Seq(Epoch(epoch, tag, segs, System.currentTimeMillis())))
+        } else
+          Some(m :+ Epoch(epoch, tag, segs, System.currentTimeMillis()))
+      }
+    }
+    if (applied && overwrite)
+      replacedSegs.foreach(n =>
         try fs.delete(new Path(segmentsDir(path), n), false)
         catch { case _: Exception => () })
-    } else writeManifest(conf, path,
-      manifest :+ Epoch(epoch, tag, segs, System.currentTimeMillis()))
   }
 
   /** Rename staged files into `segments/` under manifest-unique names. The
@@ -353,19 +481,39 @@ object KvStore {
     }.collect().toSeq.map { case (f, st) => StagedSeg(f, st) } // bounded: one entry per partition
     val fs = new Path(path).getFileSystem(conf)
     val old = manifest.flatMap(_.segments)
-    // publish: move staged segments in, swap the manifest to ONE epoch
-    // (epoch id continues past the old maximum so replay tags stay unique;
-    // segment names carry a UUID so a crash between renames and the
-    // manifest swap leaves only harmless never-listed orphans)
+    // publish: move staged segments in, then commit ONE epoch under the
+    // CAS — but only if the manifest is STILL the state the resolved rows
+    // were computed from. A concurrent append landing during the rewrite
+    // would be silently erased by a blind swap; under OCC the compaction
+    // detects the conflict and aborts cleanly (its staged segments are
+    // unlisted orphans), leaving the concurrent write intact. Callers
+    // retry compaction when it pays. (Epoch id continues past the old
+    // maximum so replay tags stay unique.)
     val epoch = manifest.map(_.epoch).maxOption.fold(0L)(_ + 1L)
     fs.mkdirs(segmentsDir(path))
     val names = publishSegments(fs, path, epoch, staged)
-    writeManifest(conf, path,
-      Seq(Epoch(epoch, s"compact:${UUID.randomUUID()}", names, System.currentTimeMillis())))
+    var conflicted = false
+    mutateManifest(conf, path) { m =>
+      if (m.map(e => (e.epoch, e.tag)) != manifest.map(e => (e.epoch, e.tag))) {
+        conflicted = true
+        names.foreach(s =>
+          try fs.delete(new Path(segmentsDir(path), s.name), false)
+          catch { case _: Exception => () })
+        None
+      } else {
+        conflicted = false
+        Some(Seq(Epoch(epoch, s"compact:${UUID.randomUUID()}", names,
+          System.currentTimeMillis())))
+      }
+    }
+    if (conflicted)
+      throw new java.io.IOException(
+        s"graft-kv: compact at $path lost an optimistic-concurrency race " +
+          "(a write committed during the rewrite) — the store is unchanged; retry")
     old.foreach(n => fs.delete(new Path(segmentsDir(path), n), false))
     // sweep leftover compact staging (a retried/speculative task that
-    // committed after its twin won never gets an abort; compact runs under
-    // the single-writer contract, so anything still staged is garbage)
+    // committed after its twin won never gets an abort; anything still
+    // staged after our commit is garbage)
     Option(fs.globStatus(new Path(stagingDir(path), "stage-compact-*")))
       .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
   }
