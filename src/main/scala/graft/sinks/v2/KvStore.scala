@@ -519,6 +519,39 @@ object KvStore {
   }
 
   /**
+   * Orphan sweep — the VACUUM companion every manifest-visibility format
+   * needs: crash windows are DESIGNED to leave unlisted files (staged
+   * segments whose commit never landed, published segments whose CAS lost
+   * a replay race, pre-overwrite data files), which are invisible to
+   * readers but accumulate storage forever. Removes (a) `segments/` files
+   * the CURRENT manifest does not list and (b) `_staging/` files — both
+   * only when older than `graceMs` (default 1 h), so an IN-FLIGHT write's
+   * staged/published-but-uncommitted files are never swept out from under
+   * its commit. Returns the number of files removed. Safe under
+   * concurrent readers and writers: listed segments are never touched,
+   * and the age guard covers the publish→commit window by orders of
+   * magnitude.
+   */
+  def vacuum(path: String, graceMs: Long = 3600L * 1000): Long = {
+    val conf = hadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val listed = readManifest(conf, path).flatMap(_.segments).toSet
+    var removed = 0L
+    def sweep(dir: Path, keep: String => Boolean): Unit =
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        if (st.isFile && !keep(st.getPath.getName) &&
+            st.getModificationTime < cutoff) {
+          try { if (fs.delete(st.getPath, false)) removed += 1 }
+          catch { case _: Exception => () }
+        }
+      }
+    sweep(segmentsDir(path), listed.contains)
+    sweep(stagingDir(path), _ => false)
+    removed
+  }
+
+  /**
    * Cassandra-parity view: first write per key wins (`ifNotExists` — min
    * epoch, matching `Sinks.readVerdicts` min batch_id) and, when the store
    * carries `expires_at_s` and a `nowS` is given, expired rows are dropped

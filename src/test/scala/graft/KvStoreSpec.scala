@@ -342,6 +342,30 @@ class KvStoreSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(p, "_commits")))
   }
 
+  test("vacuum sweeps aged orphans, never listed segments or young files") {
+    val p = tmp()
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-kv").option("path", p).mode("append").save()
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+    def plant(name: String, ageMs: Long): org.apache.hadoop.fs.Path = {
+      val f = new org.apache.hadoop.fs.Path(p, name)
+      fs.mkdirs(f.getParent)
+      val out = fs.create(f, true); out.write("{}".getBytes); out.close()
+      fs.setTimes(f, System.currentTimeMillis() - ageMs, -1)
+      f
+    }
+    val oldOrphan = plant("segments/seg-orphan-old.jsonl", 7200L * 1000)
+    val youngOrphan = plant("segments/seg-orphan-new.jsonl", 60L * 1000)
+    val oldStage = plant("_staging/stage-dead.jsonl", 7200L * 1000)
+    assert(KvStore.vacuum(p) === 2L) // old orphan + old staging
+    assert(!fs.exists(oldOrphan) && !fs.exists(oldStage))
+    assert(fs.exists(youngOrphan), "grace window must protect in-flight files")
+    // the committed row is untouched — listed segments are never swept
+    assert(KvStore.read(spark, p).count() === 1)
+    assert(KvStore.vacuum(p, graceMs = 0L) === 1L) // young orphan now aged out
+    assert(KvStore.read(spark, p).count() === 1)
+  }
+
   test("kv scans read through the columnar path (ColumnarToRow over BatchScan)") {
     val p = tmp()
     Seq((1L, "a", 1.5, true), (2L, null.asInstanceOf[String], -0.25, false))
