@@ -301,7 +301,8 @@ class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
   override def schema(): StructType = storedSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {

@@ -595,7 +595,8 @@ class KvTable(schema0: StructType, properties: Map[String, String])
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = properties ++ options.asScala
@@ -738,6 +739,81 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
       new KvReaderFactory(readSchema(), new SerializableConfiguration(conf),
         storedSchema, effectiveFilters)
   }
+
+  /** Epoch CHANGEFEED: the store's append-only epoch chain IS a stream —
+   * each committed epoch is one offset, so `readStream` tails the table
+   * and emits exactly the epochs committed since the checkpoint (the
+   * Delta-CDF shape, and the Kafka-parity story for downstream consumers:
+   * write exactly-once in, stream changes out). Pushed filters apply to
+   * the fed rows; a rolled-back epoch (metadata DELETE) simply has no
+   * segments to emit; a compaction re-emits the survivors as one
+   * snapshot epoch — consumers see it as a compacted restatement. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(atEpoch.isEmpty,
+      "graft-kv: time travel (atEpoch) does not compose with streaming reads")
+    new KvMicroBatchStream(path, conf, readSchema(), storedSchema, effectiveFilters)
+  }
+}
+
+/** one offset = the highest epoch already emitted (-1 = nothing yet) */
+case class KvEpochOffset(epoch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = epoch.toString
+}
+
+class KvMicroBatchStream(path: String, conf: Configuration, out: StructType,
+    storedSchema: StructType,
+    filters: Seq[org.apache.spark.sql.sources.Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private def maxCommitted: Long =
+    KvStore.readManifest(conf, path).map(_.epoch).maxOption.getOrElse(-1L)
+
+  // Trigger.AvailableNow: drain exactly the epochs committed at start
+  private var cap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = cap = Some(maxCommitted)
+
+  override def initialOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset = KvEpochOffset(-1L)
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    KvEpochOffset(json.trim.toLong)
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def latestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    KvEpochOffset(cap.fold(maxCommitted)(c => math.min(maxCommitted, c)))
+
+  // admission control (via SupportsTriggerAvailableNow): epochs are the
+  // natural batch unit already, so no finer pacing is needed
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = latestOffset()
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KvEpochOffset].epoch
+    val e = end.asInstanceOf[KvEpochOffset].epoch
+    val segDir = KvStore.segmentsDir(path)
+    KvStore.readManifest(conf, path)
+      .filter(ep => ep.epoch > s && ep.epoch <= e)
+      .flatMap(ep => ep.segments.map(n =>
+        KvSegmentPartition(new Path(segDir, n).toString, ep.epoch): InputPartition))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(out, new SerializableConfiguration(conf),
+      storedSchema, filters)
 }
 
 case class KvSegmentPartition(file: String, epoch: Long) extends InputPartition

@@ -342,6 +342,64 @@ class KvStoreSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(p, "_commits")))
   }
 
+  test("epoch changefeed: readStream tails committed epochs exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = tmp()
+    val outDir = Files.createTempDirectory("graft-kv-feed-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-kv-feed-ck").toString
+    Seq((1L, "a")).toDF("k", "v").write.format("graft-kv").option("path", p).mode("append").save()
+    Seq((2L, "b")).toDF("k", "v").write.format("graft-kv").option("path", p).mode("append").save()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-kv").option("path", p).load()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    drain() // epochs 0 and 1
+    assert(spark.read.parquet(outDir).count() === 2)
+    // a new epoch lands; the next drain emits ONLY it (offsets from the
+    // checkpoint), and already-fed epochs never re-emit
+    Seq((3L, "c")).toDF("k", "v").write.format("graft-kv").option("path", p).mode("append").save()
+    drain()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, "a", 0L), (2L, "b", 1L), (3L, "c", 2L)))
+    // idle drain: nothing new, nothing duplicated
+    drain()
+    assert(spark.read.parquet(outDir).count() === 3)
+  }
+
+  test("changefeed after epoch rollback skips the yanked epoch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = tmp()
+    for (i <- 0 to 2)
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("path", p).mode("append").save()
+    // roll back the poisoned middle epoch via the catalog DELETE machinery
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new graft.sinks.v2.KvCatalogTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("t"), "t"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))),
+      p, None)
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("_epoch", 1L)))
+    val outDir = Files.createTempDirectory("graft-kv-rb-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-kv-rb-ck").toString
+    val q = spark.readStream.format("graft-kv").option("path", p).load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // the rolled-back epoch has no segments to emit; neighbors unaffected
+    assert(spark.read.parquet(outDir).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(0L, 2L))
+  }
+
   test("vacuum sweeps aged orphans, never listed segments or young files") {
     val p = tmp()
     Seq((1L, "a")).toDF("k", "v").write.format("graft-kv").option("path", p).mode("append").save()
