@@ -111,6 +111,23 @@ object StreamDemo {
       println(s"=== E1-native (graft-logs → graft-kv) verdict rows: ${nativeSet.size} " +
         s"matches E1: ${nativeSet == e1Set}")
       require(nativeSet == e1Set, "native-connector run diverged from the file/parquet run")
+
+      // E1-feed: the SAME store streamed OUT — downstream consumers tail
+      // the verdict table as an epoch changefeed (write exactly-once in,
+      // stream changes out); an AvailableNow drain must emit every
+      // committed verdict row exactly once
+      val feedOut = Files.createTempDirectory("graft-demo-feed").toString + "/out"
+      val feedCk = Files.createTempDirectory("graft-demo-feed-ck").toString
+      val qf = spark.readStream.format("graft-kv").option("path", kvStore).load()
+        .writeStream.format("parquet").option("path", feedOut)
+        .option("checkpointLocation", feedCk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qf.awaitTermination(60000)
+      val fed = spark.read.parquet(feedOut).count()
+      val stored = graft.sinks.v2.KvStore.read(spark, kvStore).count()
+      println(s"=== E1-feed (kv changefeed) drained rows: $fed of $stored committed")
+      require(fed == stored, "changefeed drain diverged from the committed store")
     }
 
     // E2 parity (the reference's DStream path, SURVEY.md §3 E2): keyed
