@@ -332,7 +332,8 @@ class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       override def build(): Scan =
-        new KvScan(path, KvStore.hadoopConf(), atEpoch, Some(projection), pushed.toSeq)
+        new KvScan(path, KvStore.hadoopConf(), atEpoch, Some(projection), pushed.toSeq,
+          Option(options.get("maxEpochsPerTrigger")).map(_.toLong))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -625,7 +625,8 @@ class KvTable(schema0: StructType, properties: Map[String, String])
       override def build(): Scan = new KvScan(KvStore.pathOf(opts), KvStore.hadoopConf(),
         // time travel: `atEpoch` reads the store as of that committed epoch
         // (inclusive) — the manifest IS the snapshot log
-        opt("atEpoch").map(_.toLong), projection, pushed.toSeq)
+        opt("atEpoch").map(_.toLong), projection, pushed.toSeq,
+        opt("maxEpochsPerTrigger").map(_.toLong))
     }
   }
 
@@ -640,7 +641,8 @@ class KvTable(schema0: StructType, properties: Map[String, String])
 
 class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
     projection: Option[StructType] = None,
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    maxEpochsPerTrigger: Option[Long] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -752,7 +754,8 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(atEpoch.isEmpty,
       "graft-kv: time travel (atEpoch) does not compose with streaming reads")
-    new KvMicroBatchStream(path, conf, readSchema(), storedSchema, effectiveFilters)
+    new KvMicroBatchStream(path, conf, readSchema(), storedSchema,
+      effectiveFilters, maxEpochsPerTrigger)
   }
 }
 
@@ -764,9 +767,13 @@ case class KvEpochOffset(epoch: Long)
 
 class KvMicroBatchStream(path: String, conf: Configuration, out: StructType,
     storedSchema: StructType,
-    filters: Seq[org.apache.spark.sql.sources.Filter])
+    filters: Seq[org.apache.spark.sql.sources.Filter],
+    maxEpochsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  require(maxEpochsPerTrigger.forall(_ > 0),
+    s"graft-kv: maxEpochsPerTrigger must be positive, got $maxEpochsPerTrigger")
 
   private def maxCommitted: Long =
     KvStore.readManifest(conf, path).map(_.epoch).maxOption.getOrElse(-1L)
@@ -789,14 +796,21 @@ class KvMicroBatchStream(path: String, conf: Configuration, out: StructType,
     KvEpochOffset(cap.fold(maxCommitted)(c => math.min(maxCommitted, c)))
 
   // admission control (via SupportsTriggerAvailableNow): epochs are the
-  // natural batch unit already, so no finer pacing is needed
+  // batch unit; `maxEpochsPerTrigger` paces CATCH-UP — a consumer
+  // restarting after long downtime otherwise takes every missed epoch in
+  // one giant micro-batch. AvailableNow still drains to its prepared
+  // frontier, just in paced steps.
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset = latestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val s = start.asInstanceOf[KvEpochOffset].epoch
+    val latest = latestOffset().asInstanceOf[KvEpochOffset].epoch
+    KvEpochOffset(maxEpochsPerTrigger.fold(latest)(n => math.min(latest, s + n)))
+  }
 
   override def planInputPartitions(
       start: org.apache.spark.sql.connector.read.streaming.Offset,

@@ -371,6 +371,33 @@ class KvStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() === 3)
   }
 
+  test("changefeed catch-up pacing: maxEpochsPerTrigger bounds each micro-batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = tmp()
+    for (i <- 0 until 5)
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+        .write.format("graft-kv").option("path", p).mode("append").save()
+    val outDir = Files.createTempDirectory("graft-kv-pace-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-kv-pace-ck").toString
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-kv").option("path", p)
+      .option("maxEpochsPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += b.count() }
+        b.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // 5 epochs drained in paced steps of <= 2 epochs (1 row each here),
+    // reaching the AvailableNow frontier completely
+    assert(spark.read.parquet(outDir).count() === 5)
+    assert(batchSizes.forall(_ <= 2), batchSizes.toString)
+    assert(batchSizes.length >= 3, batchSizes.toString)
+  }
+
   test("changefeed after epoch rollback skips the yanked epoch") {
     import org.apache.spark.sql.streaming.Trigger
     val p = tmp()
