@@ -1464,6 +1464,21 @@ object SparkEntry {
         "media_id", "phash", maxDist = 6)
         .select(col("id_a"), col("id_b"))),
 
+    // image_dedup_canonical: the full image-dedup PRODUCTION shape end to
+    // end — pHash over the robustness corpus, pigeonhole pair join,
+    // connected components, min-id canonical per cluster. The oracle is
+    // the construction: each 4-variant group collapses to one cluster
+    // whose canonical is the group base id — find dups, pick canonical,
+    // the row set a "drop the rest" filter joins against.
+    "image_dedup_canonical" -> ((s, dir) =>
+      Dedup.clusterPairs(
+        operators.Dedup.hammingPairs(
+          operators.Multimodal.imagePhash(
+            cachedMediaFor(s, dir, "robustdup")(
+              operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))),
+          "media_id", "phash", maxDist = 6)
+          .select(col("id_a"), col("id_b")))),
+
     // Oracle-backed slice of the multimodal table (checksum + byte length).
     "multimodal_checksum" -> ((s, dir) =>
       operators.Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
@@ -3941,6 +3956,13 @@ object SparkEntry {
         """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1 AS BIGINT) AS id_b
           |FROM documents WHERE doc_id % 2 = 0
           |  AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)""".stripMargin,
+
+      // every variant clusters to its group base: the pair graph is exactly
+      // the within-group cliques, so min-reachable-id = 4*floor(id/4)
+      "image_dedup_canonical" ->
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          |       CAST(doc_id - doc_id % 4 AS BIGINT) AS cluster_id
+          |FROM documents""".stripMargin,
 
       // the robustness construction: every within-group pair (groups of 4
       // variants) and nothing else — both recall under quality-50/resample
