@@ -1466,18 +1466,44 @@ object SparkEntry {
 
     // image_dedup_canonical: the full image-dedup PRODUCTION shape end to
     // end — pHash over the robustness corpus, pigeonhole pair join,
-    // connected components, min-id canonical per cluster. The oracle is
-    // the construction: each 4-variant group collapses to one cluster
-    // whose canonical is the group base id — find dups, pick canonical,
-    // the row set a "drop the rest" filter joins against.
-    "image_dedup_canonical" -> ((s, dir) =>
-      Dedup.clusterPairs(
+    // connected components, min-id canonical per cluster. The canonical
+    // map covers EVERY document: clusterPairs only labels nodes that
+    // appear in a pair edge, so pair-less singletons (e.g. the lone base
+    // image of a truncated final 4-group when N % 4 == 1) are
+    // left-joined back in as their own canonical — the map a "drop the
+    // rest" filter can join against without losing singletons. The
+    // oracle is the construction: every variant's cluster is its group
+    // base id.
+    "image_dedup_canonical" -> ((s, dir) => {
+      val media = cachedMediaFor(s, dir, "robustdup")(
+        operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))
+      val clusters = Dedup.clusterPairs(
         operators.Dedup.hammingPairs(
-          operators.Multimodal.imagePhash(
-            cachedMediaFor(s, dir, "robustdup")(
-              operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))),
-          "media_id", "phash", maxDist = 6)
-          .select(col("id_a"), col("id_b")))),
+          operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 6)
+          .select(col("id_a"), col("id_b")))
+      media.select(col("media_id").as("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }),
+
+    // pipeline_image_curate: the production "drop the rest" step — the
+    // deduped corpus itself. Anti-join the media table against the
+    // non-canonical side of the canonical map; survivors are exactly one
+    // representative (the min-id base) per near-dup cluster, singletons
+    // included. Oracle = construction: ids with doc_id % 4 == 0.
+    "pipeline_image_curate" -> ((s, dir) => {
+      val media = cachedMediaFor(s, dir, "robustdup")(
+        operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))
+      val clusters = Dedup.clusterPairs(
+        operators.Dedup.hammingPairs(
+          operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 6)
+          .select(col("id_a"), col("id_b")))
+      val dropped = clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      media.join(dropped, media("media_id") === dropped("doc_id"), "left_anti")
+        .select(col("media_id").as("doc_id"))
+    }),
 
     // Oracle-backed slice of the multimodal table (checksum + byte length).
     "multimodal_checksum" -> ((s, dir) =>
@@ -3942,27 +3968,36 @@ object SparkEntry {
       // the construction IS the oracle: ids (2g, 2g+1) hold the same image
       // in two formats, and the pHash pipeline must return exactly those
       // pairs — nothing missed (recall), nothing extra (precision). Pairs
-      // derive from doc_id itself (contiguous 0..N-1), so the replay scales
-      // with the corpus instead of assuming a row-count cap. The max-id
-      // guard drops the final even id of an ODD-sized corpus, whose 2g+1
-      // partner doesn't exist — the pipeline correctly finds no pair there.
+      // derive from doc_id itself, and the partner-existence guard is an
+      // exact EXISTS join (not a global-max check), so the replay stays
+      // correct for ANY id distribution — odd-sized corpora, and the
+      // key-shifted copies tools/scale_testdata.py produces, where each
+      // interior copy boundary can leave a partnerless even id.
       "image_neardup" ->
-        """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1 AS BIGINT) AS id_b
-          |FROM documents WHERE doc_id % 2 = 0
-          |  AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)""".stripMargin,
+        """SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(a.doc_id + 1 AS BIGINT) AS id_b
+          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |WHERE a.doc_id % 2 = 0""".stripMargin,
 
       // same construction on the audio axis: 16-bit vs 8-bit requantized
       "audio_neardup" ->
-        """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1 AS BIGINT) AS id_b
-          |FROM documents WHERE doc_id % 2 = 0
-          |  AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)""".stripMargin,
+        """SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(a.doc_id + 1 AS BIGINT) AS id_b
+          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |WHERE a.doc_id % 2 = 0""".stripMargin,
 
       // every variant clusters to its group base: the pair graph is exactly
-      // the within-group cliques, so min-reachable-id = 4*floor(id/4)
+      // the within-group cliques, so min-reachable-id = 4*floor(id/4);
+      // a pair-less singleton (truncated final group) is its own canonical,
+      // which the same formula yields since such an id has id % 4 == 0
       "image_dedup_canonical" ->
         """SELECT CAST(doc_id AS BIGINT) AS doc_id,
           |       CAST(doc_id - doc_id % 4 AS BIGINT) AS cluster_id
           |FROM documents""".stripMargin,
+
+      // survivors of the drop-the-rest anti-join are exactly the group
+      // base ids (the min-id canonical of each cluster), singletons incl.
+      "pipeline_image_curate" ->
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id
+          |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
 
       // the robustness construction: every within-group pair (groups of 4
       // variants) and nothing else — both recall under quality-50/resample

@@ -34,9 +34,12 @@ final case class BotConfig(
  */
 object BotClassifier {
 
-  /** Non-negative Long integer division, `a div b` (floor == truncation here). */
+  /** Non-negative Long integer division — Catalyst's native `div`
+   * (IntegralDivide), exact for the full Long range by construction
+   * rather than via a double round-trip. */
   private def intDiv(a: Column, b: Column): Column =
-    floor(a.cast("double") / b.cast("double")).cast("long")
+    call_function("div", a.cast("long"), b.cast("long"))
+
 
   def tooManyRequests(clicks: Column, views: Column, cfg: BotConfig): Column =
     (clicks + views) > cfg.requestLimit

@@ -276,18 +276,35 @@ class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
     // the partition re-evaluates against the CURRENT manifest on every CAS
     // attempt, so a concurrent append during the delete is never dropped —
-    // only segments that fully match the predicate at commit time go
+    // only segments that fully match the predicate at commit time go.
+    // Decidability is ALSO re-verified inside the closure: canDeleteWhere
+    // ran before the CAS, and a segment appended concurrently may only
+    // PARTIALLY match the predicate — committing then would report the
+    // DELETE successful while leaving matching rows behind. Mirror
+    // compact's conflict detection: leave the manifest unchanged and
+    // abort with the metadata-only error.
     var dropped: Seq[KvStore.Segment] = Nil
+    var undecidable = false
     KvStore.mutateManifest(conf, path) { manifest =>
-      val parts = manifest.map { e =>
-        val (drop, keep) = e.segs.partition(s =>
-          KvFilters.segmentFullyMatches(storedSchema, filters.toSeq, e.epoch,
-            s.stats.map(mapper.readTree)))
-        (e.copy(segs = keep), drop)
+      undecidable = KvCatalogTable.hasUndecidableSegment(storedSchema, filters, manifest)
+      if (undecidable) None
+      else {
+        val parts = manifest.map { e =>
+          val (drop, keep) = e.segs.partition(s =>
+            KvFilters.segmentFullyMatches(storedSchema, filters.toSeq, e.epoch,
+              s.stats.map(mapper.readTree)))
+          (e.copy(segs = keep), drop)
+        }
+        dropped = parts.flatMap(_._2)
+        Some(parts.map(_._1))
       }
-      dropped = parts.flatMap(_._2)
-      Some(parts.map(_._1))
     }
+    if (undecidable)
+      throw new IllegalArgumentException(
+        s"graft-kv: DELETE on ${ident} lost an optimistic-concurrency race — " +
+          "a concurrently appended segment partially matches " +
+          s"${filters.mkString(", ")}, so the delete is no longer metadata-only; " +
+          "the store is unchanged; retry or rewrite via INSERT OVERWRITE")
     // files go AFTER the manifest commit: a crash in between leaves
     // orphans the manifest never lists (harmless), never a manifest
     // pointing at deleted files
@@ -339,5 +356,23 @@ class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     KvStore.validateSchema(info.schema())
     new KvWriteBuilder(path, info.schema(), info.queryId(), KvStore.hadoopConf())
+  }
+}
+
+object KvCatalogTable {
+  /** The deleteWhere decidability re-check, run INSIDE the CAS closure:
+   * true when any visible segment neither fully matches nor provably
+   * excludes the predicate — i.e. a concurrent append made the DELETE no
+   * longer metadata-only and the commit must abort (compact's conflict
+   * shape). Exposed for the spec; deleteWhere is the only caller. */
+  private[v2] def hasUndecidableSegment(schema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      manifest: Seq[KvStore.Epoch]): Boolean = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    manifest.exists(e => e.segs.exists { s =>
+      val st = s.stats.map(mapper.readTree)
+      !KvFilters.segmentFullyMatches(schema, filters.toSeq, e.epoch, st) &&
+        !KvFilters.pruneSegment(schema, filters.toSeq, e.epoch, st)
+    })
   }
 }

@@ -280,11 +280,15 @@ object KvStore {
           val out = fs.create(tmp, true)
           try out.write(manifestBytes(next)) finally out.close()
           if (publishExclusive(fs, tmp, versionFile(path, v + 1))) {
-            // bound the commit log; every version is a full snapshot
+            // bound the commit log; every version is a full snapshot, so
+            // only the SINGLE version that just aged past the tail can
+            // still exist (earlier ones were deleted by earlier commits) —
+            // one delete per commit, not O(v) calls against long-gone
+            // files (quadratic over a streaming sink's lifetime on HDFS /
+            // object stores)
             if (v + 1 > keepVersions)
-              (1L to v - keepVersions).foreach(old =>
-                try fs.delete(versionFile(path, old), false)
-                catch { case _: Exception => () })
+              try fs.delete(versionFile(path, v + 1 - keepVersions), false)
+              catch { case _: Exception => () }
             return next
           }
       }
@@ -548,6 +552,12 @@ object KvStore {
       }
     sweep(segmentsDir(path), listed.contains)
     sweep(stagingDir(path), _ => false)
+    // _commits/ too: a crashed or lost CAS attempt leaves its `.tmp-<uuid>`
+    // behind (mutateManifest writes the tmp BEFORE publishExclusive, and a
+    // loser never cleans up) — invisible to readers (readVersionedManifest
+    // ignores dot-files) but accumulating forever. Keep real version files;
+    // sweep only dot-prefixed temps past the grace window.
+    sweep(commitsDir(path), name => !name.startsWith("."))
     removed
   }
 

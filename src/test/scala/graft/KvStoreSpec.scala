@@ -442,12 +442,20 @@ class KvStoreSpec extends AnyFunSuite {
     val oldOrphan = plant("segments/seg-orphan-old.jsonl", 7200L * 1000)
     val youngOrphan = plant("segments/seg-orphan-new.jsonl", 60L * 1000)
     val oldStage = plant("_staging/stage-dead.jsonl", 7200L * 1000)
-    assert(KvStore.vacuum(p) === 2L) // old orphan + old staging
-    assert(!fs.exists(oldOrphan) && !fs.exists(oldStage))
+    // a CAS attempt that crashed between tmp-write and publish leaves its
+    // temp in _commits/ forever (readers ignore dot-files) — vacuum's third
+    // sweep reclaims aged ones, protects young ones, keeps version files
+    val oldTmp = plant("_commits/.tmp-dead-cas-attempt", 7200L * 1000)
+    val youngTmp = plant("_commits/.tmp-inflight-cas", 60L * 1000)
+    assert(KvStore.vacuum(p) === 3L) // old orphan + old staging + old CAS tmp
+    assert(!fs.exists(oldOrphan) && !fs.exists(oldStage) && !fs.exists(oldTmp))
     assert(fs.exists(youngOrphan), "grace window must protect in-flight files")
+    assert(fs.exists(youngTmp), "grace window must protect in-flight CAS temps")
     // the committed row is untouched — listed segments are never swept
     assert(KvStore.read(spark, p).count() === 1)
-    assert(KvStore.vacuum(p, graceMs = 0L) === 1L) // young orphan now aged out
+    assert(KvStore.vacuum(p, graceMs = 0L) === 2L) // young files now aged out
+    assert(KvStore.read(spark, p).count() === 1)
+    // real (non-dot) version files survive even a zero-grace vacuum
     assert(KvStore.read(spark, p).count() === 1)
   }
 

@@ -567,6 +567,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(crossMin >= 12, s"cross min $crossMin crowds the gate threshold")
   }
 
+  test("canonical map covers pair-less singletons (N % 4 == 1 corpus)") {
+    // 9 docs = two full 4-groups + a lone base image: the singleton (id 8)
+    // appears in no hamming pair, so clusterPairs alone would omit it —
+    // the left-join in image_dedup_canonical must label it its own
+    // canonical (the ADVICE r10 edge).
+    val ids = spark.range(0, 9).toDF("doc_id")
+    val media = Multimodal.syntheticRobustDupTable(ids, "doc_id")
+    val clusters = graft.operators.Dedup.clusterPairs(
+      graft.operators.Dedup.hammingPairs(
+        Multimodal.imagePhash(media), "media_id", "phash", maxDist = 6)
+        .select(col("id_a"), col("id_b")))
+    val full = media.select(col("media_id").as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.size === 9, "every document gets a canonical row")
+    assert(full === (0L to 8L).map(id => id -> (id - id % 4)).toMap)
+    // and the curate anti-join keeps exactly the three group bases
+    assert(full.filter { case (id, c) => id == c }.keySet === Set(0L, 4L, 8L))
+  }
+
   test("pHash is invariant to exact resampling scale (replication)") {
     import graft.operators.{MediaCodec => MC}
     val px = Multimodal.dupPattern(7)
