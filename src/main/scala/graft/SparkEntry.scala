@@ -1228,9 +1228,19 @@ object SparkEntry {
       Dedup.clusterPairs(
         Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5))),
 
-    // SimHash near-dup pairs within hamming distance 3 (pigeonhole-banded).
+    // SimHash near-dup pairs (pigeonhole-banded), gated by CONSTRUCTION:
+    // group g's two docs share 2000 group-private tokens, the odd one adds
+    // a single marker token (~1 expected bit flip of 64), cross-group
+    // hashes are independent coin flips (min distance ≈ 13) — so the exact
+    // true pair set at maxDist 6 is the (2g, 2g+1) pairs, and the oracle
+    // checks recall AND precision of tokenize→vote→pigeonhole→popcount in
+    // one hash row (was rows-only; margins pinned in DedupSpec).
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
+      Dedup.simhashPairs(
+        Dedup.syntheticNearDupTexts(
+          table(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "text", maxDist = 6)
+        .select(col("id_a"), col("id_b"))),
 
     // Brute-force cosine top-k (ANN baseline; broadcast queries).
     "embed_topk" -> ((s, dir) =>
@@ -1274,10 +1284,19 @@ object SparkEntry {
       Similarity.nearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35)),
 
-    // LSH (random hyperplanes) near-dup candidates, exact-verified.
+    // LSH (random hyperplanes) near-dup candidates, exact-verified — gated
+    // by CONSTRUCTION: ids (2g, 2g+1) carry unit vectors at cosine ≈ 0.995
+    // (ε = 0.1 perturbation), strangers concentrate at 0 ± 0.125 (measured
+    // max ≈ 0.55), threshold 0.8 sits between. 8 tables × 6 planes make the
+    // per-pair miss probability ~5e-7 and the seeded hyperplanes make the
+    // outcome deterministic — the oracle checks LSH recall AND the exact-
+    // verify precision as one hash row (was rows-only).
     "embed_lsh" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.3, nPlanes = 6, tables = 8)),
+      Similarity.lshNearDupPairs(
+        Similarity.syntheticNearDupEmbeddings(
+          table(s, dir, "embeddings").select(col("vec_id")), "vec_id"),
+        "vec_id", "embedding", dim = 64, threshold = 0.8, nPlanes = 6, tables = 8)
+        .select(col("id_a"), col("id_b"))),
 
     // SemDeDup-style cell-bucketed near-dup pairs: Lloyd-trained cells shard
     // the corpus (map-side assignment, zero exchange), exact cosine verify
@@ -1289,12 +1308,19 @@ object SparkEntry {
     // seeding/training sample scales the same way so the k seeding rounds
     // stay one driver-local collect; past the flat-argmax cutoff the
     // assignment switches to the two-level coarse→fine scan automatically.
+    // Gated by CONSTRUCTION since r11: the same paired corpus as embed_lsh
+    // — near-identical vectors share their argmax cell (and top-2 probe
+    // sets always intersect at cosine 0.995), strangers verify below
+    // threshold 0.8 — so the exact true pair set is the oracle (was
+    // rows-only with only a spec-pinned recall floor).
     "embed_celldup" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings")
+      val e = Similarity.syntheticNearDupEmbeddings(
+        table(s, dir, "embeddings").select(col("vec_id")), "vec_id")
       val n = e.count()
       Similarity.cellNearDupPairs(e, "vec_id", "embedding",
-        threshold = 0.3, nCells = Similarity.autoCellCount(n, targetCellSize = 250),
+        threshold = 0.8, nCells = Similarity.autoCellCount(n, targetCellSize = 250),
         sampleMod = Similarity.autoSampleMod(n))
+        .select(col("id_a"), col("id_b"))
     }),
 
     // Embedding-space decontamination: corpus rows (vec_id % 50 != 0) whose
@@ -1302,12 +1328,21 @@ object SparkEntry {
     // bounded EVAL side only; corpus contributes one map-side assignment
     // scan + id-only shuffle. Approximate (probed-cell candidates) ->
     // rows-only; recall floor pinned by SimilaritySpec.
+    // Gated by CONSTRUCTION since r11: eval rows are vec_id % 50 == 0,
+    // their contaminated corpus twins vec_id % 50 == 1 (cosine ≈ 0.995),
+    // every other corpus row a stranger — so the exact contamination set
+    // (doc_id ≡ 1 mod 50, ref = doc_id − 1) is the oracle, checking the
+    // eval-side cell training, both map-side probe assignments, and the
+    // exact verify together (was rows-only).
     "embed_decontaminate" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings")
+      val e = Similarity.syntheticNearDupEmbeddings(
+        table(s, dir, "embeddings").select(col("vec_id")), "vec_id",
+        perturbMod = 50)
       Similarity.embeddingContamination(
         e.filter(pmod(col("vec_id"), lit(50)) =!= 0),
         e.filter(pmod(col("vec_id"), lit(50)) === 0),
-        "vec_id", "embedding", threshold = 0.3, nCells = 4, nProbes = 2)
+        "vec_id", "embedding", threshold = 0.8, nCells = 4, nProbes = 2)
+        .select(col("doc_id"), col("ref_id"))
     }),
 
     // Product-quantization ANN: 8x16 codebooks (8 bytes/vector), ADC
@@ -3998,6 +4033,35 @@ object SparkEntry {
       "pipeline_image_curate" ->
         """SELECT CAST(doc_id AS BIGINT) AS doc_id
           |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
+
+      // the simhash construction: one marker token ≈ 1 bit flip vs a
+      // cross-group floor of ~13 bits, so the true pair set at maxDist 6
+      // is exactly the (2g, 2g+1) pairs (partner-existence via EXISTS join)
+      "dedup_simhash" ->
+        """SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(a.doc_id + 1 AS BIGINT) AS id_b
+          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |WHERE a.doc_id % 2 = 0""".stripMargin,
+
+      // the paired-embedding construction: cosine 0.995 twins vs ≤ 0.55
+      // strangers at threshold 0.8 — same pair set for the LSH tables and
+      // the SemDeDup cell path
+      "embed_lsh" ->
+        """SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(a.vec_id + 1 AS BIGINT) AS id_b
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          |WHERE a.vec_id % 2 = 0""".stripMargin,
+
+      "embed_celldup" ->
+        """SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(a.vec_id + 1 AS BIGINT) AS id_b
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          |WHERE a.vec_id % 2 = 0""".stripMargin,
+
+      // the decontamination construction: corpus ids ≡ 1 (mod 50) are the
+      // contaminated twins of eval ids ≡ 0 (mod 50); nothing else crosses
+      // threshold 0.8, so each flagged row's strongest match is its twin
+      "embed_decontaminate" ->
+        """SELECT CAST(a.vec_id AS BIGINT) AS doc_id, CAST(a.vec_id - 1 AS BIGINT) AS ref_id
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - 1
+          |WHERE a.vec_id % 50 = 1""".stripMargin,
 
       // the robustness construction: every within-group pair (groups of 4
       // variants) and nothing else — both recall under quality-50/resample

@@ -528,6 +528,33 @@ object Dedup {
       maxDist, maxBlockFreq)
 
   /**
+   * Construction corpus for the simhash GATE — the text twin of the
+   * image/audio near-dup constructions: group g = id div 2 owns
+   * `tokensPerDoc` tokens of its own (`g<g>x<j>` — disjoint across groups,
+   * so cross-group simhashes are independent 64-bit coin flips, min
+   * pairwise distance ≈ 13–16 over 125k pairs), and the odd id carries the
+   * SAME token set plus one marker token. One extra vote flips a simhash
+   * bit only where the ±1 vote sum sits exactly at the sign boundary —
+   * expected flips ≈ 64·0.8/√tokensPerDoc ≈ 1.1 at 2000 tokens — so the
+   * true pair set at `maxDist = 6` is exactly the (2g, 2g+1) construction
+   * pairs: recall AND precision as one oracle row (measured margins pinned
+   * in DedupSpec; the corpus is the FIXED 500-row documents id set, so the
+   * measurement is the gate reality, not a tail estimate).
+   */
+  def syntheticNearDupTexts(ids: DataFrame, idCol: String,
+      tokensPerDoc: Int = 2000): DataFrame = {
+    val id = col(idCol).cast("long")
+    val grp = shiftright(id, 1).cast("string")
+    val body = array_join(
+      transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+        j => concat(lit("g"), grp, lit("x"), j.cast("string"))), " ")
+    ids.select(id.as("doc_id"),
+      concat(body,
+        when(pmod(id, lit(2)) === 1, lit(" dupmarker")).otherwise(lit("")))
+        .as("text"))
+  }
+
+  /**
    * Generic hamming-ball self-join over ANY 64-bit sketch column (simhash,
    * image pHash, audio fingerprint): the pigeonhole block-bucket shape of
    * [[simhashPairs]], factored so every modality shares one scale story —

@@ -258,6 +258,70 @@ object Similarity {
       maxCells: Int = 16384): Int =
     math.min(maxCells.toLong, math.max(minCells.toLong, n / targetCellSize)).toInt
 
+  /** Deterministic pseudo-random unit vector for a 64-bit key — the
+   * embedding twin of [[Multimodal]]'s `dupPattern`: gaussian components
+   * from a key-seeded PRNG, normalized. Same key → same vector on every
+   * executor, partitioning, and run. */
+  private def unitVec(key: Long, dim: Int): Array[Float] = {
+    val rnd = new Random(key * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L)
+    val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    var s = 0.0
+    var i = 0
+    while (i < dim) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    val inv = (1.0 / math.sqrt(s)).toFloat
+    i = 0
+    while (i < dim) { v(i) *= inv; i += 1 }
+    v
+  }
+
+  /**
+   * Construction corpus for the approximate-path GATES — the embedding twin
+   * of `Multimodal.syntheticRobustDupTable`: every id carries a
+   * deterministic pseudo-random unit vector, except ids with
+   * `id % perturbMod == 1`, which instead carry a small perturbation of
+   * id-1's vector — cosine(base, perturbed) = (1 + ε·⟨u,w⟩)/√(1+2ε⟨u,w⟩+ε²)
+   * ≈ 0.995 at ε = 0.1, while unrelated vectors' cosines concentrate at
+   * 0 ± 1/√dim (≈ ±0.125 at dim 64; measured max ≈ 0.55 over the fixed
+   * 500-row id set — SimilaritySpec pins both margins).
+   *
+   * The true near-dup pair set is therefore KNOWN BY CONSTRUCTION —
+   * (id−1, id) exactly where id % perturbMod == 1 and id−1 exists — so the
+   * driver's DuckDB oracle can check recall AND precision of the
+   * approximate paths (LSH tables, SemDeDup cells, probed-cell
+   * decontamination) as one hash row, the same gate shape as the
+   * image/audio near-dup constructions. `perturbMod = 2` yields disjoint
+   * (2g, 2g+1) pairs; `perturbMod = 50` matches the decontamination
+   * layout, where id % 50 == 0 rows are the eval set and id % 50 == 1 rows
+   * their contaminated corpus twins.
+   */
+  def syntheticNearDupEmbeddings(ids: DataFrame, idCol: String, dim: Int = 64,
+      eps: Float = 0.1f, perturbMod: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col(idCol).cast("long").as("vec_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val v =
+          if (id % perturbMod == 1) {
+            val u = unitVec(id - 1, dim)
+            val w = unitVec(id | 0x4000000000000000L, dim) // disjoint seed stream
+            val m = Array.tabulate(dim)(i => u(i) + eps * w(i))
+            var s = 0.0
+            var i = 0
+            while (i < dim) { s += m(i).toDouble * m(i).toDouble; i += 1 }
+            val inv = (1.0 / math.sqrt(s)).toFloat
+            i = 0
+            while (i < dim) { m(i) *= inv; i += 1 }
+            m
+          } else unitVec(id, dim)
+        org.apache.spark.sql.Row(id, v.toSeq)
+      }
+    }(enc)
+  }
+
   /** Corpus-scaled seeding/training sample modulus: keeps the farthest-first
    * hash sample inside the driver-local cap (`seedFarthestFirst`'s
    * `maxDriverSample`), where the k seeding rounds are one collect instead

@@ -105,6 +105,30 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() === 0L)
   }
 
+  test("simhash construction-gate margins: intra <= maxDist, cross far above") {
+    import spark.implicits._
+    // the dedup_simhash gate corpus over the fixed 500-id documents set —
+    // since documents is 500 rows at EVERY SF, these measured margins ARE
+    // the gate reality, not a tail estimate
+    val ids = spark.range(0, 500).toDF("doc_id")
+    val hashes = Dedup.withSimhash(
+        Dedup.syntheticNearDupTexts(ids, "doc_id"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.size === 500)
+    var intraMax = 0
+    for (g <- 0 until 250) {
+      val d = java.lang.Long.bitCount(hashes(2L * g) ^ hashes(2L * g + 1))
+      intraMax = intraMax.max(d)
+    }
+    var crossMin = 64
+    for (a <- 0 until 500; b <- (a + 1) until 500; if a / 2 != b / 2)
+      crossMin = crossMin.min(
+        java.lang.Long.bitCount(hashes(a.toLong) ^ hashes(b.toLong)))
+    info(s"simhash construction margins: intra max = $intraMax, cross min = $crossMin")
+    assert(intraMax <= 6, s"intra max $intraMax blew the maxDist-6 gate")
+    assert(crossMin >= 10, s"cross min $crossMin crowds the gate threshold")
+  }
+
   test("clusterPairs: transitive chains collapse to the min-id component") {
     import spark.implicits._
     // chain 1-2, 2-3 (1 and 3 never directly paired) + island 7-8

@@ -267,6 +267,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"lsh recall degraded: $recall")
   }
 
+  test("paired-embedding construction-gate margins: twin cosine high, stranger low") {
+    // the embed_lsh / embed_celldup / embed_decontaminate gate corpus over
+    // the fixed 500-id embeddings set — as with the simhash construction,
+    // the id set is identical at every SF, so these measurements ARE the
+    // gate margins
+    val ids = spark.range(0, 500).toDF("vec_id")
+    val vecs = Similarity.syntheticNearDupEmbeddings(ids, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(vecs.size === 500)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    var intraMin = 1.0
+    for (g <- 0 until 250)
+      intraMin = intraMin.min(cos(vecs(2L * g), vecs(2L * g + 1)))
+    var crossMax = -1.0
+    for (a <- 0 until 500; b <- (a + 1) until 500; if a / 2 != b / 2)
+      crossMax = crossMax.max(cos(vecs(a.toLong), vecs(b.toLong)))
+    info(s"paired-embedding margins: intra min = $intraMin, cross max = $crossMax")
+    assert(intraMin >= 0.98, s"twin cosine $intraMin crowds the 0.8 gate threshold")
+    assert(crossMax <= 0.7, s"stranger cosine $crossMax crowds the 0.8 gate threshold")
+    // the decontamination layout's margins follow from the same generator:
+    // its perturbed rows (id % 50 == 1) reuse the identical base+eps shape
+    val deco = Similarity.syntheticNearDupEmbeddings(ids, "vec_id", perturbMod = 50)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for (g <- 0 until 10)
+      assert(cos(deco(50L * g), deco(50L * g + 1)) >= 0.98)
+  }
+
   test("SemDeDup cell-bucketed near-dup: recall floor and exact-verify precision") {
     val dir = "/root/testdata/sf0.01"
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
