@@ -758,11 +758,14 @@ object SparkEntry {
 
     // DSIR importance weights (Xie et al. 2023): per-doc char-trigram
     // likelihood ratio of the 'en' target model vs the corpus model,
-    // add-half smoothed over the source vocabulary. Models broadcast; the
-    // corpus-sized shuffle is the one gram-count aggregate.
+    // add-half smoothed — over the paper's HASHED feature space (8192
+    // md5-mod buckets) since r11, so the model aggregate's key space is
+    // constant and the family measures linear instead of the sf1
+    // rehearsal's n^1.13 vocabulary growth. Models broadcast; the
+    // corpus-sized shuffle is the one bucket-count aggregate.
     "q_dsir_weights" -> ((s, dir) =>
       TextAnalysis.importanceWeights(
-        table(s, dir, "documents"), col("lang") === "en")),
+        table(s, dir, "documents"), col("lang") === "en", hashBuckets = 8192)),
 
     // DSIR composition: importance-RESAMPLE 100 docs toward the target
     // domain — the A-ES weighted sample with weight = exp(logw). The
@@ -770,7 +773,7 @@ object SparkEntry {
     "pipeline_dsir" -> ((s, dir) =>
       operators.Sampling.weightedSample(
         TextAnalysis.importanceWeights(
-          table(s, dir, "documents"), col("lang") === "en"),
+          table(s, dir, "documents"), col("lang") === "en", hashBuckets = 8192),
         col("doc_id"), exp(col("logw")), n = 100)),
 
     // Overlapping token-window chunking (RAG/embedding prep): 50-token
@@ -2524,38 +2527,50 @@ object SparkEntry {
           |  FROM pr p WHERE p.r < 8)
           |SELECT id, round(pr, 8) + 0.0 AS pagerank FROM pr WHERE r = 8""".stripMargin,
 
+      // bucket = first-4-md5-bytes mod 8192, the exact hash the codegen'd
+      // ngram_bucket_counts computes — md5 is the one hash both engines share
       "q_dsir_weights" ->
-        """WITH g AS (
+        """WITH g0 AS (
           |  SELECT doc_id,
           |    unnest([substring(text, i, 3) FOR i IN range(1, greatest(len(text) - 2, 0) + 1)]) AS g
           |  FROM documents),
-          |src AS (SELECT g, count(*) AS scnt FROM g GROUP BY 1),
+          |g AS (SELECT doc_id,
+          |        CAST('0x' || substring(md5(g), 1, 8) AS BIGINT) % 8192 AS b,
+          |        count(*) AS doc_cnt
+          |      FROM g0 GROUP BY 1, 2),
+          |src AS (SELECT b, sum(doc_cnt) AS scnt FROM g GROUP BY 1),
           |st AS (SELECT sum(scnt) AS stotal, count(*) AS vocab FROM src),
-          |tg AS (SELECT gg.g AS g, count(*) AS tcnt FROM g gg
+          |tg AS (SELECT g.b AS b, sum(doc_cnt) AS tcnt FROM g
           |       JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
           |tt AS (SELECT coalesce(sum(tcnt), 0) AS ttotal FROM tg)
-          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-          |  round(avg(ln((coalesce(tcnt, 0) + 0.5) / (ttotal + 0.5 * vocab)) -
-          |            ln((scnt + 0.5) / (stotal + 0.5 * vocab))), 4) + 0.0 AS logw
-          |FROM g JOIN src USING (g) LEFT JOIN tg USING (g)
+          |SELECT doc_id, CAST(sum(doc_cnt) AS BIGINT) AS n_trigrams,
+          |  round(sum(doc_cnt * (ln((coalesce(tcnt, 0) + 0.5) / (ttotal + 0.5 * vocab)) -
+          |                       ln((scnt + 0.5) / (stotal + 0.5 * vocab))))
+          |        / sum(doc_cnt), 4) + 0.0 AS logw
+          |FROM g JOIN src USING (b) LEFT JOIN tg USING (b)
           |CROSS JOIN st CROSS JOIN tt
           |GROUP BY doc_id""".stripMargin,
 
       "pipeline_dsir" ->
-        """WITH g AS (
+        """WITH g0 AS (
           |  SELECT doc_id,
           |    unnest([substring(text, i, 3) FOR i IN range(1, greatest(len(text) - 2, 0) + 1)]) AS g
           |  FROM documents),
-          |src AS (SELECT g, count(*) AS scnt FROM g GROUP BY 1),
+          |g AS (SELECT doc_id,
+          |        CAST('0x' || substring(md5(g), 1, 8) AS BIGINT) % 8192 AS b,
+          |        count(*) AS doc_cnt
+          |      FROM g0 GROUP BY 1, 2),
+          |src AS (SELECT b, sum(doc_cnt) AS scnt FROM g GROUP BY 1),
           |st AS (SELECT sum(scnt) AS stotal, count(*) AS vocab FROM src),
-          |tg AS (SELECT gg.g AS g, count(*) AS tcnt FROM g gg
+          |tg AS (SELECT g.b AS b, sum(doc_cnt) AS tcnt FROM g
           |       JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
           |tt AS (SELECT coalesce(sum(tcnt), 0) AS ttotal FROM tg),
           |w AS (
-          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-          |    round(avg(ln((coalesce(tcnt, 0) + 0.5) / (ttotal + 0.5 * vocab)) -
-          |              ln((scnt + 0.5) / (stotal + 0.5 * vocab))), 4) + 0.0 AS logw
-          |  FROM g JOIN src USING (g) LEFT JOIN tg USING (g)
+          |  SELECT doc_id, CAST(sum(doc_cnt) AS BIGINT) AS n_trigrams,
+          |    round(sum(doc_cnt * (ln((coalesce(tcnt, 0) + 0.5) / (ttotal + 0.5 * vocab)) -
+          |                         ln((scnt + 0.5) / (stotal + 0.5 * vocab))))
+          |          / sum(doc_cnt), 4) + 0.0 AS logw
+          |  FROM g JOIN src USING (b) LEFT JOIN tg USING (b)
           |  CROSS JOIN st CROSS JOIN tt
           |  GROUP BY doc_id)
           |SELECT doc_id, n_trigrams, logw FROM (

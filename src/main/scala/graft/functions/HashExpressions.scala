@@ -365,6 +365,112 @@ object NgramCountPairs {
   }
 }
 
+/**
+ * Character n-grams of a string HASHED into a fixed bucket space and
+ * counted per row, as ARRAY<STRUCT<b: BIGINT, cnt: BIGINT>> — the
+ * fixed-feature-space sibling of [[NgramCountPairs]], and the actual DSIR
+ * formulation (Xie et al. 2023 use hashed n-gram features, 10k buckets):
+ * bucket = first 4 md5 bytes of the gram, unsigned, mod `buckets`, which is
+ * exactly DuckDB's `CAST('0x' || substring(md5(g), 1, 8) AS BIGINT) %
+ * buckets` — the one hash both engines share, so the oracle stays
+ * hash-green.
+ *
+ * The scale property this buys: the downstream model aggregate's key space
+ * is CONSTANT (`buckets`), not the observed vocabulary — per-partition
+ * partial aggregates, the exchange they feed, and the broadcast model all
+ * stop growing with the corpus (the sf1 rehearsal measured the
+ * exact-gram formulation at ~n^1.13 from exactly that vocabulary growth).
+ * Counting stays row-local: grams are counted then bucket-merged inside
+ * the row, so exploding the output still shuffles nothing.
+ */
+case class NgramBucketCounts(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"ngram_bucket_counts: n must be >= 1, got $n")
+  require(buckets >= 1, s"ngram_bucket_counts: buckets must be >= 1, got $buckets")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ngram_bucket_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramBucketCounts.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NgramBucketCounts.compute($a, $n, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramBucketCounts =
+    copy(child = newChild)
+}
+
+object NgramBucketCounts {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Unsigned value of the first 4 md5 bytes of `g`'s UTF-8 encoding —
+   * identical to parsing the first 8 hex chars of `md5(g)`. */
+  private def md5Head(g: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(g.getBytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** (bucket, count) pairs over all length-n codepoint windows of `s`,
+   * keyed by first bucket occurrence; callable from generated code. */
+  def compute(s: UTF8String, n: Int, buckets: Int): GenericArrayData = {
+    val chars = s.numChars()
+    if (chars < n) return new GenericArrayData(Array.empty[Any])
+    // count distinct grams first (md5 runs once per DISTINCT gram, not per
+    // instance), then merge into bucket counts
+    val grams = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    val windows = chars - n + 1
+    var i = 0
+    while (i < windows) {
+      val g = s.substringSQL(i + 1, n)
+      val c = grams.get(g)
+      if (c == null) grams.put(g, Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val byBucket = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+    val git = grams.entrySet().iterator()
+    while (git.hasNext) {
+      val e = git.next()
+      val b = java.lang.Long.valueOf(md5Head(e.getKey) % buckets)
+      val c = byBucket.get(b)
+      if (c == null) byBucket.put(b, Array(e.getValue()(0)))
+      else c(0) += e.getValue()(0)
+    }
+    val out = new Array[Any](byBucket.size())
+    val it = byBucket.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.longValue(), e.getValue()(0))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object CharNgrams {
   import org.apache.spark.unsafe.types.UTF8String
 
@@ -467,4 +573,7 @@ object HashExpressions {
 
   def ngramCountPairs(text: Column, n: Int): Column =
     Bridge.column(NgramCountPairs(Bridge.expression(text), n))
+
+  def ngramBucketCounts(text: Column, n: Int, buckets: Int): Column =
+    Bridge.column(NgramBucketCounts(Bridge.expression(text), n, buckets))
 }

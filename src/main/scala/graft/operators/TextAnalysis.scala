@@ -23,6 +23,19 @@ object TextAnalysis {
    * subword regex is [[bpeishTokens]]). */
   def tokens(text: Column): Column = split(trim(text), wsClass + "+")
 
+  /** Spread a narrowly-partitioned input before CPU-heavy per-row work
+   * (gram hashing runs ~μs/gram — a single-digit-MB parquet file reads as
+   * ONE split, serializing millions of gram ops onto one core while 31
+   * idle). No-op whenever the scan already yields >= defaultParallelism
+   * splits — at production scale the input always does, so the round-robin
+   * exchange this adds exists only in the small-file regime where its cost
+   * (the raw doc rows, once) is noise against the 10-30x core utilization
+   * it buys. getNumPartitions only plans the scan; nothing executes. */
+  private def spreadForCpuWork(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** BPE-ish tokenization: words, numbers, and single punctuation marks as
    * separate tokens — a regex approximation of byte-pair pretokenizers.
    * Whitespace is dropped via the explicit [[wsClass]], NOT `trim()` —
@@ -464,7 +477,8 @@ object TextAnalysis {
     // only distinct (doc, gram) pairs, with no shuffle at all before the
     // bounded model aggregate
     val docGrams = graft.Materialize(
-      df.select(col(idCol),
+      spreadForCpuWork(df.select(col(idCol), col(textCol)))
+        .select(col(idCol),
           explode(graft.functions.HashExpressions.ngramCountPairs(
             col(textCol), 3)).as("__p"))
         .select(col(idCol), col("__p.g").as("g"), col("__p.cnt").as("doc_cnt")))
@@ -498,13 +512,26 @@ object TextAnalysis {
    * scorer.
    */
   def importanceWeights(df: DataFrame, targetPred: Column,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hashBuckets: Int = 0): DataFrame = {
+    // hashBuckets > 0 switches to the paper's HASHED feature space
+    // (md5-mod, DuckDB-replayable): the model key space becomes the
+    // CONSTANT bucket count instead of the observed vocabulary, so the
+    // per-partition partial aggregates, their exchange, and the broadcast
+    // model stop growing with the corpus — the fix for the ~n^1.13 the
+    // sf1 rehearsal measured on the exact-gram formulation. Bucket
+    // counting is still row-local (one codegen'd pass per document).
+    val pairs =
+      if (hashBuckets > 0)
+        graft.functions.HashExpressions.ngramBucketCounts(
+          col(textCol), 3, hashBuckets)
+      else graft.functions.HashExpressions.ngramCountPairs(col(textCol), 3)
+    val gramKey = if (hashBuckets > 0) col("__p.b") else col("__p.g")
     val docGrams = graft.Materialize(
-      df.select(col(idCol), targetPred.as("__is_tgt"),
-          explode(graft.functions.HashExpressions.ngramCountPairs(
-            col(textCol), 3)).as("__p"))
+      spreadForCpuWork(df.select(col(idCol), targetPred.as("__is_tgt"), col(textCol)))
+        .select(col(idCol), col("__is_tgt"), explode(pairs).as("__p"))
         .select(col(idCol), col("__is_tgt"),
-          col("__p.g").as("g"), col("__p.cnt").as("doc_cnt")))
+          gramKey.as("g"), col("__p.cnt").as("doc_cnt")))
     val src = docGrams.groupBy(col("g")).agg(sum(col("doc_cnt")).as("scnt"))
     val sTotV = src.agg(sum(col("scnt")).as("stotal"),
       count(lit(1)).as("vocab"))

@@ -137,6 +137,31 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(nulls === 0L)
   }
 
+  test("ngram_bucket_counts equals the md5-mod SQL formulation the oracle replays") {
+    val texts = Seq("", "a", "ab", "abc", "abab", "aaaa", "héllo wörld",
+      "日本語のテキスト", "banana banana", "emoji 😀😀 text",
+      "the quick brown fox jumps over the lazy dog")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val buckets = 8192
+    val viaExpr = df.select(col("id"),
+        explode(graft.functions.HashExpressions.ngramBucketCounts(col("t"), 3, buckets)).as("p"))
+      .select(col("id"), col("p.b"), col("p.cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the reference formulation: gram strings -> first 8 md5 hex chars
+    // parsed as an int, mod buckets — exactly what the DuckDB oracle runs
+    val viaSql = df.select(col("id"),
+        explode(graft.functions.HashExpressions.charNgrams(col("t"), 3)).as("g"))
+      .select(col("id"),
+        (conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaExpr === viaSql)
+    assert(viaExpr.nonEmpty)
+    // bucket ids stay inside [0, buckets)
+    assert(viaExpr.keys.forall { case (_, b) => b >= 0 && b < buckets })
+  }
+
   test("float_dot handles length mismatch and empty arrays") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(10.0f, 20.0f)), (Seq.empty[Float], Seq(1.0f)))
       .toDF("a", "b")
