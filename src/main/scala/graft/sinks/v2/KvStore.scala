@@ -523,6 +523,96 @@ object KvStore {
   }
 
   /**
+   * Committed-history RETENTION — compaction's bounded sibling for stores
+   * that must keep RECENT history live (time travel, changefeed catch-up)
+   * while epochs otherwise accumulate one per micro-batch forever: fold
+   * every epoch older than the floor (`maxEpoch - keepLast + 1`) into ONE
+   * restated base epoch holding their first-write-wins-resolved rows.
+   *
+   * Read-equivalent by the same argument as [[compact]]: conflicts inside
+   * the folded prefix resolve at fold time, the base epoch id (floor − 1)
+   * sorts below every survivor, so cross-epoch first-write-wins is
+   * unchanged — `readCurrent`, filters, and stats all behave identically.
+   *
+   * The contracts the floor creates (spec-pinned):
+   *  - TIME TRAVEL below the floor raises the named no-committed-state
+   *    error (the folded entries are gone, so `visibleManifest`'s
+   *    "history compacted away" guard fires); AT the floor it reads the
+   *    restated snapshot, identical to the pre-fold read at that epoch.
+   *  - The CHANGEFEED reads from the retained floor: a consumer whose
+   *    checkpoint offset is below it receives the base epoch as one
+   *    compacted restatement (the documented compaction contract), then
+   *    the surviving epochs exactly-once.
+   *  - Replay absorption: folded idempotence tags are dropped — retention
+   *    assumes `keepLast` covers every writer's replay horizon (a live
+   *    streaming writer only ever replays its LATEST uncommitted epoch,
+   *    so any keepLast >= 1 is safe for it; the same assumption
+   *    [[compact]] already makes for the whole chain).
+   *
+   * Concurrency: unlike compact's whole-manifest check, only the FOLDED
+   * PREFIX must be unchanged at commit time — concurrent appends land as
+   * new epochs above the floor and survive untouched; a concurrent
+   * rollback/compact/expire that touched the prefix aborts this fold
+   * cleanly (staged segments become vacuum-able orphans).
+   */
+  def expireEpochs(spark: SparkSession, path: String, keyCols: Seq[String],
+      keepLast: Int, nowS: Option[Long] = None): Unit = {
+    require(keepLast >= 1, s"graft-kv: keepLast must be >= 1, got $keepLast")
+    val conf = hadoopConf()
+    val schema = readSchema(conf, path).getOrElse(return)
+    val manifest = readManifest(conf, path)
+    val maxE = manifest.map(_.epoch).maxOption.getOrElse(return)
+    val floor = maxE - keepLast + 1
+    val folded = manifest.filter(_.epoch < floor).sortBy(_.epoch)
+    if (folded.length <= 1) return // nothing to fold, or already one base
+    val baseEpoch = floor - 1
+    val resolved = readCurrent(spark, path, keyCols, nowS, atEpoch = Some(baseEpoch))
+    val serConf = new SerializableConfiguration(conf)
+    val staged = resolved.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val w = new KvDataWriter(path, schema, serConf.value, s"expire-$pid")
+        try {
+          rows.foreach(w.write)
+          val m = w.commit().asInstanceOf[KvCommitMessage]
+          Iterator.single((m.stagedFile, m.statsJson))
+        } catch { case e: Throwable => w.abort(); throw e }
+      }
+    }.collect().toSeq.map { case (f, st) => StagedSeg(f, st) }
+    val fs = new Path(path).getFileSystem(conf)
+    fs.mkdirs(segmentsDir(path))
+    val names = publishSegments(fs, path, baseEpoch, staged)
+    // the restated snapshot keeps the newest folded commit's wall-clock so
+    // TIMESTAMP AS OF stays monotonic across the fold
+    val baseTs = folded.map(_.tsMs).max
+    val foldedKey = folded.map(e => (e.epoch, e.tag, e.segments))
+    var conflicted = false
+    mutateManifest(conf, path) { m =>
+      val prefix = m.filter(_.epoch < floor).sortBy(_.epoch)
+      if (prefix.map(e => (e.epoch, e.tag, e.segments)) != foldedKey) {
+        conflicted = true
+        names.foreach(s =>
+          try fs.delete(new Path(segmentsDir(path), s.name), false)
+          catch { case _: Exception => () })
+        None
+      } else {
+        conflicted = false
+        Some(Epoch(baseEpoch, s"expire:${UUID.randomUUID()}", names, baseTs) +:
+          m.filter(_.epoch >= floor).sortBy(_.epoch))
+      }
+    }
+    if (conflicted)
+      throw new java.io.IOException(
+        s"graft-kv: expireEpochs at $path lost an optimistic-concurrency race " +
+          "(the folded prefix changed during the rewrite) — the store is " +
+          "unchanged; retry")
+    folded.flatMap(_.segments).foreach(n =>
+      fs.delete(new Path(segmentsDir(path), n), false))
+    Option(fs.globStatus(new Path(stagingDir(path), "stage-expire-*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /**
    * Orphan sweep — the VACUUM companion every manifest-visibility format
    * needs: crash windows are DESIGNED to leave unlisted files (staged
    * segments whose commit never landed, published segments whose CAS lost

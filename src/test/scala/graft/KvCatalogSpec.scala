@@ -277,6 +277,77 @@ class KvCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT * FROM kvtest.ns.ttschema").count() === 3)
   }
 
+  test("changefeed x schema evolution: a feed carries its START schema for " +
+      "life; restart presents the widened schema with null backfill") {
+    // THE CONTRACT (pinned here): a streaming read is analyzed once, so a
+    // feed presents the table schema captured at query start for every
+    // batch it ever emits — epochs written under a WIDER schema are
+    // projected down (the reader decodes only requested fields), and after
+    // a consumer restart the feed presents the widened schema, with rows
+    // from pre-ALTER epochs null-backfilled. This is latest-schema-at-
+    // start, not per-epoch schema: per-epoch presentation is the TIME
+    // TRAVEL contract (VERSION AS OF pins the old schema); a single
+    // streaming Dataset cannot change shape mid-query.
+    val name = "kvtest.ns.feedalter"
+    sql(s"CREATE TABLE $name (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $name VALUES (1, 'a')")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kv-alter-ck").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Set[(Long, String)])]
+    def drainInto(buf: scala.collection.mutable.ArrayBuffer[(Seq[String], Set[(Long, String)])]) = {
+      val q = spark.readStream.table(name)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+          buf.synchronized { buf += ((b.columns.toSeq, rows)) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    drainInto(batches) // epoch 0 under (k, v)
+    assert(batches.nonEmpty && batches.head._1 === Seq("k", "v"))
+    assert(batches.head._2 === Set((1L, "a")))
+    // schema widens; an epoch lands with the new column populated
+    sql(s"ALTER TABLE $name ADD COLUMN w DOUBLE")
+    sql(s"INSERT INTO $name VALUES (2, 'b', 2.5)")
+    // the same checkpoint, consumer restarted: the feed now presents the
+    // WIDENED schema and emits only the new epoch, w populated
+    val batches2 = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Set[(Long, String)])]
+    val q2 = spark.readStream.table(name)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        val ws = b.collect().map(r => Option(r.get(2))).toSeq
+        batches2.synchronized { batches2 += ((b.columns.toSeq, rows)) }
+        assert(ws === Seq(Some(2.5)), s"post-ALTER epoch must carry w, got $ws")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(batches2.map(_._1).toSeq === Seq(Seq("k", "v", "w")))
+    assert(batches2.head._2 === Set((2L, "b")))
+    // a FRESH consumer re-reads the whole chain under the widened schema:
+    // the pre-ALTER epoch's rows null-backfill w
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-kv-alter-ck2").toString
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Option[Any])]
+    val q3 = spark.readStream.table(name)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+        all.synchronized { all ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination(60000)
+    assert(all.toSet === Set((1L, "a", None), (2L, "b", Some(2.5))))
+  }
+
   test("DROP NAMESPACE on a non-empty namespace raises the Spark error class") {
     sql("CREATE TABLE kvtest.ns3.keep (k BIGINT)")
     // the catalog throws NonEmptyNamespaceException; Spark's DROP NAMESPACE

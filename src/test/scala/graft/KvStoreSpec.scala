@@ -427,6 +427,79 @@ class KvStoreSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq === Seq(0L, 2L))
   }
 
+  test("expireEpochs: retention folds old epochs, read-equivalent, floor errors, changefeed restates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = tmp()
+    // 5 epochs; keys overlap so first-write-wins crosses the future floor:
+    // k=1 first lands in epoch 0 (folded) and again in epoch 4 (survivor);
+    // k=10 only in folded history; k=3/4 only in survivors
+    Seq((1L, "e0"), (10L, "old")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    Seq((2L, "e1")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    Seq((2L, "dup-e2")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    Seq((3L, "e3")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    Seq((1L, "dup-e4"), (4L, "e4")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    // a changefeed consumer checkpoints after epoch 0, BEFORE retention
+    val outDir = Files.createTempDirectory("graft-kv-ret-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-kv-ret-ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-kv").option("path", p)
+        .option("maxEpochsPerTrigger", "1").load()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    locally {
+      val q = spark.readStream.format("graft-kv").option("path", p)
+        .option("maxEpochsPerTrigger", "1").load()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).trigger(Trigger.Once()).start()
+      q.awaitTermination(60000)
+    }
+    val preSnapshot = KvStore.readCurrent(spark, p, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val preAt2 = KvStore.readCurrent(spark, p, Seq("k"), atEpoch = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // retention: keep the last 2 epochs -> floor 3, epochs 0..2 fold into
+    // a restated base epoch 2
+    KvStore.expireEpochs(spark, p, Seq("k"), keepLast = 2)
+    val epochs = KvStore.read(spark, p).select("_epoch").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(epochs === Set(2L, 3L, 4L), s"expected folded base + survivors, got $epochs")
+    // read-equivalence: current snapshot identical (k=1 keeps its epoch-0
+    // value against the epoch-4 duplicate; k=10 survives the fold)
+    val post = KvStore.readCurrent(spark, p, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(post === preSnapshot)
+    assert(post.contains((1L, "e0")) && post.contains((10L, "old")))
+    // time travel AT the floor reads the restated snapshot...
+    val at2 = KvStore.readCurrent(spark, p, Seq("k"), atEpoch = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at2 === preAt2)
+    // ...and BELOW the floor raises the named no-committed-state error
+    val e = intercept[Exception](KvStore.readAt(spark, p, 1L).collect())
+    assert(e.getMessage.contains("no committed state"), e.getMessage)
+    // changefeed from the pre-retention checkpoint: the base epoch arrives
+    // as ONE compacted restatement, survivors exactly-once, no crash
+    drain()
+    val fed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(fed.filter(_._3 == 2L).map(t => (t._1, t._2)) === preAt2,
+      "base epoch must restate the folded history")
+    assert(fed.contains((3L, "e3", 3L)) && fed.contains((4L, "e4", 4L)))
+    // a second expire with nothing new to fold is a no-op
+    KvStore.expireEpochs(spark, p, Seq("k"), keepLast = 2)
+    assert(KvStore.read(spark, p).select("_epoch").distinct().count() === 3)
+    // vacuum after the fold: folded segment files were deleted inline, so
+    // only sweep-clean state remains and listed segments are untouched
+    assert(KvStore.vacuum(p, graceMs = 0L) === 0L)
+    assert(KvStore.readCurrent(spark, p, Seq("k")).count() === preSnapshot.size)
+  }
+
   test("vacuum sweeps aged orphans, never listed segments or young files") {
     val p = tmp()
     Seq((1L, "a")).toDF("k", "v").write.format("graft-kv").option("path", p).mode("append").save()
