@@ -32,6 +32,13 @@ object StreamBench {
     // engine's own DataSource V2 log tailer — same wire frame, so this
     // measures the connector itself, not the pipeline
     val dsv2 = sys.env.get("SPARK_GRAFT_SOURCE").exists(_.equalsIgnoreCase("dsv2"))
+    // SPARK_GRAFT_SINK=kv composes the FULL production chain: verdicts land
+    // in the exactly-once graft-kv store (two-phase commit per epoch) while
+    // a CONCURRENT changefeed consumer tails the same store — each axis is
+    // measured alone elsewhere (BASELINE.md); this measures them chained.
+    // Reported feed lag = wall time between pipeline completion and the
+    // feed having drained every committed epoch.
+    val kvSink = sys.env.get("SPARK_GRAFT_SINK").exists(_.equalsIgnoreCase("kv"))
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-bench")
@@ -64,15 +71,47 @@ object StreamBench {
     // warm the session before the measured run
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
+    val kvPath = Files.createTempDirectory("sb-kv").toString + "/verdicts"
+    val fedRows = new java.util.concurrent.atomic.AtomicLong()
+
     val t0 = System.nanoTime()
-    val q = verdicts.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        counts.addAndGet(batch.count()): Unit
-      }
-      .option("checkpointLocation", Files.createTempDirectory("sb-ckpt").toString)
-      .trigger(Trigger.ProcessingTime("0 seconds"))
-      .start()
+    val q =
+      if (kvSink)
+        graft.sinks.Sinks.verdictSink(verdicts, Map(
+          "sink" -> "kv", "path" -> kvPath,
+          "checkpoint" -> Files.createTempDirectory("sb-ckpt").toString,
+          "trigger" -> "0 seconds"))
+      else verdicts.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          counts.addAndGet(batch.count()): Unit
+        }
+        .option("checkpointLocation", Files.createTempDirectory("sb-ckpt").toString)
+        .trigger(Trigger.ProcessingTime("0 seconds"))
+        .start()
+    // the concurrent changefeed consumer: tails the kv store WHILE the
+    // pipeline writes it, so sink commits and feed reads interleave. The
+    // store materializes on the sink's FIRST epoch commit (_schema.json),
+    // so wait for it before attaching the reader.
+    if (kvSink) {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (graft.sinks.v2.KvStore.schemaOf(kvPath).isEmpty &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100L)
+      require(graft.sinks.v2.KvStore.schemaOf(kvPath).nonEmpty,
+        s"kv sink produced no store at $kvPath within 120 s")
+    }
+    val feed =
+      if (kvSink) Some {
+        spark.readStream.format("graft-kv").option("path", kvPath).load()
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            fedRows.addAndGet(batch.count()): Unit
+          }
+          .option("checkpointLocation", Files.createTempDirectory("sb-feed-ck").toString)
+          .trigger(Trigger.ProcessingTime("0 seconds"))
+          .start()
+      } else None
     q.processAllAvailable()
     // read state-operator metrics BEFORE stop: lastProgress is the final
     // batch's synchronously-published snapshot of the store
@@ -81,11 +120,28 @@ object StreamBench {
     val stateBytes = stateOps.map(_.memoryUsedBytes).sum
     q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
+    // feed lag: how far behind the pipeline the changefeed consumer ends —
+    // drain whatever epochs it has not yet emitted and time the catch-up
+    val feedLag = feed.map { f =>
+      val tq = System.nanoTime()
+      f.processAllAvailable()
+      f.stop()
+      (System.nanoTime() - tq) / 1e9
+    }
+    val verdictRows =
+      if (kvSink) graft.sinks.v2.KvStore.read(spark, kvPath).count()
+      else counts.get()
     val eps = evs.size / sec
     val store = if (rocksdb) "rocksdb" else "hdfs"
     val source = if (dsv2) "graft-logs" else "json-files"
+    val sink = if (kvSink) "graft-kv+changefeed" else "foreachBatch"
+    val feedStats = feedLag.fold("")(lag =>
+      s""","feed_lag_sec":${"%.2f".format(lag)},"fed_rows":${fedRows.get()}""")
     println(
-      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":${evs.size},"wall_sec":${"%.2f".format(sec)},"verdict_rows":${counts.get()},"keys":${nUsers + nBots},"state_store":"$store","source":"$source","state_rows":$stateRows,"state_bytes":$stateBytes}""")
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":${evs.size},"wall_sec":${"%.2f".format(sec)},"verdict_rows":$verdictRows,"keys":${nUsers + nBots},"state_store":"$store","source":"$source","sink":"$sink"$feedStats,"state_rows":$stateRows,"state_bytes":$stateBytes}""")
+    if (kvSink)
+      require(fedRows.get() == graft.sinks.v2.KvStore.read(spark, kvPath).count(),
+        s"changefeed drained ${fedRows.get()} rows but the store committed a different count")
     spark.stop()
   }
 }
