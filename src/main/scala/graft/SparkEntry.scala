@@ -1349,19 +1349,36 @@ object SparkEntry {
     }),
 
     // Product-quantization ANN: 8x16 codebooks (8 bytes/vector), ADC
-    // shortlist + exact rerank — approximate by design, rows-only check;
-    // recall vs brute force pinned by PqSpec.
+    // shortlist + exact rerank — gated by CONSTRUCTION since r11: every
+    // ODD id queries the paired corpus and its rank-1 answer is its base
+    // twin (cosine 0.995 vs <= 0.55 strangers; self excluded by the op),
+    // so the oracle checks codebook training, encoding, the ADC
+    // shortlist, and the exact rerank end to end (odd ids query because a
+    // perturbed id's base always precedes it in any contiguous id range —
+    // no partnerless query can arise). Real-corpus top-k recall floors
+    // stay pinned by PqSpec.
     "embed_pq" -> ((s, dir) =>
-      Similarity.pqTopK(table(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
-          queryPred = col("vec_id") < 10, k = 10)
-        .withColumn("rank", col("rank").cast("long"))),
+      Similarity.pqTopK(
+        Similarity.syntheticNearDupEmbeddings(
+          table(s, dir, "embeddings").select(col("vec_id")), "vec_id"),
+        "vec_id", "embedding", dim = 64,
+          queryPred = pmod(col("vec_id"), lit(2)) === 1, k = 1)
+        .select(col("query_id"), col("neighbor_id"))),
 
     // IVF-style ANN top-k (centroid cells shard the corpus; 3-probe —
     // queries also search their two runner-up cells for boundary recall).
+    // Gated by CONSTRUCTION since r11, same shape as embed_pq: rank-1 of
+    // every odd query must be its twin — one missed probe assignment or
+    // ranking defect fails the hash. SimilaritySpec keeps the real-corpus
+    // recall floors.
     "embed_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
-          queryPred = col("vec_id") < 10, k = 5, nCells = 16, nProbes = 3)
-        .withColumn("rank", col("rank").cast("long"))),
+      Similarity.ivfTopK(
+        Similarity.syntheticNearDupEmbeddings(
+          table(s, dir, "embeddings").select(col("vec_id")), "vec_id"),
+        "vec_id", "embedding",
+          queryPred = pmod(col("vec_id"), lit(2)) === 1, k = 1,
+          nCells = 16, nProbes = 3)
+        .select(col("query_id"), col("neighbor_id"))),
 
     // IVF-PQ composition (the FAISS-style scale architecture): coarse cells
     // restrict the scan, PQ codes compress it, exact rerank finishes —
@@ -4069,6 +4086,18 @@ object SparkEntry {
         """SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(a.vec_id + 1 AS BIGINT) AS id_b
           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
           |WHERE a.vec_id % 2 = 0""".stripMargin,
+
+      // rank-1 of every odd query is its base twin: the ANN construction
+      // gate shared by the PQ (ADC + rerank) and IVF (probed-cell) paths
+      "embed_pq" ->
+        """SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(a.vec_id - 1 AS BIGINT) AS neighbor_id
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - 1
+          |WHERE a.vec_id % 2 = 1""".stripMargin,
+
+      "embed_ivf" ->
+        """SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(a.vec_id - 1 AS BIGINT) AS neighbor_id
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - 1
+          |WHERE a.vec_id % 2 = 1""".stripMargin,
 
       // the decontamination construction: corpus ids ≡ 1 (mod 50) are the
       // contaminated twins of eval ids ≡ 0 (mod 50); nothing else crosses
