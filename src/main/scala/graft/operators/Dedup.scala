@@ -543,12 +543,16 @@ object Dedup {
    */
   def syntheticNearDupTexts(ids: DataFrame, idCol: String,
       tokensPerDoc: Int = 2000): DataFrame = {
+    // the id scan of a small parquet file is ONE split; downstream simhash
+    // tokenizes/hashes tokensPerDoc tokens per row — spread it first so the
+    // gate's CPU work parallelizes (no-op on well-split inputs)
+    val spread = TextAnalysis.spreadForCpuWork(ids.select(col(idCol)))
     val id = col(idCol).cast("long")
     val grp = shiftright(id, 1).cast("string")
     val body = array_join(
       transform(sequence(lit(0), lit(tokensPerDoc - 1)),
         j => concat(lit("g"), grp, lit("x"), j.cast("string"))), " ")
-    ids.select(id.as("doc_id"),
+    spread.select(id.as("doc_id"),
       concat(body,
         when(pmod(id, lit(2)) === 1, lit(" dupmarker")).otherwise(lit("")))
         .as("text"))

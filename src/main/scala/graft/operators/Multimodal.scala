@@ -426,7 +426,8 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("bytes", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+    TextAnalysis.spreadForCpuWork(
+      ids.select(col(idCol).cast("long").as("media_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val w = (8 + id % 8).toInt
@@ -461,7 +462,8 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("bytes", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+    TextAnalysis.spreadForCpuWork(
+      ids.select(col(idCol).cast("long").as("media_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val n = (500 + id % 300).toInt
@@ -491,7 +493,8 @@ object Multimodal {
         case 2 => (i * 13) % 256
       }).toByte
     }
-    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+    TextAnalysis.spreadForCpuWork(
+      ids.select(col(idCol).cast("long").as("media_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val w = (9 + id % 7).toInt
@@ -605,7 +608,8 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("bytes", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+    TextAnalysis.spreadForCpuWork(
+      ids.select(col(idCol).cast("long").as("media_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val w = (8 * (2 + id % 3)).toInt
@@ -642,7 +646,8 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("bytes", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+    TextAnalysis.spreadForCpuWork(
+      ids.select(col(idCol).cast("long").as("media_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val w = 16; val h = 16
@@ -1039,7 +1044,8 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("bytes", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+    TextAnalysis.spreadForCpuWork(
+      ids.select(col(idCol).cast("long").as("media_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val s16 = requantPattern(id / 2)
@@ -1070,7 +1076,8 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("bytes", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+    TextAnalysis.spreadForCpuWork(
+      ids.select(col(idCol).cast("long").as("media_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val px = dupPattern(id / 2)
@@ -1124,7 +1131,8 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("bytes", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+    TextAnalysis.spreadForCpuWork(
+      ids.select(col(idCol).cast("long").as("media_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val base = dupPattern(id / 4)
