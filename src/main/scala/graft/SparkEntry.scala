@@ -956,15 +956,25 @@ object SparkEntry {
           col("event_type"), pmod(col("user_id"), lit(2)) === 0, col("value"))
         .withColumnRenamed("grp", "event_type")),
 
-    // Fellegi-Sunter probabilistic record linkage: nation-blocked customer
-    // self-pairs (Σ block² bounded by block choice; capHotKeys available),
-    // three agreement fields summed in FIXED order as log-odds, 6dp round.
-    // Matches at this threshold = same segment + same balance sign.
+    // Fellegi-Sunter probabilistic record linkage: customer self-pairs
+    // blocked on (nation, segment) — the BLOCKING-REFINEMENT argument every
+    // production linkage makes: a pair disagreeing on segment can score at
+    // most ln(0.95/0.5) + ln(0.6/0.3) = 1.335 < the 1.5 threshold, so
+    // cross-segment candidates can NEVER match and pruning them changes
+    // nothing (the r11 sf1 run measured nation-only blocking at ~5x the
+    // candidates for an identical result). The ORACLE deliberately keeps
+    // the coarser nation-only blocking and re-derives the equivalence —
+    // it would catch a scoring bug that let a cross-segment pair through.
+    // Three agreement fields summed in FIXED order as log-odds, 6dp round.
+    // Matches at this threshold = same segment + same balance sign; the
+    // match OUTPUT is inherently quadratic in those group sizes.
     "q_record_linkage" -> ((s, dir) => {
       val c = table(s, dir, "customer").select(col("c_custkey"),
         col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
       val pairs = operators.RecordLinkage
-        .selfBlockPairs(c, "c_custkey", Seq("c_nationkey"))
+        .selfBlockPairs(c, "c_custkey", Seq("c_nationkey", "c_mktsegment"))
+        .withColumn("c_mktsegment_a", col("c_mktsegment"))
+        .withColumn("c_mktsegment_b", col("c_mktsegment"))
         .withColumn("seg_agree", col("c_mktsegment_a") === col("c_mktsegment_b"))
         .withColumn("sign_agree", (col("c_acctbal_a") > 0) === (col("c_acctbal_b") > 0))
         .withColumn("bal_agree", abs(col("c_acctbal_a") - col("c_acctbal_b")) < 1000)
