@@ -1365,14 +1365,16 @@ object SparkEntry {
     // so the oracle checks codebook training, encoding, the ADC
     // shortlist, and the exact rerank end to end (odd ids query because a
     // perturbed id's base always precedes it in any contiguous id range —
-    // no partnerless query can arise). Real-corpus top-k recall floors
-    // stay pinned by PqSpec.
+    // no partnerless query can arise; the < 100 bound keeps the gate 50
+    // queries — constant cost at every SF — without weakening the per-pair
+    // property). Real-corpus top-k recall floors stay pinned by PqSpec.
     "embed_pq" -> ((s, dir) =>
       Similarity.pqTopK(
         Similarity.syntheticNearDupEmbeddings(
           table(s, dir, "embeddings").select(col("vec_id")), "vec_id"),
         "vec_id", "embedding", dim = 64,
-          queryPred = pmod(col("vec_id"), lit(2)) === 1, k = 1)
+          queryPred = pmod(col("vec_id"), lit(2)) === 1 && col("vec_id") < 100,
+          k = 1)
         .select(col("query_id"), col("neighbor_id"))),
 
     // IVF-style ANN top-k (centroid cells shard the corpus; 3-probe —
@@ -1386,8 +1388,8 @@ object SparkEntry {
         Similarity.syntheticNearDupEmbeddings(
           table(s, dir, "embeddings").select(col("vec_id")), "vec_id"),
         "vec_id", "embedding",
-          queryPred = pmod(col("vec_id"), lit(2)) === 1, k = 1,
-          nCells = 16, nProbes = 3)
+          queryPred = pmod(col("vec_id"), lit(2)) === 1 && col("vec_id") < 100,
+          k = 1, nCells = 16, nProbes = 3)
         .select(col("query_id"), col("neighbor_id"))),
 
     // IVF-PQ composition (the FAISS-style scale architecture): coarse cells
@@ -4102,12 +4104,12 @@ object SparkEntry {
       "embed_pq" ->
         """SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(a.vec_id - 1 AS BIGINT) AS neighbor_id
           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - 1
-          |WHERE a.vec_id % 2 = 1""".stripMargin,
+          |WHERE a.vec_id % 2 = 1 AND a.vec_id < 100""".stripMargin,
 
       "embed_ivf" ->
         """SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(a.vec_id - 1 AS BIGINT) AS neighbor_id
           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - 1
-          |WHERE a.vec_id % 2 = 1""".stripMargin,
+          |WHERE a.vec_id % 2 = 1 AND a.vec_id < 100""".stripMargin,
 
       // the decontamination construction: corpus ids ≡ 1 (mod 50) are the
       // contaminated twins of eval ids ≡ 0 (mod 50); nothing else crosses
