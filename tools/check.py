@@ -29,8 +29,15 @@ def main():
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
+    # GRAFT_CHECK_SKIP=q1,q2 skips named queries (e.g. the two
+    # quadratic-OUTPUT linkage queries whose 76M-row results are
+    # hash-compared directly in DuckDB instead — pandas canon on them
+    # takes hours); GRAFT_CHECK_ONLY=q1,q2 restricts to named queries.
+    skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
+    only = set(filter(None, os.environ.get("GRAFT_CHECK_ONLY", "").split(",")))
     names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+                   if os.path.isdir(os.path.join(out_dir, d))
+                   and d not in skip and (not only or d in only))
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
