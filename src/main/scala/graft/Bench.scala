@@ -101,20 +101,36 @@ object Bench {
       }
       times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def toJson(rs: Map[String, Double]): String =
+      rs.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sentinel":$sentinel,"sf":"$sfDir"}"""
-    println(line)
-    // Also write the full per-query JSON to a file: driver stdout capture
-    // truncates (BENCH_r09.json carried only a `tail` string, `parsed:
-    // null`), so the artifact on disk is the canonical machine-readable
-    // record of a bench run. Best-effort — a read-only cwd must not fail
-    // the bench itself.
+    def line(rs: Map[String, Double]): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${toJson(rs)},"sentinel":$sentinel,"sf":"$sfDir"}"""
+    // STDOUT gets a COMPACT line: the driver captures only the last ~2000
+    // chars of stdout and JSON-parses the line it finds there — the full
+    // 160-query map is ~4500 chars, so every BENCH_r*.json through r11
+    // carried `parsed: null`. Print a fixed headline subset (one stable
+    // representative per operator family) so the driver's parse succeeds;
+    // `value` stays the FULL-catalog total. The complete per-query map goes
+    // to bench_results.json, the canonical on-disk artifact.
+    val headline = Set(
+      "q_pricing_summary", "a2_sliding_agg", "a3_windowed_agg",
+      "bot_detect_windowed", "dedup_exact", "dedup_minhash",
+      "dedup_spans_trim", "doc_winnow", "embed_topk_native", "embed_ivf",
+      "embed_pq", "text_stats", "text_c4_filter", "multimodal_jpeg",
+      "pipeline_dsir", "pipeline_pack", "q_bm25", "wire_dsv2_scan")
+    val stdoutQs =
+      if (results.size <= 25) results
+      else results.view.filterKeys(headline).toMap
+    println(line(stdoutQs))
+    // Full per-query JSON to a file: the artifact on disk is the canonical
+    // machine-readable record of a bench run. Best-effort — a read-only cwd
+    // must not fail the bench itself.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")),
-      (line + "\n").getBytes("UTF-8"))
+      (line(results) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench_results.json write skipped: $e") }
     spark.stop()
   }

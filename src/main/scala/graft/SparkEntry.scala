@@ -1375,7 +1375,16 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64,
           queryPred = pmod(col("vec_id"), lit(2)) === 1 && col("vec_id") < 100,
           k = 1)
-        .select(col("query_id"), col("neighbor_id"))),
+        .select(col("query_id"), col("neighbor_id"))
+        // mirror the oracle's existence guard: its JOIN on vec_id − 1 drops
+        // a query whose base twin is absent, while rank-1 above emits a row
+        // for EVERY query — on a non-contiguous id layout (key-shifted
+        // slices) the gate would spuriously mismatch. Semi-join against the
+        // ≤ 50 base ids (broadcast) so both sides drop partnerless queries.
+        .join(broadcast(table(s, dir, "embeddings")
+          .filter(col("vec_id") < 100 && pmod(col("vec_id"), lit(2)) === 0)
+          .select((col("vec_id") + 1).as("query_id"))),
+          Seq("query_id"), "left_semi")),
 
     // IVF-style ANN top-k (centroid cells shard the corpus; 3-probe —
     // queries also search their two runner-up cells for boundary recall).
@@ -1390,7 +1399,13 @@ object SparkEntry {
         "vec_id", "embedding",
           queryPred = pmod(col("vec_id"), lit(2)) === 1 && col("vec_id") < 100,
           k = 1, nCells = 16, nProbes = 3)
-        .select(col("query_id"), col("neighbor_id"))),
+        .select(col("query_id"), col("neighbor_id"))
+        // same existence guard as embed_pq: drop queries whose base twin is
+        // absent, exactly as the oracle's JOIN does
+        .join(broadcast(table(s, dir, "embeddings")
+          .filter(col("vec_id") < 100 && pmod(col("vec_id"), lit(2)) === 0)
+          .select((col("vec_id") + 1).as("query_id"))),
+          Seq("query_id"), "left_semi")),
 
     // IVF-PQ composition (the FAISS-style scale architecture): coarse cells
     // restrict the scan, PQ codes compress it, exact rerank finishes —

@@ -193,6 +193,13 @@ object KvStore {
   private def versionFile(path: String, v: Long) =
     new Path(commitsDir(path), f"$v%020d.json")
 
+  /** inverse of [[versionFile]] naming; None for anything that isn't a
+   * version file (such names are never swept — unknown means keep) */
+  private def parseVersionName(name: String): Option[Long] =
+    if (name.endsWith(".json") && !name.startsWith("."))
+      scala.util.Try(name.stripSuffix(".json").toLong).toOption
+    else None
+
   /** Atomic create-if-absent of an immutable version file — the CAS
    * primitive. POSIX local FS: hard link (atomic fail-if-exists; plain
    * rename OVERWRITES there). Distributed FS (HDFS & co): `rename`, which
@@ -544,10 +551,21 @@ object KvStore {
    *    compacted restatement (the documented compaction contract), then
    *    the surviving epochs exactly-once.
    *  - Replay absorption: folded idempotence tags are dropped — retention
-   *    assumes `keepLast` covers every writer's replay horizon (a live
-   *    streaming writer only ever replays its LATEST uncommitted epoch,
-   *    so any keepLast >= 1 is safe for it; the same assumption
-   *    [[compact]] already makes for the whole chain).
+   *    assumes `keepLast` covers every writer's replay horizon. Under the
+   *    SINGLE-WRITER contract any keepLast >= 1 is safe (a live streaming
+   *    writer only ever replays its LATEST uncommitted epoch, which is
+   *    maxEpoch itself). With MULTIPLE concurrent writers the slowest
+   *    writer's uncommitted epoch can sit below maxEpoch − keepLast + 1:
+   *    folding it away would absorb its tag and let a replay
+   *    double-commit, so keepLast must cover the lag (in epochs) of the
+   *    slowest concurrent writer ([[compact]] makes the same assumption
+   *    for the whole chain and is likewise single-writer-or-quiesced).
+   *  - TTL is a READ-time filter, never applied at fold time: the base is
+   *    restated with nowS=None semantics so a TTL-expired first-write-wins
+   *    winner STAYS in the base and keeps shadowing later epochs' rows for
+   *    its key. Dropping it at fold time would un-shadow a surviving
+   *    epoch's row and change what `readCurrent(nowS)` sees — the one way
+   *    a fold can silently alter visible state.
    *
    * Concurrency: unlike compact's whole-manifest check, only the FOLDED
    * PREFIX must be unchanged at commit time — concurrent appends land as
@@ -556,7 +574,7 @@ object KvStore {
    * cleanly (staged segments become vacuum-able orphans).
    */
   def expireEpochs(spark: SparkSession, path: String, keyCols: Seq[String],
-      keepLast: Int, nowS: Option[Long] = None): Unit = {
+      keepLast: Int): Unit = {
     require(keepLast >= 1, s"graft-kv: keepLast must be >= 1, got $keepLast")
     val conf = hadoopConf()
     val schema = readSchema(conf, path).getOrElse(return)
@@ -566,7 +584,10 @@ object KvStore {
     val folded = manifest.filter(_.epoch < floor).sortBy(_.epoch)
     if (folded.length <= 1) return // nothing to fold, or already one base
     val baseEpoch = floor - 1
-    val resolved = readCurrent(spark, path, keyCols, nowS, atEpoch = Some(baseEpoch))
+    // nowS deliberately None (see the TTL contract above): expired winners
+    // must survive the fold to keep shadowing later epochs
+    val resolved = readCurrent(spark, path, keyCols, nowS = None,
+      atEpoch = Some(baseEpoch))
     val serConf = new SerializableConfiguration(conf)
     val staged = resolved.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
@@ -645,9 +666,19 @@ object KvStore {
     // _commits/ too: a crashed or lost CAS attempt leaves its `.tmp-<uuid>`
     // behind (mutateManifest writes the tmp BEFORE publishExclusive, and a
     // loser never cleans up) — invisible to readers (readVersionedManifest
-    // ignores dot-files) but accumulating forever. Keep real version files;
-    // sweep only dot-prefixed temps past the grace window.
-    sweep(commitsDir(path), name => !name.startsWith("."))
+    // ignores dot-files) but accumulating forever. Sweep dot-prefixed temps
+    // past the grace window; ALSO sweep version files that aged past the
+    // keepVersions tail: mutateManifest's O(1) trim only deletes the single
+    // version its own commit ages out, so a crash (or swallowed fs.delete
+    // failure) between publishExclusive and that delete leaks one version
+    // file permanently — later commits never revisit it. Each version is a
+    // full snapshot, so nothing below currentVersion − keepVersions + 1
+    // carries needed state; the grace window keeps a concurrent reader's
+    // just-listed version from vanishing under it.
+    val curV = readVersionedManifest(conf, path)._1
+    val keepFloor = curV - keepVersions + 1
+    sweep(commitsDir(path), name => !name.startsWith(".") &&
+      parseVersionName(name).forall(_ >= keepFloor))
     removed
   }
 

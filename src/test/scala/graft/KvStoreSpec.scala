@@ -500,6 +500,67 @@ class KvStoreSpec extends AnyFunSuite {
     assert(KvStore.readCurrent(spark, p, Seq("k")).count() === preSnapshot.size)
   }
 
+  test("expireEpochs folds with nowS=None: an expired folded winner keeps shadowing later epochs") {
+    val p = tmp()
+    // epoch 0: k=1 already TTL-expired at read time; k=7 alive forever.
+    // epoch 1: unrelated key (so the folded prefix has > 1 epoch).
+    // epoch 2 (survivor): a LATER write to k=1 that first-write-wins must
+    // keep shadowed even though the winner is expired — TTL is a read-time
+    // filter, not a tombstone.
+    Seq((1L, "expired-winner", 100L), (7L, "alive", 999999L))
+      .toDF("k", "v", "expires_at_s").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    Seq((2L, "e1", 999999L)).toDF("k", "v", "expires_at_s").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    Seq((1L, "late-loser", 999999L)).toDF("k", "v", "expires_at_s").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    def visible(): Set[(Long, String)] =
+      KvStore.readCurrent(spark, p, Seq("k"), nowS = Some(500L)).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val pre = visible()
+    assert(!pre.exists(_._1 == 1L), "expired winner must hide k=1 pre-fold")
+    // fold epochs 0..1 into the base; the expired k=1 winner must SURVIVE
+    // the fold (nowS=None semantics) so k=1 stays invisible after it
+    KvStore.expireEpochs(spark, p, Seq("k"), keepLast = 1)
+    assert(visible() === pre,
+      "retention must be read-equivalent under TTL: folding away an " +
+        "expired winner would un-shadow the later epoch's row")
+    // the expired row itself is still in the store (visible with no TTL cut)
+    assert(KvStore.readCurrent(spark, p, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      .contains((1L, "expired-winner")))
+  }
+
+  test("vacuum sweeps crash-leaked _commits versions past the keep tail") {
+    val p = tmp()
+    // 12 commits -> versions 1..12; mutateManifest's O(1) trim keeps 3..12
+    (1 to 12).foreach(i => Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+    val commits = new org.apache.hadoop.fs.Path(p, "_commits")
+    def versions(): Set[Long] = fs.listStatus(commits).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong).toSet
+    assert(versions() === (3L to 12L).toSet)
+    // simulate the crash leak: a version file below the tail that the
+    // crashed commit never deleted (plant it aged past any grace window)
+    val leaked = new org.apache.hadoop.fs.Path(commits, f"${1L}%020d.json")
+    val out = fs.create(leaked, true)
+    out.write(fs.open(new org.apache.hadoop.fs.Path(commits, f"${3L}%020d.json"))
+      .readAllBytes())
+    out.close()
+    fs.setTimes(leaked, System.currentTimeMillis() - 7200L * 1000, -1)
+    assert(versions() === Set(1L) ++ (3L to 12L).toSet)
+    // vacuum sweeps the leaked version (past the keep floor AND the grace
+    // window) but never the live tail
+    assert(KvStore.vacuum(p) === 1L)
+    assert(versions() === (3L to 12L).toSet)
+    assert(KvStore.readCurrent(spark, p, Seq("k")).count() === 12)
+    // a second vacuum finds nothing; young files in the tail are untouched
+    assert(KvStore.vacuum(p) === 0L)
+  }
+
   test("vacuum sweeps aged orphans, never listed segments or young files") {
     val p = tmp()
     Seq((1L, "a")).toDF("k", "v").write.format("graft-kv").option("path", p).mode("append").save()
