@@ -88,18 +88,36 @@ object SparkEntry {
     // (two files swapping identical attrs, or a pair of equal contributions,
     // collide to the same key).
     val srcFp = srcFingerprint(dir, "embeddings.parquet")
+    // v2: the index corpus is the synthetic twin construction (same ids as
+    // the source embeddings), so embed_ivfpq_search's persisted-artifact
+    // round-trip is oracle-gated like embed_pq — a v1 cache built from the
+    // raw embeddings must not be served
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivfpq_v1_" + srcFp + "_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "graft_ivfpq_v2_" + srcFp + "_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
     val paths = Seq("centroids", "codebooks", "codes")
       .map(n => new java.io.File(base, n).toString)
     if (!paths.forall(p => new java.io.File(p, "_SUCCESS").exists())) {
       val (cents, books, codes) = Similarity.ivfPqBuild(
-        table(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, nCells = 4)
+        Similarity.syntheticNearDupEmbeddings(
+          table(s, dir, "embeddings").select(col("vec_id")), "vec_id"),
+        "vec_id", "embedding", dim = 64, nCells = 4)
       Seq(cents, books, codes).zip(paths).foreach { case (df, p) =>
         df.write.mode("overwrite").parquet(p) }
     }
     (s.read.parquet(paths(0)), s.read.parquet(paths(1)), s.read.parquet(paths(2)))
   }
+
+  /** Existence guard shared by the ANN construction gates (embed_pq /
+   * embed_ivf / embed_ivfpq_*): their oracles JOIN each odd query id against
+   * its base twin (vec_id − 1), dropping partnerless queries, while the
+   * rank-1 Spark side emits a row for EVERY query — on a non-contiguous id
+   * layout (key-shifted slices) the gate would spuriously mismatch. This
+   * broadcast semi-join against the ≤ 50 base ids makes both sides drop
+   * partnerless queries identically. */
+  private def baseTwinGuard(s: SparkSession, dir: String)(df: DataFrame): DataFrame =
+    df.join(broadcast(table(s, dir, "embeddings")
+      .filter(col("vec_id") < 100 && pmod(col("vec_id"), lit(2)) === 0)
+      .select((col("vec_id") + 1).as("query_id"))), Seq("query_id"), "left_semi")
 
   /** Thresholds tuned to the driver's synthetic `events` table (~7 click/view
    * events per user per 10-day window at sf0.01) so all three bot rules fire;
@@ -1055,12 +1073,17 @@ object SparkEntry {
         .select(col("doc_id"), col("gate_score").as("score"))),
 
     // KLL-sketch twin of text_quality_gate — the 100 TB path (mergeable
-    // bounded-memory threshold). Selected set drifts from exact only within
-    // the sketch rank error -> rows-only; drift pinned by TextGateSpec.
+    // bounded-memory threshold). Gated EXACTLY since r12: documents is a
+    // FIXED 500-row table at every SF, so k=1024 keeps the sketch in its
+    // exact regime everywhere and the threshold is the order statistic at
+    // rank ceil(0.25·n) (KLL INCLUSIVE search) — a DIFFERENT boundary than
+    // the exact gate's interpolated percentile, which the oracle replays
+    // with a row_number window. Randomized-compaction drift past k stays
+    // pinned by TextGateSpec.
     "text_quality_gate_kll" -> ((s, dir) =>
       TextAnalysis.qualityGate(
           TextAnalysis.withQuality(table(s, dir, "documents")),
-          col("stop_ratio"), q = 0.25, approx = true)
+          col("stop_ratio"), q = 0.25, approx = true, k = 1024)
         .select(col("doc_id"), col("gate_score").as("score"))),
 
     // Token-budget data mixing: per language, admit docs in deterministic
@@ -1376,15 +1399,7 @@ object SparkEntry {
           queryPred = pmod(col("vec_id"), lit(2)) === 1 && col("vec_id") < 100,
           k = 1)
         .select(col("query_id"), col("neighbor_id"))
-        // mirror the oracle's existence guard: its JOIN on vec_id − 1 drops
-        // a query whose base twin is absent, while rank-1 above emits a row
-        // for EVERY query — on a non-contiguous id layout (key-shifted
-        // slices) the gate would spuriously mismatch. Semi-join against the
-        // ≤ 50 base ids (broadcast) so both sides drop partnerless queries.
-        .join(broadcast(table(s, dir, "embeddings")
-          .filter(col("vec_id") < 100 && pmod(col("vec_id"), lit(2)) === 0)
-          .select((col("vec_id") + 1).as("query_id"))),
-          Seq("query_id"), "left_semi")),
+        .transform(baseTwinGuard(s, dir))),
 
     // IVF-style ANN top-k (centroid cells shard the corpus; 3-probe —
     // queries also search their two runner-up cells for boundary recall).
@@ -1400,12 +1415,7 @@ object SparkEntry {
           queryPred = pmod(col("vec_id"), lit(2)) === 1 && col("vec_id") < 100,
           k = 1, nCells = 16, nProbes = 3)
         .select(col("query_id"), col("neighbor_id"))
-        // same existence guard as embed_pq: drop queries whose base twin is
-        // absent, exactly as the oracle's JOIN does
-        .join(broadcast(table(s, dir, "embeddings")
-          .filter(col("vec_id") < 100 && pmod(col("vec_id"), lit(2)) === 0)
-          .select((col("vec_id") + 1).as("query_id"))),
-          Seq("query_id"), "left_semi")),
+        .transform(baseTwinGuard(s, dir))),
 
     // IVF-PQ composition (the FAISS-style scale architecture): coarse cells
     // restrict the scan, PQ codes compress it, exact rerank finishes —
@@ -1413,22 +1423,41 @@ object SparkEntry {
     // ~90% of its time is the two in-query Lloyd trainings: it benches the
     // BUILD+search cost, by design — embed_ivfpq_search below is the
     // production serving phase against persisted artifacts.
+    // Gated by CONSTRUCTION since r12 (same twin corpus as embed_pq/
+    // embed_ivf: cosine-0.995 pairs vs ≤ 0.55 strangers): rank-1 of every
+    // odd query < 100 must be its base twin, which exercises coarse
+    // training, residual encoding, the ADC shortlist (a 0.44 cosine gap
+    // against a 50-candidate rerank window) and the exact rerank in one
+    // hash row. nProbes 3 of 4 cells: at 2 probes one sf0.1 query (39) sat
+    // exactly on a 3-cell coarse boundary and missed its twin's cell —
+    // measured, raising rerank did NOT recover it, the third probe does.
+    // Real-corpus top-k recall floors stay pinned by IvfPqIndexSpec/PqSpec.
     "embed_ivfpq_build" -> ((s, dir) =>
-      Similarity.ivfPqTopK(table(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, queryPred = col("vec_id") < 10, k = 5, nCells = 4, nProbes = 2)
-        .withColumn("rank", col("rank").cast("long"))),
+      Similarity.ivfPqTopK(
+        Similarity.syntheticNearDupEmbeddings(
+          table(s, dir, "embeddings").select(col("vec_id")), "vec_id"),
+        "vec_id", "embedding", dim = 64,
+          queryPred = pmod(col("vec_id"), lit(2)) === 1 && col("vec_id") < 100,
+          k = 1, nCells = 4, nProbes = 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .transform(baseTwinGuard(s, dir))),
 
     // IVF-PQ SEARCH phase against PERSISTED index artifacts — the production
     // shape (build once, search many): embed_ivfpq_build above times build+search
     // (~90% of its cost is the two in-query Lloyd trainings), this entry
     // reloads the parquet artifacts and times only the broadcast-only search
-    // plan a deployed index actually serves.
+    // plan a deployed index actually serves. Same construction gate as
+    // _build, now through the parquet round-trip of all three artifacts.
     "embed_ivfpq_search" -> ((s, dir) => {
       val (cents, books, codes) = ivfPqIndexFor(s, dir)
-      Similarity.ivfPqSearch(cents, books, codes, table(s, dir, "embeddings"),
-          "vec_id", "embedding", dim = 64, queryPred = col("vec_id") < 10,
-          k = 5, nProbes = 2)
-        .withColumn("rank", col("rank").cast("long"))
+      Similarity.ivfPqSearch(cents, books, codes,
+          Similarity.syntheticNearDupEmbeddings(
+            table(s, dir, "embeddings").select(col("vec_id")), "vec_id"),
+          "vec_id", "embedding", dim = 64,
+          queryPred = pmod(col("vec_id"), lit(2)) === 1 && col("vec_id") < 100,
+          k = 1, nProbes = 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .transform(baseTwinGuard(s, dir))
     }),
 
     // A5/A6/A7 DStream-parity keyed track-list state, run in batch over the
@@ -1762,34 +1791,52 @@ object SparkEntry {
         table(s, dir, "events").filter(col("user_id").isNotNull),
         "event_type", "user_id")),
 
-    // Mergeable frequent-items (top-k) sketch rollup: per-(type, day)
-    // DataSketches sketches combined up to per-type top-5 categories —
-    // the persisted-sketch pattern for heavy hitters at 100 TB (exact
-    // counts while the domain fits maxItems; merge-order invariant).
-    // Not DuckDB-expressible → rows-only; accuracy + merge invariance
-    // pinned by SketchesSpec.
-    // Flattened to (group, rank, item, count) rows: scalar columns so any
-    // downstream reader (including the verify harness) can consume the
-    // result without nested-array support.
+    // Mergeable frequent-items (top-k) sketch rollup: per-day DataSketches
+    // sketches combined up to global top-5 — the persisted-sketch pattern
+    // for heavy hitters at 100 TB (exact counts while the domain fits
+    // maxItems; merge-order invariant). Flattened to (rank, item, count)
+    // rows: scalar columns so any downstream reader (including the verify
+    // harness) can consume the result without nested-array support.
+    // Gated by CONSTRUCTION since r12: the raw props domain ties at the
+    // top-5 boundary at sf0.01 (rank-5 and rank-6 counts are equal in every
+    // type), which makes exact top-5 ill-defined — so the gate keys on a
+    // triangular-bucket derivation of event_id (key j covers ids
+    // [j(j−1)/2, j(j+1)/2), so key j appears EXACTLY j times over the
+    // constant id slice < 5050): 100 distinct keys ≪ maxItems keeps the
+    // sketch in its exact regime at every SF, counts 1..100 are all
+    // distinct so the top-5 {100..96} is unambiguous, and the oracle
+    // replays the same arithmetic. sqrt(1+8·id) is a perfect square at
+    // bucket boundaries (exact in IEEE, identical in both engines).
+    // Accuracy beyond capacity + merge invariance stay pinned by
+    // SketchesSpec.
     "q_topk_sketch" -> ((s, dir) =>
       operators.Sketches.rollupTopKFlat(
         operators.Sketches.dailyTopKSketches(
-          table(s, dir, "events").filter(col("ts").isNotNull && col("props").isNotNull),
-          "ts", "props", Seq("event_type")),
-        Seq("event_type"), k = 5)),
+          table(s, dir, "events").filter(col("event_id") < 5050)
+            .withColumn("tk", floor((lit(1.0) +
+              sqrt(lit(1.0) + lit(8.0) * col("event_id").cast("double"))) / 2)
+              .cast("long").cast("string")),
+          "ts", "tk", Seq.empty),
+        Seq.empty, k = 5)),
 
     // Mergeable QUANTILE sketch rollup: per-(type, day) KLL sketches merged
     // up to per-type p50/p90/p99 — the persisted-sketch pattern for
     // percentiles at 100 TB (custom TypedImperativeAggregate; Spark has no
-    // built-in quantile sketch). KLL compaction is randomized → estimates
-    // are rank-error-bounded, not bit-stable → rows-only; accuracy and
-    // merge tolerance pinned by SketchesSpec.
+    // built-in quantile sketch). Gated EXACTLY since r12 via the sketch's
+    // own exact regime: over the constant id slice < 2000 (~400 values per
+    // type at sf0.01, constant at every SF) with k=2048, neither the daily
+    // accumulates nor the rollup merge ever compact (measured: merging ten
+    // exact sketches retains all n items while n ≤ k), so getQuantile(q)
+    // IS the order statistic at rank ceil(q·n) — which the oracle computes
+    // with a row_number window. Randomized-compaction accuracy past k and
+    // merge tolerance stay pinned by SketchesSpec.
     "q_quantile_sketch" -> ((s, dir) =>
       operators.Sketches.rollupQuantiles(
         operators.Sketches.dailyQuantileSketches(
-          table(s, dir, "events").filter(col("ts").isNotNull && col("value").isNotNull),
-          "ts", "value", Seq("event_type")),
-        Seq("event_type"), Seq(0.5, 0.9, 0.99))),
+          table(s, dir, "events").filter(col("ts").isNotNull &&
+            col("value").isNotNull && col("event_id") < 2000),
+          "ts", "value", Seq("event_type"), k = 2048),
+        Seq("event_type"), Seq(0.5, 0.9, 0.99), k = 2048)),
 
     // Anti-join breadth: customers with no high-value (>300k) order,
     // counted per segment. The orders side is filtered AND deduped to bare
@@ -1910,10 +1957,17 @@ object SparkEntry {
 
     // Approximate percentiles (Greenwald-Khanna summaries): the bounded-
     // memory path for quantiles at 100 TB — mergeable partials, state
-    // ∝ 1/accuracy, never a global sort. Approximation is engine-specific
-    // → rows-only; rank-error bound vs exact pinned by a spec.
+    // ∝ 1/accuracy, never a global sort. Gated EXACTLY since r12 via the
+    // summary's own exact regime (same device as q_quantile_sketch): over
+    // the constant id slice < 2000 (~400 values/type at every SF) with
+    // accuracy 10000, ε·n = 0.04 < 1 pins the returned value to the order
+    // statistic at rank ceil(q·n), and no GK compression ever triggers at
+    // n ≪ the head buffer — the oracle computes the same order statistic
+    // with a row_number window. Rank-error past the regime stays
+    // spec-pinned.
     "q_approx_percentiles" -> ((s, dir) =>
       table(s, dir, "events")
+        .filter(col("event_id") < 2000)
         .groupBy(col("event_type"))
         .agg(
           expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("p_approx"),
@@ -3371,6 +3425,64 @@ object SparkEntry {
            |th AS (SELECT quantile_cont(score, 0.25) AS th FROM t)
            |SELECT doc_id, score FROM t, th WHERE score >= th.th""".stripMargin,
 
+      // KLL twin: the threshold is the DISCRETE order statistic at rank
+      // ceil(0.25·n) (the sketch's INCLUSIVE getQuantile in its exact
+      // regime), not the interpolated percentile of the exact gate
+      "text_quality_gate_kll" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |         x -> x IN ($stopwordList))) AS DOUBLE)
+           |      / len(string_split_regex(trim(text), '\\s+')) AS score
+           |  FROM documents),
+           |r AS (SELECT score, row_number() OVER (ORDER BY score) AS rn,
+           |             count(*) OVER () AS n FROM t),
+           |th AS (SELECT score AS th FROM r WHERE rn = CAST(ceil(0.25 * n) AS BIGINT))
+           |SELECT doc_id, score FROM t, th WHERE score >= th.th""".stripMargin,
+
+      // KLL rollup in its exact regime: each quantile is the order
+      // statistic at rank ceil(q·n) per group (IEEE double q·n on both
+      // engines, so the ceil boundary agrees)
+      "q_quantile_sketch" ->
+        """WITH t AS (SELECT event_type, value FROM events
+          |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id < 2000),
+          |r AS (SELECT event_type, value,
+          |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+          |        count(*) OVER (PARTITION BY event_type) AS n FROM t)
+          |SELECT event_type,
+          |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+          |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+          |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99,
+          |  CAST(max(n) AS BIGINT) AS n_rows
+          |FROM r GROUP BY event_type""".stripMargin,
+
+      // GK summaries in their exact regime (ε·n < 1, no compression at
+      // n ≪ head buffer): each percentile is the order statistic at rank
+      // ceil(q·n) per group, same window formulation as q_quantile_sketch
+      "q_approx_percentiles" ->
+        """WITH t AS (SELECT event_type, value FROM events WHERE event_id < 2000),
+          |r AS (SELECT event_type, value,
+          |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+          |        count(*) OVER (PARTITION BY event_type) AS n FROM t)
+          |SELECT event_type,
+          |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+          |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+          |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99,
+          |  CAST(max(n) AS BIGINT) AS n
+          |FROM r GROUP BY event_type""".stripMargin,
+
+      // triangular-bucket construction: key j appears exactly j times over
+      // the constant id slice, so counts are distinct and the exact top-5
+      // is unambiguous; the oracle replays the same derivation
+      "q_topk_sketch" ->
+        """WITH t AS (SELECT CAST(floor((1.0 + sqrt(1.0 + 8.0 * event_id)) / 2)
+          |             AS BIGINT) AS j FROM events WHERE event_id < 5050),
+          |c AS (SELECT CAST(j AS VARCHAR) AS item, count(*) AS cnt FROM t GROUP BY 1)
+          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, item) AS BIGINT) AS rank,
+          |       item, CAST(cnt AS BIGINT) AS item_count,
+          |       (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_rows
+          |FROM c ORDER BY cnt DESC LIMIT 5""".stripMargin,
+
       "q_balanced_sample" ->
         s"""WITH t AS (
            |  SELECT doc_id,
@@ -4122,6 +4234,18 @@ object SparkEntry {
           |WHERE a.vec_id % 2 = 1 AND a.vec_id < 100""".stripMargin,
 
       "embed_ivf" ->
+        """SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(a.vec_id - 1 AS BIGINT) AS neighbor_id
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - 1
+          |WHERE a.vec_id % 2 = 1 AND a.vec_id < 100""".stripMargin,
+
+      // same rank-1 twin contract through the IVF-PQ path (ADC shortlist +
+      // exact rerank), in-query build and persisted-artifact search
+      "embed_ivfpq_build" ->
+        """SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(a.vec_id - 1 AS BIGINT) AS neighbor_id
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - 1
+          |WHERE a.vec_id % 2 = 1 AND a.vec_id < 100""".stripMargin,
+
+      "embed_ivfpq_search" ->
         """SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(a.vec_id - 1 AS BIGINT) AS neighbor_id
           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - 1
           |WHERE a.vec_id % 2 = 1 AND a.vec_id < 100""".stripMargin,

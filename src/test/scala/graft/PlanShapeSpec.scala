@@ -284,13 +284,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("media decode gates are pure map pipelines: zero exchanges") {
-    // encode → decode → stats is row-local by construction; a shuffle here
-    // would mean the codec queries stopped scaling linearly with the corpus
+  test("media decode gates are pure map pipelines above the spread") {
+    // encode → decode → stats is row-local by construction; a KEYED shuffle
+    // here would mean the codec queries stopped scaling linearly with the
+    // corpus. The ONE exchange the plan may carry is spreadForCpuWork's
+    // ROUND-ROBIN repartition directly over the narrow scan (the small-file
+    // regime: a single-split id scan would otherwise serialize the whole
+    // decode onto one core) — it is keyless, so it can never be the
+    // aggregation/join shuffle this test guards against, and it disappears
+    // whenever the scan already yields enough splits.
     for (q <- Seq("multimodal_pixels", "multimodal_audio", "multimodal_gif_frames",
         "multimodal_jpeg", "multimodal_video_frames")) {
       val p = planOf(q)
-      assert(countOccurrences(p, "Exchange") === 0, s"$q should not shuffle:\n${p.take(600)}")
+      val nEx = countOccurrences(p, "Exchange")
+      assert(nEx <= 1, s"$q: decode must not shuffle beyond the spread:\n${p.take(600)}")
+      if (nEx == 1)
+        assert(p.contains("Arguments: RoundRobinPartitioning"),
+          s"$q: the only allowed exchange is the keyless round-robin spread:\n${p.take(900)}")
       assert(!p.contains("BroadcastExchange"), s"$q should not broadcast")
     }
   }
