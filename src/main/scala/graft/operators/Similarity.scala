@@ -978,7 +978,12 @@ object Similarity {
         df.filter(pmod(xxhash64(col(idCol)), lit(trainSampleMod)) === 0))
     if (trainSampleMod > 1) require(!train.isEmpty,
       s"pqTrain: hash sample is empty (trainSampleMod=$trainSampleMod too coarse?)")
-    val subs = subVectors(train, idCol, vecCol, dim, subspaces)
+    // barrier the subspace explode ONCE: seeds + every Lloyd iteration
+    // re-reference `subs`, and the chain beneath it is whatever the caller
+    // feeds in — for ivfPqBuild that is the coarse assignment + residual
+    // encoding of the whole corpus, which would otherwise be recomputed
+    // per iteration (measured 10.9 -> ~4 s on the embed_ivfpq_build gate)
+    val subs = graft.Materialize(subVectors(train, idCol, vecCol, dim, subspaces))
     val integralId = train.schema(train.schema.fieldIndex(idCol)).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
@@ -1021,8 +1026,13 @@ object Similarity {
     // after ≥1 Lloyd round the final centroids barrier is a lineage-
     // truncated leaf, so the training sample is dead — release it (the
     // trainCentroids discipline); with iterations == 0 the returned seed
-    // plan still reads the sample, so its barrier must stay
-    if (trainSampleMod > 1 && iterations >= 1) graft.Materialize.release(train)
+    // plan still reads the sample, so its barrier must stay. The subs
+    // barrier is released on the same condition: the iterations == 0 seed
+    // plan reads it.
+    if (iterations >= 1) {
+      graft.Materialize.release(subs)
+      if (trainSampleMod > 1) graft.Materialize.release(train)
+    }
     // codebook entries re-labeled 0..codes-1 deterministically by the
     // (arbitrary but stable) seed id they grew from
     centroids.select(col("s"),
@@ -1246,7 +1256,17 @@ object Similarity {
       residual: Boolean = true): DataFrame = {
     val (centroids, codebooks, corpusCodes) =
       ivfPqBuild(df, idCol, vecCol, dim, nCells, subspaces, codes, residual)
-    ivfPqSearch(centroids, codebooks, corpusCodes, df, idCol, vecCol, dim,
+    // Materialize the artifacts before searching — the same persist-once
+    // contract production follows by writing them to parquet. The search
+    // plan references them from SEVERAL independent broadcast subtrees
+    // (probe list, LUT, ADC), and exchanges do not share subtree execution:
+    // unmaterialized, the corpus-sized encode chain and the codebook
+    // relabeling window re-ran per reference (measured 7.8 s vs 1.5 s for
+    // the identical search at sf0.1).
+    val ct = graft.Materialize(centroids.coalesce(1))
+    val cb = graft.Materialize(codebooks.coalesce(1))
+    val cc = graft.Materialize(corpusCodes)
+    ivfPqSearch(ct, cb, cc, df, idCol, vecCol, dim,
       queryPred, k, nProbes, subspaces, rerank, residual)
   }
 
