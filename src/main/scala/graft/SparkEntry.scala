@@ -1370,14 +1370,24 @@ object SparkEntry {
     // (doc_id ≡ 1 mod 50, ref = doc_id − 1) is the oracle, checking the
     // eval-side cell training, both map-side probe assignments, and the
     // exact verify together (was rows-only).
+    // nCells scales with the REFERENCE count (autoCellCount — the same
+    // SemDeDup recipe as embed_celldup): the r12 sf10 rehearsal measured
+    // the old fixed nCells=4 quadratic — candidates ∝ corpus × refs/4, and
+    // refs grow with the corpus (>600 s at 200k vectors vs 7.4 s at 20k);
+    // ref-scaled cells bound refs-per-probed-cell, making candidates
+    // ∝ corpus × targetCellSize — linear with a constant the cell size
+    // controls.
     "embed_decontaminate" -> ((s, dir) => {
       val e = Similarity.syntheticNearDupEmbeddings(
         table(s, dir, "embeddings").select(col("vec_id")), "vec_id",
         perturbMod = 50)
+      val eval = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val nRef = eval.count()
       Similarity.embeddingContamination(
-        e.filter(pmod(col("vec_id"), lit(50)) =!= 0),
-        e.filter(pmod(col("vec_id"), lit(50)) === 0),
-        "vec_id", "embedding", threshold = 0.8, nCells = 4, nProbes = 2)
+        e.filter(pmod(col("vec_id"), lit(50)) =!= 0), eval,
+        "vec_id", "embedding", threshold = 0.8,
+        nCells = Similarity.autoCellCount(nRef, targetCellSize = 250),
+        nProbes = 3, sampleMod = Similarity.autoSampleMod(nRef))
         .select(col("doc_id"), col("ref_id"))
     }),
 

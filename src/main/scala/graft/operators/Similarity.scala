@@ -400,7 +400,14 @@ object Similarity {
    * Scale: reference (eval benchmarks) is orders of magnitude smaller than
    * the corpus — training and the reference side of the join are bounded by
    * it; the corpus contributes one scan for assignment plus id-only shuffle
-   * ∝ corpus × nProbes.
+   * ∝ corpus × nProbes. `nCells` must SCALE WITH THE REFERENCE COUNT
+   * ([[autoCellCount]](nRefs) — the SemDeDup recipe): the verify joins
+   * corpus assignments against refs-per-probed-cell, so a FIXED cell count
+   * makes candidates ∝ corpus × refs / nCells — quadratic whenever the
+   * reference set grows with the corpus (the r12 sf10 rehearsal measured
+   * exactly that: >600 s at 200k vectors vs 7.4 s at 20k with nCells=4);
+   * ref-scaled cells bound refs-per-cell at targetCellSize, keeping the
+   * verify linear in the corpus.
    */
   def embeddingContamination(corpus: DataFrame, reference: DataFrame,
       idCol: String, vecCol: String, threshold: Double, nCells: Int = 16,
