@@ -15,7 +15,7 @@ import graft.functions.{CharNgrams, FloatDotProduct, MinHashSignature, SimHash64
  * Functions: `float_dot(a, b)`, `simhash64(hashes)`, `minhash_sig(hashes, k)`,
  * `word_shingle_hashes(text, n)`, `char_ngrams(text, n)`,
  * `sliding_min(arr, w)`, `hilbert_key(x, y, bits)`, `deflate_size(data)`,
- * `ngram_count_pairs(text, n)`.
+ * `deflate(data)`, `inflate(data)`, `ngram_count_pairs(text, n)`.
  * Optimizer rules: [[graft.plans.CollectSetSizeToCountDistinct]].
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -56,6 +56,12 @@ object GraftExtensions {
     "deflate_size" -> (info("deflate_size",
       "deflate_size(data) - raw-DEFLATE byte count of STRING/BINARY (compressibility signal)"),
       (es: Seq[Expression]) => graft.functions.DeflateSize(es(0))),
+    "deflate" -> (info("deflate",
+      "deflate(data) - raw-DEFLATE (level 6, nowrap) bytes of STRING/BINARY"),
+      (es: Seq[Expression]) => graft.functions.DeflateBytes(es(0))),
+    "inflate" -> (info("inflate",
+      "inflate(data) - inverse of deflate(); corrupt streams throw"),
+      (es: Seq[Expression]) => graft.functions.InflateBytes(es(0))),
     "ngram_count_pairs" -> (info("ngram_count_pairs",
       "ngram_count_pairs(text, n) - per-row (gram, count) pairs over codepoint n-grams"),
       (es: Seq[Expression]) => graft.functions.NgramCountPairs(

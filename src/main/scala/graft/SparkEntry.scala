@@ -579,10 +579,26 @@ object SparkEntry {
 
     // Compressibility quality signal (deflate ratio): boilerplate → ~0,
     // pasted high-entropy junk → ~1, prose mid-band. Row-local codegen'd
-    // expression; rows-only (no deflate in the oracle engine) — orderings
-    // and edge cases are spec-pinned instead.
+    // expressions. ORACLE-BACKED since r12 via the ROUND-TRIP: the oracle
+    // engine has no zlib, so the compressed size itself stays spec-pinned
+    // (CompressSpec orderings/edge cases) — but `inflate(deflate(text))`
+    // must reproduce the input bit-exactly, and md5 of that round-trip IS
+    // DuckDB-expressible as `md5(text)`. `size_consistent` additionally
+    // cross-checks the streaming size expression against the materialized
+    // bytes (`deflate_size(x) == octet_length(deflate(x))`), so both codec
+    // expressions and the codec inverse are pinned on all 500 real docs.
     "text_compress" -> ((s, dir) =>
-      TextAnalysis.compressionSignals(table(s, dir, "documents"))),
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.functions.CompressExpressions.deflate(col("text")).as("z"),
+          graft.functions.CompressExpressions.deflateSize(col("text"))
+            .as("deflate_bytes"))
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(graft.functions.CompressExpressions.inflate(col("z")))
+            .as("roundtrip_md5"),
+          (col("deflate_bytes") === octet_length(col("z")).cast("long"))
+            .as("size_consistent"))),
 
     // Flesch-Kincaid readability: dictionary-free syllable heuristic
     // (vowel runs floored at word count), sentences floored at 1 — pure
@@ -3059,6 +3075,15 @@ object SparkEntry {
           |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b2 ON bc.w2 = b2.w, nb, nu
           |WHERE bc.c >= 5
           |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+      // the oracle cannot deflate, but it can state what a LOSSLESS codec
+      // must satisfy: inflate∘deflate = id (md5-witnessed) and the size
+      // expression consistent with the bytes expression (TRUE by
+      // construction on the Spark side, where both run)
+      "text_compress" ->
+        """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+          |  md5(text) AS roundtrip_md5, TRUE AS size_consistent
+          |FROM documents""".stripMargin,
 
       // identical regexp classes in both engines (RE2 and Java agree on
       // these literal classes); wps/spw divisions and the linear combo

@@ -562,6 +562,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(viaSql > 0L && viaSql < 24L)
   }
 
+  test("deflate/inflate: round-trip identity, size consistency, edge cases") {
+    import graft.functions.CompressExpressions.{deflate, deflateSize, inflate}
+    val noise = (0 until 300).map(i =>
+      java.lang.Long.toHexString(
+        graft.functions.HashMix.mix64(i.toLong - 7L))).mkString
+    val docs = Seq(
+      (1L, "ab" * 5000),
+      (2L, "unicode: café ☃ 😀 mixed with ascii"),
+      (3L, noise),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        col("text"),
+        inflate(deflate(col("text"))).cast("string").as("rt"),
+        deflateSize(col("text")).as("dsize"),
+        octet_length(deflate(col("text"))).cast("long").as("dlen"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // round-trip identity on every non-null row (incl. multi-byte UTF-8)
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(out(id)._2 === out(id)._1, s"round-trip mismatch for $id")
+    // the streaming size expression equals the materialized byte count
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(out(id)._3 === out(id)._4, s"size mismatch for $id")
+    // null propagates
+    assert(out(5L) === ((None, None, None, None)))
+    // corrupt stream fails loud, not silently-partial
+    val corrupt = docs.filter(col("doc_id") === 3L)
+      .select(inflate(expr("substring(CAST('notdeflate' AS BINARY), 1, 8)")))
+    val err = intercept[Exception] { corrupt.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m =>
+      m.contains("inflate") || m.contains("DEFLATE")))
+    // SQL surface
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT CAST(inflate(deflate('abc')) AS STRING)")
+      .head().getString(0) === "abc")
+  }
+
   test("encodingAudit: replacement/control/mojibake counts, ppm, repair flag") {
     val docs = Seq(
       (1L, "plain ascii text"),                       // clean
