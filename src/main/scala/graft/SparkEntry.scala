@@ -219,10 +219,26 @@ object SparkEntry {
       BotDetection.slidingAggregate(normalized(s, dir), eventsWindowing)),
 
     // A2/A3 100 TB path: HLL++ distinct categories (constant-size state per
-    // key; sketch estimate ≠ exact count → rows-only check, accuracy pinned
-    // by BotDetectionSpec's ±5% test).
-    "a2_approx_agg" -> ((s, dir) =>
-      BotDetection.slidingAggregate(normalized(s, dir), eventsWindowing, exact = false)),
+    // key). ORACLE-BACKED since r12: clicks/views sums are exact either
+    // way, so the gate joins the sketch run against the exact run and the
+    // oracle hash-checks (ip, window, clicks, views, exact distinct) while
+    // `cats_within_1` pins the sketch to its measured envelope — the
+    // category domain is the CONSTANT 100 props values at every SF, and at
+    // rsd=0.01 (p=14) exactly one pair of their xxhash64 values shares the
+    // register-index bits, so every estimate is exact or −1 (measured
+    // maxAbs=1 at sf0.01/sf0.1/sf1; raising p further does not remove the
+    // pair — the colliding bits extend past p=16). The production default
+    // stays rsd=0.05 (512 B/key); accuracy there is BotDetectionSpec's ±5%.
+    "a2_approx_agg" -> ((s, dir) => {
+      val ex = BotDetection.slidingAggregate(normalized(s, dir), eventsWindowing)
+      val ap = BotDetection.slidingAggregate(normalized(s, dir), eventsWindowing,
+          exact = false, approxRsd = 0.01)
+        .select(col("ip"), col("window_start_s"), col("n_categories").as("n_cat_hll"))
+      ex.join(ap, Seq("ip", "window_start_s"))
+        .select(col("ip"), col("window_start_s"), col("clicks"), col("views"),
+          col("n_categories").as("n_categories_exact"),
+          (abs(col("n_cat_hll") - col("n_categories")) <= 1).as("cats_within_1"))
+    }),
 
     // Session windows: gap-based event grouping per ip (2-day gap).
     "a4_session_agg" -> ((s, dir) =>
@@ -2306,6 +2322,15 @@ object SparkEntry {
       "a2_sliding_agg" ->
         s"""$slidingAgg
            |SELECT ip, window_start_s, clicks, views, n_categories FROM agg""".stripMargin,
+
+      // the sums and the exact distinct replay the exact plan; the sketch
+      // side is pinned in-engine to its measured ±1 envelope (see the
+      // queries() comment) and surfaces here as a constant TRUE
+      "a2_approx_agg" ->
+        s"""$slidingAgg
+           |SELECT ip, window_start_s, clicks, views,
+           |       n_categories AS n_categories_exact,
+           |       TRUE AS cats_within_1 FROM agg""".stripMargin,
 
       // gaps-and-islands at exact microsecond precision: a new session
       // starts when the gap to the previous event is >= 2 days (Spark's

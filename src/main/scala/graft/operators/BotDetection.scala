@@ -73,10 +73,11 @@ object BotDetection {
    * — sorted so results are deterministic); `exact=false` is the 100 TB path:
    * HLL++ cardinality only, constant-size state per key.
    */
-  def slidingAggregate(records: DataFrame, w: Windowing, exact: Boolean = true): DataFrame = {
+  def slidingAggregate(records: DataFrame, w: Windowing, exact: Boolean = true,
+      approxRsd: Double = 0.05): DataFrame = {
     val catCount: Column =
       if (exact) size(collect_set(col("category")))
-      else approx_count_distinct(col("category"))
+      else approx_count_distinct(col("category"), approxRsd)
     val agg = records
       .groupBy(col("ip"), window(col("time"), w.duration, w.slide))
       .agg(
