@@ -1816,16 +1816,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
 
     // Mergeable-sketch rollup: per-(type, day) HLL sketches unioned up to
-    // per-type distinct-user estimates — the persisted-sketch-table pattern
-    // for COUNT(DISTINCT) at 100 TB. Deterministic (register-max union is
-    // order-independent) but not DuckDB-expressible → rows-only check;
-    // accuracy and merge invariance pinned by SketchesSpec.
+    // per-type distinct estimates — the persisted-sketch-table pattern for
+    // COUNT(DISTINCT) at 100 TB. Gated by CONSTRUCTION since r12 (same
+    // device as q_user_overlap/theta): the gate keys on
+    // `user_id % (10 + len(event_type))`, a TYPE-DEPENDENT bounded domain
+    // (14..18 distinct per type — differing per type, so a saturated
+    // constant can't fake a pass) that keeps every daily sketch AND the
+    // rollup union in the DataSketches coupon regime at every SF, where
+    // the estimate is the coupon count exactly (collision correction
+    // ~C²/2²⁷ ≪ rounding). The full build→persist→union→estimate chain is
+    // hash-checked; accuracy beyond coupon resolution and merge invariance
+    // stay pinned by SketchesSpec.
     "q_sketch_rollup" -> ((s, dir) =>
       operators.Sketches.rollup(
         operators.Sketches.dailySketches(
-          table(s, dir, "events").filter(col("ts").isNotNull),
-          "ts", "user_id", Seq("event_type")),
-        Seq("event_type"))),
+          table(s, dir, "events").filter(col("ts").isNotNull)
+            .withColumn("bucket",
+              pmod(col("user_id"), lit(10) + length(col("event_type")))),
+          "ts", "bucket", Seq("event_type")),
+        Seq("event_type"))
+        .withColumn("distinct_estimate", col("distinct_estimate").cast("long"))),
 
     // Theta-sketch pairwise overlap: per-type sketches of the user
     // audience, then every type pair's intersection / union / difference /
@@ -4498,6 +4508,17 @@ object SparkEntry {
           |FROM events
           |WHERE md5(CAST(event_id AS VARCHAR))
           |      < CASE WHEN event_type IN ('click','view') THEN '40' ELSE '10' END
+          |GROUP BY 1""".stripMargin,
+
+      // the type-dependent bounded domain keeps the HLL sketches in the
+      // coupon-exact regime (see the queries() comment), so the exact
+      // GROUP BY replays build → union → estimate
+      "q_sketch_rollup" ->
+        """SELECT event_type,
+          |  CAST(count(DISTINCT user_id % (10 + strlen(event_type)))
+          |    AS BIGINT) AS distinct_estimate,
+          |  CAST(count(*) AS BIGINT) AS n_rows
+          |FROM events WHERE ts IS NOT NULL
           |GROUP BY 1""".stripMargin,
 
       "q_user_overlap" ->
