@@ -1326,10 +1326,21 @@ object SparkEntry {
 
     // IVF index health: per-cell occupancy + load factor after training —
     // the retrain-trigger readout (hot cells inflate probe latency, empty
-    // cells waste probe budget). Rows-only: occupancy depends on Lloyd.
+    // cells waste probe budget). Gated by CONSTRUCTION since r12: the gate
+    // trains on PLANTED clusters (id % 8 membership, see
+    // syntheticClusteredEmbeddings) with farthest-first seeding, which
+    // provably recovers exactly the planted partition — so occupancy/frac/
+    // load_factor are the planted group sizes under an arbitrary cell
+    // relabeling, and dropping cell_id makes the row multiset replayable
+    // by a GROUP BY vec_id % 8. Real-corpus occupancy behavior stays
+    // covered by SimilaritySpec.
     "embed_ivf_stats" -> ((s, dir) =>
-      Similarity.ivfCellStats(table(s, dir, "embeddings"), "vec_id",
-        "embedding", nCells = 8)),
+      Similarity.ivfCellStats(
+        Similarity.syntheticClusteredEmbeddings(
+          table(s, dir, "embeddings").select(col("vec_id")), "vec_id",
+          nClusters = 8),
+        "vec_id", "embedding", nCells = 8, farthestFirst = true)
+        .select(col("n_vecs"), col("frac"), col("load_factor"))),
 
     // Hard negatives for contrastive training: nearest DIFFERENT-label
     // rows per anchor — the label filter sits in the join condition, so
@@ -4097,6 +4108,18 @@ object SparkEntry {
            |SELECT query_id, neighbor_id,
            |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
            |FROM cos QUALIFY rank <= 10""".stripMargin,
+
+      // planted clusters (id % 8) + farthest-first seeding make Lloyd's
+      // partition the planted one, so per-cell occupancy = planted group
+      // sizes under relabeling; cell_id is dropped and the row MULTISET
+      // compared (the harness sorts rows)
+      "embed_ivf_stats" ->
+        """WITH c AS (SELECT vec_id % 8 AS cl, CAST(count(*) AS BIGINT) AS n_vecs
+          |           FROM embeddings GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_vecs) AS DOUBLE) AS tot FROM c)
+          |SELECT n_vecs, round(n_vecs / t.tot, 4) + 0.0 AS frac,
+          |       round(n_vecs * 8 / t.tot, 4) + 0.0 AS load_factor
+          |FROM c, t""".stripMargin,
 
       "embed_topk_native" ->
         s"""${cosineCtes("a.vec_id < 10 AND a.vec_id <> b.vec_id")}

@@ -322,6 +322,46 @@ object Similarity {
     }(enc)
   }
 
+  /**
+   * Deterministic PLANTED-CLUSTER embeddings (companion to
+   * [[syntheticNearDupEmbeddings]], same gate device): id `i` carries a
+   * normalized `center(i % nClusters) + eps·noise(i)` vector, so the true
+   * partition of the corpus into `nClusters` tight clusters is KNOWN BY
+   * CONSTRUCTION — cosine to the own center ≈ 1/√(1+ε²) (≈ 0.989 at
+   * ε = 0.15) while distinct centers sit at 0 ± 1/√dim. k-means with one
+   * farthest-first seed per cluster provably recovers exactly this
+   * partition (seeds land in distinct clusters because inter-cluster
+   * distances dominate intra; Lloyd then cannot move a point across the
+   * huge margin), which turns Lloyd-dependent readouts (cell occupancy,
+   * load factors) into oracle-checkable quantities: occupancy(cell) =
+   * |{id : id ≡ c (mod nClusters)}| for some relabeling, so the SORTED
+   * occupancy multiset is replayable by a GROUP BY id % nClusters.
+   */
+  def syntheticClusteredEmbeddings(ids: DataFrame, idCol: String,
+      nClusters: Int, dim: Int = 64, eps: Float = 0.15f): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col(idCol).cast("long").as("vec_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val cluster = java.lang.Math.floorMod(id, nClusters.toLong)
+        val c = unitVec(0x7A57EDC0DEL + cluster, dim)
+        val w = unitVec(id | 0x4000000000000000L, dim) // disjoint seed stream
+        val m = Array.tabulate(dim)(i => c(i) + eps * w(i))
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += m(i).toDouble * m(i).toDouble; i += 1 }
+        val inv = (1.0 / math.sqrt(s)).toFloat
+        i = 0
+        while (i < dim) { m(i) *= inv; i += 1 }
+        org.apache.spark.sql.Row(id, m.toSeq)
+      }
+    }(enc)
+  }
+
   /** Corpus-scaled seeding/training sample modulus: keeps the farthest-first
    * hash sample inside the driver-local cap (`seedFarthestFirst`'s
    * `maxDriverSample`), where the k seeding rounds are one collect instead
@@ -1306,8 +1346,11 @@ object Similarity {
    * (≤ nCells rows) + a one-row total broadcast.
    */
   def ivfCellStats(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int): DataFrame = {
-    val centroids = trainCentroids(df, idCol, vecCol, nCells)
+      nCells: Int, farthestFirst: Boolean = false): DataFrame = {
+    val seeds =
+      if (farthestFirst) Some(seedFarthestFirst(df, idCol, vecCol, nCells))
+      else None
+    val centroids = trainCentroids(df, idCol, vecCol, nCells, seeds = seeds)
       .transform(graft.Materialize(_))
     val counts = nearestCell(
         df.select(col(idCol).as("__ics_id"), col(vecCol).as("__ics_v")),
