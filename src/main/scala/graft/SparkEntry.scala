@@ -1404,15 +1404,17 @@ object SparkEntry {
 
     // Embedding-space decontamination: corpus rows (vec_id % 50 != 0) whose
     // embedding is near any eval row (vec_id % 50 == 0). Cells train on the
-    // bounded EVAL side only; corpus contributes one map-side assignment
-    // scan + id-only shuffle. Approximate (probed-cell candidates) ->
-    // rows-only; recall floor pinned by SimilaritySpec.
+    // bounded EVAL side only; the corpus is scanned ONCE with a single
+    // map-side cell assignment and verified inline against the broadcast
+    // multi-probed eval side (asymmetric probing — see
+    // embeddingContamination's scale notes; the r12 rewrite that removed
+    // the both-sides-probed candidate distinct + re-attach joins).
     // Gated by CONSTRUCTION since r11: eval rows are vec_id % 50 == 0,
     // their contaminated corpus twins vec_id % 50 == 1 (cosine ≈ 0.995),
     // every other corpus row a stranger — so the exact contamination set
     // (doc_id ≡ 1 mod 50, ref = doc_id − 1) is the oracle, checking the
-    // eval-side cell training, both map-side probe assignments, and the
-    // exact verify together (was rows-only).
+    // eval-side cell training, both assignment paths, and the exact verify
+    // together (was rows-only).
     // nCells scales with the REFERENCE count (autoCellCount — the same
     // SemDeDup recipe as embed_celldup): the r12 sf10 rehearsal measured
     // the old fixed nCells=4 quadratic — candidates ∝ corpus × refs/4, and
@@ -1429,7 +1431,7 @@ object SparkEntry {
       Similarity.embeddingContamination(
         e.filter(pmod(col("vec_id"), lit(50)) =!= 0), eval,
         "vec_id", "embedding", threshold = 0.8,
-        nCells = Similarity.autoCellCount(nRef, targetCellSize = 250),
+        nCells = Similarity.autoCellCount(nRef),
         nProbes = 3, sampleMod = Similarity.autoSampleMod(nRef))
         .select(col("doc_id"), col("ref_id"))
     }),

@@ -426,28 +426,33 @@ object Similarity {
    * [[Dedup.contamination]]: flag corpus rows whose embedding is within
    * `threshold` cosine of ANY reference (eval) row. Cells are trained on
    * the REFERENCE side only — the bounded set — so training never scans the
-   * corpus; both sides then multi-assign map-side
-   * ([[nearestCells]], zero exchange) and candidates are the (cell_id)-keyed
-   * corpus×reference join over bare ids, exact-cosine verified, reduced to
-   * one row per contaminated corpus id with its strongest reference match
-   * (`max_by` — partial-aggregatable, no per-id window).
+   * corpus; the corpus then gets ONE map-side cell assignment
+   * ([[nearestCell]], zero exchange) while the reference side multi-probes
+   * its `nProbes` nearest cells ([[nearestCells]]) and broadcasts WITH its
+   * vectors, so every candidate cosine is verified inline in the corpus
+   * scan and the result reduces to one row per contaminated corpus id with
+   * its strongest reference match (`max_by` — partial-aggregatable, no
+   * per-id window).
    *
-   * Same approximation contract as [[cellNearDupPairs]]: a corpus/reference
-   * pair straddling all probed cells is missed; SimilaritySpec pins the
-   * recall floor against the brute-force ground truth. `maxCellFreq` caps
-   * degenerate cells.
+   * Same approximation contract as [[cellNearDupPairs]] with asymmetric
+   * probing (the [[ivfTopK]] contract): a pair is found iff the ref's
+   * probed cells contain the doc's cell — near-identical vectors share
+   * their top cell, and SimilaritySpec pins the recall floor against the
+   * brute-force ground truth. `maxCellFreq` caps degenerate cells.
    *
    * Scale: reference (eval benchmarks) is orders of magnitude smaller than
-   * the corpus — training and the reference side of the join are bounded by
-   * it; the corpus contributes one scan for assignment plus id-only shuffle
-   * ∝ corpus × nProbes. `nCells` must SCALE WITH THE REFERENCE COUNT
-   * ([[autoCellCount]](nRefs) — the SemDeDup recipe): the verify joins
-   * corpus assignments against refs-per-probed-cell, so a FIXED cell count
-   * makes candidates ∝ corpus × refs / nCells — quadratic whenever the
-   * reference set grows with the corpus (the r12 sf10 rehearsal measured
-   * exactly that: >600 s at 200k vectors vs 7.4 s at 20k with nCells=4);
-   * ref-scaled cells bound refs-per-cell at targetCellSize, keeping the
-   * verify linear in the corpus.
+   * the corpus — training, the broadcast, and the probe replication are all
+   * bounded by it; the corpus is scanned ONCE, never replicated or
+   * shuffled (the only exchange is the final per-doc aggregate over
+   * surviving hits). `nCells` must SCALE WITH THE REFERENCE COUNT
+   * ([[autoCellCount]](nRefs) — the SemDeDup recipe): candidates are
+   * corpus × nProbes × refs-per-probed-cell, so a FIXED cell count goes
+   * quadratic whenever the reference set grows with the corpus (the r12
+   * sf10 rehearsal measured exactly that: >600 s at 200k vectors vs 7.4 s
+   * at 20k with nCells=4); ref-scaled cells bound refs-per-cell at
+   * targetCellSize, keeping the verify linear in the corpus — and the r12
+   * asymmetric rewrite removed the old both-sides-probed candidate
+   * distinct + re-attach joins (a 441M-row shuffle at sf10) entirely.
    */
   def embeddingContamination(corpus: DataFrame, reference: DataFrame,
       idCol: String, vecCol: String, threshold: Double, nCells: Int = 16,
@@ -459,21 +464,30 @@ object Similarity {
     val seeds = seedFarthestFirst(reference, idCol, vecCol, nCells, sampleMod)
     val centroids = trainCentroids(reference, idCol, vecCol, nCells, iterations,
       Some(seeds), trainSampleMod = sampleMod)
-    val corp = graft.Materialize(
-      corpus.select(col(idCol).as("doc_id"), col(vecCol).as("vec")))
+    val corp = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
     val refs = graft.Materialize(
       reference.select(col(idCol).as("ref_id"), col(vecCol).as("rvec")))
-    val corpCells = nearestCells(corp, "vec", centroids, nProbes)
-      .select("cell_id", "doc_id")
+    // ASYMMETRIC probing (the ivfTopK contract): the unbounded CORPUS side
+    // gets exactly ONE map-side cell assignment — never replicated, never
+    // shuffled with its vectors — while only the bounded REFERENCE side
+    // multi-probes its nProbes nearest cells (recall: a pair is found iff
+    // the ref's probe list contains the doc's cell, which near-identical
+    // vectors satisfy through their shared top cell). Because a ref's
+    // probed cells are distinct and a doc lives in exactly one cell, a
+    // (doc, ref) pair can surface AT MOST ONCE — no distinct pass, no
+    // candidate shuffle, no re-attach joins: the probed refs broadcast
+    // WITH their vectors (bounded by construction: refs are the eval
+    // benchmarks, ≪ corpus) and every candidate cosine is computed inline
+    // in the corpus scan. Cost: one corpus scan × (nProbes · refs/cell)
+    // codegen'd dot products; the only exchange is the final per-doc
+    // aggregate over the few surviving hits.
+    val corpCells = nearestCell(corp, "vec", centroids)
+      .select("cell_id", "doc_id", "vec")
     val refCells = nearestCells(refs, "rvec", centroids, nProbes)
-      .select("cell_id", "ref_id")
+      .select("cell_id", "ref_id", "rvec")
     val capped = maxCellFreq.fold(corpCells)(
       Dedup.capHotKeys(corpCells, Seq("cell_id"), _))
-    val cand = capped.join(refCells, Seq("cell_id"))
-      .select("doc_id", "ref_id").distinct()
-    val raw = cand
-      .join(corp, "doc_id")
-      .join(refs, "ref_id")
+    val raw = capped.join(broadcast(refCells), Seq("cell_id"))
       .withColumn("cos", cosine(col("vec"), col("rvec")))
       .filter(col("cos") >= threshold)
       .groupBy(col("doc_id"))
@@ -482,7 +496,6 @@ object Similarity {
     if (!materializeResult) raw
     else {
       val out = graft.Materialize(raw)
-      graft.Materialize.release(corp)
       graft.Materialize.release(refs)
       graft.Materialize.release(centroids)
       out

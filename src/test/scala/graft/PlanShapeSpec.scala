@@ -173,12 +173,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // execute the query and hand back a bare cache-scan plan
     val frames = Seq(
       "embed_celldup" -> Similarity.cellNearDupPairs(e, "vec_id", "embedding",
-        threshold = 0.3, nCells = 4, materializeResult = false),
-      "embed_decontaminate" -> Similarity.embeddingContamination(
-        e.filter(pmod(col("vec_id"), lit(50)) =!= 0),
-        e.filter(pmod(col("vec_id"), lit(50)) === 0),
-        "vec_id", "embedding", threshold = 0.3, nCells = 4,
-        materializeResult = false))
+        threshold = 0.3, nCells = 4, materializeResult = false))
     for ((query, frame) <- frames) {
       val plan = frame.queryExecution.sparkPlan
       val distincts = plan.collect {
@@ -194,6 +189,39 @@ class PlanShapeSpec extends AnyFunSuite {
             s"got ${a.groupingExpressions}")
       }
     }
+  }
+
+  test("embed_decontaminate: asymmetric probing — no candidate distinct, broadcast refs") {
+    // the r12 rewrite: the corpus gets ONE cell assignment and the bounded
+    // multi-probed reference side broadcasts WITH its vectors, so a
+    // (doc, ref) pair can surface at most once — the plan must contain NO
+    // distinct pass over candidates (the only aggregate is the final
+    // per-doc max_by) and the cell join must be a broadcast join, with the
+    // corpus never exchanged before it.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    val frame = Similarity.embeddingContamination(
+      e.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+      e.filter(pmod(col("vec_id"), lit(50)) === 0),
+      "vec_id", "embedding", threshold = 0.3, nCells = 4,
+      materializeResult = false)
+    val plan = frame.queryExecution.sparkPlan
+    val distincts = plan.collect {
+      case a: BaseAggregateExec if a.aggregateExpressions.isEmpty => a
+    }
+    assert(distincts.isEmpty,
+      s"candidate distinct reappeared (pairs are unique by construction): $distincts")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "cell join must broadcast the bounded reference side")
+    // the final plan has exactly the per-doc aggregate's exchange; the
+    // corpus scan side must reach the broadcast join without a shuffle
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, // partial+final agg pair plans one exchange
+      s"corpus side must not shuffle before the verify: $shuffles")
   }
 
   test("embed_lsh first-match dedup: no distinct exchange, candidate shuffles vector-free") {
