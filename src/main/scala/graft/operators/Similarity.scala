@@ -223,16 +223,28 @@ object Similarity {
    *
    * Boundary pairs are the recall risk (two vectors straddling a cell edge
    * never meet), so each vector is MULTI-ASSIGNED to its `nProbes` nearest
-   * cells ([[nearestCells]] — the dedup-side twin of IVF multi-probe): a
-   * pair is compared if the probe sets intersect. Still approximate by
-   * construction; SimilaritySpec pins the recall floor against the
-   * brute-force ground truth.
+   * cells ([[probedCellLists]] — the dedup-side twin of IVF multi-probe): a
+   * pair is compared iff the probe sets intersect, exactly the pre-r12
+   * candidate set. (An asymmetric home-vs-probes variant was tried first —
+   * cheaper by one probe payload, but it forgoes the shared-non-home-cell
+   * sliver, which the r12 sf1 rehearsal measured at a real 2.3% of planted
+   * twins in the construction gate's isotropic corpus — so celldup keeps
+   * symmetric probing; [[embeddingContamination]] keeps the asymmetric
+   * shape, where the ref side probes extra cells instead.) Still
+   * approximate by construction; SimilaritySpec pins the recall floor
+   * against the brute-force ground truth.
    *
-   * The candidate join carries BARE (cell_id, doc_id) rows — the float
-   * vectors would otherwise shuffle once per probe per side — and the
-   * cross-probe `distinct` runs over 16-byte id pairs before vectors are
-   * re-attached by two id-keyed joins for the exact-cosine verify (same
-   * slim-exchange shape as [[lshNearDupPairs]]).
+   * FIRST-SHARED-CELL dedup (the [[lshNearDupPairs]] device, adapted):
+   * both sides explode their probe lists and join by cell, so an unordered
+   * pair surfaces once per SHARED probed cell — and survives only in the
+   * one row where the join cell is the FIRST element of l's probe list
+   * that r's list contains (a codegen'd when/array_contains chain over the
+   * two carried ≤nProbes-long lists, decided MAP-SIDE). That removes the
+   * cross-probe `distinct` (at sf10 a 10⁸-row exchange) and both id-keyed
+   * vector re-attach joins: the two cell-keyed exchanges carry the vectors
+   * once per probe (nProbes × corpus bytes each side — the price of exact
+   * symmetric recall) and every candidate cosine is verified inline in the
+   * joined scan.
    *
    * `maxCellFreq` is the [[Dedup.capHotKeys]]-style guard for degenerate
    * trainings (all vectors in one cell → cnt² blow-up); balanced Lloyd cells
@@ -387,35 +399,56 @@ object Similarity {
     val seeds = seedFarthestFirst(df, idCol, vecCol, nCells, sampleMod)
     val centroids = trainCentroids(df, idCol, vecCol, nCells, iterations,
       Some(seeds), trainSampleMod = sampleMod)
-    val docs = graft.Materialize(
-      df.select(col(idCol).as("doc_id"), col(vecCol).as("vec")))
+    val docs = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
     val useTwoLevel = twoLevel.getOrElse(nCells > twoLevelCellCutoff)
-    // materialized: the multi-probe assignment is map-side cheap, but
+    // materialized: the probe-list assignment is map-side cheap, but
     // without the barrier BOTH self-join sides would rescan the corpus
-    val assigned = (if (useTwoLevel) nearestCellsTwoLevel(docs, "vec", centroids, nProbes)
-                    else nearestCells(docs, "vec", centroids, nProbes))
-      .select("cell_id", "doc_id")
-      .transform(graft.Materialize(_))
-    val capped = maxCellFreq.fold(assigned)(
-      Dedup.capHotKeys(assigned, Seq("cell_id"), _))
-    val cand = capped.as("a").join(capped.as("b"), Seq("cell_id"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val raw = cand
-      .join(docs.select(col("doc_id").as("id_a"), col("vec").as("va")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("vec").as("vb")), "id_b")
-      .withColumn("cos", cosine(col("va"), col("vb")))
+    val withProbes =
+      (if (useTwoLevel) probedCellListsTwoLevel(docs, "vec", centroids, nProbes)
+       else probedCellLists(docs, "vec", centroids, nProbes))
+        // norm once per ROW — recomputing it inside the join condition
+        // would cost 2 extra dot products per CANDIDATE (≈ cell-size × per
+        // vector); with it carried, a candidate costs exactly one dot
+        .withColumn("nrm", norm(col("vec")))
+        .transform(graft.Materialize(_))
+    val exploded = withProbes.select(explode(col("probes")).as("cell_id"),
+      col("doc_id"), col("probes"), col("vec"), col("nrm"))
+    val capped = maxCellFreq.fold(exploded)(
+      Dedup.capHotKeys(exploded, Seq("cell_id"), _))
+    val a = capped.select(col("cell_id"), col("doc_id").as("id_l"),
+      col("probes").as("probes_l"), col("vec").as("vec_l"), col("nrm").as("nrm_l"))
+    val b = capped.select(col("cell_id"), col("doc_id").as("id_r"),
+      col("probes").as("probes_r"), col("vec").as("vec_r"), col("nrm").as("nrm_r"))
+    // first element of l's probe list that r's list contains — a codegen'd
+    // when-chain (no higher-order lambdas: those fall out of whole-stage
+    // codegen) over the two bounded lists
+    val elemType = withProbes.schema("probes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val firstShared = (1 to nProbes).foldRight(lit(null).cast(elemType)) {
+      (i, acc) =>
+        when(array_contains(col("probes_r"), element_at(col("probes_l"), i)),
+          element_at(col("probes_l"), i)).otherwise(acc)
+    }
+    // same arithmetic as [[cosine]] (norm(a)*norm(b) denominator), with the
+    // norms read from the carried per-row columns
+    val denom = col("nrm_l") * col("nrm_r")
+    val cosExpr = when(denom === 0d, lit(Double.NaN))
+      .otherwise(dot(col("vec_l"), col("vec_r")) / denom)
+    val raw = a.join(b, Seq("cell_id"))
+      .filter(col("id_l") < col("id_r"))
+      // first-shared-cell: exactly one surviving row per unordered pair
+      .filter(col("cell_id") === firstShared)
+      .withColumn("cos", cosExpr)
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+      .select(col("id_l").as("id_a"), col("id_r").as("id_b"),
+        round(col("cos"), 4).as("cos_r"))
     // materializeResult = false keeps the lazy plan (for composition or
     // plan introspection) — the caller then must not rely on the eager
     // release of the intermediate barriers below
     if (!materializeResult) raw
     else {
       val out = graft.Materialize(raw)
-      graft.Materialize.release(assigned)
-      graft.Materialize.release(docs)
+      graft.Materialize.release(withProbes)
       graft.Materialize.release(centroids)
       out
     }
@@ -571,6 +604,19 @@ object Similarity {
       explode(transform(idxs, i => element_at(array(cents._1: _*), i + 1))))
   }
 
+  /** Pre-explode twin of [[nearestCells]]: the `nProbes` nearest cell ids
+   * as ONE array column `probes` (nearest first — `probes[0]` is the home
+   * cell), for plans that need the whole probe list per row (first-match
+   * pair dedup). Same map-side collected-centroid projection. */
+  def probedCellLists(in: DataFrame, vecName: String, centroids: DataFrame,
+      nProbes: Int): DataFrame = {
+    val cents = collectedCentroids(centroids, "probedCellLists")
+    val idxs = graft.functions.VectorExpressions
+      .nearestCentroidIndices(col(vecName), cents._2, cents._3, nProbes)
+    in.withColumn("probes",
+      transform(idxs, i => element_at(array(cents._1: _*), i + 1)))
+  }
+
   /** Deterministic driver-local Lloyd (cosine) over the FINE CENTROIDS —
    * groups them under ~√c coarse centroids for [[nearestCellsTwoLevel]].
    * Runs on c vectors (bounded: the centroid table, not the corpus); seeds
@@ -677,6 +723,20 @@ object Similarity {
       coarseProbes, nProbes)
     in.withColumn("cell_id",
       explode(transform(idxs, i => element_at(array(cents._1: _*), i + 1))))
+  }
+
+  /** Pre-explode twin of [[nearestCellsTwoLevel]] (see [[probedCellLists]]). */
+  def probedCellListsTwoLevel(in: DataFrame, vecName: String, centroids: DataFrame,
+      nProbes: Int, coarseProbes: Int = 3): DataFrame = {
+    val cents = collectedCentroids(centroids, "probedCellListsTwoLevel")
+    val nGroups = math.max(1, math.round(math.sqrt(cents._2.length.toDouble)).toInt)
+    val (coarse, coarseNorms, members) =
+      groupCentroidsLocal(cents._2, cents._3, nGroups)
+    val idxs = graft.functions.VectorExpressions.twoLevelNearestCellIndices(
+      col(vecName), coarse, coarseNorms, members, cents._2, cents._3,
+      coarseProbes, nProbes)
+    in.withColumn("probes",
+      transform(idxs, i => element_at(array(cents._1: _*), i + 1)))
   }
 
   /**

@@ -158,37 +158,29 @@ class PlanShapeSpec extends AnyFunSuite {
       "one paragraph-keyed agg exchange + one doc-keyed agg exchange")
   }
 
-  test("candidate-pair distinct exchanges carry bare ids, never vector payload") {
-    // the cross-bucket/cross-probe distinct must shuffle 16-byte id pairs;
-    // carrying the float vectors through it would move each vector once per
-    // shared bucket instead of once total (they re-attach by id afterwards).
-    // A distinct plans as an aggregate with NO aggregate functions grouping
-    // by every carried column — so "slim" is exactly "2 scalar grouping keys".
+  test("embed_celldup first-match dedup: no distinct, two cell exchanges, inline verify") {
+    // the r12 shape: homes join probes with both probe LISTS carried, the
+    // one-direction-per-pair rule decides map-side, and the cosine verify
+    // runs inline — so the plan must contain NO distinct pass over
+    // candidates (no aggregate at all: the id-pair distinct and its
+    // re-attach joins are gone) and at most the two cell-keyed exchanges
+    // (probe side + home side; vectors ride them once per probe, which is
+    // ≤ nProbes+1 corpus payloads vs the old candidate-pair shuffles).
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.functions.{col, pmod, lit}
-    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.operators.Similarity
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
     // materializeResult = false: the final eager barrier would otherwise
     // execute the query and hand back a bare cache-scan plan
-    val frames = Seq(
-      "embed_celldup" -> Similarity.cellNearDupPairs(e, "vec_id", "embedding",
-        threshold = 0.3, nCells = 4, materializeResult = false))
-    for ((query, frame) <- frames) {
-      val plan = frame.queryExecution.sparkPlan
-      val distincts = plan.collect {
-        case a: BaseAggregateExec if a.aggregateExpressions.isEmpty => a
-      }
-      assert(distincts.nonEmpty, s"$query: no candidate-distinct aggregate found")
-      distincts.foreach { a =>
-        val arrays = a.groupingExpressions.filter(_.dataType.isInstanceOf[ArrayType])
-        assert(arrays.isEmpty,
-          s"$query: candidate distinct groups by array payload: $arrays")
-        assert(a.groupingExpressions.size === 2,
-          s"$query: candidate distinct should group by exactly the id pair, " +
-            s"got ${a.groupingExpressions}")
-      }
-    }
+    val frame = Similarity.cellNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.3, nCells = 4, materializeResult = false)
+    val plan = frame.queryExecution.sparkPlan
+    val aggs = plan.collect { case a: BaseAggregateExec => a }
+    assert(aggs.isEmpty,
+      s"no aggregate belongs in the first-match celldup plan, got: $aggs")
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2,
+      s"expected at most the two cell-keyed exchanges, got: $shuffles")
   }
 
   test("embed_decontaminate: asymmetric probing — no candidate distinct, broadcast refs") {
