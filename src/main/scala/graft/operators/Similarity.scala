@@ -514,14 +514,22 @@ object Similarity {
     // in the corpus scan. Cost: one corpus scan × (nProbes · refs/cell)
     // codegen'd dot products; the only exchange is the final per-doc
     // aggregate over the few surviving hits.
+    // norms once per row (same device as cellNearDupPairs: the threshold
+    // filter gets pushed into the join condition, where a recomputed
+    // cosine would cost 2 extra dot products per CANDIDATE)
     val corpCells = nearestCell(corp, "vec", centroids)
-      .select("cell_id", "doc_id", "vec")
+      .select(col("cell_id"), col("doc_id"), col("vec"),
+        norm(col("vec")).as("nrm_c"))
     val refCells = nearestCells(refs, "rvec", centroids, nProbes)
-      .select("cell_id", "ref_id", "rvec")
+      .select(col("cell_id"), col("ref_id"), col("rvec"),
+        norm(col("rvec")).as("nrm_r"))
     val capped = maxCellFreq.fold(corpCells)(
       Dedup.capHotKeys(corpCells, Seq("cell_id"), _))
+    val denom = col("nrm_c") * col("nrm_r")
+    val cosExpr = when(denom === 0d, lit(Double.NaN))
+      .otherwise(dot(col("vec"), col("rvec")) / denom)
     val raw = capped.join(broadcast(refCells), Seq("cell_id"))
-      .withColumn("cos", cosine(col("vec"), col("rvec")))
+      .withColumn("cos", cosExpr)
       .filter(col("cos") >= threshold)
       .groupBy(col("doc_id"))
       .agg(max_by(col("ref_id"), struct(col("cos"), col("ref_id"))).as("ref_id"),
