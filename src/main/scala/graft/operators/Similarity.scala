@@ -129,10 +129,19 @@ object Similarity {
       s"nearDupPairs is the brute-force exact baseline and BROADCASTS the entire corpus; " +
       s"it found > $maxRows rows (maxRows=$maxRows). Use lshNearDupPairs for corpora at " +
       s"scale, or raise maxRows only if the corpus genuinely fits a broadcast.")
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // norms once per row, not per pair: the threshold filter is pushed into
+    // the join condition, where an inline cosine() would recompute both
+    // norms for every one of the n²/2 pairs (same device as
+    // cellNearDupPairs; arithmetic identical to cosine())
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("nrm_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nrm_b"))
+    val denom = col("nrm_a") * col("nrm_b")
+    val cosExpr = when(denom === 0d, lit(Double.NaN))
+      .otherwise(dot(col("va"), col("vb")) / denom)
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosExpr)
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
@@ -199,11 +208,20 @@ object Similarity {
     val cand = keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id") && !earlierCollision)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val vecs = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+    // norms computed once per doc row in the slim vec table, so the
+    // threshold predicate pushed into the second re-attach join costs one
+    // dot per candidate (same device as cellNearDupPairs)
+    val vecs = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    val denom = col("nrm_a") * col("nrm_b")
+    val cosExpr = when(denom === 0d, lit(Double.NaN))
+      .otherwise(dot(col("va"), col("vb")) / denom)
     cand
-      .join(vecs.select(col("doc_id").as("id_a"), col("vec").as("va")), "id_a")
-      .join(vecs.select(col("doc_id").as("id_b"), col("vec").as("vb")), "id_b")
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .join(vecs.select(col("doc_id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(vecs.select(col("doc_id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos", cosExpr)
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
