@@ -244,74 +244,34 @@ class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
     with SupportsDelete {
 
   /**
-   * METADATA-ONLY delete (the Delta/Iceberg "metadata delete" shape):
-   * `DELETE FROM kv.ns.t WHERE …` succeeds only when every visible segment
-   * is DECIDABLE from manifest stats — fully matching (dropped whole) or
-   * provably non-matching (kept untouched). Partial overlaps refuse, so a
-   * delete never rewrites data files. The canonical use is epoch rollback
-   * — `DELETE … WHERE _epoch = 3` yanks one poisoned micro-batch, since
-   * `_epoch` bounds are always exact — and `TRUNCATE TABLE` (Spark calls
-   * deleteWhere(AlwaysTrue)). Epoch ENTRIES survive with their segments
-   * removed: the idempotence tags must keep absorbing a replayed
-   * micro-batch even after its data was rolled back. Same single-writer
-   * contract as writes/compaction.
+   * Row-level DELETE, two-tier (the Delta/Iceberg shape):
+   *  - METADATA tier — a segment DECIDABLE from manifest stats is dropped
+   *    whole (fully matching) or kept untouched (provably non-matching),
+   *    no data read. The canonical uses: epoch rollback (`DELETE … WHERE
+   *    _epoch = 3` — `_epoch` bounds are always exact) and `TRUNCATE
+   *    TABLE` (Spark calls deleteWhere(AlwaysTrue)).
+   *  - MERGE-ON-READ tier — a PARTIALLY matching segment gets a deletion
+   *    vector ([[KvDv]]): a distributed job re-evaluates the pushed
+   *    conjunction row-exactly (the reader's own `KvFilters.compile`)
+   *    and records matching ordinals in an immutable `_dvs/` side file
+   *    the readers skip. No segment rewrite, delete cost ∝ segments
+   *    actually overlapping the predicate.
+   * Epoch ENTRIES survive with segments removed/vectored: idempotence
+   * tags must keep absorbing a replayed micro-batch even after its data
+   * was deleted. Any predicate the scan can push (AND-conjunctions of
+   * =, <=>, IN, </<=/>/>=, IS [NOT] NULL, incl. `_epoch`) is deletable;
+   * OR-trees and expressions stay unsupported (Spark reports DELETE
+   * unsupported rather than silently rewriting the table).
    */
-  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
-    val conf = KvStore.hadoopConf()
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
-    atEpoch.isEmpty &&
-      filters.forall(KvFilters.supports(storedSchema, _)) &&
-      KvStore.readManifest(conf, path).forall(e => e.segs.forall { s =>
-        val st = s.stats.map(mapper.readTree)
-        KvFilters.segmentFullyMatches(storedSchema, filters.toSeq, e.epoch, st) ||
-          KvFilters.pruneSegment(storedSchema, filters.toSeq, e.epoch, st)
-      })
-  }
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    atEpoch.isEmpty && filters.forall(KvFilters.supports(storedSchema, _))
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(canDeleteWhere(filters),
-      s"graft-kv: DELETE on ${ident} is not metadata-only for ${filters.mkString(", ")} — " +
-        "a segment partially matches; rewrite via INSERT OVERWRITE instead")
-    val conf = KvStore.hadoopConf()
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
-    // the partition re-evaluates against the CURRENT manifest on every CAS
-    // attempt, so a concurrent append during the delete is never dropped —
-    // only segments that fully match the predicate at commit time go.
-    // Decidability is ALSO re-verified inside the closure: canDeleteWhere
-    // ran before the CAS, and a segment appended concurrently may only
-    // PARTIALLY match the predicate — committing then would report the
-    // DELETE successful while leaving matching rows behind. Mirror
-    // compact's conflict detection: leave the manifest unchanged and
-    // abort with the metadata-only error.
-    var dropped: Seq[KvStore.Segment] = Nil
-    var undecidable = false
-    KvStore.mutateManifest(conf, path) { manifest =>
-      undecidable = KvCatalogTable.hasUndecidableSegment(storedSchema, filters, manifest)
-      if (undecidable) None
-      else {
-        val parts = manifest.map { e =>
-          val (drop, keep) = e.segs.partition(s =>
-            KvFilters.segmentFullyMatches(storedSchema, filters.toSeq, e.epoch,
-              s.stats.map(mapper.readTree)))
-          (e.copy(segs = keep), drop)
-        }
-        dropped = parts.flatMap(_._2)
-        Some(parts.map(_._1))
-      }
-    }
-    if (undecidable)
-      throw new IllegalArgumentException(
-        s"graft-kv: DELETE on ${ident} lost an optimistic-concurrency race — " +
-          "a concurrently appended segment partially matches " +
-          s"${filters.mkString(", ")}, so the delete is no longer metadata-only; " +
-          "the store is unchanged; retry or rewrite via INSERT OVERWRITE")
-    // files go AFTER the manifest commit: a crash in between leaves
-    // orphans the manifest never lists (harmless), never a manifest
-    // pointing at deleted files
-    val fs = new Path(path).getFileSystem(conf)
-    dropped.foreach(s =>
-      try fs.delete(new Path(KvStore.segmentsDir(path), s.name), false)
-      catch { case _: Exception => () })
+      s"graft-kv: DELETE on ${ident} with unsupported predicate ${filters.mkString(", ")}")
+    KvCatalogTable.deleteRows(
+      org.apache.spark.sql.SparkSession.active, path, storedSchema, filters,
+      ident.toString)
   }
 
   override def name(): String = ident.toString
@@ -360,19 +320,166 @@ class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
 }
 
 object KvCatalogTable {
-  /** The deleteWhere decidability re-check, run INSIDE the CAS closure:
-   * true when any visible segment neither fully matches nor provably
-   * excludes the predicate — i.e. a concurrent append made the DELETE no
-   * longer metadata-only and the commit must abort (compact's conflict
-   * shape). Exposed for the spec; deleteWhere is the only caller. */
-  private[v2] def hasUndecidableSegment(schema: StructType,
+
+  /** bounded optimistic retries for [[deleteRows]] before surfacing the
+   * conflict to the caller */
+  private val maxDeleteAttempts = 5
+
+  /** The DELETE conflict re-check, run INSIDE the CAS closure against the
+   * manifest current at commit time. Returns the first conflict found:
+   *  - a segment NOT in the delete's scanned snapshot whose stats cannot
+   *    prove it misses the predicate — rows appended concurrently that the
+   *    DELETE never evaluated (Delta's ConcurrentAppendException shape);
+   *  - a snapshot segment whose deletion vector changed since the scan —
+   *    a concurrent DELETE's union this one would clobber.
+   * Either way the commit aborts (manifest unchanged) and the caller
+   * re-scans. Exposed for the spec; deleteRows is the only caller. */
+  private[v2] def deleteConflict(schema: StructType,
       filters: Array[org.apache.spark.sql.sources.Filter],
-      manifest: Seq[KvStore.Epoch]): Boolean = {
+      snapshot: Seq[KvStore.Epoch],
+      manifest: Seq[KvStore.Epoch]): Option[String] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
-    manifest.exists(e => e.segs.exists { s =>
-      val st = s.stats.map(mapper.readTree)
-      !KvFilters.segmentFullyMatches(schema, filters.toSeq, e.epoch, st) &&
-        !KvFilters.pruneSegment(schema, filters.toSeq, e.epoch, st)
-    })
+    val dvAtSnap: Map[String, Option[String]] =
+      snapshot.flatMap(_.segs.map(s => s.name -> s.dv)).toMap
+    manifest.iterator.flatMap { e =>
+      e.segs.iterator.flatMap { s =>
+        dvAtSnap.get(s.name) match {
+          case None
+            if !KvFilters.pruneSegment(schema, filters.toSeq, e.epoch,
+              s.stats.map(mapper.readTree)) =>
+            Some(s"concurrently appended segment ${s.name} may match the predicate")
+          case Some(dv) if dv != s.dv =>
+            Some(s"concurrent DELETE replaced the deletion vector of ${s.name}")
+          case _ => None
+        }
+      }
+    }.nextOption()
+  }
+
+  /**
+   * The two-tier DELETE (see [[KvCatalogTable.deleteWhere]]): classify the
+   * snapshot's segments from manifest stats, drop full matches whole, run
+   * ONE distributed row-exact pass over the partial ones to build unioned
+   * deletion vectors, then CAS-commit both under the conflict re-check —
+   * retrying the whole scan on conflict (bounded), so the committed DVs
+   * always describe the manifest state they land on. Scales by design:
+   * the job touches only segments whose stats overlap the predicate, each
+   * task streams one segment once, and the driver handles one (segment →
+   * dv-name) pair per partial segment — never row data.
+   */
+  private[v2] def deleteRows(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      label: String): Unit = {
+    val conf = KvStore.hadoopConf()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    var attempt = 0
+    var lastConflict: Option[String] = None
+    while (attempt < maxDeleteAttempts) {
+      attempt += 1
+      val snapshot = KvStore.readManifest(conf, path)
+      // classify every snapshot segment: full match → drop whole;
+      // provably no match → untouched; partial → deletion-vector job
+      val drops = scala.collection.mutable.HashSet[String]()
+      val partials = Seq.newBuilder[(Long, KvStore.Segment)]
+      snapshot.foreach { e =>
+        e.segs.foreach { s =>
+          val st = s.stats.map(mapper.readTree)
+          if (KvFilters.segmentFullyMatches(schema, filters.toSeq, e.epoch, st))
+            drops += s.name
+          else if (!KvFilters.pruneSegment(schema, filters.toSeq, e.epoch, st))
+            partials += ((e.epoch, s))
+        }
+      }
+      val partialSegs = partials.result()
+      // one distributed pass: each task streams its segment, re-evaluates
+      // the pushed conjunction with the reader's own compiled predicates,
+      // and writes the UNION of the old DV and the new matches as a fresh
+      // immutable DV file. Already-deleted ordinals skip even the parse.
+      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val dvSwaps: Map[String, Option[String]] =
+        if (partialSegs.isEmpty) Map.empty
+        else {
+          val jobs = partialSegs.map { case (ep, s) => (s.name, ep, s.dv) }
+          spark.sparkContext
+            .parallelize(jobs, math.min(jobs.size,
+              math.max(1, spark.sparkContext.defaultParallelism)))
+            .map { case (segName, epoch, oldDv) =>
+              val segPath = new Path(KvStore.segmentsDir(path), segName)
+              val fs = segPath.getFileSystem(serConf.value)
+              val compiled = KvFilters.compile(schema, filters.toSeq)
+              val old: Array[Long] =
+                oldDv.map(KvDv.read(fs, path, _)).getOrElse(Array.emptyLongArray)
+              val matched = Array.newBuilder[Long]
+              val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+                fs.open(segPath), "UTF-8"))
+              try {
+                val m = new com.fasterxml.jackson.databind.ObjectMapper
+                var ordinal = -1L
+                var dvPtr = 0
+                var line = reader.readLine()
+                while (line != null) {
+                  ordinal += 1
+                  while (dvPtr < old.length && old(dvPtr) < ordinal) dvPtr += 1
+                  if ((dvPtr >= old.length || old(dvPtr) != ordinal) &&
+                      KvFilters.matchesNode(compiled, m.readTree(line), epoch))
+                    matched += ordinal
+                  line = reader.readLine()
+                }
+              } finally reader.close()
+              val hits = matched.result()
+              if (hits.isEmpty) (segName, None: Option[String])
+              else (segName, Some(KvDv.write(fs, path, old ++ hits)))
+            }
+            .collect().toMap
+        }
+      // CAS: apply drops + dv swaps iff no concurrent append/DELETE
+      // invalidated the scan; a no-op delete (nothing matched anywhere)
+      // leaves the manifest version untouched.
+      var conflict: Option[String] = None
+      var dropped: Seq[KvStore.Segment] = Nil
+      KvStore.mutateManifest(conf, path) { manifest =>
+        conflict = deleteConflict(schema, filters, snapshot, manifest)
+        if (conflict.isDefined) None
+        else {
+          val parts = manifest.map { e =>
+            val (drop, keep) = e.segs.partition(s => drops.contains(s.name))
+            val rewritten = keep.map { s =>
+              dvSwaps.getOrElse(s.name, None) match {
+                case Some(nv) => s.copy(dv = Some(nv))
+                case None => s
+              }
+            }
+            (e.copy(segs = rewritten), drop)
+          }
+          dropped = parts.flatMap(_._2)
+          val changed = dropped.nonEmpty || dvSwaps.values.exists(_.isDefined)
+          if (changed) Some(parts.map(_._1)) else None
+        }
+      }
+      if (conflict.isEmpty) {
+        // files go AFTER the manifest commit: a crash in between leaves
+        // orphans the manifest never lists (harmless), never a manifest
+        // pointing at deleted files. A dropped segment's DV goes with it;
+        // REPLACED DVs stay for vacuum (a reader inside the grace window
+        // may still hold the pre-swap manifest).
+        val fs = new Path(path).getFileSystem(conf)
+        dropped.foreach { s =>
+          try fs.delete(new Path(KvStore.segmentsDir(path), s.name), false)
+          catch { case _: Exception => () }
+          s.dv.foreach(d =>
+            try fs.delete(new Path(KvDv.dvsDir(path), d), false)
+            catch { case _: Exception => () })
+        }
+        return
+      }
+      lastConflict = conflict
+      // retry on a fresh snapshot; this attempt's DV files are
+      // unreferenced orphans vacuum sweeps past the grace window
+    }
+    throw new java.io.IOException(
+      s"graft-kv: DELETE on $label kept losing the optimistic-concurrency " +
+        s"race after $maxDeleteAttempts attempts (${lastConflict.getOrElse("?")}) — " +
+        "the store is unchanged; retry when concurrent writers settle")
   }
 }

@@ -108,6 +108,21 @@ private[v2] object KvFilters {
     Compiled(a, dt, pred)
   }
 
+  /** Row-exact evaluation of the compiled conjunction against a parsed
+   * segment line — the ONE definition of match semantics, shared by the
+   * scan readers and the DELETE deletion-vector job (`_epoch` comes from
+   * the enclosing manifest entry, not the row). */
+  def matchesNode(compiled: Seq[Compiled], node: JsonNode, epoch: Long): Boolean =
+    compiled.forall { cf =>
+      val value: Option[Any] =
+        if (cf.name == KvStore.epochCol) Some(epoch)
+        else {
+          val v = node.get(cf.name)
+          if (v == null || v.isNull) None else Some(jsonVal(cf.dt, v))
+        }
+      cf.pred(value)
+    }
+
   private def jsonVal(dt: DataType, n: JsonNode): Any = dt match {
     case LongType | IntegerType => n.asLong()
     case DoubleType => n.asDouble()

@@ -163,7 +163,11 @@ object KvStore {
   /** one committed segment: file name + optional column-stats JSON
    * (`{"rows":N,"cols":{"k":{"min":…,"max":…,"nulls":N}}}`) recorded by the
    * writer task — what lets a filtered scan skip the segment entirely */
-  private[v2] case class Segment(name: String, stats: Option[String])
+  /** one committed segment: file name, writer-recorded stats JSON, and
+   * the current deletion vector's file name under `_dvs/` (None = no rows
+   * deleted; see [[KvDv]]) */
+  private[v2] case class Segment(name: String, stats: Option[String],
+      dv: Option[String] = None)
 
   /** one committed epoch: ordinal, idempotence tag, its segments, and the
    * commit wall-clock (ms; 0 on pre-timestamp manifests) — what
@@ -255,7 +259,8 @@ object KvStore {
       val segs = e.get("segments").elements().asScala.map { s =>
         if (s.isTextual) Segment(s.asText(), None)
         else Segment(s.get("name").asText(),
-          Option(s.get("stats")).filterNot(_.isNull).map(_.toString))
+          Option(s.get("stats")).filterNot(_.isNull).map(_.toString),
+          Option(s.get("dv")).filterNot(_.isNull).map(_.asText()))
       }.toSeq
       Epoch(e.get("epoch").asLong(), e.get("tag").asText(), segs,
         Option(e.get("ts_ms")).map(_.asLong).getOrElse(0L))
@@ -326,15 +331,16 @@ object KvStore {
       n.put("ts_ms", e.tsMs)
       val segs = n.putArray("segments")
       e.segs.foreach { s =>
-        s.stats match {
-          case None => segs.add(s.name) // stats-free entries keep the old shape
-          case Some(js) =>
-            val o = segs.addObject()
-            o.put("name", s.name)
-            // explicit type argument: Jackson's generic `set[T <: JsonNode]`
-            // would otherwise infer the match's unified branch type
-            // (ArrayNode) and insert a failing cast
-            o.set[JsonNode]("stats", mapper.readTree(js))
+        if (s.stats.isEmpty && s.dv.isEmpty) {
+          segs.add(s.name) // plain entries keep the old shape
+        } else {
+          val o = segs.addObject()
+          o.put("name", s.name)
+          // explicit type argument: Jackson's generic `set[T <: JsonNode]`
+          // would otherwise infer the match's unified branch type
+          // (ArrayNode) and insert a failing cast
+          s.stats.foreach(js => o.set[JsonNode]("stats", mapper.readTree(js)))
+          s.dv.foreach(o.put("dv", _))
         }
       }
     }
@@ -475,7 +481,11 @@ object KvStore {
     val conf = hadoopConf()
     val schema = readSchema(conf, path).getOrElse(return)
     val manifest = readManifest(conf, path)
-    if (manifest.length <= 1 && nowS.isEmpty) return // already compact
+    // already compact — unless a deletion vector is pending, which
+    // compaction MATERIALIZES (rewrites survivors, drops the dv): the
+    // purge step that reclaims the deleted rows' storage
+    if (manifest.length <= 1 && nowS.isEmpty &&
+      !manifest.exists(_.segs.exists(_.dv.isDefined))) return
     val resolved = readCurrent(spark, path, keyCols, nowS)
     // route the resolved rows through the normal task-staging writer
     val serConf = new SerializableConfiguration(conf)
@@ -505,7 +515,12 @@ object KvStore {
     val names = publishSegments(fs, path, epoch, staged)
     var conflicted = false
     mutateManifest(conf, path) { m =>
-      if (m.map(e => (e.epoch, e.tag)) != manifest.map(e => (e.epoch, e.tag))) {
+      // FULL state comparison, not just (epoch, tag): a concurrent
+      // metadata DELETE (segment drop) or row-level DELETE (deletion-
+      // vector swap) changes what the resolved rows SHOULD have been
+      // without adding an epoch — committing the stale rewrite would
+      // resurrect the deleted rows.
+      if (m != manifest) {
         conflicted = true
         names.foreach(s =>
           try fs.delete(new Path(segmentsDir(path), s.name), false)
@@ -606,11 +621,14 @@ object KvStore {
     // the restated snapshot keeps the newest folded commit's wall-clock so
     // TIMESTAMP AS OF stays monotonic across the fold
     val baseTs = folded.map(_.tsMs).max
-    val foldedKey = folded.map(e => (e.epoch, e.tag, e.segments))
+    // FULL segment state (incl. deletion vectors) in the conflict key: a
+    // concurrent row-level DELETE swapping a dv inside the prefix would
+    // otherwise fold pre-delete rows back in.
+    val foldedKey = folded.map(e => (e.epoch, e.tag, e.segs))
     var conflicted = false
     mutateManifest(conf, path) { m =>
       val prefix = m.filter(_.epoch < floor).sortBy(_.epoch)
-      if (prefix.map(e => (e.epoch, e.tag, e.segments)) != foldedKey) {
+      if (prefix.map(e => (e.epoch, e.tag, e.segs)) != foldedKey) {
         conflicted = true
         names.foreach(s =>
           try fs.delete(new Path(segmentsDir(path), s.name), false)
@@ -651,7 +669,9 @@ object KvStore {
     val conf = hadoopConf()
     val fs = new Path(path).getFileSystem(conf)
     val cutoff = System.currentTimeMillis() - graceMs
-    val listed = readManifest(conf, path).flatMap(_.segments).toSet
+    val manifest = readManifest(conf, path)
+    val listed = manifest.flatMap(_.segments).toSet
+    val listedDvs = manifest.flatMap(_.segs.flatMap(_.dv)).toSet
     var removed = 0L
     def sweep(dir: Path, keep: String => Boolean): Unit =
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
@@ -663,6 +683,12 @@ object KvStore {
       }
     sweep(segmentsDir(path), listed.contains)
     sweep(stagingDir(path), _ => false)
+    // _dvs/: a DELETE that unions an existing deletion vector publishes a
+    // NEW file and drops the manifest reference to the old one; folded or
+    // dropped segments orphan theirs too. Unreferenced DVs past the grace
+    // window go — a reader still holding the pre-swap manifest within the
+    // window keeps its consistent view.
+    sweep(KvDv.dvsDir(path), listedDvs.contains)
     // _commits/ too: a crashed or lost CAS attempt leaves its `.tmp-<uuid>`
     // behind (mutateManifest writes the tmp BEFORE publishExclusive, and a
     // loser never cleans up) — invisible to readers (readVersionedManifest
@@ -825,13 +851,13 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
    * because runtime filters can arrive AFTER statistics were estimated
    * (Spark re-plans input partitions post-`filter()`) */
   private def survivingSegments(fs: Seq[org.apache.spark.sql.sources.Filter])
-      : Seq[(String, Long)] = {
+      : Seq[(KvStore.Segment, Long)] = {
     val mapper = new ObjectMapper
     visibleManifest.flatMap { e =>
       e.segs.collect {
         case s if fs.isEmpty || !KvFilters.pruneSegment(
             storedSchema, fs, e.epoch, s.stats.map(mapper.readTree)) =>
-          (s.name, e.epoch)
+          (s, e.epoch)
       }
     }
   }
@@ -853,7 +879,7 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
       private val total = {
         val fs = new Path(path).getFileSystem(conf)
         survivingSegments(filters).map { case (s, _) =>
-          val p = new Path(KvStore.segmentsDir(path), s)
+          val p = new Path(KvStore.segmentsDir(path), s.name)
           try fs.getFileStatus(p).getLen catch { case _: Exception => 0L }
         }.sum
       }
@@ -865,7 +891,8 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
     override def planInputPartitions(): Array[InputPartition] = {
       val segDir = KvStore.segmentsDir(path)
       survivingSegments(effectiveFilters).map { case (s, epoch) =>
-        KvSegmentPartition(new Path(segDir, s).toString, epoch): InputPartition
+        KvSegmentPartition(new Path(segDir, s.name).toString, epoch,
+          s.dv.map(d => new Path(KvDv.dvsDir(path), d).toString)): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -951,8 +978,9 @@ class KvMicroBatchStream(path: String, conf: Configuration, out: StructType,
     val segDir = KvStore.segmentsDir(path)
     KvStore.readManifest(conf, path)
       .filter(ep => ep.epoch > s && ep.epoch <= e)
-      .flatMap(ep => ep.segments.map(n =>
-        KvSegmentPartition(new Path(segDir, n).toString, ep.epoch): InputPartition))
+      .flatMap(ep => ep.segs.map(sg =>
+        KvSegmentPartition(new Path(segDir, sg.name).toString, ep.epoch,
+          sg.dv.map(d => new Path(KvDv.dvsDir(path), d).toString)): InputPartition))
       .toArray
   }
 
@@ -961,7 +989,10 @@ class KvMicroBatchStream(path: String, conf: Configuration, out: StructType,
       storedSchema, filters)
 }
 
-case class KvSegmentPartition(file: String, epoch: Long) extends InputPartition
+/** one segment file to read; `dvFile` = full path of the segment's current
+ * deletion vector, whose ordinals the reader skips (merge-on-read) */
+case class KvSegmentPartition(file: String, epoch: Long,
+    dvFile: Option[String] = None) extends InputPartition
 
 /** Reads a segment into exactly `out` — any subset/order of the stored
  * columns plus the `_epoch` metadata column (filled from the partition,
@@ -981,28 +1012,27 @@ class KvReaderFactory(out: StructType, conf: SerializableConfiguration,
         path.getFileSystem(conf.value).open(path), "UTF-8"))
       private val mapper = new ObjectMapper
       private val compiled = KvFilters.compile(storedSchema, filters)
+      // merge-on-read: the segment's deletion vector as sorted ordinals.
+      // Lines stream in ordinal order, so one monotone pointer suffices —
+      // O(1) per row, and a deleted line skips even the JSON parse.
+      private val deleted: Array[Long] = p.dvFile
+        .map(f => KvDv.readFile(path.getFileSystem(conf.value), new Path(f)))
+        .getOrElse(Array.emptyLongArray)
+      private var dvPtr = 0
+      private var ordinal = -1L
       private var row: InternalRow = _
 
-      private def matches(node: JsonNode): Boolean = compiled.forall { cf =>
-        val value: Option[Any] =
-          if (cf.name == KvStore.epochCol) Some(p.epoch)
-          else {
-            val v = node.get(cf.name)
-            if (v == null || v.isNull) None
-            else Some(cf.dt match {
-              case LongType | IntegerType => v.asLong()
-              case DoubleType => v.asDouble()
-              case BooleanType => v.asBoolean()
-              case StringType => UTF8String.fromString(v.asText())
-              case other => throw new IllegalStateException(s"graft-kv: $other")
-            })
-          }
-        cf.pred(value)
-      }
+      private def matches(node: JsonNode): Boolean =
+        KvFilters.matchesNode(compiled, node, p.epoch)
 
       override def next(): Boolean = {
         var line = reader.readLine()
         while (line != null) {
+          ordinal += 1
+          while (dvPtr < deleted.length && deleted(dvPtr) < ordinal) dvPtr += 1
+          if (dvPtr < deleted.length && deleted(dvPtr) == ordinal) {
+            line = reader.readLine() // deleted row: skip before parsing
+          } else {
           val node = mapper.readTree(line)
           if (matches(node)) {
             val outRow = new GenericInternalRow(out.length)
@@ -1029,6 +1059,7 @@ class KvReaderFactory(out: StructType, conf: SerializableConfiguration,
             return true
           }
           line = reader.readLine()
+          }
         }
         row = null
         false

@@ -166,7 +166,7 @@ class KvCatalogSpec extends AnyFunSuite {
     assert(post.collect().map(_.getString(0)).toSeq === Seq("two"))
   }
 
-  test("metadata-only DELETE: epoch rollback, range-aligned delete, truncate, refusal") {
+  test("DELETE: epoch rollback, range-aligned metadata delete, dv partial delete, truncate") {
     sql("CREATE TABLE kvtest.ns.del (k BIGINT, v STRING)")
     sql("INSERT INTO kvtest.ns.del SELECT id, concat('a', id) FROM range(0, 10, 1, 1)")
     sql("INSERT INTO kvtest.ns.del SELECT id, concat('b', id) FROM range(100, 110, 1, 1)")
@@ -180,10 +180,16 @@ class KvCatalogSpec extends AnyFunSuite {
     // range-aligned delete drops the whole segment it covers
     sql("DELETE FROM kvtest.ns.del WHERE k >= 200")
     assert(sql("SELECT count(*) FROM kvtest.ns.del").collect()(0).getLong(0) === 10L)
-    // a partial overlap is NOT metadata-only and must refuse, not rewrite
-    val e = intercept[Exception](sql("DELETE FROM kvtest.ns.del WHERE k = 5"))
-    assert(e.getMessage.toLowerCase.contains("delete"), e.toString)
-    assert(sql("SELECT count(*) FROM kvtest.ns.del").collect()(0).getLong(0) === 10L)
+    // a partial overlap is not metadata-only: it lands as a deletion
+    // vector — row-exact, the segment file untouched
+    sql("DELETE FROM kvtest.ns.del WHERE k = 5")
+    assert(sql("SELECT count(*) FROM kvtest.ns.del").collect()(0).getLong(0) === 9L)
+    assert(sql("SELECT * FROM kvtest.ns.del WHERE k = 5").count() === 0)
+    // a second partial delete UNIONS into a fresh dv (old one to vacuum)
+    sql("DELETE FROM kvtest.ns.del WHERE k IN (2, 7)")
+    assert(sql("SELECT count(*) FROM kvtest.ns.del").collect()(0).getLong(0) === 7L)
+    assert(sql("SELECT sum(k) FROM kvtest.ns.del").collect()(0).getLong(0) ===
+      (0L until 10L).sum - 5 - 2 - 7)
     // TRUNCATE = delete-all; epoch numbering continues after
     sql("TRUNCATE TABLE kvtest.ns.del")
     assert(sql("SELECT count(*) FROM kvtest.ns.del").count() === 1) // count row
