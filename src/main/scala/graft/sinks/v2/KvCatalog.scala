@@ -387,7 +387,10 @@ object KvCatalogTable {
           val st = s.stats.map(mapper.readTree)
           if (KvFilters.segmentFullyMatches(schema, filters.toSeq, e.epoch, st))
             drops += s.name
-          else if (!KvFilters.pruneSegment(schema, filters.toSeq, e.epoch, st))
+          else if (!KvFilters.pruneSegment(schema, filters.toSeq, e.epoch, st) &&
+              // bloom consult: a point DELETE skips the row-exact job for
+              // segments that provably never held the key
+              !KvBloom.pruneSegment(conf, path, s.bloom, schema, filters.toSeq))
             partials += ((e.epoch, s))
         }
       }
@@ -469,6 +472,9 @@ object KvCatalogTable {
           catch { case _: Exception => () }
           s.dv.foreach(d =>
             try fs.delete(new Path(KvDv.dvsDir(path), d), false)
+            catch { case _: Exception => () })
+          s.bloom.foreach(b =>
+            try fs.delete(new Path(KvBloom.bloomsDir(path), b), false)
             catch { case _: Exception => () })
         }
         return

@@ -163,11 +163,12 @@ object KvStore {
   /** one committed segment: file name + optional column-stats JSON
    * (`{"rows":N,"cols":{"k":{"min":…,"max":…,"nulls":N}}}`) recorded by the
    * writer task — what lets a filtered scan skip the segment entirely */
-  /** one committed segment: file name, writer-recorded stats JSON, and
-   * the current deletion vector's file name under `_dvs/` (None = no rows
-   * deleted; see [[KvDv]]) */
+  /** one committed segment: file name, writer-recorded stats JSON, the
+   * current deletion vector's file name under `_dvs/` (None = no rows
+   * deleted; see [[KvDv]]), and the per-column bloom side file under
+   * `_blooms/` (None = never prune by bloom; see [[KvBloom]]) */
   private[v2] case class Segment(name: String, stats: Option[String],
-      dv: Option[String] = None)
+      dv: Option[String] = None, bloom: Option[String] = None)
 
   /** one committed epoch: ordinal, idempotence tag, its segments, and the
    * commit wall-clock (ms; 0 on pre-timestamp manifests) — what
@@ -175,6 +176,20 @@ object KvStore {
   private[v2] case class Epoch(epoch: Long, tag: String, segs: Seq[Segment],
       tsMs: Long = 0L) {
     def segments: Seq[String] = segs.map(_.name)
+  }
+
+  /** drop a segment's data file AND its side files (deletion vector,
+   * bloom) — every inline-cleanup path must use this so vacuum finds no
+   * planted orphans after a clean fold/compact/overwrite */
+  private def deleteSegFiles(fs: FileSystem, path: String, s: Segment): Unit = {
+    try fs.delete(new Path(segmentsDir(path), s.name), false)
+    catch { case _: Exception => () }
+    s.dv.foreach(d =>
+      try fs.delete(new Path(KvDv.dvsDir(path), d), false)
+      catch { case _: Exception => () })
+    s.bloom.foreach(b =>
+      try fs.delete(new Path(KvBloom.bloomsDir(path), b), false)
+      catch { case _: Exception => () })
   }
 
   // ---- versioned commit log (optimistic concurrency) ----
@@ -260,7 +275,8 @@ object KvStore {
         if (s.isTextual) Segment(s.asText(), None)
         else Segment(s.get("name").asText(),
           Option(s.get("stats")).filterNot(_.isNull).map(_.toString),
-          Option(s.get("dv")).filterNot(_.isNull).map(_.asText()))
+          Option(s.get("dv")).filterNot(_.isNull).map(_.asText()),
+          Option(s.get("bloom")).filterNot(_.isNull).map(_.asText()))
       }.toSeq
       Epoch(e.get("epoch").asLong(), e.get("tag").asText(), segs,
         Option(e.get("ts_ms")).map(_.asLong).getOrElse(0L))
@@ -331,7 +347,7 @@ object KvStore {
       n.put("ts_ms", e.tsMs)
       val segs = n.putArray("segments")
       e.segs.foreach { s =>
-        if (s.stats.isEmpty && s.dv.isEmpty) {
+        if (s.stats.isEmpty && s.dv.isEmpty && s.bloom.isEmpty) {
           segs.add(s.name) // plain entries keep the old shape
         } else {
           val o = segs.addObject()
@@ -341,6 +357,7 @@ object KvStore {
           // (ArrayNode) and insert a failing cast
           s.stats.foreach(js => o.set[JsonNode]("stats", mapper.readTree(js)))
           s.dv.foreach(o.put("dv", _))
+          s.bloom.foreach(o.put("bloom", _))
         }
       }
     }
@@ -350,8 +367,10 @@ object KvStore {
   /** Publish one epoch: ensure schema, move staged segments into place,
    * rewrite the manifest. `tag` is the idempotence key — if it is already
    * committed the staged files are discarded and nothing changes. */
-  /** a task-staged segment awaiting publish: file path + stats JSON */
-  private[v2] case class StagedSeg(file: String, stats: Option[String])
+  /** a task-staged segment awaiting publish: file path, stats JSON, and
+   * the staged per-column bloom side file if the writer built one */
+  private[v2] case class StagedSeg(file: String, stats: Option[String],
+      bloom: Option[String] = None)
 
   private[graft] def commitEpoch(conf: Configuration, path: String, schema: StructType,
       tag: String, staged: Seq[String]): Unit =
@@ -389,7 +408,10 @@ object KvStore {
         writeAtomic(fs, schemaFile(path), schema.json.getBytes("UTF-8"))
     }
     if (readManifest(conf, path).exists(_.tag == tag)) {
-      staged.foreach(s => fs.delete(new Path(s.file), false)) // replayed epoch
+      staged.foreach { s => // replayed epoch: discard data + bloom stages
+        fs.delete(new Path(s.file), false)
+        s.bloom.foreach(b => fs.delete(new Path(b), false))
+      }
       return
     }
     fs.mkdirs(segmentsDir(path))
@@ -398,15 +420,13 @@ object KvStore {
     // the epoch ordinal is then recomputed per CAS attempt — a concurrent
     // writer claiming the same ordinal just bumps ours on retry
     val segs = publishSegments(fs, path, 0L, staged)
-    var replacedSegs: Seq[String] = Nil
+    var replacedSegs: Seq[Segment] = Nil
     var applied = false
     mutateManifest(conf, path) { m =>
       if (m.exists(_.tag == tag)) {
         // replayed epoch discovered under the CAS: our published segment
         // files are unlisted orphans — tidy them and change nothing
-        segs.foreach(s =>
-          try fs.delete(new Path(segmentsDir(path), s.name), false)
-          catch { case _: Exception => () })
+        segs.foreach(deleteSegFiles(fs, path, _))
         applied = false
         None
       } else {
@@ -419,16 +439,14 @@ object KvStore {
           // leaves unlisted orphans, never a manifest pointing at deleted
           // files. Epoch numbering continues past the old maximum so
           // replay tags stay unique.
-          replacedSegs = m.flatMap(_.segments)
+          replacedSegs = m.flatMap(_.segs)
           Some(Seq(Epoch(epoch, tag, segs, System.currentTimeMillis())))
         } else
           Some(m :+ Epoch(epoch, tag, segs, System.currentTimeMillis()))
       }
     }
     if (applied && overwrite)
-      replacedSegs.foreach(n =>
-        try fs.delete(new Path(segmentsDir(path), n), false)
-        catch { case _: Exception => () })
+      replacedSegs.foreach(deleteSegFiles(fs, path, _))
   }
 
   /** Rename staged files into `segments/` under manifest-unique names. The
@@ -441,7 +459,18 @@ object KvStore {
       val name = f"seg-$epoch%06d-$i%05d-${UUID.randomUUID().toString.take(8)}.jsonl"
       if (!fs.rename(new Path(s.file), new Path(segmentsDir(path), name)))
         throw new java.io.IOException(s"graft-kv: publish rename failed for ${s.file}")
-      Segment(name, s.stats)
+      // the bloom side file rides along under the segment's final name;
+      // losing it (failed rename) costs pruning, never correctness
+      val bloomName = s.bloom.flatMap { b =>
+        val target = s"$name.bloom"
+        fs.mkdirs(KvBloom.bloomsDir(path))
+        try {
+          if (fs.rename(new Path(b), new Path(KvBloom.bloomsDir(path), target)))
+            Some(target)
+          else None
+        } catch { case _: Exception => None }
+      }
+      Segment(name, s.stats, bloom = bloomName)
     }
 
   // ---- public read helpers ----
@@ -496,12 +525,12 @@ object KvStore {
         try {
           rows.foreach(w.write)
           val m = w.commit().asInstanceOf[KvCommitMessage]
-          Iterator.single((m.stagedFile, m.statsJson))
+          Iterator.single((m.stagedFile, m.statsJson, m.bloomFile))
         } catch { case e: Throwable => w.abort(); throw e }
       }
-    }.collect().toSeq.map { case (f, st) => StagedSeg(f, st) } // bounded: one entry per partition
+    }.collect().toSeq.map { case (f, st, b) => StagedSeg(f, st, b) } // bounded: one entry per partition
     val fs = new Path(path).getFileSystem(conf)
-    val old = manifest.flatMap(_.segments)
+    val old = manifest.flatMap(_.segs)
     // publish: move staged segments in, then commit ONE epoch under the
     // CAS — but only if the manifest is STILL the state the resolved rows
     // were computed from. A concurrent append landing during the rewrite
@@ -522,9 +551,7 @@ object KvStore {
       // resurrect the deleted rows.
       if (m != manifest) {
         conflicted = true
-        names.foreach(s =>
-          try fs.delete(new Path(segmentsDir(path), s.name), false)
-          catch { case _: Exception => () })
+        names.foreach(deleteSegFiles(fs, path, _))
         None
       } else {
         conflicted = false
@@ -536,7 +563,7 @@ object KvStore {
       throw new java.io.IOException(
         s"graft-kv: compact at $path lost an optimistic-concurrency race " +
           "(a write committed during the rewrite) — the store is unchanged; retry")
-    old.foreach(n => fs.delete(new Path(segmentsDir(path), n), false))
+    old.foreach(deleteSegFiles(fs, path, _))
     // sweep leftover compact staging (a retried/speculative task that
     // committed after its twin won never gets an abort; anything still
     // staged after our commit is garbage)
@@ -611,10 +638,10 @@ object KvStore {
         try {
           rows.foreach(w.write)
           val m = w.commit().asInstanceOf[KvCommitMessage]
-          Iterator.single((m.stagedFile, m.statsJson))
+          Iterator.single((m.stagedFile, m.statsJson, m.bloomFile))
         } catch { case e: Throwable => w.abort(); throw e }
       }
-    }.collect().toSeq.map { case (f, st) => StagedSeg(f, st) }
+    }.collect().toSeq.map { case (f, st, b) => StagedSeg(f, st, b) }
     val fs = new Path(path).getFileSystem(conf)
     fs.mkdirs(segmentsDir(path))
     val names = publishSegments(fs, path, baseEpoch, staged)
@@ -630,9 +657,7 @@ object KvStore {
       val prefix = m.filter(_.epoch < floor).sortBy(_.epoch)
       if (prefix.map(e => (e.epoch, e.tag, e.segs)) != foldedKey) {
         conflicted = true
-        names.foreach(s =>
-          try fs.delete(new Path(segmentsDir(path), s.name), false)
-          catch { case _: Exception => () })
+        names.foreach(deleteSegFiles(fs, path, _))
         None
       } else {
         conflicted = false
@@ -645,8 +670,7 @@ object KvStore {
         s"graft-kv: expireEpochs at $path lost an optimistic-concurrency race " +
           "(the folded prefix changed during the rewrite) — the store is " +
           "unchanged; retry")
-    folded.flatMap(_.segments).foreach(n =>
-      fs.delete(new Path(segmentsDir(path), n), false))
+    folded.flatMap(_.segs).foreach(deleteSegFiles(fs, path, _))
     Option(fs.globStatus(new Path(stagingDir(path), "stage-expire-*")))
       .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
   }
@@ -689,6 +713,9 @@ object KvStore {
     // window go — a reader still holding the pre-swap manifest within the
     // window keeps its consistent view.
     sweep(KvDv.dvsDir(path), listedDvs.contains)
+    // _blooms/: side files of dropped/compacted/overwritten segments
+    val listedBlooms = manifest.flatMap(_.segs.flatMap(_.bloom)).toSet
+    sweep(KvBloom.bloomsDir(path), listedBlooms.contains)
     // _commits/ too: a crashed or lost CAS attempt leaves its `.tmp-<uuid>`
     // behind (mutateManifest writes the tmp BEFORE publishExclusive, and a
     // loser never cleans up) — invisible to readers (readVersionedManifest
@@ -855,8 +882,12 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
     val mapper = new ObjectMapper
     visibleManifest.flatMap { e =>
       e.segs.collect {
-        case s if fs.isEmpty || !KvFilters.pruneSegment(
-            storedSchema, fs, e.epoch, s.stats.map(mapper.readTree)) =>
+        case s if fs.isEmpty || (!KvFilters.pruneSegment(
+              storedSchema, fs, e.epoch, s.stats.map(mapper.readTree)) &&
+            // bloom consult only for segments min/max could NOT prune —
+            // a point lookup on an interleaved key space skips straight
+            // to the segments that may hold the value
+            !KvBloom.pruneSegment(conf, path, s.bloom, storedSchema, fs)) =>
           (s, e.epoch)
       }
     }
@@ -1143,7 +1174,7 @@ class KvWriteBuilder(path: String, schema: StructType, queryId: String,
       override def commit(messages: Array[WriterCommitMessage]): Unit =
         KvStore.commitEpochSegs(conf, path, schema, s"batch:$queryId",
           messages.collect { case m: KvCommitMessage =>
-            KvStore.StagedSeg(m.stagedFile, m.statsJson) }.toSeq, overwrite)
+            KvStore.StagedSeg(m.stagedFile, m.statsJson, m.bloomFile) }.toSeq, overwrite)
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         KvWrite.cleanStaged(conf, messages)
     }
@@ -1154,7 +1185,7 @@ class KvWriteBuilder(path: String, schema: StructType, queryId: String,
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         KvStore.commitEpochSegs(conf, path, schema, s"stream:$queryId:$epochId",
           messages.collect { case m: KvCommitMessage =>
-            KvStore.StagedSeg(m.stagedFile, m.statsJson) }.toSeq, overwrite)
+            KvStore.StagedSeg(m.stagedFile, m.statsJson, m.bloomFile) }.toSeq, overwrite)
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         KvWrite.cleanStaged(conf, messages)
     }
@@ -1167,12 +1198,17 @@ private object KvWrite {
       case m: KvCommitMessage if m != null =>
         val p = new Path(m.stagedFile)
         try p.getFileSystem(conf).delete(p, false) catch { case _: Exception => () }
+        m.bloomFile.foreach { b =>
+          try p.getFileSystem(conf).delete(new Path(b), false)
+          catch { case _: Exception => () }
+        }
       case _ => ()
     }
 }
 
 case class KvCommitMessage(stagedFile: String, rows: Long,
-    statsJson: Option[String] = None) extends WriterCommitMessage
+    statsJson: Option[String] = None,
+    bloomFile: Option[String] = None) extends WriterCommitMessage
 
 class KvWriterFactory(path: String, schema: StructType, conf: SerializableConfiguration)
     extends DataWriterFactory {
@@ -1206,6 +1242,9 @@ class KvDataWriter(path: String, schema: StructType, conf: Configuration,
   private val mins = new Array[Any](schema.length)
   private val maxs = new Array[Any](schema.length)
   private val nulls = new Array[Long](schema.length)
+  // per-column point-lookup blooms (long/int/string), staged as a side
+  // file the publish renames under `_blooms/` — see [[KvBloom]]
+  private val blooms = new KvBloom.Builder(schema)
 
   private def fold(i: Int, v: Any, cmp: (Any, Any) => Int): Unit = {
     if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
@@ -1221,9 +1260,11 @@ class KvDataWriter(path: String, schema: StructType, conf: Configuration,
       else f.dataType match {
         case LongType =>
           val v = record.getLong(i); node.put(f.name, v)
+          blooms.addLong(i, v)
           fold(i, v, (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long]))
         case IntegerType =>
           val v = record.getInt(i); node.put(f.name, v)
+          blooms.addLong(i, v.toLong)
           fold(i, v, (a, b) => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int]))
         case DoubleType =>
           val v = record.getDouble(i); node.put(f.name, v)
@@ -1233,6 +1274,7 @@ class KvDataWriter(path: String, schema: StructType, conf: Configuration,
           fold(i, v, (a, b) => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]))
         case StringType =>
           val v = record.getUTF8String(i).clone(); node.put(f.name, v.toString)
+          blooms.addString(i, v)
           fold(i, v, (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
         case other => throw new IllegalStateException(s"graft-kv: $other")
       }
@@ -1267,7 +1309,12 @@ class KvDataWriter(path: String, schema: StructType, conf: Configuration,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    KvCommitMessage(staged.toString, rows, Some(statsJson))
+    val bloomStage = blooms.serialize().flatMap { bytes =>
+      val p = new Path(KvStore.stagingDir(path), s"${staged.getName}.bloom")
+      try { KvStore.writeAtomic(fs, p, bytes); Some(p.toString) }
+      catch { case _: Exception => None } // pruning lost, correctness kept
+    }
+    KvCommitMessage(staged.toString, rows, Some(statsJson), bloomStage)
   }
 
   override def abort(): Unit = {
