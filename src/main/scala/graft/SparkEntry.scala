@@ -310,6 +310,33 @@ object SparkEntry {
       s.sql(s"SELECT cat, n, _epoch FROM $cat.cat.agg")
     }),
 
+    // Atomic UPSERT (merge): keys %8==0 UPDATE rows the base (%4==0) holds,
+    // keys %8==1 INSERT — matched old rows leave via deletion vectors, the
+    // source lands as one epoch, both under a single manifest CAS
+    // (KvStore.upsert). The oracle replays the merge as a FULL JOIN +
+    // coalesce, the SQL-MERGE-equivalent shape.
+    "k_kv_upsert" -> ((s, dir) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_kv_ups_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(base)
+      val orders = table(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"),
+          col("o_orderstatus").as("st"))
+        .write.format("graft-kv").option("path", base.toString).mode("append").save()
+      val src = orders.filter(col("o_orderkey") % 8 <= 1)
+        .select(col("o_orderkey").as("k"), (col("o_totalprice") * 2).as("v"),
+          col("o_orderstatus").as("st"))
+      graft.sinks.v2.KvStore.upsert(s, base.toString, src, Seq("k"))
+      graft.sinks.v2.KvStore.readCurrent(s, base.toString, Seq("k"))
+        .select(col("k").cast("long").as("k"), round(col("v"), 2).as("v_r"),
+          col("st"))
+    }),
+
     // S4 via DataSource V2: the reference's Kafka-Connect FS connector
     // (`LogsSourceTask.java:68-108`) re-expressed as a native Spark source
     // (sources.v2.LogsDataSource, format "graft-logs"). The events table is
@@ -2414,6 +2441,21 @@ object SparkEntry {
           |SELECT CAST(event_id % 20 AS BIGINT),
           |       CAST(count(*) AS BIGINT), CAST(1 AS BIGINT)
           |FROM events WHERE event_type = 'view' GROUP BY 1""".stripMargin,
+
+      // the merge replayed as FULL JOIN + coalesce (the SQL MERGE shape):
+      // updated keys take the source value, inserts appear, the rest of
+      // the base survives untouched
+      "k_kv_upsert" ->
+        """WITH base AS (
+          |  SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st
+          |  FROM orders WHERE o_orderkey % 4 = 0),
+          |upd AS (
+          |  SELECT o_orderkey AS k, o_totalprice * 2 AS v, o_orderstatus AS st
+          |  FROM orders WHERE o_orderkey % 8 <= 1)
+          |SELECT CAST(coalesce(u.k, b.k) AS BIGINT) AS k,
+          |       round(coalesce(u.v, b.v), 2) AS v_r,
+          |       coalesce(u.st, b.st) AS st
+          |FROM base b FULL JOIN upd u ON b.k = u.k""".stripMargin,
 
       // replay of the wire derivation (time = floor(epoch), categoryId =
       // event_id%20+1000 as its decimal string — JSON numbers surface as

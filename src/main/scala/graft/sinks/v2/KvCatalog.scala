@@ -117,9 +117,11 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
     val fs = path.getFileSystem(conf)
     if (isStore(path)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(path)
+    // nullable-normalized like every schema read (see readSchemaFile):
+    // JSON rows can carry null in any column regardless of the DDL
     KvStore.writeAtomic(fs, KvStore.schemaFile(path.toString),
-      schema.json.getBytes("UTF-8"))
-    new KvCatalogTable(ident, schema, path.toString, None)
+      KvStore.allNullable(schema).json.getBytes("UTF-8"))
+    new KvCatalogTable(ident, KvStore.allNullable(schema), path.toString, None)
   }
 
   /** Widening-only evolution, same contract as the write path: ADD COLUMN

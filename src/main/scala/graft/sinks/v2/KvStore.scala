@@ -114,6 +114,11 @@ object KvStore {
   private[v2] def segmentsDir(path: String) = new Path(path, "segments")
   private[v2] def stagingDir(path: String) = new Path(path, "_staging")
 
+  /** flat-schema nullability normalization (the store's types are scalar
+   * by [[validateSchema]], so field-level is enough) */
+  private[v2] def allNullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
   private[v2] def readSchema(conf: Configuration, path: String): Option[StructType] =
     readSchemaFile(conf, schemaFile(path))
 
@@ -127,7 +132,14 @@ object KvStore {
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(DataType.fromJson(bytes.toString("UTF-8")).asInstanceOf[StructType])
+        // ALWAYS nullable: a JSON-row store can surface null in any column
+        // (an explicit null write, or a column a pre-ALTER segment never
+        // saw). Reporting a first-writer's non-nullable field would let
+        // Catalyst fold IsNull to false and read the slot uncheck — the
+        // classic wrong-0 — so nullability is normalized at the ONE place
+        // every schema read goes through.
+        Some(allNullable(
+          DataType.fromJson(bytes.toString("UTF-8")).asInstanceOf[StructType]))
       } finally in.close()
     }
   }
@@ -405,7 +417,7 @@ object KvStore {
         }
       case None =>
         fs.mkdirs(new Path(path))
-        writeAtomic(fs, schemaFile(path), schema.json.getBytes("UTF-8"))
+        writeAtomic(fs, schemaFile(path), allNullable(schema).json.getBytes("UTF-8"))
     }
     if (readManifest(conf, path).exists(_.tag == tag)) {
       staged.foreach { s => // replayed epoch: discard data + bloom stages
@@ -673,6 +685,249 @@ object KvStore {
     folded.flatMap(_.segs).foreach(deleteSegFiles(fs, path, _))
     Option(fs.globStatus(new Path(stagingDir(path), "stage-expire-*")))
       .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
+  }
+
+  // ---- UPSERT (merge) ----
+
+  /** canonical key-tuple text, shared VERBATIM by the driver side (source
+   * rows) and the executor side (parsed segment lines) — any divergence
+   * between the two would silently drop matches */
+  private def keyRepr(dt: DataType, v: Any): String = dt match {
+    case LongType | IntegerType => v.asInstanceOf[Number].longValue.toString
+    case StringType => v.toString
+    case BooleanType => v.toString
+    case DoubleType => v.asInstanceOf[Number].doubleValue.toString
+    case other =>
+      throw new IllegalArgumentException(s"graft-kv: unsupported upsert key type $other")
+  }
+  private def nodeKeyRepr(dt: DataType, n: JsonNode): Option[String] =
+    if (n == null || n.isNull) None
+    else Some(dt match {
+      case LongType | IntegerType => n.asLong().toString
+      case StringType => n.asText()
+      case BooleanType => n.asBoolean().toString
+      case DoubleType => n.asDouble().toString
+      case other =>
+        throw new IllegalArgumentException(s"graft-kv: unsupported upsert key type $other")
+    })
+
+  /** sound SUPERSET filters over the source key set, per key column, for
+   * segment classification: an `In` when the per-column value set is small
+   * (enables exact stats + bloom point pruning), else the [min,max] range
+   * (stats-only). Pruning by a superset is always safe — it can only keep
+   * extra segments, never lose a match. */
+  private def upsertPruneFilters(schema: StructType, keyCols: Seq[String],
+      keyRows: Array[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, In, LessThanOrEqual}
+    keyCols.zipWithIndex.flatMap { case (k, i) =>
+      val dt = schema(k).dataType
+      val vs = keyRows.iterator.map(_.get(i)).toArray.distinct
+      if (vs.isEmpty) Nil
+      else if (vs.length <= 1024) Seq(In(k, vs))
+      else {
+        val ord = new Ordering[Any] {
+          def compare(a: Any, b: Any): Int = dt match {
+            case LongType | IntegerType =>
+              java.lang.Long.compare(a.asInstanceOf[Number].longValue,
+                b.asInstanceOf[Number].longValue)
+            case StringType => a.toString.compareTo(b.toString)
+            case DoubleType =>
+              java.lang.Double.compare(a.asInstanceOf[Number].doubleValue,
+                b.asInstanceOf[Number].doubleValue)
+            case _ => 0
+          }
+        }
+        Seq(GreaterThanOrEqual(k, vs.min(ord)), LessThanOrEqual(k, vs.max(ord)))
+      }
+    }
+  }
+
+  /**
+   * Atomic UPSERT — the MERGE step the first-write-wins contract otherwise
+   * forbids: each `source` row REPLACES the store's visible value for its
+   * key, unmatched keys are inserted, untouched keys keep their value.
+   * Mechanically: (a) matched old rows across ALL epochs are removed via
+   * fresh deletion vectors (the row-level DELETE machinery), and (b) the
+   * source lands as ONE new epoch — BOTH swinging in a single manifest
+   * CAS, so a reader sees the old value or the new one, never neither or
+   * both. Like row-level DELETE, the dv swap restates history: time-travel
+   * reads below the upsert no longer see the replaced rows (the documented
+   * contract — dvs are physical removal, not versioned tombstones).
+   *
+   * Scale contract: the source's distinct key set is collected and
+   * broadcast (the dimension side of a broadcast join, capped at
+   * `maxUpsertKeys` with a named error pointing at the full-rewrite path
+   * for bulk merges). Segment classification consults min/max stats AND
+   * the per-column bloom side files, so a point upsert touches only the
+   * segments that may hold its keys; the row-exact pass then streams each
+   * touched segment exactly once. Same-epoch set semantics apply WITHIN
+   * the source (duplicate source keys all land — pass key-distinct frames
+   * for one-row-per-key), matching readCurrent's granularity contract.
+   * Rows whose key columns contain null never match anything: they are
+   * inserted, mirroring SQL MERGE's null-join behavior.
+   */
+  def upsert(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], maxUpsertKeys: Int = 1000000): Unit = {
+    val conf = hadoopConf()
+    val schemaOpt = readSchema(conf, path)
+    if (schemaOpt.isEmpty) {
+      // nothing committed yet: the upsert IS the first write
+      source.write.format("graft-kv").option("path", path).mode("append").save()
+      return
+    }
+    val schema = schemaOpt.get
+    require(keyCols.nonEmpty, "graft-kv: upsert needs at least one key column")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"graft-kv: upsert key '$k' not in stored schema ${schema.fieldNames.mkString(",")}"))
+    // align the source to the stored column order and types (the DSv2
+    // write path resolves by name; this does the same for the merge)
+    val aligned = source.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+
+    // matched-key set: canonical tuple strings (null key never matches)
+    val keyDts = keyCols.map(k => schema(k).dataType)
+    val keyRows = aligned.select(keyCols.map(col): _*)
+      .na.drop("any").distinct().limit(maxUpsertKeys + 1).collect()
+    if (keyRows.length > maxUpsertKeys)
+      throw new IllegalArgumentException(
+        s"graft-kv: upsert source exceeds $maxUpsertKeys distinct keys — for bulk " +
+          "merges rewrite the store instead (compact over readCurrent ∪ source)")
+    val keySet: Set[String] = keyRows.iterator.map { r =>
+      keyCols.indices.map(i => keyRepr(keyDts(i), r.get(i))).mkString("\u0000")
+    }.toSet
+
+    // stage + publish the new epoch's segments ONCE (published files stay
+    // valid across CAS retries: they are unlisted orphans until the commit
+    // names them, and the ordinal in the file name is cosmetic)
+    val serConf = new SerializableConfiguration(conf)
+    val staged = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val w = new KvDataWriter(path, schema, serConf.value, s"upsert-$pid")
+        try {
+          rows.foreach(w.write)
+          val m = w.commit().asInstanceOf[KvCommitMessage]
+          Iterator.single((m.stagedFile, m.statsJson, m.bloomFile))
+        } catch { case e: Throwable => w.abort(); throw e }
+      }
+    }.collect().toSeq.map { case (f, st, b) => StagedSeg(f, st, b) }
+    if (staged.isEmpty) return // empty source: no keys to match, nothing to insert
+    val fs = new Path(path).getFileSystem(conf)
+    fs.mkdirs(segmentsDir(path))
+    val newSegs = publishSegments(fs, path, 0L, staged)
+
+    val pruneFs = upsertPruneFilters(schema, keyCols, keyRows)
+    val keyColsArr = keyCols.toArray
+    val keyDtsArr = keyDts.toArray
+    var attempt = 0
+    var committed = false
+    while (!committed && attempt < 5) {
+      attempt += 1
+      val snapshot = readManifest(conf, path)
+      val mapper = new ObjectMapper
+      // classify: stats range/In + bloom consult — a point upsert streams
+      // only the segments that may hold its keys
+      val touched = snapshot.flatMap { e =>
+        e.segs.collect {
+          case s if keySet.nonEmpty &&
+              !KvFilters.pruneSegment(schema, pruneFs, e.epoch,
+                s.stats.map(mapper.readTree)) &&
+              !KvBloom.pruneSegment(conf, path, s.bloom, schema, pruneFs) =>
+            (s.name, s.dv)
+        }
+      }
+      val bcKeys = spark.sparkContext.broadcast(keySet)
+      val dvSwaps: Map[String, Option[String]] =
+        if (touched.isEmpty) Map.empty
+        else spark.sparkContext
+          .parallelize(touched, math.min(touched.size,
+            math.max(1, spark.sparkContext.defaultParallelism)))
+          .map { case (segName, oldDv) =>
+            val segPath = new Path(segmentsDir(path), segName)
+            val sfs = segPath.getFileSystem(serConf.value)
+            val old: Array[Long] =
+              oldDv.map(KvDv.read(sfs, path, _)).getOrElse(Array.emptyLongArray)
+            val matched = Array.newBuilder[Long]
+            val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+              sfs.open(segPath), "UTF-8"))
+            try {
+              val m = new ObjectMapper
+              var ordinal = -1L
+              var dvPtr = 0
+              var line = reader.readLine()
+              while (line != null) {
+                ordinal += 1
+                while (dvPtr < old.length && old(dvPtr) < ordinal) dvPtr += 1
+                if (dvPtr >= old.length || old(dvPtr) != ordinal) {
+                  val node = m.readTree(line)
+                  var i = 0
+                  val key = new StringBuilder
+                  var live = true
+                  while (live && i < keyColsArr.length) {
+                    nodeKeyRepr(keyDtsArr(i), node.get(keyColsArr(i))) match {
+                      case Some(repr) =>
+                        if (i > 0) key.append('\u0000')
+                        key.append(repr)
+                      case None => live = false // null key: never matches
+                    }
+                    i += 1
+                  }
+                  if (live && bcKeys.value.contains(key.toString)) matched += ordinal
+                }
+                line = reader.readLine()
+              }
+            } finally reader.close()
+            val hits = matched.result()
+            if (hits.isEmpty) (segName, None: Option[String])
+            else (segName, Some(KvDv.write(sfs, path, old ++ hits)))
+          }
+          .collect().toMap
+      // ONE CAS: dv swaps + the new epoch append, atomically, iff the
+      // manifest is still the snapshot the dv pass scanned
+      var conflicted = false
+      mutateManifest(conf, path) { m =>
+        if (m != snapshot) { conflicted = true; None }
+        else {
+          conflicted = false
+          val epoch = m.map(_.epoch).maxOption.fold(0L)(_ + 1L)
+          val swapped = m.map(e => e.copy(segs = e.segs.map { s =>
+            dvSwaps.getOrElse(s.name, None) match {
+              case Some(nv) => s.copy(dv = Some(nv))
+              case None => s
+            }
+          }))
+          Some(swapped :+ Epoch(epoch, s"upsert:${UUID.randomUUID()}", newSegs,
+            System.currentTimeMillis()))
+        }
+      }
+      if (conflicted) {
+        // this attempt's fresh dv files are unlisted orphans — tidy now;
+        // the published newSegs stay for the next attempt
+        dvSwaps.values.flatten.foreach(d =>
+          try fs.delete(new Path(KvDv.dvsDir(path), d), false)
+          catch { case _: Exception => () })
+      } else committed = true
+    }
+    if (!committed) {
+      newSegs.foreach(deleteSegFiles(fs, path, _))
+      throw new java.io.IOException(
+        s"graft-kv: upsert at $path lost $attempt optimistic-concurrency races " +
+          "(concurrent commits kept landing) — the store is unchanged; retry")
+    }
+    // REPLACED dvs stay for vacuum (a reader inside the grace window may
+    // still hold the pre-swap manifest); leftover upsert staging goes now
+    Option(fs.globStatus(new Path(stagingDir(path), "stage-upsert-*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** UPDATE convenience over [[upsert]]: rewrites the CURRENT visible rows
+   * matching `cond` through the `set` expressions, keyed by `keyCols` —
+   * the copy-on-write UPDATE shape (read matched, transform, merge back). */
+  def update(spark: SparkSession, path: String, keyCols: Seq[String],
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Unit = {
+    val cur = readCurrent(spark, path, keyCols).filter(cond)
+    val updated = set.foldLeft(cur) { case (df, (c, e)) => df.withColumn(c, e) }
+    upsert(spark, path, updated, keyCols)
   }
 
   /**
