@@ -337,6 +337,39 @@ object SparkEntry {
           col("st"))
     }),
 
+    // SQL MERGE INTO end to end (SupportsRowLevelOperations, delta-based):
+    // matched rows with status 'F' DELETE, other matches UPDATE the price,
+    // misses INSERT — Spark's row-level rewrite feeds (_seg, _pos) rowIds
+    // back as deletion-vector tombstones and the statement commits dv
+    // swaps + one insert epoch in a single CAS. The oracle replays the
+    // three-way action as a FULL JOIN with a CASE per action.
+    "k_kv_merge_sql" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = s"graftkvmrg_$tag"
+      val wh = new java.io.File(sys.props("java.io.tmpdir"), s"graft_kvmrg_q_$tag")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(wh)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sinks.v2.GraftKvCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.cat.m") // same-dir rerun (bench best-of-N)
+      table(s, dir, "orders").createOrReplaceTempView("kv_merge_orders")
+      s.sql(s"""CREATE TABLE $cat.cat.m AS
+               SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st
+               FROM kv_merge_orders WHERE o_orderkey % 4 = 0""")
+      s.sql(s"""MERGE INTO $cat.cat.m t
+               USING (SELECT o_orderkey AS k, o_totalprice * 2 AS v,
+                             o_orderstatus AS st
+                      FROM kv_merge_orders WHERE o_orderkey % 8 <= 1) s
+               ON t.k = s.k
+               WHEN MATCHED AND s.st = 'F' THEN DELETE
+               WHEN MATCHED THEN UPDATE SET v = s.v
+               WHEN NOT MATCHED THEN INSERT (k, v, st) VALUES (s.k, s.v, s.st)""")
+      s.sql(s"SELECT CAST(k AS BIGINT) AS k, round(v, 2) AS v_r, st FROM $cat.cat.m")
+    }),
+
     // S4 via DataSource V2: the reference's Kafka-Connect FS connector
     // (`LogsSourceTask.java:68-108`) re-expressed as a native Spark source
     // (sources.v2.LogsDataSource, format "graft-logs"). The events table is
@@ -2456,6 +2489,22 @@ object SparkEntry {
           |       round(coalesce(u.v, b.v), 2) AS v_r,
           |       coalesce(u.st, b.st) AS st
           |FROM base b FULL JOIN upd u ON b.k = u.k""".stripMargin,
+
+      // MERGE replayed action by action: matched+`F` rows vanish, other
+      // matches take the doubled source price but KEEP the target status
+      // (the UPDATE sets only v), inserts take both from the source
+      "k_kv_merge_sql" ->
+        """WITH base AS (
+          |  SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st
+          |  FROM orders WHERE o_orderkey % 4 = 0),
+          |src AS (
+          |  SELECT o_orderkey AS k, o_totalprice * 2 AS v, o_orderstatus AS st
+          |  FROM orders WHERE o_orderkey % 8 <= 1)
+          |SELECT CAST(coalesce(s.k, b.k) AS BIGINT) AS k,
+          |       round(CASE WHEN s.k IS NOT NULL THEN s.v ELSE b.v END, 2) AS v_r,
+          |       coalesce(b.st, s.st) AS st
+          |FROM base b FULL JOIN src s ON b.k = s.k
+          |WHERE NOT (b.k IS NOT NULL AND s.k IS NOT NULL AND s.st = 'F')""".stripMargin,
 
       // replay of the wire derivation (time = floor(epoch), categoryId =
       // event_id%20+1000 as its decimal string — JSON numbers surface as

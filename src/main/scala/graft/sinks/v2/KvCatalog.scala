@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -243,7 +243,23 @@ class GraftKvCatalog extends TableCatalog with SupportsNamespaces {
 class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
     atEpoch: Option[Long])
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
-    with SupportsDelete {
+    with SupportsDelete with SupportsRowLevelOperations {
+
+  /** SQL row-level DML (DELETE with arbitrary predicates, UPDATE, MERGE
+   * INTO), delta-based over deletion vectors — see [[KvRowLevelOperation]].
+   * Fully-pushable DELETEs still take the metadata/dv fast path below:
+   * Spark's OptimizeMetadataOnlyDeleteFromTable converts the rewritten
+   * plan back when [[canDeleteWhere]] accepts the filters. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(atEpoch.isEmpty,
+      s"graft-kv: row-level ${info.command()} on a time-travel snapshot of " +
+        s"$ident is not allowed — DML applies to the current table")
+    new RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new KvRowLevelOperation(path, storedSchema, info.command())
+    }
+  }
 
   /**
    * Row-level DELETE, two-tier (the Delta/Iceberg shape):
@@ -289,6 +305,20 @@ class KvCatalogTable(ident: Identifier, storedSchema: StructType, path: String,
       override def dataType(): DataType = LongType
       override def isNullable: Boolean = false
       override def comment(): String = "committed epoch that produced the row"
+    },
+    // the row's physical address — the rowId the SQL row-level operations
+    // feed back as deletion-vector tombstones
+    new MetadataColumn {
+      override def name(): String = KvStore.segCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "segment file holding the row"
+    },
+    new MetadataColumn {
+      override def name(): String = KvStore.posCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "physical line ordinal within _seg"
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

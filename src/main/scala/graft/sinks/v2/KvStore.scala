@@ -81,6 +81,11 @@ class KvDataSource extends TableProvider
 object KvStore {
   /** epoch metadata column appended to every read row */
   val epochCol = "_epoch"
+  /** row-address metadata columns (segment file name + physical line
+   * ordinal) — the rowId the SQL row-level operations (DELETE/UPDATE/
+   * MERGE) feed back to address deletion-vector tombstones */
+  val segCol = "_seg"
+  val posCol = "_pos"
 
   private[v2] def pathOf(options: Map[String, String]): String =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
@@ -102,9 +107,10 @@ object KvStore {
     // reserved: reads append _epoch, so a stored column of that name would
     // make every read ambiguous (store-to-store copies hit this — drop the
     // metadata column before re-writing)
-    require(!schema.fieldNames.contains(epochCol),
-      s"graft-kv: '$epochCol' is a reserved read-side metadata column; " +
-        s"drop it before writing (e.g. store-to-store copies)")
+    Seq(epochCol, segCol, posCol).foreach(c =>
+      require(!schema.fieldNames.contains(c),
+        s"graft-kv: '$c' is a reserved read-side metadata column; " +
+          s"drop it before writing (e.g. store-to-store copies)"))
   }
 
   // ---- store layout helpers (driver side) ----
@@ -767,9 +773,16 @@ object KvStore {
    * inserted, mirroring SQL MERGE's null-join behavior.
    */
   def upsert(spark: SparkSession, path: String, source: DataFrame,
-      keyCols: Seq[String], maxUpsertKeys: Int = 1000000): Unit = {
+      keyCols: Seq[String], maxUpsertKeys: Int = 1000000,
+      tag: Option[String] = None): Unit = {
     val conf = hadoopConf()
     val schemaOpt = readSchema(conf, path)
+    // idempotence: a caller-supplied tag (foreachBatch streaming merges
+    // pass `stream-upsert:<queryId>:<batchId>`) absorbs replays BEFORE any
+    // work — the whole statement re-runs as a no-op, matching the epoch
+    // idempotence contract of the plain streaming sink
+    val epochTag = tag.getOrElse(s"upsert:${UUID.randomUUID()}")
+    if (tag.isDefined && readManifest(conf, path).exists(_.tag == epochTag)) return
     if (schemaOpt.isEmpty) {
       // nothing committed yet: the upsert IS the first write
       source.write.format("graft-kv").option("path", path).mode("append").save()
@@ -823,6 +836,12 @@ object KvStore {
     while (!committed && attempt < 5) {
       attempt += 1
       val snapshot = readManifest(conf, path)
+      if (tag.isDefined && snapshot.exists(_.tag == epochTag)) {
+        // replay discovered mid-flight (a prior incarnation's commit
+        // landed): discard our published segments, change nothing
+        newSegs.foreach(deleteSegFiles(fs, path, _))
+        return
+      }
       val mapper = new ObjectMapper
       // classify: stats range/In + bloom consult — a point upsert streams
       // only the segments that may hold its keys
@@ -895,7 +914,7 @@ object KvStore {
               case None => s
             }
           }))
-          Some(swapped :+ Epoch(epoch, s"upsert:${UUID.randomUUID()}", newSegs,
+          Some(swapped :+ Epoch(epoch, epochTag, newSegs,
             System.currentTimeMillis()))
         }
       }
@@ -916,6 +935,60 @@ object KvStore {
     // REPLACED dvs stay for vacuum (a reader inside the grace window may
     // still hold the pre-swap manifest); leftover upsert staging goes now
     Option(fs.globStatus(new Path(stagingDir(path), "stage-upsert-*")))
+      .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /**
+   * Commit one SQL row-level DML statement (see [[KvRowLevelOperation]]):
+   * tombstones become unioned deletion vectors, staged inserts become one
+   * new epoch, and both land in a single manifest CAS validated against
+   * the operation's pinned snapshot — any concurrent commit aborts the
+   * statement with the store unchanged (serializable; an arbitrary rewrite
+   * condition can't be re-checked against rows the scan never saw).
+   */
+  private[v2] def commitRowLevel(conf: Configuration, path: String,
+      schema: StructType, snapshot: Seq[Epoch], staged: Seq[StagedSeg],
+      tombstones: Map[String, Array[Long]]): Unit = {
+    if (staged.isEmpty && tombstones.isEmpty) return // all-miss DML: no-op
+    val fs = new Path(path).getFileSystem(conf)
+    fs.mkdirs(segmentsDir(path))
+    val newSegs = publishSegments(fs, path, 0L, staged)
+    // fresh unioned dvs per touched segment — driver cost ∝ deleted rows
+    val dvAtSnap: Map[String, Option[String]] =
+      snapshot.flatMap(_.segs).map(s => s.name -> s.dv).toMap
+    val swaps: Map[String, String] = tombstones.map { case (seg, ords) =>
+      val old = dvAtSnap.getOrElse(seg, None)
+        .map(KvDv.read(fs, path, _)).getOrElse(Array.emptyLongArray)
+      seg -> KvDv.write(fs, path, old ++ ords)
+    }
+    var conflicted = false
+    mutateManifest(conf, path) { m =>
+      if (m != snapshot) { conflicted = true; None }
+      else {
+        conflicted = false
+        val epoch = m.map(_.epoch).maxOption.fold(0L)(_ + 1L)
+        val swapped = m.map(e => e.copy(segs = e.segs.map { s =>
+          swaps.get(s.name) match {
+            case Some(nv) => s.copy(dv = Some(nv))
+            case None => s
+          }
+        }))
+        Some(if (newSegs.isEmpty) swapped
+        else swapped :+ Epoch(epoch, s"rowlevel:${UUID.randomUUID()}", newSegs,
+          System.currentTimeMillis()))
+      }
+    }
+    if (conflicted) {
+      newSegs.foreach(deleteSegFiles(fs, path, _))
+      swaps.values.foreach(d =>
+        try fs.delete(new Path(KvDv.dvsDir(path), d), false)
+        catch { case _: Exception => () })
+      throw new java.io.IOException(
+        s"graft-kv: row-level DML at $path lost an optimistic-concurrency race " +
+          "(a commit landed after the statement's snapshot) — the store is " +
+          "unchanged; retry the statement")
+    }
+    Option(fs.globStatus(new Path(stagingDir(path), "stage-rowlevel-*")))
       .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
   }
 
@@ -1081,7 +1154,8 @@ class KvTable(schema0: StructType, properties: Map[String, String])
 class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
     projection: Option[StructType] = None,
     filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-    maxEpochsPerTrigger: Option[Long] = None)
+    maxEpochsPerTrigger: Option[Long] = None,
+    pinnedManifest: Option[Seq[KvStore.Epoch]] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -1111,8 +1185,11 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
 
   // ONE manifest read per scan: statistics and split planning must observe
   // the same committed state (a write or compact landing between the two
-  // calls must not make stats describe segments planning won't scan)
-  private lazy val fullManifest: Seq[KvStore.Epoch] = KvStore.readManifest(conf, path)
+  // calls must not make stats describe segments planning won't scan).
+  // Row-level operations pin a manifest EARLIER (at operation build) so
+  // their write-side conflict check validates exactly what was scanned.
+  private lazy val fullManifest: Seq[KvStore.Epoch] =
+    pinnedManifest.getOrElse(KvStore.readManifest(conf, path))
 
   private lazy val visibleManifest: Seq[KvStore.Epoch] = atEpoch match {
     case None => fullManifest
@@ -1294,6 +1371,9 @@ class KvReaderFactory(out: StructType, conf: SerializableConfiguration,
     val p = partition.asInstanceOf[KvSegmentPartition]
     new PartitionReader[InternalRow] {
       private val path = new Path(p.file)
+      // the manifest-level segment name, interned once per partition for
+      // the _seg metadata column (row-address half of the SQL rowId)
+      private val segName = UTF8String.fromString(path.getName)
       private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
         path.getFileSystem(conf.value).open(path), "UTF-8"))
       private val mapper = new ObjectMapper
@@ -1326,6 +1406,8 @@ class KvReaderFactory(out: StructType, conf: SerializableConfiguration,
             while (i < out.length) {
               val f = out.fields(i)
               if (f.name == KvStore.epochCol) outRow.update(i, p.epoch)
+              else if (f.name == KvStore.segCol) outRow.update(i, segName)
+              else if (f.name == KvStore.posCol) outRow.update(i, ordinal)
               else {
                 val v = node.get(f.name)
                 outRow.update(i,

@@ -118,6 +118,45 @@ class KvUpsertSpec extends AnyFunSuite {
       3L -> "v3", 4L -> "v4!", 5L -> "v5!"))
   }
 
+  test("tagged upsert absorbs replays: the streaming foreachBatch CDC-apply contract") {
+    val p = tmp()
+    spark.range(0, 5).selectExpr("id as k", "'old' as v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    val batch = Seq((2L, "new"), (7L, "new")).toDF("k", "v")
+    KvStore.upsert(spark, p, batch, Seq("k"), tag = Some("cdc:q1:0"))
+    val v1 = KvStore.readVersionedManifest(conf, p)._1
+    val snap1 = visible(p)
+    assert(snap1(2L) === "new" && snap1(7L) === "new")
+    // replay of the same batch id: version untouched, state identical —
+    // even with DIFFERENT row content (the tag, not the data, is identity)
+    KvStore.upsert(spark, p, Seq((2L, "evil-replay")).toDF("k", "v"),
+      Seq("k"), tag = Some("cdc:q1:0"))
+    assert(KvStore.readVersionedManifest(conf, p)._1 === v1)
+    assert(visible(p) === snap1)
+    // the NEXT batch id applies normally
+    KvStore.upsert(spark, p, Seq((2L, "newer")).toDF("k", "v"),
+      Seq("k"), tag = Some("cdc:q1:1"))
+    assert(visible(p)(2L) === "newer")
+    // end-to-end through a real stream: foreachBatch CDC apply
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        KvStore.upsert(spark, p, df, Seq("k"), tag = Some(s"cdc:stream:$id"))
+      }
+      .option("checkpointLocation", tmp() + "/ckpt")
+      .start()
+    try {
+      in.addData((0L, "s0"), (9L, "s9"))
+      q.processAllAvailable()
+      in.addData((9L, "s9b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = visible(p)
+    assert(fin(0L) === "s0" && fin(9L) === "s9b" && fin(2L) === "newer")
+  }
+
   test("OCC: concurrent appends during upserts are never lost") {
     val p = tmp()
     spark.range(0, 10).selectExpr("id as k", "'old' as v").coalesce(1)
