@@ -523,17 +523,35 @@ object KvStore {
    * writes (a reader racing the segment swap can see a deleted segment —
    * don't compact under live readers).
    */
+  /** `clusterByKey`: rewrite the survivors RANGE-PARTITIONED and sorted on
+   * `keyCols` — segments get tight, pairwise-disjoint key ranges, so after
+   * clustering a point lookup prunes to ONE segment on min/max stats alone
+   * (no bloom consult needed) and a range scan touches only covering
+   * segments. The Z-order/clustering step of every lakehouse format,
+   * re-expressed as `repartitionByRange + sortWithinPartitions` (range
+   * exchange samples the key distribution, so skewed key spaces still
+   * yield balanced segments). `numSegments` overrides the shuffle-
+   * partition default for stores whose compacted size warrants fewer. */
   def compact(spark: SparkSession, path: String, keyCols: Seq[String],
-      nowS: Option[Long] = None): Unit = {
+      nowS: Option[Long] = None, clusterByKey: Boolean = false,
+      numSegments: Option[Int] = None): Unit = {
     val conf = hadoopConf()
     val schema = readSchema(conf, path).getOrElse(return)
     val manifest = readManifest(conf, path)
     // already compact — unless a deletion vector is pending, which
     // compaction MATERIALIZES (rewrites survivors, drops the dv): the
     // purge step that reclaims the deleted rows' storage
-    if (manifest.length <= 1 && nowS.isEmpty &&
+    if (manifest.length <= 1 && nowS.isEmpty && !clusterByKey &&
       !manifest.exists(_.segs.exists(_.dv.isDefined))) return
-    val resolved = readCurrent(spark, path, keyCols, nowS)
+    val current = readCurrent(spark, path, keyCols, nowS)
+    val resolved =
+      if (!clusterByKey) current
+      else {
+        val sortCols = keyCols.map(col)
+        numSegments.fold(current.repartitionByRange(sortCols: _*))(
+          n => current.repartitionByRange(n, sortCols: _*))
+          .sortWithinPartitions(sortCols: _*)
+      }
     // route the resolved rows through the normal task-staging writer
     val serConf = new SerializableConfiguration(conf)
     val staged = resolved.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>

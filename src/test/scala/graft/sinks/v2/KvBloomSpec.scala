@@ -69,6 +69,39 @@ class KvBloomSpec extends AnyFunSuite {
     assert(KvStore.read(spark, p).count() === 10L)
   }
 
+  test("clustered compaction: disjoint key ranges, point lookup prunes on stats alone") {
+    val p = tmp()
+    // four epochs, each spanning the WHOLE key space (k % 4 == e): before
+    // clustering, every range overlaps every lookup
+    (0 until 4).foreach { e =>
+      spark.range(0, 25).selectExpr(s"id * 4 + $e as k", "'v' as v").coalesce(1)
+        .write.format("graft-kv").option("path", p).mode("append").save()
+    }
+    assert(partitions(p, EqualTo("k", 42L)) === 1,
+      "pre-clustering only the BLOOM narrows an interleaved point lookup")
+    KvStore.compact(spark, p, Seq("k"), clusterByKey = true, numSegments = Some(4))
+    val manifest = KvStore.readManifest(conf, p)
+    assert(manifest.length === 1 && manifest.head.segs.length === 4)
+    // stats ranges are pairwise disjoint after the range exchange
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val ranges = manifest.head.segs.flatMap(_.stats).map(mapper.readTree)
+      .map(st => (st.get("cols").get("k").get("min").asLong(),
+        st.get("cols").get("k").get("max").asLong())).sortBy(_._1)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping clustered ranges: $ranges")
+    }
+    // a point lookup and a narrow range scan now prune on min/max alone
+    assert(partitions(p, EqualTo("k", 42L)) === 1)
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val touched = partitions(p, GreaterThanOrEqual("k", ranges(1)._1),
+      LessThanOrEqual("k", ranges(1)._2))
+    assert(touched === 1, s"range scan within one cluster touched $touched")
+    // and the data survived the rewrite intact
+    assert(KvStore.read(spark, p).count() === 100L)
+    assert(KvStore.read(spark, p).filter(
+      org.apache.spark.sql.functions.col("k") === 42L).count() === 1L)
+  }
+
   test("compaction refreshes blooms; vacuum sweeps orphaned bloom files") {
     val p = tmp()
     spark.range(0, 10).selectExpr("id * 2 as k").coalesce(1)

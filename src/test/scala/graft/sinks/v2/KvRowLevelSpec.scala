@@ -101,6 +101,32 @@ class KvRowLevelSpec extends AnyFunSuite {
       "pushable predicate routes to deleteWhere — no row-level epoch")
   }
 
+  test("changefeed contract: row-level DML feeds its INSERT epoch, not its dv deletes") {
+    val (tbl, path) = freshTable(Seq((1L, "old", 10L), (2L, "stale", 20L)))
+    val outDir = Files.createTempDirectory("graft_kvrl_feed_").toString
+    import spark.implicits._
+    Seq((1L, "upd", 11L), (9L, "ins", 99L)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("kvrl_feed_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING kvrl_feed_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt
+         |WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)
+         |""".stripMargin)
+    val q = spark.readStream.format("graft-kv").option("path", path).load()
+      .writeStream.format("parquet").option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val fed = spark.read.parquet(s"$outDir/data")
+      .select("k", "v", "_epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the feed is APPEND-SHAPED (the Delta-CDF-without-CDC contract, same
+    // as compaction restating): epoch 0 arrives ALREADY dv-filtered (the
+    // pre-update row for k=1 is physically removed), and the merge's
+    // insert epoch carries the new versions; a delete emits nothing.
+    assert(fed === Set((2L, "stale", 0L), (1L, "upd", 1L), (9L, "ins", 1L)))
+  }
+
   test("statement snapshot isolation: a commit landing mid-statement aborts it") {
     val (tbl, path) = freshTable(Seq((1L, "a", 1L), (2L, "b", 2L)))
     val schema = KvStore.readSchema(conf, path).get
