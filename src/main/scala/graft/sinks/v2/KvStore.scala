@@ -1640,6 +1640,38 @@ class KvDataWriter(path: String, schema: StructType, conf: Configuration,
     rows += 1
   }
 
+  /** Long string bounds are TRUNCATED into the manifest (the parquet
+   * footer-stats discipline): a store of document-sized values must not
+   * carry kilobytes of min/max text per segment entry. Soundness: the
+   * recorded min is a code-point-boundary PREFIX (byte-wise ≤ the true
+   * min under UTF8String compare), the recorded max increments the last
+   * incrementable code point of the prefix (byte-wise > anything starting
+   * with the original prefix — UTF-8 preserves code-point order), and the
+   * metadata-delete equality path needs recordedMin == recordedMax, which
+   * truncation precludes whenever it fired (any equal pair would
+   * contradict trueMin ≤ trueMax). A max with no incrementable code point
+   * is omitted — absent bound, never prune. */
+  private val statsMaxLen = 64
+  private def truncatedMin(s: String): String =
+    if (s.length <= statsMaxLen) s
+    else {
+      val cut = if (Character.isHighSurrogate(s.charAt(statsMaxLen - 1)))
+        statsMaxLen - 1 else statsMaxLen
+      s.substring(0, cut)
+    }
+  private def truncatedMax(s: String): Option[String] =
+    if (s.length <= statsMaxLen) Some(s)
+    else {
+      var j = if (Character.isHighSurrogate(s.charAt(statsMaxLen - 1)))
+        statsMaxLen - 2 else statsMaxLen - 1
+      // the last BMP code point below the surrogate range is incrementable
+      // without reordering or producing an invalid char
+      while (j >= 0 && (s.charAt(j) >= 0xD7FF.toChar ||
+          Character.isLowSurrogate(s.charAt(j)))) j -= 1
+      if (j < 0) None
+      else Some(s.substring(0, j) + (s.charAt(j) + 1).toChar)
+    }
+
   private def statsJson: String = {
     val root = mapper.createObjectNode()
     root.put("rows", rows)
@@ -1654,7 +1686,9 @@ class KvDataWriter(path: String, schema: StructType, conf: Configuration,
         case IntegerType => c.put("min", mins(i).asInstanceOf[Int]); c.put("max", maxs(i).asInstanceOf[Int])
         case DoubleType => c.put("min", mins(i).asInstanceOf[Double]); c.put("max", maxs(i).asInstanceOf[Double])
         case BooleanType => c.put("min", mins(i).asInstanceOf[Boolean]); c.put("max", maxs(i).asInstanceOf[Boolean])
-        case StringType => c.put("min", mins(i).toString); c.put("max", maxs(i).toString)
+        case StringType =>
+          c.put("min", truncatedMin(mins(i).toString))
+          truncatedMax(maxs(i).toString).foreach(c.put("max", _))
         case _ => ()
       }
       i += 1

@@ -69,6 +69,36 @@ class KvBloomSpec extends AnyFunSuite {
     assert(KvStore.read(spark, p).count() === 10L)
   }
 
+  test("long string stats truncate to sound bounds (no kilobyte manifests)") {
+    val p = tmp()
+    import spark.implicits._
+    val longA = "a" * 200
+    val longZ = "y" * 150 + "z" * 50
+    Seq((1L, longA), (2L, longZ), (3L, "middle"))
+      .toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    val st = KvStore.readManifest(conf, p).head.segs.head.stats.get
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(st)
+    val vMin = node.get("cols").get("v").get("min").asText()
+    val vMax = node.get("cols").get("v").get("max").asText()
+    assert(vMin.length <= 64 && vMax.length <= 64, s"stats not truncated: $st")
+    assert(vMin === "a" * 64, "min is a prefix of the true minimum")
+    assert(vMax === "y" * 63 + "z", "max increments the last prefix char")
+    // bounds stay SOUND: present values are never pruned away…
+    assert(partitions(p, EqualTo("v", longA)) === 1)
+    assert(partitions(p, EqualTo("v", longZ)) === 1)
+    assert(partitions(p, EqualTo("v", "middle")) === 1)
+    // …and provably-outside values still prune (below the truncated min)
+    assert(partitions(p, EqualTo("v", "Zebra")) === 0)
+    // a metadata DELETE on the single long value must NOT whole-drop the
+    // segment off truncated equality — it row-deletes exactly one row
+    KvCatalogTable.deleteRows(spark, p, KvStore.readSchema(conf, p).get,
+      Array(EqualTo("v", longA)), p)
+    assert(KvStore.read(spark, p).count() === 2L)
+    assert(KvStore.readManifest(conf, p).head.segs.nonEmpty,
+      "segment survives with a dv; truncation never fakes a full match")
+  }
+
   test("clustered compaction: disjoint key ranges, point lookup prunes on stats alone") {
     val p = tmp()
     // four epochs, each spanning the WHOLE key space (k % 4 == e): before
