@@ -328,7 +328,11 @@ object SparkEntry {
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"),
           col("o_orderstatus").as("st"))
         .write.format("graft-kv").option("path", base.toString).mode("append").save()
-      val src = orders.filter(col("o_orderkey") % 8 <= 1)
+      // source BOUNDED (o_orderkey < 6000 exists at every SF): the gate's
+      // statement cost is constant while the BASE store still scales with
+      // SF — upsert's broadcast-key envelope is by design (the 1M-key cap
+      // names the bulk path); scale behavior is measured in KvScaleProbe
+      val src = orders.filter(col("o_orderkey") % 8 <= 1 && col("o_orderkey") < 6000)
         .select(col("o_orderkey").as("k"), (col("o_totalprice") * 2).as("v"),
           col("o_orderstatus").as("st"))
       graft.sinks.v2.KvStore.upsert(s, base.toString, src, Seq("k"))
@@ -2484,7 +2488,7 @@ object SparkEntry {
           |  FROM orders WHERE o_orderkey % 4 = 0),
           |upd AS (
           |  SELECT o_orderkey AS k, o_totalprice * 2 AS v, o_orderstatus AS st
-          |  FROM orders WHERE o_orderkey % 8 <= 1)
+          |  FROM orders WHERE o_orderkey % 8 <= 1 AND o_orderkey < 6000)
           |SELECT CAST(coalesce(u.k, b.k) AS BIGINT) AS k,
           |       round(coalesce(u.v, b.v), 2) AS v_r,
           |       coalesce(u.st, b.st) AS st
