@@ -1224,24 +1224,54 @@ class KvScan(path: String, conf: Configuration, atEpoch: Option[Long] = None,
   private val storedSchema = KvStore.readSchema(conf, path).getOrElse(
     throw new IllegalArgumentException(s"graft-kv: empty store at $path"))
 
+  // planning-time pruning counters, surfaced as DSv2 driver metrics in the
+  // Spark UI (why did this scan read N segments?) — written by the LAST
+  // planInputPartitions call, which is the one the executed plan used
+  @volatile private var segsTotal = 0L
+  @volatile private var segsStatsPruned = 0L
+  @volatile private var segsBloomPruned = 0L
+
   /** segments surviving min/max pruning under `fs` — recomputed per call
    * because runtime filters can arrive AFTER statistics were estimated
    * (Spark re-plans input partitions post-`filter()`) */
   private def survivingSegments(fs: Seq[org.apache.spark.sql.sources.Filter])
       : Seq[(KvStore.Segment, Long)] = {
     val mapper = new ObjectMapper
-    visibleManifest.flatMap { e =>
-      e.segs.collect {
-        case s if fs.isEmpty || (!KvFilters.pruneSegment(
-              storedSchema, fs, e.epoch, s.stats.map(mapper.readTree)) &&
-            // bloom consult only for segments min/max could NOT prune —
-            // a point lookup on an interleaved key space skips straight
-            // to the segments that may hold the value
-            !KvBloom.pruneSegment(conf, path, s.bloom, storedSchema, fs)) =>
-          (s, e.epoch)
+    var total = 0L
+    var byStats = 0L
+    var byBloom = 0L
+    val out = visibleManifest.flatMap { e =>
+      e.segs.flatMap { s =>
+        total += 1
+        if (fs.isEmpty) Some((s, e.epoch))
+        else if (KvFilters.pruneSegment(
+            storedSchema, fs, e.epoch, s.stats.map(mapper.readTree))) {
+          byStats += 1; None
+        } else if (KvBloom.pruneSegment(conf, path, s.bloom, storedSchema, fs)) {
+          // bloom consult only for segments min/max could NOT prune — a
+          // point lookup on an interleaved key space skips straight to
+          // the segments that may hold the value
+          byBloom += 1; None
+        } else Some((s, e.epoch))
       }
     }
+    segsTotal = total
+    segsStatsPruned = byStats
+    segsBloomPruned = byBloom
+    out
   }
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    KvMetrics.supported
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+    KvMetrics.value(KvMetrics.SegsTotal, segsTotal),
+    KvMetrics.value(KvMetrics.SegsStatsPruned, segsStatsPruned),
+    KvMetrics.value(KvMetrics.SegsBloomPruned, segsBloomPruned),
+    KvMetrics.value(KvMetrics.SegsScanned,
+      segsTotal - segsStatsPruned - segsBloomPruned))
 
   override def readSchema(): StructType =
     projection.getOrElse(
@@ -1404,10 +1434,15 @@ class KvReaderFactory(out: StructType, conf: SerializableConfiguration,
         .getOrElse(Array.emptyLongArray)
       private var dvPtr = 0
       private var ordinal = -1L
+      private var dvSkipped = 0L
       private var row: InternalRow = _
 
       private def matches(node: JsonNode): Boolean =
         KvFilters.matchesNode(compiled, node, p.epoch)
+
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(KvMetrics.value(KvMetrics.RowsDvSkipped, dvSkipped))
 
       override def next(): Boolean = {
         var line = reader.readLine()
@@ -1415,6 +1450,7 @@ class KvReaderFactory(out: StructType, conf: SerializableConfiguration,
           ordinal += 1
           while (dvPtr < deleted.length && deleted(dvPtr) < ordinal) dvPtr += 1
           if (dvPtr < deleted.length && deleted(dvPtr) == ordinal) {
+            dvSkipped += 1
             line = reader.readLine() // deleted row: skip before parsing
           } else {
           val node = mapper.readTree(line)
@@ -1497,6 +1533,10 @@ class KvReaderFactory(out: StructType, conf: SerializableConfiguration,
         n > 0
       }
       override def get(): ColumnarBatch = batch
+      // forward the row reader's counters (dv skips) through the batch face
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        rows.currentMetricsValues()
       override def close(): Unit = { rows.close(); batch.close() }
     }
   }
