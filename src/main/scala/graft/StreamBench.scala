@@ -39,6 +39,7 @@ object StreamBench {
     // Reported feed lag = wall time between pipeline completion and the
     // feed having drained every committed epoch.
     val kvSink = sys.env.get("SPARK_GRAFT_SINK").exists(_.equalsIgnoreCase("kv"))
+    val upsertSink = sys.env.get("SPARK_GRAFT_SINK").exists(_.equalsIgnoreCase("upsert"))
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-bench")
@@ -81,6 +82,22 @@ object StreamBench {
           "sink" -> "kv", "path" -> kvPath,
           "checkpoint" -> Files.createTempDirectory("sb-ckpt").toString,
           "trigger" -> "0 seconds"))
+      else if (upsertSink)
+        // the CDC-apply shape: every micro-batch MERGES into the store
+        // (matched keys replaced via deletion vectors + one epoch, one
+        // CAS), idempotent per batch id — measures the tagged-upsert
+        // write path under streaming load, key-distinct per batch like
+        // any latest-wins changelog apply
+        verdicts.writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.sinks.v2.KvStore.upsert(spark, kvPath,
+              batch.dropDuplicates("ip", "window_start_s"),
+              Seq("ip", "window_start_s"), tag = Some(s"sb-cdc:$id"))
+          }
+          .option("checkpointLocation", Files.createTempDirectory("sb-ckpt").toString)
+          .trigger(Trigger.ProcessingTime("0 seconds"))
+          .start()
       else verdicts.writeStream
         .outputMode("update")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -130,11 +147,16 @@ object StreamBench {
     }
     val verdictRows =
       if (kvSink) graft.sinks.v2.KvStore.read(spark, kvPath).count()
+      else if (upsertSink)
+        graft.sinks.v2.KvStore.readCurrent(spark, kvPath,
+          Seq("ip", "window_start_s")).count()
       else counts.get()
     val eps = evs.size / sec
     val store = if (rocksdb) "rocksdb" else "hdfs"
     val source = if (dsv2) "graft-logs" else "json-files"
-    val sink = if (kvSink) "graft-kv+changefeed" else "foreachBatch"
+    val sink = if (kvSink) "graft-kv+changefeed"
+      else if (upsertSink) "graft-kv-upsert(cdc-apply)"
+      else "foreachBatch"
     val feedStats = feedLag.fold("")(lag =>
       s""","feed_lag_sec":${"%.2f".format(lag)},"fed_rows":${fedRows.get()}""")
     println(
