@@ -121,9 +121,15 @@ class KvModelSpec extends AnyFunSuite {
   }
 
   // exploratory sweeps: SPARK_GRAFT_MODEL_SEEDS=7,8,9 widens the hunt
-  // without bloating the committed suite's runtime
+  // (and SPARK_GRAFT_MODEL_STEPS lengthens the horizon — deeper dv
+  // chains, more fold/cluster interleavings) without bloating the
+  // committed suite's runtime
+  private val envSteps =
+    sys.env.get("SPARK_GRAFT_MODEL_STEPS").map(_.toInt).getOrElse(30)
   sys.env.get("SPARK_GRAFT_MODEL_SEEDS").toSeq
     .flatMap(_.split(",")).map(_.trim.toLong).foreach { s =>
-      test(s"random op sequence, env seed $s") { runModel(seed = s, steps = 30) }
+      test(s"random op sequence, env seed $s ($envSteps steps)") {
+        runModel(seed = s, steps = envSteps)
+      }
     }
 }
