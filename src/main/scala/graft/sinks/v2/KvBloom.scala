@@ -31,6 +31,22 @@ private[v2] object KvBloom {
 
   def bloomsDir(path: String) = new Path(path, "_blooms")
 
+  /** side-file format version, written as a leading sentinel (negative —
+   * a v1 file starts with a positive nameLen): the query-side hashing is
+   * part of the format, so a hash change MUST bump this — a mismatched
+   * file deserializes to "no blooms" (never prune) instead of silently
+   * false-negating against hashes it never stored */
+  private val FormatSentinel: Int = -2
+
+  /** composite 64-bit string identity: murmur32 (ZERO-EXTENDED — `.toLong`
+   * would sign-extend negative hashes over the length word and destroy
+   * the disambiguation for half of all strings) in the low word, byte
+   * length in the high word. Shared verbatim by put and query. */
+  private[v2] def stringHash(v: UTF8String): Long =
+    (org.apache.spark.unsafe.hash.Murmur3_x86_32
+      .hashUnsafeBytes(v.getBaseObject, v.getBaseOffset, v.numBytes(), 42)
+      .toLong & 0xFFFFFFFFL) | (v.numBytes().toLong << 32)
+
   /** columns worth a bloom: equality lookups on these are the use case */
   def bloomable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | StringType => true
@@ -64,11 +80,9 @@ private[v2] object KvBloom {
     def addLong(i: Int, v: Long): Unit = add(i, v)
     def addString(i: Int, v: UTF8String): Unit =
       // the bloom stores HASHES as longs on both sides (put and query),
-      // so string identity is its 64-bit hash — collisions only widen
-      // the FPP, never break the no-false-negative guarantee
-      add(i, org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashUnsafeBytes(v.getBaseObject, v.getBaseOffset, v.numBytes(), 42).toLong
-        | (v.numBytes().toLong << 32))
+      // so string identity is its 64-bit composite hash — collisions only
+      // widen the FPP, never break the no-false-negative guarantee
+      add(i, KvBloom.stringHash(v))
 
     private def add(i: Int, h: Long): Unit =
       if (hashes(i) != null && !capped(i)) {
@@ -81,6 +95,7 @@ private[v2] object KvBloom {
     def serialize(): Option[Array[Byte]] = {
       val out = new java.io.ByteArrayOutputStream()
       val d = new java.io.DataOutputStream(out)
+      d.writeInt(FormatSentinel)
       var any = false
       var i = 0
       while (i < schema.length) {
@@ -114,6 +129,10 @@ private[v2] object KvBloom {
 
   private def deserialize(bytes: Array[Byte]): Map[String, BloomFilter] = {
     val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    // unknown/older format (hashing is part of the format): "don't know",
+    // never prune — a stale side file must not false-negate
+    if (bytes.length < 4 || d.readInt() != FormatSentinel)
+      return Map.empty
     val b = Map.newBuilder[String, BloomFilter]
     while (d.available() > 0) {
       val name = new Array[Byte](d.readInt()); d.readFully(name)
@@ -124,45 +143,61 @@ private[v2] object KvBloom {
     b.result()
   }
 
-  /** driver-side LRU over loaded side files, keyed by (store, file name) —
-   * segment/bloom names are immutable so no invalidation is needed */
-  private val cacheMax = 256
+  /** Driver-side LRU over loaded side files, keyed by (store, file name) —
+   * segment/bloom names are immutable so no invalidation is needed.
+   * Bounded by BYTES (file size as the heap proxy — the bit arrays
+   * dominate), not entry count: a store of 10M-key segments would
+   * otherwise pin multi-GB of driver heap through a count-only cap.
+   * Filesystem I/O happens OUTSIDE the lock (planning for concurrent
+   * queries must not serialize behind one segment-file read); a racing
+   * double-load is idempotent and the second insert just wins. */
+  private val cacheMaxBytes = 256L * 1024 * 1024
+  private var cacheBytes = 0L
   private val cache =
-    new java.util.LinkedHashMap[(String, String), Map[String, BloomFilter]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), Map[String, BloomFilter]]): Boolean =
-        size() > cacheMax
-    }
+    new java.util.LinkedHashMap[(String, String), (Map[String, BloomFilter], Long)](
+      64, 0.75f, true)
 
   private def load(conf: Configuration, storePath: String, name: String)
-      : Map[String, BloomFilter] = cache.synchronized {
+      : Map[String, BloomFilter] = {
     val key = (storePath, name)
-    val hit = cache.get(key)
-    if (hit != null) hit
-    else {
-      val p = new Path(bloomsDir(storePath), name)
-      val loaded =
-        try {
-          val fs = p.getFileSystem(conf)
-          val len = fs.getFileStatus(p).getLen.toInt
-          val buf = new Array[Byte](len)
-          val in = fs.open(p)
-          try in.readFully(0, buf) finally in.close()
-          deserialize(buf)
-        } catch { case _: Exception => Map.empty[String, BloomFilter] }
-      cache.put(key, loaded)
-      loaded
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit._1
     }
+    val p = new Path(bloomsDir(storePath), name)
+    var bytes = 0L
+    val loaded =
+      try {
+        val fs = p.getFileSystem(conf)
+        val len = fs.getFileStatus(p).getLen
+        bytes = len
+        val buf = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        deserialize(buf)
+      } catch { case _: Exception => Map.empty[String, BloomFilter] }
+    cache.synchronized {
+      if (!cache.containsKey(key)) {
+        cache.put(key, (loaded, bytes))
+        cacheBytes += bytes
+        val it = cache.entrySet().iterator()
+        while (cacheBytes > cacheMaxBytes && it.hasNext) {
+          val eldest = it.next()
+          if (!(eldest.getKey == key)) { // never evict what we just loaded
+            cacheBytes -= eldest.getValue._2
+            it.remove()
+          }
+        }
+      }
+    }
+    loaded
   }
 
   /** the query-side twin of the Builder's hashing */
   private def hashOf(dt: DataType, v: Any): Option[Long] = (dt, v) match {
     case (LongType | IntegerType, n: java.lang.Number) => Some(n.longValue)
     case (StringType, s: String) => hashOf(dt, UTF8String.fromString(s))
-    case (StringType, u: UTF8String) =>
-      Some(org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42).toLong
-        | (u.numBytes().toLong << 32))
+    case (StringType, u: UTF8String) => Some(stringHash(u))
     case _ => None
   }
 

@@ -499,16 +499,7 @@ object KvCatalogTable {
         // REPLACED DVs stay for vacuum (a reader inside the grace window
         // may still hold the pre-swap manifest).
         val fs = new Path(path).getFileSystem(conf)
-        dropped.foreach { s =>
-          try fs.delete(new Path(KvStore.segmentsDir(path), s.name), false)
-          catch { case _: Exception => () }
-          s.dv.foreach(d =>
-            try fs.delete(new Path(KvDv.dvsDir(path), d), false)
-            catch { case _: Exception => () })
-          s.bloom.foreach(b =>
-            try fs.delete(new Path(KvBloom.bloomsDir(path), b), false)
-            catch { case _: Exception => () })
-        }
+        dropped.foreach(KvStore.deleteSegFiles(fs, path, _))
         return
       }
       lastConflict = conflict

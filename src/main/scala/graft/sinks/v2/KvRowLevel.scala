@@ -120,15 +120,11 @@ class KvDeltaBatchWrite(path: String, storedSchema: StructType,
     KvStore.commitRowLevel(conf, path, storedSchema, snapshot, staged, tombstones)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(conf)
-    messages.collect { case m: KvDeltaCommitMessage => m }.flatMap(_.insert)
-      .foreach { m =>
-        try fs.delete(new Path(m.stagedFile), false) catch { case _: Exception => () }
-        m.bloomFile.foreach(b =>
-          try fs.delete(new Path(b), false) catch { case _: Exception => () })
-      }
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // same staged shape as any kv write: reuse the one cleanup path
+    KvWrite.cleanStaged(conf, messages
+      .collect { case m: KvDeltaCommitMessage => m }
+      .flatMap(_.insert.toSeq).toArray[WriterCommitMessage])
 }
 
 /** standalone (serializable) factory — an inner class would drag the

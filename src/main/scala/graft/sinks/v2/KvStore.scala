@@ -198,8 +198,9 @@ object KvStore {
 
   /** drop a segment's data file AND its side files (deletion vector,
    * bloom) — every inline-cleanup path must use this so vacuum finds no
-   * planted orphans after a clean fold/compact/overwrite */
-  private def deleteSegFiles(fs: FileSystem, path: String, s: Segment): Unit = {
+   * planted orphans after a clean fold/compact/overwrite, and so the
+   * next side-file kind is added in exactly one place */
+  private[v2] def deleteSegFiles(fs: FileSystem, path: String, s: Segment): Unit = {
     try fs.delete(new Path(segmentsDir(path), s.name), false)
     catch { case _: Exception => () }
     s.dv.foreach(d =>
@@ -538,6 +539,9 @@ object KvStore {
     val conf = hadoopConf()
     val schema = readSchema(conf, path).getOrElse(return)
     val manifest = readManifest(conf, path)
+    // nothing committed: even a clustered compact has nothing to rewrite —
+    // proceeding would commit a spurious empty epoch (changefeed noise)
+    if (manifest.isEmpty) return
     // already compact — unless a deletion vector is pending, which
     // compaction MATERIALIZES (rewrites survivors, drops the dv): the
     // purge step that reclaims the deleted rows' storage
@@ -792,7 +796,15 @@ object KvStore {
    */
   def upsert(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], maxUpsertKeys: Int = 1000000,
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None): Unit =
+    upsertImpl(spark, path, source, keyCols, maxUpsertKeys, tag, None)
+
+  private[v2] def upsertImpl(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], maxUpsertKeys: Int, tag: Option[String],
+      // read-modify-write callers (update) pin the snapshot their derived
+      // rows were computed from; ANY concurrent commit then aborts instead
+      // of being silently overwritten with stale-derived values
+      requireSnapshot: Option[Seq[Epoch]]): Unit = {
     val conf = hadoopConf()
     val schemaOpt = readSchema(conf, path)
     // idempotence: a caller-supplied tag (foreachBatch streaming merges
@@ -801,20 +813,38 @@ object KvStore {
     // idempotence contract of the plain streaming sink
     val epochTag = tag.getOrElse(s"upsert:${UUID.randomUUID()}")
     if (tag.isDefined && readManifest(conf, path).exists(_.tag == epochTag)) return
-    if (schemaOpt.isEmpty) {
-      // nothing committed yet: the upsert IS the first write
-      source.write.format("graft-kv").option("path", path).mode("append").save()
-      return
-    }
-    val schema = schemaOpt.get
     require(keyCols.nonEmpty, "graft-kv: upsert needs at least one key column")
+    // empty store: the upsert IS the first write, but still committed
+    // under the CALLER's tag (a replayed tagged first batch must absorb
+    // like any other epoch), so it rides the staging path below too
+    val firstWrite = schemaOpt.isEmpty
+    val schema = schemaOpt.getOrElse(allNullable(source.schema))
+    if (firstWrite) validateSchema(schema)
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"graft-kv: upsert key '$k' not in stored schema ${schema.fieldNames.mkString(",")}"))
-    // align the source to the stored column order and types (the DSv2
-    // write path resolves by name; this does the same for the merge)
-    val aligned = source.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+    // Align the source to the stored column order and types (the DSv2
+    // write path resolves by name; this does the same for the merge).
+    // PERSISTED: the plan runs TWICE below (key collection, then staging);
+    // a non-deterministic source re-evaluated between the two would stage
+    // keys the dv pass never saw — the old rows would silently keep
+    // winning under first-write-wins.
+    val aligned = source
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try upsertBody(spark, path, aligned, keyCols, maxUpsertKeys, epochTag,
+      requireSnapshot, firstWrite, schema, conf)
+    finally aligned.unpersist()
+  }
 
-    // matched-key set: canonical tuple strings (null key never matches)
+  private def upsertBody(spark: SparkSession, path: String, aligned: DataFrame,
+      keyCols: Seq[String], maxUpsertKeys: Int, epochTag: String,
+      requireSnapshot: Option[Seq[Epoch]], firstWrite: Boolean,
+      schema: StructType, conf: Configuration): Unit = {
+
+    // matched-key set: canonical tuple strings (null key never matches);
+    // each repr is LENGTH-PREFIXED so the joined encoding is injective —
+    // a string key containing the separator cannot collide across column
+    // boundaries (("x\0y","z") vs ("x","y\0z"))
     val keyDts = keyCols.map(k => schema(k).dataType)
     val keyRows = aligned.select(keyCols.map(col): _*)
       .na.drop("any").distinct().limit(maxUpsertKeys + 1).collect()
@@ -823,7 +853,10 @@ object KvStore {
         s"graft-kv: upsert source exceeds $maxUpsertKeys distinct keys — for bulk " +
           "merges rewrite the store instead (compact over readCurrent ∪ source)")
     val keySet: Set[String] = keyRows.iterator.map { r =>
-      keyCols.indices.map(i => keyRepr(keyDts(i), r.get(i))).mkString("\u0000")
+      keyCols.indices.map { i =>
+        val repr = keyRepr(keyDts(i), r.get(i))
+        s"${repr.length}:$repr"
+      }.mkString(";")
     }.toSet
 
     // stage + publish the new epoch's segments ONCE (published files stay
@@ -842,6 +875,12 @@ object KvStore {
       }
     }.collect().toSeq.map { case (f, st, b) => StagedSeg(f, st, b) }
     if (staged.isEmpty) return // empty source: no keys to match, nothing to insert
+    if (firstWrite) {
+      // routed through commitEpochSegs so the caller's tag lands in the
+      // manifest: it handles first-write schema persist AND tag replay
+      commitEpochSegs(conf, path, schema, epochTag, staged)
+      return
+    }
     val fs = new Path(path).getFileSystem(conf)
     fs.mkdirs(segmentsDir(path))
     val newSegs = publishSegments(fs, path, 0L, staged)
@@ -854,11 +893,21 @@ object KvStore {
     while (!committed && attempt < 5) {
       attempt += 1
       val snapshot = readManifest(conf, path)
-      if (tag.isDefined && snapshot.exists(_.tag == epochTag)) {
+      if (snapshot.exists(_.tag == epochTag)) {
         // replay discovered mid-flight (a prior incarnation's commit
         // landed): discard our published segments, change nothing
         newSegs.foreach(deleteSegFiles(fs, path, _))
         return
+      }
+      if (requireSnapshot.exists(_ != snapshot)) {
+        // read-modify-write basis changed (update() computed its rows
+        // from an older snapshot): retrying would commit stale-derived
+        // values over the concurrent write — abort, caller re-reads
+        newSegs.foreach(deleteSegFiles(fs, path, _))
+        throw new java.io.IOException(
+          s"graft-kv: update at $path lost an optimistic-concurrency race " +
+            "(a commit landed after the rows were computed) — the store is " +
+            "unchanged; retry the update")
       }
       val mapper = new ObjectMapper
       // classify: stats range/In + bloom consult — a point upsert streams
@@ -902,8 +951,9 @@ object KvStore {
                   while (live && i < keyColsArr.length) {
                     nodeKeyRepr(keyDtsArr(i), node.get(keyColsArr(i))) match {
                       case Some(repr) =>
-                        if (i > 0) key.append('\u0000')
-                        key.append(repr)
+                        // mirror the driver's injective length-prefixed form
+                        if (i > 0) key.append(';')
+                        key.append(repr.length).append(':').append(repr)
                       case None => live = false // null key: never matches
                     }
                     i += 1
@@ -1012,13 +1062,20 @@ object KvStore {
 
   /** UPDATE convenience over [[upsert]]: rewrites the CURRENT visible rows
    * matching `cond` through the `set` expressions, keyed by `keyCols` —
-   * the copy-on-write UPDATE shape (read matched, transform, merge back). */
+   * the copy-on-write UPDATE shape (read matched, transform, merge back).
+   * Read-modify-write safe: the snapshot the rows were computed from is
+   * pinned into the merge CAS, so a concurrent commit aborts the update
+   * (named error, retry) instead of being overwritten with stale-derived
+   * values — the lost-update guard every other RMW path here has. */
   def update(spark: SparkSession, path: String, keyCols: Seq[String],
       cond: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Unit = {
-    val cur = readCurrent(spark, path, keyCols).filter(cond)
+    val conf = hadoopConf()
+    val basis = readManifest(conf, path)
+    val pinned = basis.map(_.epoch).maxOption
+    val cur = readCurrent(spark, path, keyCols, atEpoch = pinned).filter(cond)
     val updated = set.foldLeft(cur) { case (df, (c, e)) => df.withColumn(c, e) }
-    upsert(spark, path, updated, keyCols)
+    upsertImpl(spark, path, updated, keyCols, 1000000, None, Some(basis))
   }
 
   /**

@@ -11,6 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
  * vectors, unmatched keys inserted as one new epoch, both under a single
  * manifest CAS. In-package to read manifests and versions directly.
  */
+object KvUpsertSpec {
+  /** evaluation counter for the non-determinism test — a static so the
+   * task closure and the driver see one instance under local mode */
+  val evals = new java.util.concurrent.atomic.AtomicInteger()
+}
+
 class KvUpsertSpec extends AnyFunSuite {
 
   private lazy val spark = graft.TestSpark.spark
@@ -155,6 +161,82 @@ class KvUpsertSpec extends AnyFunSuite {
     } finally q.stop()
     val fin = visible(p)
     assert(fin(0L) === "s0" && fin(9L) === "s9b" && fin(2L) === "newer")
+  }
+
+  test("non-deterministic sources: key-collect and staging see ONE evaluation") {
+    val p = tmp()
+    spark.range(0, 5).selectExpr("id as k", "'old' as v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    // a source whose rows CHANGE on every evaluation: without the persist
+    // inside upsert, key collection and staging would see different keys —
+    // the staged row's old twin would never be dv-matched and first-write-
+    // wins would silently keep the OLD value
+    KvUpsertSpec.evals.set(0)
+    val rdd = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val c = KvUpsertSpec.evals.incrementAndGet()
+      Iterator(org.apache.spark.sql.Row((c % 5).toLong, s"new$c"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    KvStore.upsert(spark, p, spark.createDataFrame(rdd, schema), Seq("k"))
+    val got = visible(p)
+    assert(got.size === 5, s"no key may vanish or double: $got")
+    val replaced = got.filter(_._2.startsWith("new"))
+    assert(replaced.size === 1, s"exactly ONE evaluation must land: $got")
+    assert(got.values.count(_ == "old") === 4)
+  }
+
+  test("update basis guard: a commit after the rows were computed aborts the merge") {
+    val p = tmp()
+    spark.range(0, 4).selectExpr("id as k", "'old' as v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    val basis = KvStore.readManifest(conf, p)
+    // rows derived from `basis`…
+    val derived = KvStore.readCurrent(spark, p, Seq("k"))
+      .withColumn("v", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.lit("+")))
+    // …then a concurrent commit lands before the merge
+    Seq((100L, "concurrent")).toDF("k", "v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    val e = intercept[java.io.IOException] {
+      KvStore.upsertImpl(spark, p, derived, Seq("k"), 1000000, None, Some(basis))
+    }
+    assert(e.getMessage.contains("optimistic-concurrency"), e.getMessage)
+    val got = visible(p)
+    assert(got(100L) === "concurrent" && got(0L) === "old",
+      "store unchanged: the stale-derived merge must not land")
+  }
+
+  test("tagged upsert on an EMPTY store records the tag: first-batch replays absorb") {
+    val p = tmp()
+    KvStore.upsert(spark, p, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      Seq("k"), tag = Some("cdc:first:0"))
+    assert(visible(p) === Map(1L -> "a", 2L -> "b"))
+    // the replayed first batch — with DIVERGENT content — must be a no-op
+    KvStore.upsert(spark, p, Seq((1L, "evil")).toDF("k", "v"),
+      Seq("k"), tag = Some("cdc:first:0"))
+    assert(visible(p) === Map(1L -> "a", 2L -> "b"))
+    assert(KvStore.readManifest(conf, p).map(_.tag) === Seq("cdc:first:0"))
+  }
+
+  test("multi-column key encoding is injective across separator-bearing strings") {
+    val p = tmp()
+    Seq(("x", "y\u0000z", "stored")).toDF("a", "b", "v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    // a DIFFERENT key whose naive concatenation collides: must insert,
+    // never tombstone the stored row
+    KvStore.upsert(spark, p,
+      Seq(("x\u0000y", "z", "incoming")).toDF("a", "b", "v"), Seq("a", "b"))
+    assert(KvStore.read(spark, p).count() === 2L)
+    assert(KvStore.readManifest(conf, p).flatMap(_.segs).forall(_.dv.isEmpty),
+      "no dv: the keys differ, nothing may be replaced")
+    val vals = KvStore.readCurrent(spark, p, Seq("a", "b"))
+      .select("v").collect().map(_.getString(0)).toSet
+    assert(vals === Set("stored", "incoming"))
   }
 
   test("OCC: concurrent appends during upserts are never lost") {
