@@ -2103,7 +2103,11 @@ object SparkEntry {
     // spec-pinned.
     "q_approx_percentiles" -> ((s, dir) =>
       table(s, dir, "events")
-        .filter(col("event_id") < 2000)
+        // value IS NOT NULL on BOTH sides: approx_percentile skips nulls
+        // but count(1) / the oracle's row_number+count(*) would include
+        // them, breaking the rank-ceil(q·n) equivalence (same guard as
+        // q_quantile_sketch)
+        .filter(col("event_id") < 2000 && col("value").isNotNull)
         .groupBy(col("event_type"))
         .agg(
           expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("p_approx"),
@@ -3645,7 +3649,8 @@ object SparkEntry {
       // n ≪ head buffer): each percentile is the order statistic at rank
       // ceil(q·n) per group, same window formulation as q_quantile_sketch
       "q_approx_percentiles" ->
-        """WITH t AS (SELECT event_type, value FROM events WHERE event_id < 2000),
+        """WITH t AS (SELECT event_type, value FROM events
+          |           WHERE event_id < 2000 AND value IS NOT NULL),
           |r AS (SELECT event_type, value,
           |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
           |        count(*) OVER (PARTITION BY event_type) AS n FROM t)

@@ -452,12 +452,26 @@ object Similarity {
     val denom = col("nrm_l") * col("nrm_r")
     val cosExpr = when(denom === 0d, lit(Double.NaN))
       .otherwise(dot(col("vec_l"), col("vec_r")) / denom)
-    val raw = a.join(b, Seq("cell_id"))
+    val joined = a.join(b, Seq("cell_id"))
       .filter(col("id_l") < col("id_r"))
-      // first-shared-cell: exactly one surviving row per unordered pair
-      .filter(col("cell_id") === firstShared)
-      .withColumn("cos", cosExpr)
-      .filter(col("cos") >= threshold)
+    val raw = (if (maxCellFreq.isEmpty)
+      // first-shared-cell: exactly one surviving row per unordered pair,
+      // no distinct needed — the scale path (this dedup replaced the
+      // cross-probe distinct that was quadratic at sf10)
+      joined.filter(col("cell_id") === firstShared)
+        .withColumn("cos", cosExpr)
+        .filter(col("cos") >= threshold)
+    else
+      // capped: capHotKeys removed exploded rows AFTER the probe lists
+      // were built, so a pair's first-shared-cell row may be gone while
+      // another shared cell still pairs them — first-shared dedup would
+      // silently drop such pairs. Fall back to any-shared-cell + pair
+      // distinct: candidates are bounded by nCells × cap², and the
+      // distinct shuffles only (ids, cos) because the threshold filter
+      // runs first.
+      joined.withColumn("cos", cosExpr)
+        .filter(col("cos") >= threshold)
+        .dropDuplicates("id_l", "id_r"))
       .select(col("id_l").as("id_a"), col("id_r").as("id_b"),
         round(col("cos"), 4).as("cos_r"))
     // materializeResult = false keeps the lazy plan (for composition or

@@ -166,6 +166,7 @@ private[v2] object KvBloom {
     }
     val p = new Path(bloomsDir(storePath), name)
     var bytes = 0L
+    var failed = false
     val loaded =
       try {
         val fs = p.getFileSystem(conf)
@@ -175,9 +176,17 @@ private[v2] object KvBloom {
         val in = fs.open(p)
         try in.readFully(0, buf) finally in.close()
         deserialize(buf)
-      } catch { case _: Exception => Map.empty[String, BloomFilter] }
+      } catch { case _: Exception =>
+        // degrade THIS planning pass to no-bloom (pruning stays sound),
+        // but do NOT cache the empty map: a transient FS failure cached
+        // under the immutable key (bytes=0, so never LRU-evicted) would
+        // silently disable bloom pruning for the driver's lifetime — the
+        // next pass must retry the read
+        failed = true
+        Map.empty[String, BloomFilter]
+      }
     cache.synchronized {
-      if (!cache.containsKey(key)) {
+      if (!failed && !cache.containsKey(key)) {
         cache.put(key, (loaded, bytes))
         cacheBytes += bytes
         val it = cache.entrySet().iterator()

@@ -758,7 +758,15 @@ object KvStore {
             case LongType | IntegerType =>
               java.lang.Long.compare(a.asInstanceOf[Number].longValue,
                 b.asInstanceOf[Number].longValue)
-            case StringType => a.toString.compareTo(b.toString)
+            // MUST match KvFilters' prune comparator (UTF8 byte order):
+            // Java String.compareTo orders UTF-16 code units, which
+            // disagrees with UTF-8 byte order for non-BMP chars — a
+            // min/max picked under the wrong order makes the range
+            // filter UNSOUND (a matching segment gets stats-pruned and
+            // its stale row survives the upsert)
+            case StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(a.toString)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.toString))
             case DoubleType =>
               java.lang.Double.compare(a.asInstanceOf[Number].doubleValue,
                 b.asInstanceOf[Number].doubleValue)
@@ -863,10 +871,17 @@ object KvStore {
     // valid across CAS retries: they are unlisted orphans until the commit
     // names them, and the ordinal in the file name is cosmetic)
     val serConf = new SerializableConfiguration(conf)
+    // per-statement staging prefix: upsert is explicitly multi-writer
+    // (CAS retries), so the post-commit sweep must only reclaim THIS
+    // statement's leftovers — a global stage-upsert-* sweep would delete
+    // a concurrent upsert's staged-but-unpublished files out from under
+    // it (spurious publish failure). Orphans from crashed statements are
+    // vacuum's job, not ours.
+    val stmtId = UUID.randomUUID().toString
     val staged = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
-        val w = new KvDataWriter(path, schema, serConf.value, s"upsert-$pid")
+        val w = new KvDataWriter(path, schema, serConf.value, s"upsert-$stmtId-$pid")
         try {
           rows.foreach(w.write)
           val m = w.commit().asInstanceOf[KvCommitMessage]
@@ -1001,8 +1016,9 @@ object KvStore {
           "(concurrent commits kept landing) — the store is unchanged; retry")
     }
     // REPLACED dvs stay for vacuum (a reader inside the grace window may
-    // still hold the pre-swap manifest); leftover upsert staging goes now
-    Option(fs.globStatus(new Path(stagingDir(path), "stage-upsert-*")))
+    // still hold the pre-swap manifest); THIS statement's leftover staging
+    // goes now (scoped by stmtId — concurrent upserts' staging is theirs)
+    Option(fs.globStatus(new Path(stagingDir(path), s"stage-upsert-$stmtId-*")))
       .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
   }
 
