@@ -1382,11 +1382,31 @@ object SparkEntry {
 
     // File-layout audit via the _metadata hidden columns: per-file bytes
     // and row counts as a query (the compaction trigger), no driver
-    // listing. Rows-only: the oracle engine has no file-metadata surface
-    // over the same scan.
-    "q_layout_audit" -> ((s, dir) =>
-      operators.Layout.fileAudit(s, s"$dir/lineitem.parquet")
-        .select(col("bytes"), col("n_rows"), col("small_file"))),
+    // listing. Gated by CONSTRUCTION since r13: the audit runs over a
+    // freshly-written FIXED layout — four single-partition appends, one
+    // per l_orderkey % 4 bucket — so each file's row count is exactly the
+    // bucket's size (replayable as GROUP BY l_orderkey % 4) and the byte
+    // column reduces to the deterministic bytes > 0 (absolute parquet
+    // sizes are writer-version-dependent, so the raw number can't be an
+    // oracle; its plumbing still is). small_file gates the threshold
+    // comparison at a construction-deterministic cutoff (1 byte → false
+    // everywhere). Real-layout byte behavior stays covered by LayoutSpec.
+    "q_layout_audit" -> ((s, dir) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_layout_q_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(base)
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"))
+      (0L until 4L).foreach(b =>
+        li.filter(col("l_orderkey") % 4 === b).coalesce(1)
+          .write.mode("append").parquet(base.toString))
+      operators.Layout.fileAudit(s, base.toString, smallBytes = 1L)
+        .select(col("n_rows"), (col("bytes") > 0L).as("bytes_pos"),
+          col("small_file"))
+    }),
 
     // IVF index health: per-cell occupancy + load factor after training —
     // the retrain-trigger readout (hot cells inflate probe latency, empty
@@ -2324,6 +2344,83 @@ object SparkEntry {
           col("event_type"), col("day_s"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
           grouping_id().as("gid"))))
+
+  /**
+   * GENERATED DuckDB replay of the production winnow hash chain
+   * ([[graft.functions.WordShingleHashes]] FNV-1a-64 + [[graft.functions
+   * .HashMix.mix64]] splitmix finalizer + [[graft.functions.SlidingMin]]
+   * w=4 + array_distinct), for the `doc_winnow_fast` oracle. Java's
+   * wrapping 64-bit arithmetic is emulated in HUGEINT mod 2^64: the FNV
+   * prime (2^40) multiplies directly (product < 2^104 < INT128 max), the
+   * two ~2^63 mix64 constants need the 32-bit split multiply, and `>>> k`
+   * on the non-negative HUGEINT domain is integer division by 2^k.
+   * Single-element `list_transform([x], v -> …)[1]` serves as a let
+   * binding so each mix64 intermediate is evaluated once. Values convert
+   * to SIGNED BIGINT before the window minima — Spark's sliding min
+   * compares longs signed, the fold domain is unsigned — and the final
+   * distinct preserves first-occurrence order (list_filter on
+   * list_position, matching Spark's array_distinct). Exact for BMP text:
+   * DuckDB `unicode(ch)` equals the UTF-16 code unit FNV consumes (the
+   * synthetic corpus is ASCII).
+   */
+  private lazy val fnvWinnowOracleSql: String = {
+    val mod = "18446744073709551616::HUGEINT" // 2^64
+    // (a * c) mod 2^64 for c ~ 2^63: split a into 32-bit halves so no
+    // intermediate exceeds INT128
+    def mulModBig(a: String, c: String): String =
+      s"((($a % 4294967296::HUGEINT) * $c::HUGEINT + " +
+        s"((($a // 4294967296::HUGEINT) * $c::HUGEINT) % 4294967296::HUGEINT)" +
+        s" * 4294967296::HUGEINT) % $mod)"
+    // splitmix64 finalizer: z ^= z>>>30; z *= C1; z ^= z>>>27; z *= C2; z ^= z>>>31
+    def mix64(z: String): String =
+      s"""list_transform([$z], z0 ->
+         |  list_transform([xor(z0, z0 // 1073741824::HUGEINT)], a1 ->
+         |    list_transform([${mulModBig("a1", "13787848793156543929")}], z1 ->
+         |      list_transform([xor(z1, z1 // 134217728::HUGEINT)], a2 ->
+         |        list_transform([${mulModBig("a2", "10723151780598845931")}], z2 ->
+         |          xor(z2, z2 // 2147483648::HUGEINT)
+         |        )[1])[1])[1])[1])[1]""".stripMargin
+    // FNV-1a-64 fold step: h = (h ^ unit) * 0x100000001b3  (prime < 2^40
+    // so the product fits INT128 directly)
+    val fnvStep = s"(xor(h, c) * 1099511628211::HUGEINT) % $mod"
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, len(toks) AS ntok,
+       |    list_transform(toks, t ->
+       |      list_reduce(
+       |        list_prepend(14695981039346656037::HUGEINT,
+       |          list_transform(range(1, length(t)+1), i -> unicode(t[i])::HUGEINT)),
+       |        (h, c) -> $fnvStep)) AS thv
+       |  FROM tok),
+       |sh AS (
+       |  SELECT doc_id, ntok - 2 AS m,
+       |    list_transform(range(1, ntok - 1),
+       |      p -> list_reduce(
+       |             list_prepend(5903417617338470853::HUGEINT, thv[p:p+2]),
+       |             (h, t) -> ${mix64("xor(h, t)")})) AS shu
+       |  FROM th),
+       |sg AS (
+       |  SELECT doc_id, m,
+       |    list_transform(shu, x -> CAST(CASE WHEN x >= 9223372036854775808::HUGEINT
+       |      THEN x - $mod ELSE x END AS BIGINT)) AS s
+       |  FROM sh),
+       |mins AS (
+       |  SELECT doc_id,
+       |    CASE WHEN m <= 0 THEN CAST([] AS BIGINT[])
+       |         WHEN m < 4 THEN [list_min(s)]
+       |         ELSE list_transform(range(1, m - 2), p -> list_min(s[p:p+3]))
+       |    END AS mn
+       |  FROM sg),
+       |fps AS (
+       |  SELECT doc_id, list_filter(mn, (x, i) -> list_position(mn, x) = i) AS f
+       |  FROM mins)
+       |SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fp,
+       |  md5(array_to_string(f, ',')) AS fp_hash
+       |FROM fps""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -4601,6 +4698,29 @@ object SparkEntry {
           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
           |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
           |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+      // The PRODUCTION winnow path (codegen'd FNV-1a-64 token hashes +
+      // splitmix64 shingle chain + monotonic-deque sliding min) replayed
+      // EXACTLY in DuckDB: 64-bit wraparound arithmetic emulated in
+      // HUGEINT mod 2^64 (split multiply for the two ~2^63 mix64
+      // constants — a direct product would overflow signed INT128),
+      // single-element list_transform as a let-binding for intermediates,
+      // and signed-BIGINT conversion BEFORE the window minima (Spark
+      // compares longs signed; the fold domain is unsigned). Exact for
+      // BMP-only text (DuckDB unicode(ch) == the UTF-16 code unit FNV
+      // consumes; the synthetic corpus is ASCII). Generated from the same
+      // constants as the Scala expressions, never hand-transcribed.
+      "doc_winnow_fast" -> fnvWinnowOracleSql,
+
+      // construction layout (see the query): four single-partition
+      // appends, one file per l_orderkey % 4 bucket, so per-file n_rows
+      // are exactly the bucket sizes; bytes_pos / small_file reduce to
+      // construction constants (parquet byte sizes are writer-dependent,
+      // the threshold compare at 1 byte is not)
+      "q_layout_audit" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS bytes_pos,
+          |       false AS small_file
+          |FROM lineitem GROUP BY l_orderkey % 4""".stripMargin,
 
       // 64-bit shingle hashes are distinct iff the n-gram strings are
       // (2^-64 collisions aside) — same equivalence the jaccard oracle uses
