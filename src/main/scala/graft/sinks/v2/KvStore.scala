@@ -326,7 +326,9 @@ object KvStore {
           val tmp = new Path(commitsDir(path), s".tmp-${UUID.randomUUID()}")
           val out = fs.create(tmp, true)
           try out.write(manifestBytes(next)) finally out.close()
+          Failpoints.hit("manifest:after-tmp") // tmp on disk, CAS not attempted
           if (publishExclusive(fs, tmp, versionFile(path, v + 1))) {
+            Failpoints.hit("manifest:after-cas") // committed; trim + return skipped
             // bound the commit log; every version is a full snapshot, so
             // only the SINGLE version that just aged past the tail can
             // still exist (earlier ones were deleted by earlier commits) —
@@ -350,6 +352,7 @@ object KvStore {
     val tmp = new Path(target.getParent, s".${target.getName}.tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(content) finally out.close()
+    Failpoints.hit("writeatomic:after-tmp") // tmp on disk, target untouched
     if (fs.exists(target)) fs.delete(target, false)
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"graft-kv: rename $tmp -> $target failed")
@@ -397,6 +400,7 @@ object KvStore {
 
   private[graft] def commitEpochSegs(conf: Configuration, path: String, schema: StructType,
       tag: String, staged: Seq[StagedSeg], overwrite: Boolean = false): Unit = synchronized {
+    Failpoints.hit("commit:begin") // staged files exist, nothing published
     val fs = new Path(path).getFileSystem(conf)
     val existing = readSchema(conf, path)
     existing match {
@@ -426,6 +430,7 @@ object KvStore {
         fs.mkdirs(new Path(path))
         writeAtomic(fs, schemaFile(path), allNullable(schema).json.getBytes("UTF-8"))
     }
+    Failpoints.hit("commit:after-schema") // schema persisted, no data visible
     if (readManifest(conf, path).exists(_.tag == tag)) {
       staged.foreach { s => // replayed epoch: discard data + bloom stages
         fs.delete(new Path(s.file), false)
@@ -439,6 +444,7 @@ object KvStore {
     // the epoch ordinal is then recomputed per CAS attempt — a concurrent
     // writer claiming the same ordinal just bumps ours on retry
     val segs = publishSegments(fs, path, 0L, staged)
+    Failpoints.hit("commit:after-publish") // renamed into segments/, unlisted
     var replacedSegs: Seq[Segment] = Nil
     var applied = false
     mutateManifest(conf, path) { m =>
@@ -464,6 +470,7 @@ object KvStore {
           Some(m :+ Epoch(epoch, tag, segs, System.currentTimeMillis()))
       }
     }
+    if (applied) Failpoints.hit("commit:after-cas") // visible; cleanup skipped
     if (applied && overwrite)
       replacedSegs.foreach(deleteSegFiles(fs, path, _))
   }
@@ -475,6 +482,9 @@ object KvStore {
   private def publishSegments(fs: FileSystem, path: String, epoch: Long,
       staged: Seq[StagedSeg]): Seq[Segment] =
     staged.zipWithIndex.map { case (s, i) =>
+      // i == 1: first segment already renamed → a PARTIAL publish (some
+      // files in segments/, some still staged), the worst crash shape
+      if (i == 1) Failpoints.hit("publish:mid")
       val name = f"seg-$epoch%06d-$i%05d-${UUID.randomUUID().toString.take(8)}.jsonl"
       if (!fs.rename(new Path(s.file), new Path(segmentsDir(path), name)))
         throw new java.io.IOException(s"graft-kv: publish rename failed for ${s.file}")
@@ -569,6 +579,7 @@ object KvStore {
         } catch { case e: Throwable => w.abort(); throw e }
       }
     }.collect().toSeq.map { case (f, st, b) => StagedSeg(f, st, b) } // bounded: one entry per partition
+    Failpoints.hit("compact:after-stage") // staged files exist, nothing published
     val fs = new Path(path).getFileSystem(conf)
     val old = manifest.flatMap(_.segs)
     // publish: move staged segments in, then commit ONE epoch under the
@@ -582,6 +593,7 @@ object KvStore {
     val epoch = manifest.map(_.epoch).maxOption.fold(0L)(_ + 1L)
     fs.mkdirs(segmentsDir(path))
     val names = publishSegments(fs, path, epoch, staged)
+    Failpoints.hit("compact:after-publish") // published, manifest unswapped
     var conflicted = false
     mutateManifest(conf, path) { m =>
       // FULL state comparison, not just (epoch, tag): a concurrent
@@ -603,7 +615,12 @@ object KvStore {
       throw new java.io.IOException(
         s"graft-kv: compact at $path lost an optimistic-concurrency race " +
           "(a write committed during the rewrite) — the store is unchanged; retry")
-    old.foreach(deleteSegFiles(fs, path, _))
+    Failpoints.hit("compact:after-cas") // swapped manifest visible; old files linger
+    old.zipWithIndex.foreach { case (s, i) =>
+      // i == 1: one replaced file already deleted — mid-cleanup crash
+      if (i == 1) Failpoints.hit("compact:mid-delete")
+      deleteSegFiles(fs, path, s)
+    }
     // sweep leftover compact staging (a retried/speculative task that
     // committed after its twin won never gets an abort; anything still
     // staged after our commit is garbage)
@@ -682,9 +699,11 @@ object KvStore {
         } catch { case e: Throwable => w.abort(); throw e }
       }
     }.collect().toSeq.map { case (f, st, b) => StagedSeg(f, st, b) }
+    Failpoints.hit("expire:after-stage") // staged files exist, nothing published
     val fs = new Path(path).getFileSystem(conf)
     fs.mkdirs(segmentsDir(path))
     val names = publishSegments(fs, path, baseEpoch, staged)
+    Failpoints.hit("expire:after-publish") // published, prefix not yet folded
     // the restated snapshot keeps the newest folded commit's wall-clock so
     // TIMESTAMP AS OF stays monotonic across the fold
     val baseTs = folded.map(_.tsMs).max
@@ -710,6 +729,7 @@ object KvStore {
         s"graft-kv: expireEpochs at $path lost an optimistic-concurrency race " +
           "(the folded prefix changed during the rewrite) — the store is " +
           "unchanged; retry")
+    Failpoints.hit("expire:after-cas") // folded manifest visible; old files linger
     folded.flatMap(_.segs).foreach(deleteSegFiles(fs, path, _))
     Option(fs.globStatus(new Path(stagingDir(path), "stage-expire-*")))
       .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
@@ -866,6 +886,7 @@ object KvStore {
         s"${repr.length}:$repr"
       }.mkString(";")
     }.toSet
+    Failpoints.hit("upsert:after-keys") // keys collected, nothing on disk
 
     // stage + publish the new epoch's segments ONCE (published files stay
     // valid across CAS retries: they are unlisted orphans until the commit
@@ -890,6 +911,7 @@ object KvStore {
       }
     }.collect().toSeq.map { case (f, st, b) => StagedSeg(f, st, b) }
     if (staged.isEmpty) return // empty source: no keys to match, nothing to insert
+    Failpoints.hit("upsert:after-stage") // staged files exist, nothing published
     if (firstWrite) {
       // routed through commitEpochSegs so the caller's tag lands in the
       // manifest: it handles first-write schema persist AND tag replay
@@ -899,6 +921,7 @@ object KvStore {
     val fs = new Path(path).getFileSystem(conf)
     fs.mkdirs(segmentsDir(path))
     val newSegs = publishSegments(fs, path, 0L, staged)
+    Failpoints.hit("upsert:after-publish") // published, unlisted; no dvs yet
 
     val pruneFs = upsertPruneFilters(schema, keyCols, keyRows)
     val keyColsArr = keyCols.toArray
@@ -983,6 +1006,7 @@ object KvStore {
             else (segName, Some(KvDv.write(sfs, path, old ++ hits)))
           }
           .collect().toMap
+      Failpoints.hit("upsert:after-dv-write") // dv files on disk, CAS not attempted
       // ONE CAS: dv swaps + the new epoch append, atomically, iff the
       // manifest is still the snapshot the dv pass scanned
       var conflicted = false
@@ -1015,6 +1039,7 @@ object KvStore {
         s"graft-kv: upsert at $path lost $attempt optimistic-concurrency races " +
           "(concurrent commits kept landing) — the store is unchanged; retry")
     }
+    Failpoints.hit("upsert:after-cas") // committed; staging sweep skipped
     // REPLACED dvs stay for vacuum (a reader inside the grace window may
     // still hold the pre-swap manifest); THIS statement's leftover staging
     // goes now (scoped by stmtId — concurrent upserts' staging is theirs)
@@ -1037,6 +1062,7 @@ object KvStore {
     val fs = new Path(path).getFileSystem(conf)
     fs.mkdirs(segmentsDir(path))
     val newSegs = publishSegments(fs, path, 0L, staged)
+    Failpoints.hit("rowlevel:after-publish") // inserts published, unlisted
     // fresh unioned dvs per touched segment — driver cost ∝ deleted rows
     val dvAtSnap: Map[String, Option[String]] =
       snapshot.flatMap(_.segs).map(s => s.name -> s.dv).toMap
@@ -1045,6 +1071,7 @@ object KvStore {
         .map(KvDv.read(fs, path, _)).getOrElse(Array.emptyLongArray)
       seg -> KvDv.write(fs, path, old ++ ords)
     }
+    Failpoints.hit("rowlevel:after-dv") // dv files on disk, CAS not attempted
     var conflicted = false
     mutateManifest(conf, path) { m =>
       if (m != snapshot) { conflicted = true; None }
@@ -1072,6 +1099,7 @@ object KvStore {
           "(a commit landed after the statement's snapshot) — the store is " +
           "unchanged; retry the statement")
     }
+    Failpoints.hit("rowlevel:after-cas") // committed; staging sweep skipped
     Option(fs.globStatus(new Path(stagingDir(path), "stage-rowlevel-*")))
       .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
   }
