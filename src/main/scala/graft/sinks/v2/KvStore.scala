@@ -192,9 +192,42 @@ object KvStore {
    * commit wall-clock (ms; 0 on pre-timestamp manifests) — what
    * `TIMESTAMP AS OF` resolves against */
   private[v2] case class Epoch(epoch: Long, tag: String, segs: Seq[Segment],
-      tsMs: Long = 0L) {
+      tsMs: Long = 0L,
+      // per-WRITER replay watermarks carried by restated epochs (retention
+      // fold / compaction / overwrite): writer prefix → highest batch id
+      // whose tag was folded away. Structured tags (`stream:<queryId>:<b>`,
+      // `stream-upsert:<queryId>:<b>`) are absorbed when b <= the
+      // watermark, so a SLOW concurrent writer's replay cannot
+      // double-commit after its tag's epoch was folded — sound because
+      // Structured Streaming commits each query's batches in order (batch
+      // b folded ⇒ every batch <= b of that writer committed).
+      writers: Map[String, Long] = Map.empty) {
     def segments: Seq[String] = segs.map(_.name)
   }
+
+  /** `<prefix>:<numericBatchId>` structured-tag parse: the writer scope is
+   * everything before the LAST colon. UUID-suffixed statement tags
+   * (upsert:/compact:/expire:/rowlevel:) and `batch:<queryId>` never parse
+   * (suffix not a long) — they are never replayed, so no watermark. */
+  private[v2] def parseWriterTag(tag: String): Option[(String, Long)] = {
+    val i = tag.lastIndexOf(':')
+    if (i <= 0 || i == tag.length - 1) None
+    else tag.substring(i + 1).toLongOption.map(b => (tag.substring(0, i), b))
+  }
+
+  /** replay absorption: a tag is committed if a live epoch carries it, OR
+   * a restated epoch's writer watermark covers it (its own epoch folded) */
+  private[v2] def tagCommitted(epochs: Seq[Epoch], tag: String): Boolean =
+    epochs.exists(_.tag == tag) ||
+      parseWriterTag(tag).exists { case (w, b) =>
+        epochs.exists(_.writers.get(w).exists(b <= _))
+      }
+
+  /** fold the watermarks of epochs being restated away: their parsed tags
+   * plus any watermark maps THEY carry (a fold of a fold merges) */
+  private[v2] def foldWriters(folded: Seq[Epoch]): Map[String, Long] =
+    folded.flatMap(e => parseWriterTag(e.tag).toSeq ++ e.writers.toSeq)
+      .groupMapReduce(_._1)(_._2)(math.max)
 
   /** drop a segment's data file AND its side files (deletion vector,
    * bloom) — every inline-cleanup path must use this so vacuum finds no
@@ -298,7 +331,10 @@ object KvStore {
           Option(s.get("bloom")).filterNot(_.isNull).map(_.asText()))
       }.toSeq
       Epoch(e.get("epoch").asLong(), e.get("tag").asText(), segs,
-        Option(e.get("ts_ms")).map(_.asLong).getOrElse(0L))
+        Option(e.get("ts_ms")).map(_.asLong).getOrElse(0L),
+        Option(e.get("writers")).filterNot(_.isNull).map { w =>
+          w.fields().asScala.map(en => en.getKey -> en.getValue.asLong()).toMap
+        }.getOrElse(Map.empty))
     }.toSeq
   }
 
@@ -367,6 +403,10 @@ object KvStore {
       n.put("epoch", e.epoch)
       n.put("tag", e.tag)
       n.put("ts_ms", e.tsMs)
+      if (e.writers.nonEmpty) {
+        val w = n.putObject("writers")
+        e.writers.toSeq.sortBy(_._1).foreach { case (k, v) => w.put(k, v) }
+      }
       val segs = n.putArray("segments")
       e.segs.foreach { s =>
         if (s.stats.isEmpty && s.dv.isEmpty && s.bloom.isEmpty) {
@@ -431,7 +471,7 @@ object KvStore {
         writeAtomic(fs, schemaFile(path), allNullable(schema).json.getBytes("UTF-8"))
     }
     Failpoints.hit("commit:after-schema") // schema persisted, no data visible
-    if (readManifest(conf, path).exists(_.tag == tag)) {
+    if (tagCommitted(readManifest(conf, path), tag)) {
       staged.foreach { s => // replayed epoch: discard data + bloom stages
         fs.delete(new Path(s.file), false)
         s.bloom.foreach(b => fs.delete(new Path(b), false))
@@ -448,7 +488,7 @@ object KvStore {
     var replacedSegs: Seq[Segment] = Nil
     var applied = false
     mutateManifest(conf, path) { m =>
-      if (m.exists(_.tag == tag)) {
+      if (tagCommitted(m, tag)) {
         // replayed epoch discovered under the CAS: our published segment
         // files are unlisted orphans — tidy them and change nothing
         segs.foreach(deleteSegFiles(fs, path, _))
@@ -463,9 +503,12 @@ object KvStore {
           // visibility), old segment files after — a crash in between
           // leaves unlisted orphans, never a manifest pointing at deleted
           // files. Epoch numbering continues past the old maximum so
-          // replay tags stay unique.
+          // replay tags stay unique. The replaced epochs' writer
+          // watermarks ride along: a pre-overwrite batch replaying later
+          // must still absorb, not resurrect replaced data.
           replacedSegs = m.flatMap(_.segs)
-          Some(Seq(Epoch(epoch, tag, segs, System.currentTimeMillis())))
+          Some(Seq(Epoch(epoch, tag, segs, System.currentTimeMillis(),
+            foldWriters(m))))
         } else
           Some(m :+ Epoch(epoch, tag, segs, System.currentTimeMillis()))
       }
@@ -607,8 +650,11 @@ object KvStore {
         None
       } else {
         conflicted = false
+        // the rewrite restates every epoch: carry their writer watermarks
+        // so a concurrent writer's replayed batch still absorbs after its
+        // tag's epoch was compacted away
         Some(Seq(Epoch(epoch, s"compact:${UUID.randomUUID()}", names,
-          System.currentTimeMillis())))
+          System.currentTimeMillis(), foldWriters(m))))
       }
     }
     if (conflicted)
@@ -649,16 +695,16 @@ object KvStore {
    *    checkpoint offset is below it receives the base epoch as one
    *    compacted restatement (the documented compaction contract), then
    *    the surviving epochs exactly-once.
-   *  - Replay absorption: folded idempotence tags are dropped — retention
-   *    assumes `keepLast` covers every writer's replay horizon. Under the
-   *    SINGLE-WRITER contract any keepLast >= 1 is safe (a live streaming
-   *    writer only ever replays its LATEST uncommitted epoch, which is
-   *    maxEpoch itself). With MULTIPLE concurrent writers the slowest
-   *    writer's uncommitted epoch can sit below maxEpoch − keepLast + 1:
-   *    folding it away would absorb its tag and let a replay
-   *    double-commit, so keepLast must cover the lag (in epochs) of the
-   *    slowest concurrent writer ([[compact]] makes the same assumption
-   *    for the whole chain and is likewise single-writer-or-quiesced).
+   *  - Replay absorption survives the fold for ANY number of concurrent
+   *    writers: folded STRUCTURED tags (`<writer>:<batchId>`) become
+   *    per-writer watermarks on the base epoch ([[foldWriters]]), and
+   *    [[tagCommitted]] absorbs any batch at or below its writer's
+   *    watermark — so a slow writer whose uncommitted epoch sits below
+   *    maxEpoch − keepLast + 1 can replay after the fold without
+   *    double-committing, for any keepLast >= 1. Sound because Structured
+   *    Streaming commits each query's batches in order (batch b folded ⇒
+   *    every batch <= b of that writer committed). UUID statement tags
+   *    carry no watermark — they are never replayed.
    *  - TTL is a READ-time filter, never applied at fold time: the base is
    *    restated with nowS=None semantics so a TTL-expired first-write-wins
    *    winner STAYS in the base and keeps shadowing later epochs' rows for
@@ -720,7 +766,11 @@ object KvStore {
         None
       } else {
         conflicted = false
-        Some(Epoch(baseEpoch, s"expire:${UUID.randomUUID()}", names, baseTs) +:
+        // folded tags become per-writer watermarks on the base epoch: a
+        // slow concurrent writer's replay of a folded batch still absorbs
+        // (the r11 keepLast single-writer scoping, now true for N writers)
+        Some(Epoch(baseEpoch, s"expire:${UUID.randomUUID()}", names, baseTs,
+          foldWriters(prefix)) +:
           m.filter(_.epoch >= floor).sortBy(_.epoch))
       }
     }
@@ -840,7 +890,7 @@ object KvStore {
     // work — the whole statement re-runs as a no-op, matching the epoch
     // idempotence contract of the plain streaming sink
     val epochTag = tag.getOrElse(s"upsert:${UUID.randomUUID()}")
-    if (tag.isDefined && readManifest(conf, path).exists(_.tag == epochTag)) return
+    if (tag.isDefined && tagCommitted(readManifest(conf, path), epochTag)) return
     require(keyCols.nonEmpty, "graft-kv: upsert needs at least one key column")
     // empty store: the upsert IS the first write, but still committed
     // under the CALLER's tag (a replayed tagged first batch must absorb
@@ -931,7 +981,7 @@ object KvStore {
     while (!committed && attempt < 5) {
       attempt += 1
       val snapshot = readManifest(conf, path)
-      if (snapshot.exists(_.tag == epochTag)) {
+      if (tagCommitted(snapshot, epochTag)) {
         // replay discovered mid-flight (a prior incarnation's commit
         // landed): discard our published segments, change nothing
         newSegs.foreach(deleteSegFiles(fs, path, _))
