@@ -809,17 +809,67 @@ object KvStore {
         throw new IllegalArgumentException(s"graft-kv: unsupported upsert key type $other")
     })
 
+  /** The row-exact matching pass for one upsert-touched segment: stream
+   * it, skip already-dv'd ordinals, and write a fresh unioned dv of the
+   * ordinals whose key tuple is in `keys`. Shared VERBATIM by the driver
+   * inline fast path and the distributed path — the two must never
+   * diverge. Object-level (not a local def): a local def lifts with the
+   * enclosing frame in its closure environment, which drags the
+   * non-serializable KvStore module reference into the task closure. */
+  private def scanSegmentForKeys(path: String, keyColsArr: Array[String],
+      keyDtsArr: Array[DataType], segName: String, oldDv: Option[String],
+      hConf: Configuration, keys: Set[String]): (String, Option[String]) = {
+    val segPath = new Path(segmentsDir(path), segName)
+    val sfs = segPath.getFileSystem(hConf)
+    val old: Array[Long] =
+      oldDv.map(KvDv.read(sfs, path, _)).getOrElse(Array.emptyLongArray)
+    val matched = Array.newBuilder[Long]
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      sfs.open(segPath), "UTF-8"))
+    try {
+      val m = new ObjectMapper
+      var ordinal = -1L
+      var dvPtr = 0
+      var line = reader.readLine()
+      while (line != null) {
+        ordinal += 1
+        while (dvPtr < old.length && old(dvPtr) < ordinal) dvPtr += 1
+        if (dvPtr >= old.length || old(dvPtr) != ordinal) {
+          val node = m.readTree(line)
+          var i = 0
+          val key = new StringBuilder
+          var live = true
+          while (live && i < keyColsArr.length) {
+            nodeKeyRepr(keyDtsArr(i), node.get(keyColsArr(i))) match {
+              case Some(repr) =>
+                // mirror the driver's injective length-prefixed form
+                if (i > 0) key.append(';')
+                key.append(repr.length).append(':').append(repr)
+              case None => live = false // null key: never matches
+            }
+            i += 1
+          }
+          if (live && keys.contains(key.toString)) matched += ordinal
+        }
+        line = reader.readLine()
+      }
+    } finally reader.close()
+    val hits = matched.result()
+    if (hits.isEmpty) (segName, None: Option[String])
+    else (segName, Some(KvDv.write(sfs, path, old ++ hits)))
+  }
+
   /** sound SUPERSET filters over the source key set, per key column, for
    * segment classification: an `In` when the per-column value set is small
    * (enables exact stats + bloom point pruning), else the [min,max] range
    * (stats-only). Pruning by a superset is always safe — it can only keep
    * extra segments, never lose a match. */
   private def upsertPruneFilters(schema: StructType, keyCols: Seq[String],
-      keyRows: Array[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.sources.Filter] = {
+      perColVals: Array[Array[Any]]): Seq[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, In, LessThanOrEqual}
     keyCols.zipWithIndex.flatMap { case (k, i) =>
       val dt = schema(k).dataType
-      val vs = keyRows.iterator.map(_.get(i)).toArray.distinct
+      val vs = perColVals(i)
       if (vs.isEmpty) Nil
       else if (vs.length <= 1024) Seq(In(k, vs))
       else {
@@ -902,16 +952,14 @@ object KvStore {
       s"graft-kv: upsert key '$k' not in stored schema ${schema.fieldNames.mkString(",")}"))
     // Align the source to the stored column order and types (the DSv2
     // write path resolves by name; this does the same for the merge).
-    // PERSISTED: the plan runs TWICE below (key collection, then staging);
-    // a non-deterministic source re-evaluated between the two would stage
-    // keys the dv pass never saw — the old rows would silently keep
-    // winning under first-write-wins.
+    // The plan runs exactly ONCE (staging and key collection share the
+    // single pass below), so no persist barrier is needed and a
+    // non-deterministic source can never stage keys the dv pass didn't
+    // see — the keys are derived from the staged rows themselves.
     val aligned = source
       .select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try upsertBody(spark, path, aligned, keyCols, maxUpsertKeys, epochTag,
+    upsertBody(spark, path, aligned, keyCols, maxUpsertKeys, epochTag,
       requireSnapshot, firstWrite, schema, conf)
-    finally aligned.unpersist()
   }
 
   private def upsertBody(spark: SparkSession, path: String, aligned: DataFrame,
@@ -924,23 +972,16 @@ object KvStore {
     // a string key containing the separator cannot collide across column
     // boundaries (("x\0y","z") vs ("x","y\0z"))
     val keyDts = keyCols.map(k => schema(k).dataType)
-    val keyRows = aligned.select(keyCols.map(col): _*)
-      .na.drop("any").distinct().limit(maxUpsertKeys + 1).collect()
-    if (keyRows.length > maxUpsertKeys)
-      throw new IllegalArgumentException(
-        s"graft-kv: upsert source exceeds $maxUpsertKeys distinct keys — for bulk " +
-          "merges rewrite the store instead (compact over readCurrent ∪ source)")
-    val keySet: Set[String] = keyRows.iterator.map { r =>
-      keyCols.indices.map { i =>
-        val repr = keyRepr(keyDts(i), r.get(i))
-        s"${repr.length}:$repr"
-      }.mkString(";")
-    }.toSet
-    Failpoints.hit("upsert:after-keys") // keys collected, nothing on disk
+    val keyIdx = keyCols.map(schema.fieldIndex).toArray
+    val keyDtsArr = keyDts.toArray
 
-    // stage + publish the new epoch's segments ONCE (published files stay
-    // valid across CAS retries: they are unlisted orphans until the commit
-    // names them, and the ordinal in the file name is cosmetic)
+    // ONE pass stages the rows AND collects each partition's distinct key
+    // tuples (repr strings for the match set, per-column values for the
+    // prune filters): the source plan is evaluated exactly once, so the dv
+    // pass always sees the staged keys (no persist barrier needed against
+    // non-deterministic sources), and a small CDC micro-batch pays one
+    // Spark job here instead of two. Per-partition sets are capped at
+    // maxUpsertKeys + 1 — the driver-side union enforces the real bound.
     val serConf = new SerializableConfiguration(conf)
     // per-statement staging prefix: upsert is explicitly multi-writer
     // (CAS retries), so the post-commit sweep must only reclaim THIS
@@ -949,17 +990,70 @@ object KvStore {
     // it (spurious publish failure). Orphans from crashed statements are
     // vacuum's job, not ours.
     val stmtId = UUID.randomUUID().toString
-    val staged = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+    val capPlusOne = maxUpsertKeys + 1
+    val perPart = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
         val w = new KvDataWriter(path, schema, serConf.value, s"upsert-$stmtId-$pid")
+        val reprs = new java.util.HashSet[String]()
+        val colVals = Array.fill(keyIdx.length)(new java.util.HashSet[Any]())
         try {
-          rows.foreach(w.write)
+          val sb = new java.lang.StringBuilder
+          rows.foreach { r =>
+            w.write(r)
+            val vals = new Array[Any](keyIdx.length)
+            var i = 0
+            var live = true
+            sb.setLength(0)
+            while (live && i < keyIdx.length) {
+              val idx = keyIdx(i)
+              if (r.isNullAt(idx)) live = false // null key: insert-only row
+              else {
+                val v: Any = keyDtsArr(i) match {
+                  case LongType => java.lang.Long.valueOf(r.getLong(idx))
+                  case IntegerType => java.lang.Long.valueOf(r.getInt(idx).toLong)
+                  case StringType => r.getUTF8String(idx).toString
+                  case BooleanType => java.lang.Boolean.valueOf(r.getBoolean(idx))
+                  case DoubleType => java.lang.Double.valueOf(r.getDouble(idx))
+                  case other => throw new IllegalArgumentException(
+                    s"graft-kv: unsupported upsert key type $other")
+                }
+                vals(i) = v
+                val repr = keyRepr(keyDtsArr(i), v)
+                if (i > 0) sb.append(';')
+                sb.append(repr.length).append(':').append(repr)
+                i += 1
+              }
+            }
+            if (live && reprs.size < capPlusOne && reprs.add(sb.toString)) {
+              var j = 0
+              while (j < vals.length) { colVals(j).add(vals(j)); j += 1 }
+            }
+          }
           val m = w.commit().asInstanceOf[KvCommitMessage]
-          Iterator.single((m.stagedFile, m.statsJson, m.bloomFile))
+          Iterator.single(((m.stagedFile, m.statsJson, m.bloomFile),
+            reprs.iterator().asScala.toArray,
+            colVals.map(_.iterator().asScala.toArray)))
         } catch { case e: Throwable => w.abort(); throw e }
       }
-    }.collect().toSeq.map { case (f, st, b) => StagedSeg(f, st, b) }
+    }.collect().toSeq
+    val staged = perPart.map { case ((f, st, b), _, _) => StagedSeg(f, st, b) }
+    val keySet: Set[String] = perPart.iterator.flatMap(_._2).toSet
+    if (keySet.size > maxUpsertKeys) {
+      // fail-loud with nothing on disk: the staged files are this
+      // statement's own — reclaim them before raising
+      val sfs = new Path(path).getFileSystem(conf)
+      staged.foreach { s =>
+        sfs.delete(new Path(s.file), false)
+        s.bloom.foreach(b => sfs.delete(new Path(b), false))
+      }
+      throw new IllegalArgumentException(
+        s"graft-kv: upsert source exceeds $maxUpsertKeys distinct keys — for bulk " +
+          "merges rewrite the store instead (compact over readCurrent ∪ source)")
+    }
+    val perColVals: Array[Array[Any]] =
+      keyIdx.indices.map(i => perPart.iterator.flatMap(_._3(i)).toSet.toArray).toArray
+    Failpoints.hit("upsert:after-keys") // keys collected (staged with them)
     if (staged.isEmpty) return // empty source: no keys to match, nothing to insert
     Failpoints.hit("upsert:after-stage") // staged files exist, nothing published
     if (firstWrite) {
@@ -973,9 +1067,8 @@ object KvStore {
     val newSegs = publishSegments(fs, path, 0L, staged)
     Failpoints.hit("upsert:after-publish") // published, unlisted; no dvs yet
 
-    val pruneFs = upsertPruneFilters(schema, keyCols, keyRows)
+    val pruneFs = upsertPruneFilters(schema, keyCols, perColVals)
     val keyColsArr = keyCols.toArray
-    val keyDtsArr = keyDts.toArray
     var attempt = 0
     var committed = false
     while (!committed && attempt < 5) {
@@ -1009,53 +1102,37 @@ object KvStore {
             (s.name, s.dv)
         }
       }
-      val bcKeys = spark.sparkContext.broadcast(keySet)
+      // small touched sets scan INLINE on the driver: a streaming CDC
+      // apply touches a handful of hot segments per micro-batch, and the
+      // per-batch Spark job (schedule + broadcast + collect) costs more
+      // than the scan itself. Bounded by count AND bytes so a big store's
+      // point merge still takes the distributed path when segments are
+      // large; a failed size probe falls through to distributed.
+      val inlineScan = touched.nonEmpty && touched.size <= 16 && {
+        try {
+          val sfs = new Path(path).getFileSystem(conf)
+          touched.iterator.map { case (n, _) =>
+            sfs.getFileStatus(new Path(segmentsDir(path), n)).getLen
+          }.sum <= 32L * 1024 * 1024
+        } catch { case _: Exception => false }
+      }
       val dvSwaps: Map[String, Option[String]] =
         if (touched.isEmpty) Map.empty
-        else spark.sparkContext
-          .parallelize(touched, math.min(touched.size,
-            math.max(1, spark.sparkContext.defaultParallelism)))
-          .map { case (segName, oldDv) =>
-            val segPath = new Path(segmentsDir(path), segName)
-            val sfs = segPath.getFileSystem(serConf.value)
-            val old: Array[Long] =
-              oldDv.map(KvDv.read(sfs, path, _)).getOrElse(Array.emptyLongArray)
-            val matched = Array.newBuilder[Long]
-            val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-              sfs.open(segPath), "UTF-8"))
-            try {
-              val m = new ObjectMapper
-              var ordinal = -1L
-              var dvPtr = 0
-              var line = reader.readLine()
-              while (line != null) {
-                ordinal += 1
-                while (dvPtr < old.length && old(dvPtr) < ordinal) dvPtr += 1
-                if (dvPtr >= old.length || old(dvPtr) != ordinal) {
-                  val node = m.readTree(line)
-                  var i = 0
-                  val key = new StringBuilder
-                  var live = true
-                  while (live && i < keyColsArr.length) {
-                    nodeKeyRepr(keyDtsArr(i), node.get(keyColsArr(i))) match {
-                      case Some(repr) =>
-                        // mirror the driver's injective length-prefixed form
-                        if (i > 0) key.append(';')
-                        key.append(repr.length).append(':').append(repr)
-                      case None => live = false // null key: never matches
-                    }
-                    i += 1
-                  }
-                  if (live && bcKeys.value.contains(key.toString)) matched += ordinal
-                }
-                line = reader.readLine()
-              }
-            } finally reader.close()
-            val hits = matched.result()
-            if (hits.isEmpty) (segName, None: Option[String])
-            else (segName, Some(KvDv.write(sfs, path, old ++ hits)))
-          }
-          .collect().toMap
+        else if (inlineScan)
+          touched.map { case (n, dv) =>
+            scanSegmentForKeys(path, keyColsArr, keyDtsArr, n, dv, conf, keySet)
+          }.toMap
+        else {
+          val bcKeys = spark.sparkContext.broadcast(keySet)
+          spark.sparkContext
+            .parallelize(touched, math.min(touched.size,
+              math.max(1, spark.sparkContext.defaultParallelism)))
+            .map { case (segName, oldDv) =>
+              scanSegmentForKeys(path, keyColsArr, keyDtsArr, segName, oldDv,
+                serConf.value, bcKeys.value)
+            }
+            .collect().toMap
+        }
       Failpoints.hit("upsert:after-dv-write") // dv files on disk, CAS not attempted
       // ONE CAS: dv swaps + the new epoch append, atomically, iff the
       // manifest is still the snapshot the dv pass scanned
