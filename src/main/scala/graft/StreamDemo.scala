@@ -252,6 +252,58 @@ object StreamDemo {
       .map(r => s"epoch ${r.getLong(0)}: ${r.getLong(1)} rows, ${r.getLong(2)} unmatched")
       .mkString("; ")
     println(s"=== E5 (kv enrichment) ${enriched.count()} enriched rows [$perEpoch]")
+
+    // E6: LIVE changefeed × row-level DML — the pinned contract
+    // (KvRowLevelSpec: "DML feeds its INSERT epoch, not its dv deletes")
+    // exercised on a RUNNING consumer, not a post-hoc drain: a changefeed
+    // tails the table while INSERT INTO and MERGE INTO statements land
+    // between its micro-batches. Every committed row version feeds exactly
+    // once at its commit time: the MERGE's dv restatement of history never
+    // re-feeds already-delivered epochs, and its insert epoch delivers the
+    // new versions.
+    locally {
+      val cat = "demo_kv_e6"
+      val wh = Files.createTempDirectory("graft-demo-e6-wh").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sinks.v2.GraftKvCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE TABLE $cat.ns.t AS SELECT * FROM VALUES " +
+        "(1L, 'a', 10L), (2L, 'b', 20L), (3L, 'c', 30L) AS src(k, v, amt)")
+      val path = s"$wh/ns/t"
+      val feedOut = Files.createTempDirectory("graft-demo-e6-feed").toString + "/out"
+      val feedCk = Files.createTempDirectory("graft-demo-e6-ck").toString
+      val q6 = spark.readStream.format("graft-kv").option("path", path).load()
+        .writeStream.format("parquet").option("path", feedOut)
+        .option("checkpointLocation", feedCk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+        .start()
+      q6.processAllAvailable() // epoch 0 (CTAS) fed pre-DML
+      spark.sql(s"INSERT INTO $cat.ns.t VALUES (4L, 'd', 40L)")
+      q6.processAllAvailable() // epoch 1 fed
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW e6_src AS " +
+        "SELECT * FROM VALUES (2L, 'B', 200L), (5L, 'e', 50L) AS s(k, v, amt)")
+      spark.sql(
+        s"""MERGE INTO $cat.ns.t t USING e6_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt
+           |WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)
+           |""".stripMargin)
+      q6.processAllAvailable() // the MERGE's insert epoch feeds; dvs don't
+      q6.stop()
+      val fedRows = spark.read.parquet(feedOut).select("k", "v", "amt").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val expectedFeed = Set(
+        (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), // CTAS, fed pre-MERGE
+        (4L, "d", 40L),                                 // INSERT epoch
+        (2L, "B", 200L), (5L, "e", 50L))                // MERGE insert epoch
+      println(s"=== E6 (live changefeed × DML) fed ${fedRows.size} rows, " +
+        s"exactly-once: ${fedRows.size == expectedFeed.size}")
+      require(fedRows.toSet == expectedFeed && fedRows.size == expectedFeed.size,
+        s"live feed under interleaved DML diverged: got ${fedRows.sorted}")
+      val snap = spark.sql(s"SELECT k, v, amt FROM $cat.ns.t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      require(snap == Set((1L, "a", 10L), (3L, "c", 30L), (4L, "d", 40L),
+        (2L, "B", 200L), (5L, "e", 50L)),
+        s"post-DML snapshot diverged: got $snap")
+    }
     spark.stop()
   }
 }
