@@ -362,6 +362,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(uncapped.count() === 60L * 59 / 2)
   }
 
+  test("cellNearDupPairs capped and uncapped branches agree when the cap is a no-op") {
+    import spark.implicits._
+    // the two pair-dedup strategies (first-shared-cell filter vs
+    // any-shared-cell + pair distinct, picked by maxCellFreq) must produce
+    // the SAME pair set when the cap never bites — a divergence means one
+    // strategy drops or duplicates pairs. (With a biting cap the capped
+    // branch may legitimately lose pairs whose every shared cell was
+    // capped away, but never one with a surviving shared cell — the r12
+    // first-shared formulation violated exactly that.)
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+    def pairs(cap: Option[Int]): Set[(Long, Long, Double)] =
+      Similarity.cellNearDupPairs(e, "vec_id", "embedding", threshold = 0.2,
+          nCells = 8, nProbes = 3, maxCellFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = pairs(None)
+    val cappedNoOp = pairs(Some(1000000))
+    assert(uncapped.nonEmpty, "gate needs a non-empty pair set to mean anything")
+    assert(cappedNoOp === uncapped,
+      "pair-distinct (capped) and first-shared-cell (uncapped) dedup diverged")
+  }
+
   test("IVF recall floor at sf0.01 guards the map-side assignment path") {
     val dir = "/root/testdata/sf0.01"
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
