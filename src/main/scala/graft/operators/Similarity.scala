@@ -198,15 +198,21 @@ object Similarity {
       .transform(graft.Materialize(_))
     val keyed = sigs.select(col("doc_id"), col("sig"),
       posexplode(col("sig")).as(Seq("table", "bucket")))
-    // first-match: no earlier table where both signatures already collide.
-    // `table` is 0-based, so slice(sig, 1, table) is exactly the prefix of
-    // earlier tables; an empty prefix (table 0) vacuously passes.
-    val earlierCollision = exists(
-      zip_with(slice(col("a.sig"), lit(1), col("table")),
-        slice(col("b.sig"), lit(1), col("table")), (x, y) => x === y),
-      identity)
+    // first-match: keep only the row of the FIRST table where the two
+    // signatures collide — exactly one surviving row per colliding pair.
+    // A codegen'd when-chain over the (small, fixed) table count: the
+    // previous exists(zip_with(slice, slice)) formulation fell out of
+    // whole-stage codegen AND allocated two sliced arrays per CANDIDATE
+    // pair — at sf10 (200k vectors, ~10^8 bucket-join candidates) the
+    // interpreted eval was ~100% of the query's runtime (the r13 sf10
+    // full-catalog sweep caught it; same device as cellNearDupPairs'
+    // firstShared chain).
+    val firstMatch = (0 until tables).foldRight(lit(-1)) { (t, acc) =>
+      when(element_at(col("a.sig"), t + 1) === element_at(col("b.sig"), t + 1),
+        lit(t)).otherwise(acc)
+    }
     val cand = keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id") && !earlierCollision)
+      .filter(col("a.doc_id") < col("b.doc_id") && col("table") === firstMatch)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     // norms computed once per doc row in the slim vec table, so the
     // threshold predicate pushed into the second re-attach join costs one
