@@ -848,9 +848,14 @@ object SparkEntry {
     // reduction-order float drift sits ~1e-16 — far inside the 8dp round.
     "q_pagerank" -> ((s, dir) => {
       val d = table(s, dir, "documents").select(col("doc_id"))
+      // reduce mod 500 BEFORE squaring: raw doc_id² overflows Long once
+      // ids reach ~3e9 (the sf10 key-shifted corpus — ANSI mode threw
+      // ARITHMETIC_OVERFLOW in the r13 sweep); identical edges at gate
+      // SFs where doc_id < 500, well-defined at every scale
+      val m = pmod(col("doc_id"), lit(500))
       val edges = d.select(col("doc_id").as("src"),
         explode(array((1 to 3).map(i =>
-          pmod(col("doc_id") * col("doc_id") + lit(i * 97), lit(500))): _*)).as("dst"))
+          pmod(m * m + lit(i * 97), lit(500))): _*)).as("dst"))
       operators.LinkAnalysis.pageRank(edges, iterations = 8)
         .select(col("id"), (round(col("pagerank"), 8) + lit(0.0)).as("pagerank"))
     }),
@@ -1443,9 +1448,16 @@ object SparkEntry {
     }),
 
     // Embedding near-dup pairs above a cosine threshold (brute force).
+    // bounded construction (the r11/r12 DML-gate precedent): nearDupPairs
+    // is the brute-force exact baseline and BROADCASTS its corpus — its
+    // own guard refuses unbounded inputs, so the gate queries the fixed
+    // vec_id < 500 slice (the original vectors, present at every SF under
+    // key-shifted replication). Statement cost is constant while the
+    // corpus scales; the scale path is embed_lsh / embed_celldup.
     "embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(table(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35)),
+      Similarity.nearDupPairs(
+        table(s, dir, "embeddings").filter(col("vec_id") < 500),
+        "vec_id", "embedding", threshold = 0.35)),
 
     // LSH (random hyperplanes) near-dup candidates, exact-verified — gated
     // by CONSTRUCTION: ids (2g, 2g+1) carry unit vectors at cosine ≈ 0.995
@@ -2887,7 +2899,8 @@ object SparkEntry {
       "q_pagerank" ->
         """WITH RECURSIVE
           |e AS (
-          |  SELECT doc_id AS src, (doc_id*doc_id + 97*i) % 500 AS dst
+          |  SELECT doc_id AS src,
+          |         ((doc_id % 500)*(doc_id % 500) + 97*i) % 500 AS dst
           |  FROM documents, (VALUES (1),(2),(3)) AS t(i)),
           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
@@ -4340,7 +4353,7 @@ object SparkEntry {
            |QUALIFY rank <= 10""".stripMargin,
 
       "embed_neardup" ->
-        s"""${cosineCtes("a.vec_id < b.vec_id")}
+        s"""${cosineCtes("a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500")}
            |SELECT query_id AS id_a, neighbor_id AS id_b, round(c, 4) AS cos_r
            |FROM cos WHERE c >= 0.35""".stripMargin,
 
