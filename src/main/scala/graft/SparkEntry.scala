@@ -1466,10 +1466,18 @@ object SparkEntry {
     // per-pair miss probability ~5e-7 and the seeded hyperplanes make the
     // outcome deterministic — the oracle checks LSH recall AND the exact-
     // verify precision as one hash row (was rows-only).
+    // bounded construction (same precedent as embed_neardup): the gate's
+    // FIXED 6-plane geometry means 64 buckets/table — at a key-shifted
+    // sf10 corpus (200k ids) the bucket self-join is ~5e9 candidate rows
+    // however good the plan, because bucket count doesn't scale with n.
+    // The vec_id < 500 slice keeps the construction (and its 5e-7 miss
+    // bound) identical at every SF; real corpora scale nPlanes with
+    // log2(n) so expected bucket size stays constant.
     "embed_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(
         Similarity.syntheticNearDupEmbeddings(
-          table(s, dir, "embeddings").select(col("vec_id")), "vec_id"),
+          table(s, dir, "embeddings").select(col("vec_id"))
+            .filter(col("vec_id") < 500), "vec_id"),
         "vec_id", "embedding", dim = 64, threshold = 0.8, nPlanes = 6, tables = 8)
         .select(col("id_a"), col("id_b"))),
 
@@ -4531,7 +4539,7 @@ object SparkEntry {
       "embed_lsh" ->
         """SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(a.vec_id + 1 AS BIGINT) AS id_b
           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-          |WHERE a.vec_id % 2 = 0""".stripMargin,
+          |WHERE a.vec_id % 2 = 0 AND a.vec_id < 500 AND b.vec_id < 500""".stripMargin,
 
       "embed_celldup" ->
         """SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(a.vec_id + 1 AS BIGINT) AS id_b

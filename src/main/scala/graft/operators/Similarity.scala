@@ -193,10 +193,19 @@ object Similarity {
     // paid ~0.8 s of Janino compilation per query before any row ran)
     val planeTensor: Array[Array[Array[Float]]] =
       Array.tabulate(tables)(t => hyperplanes(nPlanes, dim, seed = 42L + t))
-    val sigs = df.select(col(idCol).as("doc_id"),
+    // vec + norm CARRIED through the bucket join (the r12 carried-norms
+    // device, same as cellNearDupPairs): the former id-keyed re-attach
+    // joins shuffled and SMJ-SORTED the CANDIDATE set — quadratic in
+    // bucket sizes (~10^8 rows at sf10, tens of GB of sort spill; the r13
+    // sweep filled the host's scratch disk twice). Carrying the vector
+    // costs corpus × tables × vecBytes through ONE exchange — linear —
+    // and candidates then stream through filter + inline cosine without
+    // ever being shuffled or sorted.
+    val sigs = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"),
         graft.functions.VectorExpressions.lshSignatures(col(vecCol), planeTensor).as("sig"))
       .transform(graft.Materialize(_))
-    val keyed = sigs.select(col("doc_id"), col("sig"),
+    val keyed = sigs.select(col("doc_id"), col("sig"), col("vec"), col("nrm"),
       posexplode(col("sig")).as(Seq("table", "bucket")))
     // first-match: keep only the row of the FIRST table where the two
     // signatures collide — exactly one surviving row per colliding pair.
@@ -211,25 +220,15 @@ object Similarity {
       when(element_at(col("a.sig"), t + 1) === element_at(col("b.sig"), t + 1),
         lit(t)).otherwise(acc)
     }
-    val cand = keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id") && col("table") === firstMatch)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    // norms computed once per doc row in the slim vec table, so the
-    // threshold predicate pushed into the second re-attach join costs one
-    // dot per candidate (same device as cellNearDupPairs)
-    val vecs = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"))
-    val denom = col("nrm_a") * col("nrm_b")
+    val denom = col("a.nrm") * col("b.nrm")
     val cosExpr = when(denom === 0d, lit(Double.NaN))
-      .otherwise(dot(col("va"), col("vb")) / denom)
-    cand
-      .join(vecs.select(col("doc_id").as("id_a"), col("vec").as("va"),
-        col("nrm").as("nrm_a")), "id_a")
-      .join(vecs.select(col("doc_id").as("id_b"), col("vec").as("vb"),
-        col("nrm").as("nrm_b")), "id_b")
+      .otherwise(dot(col("a.vec"), col("b.vec")) / denom)
+    keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id") && col("table") === firstMatch)
       .withColumn("cos", cosExpr)
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(col("cos"), 4).as("cos_r"))
   }
 
   /**
