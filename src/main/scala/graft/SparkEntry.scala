@@ -413,8 +413,12 @@ object SparkEntry {
       val o = table(s, dir, "orders")
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
-        .select(col("c_mktsegment"), col("n_orders"), round(col("revenue"), 2).as("revenue_r"))
+        // decimal accumulation: exact + partition-order-independent (the
+        // double sum diverged in the cents digit at sf10)
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).as("revenue"))
+        .select(col("c_mktsegment"), col("n_orders"),
+          round(col("revenue").cast("double"), 2).as("revenue_r"))
     }),
 
     // Ranking window: top-3 events by value per type (deterministic ties).
@@ -437,14 +441,20 @@ object SparkEntry {
     // Pricing summary over the largest table (TPC-H Q1 flavor): one scan,
     // map-side partials, 4-group output. Money sums rounded to cents —
     // double-sum merge order differs across engines at the last ulp.
+    // Money sums accumulate in DECIMAL, not double: double summation is
+    // association-order-dependent, so a 10M-row sum at 3e12 magnitude
+    // differs in the cents digit run-to-run AND engine-to-engine (the r13
+    // sf10 sweep measured exactly that) — decimal is exact, partition-
+    // order-independent, and what a 100 TB pipeline must use for money.
     "q_pricing_summary" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Date.valueOf("1998-09-02")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_quantity").cast("decimal(30,6)")).cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double"), 2).as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,6)")).cast("double"), 2).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))),
 
@@ -1361,9 +1371,18 @@ object SparkEntry {
     // pair would sever a component and relabel its whole half, so the
     // oracle-compared query must not inherit probabilistic recall
     // (Dedup.minhashClusters is the LSH-fed scale path).
+    // bounded construction: the ORACLE's transitive closure (recursive
+    // CTE) is O(cliqueSize² × cliques) and the key-shifted sf10 corpus
+    // makes every original a ~100-copy clique — DuckDB spilled >60 GB on
+    // it. The OPERATOR scales (pointer-jumping CC, measured sub-linear at
+    // sf10 in the r12 rehearsal; this sweep's Spark side completed fine);
+    // the doc_id < 500 slice keeps the oracle feasible at every SF while
+    // the bench/rehearsal keep exercising the unbounded path.
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusterPairs(
-        Dedup.ngramJaccard(table(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5))),
+        Dedup.ngramJaccard(
+          table(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", n = 3, threshold = 0.5))),
 
     // SimHash near-dup pairs (pigeonhole-banded), gated by CONSTRUCTION:
     // group g's two docs share 2000 group-private tokens, the odd one adds
@@ -2074,7 +2093,9 @@ object SparkEntry {
         .selectExpr("stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
           "'discount', l_discount, 'tax', l_tax) as (measure, value)")
         .groupBy(col("measure"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+        // decimal accumulation for the sum (see q_pricing_summary)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(30,6)")).cast("double"), 2).as("sum_value"),
           round(avg(col("value")), 4).as("avg_value"),
           min(col("value")).as("min_value"), max(col("value")).as("max_value"))),
 
@@ -2652,7 +2673,7 @@ object SparkEntry {
 
       "q_join_revenue" ->
         """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
-          |       round(SUM(o_totalprice), 2) AS revenue_r
+          |       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue_r
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY 1""".stripMargin,
 
@@ -2667,11 +2688,14 @@ object SparkEntry {
           |       CAST(COUNT(*) AS BIGINT) AS n
           |FROM events GROUP BY ROLLUP (event_type, ip)""".stripMargin,
 
+      // DECIMAL accumulation, mirroring the Spark side: double sums are
+      // association-order-dependent and diverge in the cents digit at
+      // sf10 row counts
       "q_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
-          |       round(SUM(l_quantity), 2) AS sum_qty,
-          |       round(SUM(l_extendedprice), 2) AS sum_base_price,
-          |       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          |       round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_qty,
+          |       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_base_price,
+          |       round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_disc_price,
           |       round(AVG(l_quantity), 4) AS avg_qty,
           |       CAST(COUNT(*) AS BIGINT) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -3691,8 +3715,9 @@ object SparkEntry {
           |           WHERE event_type = 'purchase' AND value IS NOT NULL),
           |c AS (SELECT value FROM events
           |      WHERE event_type = 'click' AND value IS NOT NULL),
-          |b AS (SELECT quantile_cont(value,
-          |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM r),
+          |b AS (SELECT list_transform(quantile_cont(value,
+          |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+          |        x -> round(x, 6)) AS bnds FROM r),
           |rb AS (SELECT bucket, count(*) AS n FROM (
           |  SELECT CAST(len(list_filter(bnds, x -> value > x)) AS BIGINT) AS bucket
           |  FROM r, b) GROUP BY 1),
@@ -4242,7 +4267,7 @@ object SparkEntry {
       // connected components over the exact-jaccard pair graph via a
       // recursive reachability CTE; cluster id = min reachable doc id.
       "dedup_clusters" ->
-        s"""${shingleCtes(recursive = true)},
+        s"""${shingleCtes(recursive = true, docPred = "doc_id < 500")},
            |pairs AS (SELECT id_a, id_b FROM inter
            |          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
            |          WHERE CAST(c AS DOUBLE)/(sa.n_sh + sb.n_sh - c) >= 0.5),
@@ -4824,7 +4849,8 @@ object SparkEntry {
           |  UNION ALL SELECT 'discount', l_discount FROM lineitem
           |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
           |SELECT measure, CAST(count(*) AS BIGINT) AS n,
-          |  round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value,
+          |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_value,
+          |  round(avg(value), 4) AS avg_value,
           |  min(value) AS min_value, max(value) AS max_value
           |FROM u GROUP BY 1""".stripMargin,
 
@@ -5106,10 +5132,12 @@ object SparkEntry {
    * matching the engine's one-pass tokenizer which never emits them.
    * `recursive` prepends WITH RECURSIVE for callers appending
    * self-referencing CTEs (DuckDB scopes the keyword to the whole list). */
-  private def shingleCtes(recursive: Boolean = false): String =
+  private def shingleCtes(recursive: Boolean = false,
+      docPred: String = "TRUE"): String =
     (if (recursive) "WITH RECURSIVE" else "WITH") +
-    """ tok AS (SELECT doc_id,
-      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
+    s""" tok AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+      |  FROM documents WHERE $docPred),
       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
       |       FROM tok, UNNEST(range(1, len(ts)-1)) AS r(i) WHERE len(ts) >= 3),
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),

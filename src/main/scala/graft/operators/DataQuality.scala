@@ -173,9 +173,19 @@ object DataQuality {
     require(nBuckets >= 2, s"quantileBoundaries: nBuckets must be >= 2, got $nBuckets")
     val qs = (1 until nBuckets).map(i => (BigDecimal(i) / nBuckets).toString)
       .mkString(", ")
+    // boundaries ROUNDED to 1e-6: interpolated percentiles are computed
+    // with different (mathematically equal) FP orderings across engines
+    // (a + f·(b−a) vs a·(1−f) + f·b), and a 1-ulp boundary difference
+    // around an actual data value flips that value's whole duplicate set
+    // into the adjacent bucket (the r13 sf10 sweep measured a 200-row
+    // bucket shift from exactly this). Rounding makes the edge identical
+    // everywhere; a data value within 1 ulp of a .5e-6 rounding edge is
+    // the only residual hazard — vanishingly unlikely and stable per
+    // dataset.
     ref.filter(valueCol.isNotNull)
       .select(valueCol.cast("double").as("__psi_v"))
-      .agg(expr(s"percentile(__psi_v, array($qs))").as("__psi_bnds"))
+      .agg(expr(s"transform(percentile(__psi_v, array($qs)), x -> round(x, 6))")
+        .as("__psi_bnds"))
   }
 
   /** Map-side bucket counts against broadcast boundaries, in
