@@ -216,15 +216,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus side must not shuffle before the verify: $shuffles")
   }
 
-  test("embed_lsh first-match dedup: no distinct exchange, candidate shuffles vector-free") {
+  test("embed_lsh first-match dedup: no distinct, no candidate-set sort, vectors carried once") {
     // lshNearDupPairs dedups cross-table pairs by FIRST-MATCH on the bucket
-    // signature prefix, map-side — so the plan must contain NO aggregate at
-    // all (the cross-table distinct is gone), and the (table, bucket)
-    // candidate exchanges must carry only ids + the long-array signature,
-    // never the float vectors (those re-attach by id afterwards).
+    // signature (a codegen'd when-chain), map-side — the plan must contain
+    // NO aggregate (the cross-table distinct is gone). Vectors + norms are
+    // CARRIED through the one keyed exchange (linear: corpus × tables ×
+    // vecBytes) and candidates stream through filter + inline cosine — the
+    // r13 sf10 sweep showed the alternative (vector-free candidates
+    // re-attached by id) SMJ-sorts the ~quadratic CANDIDATE set, tens of
+    // GB of sort spill at 200k vectors. So the pin is inverted from r12:
+    // no exchange or sort may have BOTH pair id columns (nothing
+    // candidate-shaped is ever shuffled or sorted); the keyed exchanges
+    // carry the vec once.
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.Exchange
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.execution.SortExec
     val frame = SparkEntry.queries("embed_lsh")(spark, dir)
     // exchanges are inserted by EnsureRequirements, so inspect the executed
     // plan (unwrapping AQE) rather than sparkPlan
@@ -236,22 +242,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val aggs = plan.collect { case a: BaseAggregateExec => a }
     assert(aggs.isEmpty,
       s"embed_lsh should have no aggregate (first-match dedup), got $aggs")
-    // at spec scale the candidate join may plan as broadcast — the pin is on
-    // WHAT crosses the exchange (ids + long signature, no vectors), not on
-    // which exchange kind the tiny input picked
+    def pairShaped(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) =
+      out.exists(_.name == "id_a") && out.exists(_.name == "id_b")
     val candidateExchanges = plan.collect {
-      case ex: Exchange
-          if ex.output.exists(a => a.name == "table" || a.name == "bucket") => ex
+      case ex: Exchange if pairShaped(ex.output) => ex
     }
-    assert(candidateExchanges.nonEmpty, "no (table, bucket) candidate exchange found")
-    candidateExchanges.foreach { ex =>
-      val floatArrays = ex.output.filter(a => a.dataType match {
-        case ArrayType(FloatType, _) => true
-        case _ => false
-      })
-      assert(floatArrays.isEmpty,
-        s"candidate exchange carries float vectors: $floatArrays")
+    assert(candidateExchanges.isEmpty,
+      s"the candidate set must never be shuffled (stream through filter+cosine): $candidateExchanges")
+    val candidateSorts = plan.collect {
+      case s: SortExec if pairShaped(s.output) => s
     }
+    assert(candidateSorts.isEmpty,
+      s"the candidate set must never be sorted (the sf10 spill): $candidateSorts")
     // first-match really is exhaustive-and-unique: same pair set as a
     // distinct over all colliding tables would produce
     val rows = frame.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
