@@ -80,6 +80,38 @@ object SparkEntry {
     s.read.parquet(base.toString)
   }
 
+  /** Materialized 4-file layout fixture for q_layout_audit, cached per
+   * lineitem fingerprint (the `cachedMediaFor` pattern): the bench row
+   * then times the `_metadata` AUDIT — the operator under test — not
+   * three `coalesce(1)` construction writes per run (r13 measured the
+   * writes at ~80% of the row). Built into a process-private scratch dir
+   * and atomically renamed into place, so two JVMs running the catalog
+   * against the same sf dir (Bench × BenchBudgetSpec) can never observe a
+   * half-written layout: the rename either installs a complete fixture or
+   * loses to an already-complete winner. */
+  private def layoutFixtureFor(s: SparkSession, dir: String): String = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_layout_v2_" + srcFingerprint(dir, "lineitem.parquet") + "_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    if (!new java.io.File(base, "_DONE").exists()) {
+      val tmp = new java.io.File(base.getParentFile,
+        base.getName + ".build-" + java.util.UUID.randomUUID())
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"))
+      (0L until 4L).foreach(b =>
+        li.filter(col("l_orderkey") % 4 === b).coalesce(1)
+          .write.mode("append").parquet(tmp.toString))
+      new java.io.File(tmp, "_DONE").createNewFile()
+      if (!tmp.renameTo(base)) { // lost the install race: winner is complete
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(tmp)
+      }
+    }
+    base.toString
+  }
+
   private def ivfPqIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     // cache key includes a fingerprint of the SOURCE data (per-file name +
     // length + mtime): a regenerated dataset at the same path must rebuild
@@ -1415,22 +1447,12 @@ object SparkEntry {
     // oracle; its plumbing still is). small_file gates the threshold
     // comparison at a construction-deterministic cutoff (1 byte → false
     // everywhere). Real-layout byte behavior stays covered by LayoutSpec.
-    "q_layout_audit" -> ((s, dir) => {
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_layout_q_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(base)
-      val li = table(s, dir, "lineitem").select(col("l_orderkey"))
-      (0L until 4L).foreach(b =>
-        li.filter(col("l_orderkey") % 4 === b).coalesce(1)
-          .write.mode("append").parquet(base.toString))
-      operators.Layout.fileAudit(s, base.toString, smallBytes = 1L)
+    "q_layout_audit" -> ((s, dir) =>
+      // fixture cached per lineitem fingerprint (see layoutFixtureFor):
+      // the row times the audit, not the construction writes
+      operators.Layout.fileAudit(s, layoutFixtureFor(s, dir), smallBytes = 1L)
         .select(col("n_rows"), (col("bytes") > 0L).as("bytes_pos"),
-          col("small_file"))
-    }),
+          col("small_file"))),
 
     // IVF index health: per-cell occupancy + load factor after training —
     // the retrain-trigger readout (hot cells inflate probe latency, empty

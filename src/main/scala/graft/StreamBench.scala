@@ -93,7 +93,7 @@ object StreamBench {
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
             graft.sinks.v2.KvStore.upsert(spark, kvPath,
               batch.dropDuplicates("ip", "window_start_s"),
-              Seq("ip", "window_start_s"), tag = Some(s"sb-cdc:$id"))
+              Seq("ip", "window_start_s"), tag = Some(s"stream-upsert:sb-cdc:$id"))
             // periodic retention fold: without it every micro-batch's
             // epoch accumulates and the dv classify re-scans every old
             // segment holding the hot keys — O(batches²) total work over

@@ -205,14 +205,38 @@ object KvStore {
     def segments: Seq[String] = segs.map(_.name)
   }
 
-  /** `<prefix>:<numericBatchId>` structured-tag parse: the writer scope is
-   * everything before the LAST colon. UUID-suffixed statement tags
-   * (upsert:/compact:/expire:/rowlevel:) and `batch:<queryId>` never parse
-   * (suffix not a long) — they are never replayed, so no watermark. */
+  /** tag prefixes the sink itself controls, whose `:<numericBatchId>`
+   * suffix is guaranteed monotonically increasing per writer (Structured
+   * Streaming commits each query's batches in order). ONLY these
+   * participate in fold watermarks — a caller-chosen tag that merely
+   * LOOKS colon-numeric (`load:20260101` backfilled after `load:20260815`
+   * was folded) must dedupe by exact tag, never be absorbed as a replay. */
+  private[v2] val replayTagPrefixes: Seq[String] = Seq("stream:", "stream-upsert:")
+
+  /** driver budget (repr count) for upsert's INLINE key collection,
+   * divided evenly among the source's partitions: a partition that would
+   * exceed its share reports overflow and the distinct keys come from a
+   * distributed distinct().limit() over the staged files instead —
+   * bounding the driver at cap+1 tuples total regardless of partition
+   * count. Test-overridable via the `graft.kv.maxDriverKeyReprs` system
+   * property. */
+  private[v2] def maxDriverKeyReprs: Long =
+    sys.props.get("graft.kv.maxDriverKeyReprs").map(_.toLong)
+      .getOrElse(2L * 1024 * 1024)
+
+  /** `<prefix>:<numericBatchId>` structured-tag parse, RESERVED prefixes
+   * only (see [[replayTagPrefixes]]): the writer scope is everything
+   * before the LAST colon. UUID-suffixed statement tags
+   * (upsert:/compact:/expire:/rowlevel:), `batch:<queryId>`, and every
+   * caller-supplied tag never parse — they dedupe by exact tag, so a
+   * lower-suffixed new statement can never be silently dropped. */
   private[v2] def parseWriterTag(tag: String): Option[(String, Long)] = {
-    val i = tag.lastIndexOf(':')
-    if (i <= 0 || i == tag.length - 1) None
-    else tag.substring(i + 1).toLongOption.map(b => (tag.substring(0, i), b))
+    if (!replayTagPrefixes.exists(tag.startsWith)) None
+    else {
+      val i = tag.lastIndexOf(':')
+      if (i <= 0 || i == tag.length - 1) None
+      else tag.substring(i + 1).toLongOption.map(b => (tag.substring(0, i), b))
+    }
   }
 
   /** replay absorption: a tag is committed if a live epoch carries it, OR
@@ -921,6 +945,17 @@ object KvStore {
    * for one-row-per-key), matching readCurrent's granularity contract.
    * Rows whose key columns contain null never match anything: they are
    * inserted, mirroring SQL MERGE's null-join behavior.
+   *
+   * Idempotence (`tag`): any tag dedupes by EXACT match against live
+   * epochs. Tags under the sink's reserved prefixes ([[replayTagPrefixes]]:
+   * `stream:` / `stream-upsert:`) additionally promise a monotonically
+   * increasing numeric batch-id suffix per writer, so retention folds can
+   * absorb their replays via watermarks after the epoch itself is folded
+   * away — streaming callers should tag
+   * `stream-upsert:<queryId>:<batchId>`. Caller-chosen tags outside the
+   * reserved prefixes (even colon-numeric ones like `load:20260101`)
+   * never participate in watermarks: after a fold they may re-commit,
+   * they are never silently dropped.
    */
   def upsert(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], maxUpsertKeys: Int = 1000000,
@@ -980,8 +1015,16 @@ object KvStore {
     // prune filters): the source plan is evaluated exactly once, so the dv
     // pass always sees the staged keys (no persist barrier needed against
     // non-deterministic sources), and a small CDC micro-batch pays one
-    // Spark job here instead of two. Per-partition sets are capped at
-    // maxUpsertKeys + 1 — the driver-side union enforces the real bound.
+    // Spark job here instead of two.
+    //
+    // Driver-transfer bound: each partition collects at most its SHARE of
+    // [[maxDriverKeyReprs]] (so the union the driver receives is budget-
+    // bounded even when hot keys repeat in every partition of a many-
+    // partition source); a partition that would exceed its share reports
+    // overflow instead, and the driver re-derives the distinct keys from
+    // the STAGED files (still exactly the rows the dv pass will see) via
+    // a distributed distinct().limit(cap+1) — cap+1 driver rows total,
+    // like the pre-single-pass path.
     val serConf = new SerializableConfiguration(conf)
     // per-statement staging prefix: upsert is explicitly multi-writer
     // (CAS retries), so the post-commit sweep must only reclaim THIS
@@ -991,16 +1034,28 @@ object KvStore {
     // vacuum's job, not ours.
     val stmtId = UUID.randomUUID().toString
     val capPlusOne = maxUpsertKeys + 1
-    val perPart = aligned.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+    val srcRdd = aligned.queryExecution.toRdd
+    // per-partition share of the driver budget: the union the driver
+    // receives is bounded by numPartitions × share ≤ maxDriverKeyReprs
+    // regardless of cap or partition count. A partition that would exceed
+    // its share stops collecting and reports OVERFLOW instead (returning a
+    // truncated set would be unsound: an unmatched staged key's old twin
+    // would survive the dv pass); any overflow switches the driver to the
+    // staged-file distinct pass below.
+    val perPartCap = math.max(1L, math.min(capPlusOne.toLong,
+      maxDriverKeyReprs / math.max(1, srcRdd.getNumPartitions))).toInt
+    val perPart = srcRdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
         val w = new KvDataWriter(path, schema, serConf.value, s"upsert-$stmtId-$pid")
         val reprs = new java.util.HashSet[String]()
         val colVals = Array.fill(keyIdx.length)(new java.util.HashSet[Any]())
+        var overflow = false
         try {
           val sb = new java.lang.StringBuilder
           rows.foreach { r =>
             w.write(r)
+            if (!overflow) {
             val vals = new Array[Any](keyIdx.length)
             var i = 0
             var live = true
@@ -1025,20 +1080,72 @@ object KvStore {
                 i += 1
               }
             }
-            if (live && reprs.size < capPlusOne && reprs.add(sb.toString)) {
-              var j = 0
-              while (j < vals.length) { colVals(j).add(vals(j)); j += 1 }
+            if (live) {
+              val s = sb.toString
+              if (reprs.size < perPartCap) {
+                if (reprs.add(s)) {
+                  var j = 0
+                  while (j < vals.length) { colVals(j).add(vals(j)); j += 1 }
+                }
+              } else if (!reprs.contains(s)) {
+                overflow = true
+                reprs.clear() // incomplete ⇒ useless; don't ship it
+                colVals.foreach(_.clear())
+              }
+            }
             }
           }
           val m = w.commit().asInstanceOf[KvCommitMessage]
           Iterator.single(((m.stagedFile, m.statsJson, m.bloomFile),
             reprs.iterator().asScala.toArray,
-            colVals.map(_.iterator().asScala.toArray)))
+            colVals.map(_.iterator().asScala.toArray),
+            overflow))
         } catch { case e: Throwable => w.abort(); throw e }
       }
     }.collect().toSeq
-    val staged = perPart.map { case ((f, st, b), _, _) => StagedSeg(f, st, b) }
-    val keySet: Set[String] = perPart.iterator.flatMap(_._2).toSet
+    val staged = perPart.map { case ((f, st, b), _, _, _) => StagedSeg(f, st, b) }
+    val (keySet: Set[String], perColVals: Array[Array[Any]]) =
+      if (staged.isEmpty)
+        (Set.empty[String], Array.fill(keyIdx.length)(Array.empty[Any]))
+      else if (!perPart.exists(_._4)) (
+        perPart.iterator.flatMap(_._2).toSet,
+        keyIdx.indices.map(i => perPart.iterator.flatMap(_._3(i)).toSet.toArray).toArray
+      ) else {
+        // overflow path: one extra column-pruned distributed job over the
+        // STAGED files (exactly the rows the dv pass will see — segments
+        // are JSONL); driver bounded at cap+1 distinct tuples total, like
+        // the pre-single-pass distinct().limit() did
+        val keyRows = spark.read.schema(schema)
+          .json(staged.map(_.file): _*)
+          .select(keyCols.map(col): _*)
+          .na.drop("any", keyCols)
+          .distinct().limit(capPlusOne).collect()
+        val reprSet = scala.collection.mutable.HashSet.empty[String]
+        val colSets = Array.fill(keyIdx.length)(scala.collection.mutable.HashSet.empty[Any])
+        val sb = new java.lang.StringBuilder
+        keyRows.foreach { r =>
+          sb.setLength(0)
+          var i = 0
+          while (i < keyDtsArr.length) {
+            val v: Any = keyDtsArr(i) match {
+              case LongType => java.lang.Long.valueOf(r.getLong(i))
+              case IntegerType => java.lang.Long.valueOf(r.getInt(i).toLong)
+              case StringType => r.getString(i)
+              case BooleanType => java.lang.Boolean.valueOf(r.getBoolean(i))
+              case DoubleType => java.lang.Double.valueOf(r.getDouble(i))
+              case other => throw new IllegalArgumentException(
+                s"graft-kv: unsupported upsert key type $other")
+            }
+            colSets(i) += v
+            val repr = keyRepr(keyDtsArr(i), v)
+            if (i > 0) sb.append(';')
+            sb.append(repr.length).append(':').append(repr)
+            i += 1
+          }
+          reprSet += sb.toString
+        }
+        (reprSet.toSet, colSets.map(_.toArray: Array[Any]))
+      }
     if (keySet.size > maxUpsertKeys) {
       // fail-loud with nothing on disk: the staged files are this
       // statement's own — reclaim them before raising
@@ -1051,8 +1158,6 @@ object KvStore {
         s"graft-kv: upsert source exceeds $maxUpsertKeys distinct keys — for bulk " +
           "merges rewrite the store instead (compact over readCurrent ∪ source)")
     }
-    val perColVals: Array[Array[Any]] =
-      keyIdx.indices.map(i => perPart.iterator.flatMap(_._3(i)).toSet.toArray).toArray
     Failpoints.hit("upsert:after-keys") // keys collected (staged with them)
     if (staged.isEmpty) return // empty source: no keys to match, nothing to insert
     Failpoints.hit("upsert:after-stage") // staged files exist, nothing published

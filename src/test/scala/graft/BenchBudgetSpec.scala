@@ -33,12 +33,15 @@ class BenchBudgetSpec extends AnyFunSuite {
   private val record = sys.env.get("SPARK_GRAFT_BUDGET_RECORD").contains("1")
   // a true plan regression (extra exchange, lost pruning, interpreted
   // fallback) is rarely under 2×; sentinel-normalized single-rep noise at
-  // local[4] stays well inside it. Overridable per run for forensics.
-  private val margin = sys.env.get("SPARK_GRAFT_BUDGET_MARGIN")
-    .map(_.toDouble).getOrElse(2.0)
+  // local[4] stays well inside it. Record mode writes margin/slack INTO
+  // the budgets file; check mode reads them back from there (so a record
+  // run under an overridden margin gates exactly what it documented),
+  // with the env var as an explicit per-run override in both modes.
+  private val marginEnv = sys.env.get("SPARK_GRAFT_BUDGET_MARGIN").map(_.toDouble)
+  private val defaultMargin = 2.0
   // sub-sentinel queries get an absolute floor too: a 0.05-unit query
   // jittering to 0.12 units is timer noise, not a plan change
-  private val slack = 0.25
+  private val defaultSlack = 0.25
 
   private def time(fn: (org.apache.spark.sql.SparkSession, String)
       => org.apache.spark.sql.DataFrame): Double = {
@@ -68,12 +71,13 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(sentinel > 0)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     if (record) {
+      val margin = marginEnv.getOrElse(defaultMargin)
       val rows = queries.map { case (name, fn) =>
         val n = math.min(time(fn), time(fn)) / sentinel
         f""""$name":${n}%.4f"""
       }
       java.nio.file.Files.write(budgetsFile,
-        (s"""{"margin":$margin,"slack":$slack,"sf":"$sfDir",""" +
+        (s"""{"margin":$margin,"slack":$defaultSlack,"sf":"$sfDir",""" +
           s""""budgets":{${rows.mkString(",")}}}""" + "\n").getBytes("UTF-8"))
       info(s"recorded ${queries.size} budgets to $budgetsFile")
     } else {
@@ -86,6 +90,11 @@ class BenchBudgetSpec extends AnyFunSuite {
         root.get("budgets").fields().asScala
           .map(e => e.getKey -> e.getValue.asDouble()).toMap
       }
+      // gate with what the record run documented; env overrides explicitly
+      val margin = marginEnv.getOrElse(
+        Option(root.get("margin")).map(_.asDouble()).getOrElse(defaultMargin))
+      val slack =
+        Option(root.get("slack")).map(_.asDouble()).getOrElse(defaultSlack)
       val unbudgeted = scala.collection.mutable.ArrayBuffer.empty[String]
       val violations = scala.collection.mutable.ArrayBuffer.empty[String]
       queries.foreach { case (name, fn) =>

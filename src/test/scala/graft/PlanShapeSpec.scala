@@ -254,6 +254,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(candidateSorts.isEmpty,
       s"the candidate set must never be sorted (the sf10 spill): $candidateSorts")
+    // the name-keyed pins above only see post-projection attributes
+    // (id_a/id_b exist after the final select) — a reintroduced SMJ or
+    // sort over the PRE-rename doc_id candidates would pass them
+    // vacuously. The structural pin: this plan has no sort-merge join and
+    // no sort of any kind, under any column names (hash joins + streaming
+    // filter only).
+    val smjs = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.isEmpty, s"embed_lsh must never sort-merge join: $smjs")
+    val anySorts = plan.collect { case s: SortExec => s }
+    assert(anySorts.isEmpty,
+      s"embed_lsh plans no sort anywhere (pre- or post-rename): $anySorts")
     // first-match really is exhaustive-and-unique: same pair set as a
     // distinct over all colliding tables would produce
     val rows = frame.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))

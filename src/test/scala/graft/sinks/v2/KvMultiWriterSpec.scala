@@ -140,6 +140,31 @@ class KvMultiWriterSpec extends AnyFunSuite {
     assert(state(path) === pre)
   }
 
+  test("caller tags outside reserved prefixes never absorb: a folded colon-numeric tag cannot swallow a NEW lower-suffixed statement") {
+    val path = freshDir()
+    // a date-stamped caller tag that merely LOOKS like a structured
+    // stream tag — it must dedupe by exact match only
+    KvStore.commitEpochSegs(conf, path, schema, "load:20260815",
+      stage(path, Seq(1L -> 1L)))
+    (0L to 3L).foreach(b => commitBatch(path, "qA", b, Seq((b + 10) -> 1L)))
+    KvStore.expireEpochs(spark, path, Seq("id"), keepLast = 1)
+    val w = manifest(path).head.writers
+    assert(w === Map("stream:qA" -> 2L),
+      s"non-reserved tags must not become fold watermarks, got $w")
+    // a BACKFILL with a lower numeric suffix is a brand-new statement:
+    // under suffix-as-watermark parsing it would be silently dropped
+    val pre = state(path)
+    KvStore.commitEpochSegs(conf, path, schema, "load:20260101",
+      stage(path, Seq(2L -> 2L)))
+    assert(state(path) === pre + (2L -> 2L),
+      "backfilled load tag must commit, not be absorbed as a replay")
+    // exact-tag dedupe still applies while the epoch is live
+    val m = manifest(path)
+    KvStore.commitEpochSegs(conf, path, schema, "load:20260101",
+      stage(path, Seq(3L -> 3L)))
+    assert(manifest(path) === m, "exact live-tag replay is still a no-op")
+  }
+
   test("two concurrent streaming writers with forced replays and folds: exactly-once") {
     val seeds = Seq(5L, 29L)
     for (seed <- seeds) {

@@ -189,6 +189,33 @@ class KvUpsertSpec extends AnyFunSuite {
     assert(got.values.count(_ == "old") === 4)
   }
 
+  test("many-partition sources switch to the bounded staged-file key pass: same merge, driver bounded") {
+    val p = tmp()
+    spark.range(0, 8).selectExpr("id as k", "'old' as v").coalesce(1)
+      .write.format("graft-kv").option("path", p).mode("append").save()
+    // force the budget under numPartitions × (cap+1): the per-partition
+    // inline sets are skipped and the distinct keys come from a
+    // distributed pass over the staged files (cap+1 driver rows total)
+    sys.props("graft.kv.maxDriverKeyReprs") = "1"
+    try {
+      val src = spark.range(0, 12)
+        .selectExpr("id as k", "concat('new', id) as v").repartition(6)
+      KvStore.upsert(spark, p, src, Seq("k"))
+      val got = visible(p)
+      assert(got.size === 12)
+      (0L until 12L).foreach(k => assert(got(k) === s"new$k"))
+      // over-cap on the bounded path still fail-louds with the named
+      // error and reclaims its own staged files
+      val e = intercept[IllegalArgumentException] {
+        KvStore.upsert(spark, p,
+          spark.range(100, 110).selectExpr("id as k", "'x' as v").repartition(5),
+          Seq("k"), maxUpsertKeys = 3)
+      }
+      assert(e.getMessage.contains("distinct keys"))
+      assert(visible(p).size === 12, "failed merge must leave the store unchanged")
+    } finally sys.props.remove("graft.kv.maxDriverKeyReprs")
+  }
+
   test("update basis guard: a commit after the rows were computed aborts the merge") {
     val p = tmp()
     spark.range(0, 4).selectExpr("id as k", "'old' as v").coalesce(1)
