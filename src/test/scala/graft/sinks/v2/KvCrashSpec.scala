@@ -331,4 +331,122 @@ class KvCrashSpec extends AnyFunSuite {
       assertNoOrphans(path)
     }
   }
+
+  // ---- concurrent crash sweep: crashes × OCC concurrency composed ----
+
+  test("concurrent crash sweep: two writers, one crash-armed per step — OCC liveness, convergence, watermarks") {
+    // Each step runs a SURVIVOR (streaming append, commit:* protocol) and
+    // a CRASHER (tagged streaming upsert, upsert:* protocol) on two
+    // threads against one store, with a random upsert-only point armed —
+    // the protocols' failpoint sets are disjoint, so the injection always
+    // kills the crasher and never the survivor. Asserted each step:
+    //  - OCC LIVENESS: the survivor's append commits even while the
+    //    crasher dies mid-protocol (its CAS loop absorbs the conflict);
+    //  - CONVERGENCE: the crasher's retry (same stream-upsert tag) lands
+    //    exactly once — mid-crash state is one of the two legal snapshots
+    //    (upsert absent, or upsert committed when the CAS preceded death);
+    //  - WATERMARKS: after retention folds, replays of folded append AND
+    //    upsert batches — with poisoned row values, so a double-commit
+    //    cannot hide — are absorbed by the per-writer watermarks.
+    // Keys are namespaced per writer and per op so concurrent ops commute
+    // and the model is interleaving-independent.
+    val seeds = Seq(7L, 21L, 63L) ++ sys.env.get("SPARK_GRAFT_CRASH_SEEDS")
+      .toSeq.flatMap(_.split(",").map(_.trim.toLong))
+    val crasherPoints = upsertPoints // upsert:* only — disjoint from commit:*
+    for (seed <- seeds) {
+      val rng = new scala.util.Random(seed)
+      val path = freshDir()
+      append(path, "batch:seed", Seq(900000L -> 0L)) // upserts never first-write
+      var model = Map(900000L -> 0L)
+      val writers = Seq("wa", "wb")
+      val nextAppend = scala.collection.mutable.Map("wa" -> 0L, "wb" -> 0L)
+      val nextUpsert = scala.collection.mutable.Map("wa" -> 0L, "wb" -> 0L)
+      val appendHist = scala.collection.mutable.Map.empty[(String, Long), Seq[(Long, Long)]]
+      val upsertHist = scala.collection.mutable.Map.empty[(String, Long), Seq[(Long, Long)]]
+      val owned = Map("wa" -> scala.collection.mutable.ArrayBuffer.empty[Long],
+        "wb" -> scala.collection.mutable.ArrayBuffer.empty[Long])
+      var nextKey = Map("wa" -> 1000L, "wb" -> 2000000L)
+
+      def freshKeys(w: String, n: Int): Seq[Long] = {
+        val base = nextKey(w)
+        nextKey = nextKey.updated(w, base + n)
+        val ks = (0 until n).map(base + _)
+        owned(w) ++= ks
+        ks
+      }
+
+      for (step <- 1 to 15) {
+        val crasher = writers(rng.nextInt(2))
+        val survivor = if (crasher == "wa") "wb" else "wa"
+        // survivor: in-order streaming append of fresh keys
+        val ab = nextAppend(survivor)
+        val appendRows = freshKeys(survivor, 1 + rng.nextInt(3)).map(_ -> rng.nextLong(1000L))
+        appendHist((survivor, ab)) = appendRows
+        nextAppend(survivor) = ab + 1
+        // crasher: in-order streaming upsert replacing a sample of its OWN
+        // keys plus inserting fresh ones
+        val ub = nextUpsert(crasher)
+        val replace = rng.shuffle(owned(crasher).toSeq).take(rng.nextInt(3))
+          .map(_ -> (10000L + rng.nextLong(1000L)))
+        val insert = freshKeys(crasher, 1).map(_ -> rng.nextLong(1000L))
+        val upsertRows = rng.shuffle(replace ++ insert)
+        upsertHist((crasher, ub)) = upsertRows
+        nextUpsert(crasher) = ub + 1
+
+        val (point, _) = crasherPoints(rng.nextInt(crasherPoints.size))
+        Failpoints.disarmAll()
+        Failpoints.arm(point)
+        var survivorErr: Option[Throwable] = None
+        val t1 = new Thread(() =>
+          try append(path, s"stream:$survivor:$ab", appendRows)
+          catch { case e: Throwable => survivorErr = Some(e) })
+        val t2 = new Thread(() =>
+          try upsert(path, s"stream-upsert:$crasher:$ub", upsertRows)
+          catch { case _: Throwable => () }) // expected: the injected crash
+        t1.start(); t2.start(); t1.join(); t2.join()
+        Failpoints.disarmAll()
+        assert(Failpoints.hasFired(point), s"seed=$seed step=$step: $point never fired")
+        assert(survivorErr.isEmpty,
+          s"seed=$seed step=$step: survivor append died under the crasher: $survivorErr")
+
+        // OCC liveness: the survivor's epoch committed despite the
+        // concurrent death; the mid-crash state is one of the two legal
+        // snapshots (the upsert is atomic — all or nothing)
+        model = modelAppend(model, appendRows)
+        val withUpsert = model ++ upsertRows
+        val mid = readState(path)
+        assert(mid === model || mid === withUpsert,
+          s"seed=$seed step=$step point=$point: mid-crash state is neither legal snapshot")
+
+        // convergence: the crasher's replayed batch (same tag) lands once
+        upsert(path, s"stream-upsert:$crasher:$ub", upsertRows)
+        model = withUpsert
+        assert(readState(path) === model,
+          s"seed=$seed step=$step point=$point: retry did not converge")
+
+        if (rng.nextInt(10) < 4) {
+          KvStore.expireEpochs(spark, path, Seq("id"), keepLast = 1 + rng.nextInt(2))
+          assert(readState(path) === model, s"seed=$seed step=$step: fold changed state")
+          // watermark correctness: replay a random OLD batch of each kind
+          // with POISONED values — absorption means the poison never lands
+          if (appendHist.nonEmpty) {
+            val (w, b) = appendHist.keys.toSeq(rng.nextInt(appendHist.size))
+            append(path, s"stream:$w:$b", appendHist((w, b)).map { case (k, _) => k -> 666666L })
+            assert(readState(path) === model,
+              s"seed=$seed step=$step: folded append replay was not absorbed")
+          }
+          if (upsertHist.nonEmpty) {
+            val (w, b) = upsertHist.keys.toSeq(rng.nextInt(upsertHist.size))
+            upsert(path, s"stream-upsert:$w:$b", upsertHist((w, b)).map { case (k, _) => k -> 777777L })
+            assert(readState(path) === model,
+              s"seed=$seed step=$step: folded upsert replay was not absorbed")
+          }
+        }
+      }
+      Thread.sleep(30)
+      KvStore.vacuum(path, graceMs = 1L)
+      assert(readState(path) === model, s"seed=$seed: vacuum changed state")
+      assertNoOrphans(path)
+    }
+  }
 }
