@@ -1512,14 +1512,31 @@ object SparkEntry {
     // sf10 corpus (200k ids) the bucket self-join is ~5e9 candidate rows
     // however good the plan, because bucket count doesn't scale with n.
     // The vec_id < 500 slice keeps the construction (and its 5e-7 miss
-    // bound) identical at every SF; real corpora scale nPlanes with
-    // log2(n) so expected bucket size stays constant.
+    // bound) identical at every SF; embed_lsh_auto below is the
+    // corpus-sized twin riding the auto geometry (nPlanes ~ log2(n)) so
+    // the scaled path has its own CORRECTNESS row at every SF.
     "embed_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(
         Similarity.syntheticNearDupEmbeddings(
           table(s, dir, "embeddings").select(col("vec_id"))
             .filter(col("vec_id") < 500), "vec_id"),
         "vec_id", "embedding", dim = 64, threshold = 0.8, nPlanes = 6, tables = 8)
+        .select(col("id_a"), col("id_b"))),
+
+    // The SAME pair oracle over the CORPUS-SIZED input with the geometry
+    // the operator now defaults to (autoLshGeometry: nPlanes ~
+    // log2(n/targetBucket) holds expected bucket size constant, tables
+    // raised until per-pair miss ≤ 1e-7 holds recall constant) — the
+    // scale-proportional twin of the fixed-geometry embed_lsh gate above,
+    // so this CORRECTNESS row grows with the corpus at every SF instead
+    // of querying a constant slice. Exact oracle for the same reason as
+    // embed_celldup: twins at cosine 0.995 vs strangers ≤ 0.55, exact
+    // verify at 0.8, deterministic seeded hyperplanes.
+    "embed_lsh_auto" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(
+        Similarity.syntheticNearDupEmbeddings(
+          table(s, dir, "embeddings").select(col("vec_id")), "vec_id"),
+        "vec_id", "embedding", dim = 64, threshold = 0.8)
         .select(col("id_a"), col("id_b"))),
 
     // SemDeDup-style cell-bucketed near-dup pairs: Lloyd-trained cells shard
@@ -4587,6 +4604,13 @@ object SparkEntry {
         """SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(a.vec_id + 1 AS BIGINT) AS id_b
           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
           |WHERE a.vec_id % 2 = 0 AND a.vec_id < 500 AND b.vec_id < 500""".stripMargin,
+
+      // corpus-sized twin at the auto geometry: same planted pair set,
+      // no slice — the row scales with the corpus
+      "embed_lsh_auto" ->
+        """SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(a.vec_id + 1 AS BIGINT) AS id_b
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          |WHERE a.vec_id % 2 = 0""".stripMargin,
 
       "embed_celldup" ->
         """SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(a.vec_id + 1 AS BIGINT) AS id_b

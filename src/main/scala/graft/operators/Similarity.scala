@@ -183,7 +183,62 @@ object Similarity {
    * the exact-cosine verify, so the candidate exchanges stay vector-free.
    */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+      threshold: Double, nPlanes: Int = -1, tables: Int = -1): DataFrame = {
+    // default geometry is CORPUS-SCALED (the autoCellCount twin): a fixed
+    // plane count means a fixed 2^nPlanes buckets per table, so expected
+    // bucket size — and the bucket self-join — grows linearly (pairs
+    // quadratically) with the corpus; the r13 sf10 sweep measured exactly
+    // that on the gate's fixed 6-plane form (~5e9 candidates at 200k
+    // vectors). Auto geometry holds expected bucket size constant and
+    // spends tables to hold PAIR RECALL constant as planes grow.
+    val (planesN, tablesN) =
+      if (nPlanes > 0 && tables > 0) (nPlanes, tables)
+      else {
+        // recall is engineered at the helper's designCos (true near-dups
+        // live near cosine 1), NOT at `threshold`: holding recall for
+        // boundary pairs needs L ~ (n/B)^ρ tables with ρ evaluated at the
+        // threshold — callers chasing boundary recall pass designCos
+        // explicitly and pay the table count it implies
+        val (ap, at) = autoLshGeometry(df.count())
+        (if (nPlanes > 0) nPlanes else ap, if (tables > 0) tables else at)
+      }
+    lshNearDupPairsFixed(df, idCol, vecCol, dim, threshold, planesN, tablesN)
+  }
+
+  /**
+   * Corpus-scaled LSH geometry — the [[autoCellCount]] recipe applied to
+   * hyperplane tables. Planes: each table hashes into 2^nPlanes buckets,
+   * so holding EXPECTED BUCKET SIZE constant needs
+   * nPlanes ≈ log2(n / targetBucketSize); within-bucket verify work then
+   * stays ∝ n · bucketSize (linear) instead of quadratic. Tables: each
+   * added plane cuts a TRUE pair's per-table collision odds too — for a
+   * pair at cosine c the per-plane split probability is θ/π with
+   * θ = arccos(c) (Charikar 2002, random-hyperplane LSH), so the miss
+   * probability per table is 1 − (1−θ/π)^nPlanes — so the table count is
+   * raised with nPlanes until missPerTable^tables ≤ `pairMissBudget`,
+   * holding recall constant across decades. Shuffle stays linear:
+   * corpus × tables × (sig + vec) through the one keyed exchange.
+   * Envelope: maxPlanes 24 keeps the signature a single long and the
+   * geometry sane to ~2^24·targetBucket ≈ 5e8 vectors per job.
+   */
+  def autoLshGeometry(n: Long, designCos: Double = 0.99,
+      targetBucketSize: Int = 32, pairMissBudget: Double = 1e-7,
+      minPlanes: Int = 4, maxPlanes: Int = 24,
+      minTables: Int = 4, maxTables: Int = 32): (Int, Int) = {
+    val nPlanes = math.min(maxPlanes.toDouble, math.max(minPlanes.toDouble,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
+        math.log(2.0)))).toInt
+    val pFlip = math.acos(math.min(1.0, math.max(-1.0, designCos))) / math.Pi
+    val missPerTable = 1.0 - math.pow(1.0 - pFlip, nPlanes.toDouble)
+    val tables =
+      if (missPerTable <= 0.0) minTables
+      else math.min(maxTables.toDouble, math.max(minTables.toDouble,
+        math.ceil(math.log(pairMissBudget) / math.log(missPerTable)))).toInt
+    (nPlanes, tables)
+  }
+
+  private def lshNearDupPairsFixed(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, nPlanes: Int, tables: Int): DataFrame = {
     // materialized (graft.Materialize — strategy via spark.graft.materialize):
     // projection collapse would re-inline the tables×nPlanes dot products
     // into both self-join sides (same blow-up as minhashCandidates)

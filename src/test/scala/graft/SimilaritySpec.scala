@@ -113,6 +113,43 @@ class SimilaritySpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("autoLshGeometry: bucket size held constant, recall budget held across decades") {
+    val (p1, t1) = Similarity.autoLshGeometry(500)
+    val (p2, t2) = Similarity.autoLshGeometry(200000)
+    val (p3, t3) = Similarity.autoLshGeometry(20000000)
+    assert(p1 < p2 && p2 < p3, s"planes must grow with the corpus: $p1 $p2 $p3")
+    assert(t1 <= t2 && t2 <= t3, s"tables must not shrink as planes grow: $t1 $t2 $t3")
+    for (n <- Seq(5000L, 200000L, 20000000L)) {
+      val (p, t) = Similarity.autoLshGeometry(n)
+      // planes = ceil(log2(n/target)) ⇒ expected bucket size in (target/2, target]
+      val bucket = n.toDouble / math.pow(2.0, p.toDouble)
+      assert(bucket <= 32.0 + 1e-9, s"n=$n: bucket $bucket exceeds target")
+      assert(bucket > 16.0 - 1e-9, s"n=$n: bucket $bucket over-sharded (wasted tables)")
+      // a design-cosine pair's miss probability stays within the budget
+      val pFlip = math.acos(0.99) / math.Pi
+      val missPerTable = 1.0 - math.pow(1.0 - pFlip, p.toDouble)
+      assert(math.pow(missPerTable, t.toDouble) <= 1e-7 * (1 + 1e-9),
+        s"n=$n planes=$p tables=$t: pair-miss budget blown")
+    }
+  }
+
+  test("auto-geometry LSH: corpus-sized planted pairs at full recall (the embed_lsh_auto gate shape)") {
+    // the scale-proportional gate's exact contract, pinned as a spec too:
+    // every planted twin (cosine ≈ 0.995 > designCos 0.99) survives the
+    // auto geometry; strangers (≤ 0.55) never pass the exact verify
+    val dir = "/root/testdata/sf0.001"
+    val ids = graft.sources.Tables.load(spark, dir, "embeddings").select(col("vec_id"))
+    val e = Similarity.syntheticNearDupEmbeddings(ids, "vec_id")
+    val expected = ids.as("a")
+      .join(ids.select((col("vec_id") - 1).as("vec_id")).as("b"), Seq("vec_id"))
+      .filter(col("vec_id") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 1)).toSet
+    val got = Similarity.lshNearDupPairs(e, "vec_id", "embedding", 64, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"auto geometry must emit exactly the planted pairs: missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs (exact-verified)") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
