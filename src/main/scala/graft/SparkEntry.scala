@@ -112,6 +112,28 @@ object SparkEntry {
     base.toString
   }
 
+  /** Shared Fellegi-Sunter match set for q_record_linkage and its O(n)
+   * top-1 twin: customer self-pairs blocked on (nation, segment) — see
+   * q_record_linkage's blocking-refinement note — three agreement fields
+   * scored in fixed order, thresholded at 1.5. */
+  private def recordLinkageMatches(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+    val pairs = operators.RecordLinkage
+      .selfBlockPairs(c, "c_custkey", Seq("c_nationkey", "c_mktsegment"))
+      .withColumn("c_mktsegment_a", col("c_mktsegment"))
+      .withColumn("c_mktsegment_b", col("c_mktsegment"))
+      .withColumn("seg_agree", col("c_mktsegment_a") === col("c_mktsegment_b"))
+      .withColumn("sign_agree", (col("c_acctbal_a") > 0) === (col("c_acctbal_b") > 0))
+      .withColumn("bal_agree", abs(col("c_acctbal_a") - col("c_acctbal_b")) < 1000)
+    operators.RecordLinkage.scorePairs(pairs, Seq(
+        ("seg_agree", 0.9, 0.2), ("sign_agree", 0.95, 0.5),
+        ("bal_agree", 0.6, 0.3)))
+      .filter(col("fs_score") >= 1.5)
+      .withColumn("id_a", col("c_custkey_a"))
+      .withColumn("id_b", col("c_custkey_b"))
+  }
+
   private def ivfPqIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     // cache key includes a fingerprint of the SOURCE data (per-file name +
     // length + mtime): a regenerated dataset at the same path must rebuild
@@ -1129,22 +1151,31 @@ object SparkEntry {
     // Three agreement fields summed in FIXED order as log-odds, 6dp round.
     // Matches at this threshold = same segment + same balance sign; the
     // match OUTPUT is inherently quadratic in those group sizes.
-    "q_record_linkage" -> ((s, dir) => {
-      val c = table(s, dir, "customer").select(col("c_custkey"),
-        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
-      val pairs = operators.RecordLinkage
-        .selfBlockPairs(c, "c_custkey", Seq("c_nationkey", "c_mktsegment"))
-        .withColumn("c_mktsegment_a", col("c_mktsegment"))
-        .withColumn("c_mktsegment_b", col("c_mktsegment"))
-        .withColumn("seg_agree", col("c_mktsegment_a") === col("c_mktsegment_b"))
-        .withColumn("sign_agree", (col("c_acctbal_a") > 0) === (col("c_acctbal_b") > 0))
-        .withColumn("bal_agree", abs(col("c_acctbal_a") - col("c_acctbal_b")) < 1000)
-      operators.RecordLinkage.scorePairs(pairs, Seq(
-          ("seg_agree", 0.9, 0.2), ("sign_agree", 0.95, 0.5),
-          ("bal_agree", 0.6, 0.3)))
-        .filter(col("fs_score") >= 1.5)
-        .select(col("c_custkey_a").as("id_a"), col("c_custkey_b").as("id_b"),
-          col("seg_agree"), col("sign_agree"), col("bal_agree"), col("fs_score"))
+    "q_record_linkage" -> ((s, dir) =>
+      recordLinkageMatches(s, dir)
+        .select(col("id_a"), col("id_b"),
+          col("seg_agree"), col("sign_agree"), col("bal_agree"), col("fs_score"))),
+
+    // Aggregate-form twin with O(n) OUTPUT: the sf10 sweep adjudicated
+    // q_record_linkage out only because its match OUTPUT is quadratic in
+    // the (segment, balance-sign) group sizes — this row runs the SAME
+    // blocking + Fellegi-Sunter scoring plan and folds the matches to the
+    // per-id top-1 (best score, smallest partner at ties) plus the match
+    // count, so the row stays hash-checkable at every SF.
+    "q_record_linkage_top1" -> ((s, dir) => {
+      val m = recordLinkageMatches(s, dir)
+        .select(col("id_a"), col("id_b"), col("fs_score"))
+      val sym = m.select(col("id_a").as("id"), col("id_b").as("partner"), col("fs_score"))
+        .unionAll(m.select(col("id_b").as("id"), col("id_a").as("partner"), col("fs_score")))
+      // lexicographic struct max = best score, then smallest partner
+      sym.groupBy(col("id"))
+        .agg(max(struct(col("fs_score"),
+            (-col("partner")).cast("long").as("np"))).as("best"),
+          count(lit(1)).cast("long").as("n_matches"))
+        .select(col("id").cast("long").as("id"),
+          (col("best.fs_score") + lit(0.0)).as("best_score"),
+          (-col("best.np")).cast("long").as("best_partner"),
+          col("n_matches"))
     }),
 
     // Temperature-scaled domain mix weights (α = 0.5): the data-mix knob
@@ -2262,6 +2293,25 @@ object SparkEntry {
     // collisions only. The oracle brute-forces the quadratic definition.
     "q_fuzzy_join" -> ((s, dir) =>
       operators.FuzzyJoin.selfJoin(table(s, dir, "customer"), "c_custkey", "c_name")),
+
+    // Aggregate-form twin with O(n) OUTPUT (the q_record_linkage_top1
+    // pattern): the same deletion-neighborhood blocking + exact
+    // levenshtein verify, folded to per-id match count + smallest
+    // partner — q_fuzzy_join's OUTPUT is quadratic by design (the sf10
+    // adjudication), this row keeps the full plan hash-checkable at
+    // every SF.
+    "q_fuzzy_join_agg" -> ((s, dir) => {
+      val m = operators.FuzzyJoin
+        .selfJoin(table(s, dir, "customer"), "c_custkey", "c_name")
+        .select(col("id_a"), col("id_b"))
+      val sym = m.select(col("id_a").as("id"), col("id_b").as("partner"))
+        .unionAll(m.select(col("id_b").as("id"), col("id_a").as("partner")))
+      sym.groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("n_matches"),
+          min(col("partner")).cast("long").as("best_partner"))
+        .select(col("id").cast("long").as("id"), col("n_matches"),
+          col("best_partner"))
+    }),
 
     // Z-order layout audit: interleave (custkey, order-day) bits into a
     // Morton key, bucket by its top bits, and report each bucket's bounding
@@ -3678,6 +3728,40 @@ object SparkEntry {
           |SELECT id_a, id_b, seg_agree, sign_agree, bal_agree, fs_score
           |FROM s WHERE fs_score >= 1.5""".stripMargin,
 
+      // the O(n) top-1 twin: same nation-only-blocked score derivation,
+      // folded per id to (max score, min partner at ties, match count)
+      "q_record_linkage_top1" ->
+        """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+          |           FROM customer),
+          |p AS (
+          |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          |         a.c_mktsegment = b.c_mktsegment AS seg_agree,
+          |         (a.c_acctbal > 0) = (b.c_acctbal > 0) AS sign_agree,
+          |         abs(a.c_acctbal - b.c_acctbal) < 1000 AS bal_agree
+          |  FROM c a JOIN c b
+          |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+          |s AS (
+          |  SELECT *, round(
+          |      (CASE WHEN seg_agree THEN ln(0.9 / 0.2)
+          |            ELSE ln((1.0 - 0.9) / (1.0 - 0.2)) END)
+          |    + (CASE WHEN sign_agree THEN ln(0.95 / 0.5)
+          |            ELSE ln((1.0 - 0.95) / (1.0 - 0.5)) END)
+          |    + (CASE WHEN bal_agree THEN ln(0.6 / 0.3)
+          |            ELSE ln((1.0 - 0.6) / (1.0 - 0.3)) END), 6) + 0.0 AS fs_score
+          |  FROM p),
+          |m AS (SELECT id_a, id_b, fs_score FROM s WHERE fs_score >= 1.5),
+          |sym AS (SELECT id_a AS id, id_b AS partner, fs_score FROM m
+          |        UNION ALL
+          |        SELECT id_b AS id, id_a AS partner, fs_score FROM m),
+          |best AS (SELECT id, max(fs_score) AS best_score,
+          |                count(*) AS n_matches
+          |         FROM sym GROUP BY id)
+          |SELECT CAST(b.id AS BIGINT) AS id, b.best_score + 0.0 AS best_score,
+          |       CAST(min(y.partner) AS BIGINT) AS best_partner,
+          |       CAST(b.n_matches AS BIGINT) AS n_matches
+          |FROM best b JOIN sym y ON y.id = b.id AND y.fs_score = b.best_score
+          |GROUP BY b.id, b.best_score, b.n_matches""".stripMargin,
+
       "q_alpha_mix" ->
         """WITH g AS (SELECT event_type AS domain, count(*) AS n
           |           FROM events GROUP BY 1),
@@ -4995,6 +5079,15 @@ object SparkEntry {
           |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
           |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
           |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+      // the O(n) aggregate twin: same quadratic definition, folded per id
+      "q_fuzzy_join_agg" ->
+        """SELECT CAST(a.c_custkey AS BIGINT) AS id,
+          |       CAST(count(*) AS BIGINT) AS n_matches,
+          |       CAST(min(b.c_custkey) AS BIGINT) AS best_partner
+          |FROM customer a JOIN customer b ON a.c_custkey <> b.c_custkey
+          |WHERE levenshtein(a.c_name, b.c_name) <= 1
+          |GROUP BY a.c_custkey""".stripMargin,
 
       "q_zorder" -> {
         val dayExpr = "CAST(floor(epoch(o_orderdate)/86400) AS BIGINT)"
