@@ -547,8 +547,13 @@ object SparkEntry {
           count(lit(1)).as("n"),
           min(col("value")).as("v_min"),
           max(col("value")).as("v_max"),
-          expr("percentile(value, 0.5)").as("p50"),
-          expr("percentile(value, 0.9)").as("p90"))),
+          // 6dp round (house rule): linear interpolation (1-g)·a + g·b
+          // evaluates 1 ulp apart across engines — benign everywhere
+          // until the zipf corpus's 100×-hot category made one 96k-row
+          // group land exactly on such an edge (p90 114.21 vs
+          // 114.20999999999998)
+          (round(expr("percentile(value, 0.5)"), 6) + lit(0.0)).as("p50"),
+          (round(expr("percentile(value, 0.9)"), 6) + lit(0.0)).as("p90"))),
 
     // Statistical aggregate surface: correlation / sample covariance /
     // sample stddev per group — one-pass co-moment aggregates, map-side
@@ -2806,8 +2811,8 @@ object SparkEntry {
       "q_percentiles" ->
         """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
           |       MIN(value) AS v_min, MAX(value) AS v_max,
-          |       quantile_cont(value, 0.5) AS p50,
-          |       quantile_cont(value, 0.9) AS p90
+          |       round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+          |       round(quantile_cont(value, 0.9), 6) + 0.0 AS p90
           |FROM events GROUP BY 1""".stripMargin,
 
       "q_corr_stats" ->

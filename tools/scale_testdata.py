@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Scale a testdata SF directory by key-shifted replication (bench-only).
 
-Usage: tools/scale_testdata.py <srcDir> <dstDir> <copies>
+Usage: tools/scale_testdata.py <srcDir> <dstDir> <copies> [onlyTables] [--zipf]
 
 Builds an N-times-larger corpus with the SAME distributions and join
 fan-outs as the source: every copy shifts each int64 key space by
@@ -39,9 +39,53 @@ KEYS = {
 }
 
 
+def zipf_expr(table, col, con, src):
+    """Deterministic hash-seeded skew rewrites (--zipf). Key-shifted
+    replication preserves the source's UNIFORM key distributions, so the
+    skew-handling machinery (capHotKeys, salted aggs, AQE skew joins) is
+    otherwise only ever exercised by synthetic fixtures. This mode makes
+    the adversarial corpus the brief asks for:
+      - one HOT USER owning ~10% of all events (the hot-IP analogue for
+        the batch catalog's groupBy/sessionize keys) — GLOBAL across
+        copies, so the events->customer join funnels 10% of the fact side
+        into one key;
+      - orders.o_custkey ~ bounded-Pareto(a=1.2) ranks over the copy-0
+        customer range (inverse-CDF on a hash-uniform), the Zipf join-key
+        axis for every orders/customer join;
+      - lineitem.l_partkey likewise over the part range;
+      - one 100x-HOT CATEGORY: ~95% of events collapse to event_type
+        'click' (~100x each residual category).
+    All rewrites are pure hash functions of the row's own key — the
+    corpus stays deterministic and re-generable."""
+    if table == "events" and col == "user_id":
+        # non-hot rows keep the per-copy key shift (intra-copy joins intact)
+        return ("CASE WHEN hash(event_id) % 10 = 0 THEN 7 "
+                f"ELSE user_id + c.i * {SHIFT} END AS user_id")
+    if table == "events" and col == "event_type":
+        return ("CASE WHEN hash(event_id * 7) % 21 != 0 THEN 'click' "
+                "ELSE event_type END AS event_type")
+    if (table, col) in (("orders", "o_custkey"), ("lineitem", "l_partkey")):
+        ref, key = (("customer", "c_custkey") if table == "orders"
+                    else ("part", "p_partkey"))
+        lo, n = con.sql(
+            f"SELECT min({key}), count(*) FROM '{os.path.join(src, ref + '.parquet')}'"
+        ).fetchone()
+        src_key = "o_orderkey" if table == "orders" else "l_orderkey"
+        # bounded-Pareto inverse CDF on [1, n], a = 1.2:
+        # x = (1 - u * (1 - n^(1-a)))^(1/(1-a))
+        u = f"((hash({src_key} * 31) % 1000000) + 0.5) / 1000000.0"
+        x = f"pow(1.0 - ({u}) * (1.0 - pow({n}, -0.2)), -5.0)"
+        return (f"CAST(least(greatest(floor({x}), 1), {n}) - 1 + {lo} "
+                f"AS BIGINT) AS {col}")
+    return None
+
+
 def main():
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    rest = sys.argv[4:]
+    zipf = "--zipf" in rest
+    rest = [a for a in rest if a != "--zipf"]
+    only = set(rest[0].split(",")) if rest else None
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for table, keys in KEYS.items():
@@ -55,8 +99,29 @@ def main():
         else:
             exprs = []
             for c in cols:
-                if c in keys:
+                ze = zipf_expr(table, c, con, src) if zipf else None
+                if ze is not None:
+                    # skew rewrite wins over the key shift: the hot/Pareto
+                    # keys deliberately point into the copy-0 ranges so the
+                    # skew is GLOBAL, not per-copy
+                    exprs.append(ze)
+                elif c in keys:
                     exprs.append(f"{c} + c.i * {SHIFT} AS {c}")
+                elif table == "customer" and c == "c_name":
+                    # copies must not duplicate names: identical names make
+                    # every name a copies-sized clique and the fuzzy-join /
+                    # record-linkage match sets quadratic IN THE COPY COUNT
+                    # (zipf1 measured q_fuzzy_join_agg at 226 s for 10
+                    # copies — the corpus, not the algorithm; the documents
+                    # token-suffix exists for the same reason). The suffix
+                    # DOUBLES each copy-id digit ('x3' -> '33', 12 ->
+                    # '1122'), so two distinct suffixes always differ by
+                    # >= 2 edits and no cross-copy pair can enter the
+                    # edit-distance<=1 match set.
+                    exprs.append(
+                        "CASE WHEN c.i = 0 THEN c_name ELSE c_name || "
+                        "list_aggregate(list_transform(string_split(c.i::VARCHAR, ''),"
+                        " d -> d || d), 'string_agg', '') END AS c_name")
                 elif table == "documents" and c == "text":
                     exprs.append(
                         "CASE WHEN c.i = 0 THEN text ELSE"
