@@ -1170,17 +1170,28 @@ object SparkEntry {
     "q_record_linkage_top1" -> ((s, dir) => {
       val m = recordLinkageMatches(s, dir)
         .select(col("id_a"), col("id_b"), col("fs_score"))
-      val sym = m.select(col("id_a").as("id"), col("id_b").as("partner"), col("fs_score"))
+      def sym = m.select(col("id_a").as("id"), col("id_b").as("partner"), col("fs_score"))
         .unionAll(m.select(col("id_b").as("id"), col("id_a").as("partner"), col("fs_score")))
-      // lexicographic struct max = best score, then smallest partner
-      sym.groupBy(col("id"))
-        .agg(max(struct(col("fs_score"),
-            (-col("partner")).cast("long").as("np"))).as("best"),
+      // TWO hash-agg passes, not one struct-max: max(struct(score, -id))
+      // has a non-primitive agg buffer, so Spark plans SortAggregate —
+      // which SORTS the full symmetrized pair stream (~2·10¹⁰ rows at
+      // sf10; the r14 rehearsal spilled the scratch disk dry). Splitting
+      // into max/count (pass 1) + a broadcast re-match and conditional
+      // min (pass 2) keeps every aggregate buffer primitive: both passes
+      // are partial hash aggs pipelined with the pair join, nothing
+      // pair-sized is ever exchanged or sorted, and the pair stream is
+      // recomputed rather than stored (the block-pair join is the cheap
+      // part; `def sym` keeps the two passes from sharing a cached frame).
+      val agg1 = sym.groupBy(col("id"))
+        .agg(max(col("fs_score")).as("best_score"),
           count(lit(1)).cast("long").as("n_matches"))
+      sym.join(broadcast(agg1.withColumnRenamed("id", "id2")),
+          col("id") === col("id2") && col("fs_score") === col("best_score"))
+        .groupBy(col("id"), col("best_score"), col("n_matches"))
+        .agg(min(col("partner")).cast("long").as("best_partner"))
         .select(col("id").cast("long").as("id"),
-          (col("best.fs_score") + lit(0.0)).as("best_score"),
-          (-col("best.np")).cast("long").as("best_partner"),
-          col("n_matches"))
+          (col("best_score") + lit(0.0)).as("best_score"),
+          col("best_partner"), col("n_matches"))
     }),
 
     // Temperature-scaled domain mix weights (α = 0.5): the data-mix knob

@@ -471,17 +471,21 @@ object TextAnalysis {
   def trigramLogLikelihood(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // per-(doc, gram) counts computed ROW-LOCALLY by the codegen'd
-    // ngram_count_pairs expression and materialized once: the old
-    // explode-then-groupBy(doc, g) formulation shuffled one row per gram
-    // INSTANCE (a corpus-sized exchange); counting inside the row leaves
-    // only distinct (doc, gram) pairs, with no shuffle at all before the
-    // bounded model aggregate
-    val docGrams = graft.Materialize(
+    // ngram_count_pairs expression: the old explode-then-groupBy(doc, g)
+    // formulation shuffled one row per gram INSTANCE (a corpus-sized
+    // exchange); counting inside the row leaves only distinct (doc, gram)
+    // pairs, with no shuffle at all before the bounded model aggregate.
+    // NOT materialized (the r14 sf10 rehearsal finding): the frame is
+    // corpus × ~10³ rows — materializing it wrote ~10⁹ rows to block
+    // storage at sf10 (the DSIR pair's n^1.13→n^1.23 creep and an 8 GiB
+    // OOM), while recomputing the row-local explode for the scorer pass
+    // is one extra codegen'd scan — linear and memory-flat.
+    val docGrams =
       spreadForCpuWork(df.select(col(idCol), col(textCol)))
         .select(col(idCol),
           explode(graft.functions.HashExpressions.ngramCountPairs(
             col(textCol), 3)).as("__p"))
-        .select(col(idCol), col("__p.g").as("g"), col("__p.cnt").as("doc_cnt")))
+        .select(col(idCol), col("__p.g").as("g"), col("__p.cnt").as("doc_cnt"))
     val model = docGrams.groupBy(col("g")).agg(sum(col("doc_cnt")).as("cnt"))
     val total = model.agg(sum(col("cnt")).as("total"))
     // mean over gram INSTANCES = Σ doc_cnt·logp / Σ doc_cnt
@@ -506,10 +510,14 @@ object TextAnalysis {
    * SOURCE vocabulary, so grams the target never saw contribute a large
    * negative (finite) term.
    *
-   * Shape: identical to [[trigramLogLikelihood]] — one materialized
-   * (doc, gram) count frame (row-local counting, no corpus-sized shuffle)
-   * feeds both models (bounded: ≤ charset³ rows, they broadcast) and the
-   * scorer.
+   * Shape: identical to [[trigramLogLikelihood]] — a row-local (doc, gram)
+   * count frame (no corpus-sized shuffle) feeds ONE combined model
+   * aggregate (source and target counts as two sums of the same bounded
+   * groupBy — ≤ hashBuckets keys, broadcasts) and the scorer. The frame is
+   * deliberately NOT materialized and the explode recomputes for the
+   * scorer pass — see the trigramLogLikelihood note (the r14 sf10
+   * rehearsal measured materialization of the ~10⁹-row frame as the DSIR
+   * family's super-linear term and its OOM).
    */
   def importanceWeights(df: DataFrame, targetPred: Column,
       idCol: String = "doc_id", textCol: String = "text",
@@ -527,24 +535,27 @@ object TextAnalysis {
           col(textCol), 3, hashBuckets)
       else graft.functions.HashExpressions.ngramCountPairs(col(textCol), 3)
     val gramKey = if (hashBuckets > 0) col("__p.b") else col("__p.g")
-    val docGrams = graft.Materialize(
+    val docGrams =
       spreadForCpuWork(df.select(col(idCol), targetPred.as("__is_tgt"), col(textCol)))
         .select(col(idCol), col("__is_tgt"), explode(pairs).as("__p"))
         .select(col(idCol), col("__is_tgt"),
-          gramKey.as("g"), col("__p.cnt").as("doc_cnt")))
-    val src = docGrams.groupBy(col("g")).agg(sum(col("doc_cnt")).as("scnt"))
-    val sTotV = src.agg(sum(col("scnt")).as("stotal"),
-      count(lit(1)).as("vocab"))
-    val tgt = docGrams.filter(col("__is_tgt"))
-      .groupBy(col("g")).agg(sum(col("doc_cnt")).as("tcnt"))
-    val tTot = tgt.agg(coalesce(sum(col("tcnt")), lit(0L)).as("ttotal"))
+          gramKey.as("g"), col("__p.cnt").as("doc_cnt"))
+    // both models in ONE bounded aggregate: tcnt is the target-restricted
+    // conditional sum of the same groupBy (0 where no target doc has g —
+    // exactly the old left-join coalesce), so the frame is scanned once
+    // for training instead of twice
+    val model = docGrams.groupBy(col("g")).agg(
+      sum(col("doc_cnt")).as("scnt"),
+      sum(when(col("__is_tgt"), col("doc_cnt")).otherwise(lit(0L))).as("tcnt"))
+    val totals = model.agg(sum(col("scnt")).as("stotal"),
+      count(lit(1)).as("vocab"),
+      sum(col("tcnt")).as("ttotal"))
     val half = lit(0.5)
-    docGrams.join(broadcast(src), Seq("g"))
-      .join(broadcast(tgt), Seq("g"), "left")
-      .crossJoin(broadcast(sTotV)).crossJoin(broadcast(tTot))
+    docGrams.join(broadcast(model), Seq("g"))
+      .crossJoin(broadcast(totals))
       .select(col(idCol), col("doc_cnt"),
         (col("doc_cnt") *
-          (log((coalesce(col("tcnt"), lit(0L)) + half) /
+          (log((col("tcnt") + half) /
                (col("ttotal") + half * col("vocab"))) -
            log((col("scnt") + half) /
                (col("stotal") + half * col("vocab"))))).as("wlogw"))

@@ -24,6 +24,23 @@ class PlanShapeSpec extends AnyFunSuite {
   private def countOccurrences(s: String, sub: String): Int =
     s.linesIterator.count(_.matches(s"""\\(\\d+\\) $sub(?: \\[codegen.*)?"""))
 
+  test("record-linkage top1: hash-only aggregation — the pair stream is never sorted") {
+    // max(struct(score, -id)) has a non-primitive agg buffer, so Spark
+    // plans SortAggregate — which SORTS the full blocked pair stream
+    // (2·10¹⁰ rows at sf10; the r14 rehearsal spilled the scratch disk
+    // dry). The shipped two-pass form must stay hash-only: no sort of any
+    // kind, no sort-merge join, and the pair-sized side never exchanged
+    // (only the bounded per-id aggregates move).
+    val p = planOf("q_record_linkage_top1")
+    assert(!p.contains("SortAggregate"),
+      "pair-stream aggregation fell back to SortAggregate (non-primitive agg buffer?)")
+    assert(countOccurrences(p, "Sort") == 0, "no sort may touch the pair stream")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop") &&
+      !p.contains("CartesianProduct"))
+    assert(countOccurrences(p, "HashAggregate") >= 4,
+      "both passes must partial+final hash-aggregate")
+  }
+
   test("star join broadcasts the whole dim chain; only facts shuffle") {
     val p = planOf("q_star_join")
     assert(countOccurrences(p, "BroadcastHashJoin") >= 2, p.take(400))
