@@ -96,5 +96,16 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.CollectSetSizeToCountDistinct
     }
+    // Engine default: ObjectHashAggregate (collect_set/collect_list and
+    // every TypedImperativeAggregate) falls back to SORT-based
+    // aggregation after only 128 distinct keys per task — i.e. any real
+    // grouped collect at scale silently becomes a full-input sort. The
+    // r14 sf100 rehearsal measured exactly that: the windowed collect_set
+    // over 10⁸ events sorted (and spilled) its whole input, exhausting
+    // scratch disk. 2²² keys ≈ executor-memory-bounded per task (buffers
+    // are small sets); past that the sort fallback still engages.
+    if (spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+        .forall(_ == "128"))
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 22).toString)
   }
 }
