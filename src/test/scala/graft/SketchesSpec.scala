@@ -189,8 +189,17 @@ class SketchesSpec extends AnyFunSuite {
         r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1))).toSeq).toMap
     assert(viaDaily.keySet === direct.keySet)
     viaDaily.foreach { case (t, items) =>
-      assert(items.map(_._2) === direct(t).map(_._2), s"$t counts differ")
-      assert(items.map(_._1).toSet === direct(t).map(_._1).toSet, s"$t items differ")
+      val d = direct(t)
+      assert(items.map(_._2) === d.map(_._2), s"$t counts differ")
+      // A count tie straddling rank k makes any tied member a legal top-k
+      // pick (the events corpus has a 4-way tie at the purchase k=5
+      // boundary), so item identity is only pinned ABOVE the tie boundary:
+      // items whose count strictly exceeds the k-th count must agree.
+      val boundary = items.map(_._2).min
+      assert(items.filter(_._2 > boundary).map(_._1).toSet ===
+        d.filter(_._2 > boundary).map(_._1).toSet,
+        s"$t items above tie boundary $boundary differ: " +
+          s"rollup ${items.toSeq} vs direct ${d.toSeq}")
     }
   }
 
