@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // catalog buffers are small bounded sets → safe to keep grouped
+      // collects hash-based to 2²² keys/task (see GraftExtensions.register)
+      .config("spark.graft.objectHashFallbackThreshold", (1 << 22).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // engine-on config: functions + optimizer rules
@@ -75,7 +78,12 @@ object Bench {
     // driver included, can shadow the committed number with compile noise.
     val reps = math.max(2, sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3))
     val resultsDetail = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      // per-rep Option kept (not flattened): the compile proxy below must
+      // know whether rep 1 specifically succeeded — if rep 1 errored and
+      // rep 2 succeeded, "head of successes" would be a WARM rep and the
+      // proxy would silently read ~0 for exactly the queries most likely
+      // to have first-run problems
+      val repTimes: Seq[Option[Double]] = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -84,17 +92,24 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(dt) else None
       }
-      name -> times
+      name -> repTimes
     }
-    val results = resultsDetail.map { case (n, ts) => n -> ts.minOption.getOrElse(-1.0) }
+    val results = resultsDetail.map { case (n, ts) =>
+      n -> ts.flatten.minOption.getOrElse(-1.0)
+    }
     // plan-compile proxy: first rep minus best rep. The first rep pays
     // Janino/whole-stage codegen compilation (and any per-plan one-time
     // work); later reps of the same plan reuse the generated-class cache —
-    // so the delta upper-bounds compile cost. Written to the on-disk
-    // artifact only (stdout stays driver-parse compact); SCALING.md pins
-    // the worst offenders per round.
+    // so the delta upper-bounds compile cost. -1.0 when the FIRST rep did
+    // not succeed (a warm head would understate compile cost). Written to
+    // the on-disk artifact only (stdout stays driver-parse compact);
+    // SCALING.md pins the worst offenders per round.
     val compileProxy = resultsDetail.map { case (n, ts) =>
-      n -> (if (ts.size >= 2) math.max(0.0, ts.head - ts.min) else -1.0)
+      val ok = ts.flatten
+      n -> (ts.headOption.flatten match {
+        case Some(first) if ok.size >= 2 => math.max(0.0, first - ok.min)
+        case _ => -1.0
+      })
     }
     // Fixed SENTINEL: a constant-size synthetic workload (never touches the
     // benchmark tables, independent of SF and of the catalog) timed the same

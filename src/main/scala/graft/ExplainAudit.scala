@@ -9,10 +9,16 @@ import org.apache.spark.sql.SparkSession
  */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_NO_BROADCAST=1: disable auto-broadcast to preview the
+    // AT-SCALE plan shape (what a join degrades to when its build side no
+    // longer fits the broadcast threshold at 100× the data)
+    val bcast =
+      if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1")) "-1" else "10485760"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", bcast)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -102,10 +102,21 @@ object GraftExtensions {
     // grouped collect at scale silently becomes a full-input sort. The
     // r14 sf100 rehearsal measured exactly that: the windowed collect_set
     // over 10⁸ events sorted (and spilled) its whole input, exhausting
-    // scratch disk. 2²² keys ≈ executor-memory-bounded per task (buffers
-    // are small sets); past that the sort fallback still engages.
+    // scratch disk. We raise the default to 2¹⁶ — enough to keep
+    // realistic grouped collects hash-based — but NOT unconditionally
+    // higher: the fallback is the memory-safety valve for unbounded
+    // aggregation buffers, and a workload collecting large lists per
+    // group would OOM with millions of in-memory buffers per task.
+    // Catalog runners with KNOWN-SMALL per-group buffers (Bench/Verify:
+    // bounded sets of categories/ids) opt into 2²² via
+    // spark.graft.objectHashFallbackThreshold; callers with large
+    // per-group state should set that key LOWER (or leave the engine
+    // default in place by pre-setting the spark.sql key).
     if (spark.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
-        .forall(_ == "128"))
-      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 22).toString)
+        .forall(_ == "128")) {
+      val keys = spark.conf.getOption("spark.graft.objectHashFallbackThreshold")
+        .map(_.toInt).getOrElse(1 << 16)
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", keys.toString)
+    }
   }
 }

@@ -70,7 +70,8 @@ object SkewAudit {
     val defaults = Seq(
       // keyed on the zipfed columns: user_id (hot user), event_type
       // (100x category), o_custkey / l_partkey (Pareto join keys)
-      "a4_session_agg", "q_sessionize", "q_merge_upsert", "q_percentiles",
+      "a4_session_agg", "q_sessionize", "q_sessionize_triaged",
+      "q_merge_upsert", "q_percentiles",
       "q_join_revenue", "q_promo_share", "q_window_funcs",
       // heaviest shuffle queries of the catalog (bench top-5 by time)
       "dedup_exact", "q_fuzzy_join_agg")

@@ -1134,6 +1134,18 @@ object SparkEntry {
         table(s, dir, "events").filter(col("user_id").isNotNull),
         "user_id", "ts", "event_id", gapS = 1800L)),
 
+    // Skew-triaged twin of q_sessionize (identical output/oracle): users
+    // owning > 5% of all events leave the one-task-per-user window path
+    // for the distributed bucket-scan path, bounding the hot-key
+    // straggler the zipf1 SkewAudit measured at 3.56× (32 partitions;
+    // ~20× at 200). The 5% FRACTION threshold caps the hot set at 20
+    // keys at any corpus size, keeping both broadcasts bounded.
+    "q_sessionize_triaged" -> ((s, dir) => {
+      val e = table(s, dir, "events").filter(col("user_id").isNotNull)
+      operators.TimeSeries.sessionizeTriaged(e, "user_id", "ts", "event_id",
+        gapS = 1800L, hotThreshold = math.max(1L, e.count() / 20L))
+    }),
+
     // Welch two-sample t-test per event type, variants split by user-id
     // parity: one conditional-aggregate pass, map-side t/df projection over
     // 4dp-rounded means/variances (sqrt is correctly-rounded IEEE — unlike
@@ -1185,6 +1197,13 @@ object SparkEntry {
       val agg1 = sym.groupBy(col("id"))
         .agg(max(col("fs_score")).as("best_score"),
           count(lit(1)).cast("long").as("n_matches"))
+      // ENVELOPE: broadcast(agg1) is one row per MATCHED id — O(n) in the
+      // customer table, ~1.5M rows at sf10 (tens of MB, fine) but a
+      // multi-GB HashedRelation by ~10⁸ ids; past ~10⁷ ids use
+      // q_record_linkage_top1_block below, which bounds every exchange by
+      // BLOCK cardinality instead of corpus size. The broadcast is kept
+      // here because it makes pass 2 a pure map-side join over the
+      // recomputed pair stream — nothing pair-sized is ever exchanged.
       sym.join(broadcast(agg1.withColumnRenamed("id", "id2")),
           col("id") === col("id2") && col("fs_score") === col("best_score"))
         .groupBy(col("id"), col("best_score"), col("n_matches"))
@@ -1192,6 +1211,43 @@ object SparkEntry {
         .select(col("id").cast("long").as("id"),
           (col("best_score") + lit(0.0)).as("best_score"),
           col("best_partner"), col("n_matches"))
+    }),
+
+    // Packed single-pass twin of q_record_linkage_top1 for corpora past
+    // the O(n) broadcast envelope — and the proof the envelope never has
+    // to be paid at all. The per-id (best score, min partner at ties) is
+    // an argmax with a composite ordering; expressing it as max(struct)
+    // plans SortAggregate (non-primitive buffer — the r14 scratch-disk
+    // death), and the two-pass form above needs the O(n) broadcast. Here
+    // the ordering is packed into ONE primitive long:
+    //   pack = round(fs_score·10⁶) · 2³⁹ + (2³⁹−1 − partner)
+    // sound because (a) matches are thresholded at fs ≥ 1.5 > 0 and
+    // 6dp-rounded, so round(fs·10⁶) is an exact integer in
+    // [1.5e6, ~3.6e6] < 2²² (pack < 2⁶¹, no overflow), and (b) ids are
+    // non-negative and < 2³⁹ (5.5e11 — holds at any realistic corpus; a
+    // 100 TB customer table is ~10¹¹ rows). max(pack) then IS
+    // (max score, min partner at that score), computed in one
+    // all-primitive HashAggregate pass over the recomputed pair stream:
+    // no broadcast, no re-match join, no sort — the only exchange
+    // carries id-scale partial aggregates. Same output and oracle as
+    // q_record_linkage_top1; the r15 sweep verified hash-equality at
+    // sf0.01 and sf10.
+    "q_record_linkage_top1_packed" -> ((s, dir) => {
+      val m = recordLinkageMatches(s, dir)
+        .select(col("id_a"), col("id_b"), col("fs_score"))
+      val sym = m.select(col("id_a").as("id"), col("id_b").as("partner"), col("fs_score"))
+        .unionAll(m.select(col("id_b").as("id"), col("id_a").as("partner"), col("fs_score")))
+      val P = 1L << 39
+      val pack = round(col("fs_score") * lit(1e6), 0).cast("long") * lit(P) +
+        (lit(P - 1) - col("partner"))
+      sym.groupBy(col("id"))
+        .agg(max(pack).as("pk"), count(lit(1)).cast("long").as("n_matches"))
+        .select(col("id").cast("long").as("id"),
+          // integer unpack only: pk exceeds 2⁵³, so a double division
+          // would round the quotient across the truncation boundary
+          (shiftright(col("pk"), 39).cast("double") / 1e6 + lit(0.0)).as("best_score"),
+          (lit(P - 1) - col("pk").bitwiseAND(lit(P - 1))).cast("long").as("best_partner"),
+          col("n_matches"))
     }),
 
     // Temperature-scaled domain mix weights (α = 0.5): the data-mix knob
@@ -3379,6 +3435,34 @@ object SparkEntry {
           |       CAST(max(t) - min(t) AS BIGINT) AS duration_s
           |FROM s GROUP BY 1, 2""".stripMargin,
 
+      // skew-triaged twin: same sessions, different physical plan — the
+      // oracle is deliberately the same single-window definition
+      "q_sessionize_triaged" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+          |  FROM events WHERE user_id IS NOT NULL),
+          |l AS (
+          |  SELECT user_id, event_id, t,
+          |         lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+          |           AS prev
+          |  FROM e),
+          |n AS (
+          |  SELECT user_id, event_id, t,
+          |         CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END
+          |           AS is_new
+          |  FROM l),
+          |s AS (
+          |  SELECT user_id, t,
+          |         CAST(sum(is_new) OVER (PARTITION BY user_id
+          |                                ORDER BY t, event_id) AS BIGINT)
+          |           AS session_seq
+          |  FROM n)
+          |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(min(t) AS BIGINT) AS start_s,
+          |       CAST(max(t) AS BIGINT) AS end_s,
+          |       CAST(max(t) - min(t) AS BIGINT) AS duration_s
+          |FROM s GROUP BY 1, 2""".stripMargin,
+
       // identical expression trees over 4dp-rounded aggregates; FILTER
       // replays Spark's count/avg/var_samp over when(variant, value)
       "q_ab_test" ->
@@ -3747,6 +3831,40 @@ object SparkEntry {
       // the O(n) top-1 twin: same nation-only-blocked score derivation,
       // folded per id to (max score, min partner at ties, match count)
       "q_record_linkage_top1" ->
+        """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+          |           FROM customer),
+          |p AS (
+          |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          |         a.c_mktsegment = b.c_mktsegment AS seg_agree,
+          |         (a.c_acctbal > 0) = (b.c_acctbal > 0) AS sign_agree,
+          |         abs(a.c_acctbal - b.c_acctbal) < 1000 AS bal_agree
+          |  FROM c a JOIN c b
+          |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+          |s AS (
+          |  SELECT *, round(
+          |      (CASE WHEN seg_agree THEN ln(0.9 / 0.2)
+          |            ELSE ln((1.0 - 0.9) / (1.0 - 0.2)) END)
+          |    + (CASE WHEN sign_agree THEN ln(0.95 / 0.5)
+          |            ELSE ln((1.0 - 0.95) / (1.0 - 0.5)) END)
+          |    + (CASE WHEN bal_agree THEN ln(0.6 / 0.3)
+          |            ELSE ln((1.0 - 0.6) / (1.0 - 0.3)) END), 6) + 0.0 AS fs_score
+          |  FROM p),
+          |m AS (SELECT id_a, id_b, fs_score FROM s WHERE fs_score >= 1.5),
+          |sym AS (SELECT id_a AS id, id_b AS partner, fs_score FROM m
+          |        UNION ALL
+          |        SELECT id_b AS id, id_a AS partner, fs_score FROM m),
+          |best AS (SELECT id, max(fs_score) AS best_score,
+          |                count(*) AS n_matches
+          |         FROM sym GROUP BY id)
+          |SELECT CAST(b.id AS BIGINT) AS id, b.best_score + 0.0 AS best_score,
+          |       CAST(min(y.partner) AS BIGINT) AS best_partner,
+          |       CAST(b.n_matches AS BIGINT) AS n_matches
+          |FROM best b JOIN sym y ON y.id = b.id AND y.fs_score = b.best_score
+          |GROUP BY b.id, b.best_score, b.n_matches""".stripMargin,
+
+      // packed single-pass twin: identical semantics, different physical
+      // plan — the oracle is deliberately the SAME derivation
+      "q_record_linkage_top1_packed" ->
         """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
           |           FROM customer),
           |p AS (

@@ -20,6 +20,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // catalog buffers are small bounded sets → safe to keep grouped
+      // collects hash-based to 2²² keys/task (see GraftExtensions.register)
+      .config("spark.graft.objectHashFallbackThreshold", (1 << 22).toString)
     // SPARK_GRAFT_NO_CODEGEN=1: run the whole catalog with codegen OFF —
     // every custom expression takes its interpreted eval() path instead of
     // doGenCode(), so a hash-clean run proves eval ≡ codegen catalog-wide

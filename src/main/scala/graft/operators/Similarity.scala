@@ -198,9 +198,15 @@ object Similarity {
         // live near cosine 1), NOT at `threshold`: holding recall for
         // boundary pairs needs L ~ (n/B)^ρ tables with ρ evaluated at the
         // threshold — callers chasing boundary recall pass designCos
-        // explicitly and pay the table count it implies
-        val (ap, at) = autoLshGeometry(df.count())
-        (if (nPlanes > 0) nPlanes else ap, if (tables > 0) tables else at)
+        // explicitly and pay the table count it implies.
+        // Resolve the EFFECTIVE plane count FIRST, then size tables from
+        // it: a caller-supplied nPlanes larger than the auto one raises
+        // the per-table miss probability, so deriving tables from the
+        // auto plane count would silently blow the pair-miss budget.
+        val (ap, _) = autoLshGeometry(df.count())
+        val p = if (nPlanes > 0) nPlanes else ap
+        val t = if (tables > 0) tables else autoLshTables(p)
+        (p, t)
       }
     lshNearDupPairsFixed(df, idCol, vecCol, dim, threshold, planesN, tablesN)
   }
@@ -228,13 +234,21 @@ object Similarity {
     val nPlanes = math.min(maxPlanes.toDouble, math.max(minPlanes.toDouble,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
         math.log(2.0)))).toInt
+    (nPlanes, autoLshTables(nPlanes, designCos, pairMissBudget, minTables, maxTables))
+  }
+
+  /** Table count that satisfies the pair-miss budget for a GIVEN plane
+   * count (missPerTable^tables ≤ budget, with missPerTable = 1−(1−θ/π)^p).
+   * Split out of [[autoLshGeometry]] so a caller-supplied plane count sizes
+   * its own tables instead of inheriting the auto geometry's. */
+  def autoLshTables(nPlanes: Int, designCos: Double = 0.99,
+      pairMissBudget: Double = 1e-7,
+      minTables: Int = 4, maxTables: Int = 32): Int = {
     val pFlip = math.acos(math.min(1.0, math.max(-1.0, designCos))) / math.Pi
     val missPerTable = 1.0 - math.pow(1.0 - pFlip, nPlanes.toDouble)
-    val tables =
-      if (missPerTable <= 0.0) minTables
-      else math.min(maxTables.toDouble, math.max(minTables.toDouble,
-        math.ceil(math.log(pairMissBudget) / math.log(missPerTable)))).toInt
-    (nPlanes, tables)
+    if (missPerTable <= 0.0) minTables
+    else math.min(maxTables.toDouble, math.max(minTables.toDouble,
+      math.ceil(math.log(pairMissBudget) / math.log(missPerTable)))).toInt
   }
 
   private def lshNearDupPairsFixed(df: DataFrame, idCol: String, vecCol: String,

@@ -344,7 +344,7 @@ object KvStore {
     if (!fs.exists(f)) return Seq.empty
     val in = fs.open(f)
     val root = try new ObjectMapper().readTree(in) finally in.close()
-    root.get("epochs").elements().asScala.map { e =>
+    val epochs = root.get("epochs").elements().asScala.map { e =>
       // segment entries are plain names (pre-stats manifests) or
       // {"name":…, "stats":{…}} objects — both remain readable forever
       val segs = e.get("segments").elements().asScala.map { s =>
@@ -360,7 +360,38 @@ object KvStore {
           w.fields().asScala.map(en => en.getKey -> en.getValue.asLong()).toMap
         }.getOrElse(Map.empty))
     }.toSeq
+    warnLegacyWriterScopes(f, epochs)
+    epochs
   }
+
+  /** MIGRATION (reserved replay prefixes): parseWriterTag once accepted ANY
+   * `<prefix>:<numeric>` tag into fold watermarks; it is now restricted to
+   * [[replayTagPrefixes]] so a caller-chosen colon-numeric tag (e.g. a
+   * backfill `load:20260101` after `load:20260815` folded) can never be
+   * silently dropped as a "replay". The flip side: a store whose manifest
+   * already carries a NON-reserved watermark scope was written by the old
+   * binary, and replays of that writer's folded batches are no longer
+   * absorbed — they re-commit as duplicates. Detect exactly that store
+   * shape at read time and warn once per scope; operators should drain the
+   * old writer (let its checkpoint pass the folded range) or compact the
+   * store before resuming it under this binary. */
+  private def warnLegacyWriterScopes(f: Path, epochs: Seq[Epoch]): Unit = {
+    val legacy = epochs.iterator.flatMap(_.writers.keysIterator)
+      .filterNot(s => replayTagPrefixes.exists(p => (s + ":").startsWith(p)))
+      .toSet
+    val fresh = legacy.diff(warnedLegacyScopes.get())
+    if (fresh.nonEmpty) {
+      warnedLegacyScopes.updateAndGet(_ ++ fresh)
+      System.err.println(s"[graft-kv] WARNING: manifest $f carries fold " +
+        s"watermark scope(s) ${fresh.mkString(", ")} outside the reserved " +
+        s"replay prefixes ${replayTagPrefixes.mkString(", ")} — written by a " +
+        "pre-restriction binary. Replays of those writers' folded batches " +
+        "are NO LONGER absorbed and would re-commit as duplicates; drain or " +
+        "re-tag the old writer before resuming it against this store.")
+    }
+  }
+  private val warnedLegacyScopes =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
 
   /** keep a short tail of old version files (debugging); each version
    * holds the FULL epoch list, so old versions carry no needed state */

@@ -41,6 +41,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "both passes must partial+final hash-aggregate")
   }
 
+  test("record-linkage top1 packed twin: one id-scale exchange, no broadcast, no sort") {
+    // the packed-ordering form folds (best score, min partner, count) into
+    // a single primitive max over ONE pass of the pair stream: the only
+    // shuffle exchange may carry per-id partial aggregates, and the O(n)
+    // per-id broadcast of the two-pass form is gone (the blocking join's
+    // dim-sized broadcast at this SF is fine and degrades gracefully)
+    val p = planOf("q_record_linkage_top1_packed")
+    assert(!p.contains("SortAggregate"), "packed argmax must stay hash-aggregated")
+    assert(countOccurrences(p, "Sort") == 0, "no sort may touch the pair stream")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop") &&
+      !p.contains("CartesianProduct"))
+    assert(countOccurrences(p, "Exchange") == 1,
+      "exactly one exchange: the id-scale partial-aggregate shuffle")
+  }
+
   test("star join broadcasts the whole dim chain; only facts shuffle") {
     val p = planOf("q_star_join")
     assert(countOccurrences(p, "BroadcastHashJoin") >= 2, p.take(400))

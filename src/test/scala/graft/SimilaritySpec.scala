@@ -133,6 +133,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("autoLshTables sizes tables for a CALLER-supplied plane count (recall budget held)") {
+    // r15 ADVICE: nPlanes>0 with tables at default must derive tables from
+    // the EFFECTIVE plane count — a plane count larger than the auto one
+    // raises per-table miss, so inheriting the auto geometry's table count
+    // would silently blow the pair-miss budget
+    val (autoP, autoT) = Similarity.autoLshGeometry(500) // small corpus → few planes
+    val bigPlanes = autoP + 10
+    val t = Similarity.autoLshTables(bigPlanes)
+    assert(t > autoT, s"more planes must buy more tables: $t vs auto $autoT")
+    val pFlip = math.acos(0.99) / math.Pi
+    val miss = 1.0 - math.pow(1.0 - pFlip, bigPlanes.toDouble)
+    assert(math.pow(miss, t.toDouble) <= 1e-7 * (1 + 1e-9),
+      s"planes=$bigPlanes tables=$t: pair-miss budget blown")
+  }
+
   test("auto-geometry LSH: corpus-sized planted pairs at full recall (the embed_lsh_auto gate shape)") {
     // the scale-proportional gate's exact contract, pinned as a spec too:
     // every planted twin (cosine ≈ 0.995 > designCos 0.99) survives the

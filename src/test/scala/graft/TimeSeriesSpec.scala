@@ -252,6 +252,42 @@ class TimeSeriesSpec extends AnyFunSuite {
       TimeSeries.sessionize(ev, "user_id", "ts", "event_id", gapS = 0L))
   }
 
+  test("sessionizeTriaged equals sessionize: hot keys via the bucket scan, cold unchanged") {
+    import spark.implicits._
+    // adversarial hot stream engineered against the bucket decomposition
+    // (bucketS = 100): a session SPANNING a bucket boundary (t=95,105), a
+    // boundary gap EXACTLY gapS (t=195,295 — must NOT split), an EMPTY
+    // bucket inside a session gap (t=310 → 520 skips bucket [400,500) and
+    // MUST split), same-timestamp id tiebreaks (700,700), and a quiet
+    // cold user riding the plain path
+    val hotEvents = Seq(0L, 10L, 95L, 105L, 195L, 295L, 310L, 520L, 700L,
+      700L, 850L, 1200L)
+    val ev = (hotEvents.zipWithIndex.map { case (t, i) => (1L, t, i.toLong) } ++
+      Seq((2L, 0L, 100L), (2L, 150L, 101L), (2L, 151L, 102L)))
+      .map { case (u, t, i) => (u, new java.sql.Timestamp(t * 1000L), i) }
+      .toDF("user_id", "ts", "event_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Long]("session_seq")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("start_s"),
+          r.getAs[Long]("end_s"), r.getAs[Long]("duration_s")))).toMap
+    val plain = rows(TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 100L))
+    // threshold 5 → user 1 (12 events) is hot, user 2 (3) is cold
+    val triaged = rows(TimeSeries.sessionizeTriaged(ev, "user_id", "ts",
+      "event_id", gapS = 100L, hotThreshold = 5L, bucketS = 100L))
+    assert(triaged === plain)
+    // sanity on the engineered cases, independent of the plain path
+    // s1 = {0,10,95,105,195,295,310}: spans three buckets, fuses across
+    // the exact-gapS boundary step (195→295) and the 295→310 step
+    assert(plain((1L, 1L))._1 === 7L, "boundary-spanning + exact-gap events fused")
+    assert(plain.keySet.count(_._1 == 1L) === 5,
+      "hot user must have exactly 5 sessions")
+    // degenerate thresholds: everything hot / everything cold — both equal
+    assert(rows(TimeSeries.sessionizeTriaged(ev, "user_id", "ts", "event_id",
+      100L, hotThreshold = 1L, bucketS = 100L)) === plain)
+    assert(rows(TimeSeries.sessionizeTriaged(ev, "user_id", "ts", "event_id",
+      100L, hotThreshold = 1000L, bucketS = 100L)) === plain)
+  }
+
   test("cusum closed form matches the textbook recursion") {
     import spark.implicits._
     // entity "e": daily x = 5 (2+3), 1, 9, 2; mu = 4.25, slack 0 →
