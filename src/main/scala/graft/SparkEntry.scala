@@ -2737,8 +2737,14 @@ object SparkEntry {
           |                 OR t_us - lag(t_us) OVER w >= 172800000000 THEN 1 ELSE 0 END AS new_s
           |  FROM pts WINDOW w AS (PARTITION BY ip ORDER BY t_us)),
           |sess AS (
+          |  -- RANGE, not ROWS: exact-duplicate events tie on t_us, and a
+          |  -- ROWS prefix sum can split the tie between two window passes
+          |  -- whose arbitrary tie orders disagree (the --late corpus
+          |  -- caught this: a duplicated session-boundary event produced
+          |  -- two "sessions" with the same start). RANGE gives every
+          |  -- time-peer the same sid — the session_window semantics.
           |  SELECT *, SUM(new_s) OVER (PARTITION BY ip ORDER BY t_us
-          |                             ROWS UNBOUNDED PRECEDING) AS sid
+          |                             RANGE UNBOUNDED PRECEDING) AS sid
           |  FROM marks)
           |SELECT ip, CAST(min(t_us) // 1000000 AS BIGINT) AS session_start_s,
           |       CAST(COUNT(*) AS BIGINT) AS n_events,

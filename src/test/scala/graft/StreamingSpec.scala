@@ -217,6 +217,108 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() === rows.map(r => (r.ip, r.time, r.category)).distinct.size)
   }
 
+  // ---- late / out-of-order / duplicate scenario matrix (r15 verdict
+  // task 6): the zipf axis stressed key skew; these stress EVENT TIME.
+  // Contracts pinned: (1) late-but-within-watermark events are absorbed
+  // and the finalized result equals the batch aggregate over everything;
+  // (2) late-BEYOND-watermark events are dropped deterministically — the
+  // result equals the batch aggregate over the on-time subset, twice;
+  // (3) within-watermark duplicate redelivery never survives dedup even
+  // when interleaved out of order across keys.
+
+  private def lr(ip: String, sec: Long, clicks: Long = 1L): LogRecord =
+    LogRecord(ip, new java.sql.Timestamp(sec * 1000L), clicks, 1L, "cat" + (sec % 3))
+
+  /** 1-minute tumbling count/sum per ip with a 10-minute watermark,
+   * append mode (only finalized windows emit — the strictest contract) */
+  private def windowedAgg(df: org.apache.spark.sql.DataFrame) =
+    df.withWatermark("time", "10 minutes")
+      .groupBy(window(col("time"), "1 minute"), col("ip"))
+      .agg(count(lit(1)).as("n"), sum(col("clicks")).as("c"))
+      .select(col("window.start").cast("long").as("w_s"), col("ip"),
+        col("n"), col("c"))
+
+  private def batchAgg(rows: Seq[LogRecord]): Set[Seq[Any]] = {
+    import spark.implicits._
+    windowedAgg(rows.toDF()).collect().map(_.toSeq).toSet
+  }
+
+  test("late within watermark is absorbed: streamed result equals batch over everything") {
+    import spark.implicits._
+    val onTime = (0L until 240L by 20L).map(s => lr("u1", s)) ++
+      Seq(lr("u2", 30L), lr("u2", 150L))
+    // arrive AFTER rows up to t=240 were seen, with event times 1-4 min
+    // earlier — inside the 10-minute delay, so they must still count
+    val lateOk = Seq(lr("u1", 45L, clicks = 7L), lr("u2", 100L, clicks = 5L))
+    val flush = Seq(lr("zz-flush", 7200L))
+    val input = MemoryStream[LogRecord](spark)
+    val q = windowedAgg(input.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("late_ok_mem").start()
+    try {
+      input.addData(onTime); q.processAllAvailable()
+      input.addData(lateOk); q.processAllAvailable()
+      input.addData(flush);  q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("late_ok_mem").collect().map(_.toSeq).toSet
+    // the flush sentinel's own window never finalizes (nothing advances
+    // the watermark past it), so the reference is batch over the REAL rows
+    assert(streamed === batchAgg(onTime ++ lateOk))
+    assert(streamed.nonEmpty)
+  }
+
+  test("late beyond watermark is dropped deterministically: equals batch on the on-time subset, twice") {
+    import spark.implicits._
+    val onTime = (0L until 180L by 30L).map(s => lr("u1", s)) :+ lr("u2", 90L)
+    // watermark-advancer: max event time 7200 → watermark 6600 after batch 1
+    val advance = Seq(lr("zz-adv", 7200L))
+    // beyond-watermark stragglers: an update to a FINALIZED window and a
+    // whole NEW window far below the watermark — both must vanish
+    val lateDropped = Seq(lr("u1", 45L, clicks = 99L), lr("u3", 400L, clicks = 99L))
+    def run(name: String): Set[Seq[Any]] = {
+      val input = MemoryStream[LogRecord](spark)
+      val q = windowedAgg(input.toDF()).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(onTime ++ advance); q.processAllAvailable()
+        input.addData(lateDropped);       q.processAllAvailable()
+        input.addData(Seq(lr("zz-flush", 14400L))); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect().map(_.toSeq).toSet
+    }
+    val first = run("late_drop_mem1")
+    assert(first === batchAgg(onTime ++ advance),
+      "beyond-watermark rows must not reach the aggregate")
+    assert(!first.exists(r => r(2) == 99L || r(3) == 99L))
+    assert(run("late_drop_mem2") === first, "late-drop must be deterministic")
+  }
+
+  test("within-watermark duplicate redelivery never survives dedup, even out of order") {
+    import spark.implicits._
+    // disorder engineered per key: u1's events arrive time-reversed, u2's
+    // interleave between them; 3 exact duplicates redeliver in batch 2.
+    // Times sit OFF epoch 0: the initial watermark is 1970-01-01T00:00:00
+    // and dropDuplicatesWithinWatermark treats eventTime <= watermark as
+    // late, so an epoch-0 event vanishes in the very first batch
+    val b = 9000L
+    val uniq = Seq(lr("u1", b + 120L), lr("u2", b + 10L), lr("u1", b + 60L),
+      lr("u2", b + 200L), lr("u1", b), lr("u2", b + 110L))
+    val input = MemoryStream[LogRecord](spark)
+    val q = StreamingBotDetection.dedupStream(
+        input.toDF(), Seq("ip", "time", "category"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_dedup_mem").start()
+    try {
+      input.addData(uniq); q.processAllAvailable()
+      input.addData(Seq(uniq(4), uniq(1), uniq(3))) // dup redelivery, reordered
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_dedup_mem").select("ip", "time", "clicks")
+      .collect().map(_.toSeq)
+    assert(out.length === out.distinct.length, "a redelivered duplicate survived")
+    assert(out.toSet === uniq.toDF().select("ip", "time", "clicks")
+      .collect().map(_.toSeq).toSet, "streamed dedup must equal batch dedup")
+  }
+
   test("raw-event mirror sink: keyed append with expiry (K3/K4 parity)") {
     val dir = tmp("mirror-in")
     val out = tmp("mirror-out") + "/cache"

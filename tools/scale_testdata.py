@@ -1,7 +1,18 @@
 #!/usr/bin/env python3
 """Scale a testdata SF directory by key-shifted replication (bench-only).
 
-Usage: tools/scale_testdata.py <srcDir> <dstDir> <copies> [onlyTables] [--zipf]
+Usage: tools/scale_testdata.py <srcDir> <dstDir> <copies> [onlyTables]
+       [--zipf] [--late]
+
+--late: event-time adversarial axis for the events table. Event TIMES are
+kept, but the physical row order becomes ARRIVAL order: ~5% of events
+arrive 1-30 min after their event time (deterministic hash of event_id),
+so row order != event-time order and every streaming consumer sees
+per-key disorder; ~1% of events are exactly duplicated, re-arriving 90 s
+after the original (at-least-once redelivery). Batch queries must be
+insensitive to row order, and a file-source streaming run over the table
+replays realistic lateness; the duplicate rows are part of the corpus
+(the batch oracle sees them too).
 
 Builds an N-times-larger corpus with the SAME distributions and join
 fan-outs as the source: every copy shifts each int64 key space by
@@ -84,7 +95,8 @@ def main():
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
     rest = sys.argv[4:]
     zipf = "--zipf" in rest
-    rest = [a for a in rest if a != "--zipf"]
+    late = "--late" in rest
+    rest = [a for a in rest if a not in ("--zipf", "--late")]
     only = set(rest[0].split(",")) if rest else None
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -139,9 +151,25 @@ def main():
                 else:
                     exprs.append(c)
             sel = ", ".join(exprs)
-            con.sql(
-                f"COPY (SELECT {sel} FROM '{p}', range({copies}) c(i)) "
-                f"TO '{out}' (FORMAT PARQUET)")
+            if late and table == "events":
+                # arrival disorder + at-least-once duplicates (see module
+                # doc). All hash-deterministic; 5% late 1-30 min, 1% dup.
+                con.sql(
+                    f"COPY (WITH base AS (SELECT {sel} "
+                    f"  FROM '{p}', range({copies}) c(i)), "
+                    "arr AS (SELECT *, epoch(ts) + CASE "
+                    "    WHEN hash(event_id * 13) % 20 = 0 "
+                    "    THEN 60 + (hash(event_id * 17) % 1740) "
+                    "    ELSE 0 END AS __arrival FROM base) "
+                    "SELECT * EXCLUDE (__arrival) FROM ("
+                    "  SELECT * FROM arr UNION ALL "
+                    "  SELECT * REPLACE (__arrival + 90 AS __arrival) "
+                    "  FROM arr WHERE hash(event_id * 19) % 100 = 0) "
+                    f"ORDER BY __arrival, event_id) TO '{out}' (FORMAT PARQUET)")
+            else:
+                con.sql(
+                    f"COPY (SELECT {sel} FROM '{p}', range({copies}) c(i)) "
+                    f"TO '{out}' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
         print(f"{table:12s} -> {n} rows")
 
