@@ -47,6 +47,32 @@ object Bench {
         .collect()
       spark.catalog.clearCache()
     } catch { case e: Throwable => System.err.println(s"warmup skipped: $e") }
+    // Kv-catalog + MERGE warmup: k_kv_merge_sql's first rep otherwise
+    // absorbs ~1.2 s of per-SESSION cost (catalog class load, the
+    // row-level-operation analyzer rules' first MERGE resolution, the kv
+    // store's first manifest read/write) — the last first-rep outlier in
+    // SCALING.md's compile-cost table that wasn't a shared page-cache
+    // effect. An 8-row throwaway table exercises all three paths once.
+    try {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bench-kvwarm")
+      spark.conf.set("spark.sql.catalog.graftkvwarm", "graft.sinks.v2.GraftKvCatalog")
+      spark.conf.set("spark.sql.catalog.graftkvwarm.warehouse", wh.toString)
+      spark.sql("CREATE TABLE graftkvwarm.cat.w AS " +
+        "SELECT id AS k, CAST(id AS DOUBLE) AS v, 'O' AS st FROM range(8)")
+      spark.sql("MERGE INTO graftkvwarm.cat.w t USING " +
+        "(SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v, " +
+        " CASE WHEN id = 1 THEN 'F' ELSE 'O' END AS st FROM range(12)) s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED AND s.st = 'F' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT (k, v, st) VALUES (s.k, s.v, s.st)")
+      spark.sql("SELECT count(*) FROM graftkvwarm.cat.w").collect()
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(wh)) { stream =>
+        stream.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    } catch { case e: Throwable => System.err.println(s"kv warmup skipped: $e") }
     // Parquet reader/writer path warmup (Hadoop FS init, footer reader,
     // vectorized reader codegen) against a throwaway file — the measured
     // queries' first parquet scan otherwise pays ~1s of one-time init.

@@ -292,7 +292,35 @@ object Similarity {
     val denom = col("a.nrm") * col("b.nrm")
     val cosExpr = when(denom === 0d, lit(Double.NaN))
       .otherwise(dot(col("a.vec"), col("b.vec")) / denom)
-    keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
+    // JOIN ALGORITHM AT SCALE: nothing downstream needs order, so the
+    // bucket self-join must never SortMergeJoin — SMJ externally sorts
+    // BOTH exploded fat sides (corpus × tables rows carrying
+    // sig+vec+norm; the r15 sf100 re-run measured ~25 GB/side at
+    // 2M × 25 tables and died in sort spill, scratch disk exhausted;
+    // the SHJ re-run passed at 91.6 s vs the r14 SMJ run's 193 s).
+    // Above a size floor, repartition both sides on the join key with a
+    // partition count that bounds ONE partition of ONE side at
+    // ~64 MB raw (the shuffled-hash build), and hint shuffle_hash: the
+    // identical repartitions co-partition the join (exchange written
+    // once, read twice via ReuseExchange) and each task builds a small
+    // hash map instead of sorting. Below the floor the plain join keeps
+    // the broadcast path the optimizer picks for gate-sized corpora.
+    val rowBytes = 48L + 8L * tables + 4L * dim
+    val sideBytes = df.count() * tables * rowBytes
+    // test hook: graft.lsh.shjFloorBytes forces the at-scale branch on a
+    // gate-sized corpus so the spec can pin the plan shape
+    val floor = sys.props.get("graft.lsh.shjFloorBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    val joined =
+      if (sideBytes > floor) {
+        val parts = math.min(4096L, math.max(
+          df.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+          sideBytes / (64L << 20))).toInt
+        val parted = keyed.repartition(parts, col("table"), col("bucket"))
+        parted.as("a").join(parted.as("b").hint("shuffle_hash"),
+          Seq("table", "bucket"))
+      } else keyed.as("a").join(keyed.as("b"), Seq("table", "bucket"))
+    joined
       .filter(col("a.doc_id") < col("b.doc_id") && col("table") === firstMatch)
       .withColumn("cos", cosExpr)
       .filter(col("cos") >= threshold)

@@ -165,6 +165,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"auto geometry must emit exactly the planted pairs: missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("LSH at-scale join branch: shuffled-hash co-partitioned, no sort, same pairs") {
+    // r15 sf100 post-mortem: the bucket self-join planned SortMergeJoin
+    // and externally sorted BOTH exploded fat sides (~15 GB/side at
+    // 2M × 17 tables) to scratch-disk death. The at-scale branch
+    // (forced here via the test hook) must shuffle-hash over explicit
+    // co-partitioning — no Sort/SMJ anywhere — and return the identical
+    // pair set the default branch returns.
+    val dir = "/root/testdata/sf0.001"
+    val ids = graft.sources.Tables.load(spark, dir, "embeddings").select(col("vec_id"))
+    val e = Similarity.syntheticNearDupEmbeddings(ids, "vec_id")
+    def pairs() = Similarity.lshNearDupPairs(e, "vec_id", "embedding", 64, 0.8)
+    val defaultPairs = pairs().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sys.props("graft.lsh.shjFloorBytes") = "0"
+    try {
+      val scaled = pairs()
+      val plan = scaled.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("ShuffledHashJoin"), plan.take(600))
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.linesIterator.exists(_.matches("""\(\d+\) Sort( \[codegen.*)?""")),
+        "the pair stream must never be sorted")
+      assert(scaled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        === defaultPairs)
+    } finally sys.props.remove("graft.lsh.shjFloorBytes")
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs (exact-verified)") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
