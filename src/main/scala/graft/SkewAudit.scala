@@ -56,7 +56,11 @@ object SkewAudit {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // SPARK_GRAFT_SHUFFLE overrides the partition count: the hot-key
+      // straggler scales ~f·P, so the 200-partition run is where a
+      // skew-routed plan proves itself vs the 32-partition default
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       // coalescing folds the small-SF corpus into 1-3 tasks per stage and
       // hides the key distribution this audit exists to measure; the
       // production config keeps it ON (plus AQE skew-join splits) — here
@@ -117,6 +121,19 @@ object SkewAudit {
                 f""""bytes_ratio":${ratio(maxB, medB)}%.2f,""" +
                 f""""med_ms":$medM%.0f,"max_ms":$maxM,""" +
                 f""""ms_ratio":${ratio(maxM, medM)}%.2f}}""")
+              // SPARK_GRAFT_ALL_STAGES=1: per-stage detail — needed when
+              // a union fuses two task POPULATIONS into one stage (the
+              // sessionize-triaged cold+hot paths): the mixed median
+              // makes the single-stage ratio meaningless
+              if (sys.env.get("SPARK_GRAFT_ALL_STAGES").contains("1"))
+                candidates.sortBy(-_.map(_._1).sum).foreach { ts =>
+                  val b = ts.map(_._1); val m = ts.map(_._2)
+                  println(f"""  {"stage_tasks":${ts.size},""" +
+                    f""""total_mb":${b.sum / 1048576.0}%.1f,""" +
+                    f""""med_bytes":${median(b)}%.0f,"max_bytes":${b.max},""" +
+                    f""""med_ms":${median(m)}%.0f,"max_ms":${m.max},""" +
+                    f""""ms_sorted":${m.sorted.reverse.take(8).mkString("[", ",", "]")}}""")
+                }
             }
           }
       }

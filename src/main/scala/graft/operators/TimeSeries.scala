@@ -257,10 +257,18 @@ object TimeSeries {
    * bounds the set at 20 keys regardless of scale). Cold entities take
    * the plain path unchanged. Precondition: non-null event times (the
    * two paths order SQL NULLs differently).
+   *
+   * `bucketS` must make the bucket count ≫ the shuffle partition count:
+   * (entity, bucket) keys HASH onto partitions, so with only ~P buckets
+   * the law of small numbers re-concentrates the hot key (the spec
+   * measured 11 of 14 day-buckets hashing onto one of 4 partitions —
+   * most of the straggler back). Hour buckets give a month-long corpus
+   * ~720 buckets, smooth at any realistic P; the per-(entity, bucket)
+   * local sort this costs is gap-free inside one hour of one entity.
    */
   def sessionizeTriaged(df: DataFrame, entityCol: String, tsCol: String,
       idCol: String, gapS: Long, hotThreshold: Long,
-      bucketS: Long = 86400L): DataFrame = {
+      bucketS: Long = 3600L): DataFrame = {
     require(gapS > 0, s"sessionizeTriaged: gapS must be positive, got $gapS")
     require(hotThreshold > 0 && bucketS > 0,
       s"sessionizeTriaged: hotThreshold/bucketS must be positive")

@@ -288,6 +288,60 @@ class TimeSeriesSpec extends AnyFunSuite {
       100L, hotThreshold = 1000L, bucketS = 100L)) === plain)
   }
 
+  test("sessionizeTriaged bounds the hot-key straggler task (shuffle-bytes pinned)") {
+    import spark.implicits._
+    // one user owns 80% of events (the zipf axis shape, concentrated):
+    // under the plain operator every one of their events lands on ONE
+    // window task, so that task's shuffle read is ~80% of the corpus and
+    // grows ~f·P relative to the median (zipf1 measured 3.56x at 32
+    // partitions, 15.1x at 200). The triaged path spreads the hot key
+    // over time buckets down to the uniform-share floor (hot/P); pin the
+    // property on task SHUFFLE BYTES (stable, unlike wall-clock):
+    // triaged max-task bytes <= plain max / 2 (the expected gain at
+    // TestSpark's 4 partitions is ~4x; 2x leaves payload-overhead slack).
+    val n = 40000
+    val ev = spark.range(n.toLong).selectExpr(
+      "CASE WHEN id % 5 != 0 THEN 7777L ELSE id % 97 END AS user_id",
+      "timestamp_seconds(1704067200 + (id % 20000) * 60) AS ts",
+      "id AS event_id")
+    class MaxTask extends org.apache.spark.scheduler.SparkListener {
+      @volatile var maxBytes = 0L
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxBytes = math.max(maxBytes, m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def maxTaskBytes(f: => org.apache.spark.sql.DataFrame): Long = {
+      val l = new MaxTask
+      spark.sparkContext.addSparkListener(l)
+      try { f.count(); Thread.sleep(300L); l.maxBytes }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+    // AQE coalescing folds this toy-scale shuffle into ONE partition
+    // (everything here is far under the 64 MB advisory size), which
+    // re-serializes the hot set through a single task and hides exactly
+    // the distribution this test measures — same reason SkewAudit runs
+    // with it off. At real scale the advisory size keeps partitions
+    // plural and the operator's spread intact.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val plainMax = maxTaskBytes(
+        TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 1800L))
+      val triagedMax = maxTaskBytes(TimeSeries.sessionizeTriaged(
+        ev, "user_id", "ts", "event_id", 1800L,
+        hotThreshold = n / 10L, bucketS = 3600L))
+      assert(triagedMax > 0 && plainMax > 0)
+      assert(triagedMax <= plainMax / 2,
+        s"triaged max-task shuffle bytes $triagedMax vs plain $plainMax — straggler not bounded")
+    } finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+  }
+
   test("cusum closed form matches the textbook recursion") {
     import spark.implicits._
     // entity "e": daily x = 5 (2+3), 1, 9, 2; mu = 4.25, slack 0 →
