@@ -57,11 +57,16 @@ object Bench {
       val wh = java.nio.file.Files.createTempDirectory("graft-bench-kvwarm")
       spark.conf.set("spark.sql.catalog.graftkvwarm", "graft.sinks.v2.GraftKvCatalog")
       spark.conf.set("spark.sql.catalog.graftkvwarm.warehouse", wh.toString)
+      // 60k rows, NOT a toy: below ~2M key reprs the upsert takes the
+      // driver-inline deletion-vector path, leaving the distributed
+      // dv/bloom machinery (its own codegen + first-run init) cold —
+      // exactly what the measured MERGE then pays on its first rep
       spark.sql("CREATE TABLE graftkvwarm.cat.w AS " +
-        "SELECT id AS k, CAST(id AS DOUBLE) AS v, 'O' AS st FROM range(8)")
+        "SELECT id AS k, CAST(id AS DOUBLE) AS v, 'O' AS st FROM range(60000)")
       spark.sql("MERGE INTO graftkvwarm.cat.w t USING " +
         "(SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v, " +
-        " CASE WHEN id = 1 THEN 'F' ELSE 'O' END AS st FROM range(12)) s " +
+        " CASE WHEN id % 7 = 1 THEN 'F' ELSE 'O' END AS st " +
+        " FROM range(90000)) s " +
         "ON t.k = s.k " +
         "WHEN MATCHED AND s.st = 'F' THEN DELETE " +
         "WHEN MATCHED THEN UPDATE SET v = s.v " +

@@ -55,7 +55,20 @@ object StreamBench {
     val nBots = 100 * keysMult
     val durationS = 600L
     val freq = 300
-    val evs = BotGen.events(nUsers, nBots, durationS, freqPerSec = freq)
+    // SPARK_GRAFT_HOT_FRAC=0.1: route that fraction of all events to ONE
+    // ip (the zipf axis for STREAMING state — a hot user is a hot state
+    // key, and required hash partitioning under a stateful operator can
+    // neither salt nor AQE-split it). Deterministic by event index.
+    val hotFrac = sys.env.get("SPARK_GRAFT_HOT_FRAC").map(_.toDouble).getOrElse(0.0)
+    val base = BotGen.events(nUsers, nBots, durationS, freqPerSec = freq)
+    val evs =
+      if (hotFrac <= 0) base
+      else {
+        val every = math.max(1, math.round(1.0 / hotFrac).toInt)
+        base.zipWithIndex.map { case (e, i) =>
+          if (i % every == 0) e.copy(ip = "hot-0") else e
+        }
+      }
     val dir = Files.createTempDirectory("streambench").toString
     BotGen.writeJsonDir(dir, evs, nFiles = 8)
 
@@ -74,13 +87,16 @@ object StreamBench {
 
     val kvPath = Files.createTempDirectory("sb-kv").toString + "/verdicts"
     val fedRows = new java.util.concurrent.atomic.AtomicLong()
+    // one checkpoint dir for whichever sink runs: its state/ tree is
+    // scanned after the run for the per-partition spread report
+    val ckptDir = Files.createTempDirectory("sb-ckpt").toString
 
     val t0 = System.nanoTime()
     val q =
       if (kvSink)
         graft.sinks.Sinks.verdictSink(verdicts, Map(
           "sink" -> "kv", "path" -> kvPath,
-          "checkpoint" -> Files.createTempDirectory("sb-ckpt").toString,
+          "checkpoint" -> ckptDir,
           "trigger" -> "0 seconds"))
       else if (upsertSink)
         // the CDC-apply shape: every micro-batch MERGES into the store
@@ -106,7 +122,7 @@ object StreamBench {
               graft.sinks.v2.KvStore.expireEpochs(spark, kvPath,
                 Seq("ip", "window_start_s"), keepLast = maintEvery)
           }
-          .option("checkpointLocation", Files.createTempDirectory("sb-ckpt").toString)
+          .option("checkpointLocation", ckptDir)
           .trigger(Trigger.ProcessingTime("0 seconds"))
           .start()
       else verdicts.writeStream
@@ -114,7 +130,7 @@ object StreamBench {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           counts.addAndGet(batch.count()): Unit
         }
-        .option("checkpointLocation", Files.createTempDirectory("sb-ckpt").toString)
+        .option("checkpointLocation", ckptDir)
         .trigger(Trigger.ProcessingTime("0 seconds"))
         .start()
     // the concurrent changefeed consumer: tails the kv store WHILE the
@@ -148,6 +164,24 @@ object StreamBench {
     val stateBytes = stateOps.map(_.memoryUsedBytes).sum
     q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
+    // per-partition state spread from the checkpoint's state/ tree
+    // (state/<opId>/<partition>/...): the on-disk footprint per state
+    // partition is the streaming analogue of SkewAudit's per-task shuffle
+    // table — a hot state key shows up as one partition holding a
+    // disproportionate share of the store
+    val stateSpread: Option[(Int, Long, Long)] = {
+      val root = new java.io.File(ckptDir, "state")
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+      val parts = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .flatMap(op => Option(op.listFiles()).getOrElse(Array.empty))
+        .filter(d => d.isDirectory && d.getName.forall(_.isDigit))
+        .map(du).filter(_ > 0L).sorted
+      if (parts.length < 4) None
+      else Some((parts.length, parts(parts.length / 2), parts.last))
+    }
     // feed lag: how far behind the pipeline the changefeed consumer ends —
     // drain whatever epochs it has not yet emitted and time the catch-up
     val feedLag = feed.map { f =>
@@ -170,8 +204,12 @@ object StreamBench {
       else "foreachBatch"
     val feedStats = feedLag.fold("")(lag =>
       s""","feed_lag_sec":${"%.2f".format(lag)},"fed_rows":${fedRows.get()}""")
+    val spreadStats = stateSpread.fold("") { case (n, med, max) =>
+      val ratio = if (med > 0) "%.2f".format(max.toDouble / med) else "-1"
+      s""","state_spread":{"parts":$n,"med_bytes":$med,"max_bytes":$max,"ratio":$ratio}"""
+    }
     println(
-      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":${evs.size},"wall_sec":${"%.2f".format(sec)},"verdict_rows":$verdictRows,"keys":${nUsers + nBots},"state_store":"$store","source":"$source","sink":"$sink"$feedStats,"state_rows":$stateRows,"state_bytes":$stateBytes}""")
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":${evs.size},"wall_sec":${"%.2f".format(sec)},"verdict_rows":$verdictRows,"keys":${nUsers + nBots},"state_store":"$store","source":"$source","sink":"$sink"$feedStats,"state_rows":$stateRows,"state_bytes":$stateBytes$spreadStats}""")
     if (kvSink)
       require(fedRows.get() == graft.sinks.v2.KvStore.read(spark, kvPath).count(),
         s"changefeed drained ${fedRows.get()} rows but the store committed a different count")
