@@ -40,8 +40,7 @@ object StreamBench {
     // feed having drained every committed epoch.
     val kvSink = sys.env.get("SPARK_GRAFT_SINK").exists(_.equalsIgnoreCase("kv"))
     val upsertSink = sys.env.get("SPARK_GRAFT_SINK").exists(_.equalsIgnoreCase("upsert"))
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = ClusterMode.configure(SparkSession.builder(), cpus)
       .appName("graft-stream-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

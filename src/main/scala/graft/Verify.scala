@@ -15,8 +15,10 @@ object Verify {
     // core count (e.g. SPARK_GRAFT_SHUFFLE=7 on local[3]) to flush any
     // partition-count/order dependence the symmetric default masks
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,4096]: multi-JVM executor axis —
+    // the whole catalog with every closure/broadcast/commit-message crossing
+    // a real process boundary (see ClusterMode)
+    val builder = ClusterMode.configure(SparkSession.builder(), cpus)
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -32,8 +34,25 @@ object Verify {
       builder.config("spark.sql.codegen.wholeStage", "false")
         .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     }
+    // SPARK_GRAFT_SPECULATION=1: speculate EVERY task immediately
+    // (multiplier 1.0, quantile 0.0) — maximal duplicate-task pressure.
+    // On a real cluster stragglers get cloned routinely, so every task in
+    // the engine (DSv2 writers above all) must tolerate a concurrent twin:
+    // the commit coordinator authorizes exactly one, the loser's output
+    // must abort cleanly, and side-effect-free tasks must be idempotent.
+    // Meaningful mainly with SPARK_GRAFT_MASTER=local-cluster[...] where the
+    // twin runs in a DIFFERENT JVM.
+    if (sys.env.get("SPARK_GRAFT_SPECULATION").exists(_ == "1")) {
+      builder.config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "1.0")
+        .config("spark.speculation.quantile", "0.0")
+        .config("spark.speculation.interval", "20ms")
+        .config("spark.speculation.minTaskRuntime", "0ms")
+    }
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_LOG=INFO: e.g. to confirm the speculation axis actually
+    // launches task twins (TaskSetManager logs them at INFO)
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     GraftExtensions.register(spark) // engine-on config: functions + optimizer rules
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

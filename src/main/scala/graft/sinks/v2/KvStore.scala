@@ -2011,6 +2011,13 @@ class KvDataWriter(path: String, schema: StructType, conf: Configuration,
   }
 
   override def write(record: InternalRow): Unit = {
+    // task-side failpoint (vs the driver-side commit-step points): fails ONE
+    // task attempt mid-write with a partial staged file on disk — the
+    // duplicate-attempt pressure a real cluster applies through task retry
+    // and speculation. Spark must abort() this writer (staged file deleted)
+    // and the retry attempt must stage a fresh file; KvTaskRetrySpec pins
+    // exactly-once output + zero staging orphans.
+    if (rows == 1) Failpoints.hit("kvwriter:mid-write")
     val node: ObjectNode = mapper.createObjectNode()
     var i = 0
     while (i < schema.length) {

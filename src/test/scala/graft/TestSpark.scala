@@ -6,7 +6,11 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: maxFailures=2 — task retry ON, as on any real cluster
+      // (plain local[4] aborts the job on the first task failure, which
+      // would make executor-side retry paths untestable; a deterministic
+      // task bug still fails the job — it just fails twice)
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
