@@ -7,18 +7,27 @@ import org.apache.spark.sql.DataFrame
  * block Catalyst projection collapse (minhash signatures, LSH keys, label
  * propagation rounds, Lloyd centroids — see SCALING.md).
  *
- * Strategy comes from the session conf `spark.graft.materialize`:
+ * Strategy comes from the session conf `spark.graft.materialize`; when the
+ * conf is unset the default follows the MASTER: `localCheckpoint` on
+ * `local[n]` (tasks share the driver JVM — no executor can die alone),
+ * `persist` everywhere else. The executor-kill chaos axis (SCALING.md
+ * round-15) proved the failure mode empirically: under local-cluster with
+ * executors SIGKILLed mid-query, a localCheckpoint barrier dies
+ * unrecoverably (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND ×3 → job failure) while
+ * the persist barrier recomputes lost blocks from RDD lineage and finishes
+ * oracle-clean.
  *
- *   - `localCheckpoint` (default): eager, executor-local blocks, lineage
- *     truncated, blocks freed by the ContextCleaner. Right for single-JVM
- *     local runs (the bench/verify harness) — NOT fault-tolerant: on a real
- *     cluster a lost executor loses the blocks and the job fails.
- *   - `persist`: MEMORY_AND_DISK cache, materialized eagerly (a count runs
- *     at the barrier), then surfaced as a LEAF plan over the cached RDD
- *     (logical lineage truncated; RDD lineage kept, so executor loss
- *     recomputes instead of failing — the cluster default with dynamic
- *     allocation). The leaf both holds the projection-collapse barrier and
- *     keeps iterative callers' plans O(1) per round.
+ *   - `localCheckpoint` (default on local[n] masters): eager, executor-local
+ *     blocks, lineage truncated, blocks freed by the ContextCleaner. Fastest
+ *     barrier for single-JVM runs (the bench/verify harness) — NOT
+ *     fault-tolerant: a lost executor loses the blocks and the job fails.
+ *   - `persist` (default on every non-local master): MEMORY_AND_DISK cache,
+ *     materialized eagerly (a count runs at the barrier), then surfaced as a
+ *     LEAF plan over the cached RDD (logical lineage truncated; RDD lineage
+ *     kept, so executor loss recomputes instead of failing — what a cluster
+ *     with churn or dynamic allocation needs). The leaf both holds the
+ *     projection-collapse barrier and keeps iterative callers' plans O(1)
+ *     per round.
  *   - `checkpoint`: reliable checkpoint to `spark.graft.checkpointDir` (or a
  *     previously set `sc.setCheckpointDir`) — survives executor loss AND cuts
  *     lineage; for very long iterative chains on clusters.
@@ -51,9 +60,15 @@ object Materialize {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[DataFrame, DataFrame]())
 
+  /** Master-dependent default: executor-local lineage-truncated blocks are
+   * only safe where no executor can die independently of the driver. */
+  private[graft] def defaultStrategy(isLocal: Boolean): String =
+    if (isLocal) "localCheckpoint" else "persist"
+
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    spark.conf.get("spark.graft.materialize", "localCheckpoint") match {
+    spark.conf.get("spark.graft.materialize",
+      defaultStrategy(spark.sparkContext.isLocal)) match {
       case "localCheckpoint" => df.localCheckpoint()
       case "persist" =>
         val p = df.persist()

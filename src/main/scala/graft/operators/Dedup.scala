@@ -317,10 +317,10 @@ object Dedup {
    * Signatures are materialized first ([[graft.Materialize]], strategy via
    * `spark.graft.materialize`): Catalyst's projection collapse would
    * otherwise inline the whole minhash pipeline into EVERY band expression
-   * and the self-join sides (measured 347 s → ~10 s at sf0.1). Local runs
-   * default to localCheckpoint (blocks freed by the ContextCleaner);
-   * clusters with executor churn should set `persist` or `checkpoint` —
-   * lineage-truncated executor-local blocks are not fault-tolerant. */
+   * and the self-join sides (measured 347 s → ~10 s at sf0.1). The barrier
+   * strategy defaults by master — localCheckpoint on local[n], persist
+   * (executor-loss-safe) on anything else; see [[graft.Materialize]] and the
+   * executor-kill chaos evidence in SCALING.md round-15. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       maxBucketFreq: Option[Int] = None): DataFrame = {

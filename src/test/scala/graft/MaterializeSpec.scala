@@ -12,6 +12,15 @@ class MaterializeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("default strategy follows the master: fault-tolerant off local[n]") {
+    // executor-kill chaos evidence in SCALING.md round-15: a localCheckpoint
+    // barrier dies unrecoverably when its executor is SIGKILLed; persist
+    // recomputes from RDD lineage. Only a single-JVM master may default to
+    // the former.
+    assert(Materialize.defaultStrategy(isLocal = true) == "localCheckpoint")
+    assert(Materialize.defaultStrategy(isLocal = false) == "persist")
+  }
+
   private def withStrategy[A](strategy: String, ckDir: Option[String] = None)(f: => A): A = {
     spark.conf.set("spark.graft.materialize", strategy)
     ckDir.foreach(spark.conf.set("spark.graft.checkpointDir", _))
