@@ -42,6 +42,18 @@ object Verify {
     // must abort cleanly, and side-effect-free tasks must be idempotent.
     // Meaningful mainly with SPARK_GRAFT_MASTER=local-cluster[...] where the
     // twin runs in a DIFFERENT JVM.
+    // SPARK_GRAFT_NO_AQE=1: adaptive execution fully off — every plan runs
+    // exactly as compiled (no runtime coalescing/skew-split/join demotion),
+    // so a hash-clean run proves no operator leans on AQE replanning for
+    // correctness, and the static partitioning choices stand on their own.
+    if (sys.env.get("SPARK_GRAFT_NO_AQE").exists(_ == "1"))
+      builder.config("spark.sql.adaptive.enabled", "false")
+    // SPARK_GRAFT_KRYO=1: swap the closure/shuffle/broadcast serializer for
+    // Kryo (what most production clusters run) — flushes any class in the
+    // engine that only round-trips under Java serialization.
+    if (sys.env.get("SPARK_GRAFT_KRYO").exists(_ == "1"))
+      builder.config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
     if (sys.env.get("SPARK_GRAFT_SPECULATION").exists(_ == "1")) {
       builder.config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "1.0")
