@@ -39,7 +39,15 @@ object ClusterMode {
           "SPARK_GRAFT_EXEC_CP",
           Seq("target/scala-2.13/classes", "src/main/resources")
             .map(new java.io.File(_).getAbsolutePath).mkString(":"))
-        Seq("spark.executor.extraClassPath" -> cp)
+        // the bracket's M is the WORKER's memory grant; spark.executor.memory
+        // stays at its 1g default unless set, silently wasting the grant (the
+        // sf1 isolated-driver run OOMed two queries on 1 GiB executors inside
+        // 6 GiB workers before this). One executor per worker here, so grant
+        // == heap.
+        val mem = "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
+          .findFirstMatchIn(master).map(_.group(1))
+        Seq("spark.executor.extraClassPath" -> cp) ++
+          mem.map(m => "spark.executor.memory" -> s"${m}m")
       }
     (master, confs)
   }

@@ -1879,12 +1879,19 @@ object SparkEntry {
     // (measured margins: intra ≤ 2 bits, cross ≥ 10, threshold 3). No
     // maxBlockFreq cap, for the same exact-recall-contract reason as
     // audio_neardup.
+    // Threshold 6, like the robust twin: the PNG-vs-JPEG(q80) intra-pair
+    // pHash distance is 0/2 for most patterns but the tail reaches 4 (the
+    // sf1 corpus' 25,000 patterns contain exactly one at 4 — found by the
+    // r15 scaled re-verify; maxDist=3 silently dropped that one true pair),
+    // while the nearest CROSS-pattern pair sits at 9-10 (measured at sf1:
+    // T=8 → 25,000 pairs 0 cross, T=10 → +60 cross). 6 splits the measured
+    // gap: ≥2 bits of recall margin, ≥3 of precision.
     "image_neardup" -> ((s, dir) =>
       operators.Dedup.hammingPairs(
         operators.Multimodal.imagePhash(
           cachedMediaFor(s, dir, "formatdup")(
             operators.Multimodal.syntheticFormatDupTable(table(s, dir, "documents"), "doc_id"))),
-        "media_id", "phash", maxDist = 3)
+        "media_id", "phash", maxDist = 6)
         .select(col("id_a"), col("id_b"))),
 
     // image_neardup_robust: pHash under the transforms dedup actually

@@ -35,6 +35,14 @@ class ClusterModeSpec extends AnyFunSuite {
     assert(parts.forall(_.startsWith("/")), cp)
   }
 
+  test("local-cluster bracket memory becomes the executor heap") {
+    val (_, confs) =
+      ClusterMode.plan("7", Map("SPARK_GRAFT_MASTER" -> "local-cluster[2, 8, 6144]"))
+    // one executor per worker: the worker's memory grant IS the heap —
+    // without this, spark.executor.memory stays 1g inside a 6g worker
+    assert(confs.toMap.get("spark.executor.memory").contains("6144m"))
+  }
+
   test("SPARK_GRAFT_EXEC_CP overrides the executor classpath verbatim") {
     val (_, confs) = ClusterMode.plan(
       "7",
