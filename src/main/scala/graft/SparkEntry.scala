@@ -1526,11 +1526,17 @@ object SparkEntry {
     // true pair set at maxDist 6 is the (2g, 2g+1) pairs, and the oracle
     // checks recall AND precision of tokenize→vote→pigeonhole→popcount in
     // one hash row (was rows-only; margins pinned in DedupSpec).
+    // candidates+verify (minhashDedup's discipline, r15): raw hamming ≤ 6
+    // admits 2 false pairs at sf10's 250k groups (36 inside 8 bits) as the
+    // cross floor densifies; exact shingle Jaccard decides instead —
+    // measured at sf10: every construction pair 0.9995, every cross
+    // candidate shares ZERO shingles (Jaccard 0). 0.5 splits a gap that is
+    // content-determined, not corpus-size-determined.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(
+      Dedup.simhashVerifiedPairs(
         Dedup.syntheticNearDupTexts(
           table(s, dir, "documents").select(col("doc_id")), "doc_id"),
-        "doc_id", "text", maxDist = 6)
+        "doc_id", "text", maxDist = 8, threshold = 0.5)
         .select(col("id_a"), col("id_b"))),
 
     // Brute-force cosine top-k (ANN baseline; broadcast queries).
@@ -1857,8 +1863,14 @@ object SparkEntry {
     // clip stored as 16-bit (id 2g) and requantized to 8-bit (id 2g+1),
     // found by the 64-bit spectral fingerprint (8 frames × 8 DCT bands,
     // order-statistic threshold = amplitude-invariant) through the same
-    // hamming pigeonhole join. Oracle = the construction pairs (measured
-    // margins: intra 0 bits, cross ≥ 12, threshold 3). No maxBlockFreq cap:
+    // hamming pigeonhole join. Oracle = the construction pairs. Margins
+    // re-measured at sf10 in r15 (the scale where the image/simhash
+    // thresholds broke): 16→8-bit requantization moves the fingerprint
+    // exactly 0 bits (250,000× distance 0) and the cross floor is still
+    // > 6 bits at 250k groups — threshold 3 holds with room at every
+    // claimed scale. If a future corpus erodes that floor, the fix is the
+    // family's candidates+verify shape (raw-sample MAE as the decision),
+    // not a bigger threshold. No maxBlockFreq cap:
     // the cap trades candidate recall for a blow-up bound (capHotKeys doc)
     // and so must not sit under an exact-recall oracle; this synthetic
     // corpus has independent per-group rank grids, so no degenerate bucket
@@ -1879,35 +1891,46 @@ object SparkEntry {
     // (measured margins: intra ≤ 2 bits, cross ≥ 10, threshold 3). No
     // maxBlockFreq cap, for the same exact-recall-contract reason as
     // audio_neardup.
-    // Threshold 6, like the robust twin: the PNG-vs-JPEG(q80) intra-pair
-    // pHash distance is 0/2 for most patterns but the tail reaches 4 (the
-    // sf1 corpus' 25,000 patterns contain exactly one at 4 — found by the
-    // r15 scaled re-verify; maxDist=3 silently dropped that one true pair),
-    // while the nearest CROSS-pattern pair sits at 9-10 (measured at sf1:
-    // T=8 → 25,000 pairs 0 cross, T=10 → +60 cross). 6 splits the measured
-    // gap: ≥2 bits of recall margin, ≥3 of precision.
-    "image_neardup" -> ((s, dir) =>
-      operators.Dedup.hammingPairs(
-        operators.Multimodal.imagePhash(
-          cachedMediaFor(s, dir, "formatdup")(
-            operators.Multimodal.syntheticFormatDupTable(table(s, dir, "documents"), "doc_id"))),
-        "media_id", "phash", maxDist = 6)
-        .select(col("id_a"), col("id_b"))),
+    // Sketch-candidates + content-verify — the scale-proof dedup shape.
+    // A FIXED hamming threshold cannot survive corpus growth: the intra-pair
+    // (PNG vs JPEG-q80) distance is a content property (0/2, tail 4 — one
+    // pair in 25k patterns, twenty in 250k), but the nearest CROSS-pattern
+    // pair densifies birthday-style (9-10 bits at 25k patterns, ≤6 at 250k —
+    // at sf10 a threshold of 6 already admits 6 false pairs, and 3, the
+    // original, DROPPED a true pair at sf1). So the sketch is only the
+    // candidate generator (maxDist=8: 2× the measured intra tail; extra
+    // cross candidates are cheap) and 32×32-luma pixel MAE decides:
+    // measured at sf10, intra ∈ [1.47, 2.19] gray levels vs nearest cross
+    // candidate 18.2 — an 8× content-determined gap that does not erode
+    // with n. maxMae=8 splits it.
+    "image_neardup" -> ((s, dir) => {
+      val media = cachedMediaFor(s, dir, "formatdup")(
+        operators.Multimodal.syntheticFormatDupTable(table(s, dir, "documents"), "doc_id"))
+      val cand = operators.Dedup.hammingPairs(
+        operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8)
+      operators.Multimodal.pixelVerifiedPairs(media, cand, maxMae = 8.0)
+        .select(col("id_a"), col("id_b"))
+    }),
 
     // image_neardup_robust: pHash under the transforms dedup actually
     // faces — ids group as (4g..4g+3): base PNG, QUALITY-50 JPEG, 96×96
     // nearest resample (non-integer 1.5× scale), and quality-80 JPEG of
     // the 2× upscale. The oracle is the construction: exactly the 6
-    // intra-group pairs per group — recall AND precision at threshold 6
-    // (measured margins: intra ≤ 4 bits, cross ≥ 20; MultimodalSpec pins
-    // the floors).
-    "image_neardup_robust" -> ((s, dir) =>
-      operators.Dedup.hammingPairs(
-        operators.Multimodal.imagePhash(
-          cachedMediaFor(s, dir, "robustdup")(
-            operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))),
-        "media_id", "phash", maxDist = 6)
-        .select(col("id_a"), col("id_b"))),
+    // intra-group pairs per group.
+    // Same candidates+verify shape as image_neardup: at sf10 the robust
+    // corpus' threshold-6 pair set admits 16 cross-pattern false pairs
+    // (154 at T=8), while pixel MAE separates cleanly — intra ∈ [0, 3.98]
+    // (the resize/q50 arms at 32×32 luma) vs nearest cross candidate 22.6.
+    // One family-wide decision rule: candidates at hamming ≤ 8, verify at
+    // MAE ≤ 8.
+    "image_neardup_robust" -> ((s, dir) => {
+      val media = cachedMediaFor(s, dir, "robustdup")(
+        operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))
+      val cand = operators.Dedup.hammingPairs(
+        operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8)
+      operators.Multimodal.pixelVerifiedPairs(media, cand, maxMae = 8.0)
+        .select(col("id_a"), col("id_b"))
+    }),
 
     // image_dedup_canonical: the full image-dedup PRODUCTION shape end to
     // end — pHash over the robustness corpus, pigeonhole pair join,
@@ -1922,9 +1945,15 @@ object SparkEntry {
     "image_dedup_canonical" -> ((s, dir) => {
       val media = cachedMediaFor(s, dir, "robustdup")(
         operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))
+      // verified pairs (not raw hamming ≤ 6): an unverified cross-pattern
+      // pair doesn't just add a row here — connected components would MERGE
+      // two unrelated clusters, so the verify stage matters MORE upstream
+      // of clustering than in the flat pair list
       val clusters = Dedup.clusterPairs(
-        operators.Dedup.hammingPairs(
-          operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 6)
+        operators.Multimodal.pixelVerifiedPairs(media,
+          operators.Dedup.hammingPairs(
+            operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8),
+          maxMae = 8.0)
           .select(col("id_a"), col("id_b")))
       media.select(col("media_id").as("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
@@ -1941,8 +1970,10 @@ object SparkEntry {
       val media = cachedMediaFor(s, dir, "robustdup")(
         operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))
       val clusters = Dedup.clusterPairs(
-        operators.Dedup.hammingPairs(
-          operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 6)
+        operators.Multimodal.pixelVerifiedPairs(media,
+          operators.Dedup.hammingPairs(
+            operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8),
+          maxMae = 8.0)
           .select(col("id_a"), col("id_b")))
       val dropped = clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))

@@ -528,6 +528,50 @@ object Dedup {
       maxDist, maxBlockFreq)
 
   /**
+   * SimHash near-dup with exact verification — the same candidates+verify
+   * discipline as [[minhashDedup]] (and the image family's
+   * pixelVerifiedPairs): the 64-bit sketch only GENERATES candidates via
+   * the pigeonhole join; exact shingle Jaccard DECIDES. A fixed hamming
+   * threshold alone cannot survive corpus growth — intra-pair distance is a
+   * per-pair content property, but the nearest cross-pair densifies
+   * birthday-style (measured on the construction corpus: cross floor ≈ 13
+   * bits at 500 docs, 2 false pairs inside 6 bits at 500k). Verification
+   * touches candidates only, a vanishing fraction of the corpus.
+   */
+  def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, threshold: Double, n: Int = 3,
+      maxBlockFreq: Option[Int] = None): DataFrame = {
+    // ONE text pass, ONE barrier (minhashDedup's "one materialization
+    // serves both"): the signature frame carries the 64-bit simhash AND the
+    // per-doc shingle-hash array, so candidate generation and verification
+    // share a single tokenize/hash scan — at 100 TB one scan of the corpus
+    // beats shingling candidates in a second pass. Verification is then
+    // PAIRWISE: candidates are explicit pairs, so exact Jaccard is two
+    // id-keyed joins against the compact arrays + one codegen'd
+    // array_intersect per pair — O(candidates), no exploded-shingle
+    // self-join (profiled at sf0.1: the inverted-index shape costs ~7 s
+    // here because the construction makes EVERY doc a candidate; the
+    // inverted index stays right for minhashDedup, whose barrier already
+    // carries exploded shingles).
+    val signed = graft.Materialize(df.select(col(idCol).as("doc_id"),
+      simhash(TextAnalysis.tokens(col(textCol))).as("simhash"),
+      array_distinct(graft.functions.HashExpressions
+        .wordShingleHashes(col(textCol), n)).as("shashes")))
+    val cand = hammingPairs(signed.select(col("doc_id"), col("simhash")),
+      "doc_id", "simhash", maxDist, maxBlockFreq)
+      .select(col("id_a"), col("id_b"))
+    val a = signed.select(col("doc_id").as("id_a"), col("shashes").as("__sh_a"))
+    val b = signed.select(col("doc_id").as("id_b"), col("shashes").as("__sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("__sh_a")) + size(col("__sh_b")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
    * Construction corpus for the simhash GATE — the text twin of the
    * image/audio near-dup constructions: group g = id div 2 owns
    * `tokensPerDoc` tokens of its own (`g<g>x<j>` — disjoint across groups,

@@ -856,6 +856,61 @@ object Multimodal {
     }(enc)
   }
 
+  /**
+   * Exact-verify stage for hash-candidate image pairs — the scale-proof
+   * production shape (sketch candidates + content verify), the visual twin
+   * of fuzzy join's deletion-blocking + exact-distance verify. Joins each
+   * candidate (id_a, id_b) back to its bytes, decodes BOTH rasters to the
+   * canonical 32×32 luma plane ([[toGray32]], any supported container), and
+   * keeps pairs whose mean absolute pixel error ≤ `maxMae` (gray levels,
+   * 0–255). Pairs with an undecodable side cannot be verified and are
+   * dropped (their pHash was null, so they never become candidates anyway).
+   *
+   * Why this exists: any FIXED hamming threshold on a 64-bit sketch erodes
+   * with corpus size — an intra-pair distance is a per-pair content
+   * property, but the nearest CROSS-pair distance shrinks birthday-style as
+   * n² pairs compete for the sketch space (measured on the format-dup
+   * corpus: nearest cross pair 9–10 bits at 25k patterns, ≤6 bits at 250k).
+   * Pixel MAE decides in a 1024-dimensional space where near-collisions do
+   * not densify measurably at any feasible corpus size, so the sketch
+   * stays what it must be at 100 TB: a RECALL device (candidate
+   * generator), never the decision. Cost: two id-keyed joins (candidates
+   * are O(corpus), bytes move once each) + one decode per candidate side.
+   */
+  def pixelVerifiedPairs(media: DataFrame, candidates: DataFrame,
+      maxMae: Double): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id_a", LongType),
+      StructField("id_b", LongType),
+      StructField("mae", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val a = media.select(col("media_id").as("id_a"), col("bytes").as("__bytes_a"))
+    val b = media.select(col("media_id").as("id_b"), col("bytes").as("__bytes_b"))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), col("__bytes_a"), col("__bytes_b"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val ga = decodeAnyRaster(r.getAs[Array[Byte]](2))
+            .map { case (w, h, c, px) => toGray32(w, h, c, px) }
+          val gb = decodeAnyRaster(r.getAs[Array[Byte]](3))
+            .map { case (w, h, c, px) => toGray32(w, h, c, px) }
+          (ga, gb) match {
+            case (Some(pa), Some(pb)) =>
+              var sum = 0L
+              var i = 0
+              while (i < pa.length) {
+                sum += math.abs((pa(i) & 0xff) - (pb(i) & 0xff)); i += 1
+              }
+              val mae = sum.toDouble / pa.length
+              if (mae <= maxMae) Some(Row(r.getLong(0), r.getLong(1), mae))
+              else None
+            case _ => None
+          }
+        }
+      }(enc)
+  }
+
   /** The `image_neardup` source raster for group g: a LOW-FREQUENCY
    * bipolar composition — every DCT cell (u,v) in the 8×8 low corner
    * (except DC) contributes ±amp·cos·cos with a per-group pseudo-random

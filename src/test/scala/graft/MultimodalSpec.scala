@@ -567,6 +567,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(crossMin >= 12, s"cross min $crossMin crowds the gate threshold")
   }
 
+  test("pixelVerifiedPairs: content decides, sketch only generates candidates") {
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val media = Multimodal.syntheticFormatDupTable(ids, "doc_id")
+    val cand = graft.operators.Dedup.hammingPairs(
+      Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8)
+    // measured intra MAE band is [1.47, 2.19] gray levels (SCALING.md r15):
+    // the production threshold 8 keeps every construction pair...
+    val kept = Multimodal.pixelVerifiedPairs(media, cand, maxMae = 8.0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === (0L until 40L by 2).map(k => (k, k + 1)).toSet)
+    // ...an impossible threshold keeps none (verify REJECTS, it doesn't echo)
+    assert(Multimodal.pixelVerifiedPairs(media, cand, maxMae = 0.5).count() === 0)
+    // an undecodable side drops the pair instead of crashing or passing it
+    val junk = spark.range(0, 2).selectExpr("id as media_id",
+      "cast(concat('junk-', id) as binary) as bytes")
+    val fakeCand = spark.range(0, 1).selectExpr("0L as id_a", "1L as id_b")
+    assert(Multimodal.pixelVerifiedPairs(junk, fakeCand, maxMae = 255.0).count() === 0)
+  }
+
   test("canonical map covers pair-less singletons (N % 4 == 1 corpus)") {
     // 9 docs = two full 4-groups + a lone base image: the singleton (id 8)
     // appears in no hamming pair, so clusterPairs alone would omit it —
