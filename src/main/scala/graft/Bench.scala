@@ -107,26 +107,61 @@ object Bench {
     // floor of 2 makes the artifact rerun-proof BY CONSTRUCTION: no caller,
     // driver included, can shadow the committed number with compile noise.
     val reps = math.max(2, sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3))
-    val resultsDetail = selected.map { case (name, fn) =>
-      // per-rep Option kept (not flattened): the compile proxy below must
-      // know whether rep 1 specifically succeeded — if rep 1 errored and
-      // rep 2 succeeded, "head of successes" would be a WARM rep and the
-      // proxy would silently read ~0 for exactly the queries most likely
-      // to have first-run problems
-      val repTimes: Seq[Option[Double]] = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop per-query persist barriers so caches don't accumulate across
-        // the suite (materialization cost was already paid inside the timing)
-        spark.catalog.clearCache()
-        if (ok) Some(dt) else None
+    // ---- self-adjudicating host-noise instrumentation (r16) ----
+    // One run of the fixed synthetic sentinel workload (constant size,
+    // never the benchmark tables). Timed single-shot: the interleaved
+    // probes below want the INSTANTANEOUS host load, not a best-of.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .selectExpr("id", "xxhash64(id) h", "cast(id % 97 as string) k")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("h"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val runT0 = System.nanoTime()
+    def elapsed() = (System.nanoTime() - runT0) / 1e9
+    // (run-relative seconds, sentinel seconds) — a load profile OF THIS RUN.
+    // A query whose reps are all slow is adjudicated against the probes
+    // bracketing it: elevated local sentinel → host contention, flat local
+    // sentinel → a real plan regression. Rule documented in BASELINE.md.
+    val sentinelSeries = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // anchor probe pays the sentinel plan's one-time codegen compile so the
+    // series' later single-shots are warm; best-of-reps like the old
+    // end-of-run sentinel
+    sentinelSeries += ((elapsed(), (1 to reps).map(_ => sentinelOnce()).min))
+    val sentinelEvery =
+      math.max(1, sys.env.get("SPARK_GRAFT_SENTINEL_EVERY").map(_.toInt).getOrElse(10))
+    var qIdx = 0
+    // deterministic alphabetical execution order: the artifact's rep/probe
+    // timeline is reproducible run-to-run (a Map would scramble it)
+    val resultsDetail: Seq[(String, Double, Seq[Option[Double]])] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        if (qIdx > 0 && qIdx % sentinelEvery == 0)
+          sentinelSeries += ((elapsed(), sentinelOnce()))
+        qIdx += 1
+        val startAt = elapsed()
+        // per-rep Option kept (not flattened): the compile proxy below must
+        // know whether rep 1 specifically succeeded — if rep 1 errored and
+        // rep 2 succeeded, "head of successes" would be a WARM rep and the
+        // proxy would silently read ~0 for exactly the queries most likely
+        // to have first-run problems
+        val repTimes: Seq[Option[Double]] = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // drop per-query persist barriers so caches don't accumulate across
+          // the suite (materialization cost was already paid inside the timing)
+          spark.catalog.clearCache()
+          if (ok) Some(dt) else None
+        }
+        (name, startAt, repTimes)
       }
-      name -> repTimes
-    }
-    val results = resultsDetail.map { case (n, ts) =>
+    val results = resultsDetail.map { case (n, _, ts) =>
       n -> ts.flatten.minOption.getOrElse(-1.0)
-    }
+    }.toMap
     // plan-compile proxy: first rep minus best rep. The first rep pays
     // Janino/whole-stage codegen compilation (and any per-plan one-time
     // work); later reps of the same plan reuse the generated-class cache —
@@ -134,32 +169,21 @@ object Bench {
     // not succeed (a warm head would understate compile cost). Written to
     // the on-disk artifact only (stdout stays driver-parse compact);
     // SCALING.md pins the worst offenders per round.
-    val compileProxy = resultsDetail.map { case (n, ts) =>
+    val compileProxy = resultsDetail.map { case (n, _, ts) =>
       val ok = ts.flatten
       n -> (ts.headOption.flatten match {
         case Some(first) if ok.size >= 2 => math.max(0.0, first - ok.min)
         case _ => -1.0
       })
-    }
-    // Fixed SENTINEL: a constant-size synthetic workload (never touches the
-    // benchmark tables, independent of SF and of the catalog) timed the same
-    // best-of-N way. Identical code measures 65-116 s run-to-run on this
-    // shared host, purely from contention — dividing any query's time by the
-    // sentinel's normalizes host noise so cross-round comparisons measure
-    // plan changes, not neighbors. ~0.5 s quiet-host cost.
-    val sentinel = {
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        spark.range(0, 20000000L, 1, 32)
-          .selectExpr("id", "xxhash64(id) h", "cast(id % 97 as string) k")
-          .groupBy("k")
-          .agg(org.apache.spark.sql.functions.sum("h"),
-            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
-          .count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      times.min
-    }
+    }.toMap
+    // closing probe: the series must bracket the last stretch of queries
+    sentinelSeries += ((elapsed(), sentinelOnce()))
+    // Headline SENTINEL: the min over the interleaved series — the host's
+    // best observed moment, so dividing the catalog total by it normalizes
+    // contention the same way the old end-of-run best-of-3 did (identical
+    // code measured 65-116 s run-to-run on this shared host from neighbors
+    // alone). The full series is in the artifact for PER-QUERY adjudication.
+    val sentinel = sentinelSeries.map(_._2).min
     def toJson(rs: Map[String, Double]): String =
       rs.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -192,9 +216,22 @@ object Bench {
     // Full per-query JSON to a file: the artifact on disk is the canonical
     // machine-readable record of a bench run. Best-effort — a read-only cwd
     // must not fail the bench itself.
+    // Self-adjudication payload (r16): per-query run-offset + ALL rep wall
+    // times (−1 = failed rep), plus the sentinel series. Adjudication rule
+    // (BASELINE.md "Bench artifact adjudication"): a slow query whose
+    // bracketing sentinel probes are elevated vs the series min was measured
+    // on a contended host; flat probes around a slow query = real regression.
+    def num(d: Double): String = f"$d%.4f"
+    val repJson = resultsDetail.map { case (n, at, ts) =>
+      "\"" + n + "\":{\"at\":" + num(at) + ",\"reps\":[" +
+        ts.map(_.fold("-1.0")(num)).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    val seriesJson = sentinelSeries
+      .map { case (at, t) => s"[${num(at)},${num(t)}]" }.mkString("[", ",", "]")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")),
-      (line(results, s""","first_minus_min":${toJson(compileProxy)}""") + "\n")
+      (line(results, s""","first_minus_min":${toJson(compileProxy)}""" +
+        s""","rep_detail":$repJson,"sentinel_series":$seriesJson""") + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench_results.json write skipped: $e") }
     spark.stop()

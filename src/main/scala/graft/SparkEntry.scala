@@ -1128,7 +1128,11 @@ object SparkEntry {
 
     // Gap-based sessionization (30-min gap): two entity-partitioned windows
     // (lag + running sum) then a keyed aggregate — all integer epoch-second
-    // arithmetic, hash-stable by construction.
+    // arithmetic, hash-stable by construction. Since r16 the DEFAULT
+    // auto-routes: entities owning > 5% of rows leave the one-task-per-
+    // entity window path for the triaged bucket scan (no key crosses it →
+    // exactly the plain plan), so a user reaching for sessionize gets the
+    // straggler-bounded plan without knowing to ask.
     "q_sessionize" -> ((s, dir) =>
       operators.TimeSeries.sessionize(
         table(s, dir, "events").filter(col("user_id").isNotNull),

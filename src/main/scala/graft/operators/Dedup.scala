@@ -565,8 +565,14 @@ object Dedup {
     cand.join(a, "id_a").join(b, "id_b")
       .withColumn("n_common",
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("long"))
-      .withColumn("jaccard", col("n_common").cast("double") /
-        (size(col("__sh_a")) + size(col("__sh_b")) - col("n_common")))
+      // Degenerate texts (shorter than n words) have EMPTY shingle sets: the
+      // 0/0 division would null out and silently drop the pair, but two such
+      // docs are trivially identical under the n-gram lens (and simhash saw
+      // them at distance 0) — define their jaccard as 1.0 instead of null.
+      .withColumn("jaccard",
+        when(size(col("__sh_a")) === 0 && size(col("__sh_b")) === 0, lit(1.0))
+          .otherwise(col("n_common").cast("double") /
+            (size(col("__sh_a")) + size(col("__sh_b")) - col("n_common"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -612,7 +618,25 @@ object Dedup {
    * buckets (all-zero sketches of empty payloads).
    */
   def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int, maxBlockFreq: Option[Int] = None): DataFrame = {
+      maxDist: Int, maxBlockFreq: Option[Int] = None): DataFrame =
+    // Structural bucket-density guard: at maxDist ≥ 8 the 1-agree split
+    // leaves ≤ 7-bit blocks — only ≤ 128 distinct bucket values, so EVERY
+    // (block, blockval) bucket holds ~n/128 docs and the self-join grows
+    // quadratically with no skew to blame (a maxBlockFreq cap can't help:
+    // all buckets are equally hot, capping just deletes recall). The
+    // 2-agree generalized pigeonhole doubles the key width instead:
+    // maxDist+2 blocks, key = an agreeing PAIR of blocks (≥ 2 must agree
+    // when ≤ maxDist bits differ — exact recall, same theorem), buckets
+    // shrink by 2^width for C(m,2)/m ≈ m/2 more replication. At maxDist=8:
+    // join volume 45·n²/2⁻¹² vs 9·n²/2⁻⁷ — ~12.8× fewer candidate pairs,
+    // and the gap widens with n.
+    if (maxDist >= 8) hammingPairsAgree2(hashed, idCol, hashCol, maxDist, maxBlockFreq)
+    else hammingPairsAgree1(hashed, idCol, hashCol, maxDist, maxBlockFreq)
+
+  /** Classic 1-agree pigeonhole: maxDist+1 blocks, any pair within maxDist
+   * agrees on ≥ 1 whole block. Right while blocks stay ≥ 8 bits wide. */
+  private def hammingPairsAgree1(hashed: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, maxBlockFreq: Option[Int]): DataFrame = {
     val blocks = maxDist + 1
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -620,6 +644,37 @@ object Dedup {
         posexplode(array((0 until blocks).map(b =>
           shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "blockval")
+    val keyed = maxBlockFreq.fold(keyed0)(capHotKeys(keyed0, Seq("block", "blockval"), _))
+    val hamming = bit_count(col("a.hash64").bitwiseXOR(col("b.hash64")))
+    keyed.as("a").join(keyed.as("b"), Seq("block", "blockval"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** 2-agree generalized pigeonhole: m = maxDist+2 blocks; ≤ maxDist
+   * differing bits spoil ≤ maxDist blocks, so ≥ 2 blocks agree and the
+   * pair collides on the bucket keyed by that block PAIR (combo id + both
+   * values — twice the key entropy of one block). Bits above m·width sit
+   * in no block; a difference there spoils nothing, so recall is
+   * unaffected. Same output contract as the 1-agree path: exact recall
+   * within maxDist, popcount-verified, distinct pairs. */
+  private def hammingPairsAgree2(hashed: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, maxBlockFreq: Option[Int]): DataFrame = {
+    val m = maxDist + 2
+    val width = 64 / m
+    val mask = (1L << width) - 1
+    def bv(b: Int) =
+      shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask))
+    // one struct per block pair (i<j): combo id + packed 2·width-bit value
+    val combos = for { i <- 0 until m; j <- (i + 1) until m } yield
+      struct(lit(i * m + j).as("block"),
+        bv(i).bitwiseOR(shiftleft(bv(j), width)).as("blockval"))
+    val keyed0 = hashed.select(col(idCol).as("doc_id"), col(hashCol).as("hash64"),
+        explode(array(combos: _*)).as("c"))
+      .select(col("doc_id"), col("hash64"), col("c.block"), col("c.blockval"))
     val keyed = maxBlockFreq.fold(keyed0)(capHotKeys(keyed0, Seq("block", "blockval"), _))
     val hamming = bit_count(col("a.hash64").bitwiseXOR(col("b.hash64")))
     keyed.as("a").join(keyed.as("b"), Seq("block", "blockval"))

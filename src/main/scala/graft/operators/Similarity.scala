@@ -183,7 +183,14 @@ object Similarity {
    * the exact-cosine verify, so the candidate exchanges stay vector-free.
    */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double, nPlanes: Int = -1, tables: Int = -1): DataFrame = {
+      threshold: Double, nPlanes: Int = -1, tables: Int = -1,
+      nRows: Long = -1L): DataFrame = {
+    // ONE corpus count serves both consumers (auto geometry here, the
+    // SMJ-vs-SHJ sizing in the fixed core) — it used to run as two scan
+    // jobs per call, exactly the per-job-taxed shape the local-cluster
+    // bench surfaced. Callers that already know n pass `nRows` and no
+    // count job runs at all.
+    val n = if (nRows >= 0L) nRows else df.count()
     // default geometry is CORPUS-SCALED (the autoCellCount twin): a fixed
     // plane count means a fixed 2^nPlanes buckets per table, so expected
     // bucket size — and the bucket self-join — grows linearly (pairs
@@ -203,12 +210,12 @@ object Similarity {
         // it: a caller-supplied nPlanes larger than the auto one raises
         // the per-table miss probability, so deriving tables from the
         // auto plane count would silently blow the pair-miss budget.
-        val (ap, _) = autoLshGeometry(df.count())
+        val (ap, _) = autoLshGeometry(n)
         val p = if (nPlanes > 0) nPlanes else ap
         val t = if (tables > 0) tables else autoLshTables(p)
         (p, t)
       }
-    lshNearDupPairsFixed(df, idCol, vecCol, dim, threshold, planesN, tablesN)
+    lshNearDupPairsFixed(df, idCol, vecCol, dim, threshold, planesN, tablesN, n)
   }
 
   /**
@@ -252,7 +259,8 @@ object Similarity {
   }
 
   private def lshNearDupPairsFixed(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, nPlanes: Int, tables: Int): DataFrame = {
+      dim: Int, threshold: Double, nPlanes: Int, tables: Int,
+      nRows: Long): DataFrame = {
     // materialized (graft.Materialize — strategy via spark.graft.materialize):
     // projection collapse would re-inline the tables×nPlanes dot products
     // into both self-join sides (same blow-up as minhashCandidates)
@@ -306,7 +314,7 @@ object Similarity {
     // hash map instead of sorting. Below the floor the plain join keeps
     // the broadcast path the optimizer picks for gate-sized corpora.
     val rowBytes = 48L + 8L * tables + 4L * dim
-    val sideBytes = df.count() * tables * rowBytes
+    val sideBytes = nRows * tables * rowBytes // n threaded from the caller — no second count job
     // test hook: graft.lsh.shjFloorBytes forces the at-scale branch on a
     // gate-sized corpus so the spec can pin the plan shape
     val floor = sys.props.get("graft.lsh.shjFloorBytes")

@@ -205,8 +205,42 @@ object TimeSeries {
    *
    * Output: (entity, session_seq (1-based per entity), n_events,
    * start_s, end_s, duration_s).
+   *
+   * AUTO-ROUTES past the hot-key straggler (r16, the `autoCellCount`
+   * precedent): the plain one-window-task-per-entity plan makes a key
+   * owning fraction f of the corpus f·P× the median task at P partitions
+   * (zipf1 SkewAudit: 3.56× at 32 partitions, 15.06× at 200 — and it
+   * GROWS with P, inverting scale-out). So by default any entity owning
+   * more than `hotFraction` of the rows is routed through
+   * [[sessionizeTriaged]]'s distributed bucket scan; when no key crosses
+   * the threshold (checked with one bounded ≤ 1/hotFraction-row driver
+   * probe), the plain plan runs untouched — the detection costs one
+   * metadata-cheap count plus one partial-aggregatable key-count scan.
+   * Output is identical either way (TimeSeriesSpec pins the boundary).
+   * Opt out with `hotFraction <= 0` (exactly the plain plan, no probe
+   * jobs — for callers who know their key distribution).
    */
   def sessionize(df: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, gapS: Long, hotFraction: Double = 0.05,
+      bucketS: Long = 3600L): DataFrame = {
+    require(gapS > 0, s"sessionize: gapS must be positive, got $gapS")
+    if (!(hotFraction > 0))
+      return sessionizePlain(df, entityCol, tsCol, idCol, gapS)
+    val total = df.count()
+    if (total == 0L)
+      return sessionizePlain(df, entityCol, tsCol, idCol, gapS)
+    val th = math.max(1L, (total * hotFraction).toLong)
+    // > th at fraction f bounds the hot set at < 1/f keys REGARDLESS of
+    // corpus size — a bounded driver artifact, safe to probe
+    val anyHot = !df.groupBy(col(entityCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > th).isEmpty
+    if (anyHot) sessionizeTriaged(df, entityCol, tsCol, idCol, gapS, th, bucketS)
+    else sessionizePlain(df, entityCol, tsCol, idCol, gapS)
+  }
+
+  /** The plain two-window sessionize plan — optimal on skew-free keys,
+   * f·P-straggler-prone on hot ones (see [[sessionize]]'s routing). */
+  def sessionizePlain(df: DataFrame, entityCol: String, tsCol: String,
       idCol: String, gapS: Long): DataFrame = {
     require(gapS > 0, s"sessionize: gapS must be positive, got $gapS")
     // order by the TRUNCATED epoch seconds (+ id tiebreak), not raw ts:
@@ -276,7 +310,7 @@ object TimeSeries {
       col(tsCol).cast("long").as("__t"))
     val hot = base.groupBy(col(entityCol)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold).select(col(entityCol))
-    val cold = sessionize(base.join(broadcast(hot), Seq(entityCol), "left_anti"),
+    val cold = sessionizePlain(base.join(broadcast(hot), Seq(entityCol), "left_anti"),
       entityCol, "__t", idCol, gapS)
     // hot path: per-(entity, time-bucket) local sessionization
     val wLoc = Window.partitionBy(col(entityCol), col("__b"))

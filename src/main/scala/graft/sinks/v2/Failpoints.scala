@@ -36,7 +36,17 @@ object Failpoints {
    * pass — so the test's retry runs the same code path to completion. */
   def arm(point: String): Unit = armed.add(point)
 
+  /** Disarm every point. Fire history survives (several specs assert
+   * `hasFired` after their `finally disarmAll()`) — a test that must
+   * witness ITS OWN injection calls [[reset]] first. */
   def disarmAll(): Unit = armed.clear()
+
+  /** Disarm everything AND forget fire history. Call at the START of a
+   * test whose `hasFired` assertion must not be satisfied by a sticky
+   * flag left by an earlier test in the same JVM — otherwise the
+   * "armed hook never fired" guard silently tests nothing after the
+   * first firing. */
+  def reset(): Unit = { armed.clear(); fired.clear() }
 
   def hasFired(point: String): Boolean = fired.contains(point)
 

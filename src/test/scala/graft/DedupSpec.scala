@@ -181,6 +181,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.values.forall(_ <= 3L))
   }
 
+  test("hammingPairs 2-agree path (maxDist >= 8) equals the 1-agree result") {
+    import spark.implicits._
+    // 64-bit sketches with planted distances straddling maxDist = 8:
+    // pairs at 0, 1, 8 (in), 9, 13 (out), plus random-ish far points.
+    def flip(h: Long, bits: Int*) = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    val h0 = 0x5DEECE66DL * 2862933555777941757L
+    val rows = Seq(
+      (1L, h0), (2L, h0),                               // dist 0
+      (3L, flip(h0, 17)),                               // dist 1 from 1/2
+      (4L, flip(h0, 3, 9, 21, 33, 40, 47, 55, 63)),     // dist 8 (incl. an
+      //   uncovered-top bit: 64/10 = 6-bit blocks cover bits 0..59 only)
+      (5L, flip(h0, 0, 1, 2, 3, 4, 5, 6, 7, 8)),        // dist 9 — beyond
+      (6L, flip(h0, 1, 5, 11, 18, 25, 31, 38, 44, 50, 52, 57, 59, 62)), // 13
+      (7L, 0x0123456789ABCDEFL), (8L, -h0)).toDF("doc_id", "h")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val two = collectPairs(Dedup.hammingPairs(rows, "doc_id", "h", maxDist = 8))
+    // brute-force truth over all 28 pairs
+    val all = rows.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ia, ha) <- all; (ib, hb) <- all; if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb); if d <= 8
+    } yield ((ia, ib), d.toLong)).toMap
+    assert(two === truth, "2-agree pigeonhole must have EXACT recall <= maxDist")
+    assert(two.contains((1L, 4L)) && two((1L, 4L)) === 8L)
+    assert(!two.contains((1L, 5L)) && !two.contains((1L, 6L)))
+  }
+
   test("clusterPairs of an empty pair graph returns no labels (and no hang)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

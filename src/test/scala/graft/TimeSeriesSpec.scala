@@ -288,6 +288,42 @@ class TimeSeriesSpec extends AnyFunSuite {
       100L, hotThreshold = 1000L, bucketS = 100L)) === plain)
   }
 
+  test("sessionize auto-routes at the hotFraction boundary, output invariant") {
+    import spark.implicits._
+    // 20 events for user 1, 5 each for users 2..5 → user 1 owns 50%.
+    val ev = ((0 until 20).map(i => (1L, i * 10L, i.toLong)) ++
+      (for (u <- 2L to 5L; i <- 0 until 5)
+        yield (u, i * 400L, 1000L + u * 10 + i)))
+      .map { case (u, t, i) => (u, new java.sql.Timestamp(t * 1000L), i) }
+      .toDF("user_id", "ts", "event_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Long]("session_seq")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("start_s"),
+          r.getAs[Long]("duration_s")))).toMap
+    val plain = rows(TimeSeries.sessionizePlain(ev, "user_id", "ts", "event_id", 100L))
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // BELOW the boundary (user 1 at 50% > 40% fraction): routed — the
+    // executed plan carries the triage union; output unchanged
+    val routed = TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 100L,
+      hotFraction = 0.4, bucketS = 100L)
+    assert(planOf(routed).contains("Union"), "50% key must trigger the triage route")
+    assert(rows(routed) === plain)
+    // ABOVE the boundary (no key over 60%): the PLAIN plan, no union
+    val unrouted = TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 100L,
+      hotFraction = 0.6, bucketS = 100L)
+    assert(!planOf(unrouted).contains("Union"), "no hot key → plain plan untouched")
+    assert(rows(unrouted) === plain)
+    // opt-out: exactly the plain plan regardless of skew
+    val optout = TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 100L,
+      hotFraction = 0.0)
+    assert(!planOf(optout).contains("Union"))
+    assert(rows(optout) === plain)
+    // empty input: no probe crash, empty output
+    assert(TimeSeries.sessionize(ev.limit(0), "user_id", "ts", "event_id",
+      100L).count() === 0L)
+  }
+
   test("sessionizeTriaged bounds the hot-key straggler task (shuffle-bytes pinned)") {
     import spark.implicits._
     // one user owns 80% of events (the zipf axis shape, concentrated):
@@ -328,8 +364,11 @@ class TimeSeriesSpec extends AnyFunSuite {
     val prev = spark.conf.getOption(coalesceKey)
     spark.conf.set(coalesceKey, "false")
     try {
+      // sessionizePlain explicitly: the default sessionize() now auto-routes
+      // this 80%-hot corpus to the triaged plan (pinned above), which would
+      // make both arms of this comparison the same plan
       val plainMax = maxTaskBytes(
-        TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 1800L))
+        TimeSeries.sessionizePlain(ev, "user_id", "ts", "event_id", 1800L))
       val triagedMax = maxTaskBytes(TimeSeries.sessionizeTriaged(
         ev, "user_id", "ts", "event_id", 1800L,
         hotThreshold = n / 10L, bucketS = 3600L))

@@ -108,7 +108,8 @@ class KvCrashSpec extends AnyFunSuite {
   private def crashCase(path: String, point: String, postCas: Boolean,
       pre: Map[Long, Long], post: Map[Long, Long])(
       op: => Unit)(retry: => Unit): Unit = {
-    Failpoints.disarmAll()
+    Failpoints.reset() // clear fire history so hasFired below witnesses
+    // THIS case's injection (points repeat across sweep iterations)
     Failpoints.arm(point)
     val failed =
       try { op; false }
@@ -394,7 +395,8 @@ class KvCrashSpec extends AnyFunSuite {
         nextUpsert(crasher) = ub + 1
 
         val (point, _) = crasherPoints(rng.nextInt(crasherPoints.size))
-        Failpoints.disarmAll()
+        Failpoints.reset() // points repeat across steps — hasFired below
+        // must witness this step's own firing, not a sticky earlier one
         Failpoints.arm(point)
         var survivorErr: Option[Throwable] = None
         val t1 = new Thread(() =>

@@ -43,6 +43,8 @@ class KvTaskRetrySpec extends AnyFunSuite {
     val p = tmp()
     val df = spark.range(0, 400).repartition(4)
       .select(col("id"), concat(lit("v"), col("id")).as("s"))
+    Failpoints.reset() // forget prior tests' fire history — the hasFired
+    // guard below must witness THIS test's injection, not a sticky flag
     Failpoints.arm("kvwriter:mid-write")
     try {
       df.write.format("graft-kv").option("path", p).mode("append").save()
@@ -64,6 +66,8 @@ class KvTaskRetrySpec extends AnyFunSuite {
     val p = tmp()
     spark.range(0, 100).select(col("id"), lit(0L).as("n"))
       .write.format("graft-kv").option("path", p).mode("append").save()
+    Failpoints.reset() // forget prior tests' fire history — the hasFired
+    // guard below must witness THIS test's injection, not a sticky flag
     Failpoints.arm("kvwriter:mid-write")
     try {
       val src = spark.range(50, 150).repartition(3)
@@ -85,6 +89,8 @@ class KvTaskRetrySpec extends AnyFunSuite {
       .write.format("graft-kv").option("path", p).mode("append").save()
     spark.range(200, 300).select(col("id"), (col("id") * 2).as("n"))
       .write.format("graft-kv").option("path", p).mode("append").save()
+    Failpoints.reset() // forget prior tests' fire history — the hasFired
+    // guard below must witness THIS test's injection, not a sticky flag
     Failpoints.arm("kvwriter:mid-write")
     try {
       KvStore.compact(spark, p, Seq("id"))
@@ -103,6 +109,8 @@ class KvTaskRetrySpec extends AnyFunSuite {
     val p = tmp()
     val mem = MemoryStream[Long]
     mem.addData(0L until 300L: _*)
+    Failpoints.reset() // forget prior tests' fire history — the hasFired
+    // guard below must witness THIS test's injection, not a sticky flag
     Failpoints.arm("kvwriter:mid-write")
     try {
       val q = mem.toDF().repartition(3).select(col("value").as("id"))

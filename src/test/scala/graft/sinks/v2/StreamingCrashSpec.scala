@@ -70,6 +70,7 @@ class StreamingCrashSpec extends AnyFunSuite with BeforeAndAfterEach {
       q.processAllAvailable() // batch 0 commits clean
       assert(visible(p) === batch0)
 
+      Failpoints.reset() // points repeat across scenarios — witness THIS firing
       Failpoints.arm(point)
       mem.addData(2L -> 12L, 3L -> 13L)
       val e = intercept[StreamingQueryException] { q.processAllAvailable() }
@@ -144,6 +145,7 @@ class StreamingCrashSpec extends AnyFunSuite with BeforeAndAfterEach {
       q.processAllAvailable()
       assert(visible(p) === afterB0)
 
+      Failpoints.reset() // points repeat across scenarios — witness THIS firing
       Failpoints.arm(point)
       mem.addData(1L -> 201L, 6L -> 206L) // replace 1, insert 6
       val e = intercept[StreamingQueryException] { q.processAllAvailable() }

@@ -33,8 +33,22 @@ fi
 VPID=$!
 sleep 8
 K=0
+# Only SIGKILL executors belonging to THIS run: a bare
+# pgrep -f CoarseGrainedExecutorBackend matches every executor backend on
+# the host, so a concurrent Spark job (or a second chaos run) would have
+# its executors shot too. Walk each candidate's ppid chain up to $VPID —
+# local-cluster workers and their executors are descendants of the driver.
+is_ours() {
+  local pid="$1"
+  while [ -n "$pid" ] && [ "$pid" -gt 1 ] 2>/dev/null; do
+    [ "$pid" = "$VPID" ] && return 0
+    pid=$(ps -o ppid= -p "$pid" 2>/dev/null | tr -d ' ')
+  done
+  return 1
+}
 while kill -0 "$VPID" 2>/dev/null; do
-  EPID=$(pgrep -f CoarseGrainedExecutorBackend | shuf | head -1 || true)
+  EPID=$(for p in $(pgrep -f CoarseGrainedExecutorBackend); do
+           is_ours "$p" && echo "$p"; done | shuf | head -1 || true)
   if [ -n "$EPID" ]; then
     kill -9 "$EPID" 2>/dev/null || true
     K=$((K+1)); echo "chaos: kill #$K pid $EPID"
