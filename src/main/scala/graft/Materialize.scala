@@ -113,6 +113,45 @@ object Materialize {
     }
   }
 
+  /**
+   * Materialize `df` AND run the caller's reduction over it in ONE job —
+   * the iterative-round fusion (r15 local-cluster bench: driver-looped
+   * rounds paid the barrier's own count() job PLUS the round's
+   * convergence/argmax action, each charged cross-process scheduling;
+   * fusing halves the per-round job count). The `action` MUST be a full
+   * scan of `df` (an aggregate/count/collect with no limit pushed into the
+   * scan): it is what populates the barrier, so a partial scan would leave
+   * the barrier half-materialized and a later [[release]] of its
+   * predecessor unsafe.
+   *
+   * Same strategy dispatch as [[apply]]; the returned frame is
+   * releasable exactly like apply's.
+   */
+  def withAgg[T](df: DataFrame, action: DataFrame => T): (DataFrame, T) = {
+    val spark = df.sparkSession
+    spark.conf.get("spark.graft.materialize",
+      defaultStrategy(spark.sparkContext.isLocal)) match {
+      case "localCheckpoint" =>
+        // non-eager: the action below is the materializing job
+        val out = df.localCheckpoint(false)
+        val r = action(out)
+        (out, r)
+      case "persist" =>
+        val p = df.persist()
+        val r = action(p) // populates the cache — the fused barrier job
+        val out = org.apache.spark.sql.graftbridge.Bridge.truncateLineage(p)
+        persistedSources.put(out, p)
+        (out, r)
+      case "checkpoint" =>
+        // reliable checkpointing re-runs the RDD in its own write job
+        // regardless; nothing to fuse — keep apply's eager semantics
+        val out = apply(df)
+        (out, action(out))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.materialize=$other (expected localCheckpoint|persist|checkpoint)")
+    }
+  }
+
   /** Drop a superseded materialization. Iterative callers (label
    * propagation, Lloyd rounds, farthest-first seeding) MUST release round
    * N-1 after round N exists, or the `persist` strategy pins one cache

@@ -458,16 +458,21 @@ object Dedup {
       // label[label] is well-defined wherever the labeled node has an entry
       val parents = labels
         .select(col("doc_id").as("old_label"), col("cluster_id").as("parent_label"))
-      val updated = labels.withColumnRenamed("cluster_id", "old_label")
-        .join(neighborMin, Seq("doc_id"), "left")
-        .join(parents, Seq("old_label"), "left")
-        .select(col("doc_id"), col("old_label"),
-          least(col("old_label"),
-            coalesce(col("neighbor_label"), col("old_label")),
-            coalesce(col("parent_label"), col("old_label")))
-            .as("cluster_id"))
-        .transform(graft.Materialize(_))
-      changed = updated.filter(col("cluster_id") =!= col("old_label")).count()
+      // barrier + convergence count FUSED into one job (Materialize.withAgg):
+      // the changed-count full scan is what populates the round's cache, so
+      // each round schedules ONE job, not two — halves the per-round
+      // cross-process scheduling tax the local-cluster bench measured
+      val (updated, changedNow) = graft.Materialize.withAgg(
+        labels.withColumnRenamed("cluster_id", "old_label")
+          .join(neighborMin, Seq("doc_id"), "left")
+          .join(parents, Seq("old_label"), "left")
+          .select(col("doc_id"), col("old_label"),
+            least(col("old_label"),
+              coalesce(col("neighbor_label"), col("old_label")),
+              coalesce(col("parent_label"), col("old_label")))
+              .as("cluster_id")),
+        _.filter(col("cluster_id") =!= col("old_label")).count())
+      changed = changedNow
       graft.Materialize.release(barrier)  // round N-1 is superseded
       barrier = updated
       labels = updated.select(col("doc_id"), col("cluster_id"))

@@ -38,25 +38,32 @@ object Tokenize {
     require(rounds >= 1, s"bpeTrain: rounds must be >= 1, got $rounds")
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab = graft.Materialize(df
+    val s = col("syms")
+    // the round's single reduction: the globally best adjacent pair. A
+    // full scan of the vocab (filter + aggregate over every row), so it
+    // doubles as the barrier-materializing action below.
+    def bestOf(v: DataFrame): Array[org.apache.spark.sql.Row] = v
+      .filter(size(s) >= 2)
+      .select(col("cnt"), explode(transform(sequence(lit(0), size(s) - 2),
+        i => struct(get(s, i).as("l"), get(s, i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("pair_n"))
+      .orderBy(col("pair_n").desc, col("l"), col("r"))
+      .limit(1).collect()
+    // barrier + argmax FUSED per round (Materialize.withAgg): training is
+    // inherently one driver-synchronized job per merge; it should be ONE,
+    // not the barrier count PLUS the pair scan (the 4.0× local-cluster
+    // per-job tax on this query, r15 bench)
+    var (vocab, best) = graft.Materialize.withAgg(df
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(split(col("w"), "").as("syms"), col("cnt")))
+      .select(split(col("w"), "").as("syms"), col("cnt")), bestOf)
     val merges = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, String, Long)]
     var round = 0
     var done = false
     while (round < rounds && !done) {
-      val s = col("syms")
-      val best = vocab
-        .filter(size(s) >= 2)
-        .select(col("cnt"), explode(transform(sequence(lit(0), size(s) - 2),
-          i => struct(get(s, i).as("l"), get(s, i + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("pair_n"))
-        .orderBy(col("pair_n").desc, col("l"), col("r"))
-        .limit(1).collect()
       if (best.isEmpty || best.head.getAs[Long]("pair_n") < 2) done = true
       else {
         val (l, r, n) = (best.head.getAs[String]("l"),
@@ -71,10 +78,11 @@ object Tokenize {
               element_at(acc, -1) === lit(l) && x === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
           .otherwise(concat(acc, array(x))))
-        val next = graft.Materialize(
-          vocab.select(fused.as("syms"), col("cnt")))
+        val (next, nb) = graft.Materialize.withAgg(
+          vocab.select(fused.as("syms"), col("cnt")), bestOf)
         graft.Materialize.release(vocab)
         vocab = next
+        best = nb
         round += 1
       }
     }

@@ -87,4 +87,50 @@ class MaterializeSpec extends AnyFunSuite {
     assert(persisted === local)
     assert(checkpointed === local)
   }
+
+  test("withAgg fuses barrier + reduction into ONE job (persist strategy)") {
+    class JobCount extends org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    withStrategy("persist") {
+      val src = spark.range(0, 1000L).selectExpr("id", "id % 7 as k")
+      def countJobs[A](f: => A): (A, Int) = {
+        val l = new JobCount
+        spark.sparkContext.addSparkListener(l)
+        try {
+          val r = f
+          Thread.sleep(500L) // settle the async listener bus (SkewAudit idiom)
+          (r, l.n.get())
+        } finally spark.sparkContext.removeSparkListener(l)
+      }
+      // baseline: eager barrier THEN the reduction — two scheduled actions
+      val (_, unfusedJobs) = countJobs {
+        val b = Materialize(src)
+        val c = b.filter(col("k") === 0).count()
+        Materialize.release(b)
+        c
+      }
+      val ((out, cnt), fusedJobs) = countJobs(
+        Materialize.withAgg(src, _.filter(col("k") === 0).count()))
+      assert(cnt === 143L) // ids 0,7,...,994
+      // AQE may split ONE action into several jobs (one per query stage),
+      // so pin the comparative property: fusing must schedule strictly
+      // fewer jobs than barrier-then-reduce on the identical frame
+      assert(fusedJobs < unfusedJobs,
+        s"withAgg must save the barrier job: fused=$fusedJobs unfused=$unfusedJobs")
+      // the returned frame is a live, releasable barrier: reading it after
+      // the action must not recompute wrong data, and release must not throw
+      assert(out.count() === 1000L)
+      Materialize.release(out)
+    }
+    // localCheckpoint path: same result, frame readable after
+    val (out2, sum2) = Materialize.withAgg(
+      spark.range(0, 100L).toDF("id"),
+      _.agg(sum(col("id"))).head.getLong(0))
+    assert(sum2 === 4950L && out2.count() === 100L)
+    Materialize.release(out2)
+  }
 }
