@@ -3676,11 +3676,15 @@ object SparkEntry {
         """WITH r AS (SELECT event_id, event_type AS g, CAST(value AS DOUBLE) AS v
           |           FROM events
           |           WHERE event_type IS NOT NULL AND value IS NOT NULL),
-          |gg AS (SELECT g, quantile_cont(v, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
-          |                                   0.6, 0.7, 0.8, 0.9, 1.0]) AS gq
+          |gg AS (SELECT g, list_transform(
+          |         quantile_cont(v, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
+          |                           0.6, 0.7, 0.8, 0.9, 1.0]),
+          |         x -> round(x, 6) + 0.0) AS gq
           |       FROM r GROUP BY 1),
-          |gl AS (SELECT quantile_cont(v, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
-          |                                0.6, 0.7, 0.8, 0.9, 1.0]) AS lq
+          |gl AS (SELECT list_transform(
+          |         quantile_cont(v, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
+          |                           0.6, 0.7, 0.8, 0.9, 1.0]),
+          |         x -> round(x, 6) + 0.0) AS lq
           |       FROM r),
           |x AS (SELECT r.event_id, r.v, gg.gq, gl.lq,
           |        least(9, len(list_filter(gq[2:10], c -> r.v > c))) AS b

@@ -444,9 +444,17 @@ object DataQuality {
     val rows = df.filter(groupCol.isNotNull && valueCol.isNotNull)
       .withColumn("__qn_g", groupCol)
       .withColumn("__qn_v", valueCol.cast("double"))
+    // grids rounded at 6dp BEFORE interpolation (the cusum idiom): Spark's
+    // `percentile` and an exact SQL `quantile_cont` interpolate the same
+    // order statistics with arithmetic that can differ by 1 ulp, and the
+    // late-corpus sweep caught one row where that ulp crossed v_norm's own
+    // 6dp rounding boundary. Identically-rounded grid + IEEE-identical
+    // downstream ops ⇒ the knife edge shrinks from every output row to the
+    // (nBuckets+1)·groups grid points themselves.
+    def round6(c: Column): Column = transform(c, x => round(x, 6) + lit(0.0))
     val gGrid = rows.groupBy(col("__qn_g"))
-      .agg(expr(s"percentile(__qn_v, array($qs))").as("__qn_gq"))
-    val glGrid = rows.agg(expr(s"percentile(__qn_v, array($qs))").as("__qn_lq"))
+      .agg(round6(expr(s"percentile(__qn_v, array($qs))")).as("__qn_gq"))
+    val glGrid = rows.agg(round6(expr(s"percentile(__qn_v, array($qs))")).as("__qn_lq"))
     // interior cuts strictly below v → segment index in [0, nBuckets-1]
     val b = least(lit(nBuckets - 1),
       size(filter(slice(col("__qn_gq"), 2, nBuckets - 1), c => col("__qn_v") > c)))
@@ -457,10 +465,21 @@ object DataQuality {
     val t = when(hi > lo,
       least(lit(1.0), greatest(lit(0.0), (col("__qn_v") - lo) / (hi - lo))))
       .otherwise(lit(0.0))
+    // final rounding replicates SQL-engine double semantics — sign-symmetric
+    // floor(x·10⁶ + 0.5)/10⁶ — instead of Spark's exact-binary-expansion
+    // HALF_UP: the late-corpus sweep found a row whose raw value is exactly
+    // 39.8790625 in real arithmetic but 1 ulp BELOW it as a double; the
+    // ·10⁶ product snaps back onto …62.5 and rounds away-from-zero, while
+    // BigDecimal HALF_UP on the ulp-low double rounds down — the one spot
+    // where the two round() families can disagree. On every non-boundary
+    // value the formulas agree bit-for-bit.
+    val raw = glo + t * (ghi - glo)
+    val scaled = raw * lit(1e6)
     rows.join(broadcast(gGrid), "__qn_g").crossJoin(broadcast(glGrid))
       .withColumn("__qn_b", b)
       .withColumn("v_norm",
-        round(glo + t * (ghi - glo), 6) + lit(0.0))
+        (when(scaled >= 0, floor(scaled + lit(0.5)))
+          .otherwise(-floor(-scaled + lit(0.5))) / lit(1e6)) + lit(0.0))
       .drop("__qn_g", "__qn_v", "__qn_gq", "__qn_lq", "__qn_b")
   }
 

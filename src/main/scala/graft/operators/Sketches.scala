@@ -181,11 +181,28 @@ object Sketches {
    * Downstream consumers (and the verify harness) that can't handle nested
    * arrays get the same information as (rank, item, item_count) rows;
    * rank is 1-based in estimate order (heaviest first). */
-  def rollupTopKFlat(sketches: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
-    rollupTopK(sketches, groupCols, k)
-      .select((groupCols.map(col) :+ posexplode(col("top_items")).as(Seq("pos", "entry")) :+
+  /** Flat (rank, item, item_count) rows with a TOTAL tie order. The
+   * sketch's own estimate order breaks count ties by internal insertion
+   * order — nondeterministic across partitionings AND capable of cutting a
+   * boundary tie arbitrarily (the r16 late-corpus sweep caught exactly
+   * that: three items tied at the k-boundary, a different two survived
+   * than the oracle's). So: over-fetch EVERY tracked item (bounded by
+   * `maxItemsTracked`, a ≤1024-row array per group — free at any corpus
+   * size), then rank by (count DESC, item ASC) and cut at k — the same
+   * total order any exact SQL replay uses. */
+  def rollupTopKFlat(sketches: DataFrame, groupCols: Seq[String], k: Int,
+      maxItemsTracked: Int = 1024): DataFrame = {
+    val exploded = rollupTopK(sketches, groupCols, maxItemsTracked)
+      .select((groupCols.map(col) :+ explode(col("top_items")).as("entry") :+
         col("n_rows")): _*)
-      .select((groupCols.map(col) :+ (col("pos") + 1).cast("long").as("rank") :+
-        col("entry.item").as("item") :+ col("entry.count").cast("long").as("item_count") :+
-        col("n_rows")): _*)
+      .select((groupCols.map(col) :+ col("entry.item").as("item") :+
+        col("entry.count").cast("long").as("item_count") :+ col("n_rows")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("item_count").desc, col("item"))
+    exploded.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select((groupCols.map(col) :+ col("rank") :+ col("item") :+
+        col("item_count") :+ col("n_rows")): _*)
+  }
 }

@@ -9,9 +9,10 @@
 # Usage:
 #   tools/chaos.sh verify <sfDir> <outDir> [queries] [killEverySec]
 #   tools/chaos.sh stream [killEverySec]     # composed kv chain
+#   tools/chaos.sh occ [killEverySec]        # OCC multi-writer + compactor
 set -u
 cd "$(dirname "$0")/.."
-MODE="${1:?verify|stream}"; shift || true
+MODE="${1:?verify|stream|occ}"; shift || true
 export SPARK_GRAFT_MASTER="${SPARK_GRAFT_MASTER:-local-cluster[2,8,6144]}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}"
 
@@ -23,6 +24,9 @@ if [ "$MODE" = "verify" ]; then
   else
     tools/run.sh graft.Verify "$SF" "$OUT" > "$OUT.log" 2>&1 &
   fi
+elif [ "$MODE" = "occ" ]; then
+  EVERY="${1:-10}"
+  tools/run.sh graft.OccChaos > /tmp/chaos_occ.log 2>&1 &
 else
   EVERY="${1:-10}"
   SPARK_GRAFT_SOURCE="${SPARK_GRAFT_SOURCE:-dsv2}" \
