@@ -221,16 +221,39 @@ object Bench {
     // (BASELINE.md "Bench artifact adjudication"): a slow query whose
     // bracketing sentinel probes are elevated vs the series min was measured
     // on a contended host; flat probes around a slow query = real regression.
-    def num(d: Double): String = f"$d%.4f"
+    // explicit root locale: the f interpolator follows the JVM default
+    // locale, and a comma-decimal default would make the artifact's numbers
+    // unparseable JSON ("1,2345")
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val repJson = resultsDetail.map { case (n, at, ts) =>
       "\"" + n + "\":{\"at\":" + num(at) + ",\"reps\":[" +
         ts.map(_.fold("-1.0")(num)).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val seriesJson = sentinelSeries
       .map { case (at, t) => s"[${num(at)},${num(t)}]" }.mkString("[", ",", "]")
+    // COMPUTED local load factor per query (r17): the adjudication rule was
+    // "take the two sentinel probes bracketing the query and divide by the
+    // series min" — done by hand from the series through r16; now the
+    // artifact carries the division. Bracket = last probe at or before the
+    // query's start, first probe at or after its end (wall end ≈ start +
+    // Σ reps; the closing probe guarantees an "after" exists). ≈1.0 means
+    // the host around this query ran at the series-best speed (slowness is
+    // the plan's own); ≳1.3 means contention — divide before comparing.
+    val seriesMin = sentinelSeries.map(_._2).min
+    val localFactor = resultsDetail.map { case (n, at, ts) =>
+      val end = at + ts.map(_.getOrElse(0.0)).sum
+      val before = sentinelSeries.filter(_._1 <= at)
+        .lastOption.getOrElse(sentinelSeries.head)._2
+      val after = sentinelSeries.find(_._1 >= end)
+        .getOrElse(sentinelSeries.last)._2
+      val lf = if (seriesMin > 0) math.max(before, after) / seriesMin else -1.0
+      n -> math.round(lf * 10000) / 10000.0
+    }.toMap
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")),
       (line(results, s""","first_minus_min":${toJson(compileProxy)}""" +
+        s""","local_factor":${toJson(localFactor)}""" +
         s""","rep_detail":$repJson,"sentinel_series":$seriesJson""") + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench_results.json write skipped: $e") }

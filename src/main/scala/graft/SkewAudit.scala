@@ -44,6 +44,11 @@ object SkewAudit {
     }
   }
 
+  // root-locale number formatting for the JSON lines (the f interpolator
+  // follows the JVM default locale; comma decimals break JSON parsers)
+  private def num(fmt: String, d: Double): String =
+    String.format(java.util.Locale.ROOT, fmt, Double.box(d))
+
   private def median(xs: Seq[Long]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
@@ -103,7 +108,7 @@ object SkewAudit {
               .map(_.toSeq)
               .filter(ts => ts.size >= 4 && ts.exists(_._1 > 0))
             if (candidates.isEmpty)
-              println(f"""{"query":"$name","sec":$sec%.3f,"worst_stage":null}""")
+              println(s"""{"query":"$name","sec":${num("%.3f", sec)},"worst_stage":null}""")
             else {
               // the stage moving the most shuffle DATA is where skew
               // hurts; picking by single-task max would surface 300-byte
@@ -115,12 +120,12 @@ object SkewAudit {
               val (medM, maxM) = (median(ms), ms.max)
               def ratio(max: Long, med: Double) =
                 if (med <= 0) -1.0 else max / med
-              println(f"""{"query":"$name","sec":$sec%.3f,"worst_stage":{""" +
-                f""""tasks":${worst.size},"total_mb":${bytes.sum / 1048576.0}%.1f,""" +
-                f""""med_bytes":$medB%.0f,"max_bytes":$maxB,""" +
-                f""""bytes_ratio":${ratio(maxB, medB)}%.2f,""" +
-                f""""med_ms":$medM%.0f,"max_ms":$maxM,""" +
-                f""""ms_ratio":${ratio(maxM, medM)}%.2f}}""")
+              println(s"""{"query":"$name","sec":${num("%.3f", sec)},"worst_stage":{""" +
+                s""""tasks":${worst.size},"total_mb":${num("%.1f", bytes.sum / 1048576.0)},""" +
+                s""""med_bytes":${num("%.0f", medB)},"max_bytes":$maxB,""" +
+                s""""bytes_ratio":${num("%.2f", ratio(maxB, medB))},""" +
+                s""""med_ms":${num("%.0f", medM)},"max_ms":$maxM,""" +
+                s""""ms_ratio":${num("%.2f", ratio(maxM, medM))}}}""")
               // SPARK_GRAFT_ALL_STAGES=1: per-stage detail — needed when
               // a union fuses two task POPULATIONS into one stage (the
               // sessionize-triaged cold+hot paths): the mixed median
@@ -128,11 +133,11 @@ object SkewAudit {
               if (sys.env.get("SPARK_GRAFT_ALL_STAGES").contains("1"))
                 candidates.sortBy(-_.map(_._1).sum).foreach { ts =>
                   val b = ts.map(_._1); val m = ts.map(_._2)
-                  println(f"""  {"stage_tasks":${ts.size},""" +
-                    f""""total_mb":${b.sum / 1048576.0}%.1f,""" +
-                    f""""med_bytes":${median(b)}%.0f,"max_bytes":${b.max},""" +
-                    f""""med_ms":${median(m)}%.0f,"max_ms":${m.max},""" +
-                    f""""ms_sorted":${m.sorted.reverse.take(8).mkString("[", ",", "]")}}""")
+                  println(s"""  {"stage_tasks":${ts.size},""" +
+                    s""""total_mb":${num("%.1f", b.sum / 1048576.0)},""" +
+                    s""""med_bytes":${num("%.0f", median(b))},"max_bytes":${b.max},""" +
+                    s""""med_ms":${num("%.0f", median(m))},"max_ms":${m.max},""" +
+                    s""""ms_sorted":${m.sorted.reverse.take(8).mkString("[", ",", "]")}}""")
                 }
             }
           }

@@ -23,6 +23,17 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, dir, name)
 
+  /** Known corpus size for the hamming-gate queries — threads
+   * [[graft.operators.Dedup.hammingPairs]]' `nRows` (the lshNearDupPairs
+   * count-threading precedent) so the 1-agree/2-agree route is picked from
+   * the ACTUAL corpus, not the scale-safe unknown-n default. Every gate
+   * corpus here is one row per `documents` id, so the count is a parquet
+   * footer-metadata job; memoized per sf dir so repeated builders (bench
+   * reps, verify) pay it once per JVM. */
+  private val docCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def docCount(s: SparkSession, dir: String): Long =
+    docCountCache.getOrElseUpdate(dir, table(s, dir, "documents").count())
+
   /** Persisted IVF-PQ index artifacts for `dir`'s embeddings table, built at
    * most once per sf dir (tmp path keyed by dir + format version, `_SUCCESS`
    * markers as the built test) and reloaded from parquet on every search —
@@ -530,11 +541,12 @@ object SparkEntry {
       // global top-10 via orderBy+limit → TakeOrderedAndProject (per-partition
       // partial top-N, no single-partition window over the whole aggregate);
       // ranks are then numbered over the 10 surviving rows only, with a
-      // constant partition key so WindowExec gets a defined partitioning
+      // folding-proof constant partition key (BoundedRank: Spark 4's
+      // optimizer folds lit(0) away and re-triggers the unpartitioned-
+      // window warning) so WindowExec gets a defined partitioning
       val top = joined.orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(0)).orderBy(col("revenue").desc, col("o_orderkey"))
-      top.withColumn("rank", row_number().over(w).cast("long"))
+      operators.BoundedRank.withRank(top, col("o_orderkey"),
+          Seq(col("revenue").desc, col("o_orderkey")))
         .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("o_orderdate_s"),
           col("revenue"), col("rank"))
     }),
@@ -1540,7 +1552,8 @@ object SparkEntry {
       Dedup.simhashVerifiedPairs(
         Dedup.syntheticNearDupTexts(
           table(s, dir, "documents").select(col("doc_id")), "doc_id"),
-        "doc_id", "text", maxDist = 8, threshold = 0.5)
+        "doc_id", "text", maxDist = 8, threshold = 0.5,
+        nRows = docCount(s, dir))
         .select(col("id_a"), col("id_b"))),
 
     // Brute-force cosine top-k (ANN baseline; broadcast queries).
@@ -1911,7 +1924,8 @@ object SparkEntry {
       val media = cachedMediaFor(s, dir, "formatdup")(
         operators.Multimodal.syntheticFormatDupTable(table(s, dir, "documents"), "doc_id"))
       val cand = operators.Dedup.hammingPairs(
-        operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8)
+        operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8,
+        nRows = docCount(s, dir))
       operators.Multimodal.pixelVerifiedPairs(media, cand, maxMae = 8.0)
         .select(col("id_a"), col("id_b"))
     }),
@@ -1931,7 +1945,8 @@ object SparkEntry {
       val media = cachedMediaFor(s, dir, "robustdup")(
         operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))
       val cand = operators.Dedup.hammingPairs(
-        operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8)
+        operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8,
+        nRows = docCount(s, dir))
       operators.Multimodal.pixelVerifiedPairs(media, cand, maxMae = 8.0)
         .select(col("id_a"), col("id_b"))
     }),
@@ -1956,7 +1971,8 @@ object SparkEntry {
       val clusters = Dedup.clusterPairs(
         operators.Multimodal.pixelVerifiedPairs(media,
           operators.Dedup.hammingPairs(
-            operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8),
+            operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8,
+            nRows = docCount(s, dir)),
           maxMae = 8.0)
           .select(col("id_a"), col("id_b")))
       media.select(col("media_id").as("doc_id"))
@@ -1976,7 +1992,8 @@ object SparkEntry {
       val clusters = Dedup.clusterPairs(
         operators.Multimodal.pixelVerifiedPairs(media,
           operators.Dedup.hammingPairs(
-            operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8),
+            operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8,
+            nRows = docCount(s, dir)),
           maxMae = 8.0)
           .select(col("id_a"), col("id_b")))
       val dropped = clusters.filter(col("doc_id") =!= col("cluster_id"))
@@ -2081,9 +2098,8 @@ object SparkEntry {
         .filter(col("token") =!= "")
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
       val top = counts.orderBy(col("n").desc, col("token")).limit(20)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(0)).orderBy(col("n").desc, col("token"))
-      top.withColumn("rank", row_number().over(w).cast("long"))
+      operators.BoundedRank.withRank(top, col("token"),
+        Seq(col("n").desc, col("token")))
     }),
 
     // SQL surface end-to-end: temp view + spark.sql text + a custom

@@ -20,6 +20,11 @@ import graft.streaming.StreamingBotDetection
  * JSON line.
  */
 object StreamBench {
+  // root-locale formatting: "%.2f".format follows the JVM default locale,
+  // and comma decimals would break the JSON line
+  private def num2(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     // state-store scaling knobs: SPARK_GRAFT_KEYS_MULT multiplies the key
@@ -202,13 +207,13 @@ object StreamBench {
       else if (upsertSink) "graft-kv-upsert(cdc-apply)"
       else "foreachBatch"
     val feedStats = feedLag.fold("")(lag =>
-      s""","feed_lag_sec":${"%.2f".format(lag)},"fed_rows":${fedRows.get()}""")
+      s""","feed_lag_sec":${num2(lag)},"fed_rows":${fedRows.get()}""")
     val spreadStats = stateSpread.fold("") { case (n, med, max) =>
-      val ratio = if (med > 0) "%.2f".format(max.toDouble / med) else "-1"
+      val ratio = if (med > 0) num2(max.toDouble / med) else "-1"
       s""","state_spread":{"parts":$n,"med_bytes":$med,"max_bytes":$max,"ratio":$ratio}"""
     }
     println(
-      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":${evs.size},"wall_sec":${"%.2f".format(sec)},"verdict_rows":$verdictRows,"keys":${nUsers + nBots},"state_store":"$store","source":"$source","sink":"$sink"$feedStats,"state_rows":$stateRows,"state_bytes":$stateBytes$spreadStats}""")
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":${evs.size},"wall_sec":${num2(sec)},"verdict_rows":$verdictRows,"keys":${nUsers + nBots},"state_store":"$store","source":"$source","sink":"$sink"$feedStats,"state_rows":$stateRows,"state_bytes":$stateBytes$spreadStats}""")
     if (kvSink)
       require(fedRows.get() == graft.sinks.v2.KvStore.read(spark, kvPath).count(),
         s"changefeed drained ${fedRows.get()} rows but the store committed a different count")

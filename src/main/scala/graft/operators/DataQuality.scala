@@ -450,8 +450,16 @@ object DataQuality {
     // late-corpus sweep caught one row where that ulp crossed v_norm's own
     // 6dp rounding boundary. Identically-rounded grid + IEEE-identical
     // downstream ops ⇒ the knife edge shrinks from every output row to the
-    // (nBuckets+1)·groups grid points themselves.
-    def round6(c: Column): Column = transform(c, x => round(x, 6) + lit(0.0))
+    // (nBuckets+1)·groups grid points themselves — and the grid points use
+    // the SAME sign-symmetric floor(x·10⁶ + 0.5)/10⁶ emulation as v_norm
+    // below, NOT Spark's BigDecimal HALF_UP round(): the two families can
+    // disagree by 1 ulp exactly at a .5·10⁻⁶ boundary, and a grid point on
+    // that edge would shift every row interpolated in its segment.
+    def round6(c: Column): Column = transform(c, x => {
+      val scaled = x * lit(1e6)
+      (when(scaled >= 0, floor(scaled + lit(0.5)))
+        .otherwise(-floor(-scaled + lit(0.5))) / lit(1e6)) + lit(0.0)
+    })
     val gGrid = rows.groupBy(col("__qn_g"))
       .agg(round6(expr(s"percentile(__qn_v, array($qs))")).as("__qn_gq"))
     val glGrid = rows.agg(round6(expr(s"percentile(__qn_v, array($qs))")).as("__qn_lq"))
@@ -509,8 +517,7 @@ object DataQuality {
       // (not the join) is the product at scale anyway
       sum(col("n").cast("double") * col("n")).as("__ks_self"))
     val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
-    val w = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("key"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    BoundedRank.withRank(top, col("key"), Seq(col("n").desc, col("key")))
       .crossJoin(broadcast(summary))
       .select(col("key"), col("n"), col("rank"),
         (round(col("n") / col("__ks_total"), 6) + lit(0.0)).as("frac"),

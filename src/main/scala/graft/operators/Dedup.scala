@@ -528,9 +528,9 @@ object Dedup {
    * in the same blocks, a cnt² blow-up with zero similarity signal.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int,
-      maxBlockFreq: Option[Int] = None): DataFrame =
+      maxBlockFreq: Option[Int] = None, nRows: Long = -1L): DataFrame =
     hammingPairs(withSimhash(df, idCol, textCol), "doc_id", "simhash",
-      maxDist, maxBlockFreq)
+      maxDist, maxBlockFreq, nRows)
 
   /**
    * SimHash near-dup with exact verification — the same candidates+verify
@@ -545,7 +545,7 @@ object Dedup {
    */
   def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, threshold: Double, n: Int = 3,
-      maxBlockFreq: Option[Int] = None): DataFrame = {
+      maxBlockFreq: Option[Int] = None, nRows: Long = -1L): DataFrame = {
     // ONE text pass, ONE barrier (minhashDedup's "one materialization
     // serves both"): the signature frame carries the 64-bit simhash AND the
     // per-doc shingle-hash array, so candidate generation and verification
@@ -563,7 +563,7 @@ object Dedup {
       array_distinct(graft.functions.HashExpressions
         .wordShingleHashes(col(textCol), n)).as("shashes")))
     val cand = hammingPairs(signed.select(col("doc_id"), col("simhash")),
-      "doc_id", "simhash", maxDist, maxBlockFreq)
+      "doc_id", "simhash", maxDist, maxBlockFreq, nRows)
       .select(col("id_a"), col("id_b"))
     val a = signed.select(col("doc_id").as("id_a"), col("shashes").as("__sh_a"))
     val b = signed.select(col("doc_id").as("id_b"), col("shashes").as("__sh_b"))
@@ -623,7 +623,8 @@ object Dedup {
    * buckets (all-zero sketches of empty payloads).
    */
   def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int, maxBlockFreq: Option[Int] = None): DataFrame =
+      maxDist: Int, maxBlockFreq: Option[Int] = None,
+      nRows: Long = -1L): DataFrame =
     // Structural bucket-density guard: at maxDist ≥ 8 the 1-agree split
     // leaves ≤ 7-bit blocks — only ≤ 128 distinct bucket values, so EVERY
     // (block, blockval) bucket holds ~n/128 docs and the self-join grows
@@ -635,8 +636,59 @@ object Dedup {
     // shrink by 2^width for C(m,2)/m ≈ m/2 more replication. At maxDist=8:
     // join volume 45·n²/2⁻¹² vs 9·n²/2⁻⁷ — ~12.8× fewer candidate pairs,
     // and the gap widens with n.
-    if (maxDist >= 8) hammingPairsAgree2(hashed, idCol, hashCol, maxDist, maxBlockFreq)
+    //
+    // ROUTING (r17). Both paths are EXACT (pigeonhole recall theorem +
+    // popcount verify), so the choice is purely a cost call, made on two
+    // axes:
+    //   1. predicted collision volume — the n² coefficients are
+    //      m₁/2^w₁ (1-agree) vs C(m₂,2)/2^(2·w₂) (2-agree), CONSTANT in n.
+    //      2-agree wins this for 8 ≤ maxDist ≤ 14; above that its packed
+    //      key narrows (2·⌊64/m⌋ bits) faster than its C(m,2) replication
+    //      grows and the comparison INVERTS (maxDist 15: 136 combos on
+    //      6-bit keys vs 16 blocks on 4-bit keys) — very large maxDist
+    //      degenerates toward a cross join across ~2000 combos, so the
+    //      volume test routes it back to 1-agree;
+    //   2. corpus size — 2-agree's C(m,2)-way key replication is a
+    //      plan-constant premium (~1.6 s measured across the six gate
+    //      maxDist=8 queries at n ≤ 750) that buys nothing until the n²
+    //      term matters. Below `agree2RowFloor` rows the premium dominates
+    //      (at 50k rows, maxDist 8: 1-agree volume ≈ 8.8e7 candidate rows
+    //      vs 2-agree ≈ 1.6e7 — the saving already dwarfs the premium;
+    //      at 500 rows both volumes are ~1e4 and only the premium is
+    //      left), so known-small corpora take 1-agree.
+    // `nRows < 0` = unknown: assume LARGE (the scale-safe default — an
+    // unknown 10⁹-row corpus on the 1-agree path is a cluster-killer, an
+    // unknown 500-row corpus on the 2-agree path wastes ~1.6 s). Callers
+    // that know n thread it (the lshNearDupPairs precedent) and small
+    // corpora get the cheap plan with zero probe jobs.
+    if (maxDist >= 8 && agree2VolumeWins(maxDist) &&
+        (nRows < 0L || nRows >= agree2RowFloor))
+      hammingPairsAgree2(hashed, idCol, hashCol, maxDist, maxBlockFreq)
     else hammingPairsAgree1(hashed, idCol, hashCol, maxDist, maxBlockFreq)
+
+  /** Corpus-size floor for the 2-agree path (see [[hammingPairs]] routing):
+   * below it the plan-constant replication premium exceeds any candidate-
+   * volume saving; above it the 1-agree path's n²/2^w bucket volume grows
+   * past the premium within the first decade. */
+  val agree2RowFloor: Long = 50000L
+
+  /** Does the 2-agree pigeonhole predict FEWER candidate pairs than the
+   * 1-agree split at this maxDist? Both volumes share the n²/2 factor, so
+   * compare the constant coefficients: m₁/2^w₁ vs C(m₂,2)/2^(2·w₂). True
+   * for 8 ≤ maxDist ≤ 14 on 64-bit sketches; false above (the packed key
+   * narrows faster than the combo count pays off). */
+  private[graft] def agree2VolumeWins(maxDist: Int): Boolean = {
+    val m1 = maxDist + 1
+    val w1 = 64 / m1
+    val m2 = maxDist + 2
+    val w2 = 64 / m2
+    if (w2 == 0) false
+    else {
+      val v1 = m1.toDouble / math.pow(2.0, w1)
+      val v2 = (m2.toDouble * (m2 - 1) / 2) / math.pow(2.0, 2 * w2)
+      v2 < v1
+    }
+  }
 
   /** Classic 1-agree pigeonhole: maxDist+1 blocks, any pair within maxDist
    * agrees on ≥ 1 whole block. Right while blocks stay ≥ 8 bits wide. */

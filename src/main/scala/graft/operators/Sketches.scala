@@ -192,17 +192,51 @@ object Sketches {
    * total order any exact SQL replay uses. */
   def rollupTopKFlat(sketches: DataFrame, groupCols: Seq[String], k: Int,
       maxItemsTracked: Int = 1024): DataFrame = {
-    val exploded = rollupTopK(sketches, groupCols, maxItemsTracked)
-      .select((groupCols.map(col) :+ explode(col("top_items")).as("entry") :+
-        col("n_rows")): _*)
-      .select((groupCols.map(col) :+ col("entry.item").as("item") :+
-        col("entry.count").cast("long").as("item_count") :+ col("n_rows")): _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-      .orderBy(col("item_count").desc, col("item"))
-    exploded.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select((groupCols.map(col) :+ col("rank") :+ col("item") :+
-        col("item_count") :+ col("n_rows")): _*)
+    // `maxItemsTracked` is COUPLED to the accumulate-time `maxItems` of
+    // [[dailyTopKSketches]] (defaults match): approx_top_k_estimate rejects
+    // an over-fetch larger than what the sketches tracked, so pass the
+    // build-time value through when it was non-default. And the over-fetch
+    // exists to impose the total (count DESC, item ASC) order below — it
+    // must never silently shrink beneath the caller's k.
+    require(k <= maxItemsTracked,
+      s"rollupTopKFlat: k=$k exceeds maxItemsTracked=$maxItemsTracked — " +
+        "items beyond the sketch's tracked set cannot be ranked; raise " +
+        "maxItems at accumulate time (dailyTopKSketches) and pass it through")
+    if (groupCols.isEmpty) {
+      // global grain: the rollup merges to ONE sketch row, so impose the
+      // total order INSIDE its bounded array (array_sort comparator) and
+      // number by posexplode position — a pure map over one row. No window
+      // at all: Window.partitionBy() with no columns (or with a lit(0) the
+      // Spark 4 optimizer folds away) plans an unpartitioned WindowExec
+      // and its "No Partition Defined" warning; here even the constant-key
+      // exchange is unnecessary.
+      val byCountDescItemAsc = (l: Column, r: Column) =>
+        when(l.getField("count") > r.getField("count"), lit(-1))
+          .when(l.getField("count") < r.getField("count"), lit(1))
+          .when(l.getField("item") < r.getField("item"), lit(-1))
+          .when(l.getField("item") > r.getField("item"), lit(1))
+          .otherwise(lit(0))
+      rollupTopK(sketches, groupCols, maxItemsTracked)
+        .select(posexplode(array_sort(col("top_items"), byCountDescItemAsc)),
+          col("n_rows"))
+        .filter(col("pos") < k)
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.item").as("item"),
+          col("col.count").cast("long").as("item_count"),
+          col("n_rows"))
+    } else {
+      val exploded = rollupTopK(sketches, groupCols, maxItemsTracked)
+        .select((groupCols.map(col) :+ explode(col("top_items")).as("entry") :+
+          col("n_rows")): _*)
+        .select((groupCols.map(col) :+ col("entry.item").as("item") :+
+          col("entry.count").cast("long").as("item_count") :+ col("n_rows")): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*)
+        .orderBy(col("item_count").desc, col("item"))
+      exploded.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select((groupCols.map(col) :+ col("rank") :+ col("item") :+
+          col("item_count") :+ col("n_rows")): _*)
+    }
   }
 }

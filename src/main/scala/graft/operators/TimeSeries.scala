@@ -146,10 +146,9 @@ object TimeSeries {
         transform(array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
           x => x.getField("t")), ">").as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_entities"))
-    val ord = Window.partitionBy(lit(0))
-      .orderBy(col("n_entities").desc, col("path"))
-    paths.orderBy(col("n_entities").desc, col("path")).limit(topN)
-      .withColumn("rank", row_number().over(ord).cast("long"))
+    BoundedRank.withRank(
+      paths.orderBy(col("n_entities").desc, col("path")).limit(topN),
+      col("path"), Seq(col("n_entities").desc, col("path")))
   }
 
   /**
@@ -213,12 +212,15 @@ object TimeSeries {
    * GROWS with P, inverting scale-out). So by default any entity owning
    * more than `hotFraction` of the rows is routed through
    * [[sessionizeTriaged]]'s distributed bucket scan; when no key crosses
-   * the threshold (checked with one bounded ≤ 1/hotFraction-row driver
-   * probe), the plain plan runs untouched — the detection costs one
-   * metadata-cheap count plus one partial-aggregatable key-count scan.
-   * Output is identical either way (TimeSeriesSpec pins the boundary).
-   * Opt out with `hotFraction <= 0` (exactly the plain plan, no probe
-   * jobs — for callers who know their key distribution).
+   * the threshold, the plain plan runs untouched. The detection is EAGER:
+   * the default path runs ONE Spark probe job at call time (a partial-
+   * aggregatable key-count scan folded to a single (total, max-key-count)
+   * row — the total rides the same aggregate, so there is no separate
+   * count() job), which recomputes the upstream plan once. Output is
+   * identical either way (TimeSeriesSpec pins the boundary). Callers who
+   * already know their key distribution — or whose upstream is expensive
+   * and un-cached — opt out with `hotFraction <= 0` (exactly the plain
+   * plan, zero probe jobs) or call [[sessionizeTriaged]] directly.
    */
   def sessionize(df: DataFrame, entityCol: String, tsCol: String,
       idCol: String, gapS: Long, hotFraction: Double = 0.05,
@@ -226,15 +228,18 @@ object TimeSeries {
     require(gapS > 0, s"sessionize: gapS must be positive, got $gapS")
     if (!(hotFraction > 0))
       return sessionizePlain(df, entityCol, tsCol, idCol, gapS)
-    val total = df.count()
+    // one probe job, not two: sum(per-key counts) IS the row total, so the
+    // grouped scan that finds the max key also carries it. The grouped
+    // frame never reaches the driver — only the one folded summary row.
+    val probe = df.groupBy(col(entityCol)).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("__total"), max(col("__n")).as("__maxn"))
+      .collect()(0)
+    val total = if (probe.isNullAt(0)) 0L else probe.getLong(0)
     if (total == 0L)
       return sessionizePlain(df, entityCol, tsCol, idCol, gapS)
     val th = math.max(1L, (total * hotFraction).toLong)
-    // > th at fraction f bounds the hot set at < 1/f keys REGARDLESS of
-    // corpus size — a bounded driver artifact, safe to probe
-    val anyHot = !df.groupBy(col(entityCol)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > th).isEmpty
-    if (anyHot) sessionizeTriaged(df, entityCol, tsCol, idCol, gapS, th, bucketS)
+    if (probe.getLong(1) > th)
+      sessionizeTriaged(df, entityCol, tsCol, idCol, gapS, th, bucketS)
     else sessionizePlain(df, entityCol, tsCol, idCol, gapS)
   }
 

@@ -207,6 +207,22 @@ class DedupSpec extends AnyFunSuite {
     assert(two === truth, "2-agree pigeonhole must have EXACT recall <= maxDist")
     assert(two.contains((1L, 4L)) && two((1L, 4L)) === 8L)
     assert(!two.contains((1L, 5L)) && !two.contains((1L, 6L)))
+    // r17 routing boundary: both paths are exact, so the nRows switch must
+    // be output-invariant — below the floor (1-agree), at the floor
+    // (2-agree), and unknown-n (scale-safe 2-agree) all equal the truth.
+    assert(collectPairs(Dedup.hammingPairs(rows, "doc_id", "h", maxDist = 8,
+      nRows = Dedup.agree2RowFloor - 1)) === truth)
+    assert(collectPairs(Dedup.hammingPairs(rows, "doc_id", "h", maxDist = 8,
+      nRows = Dedup.agree2RowFloor)) === truth)
+    // and the volume model picks 2-agree exactly on the band where its
+    // candidate coefficient beats 1-agree's on 64-bit sketches: 8..14
+    // (above, the packed key narrows faster than the combo count pays off
+    // — the ADVICE r16 inversion; below 8 the 1-agree blocks are >= 8 bits
+    // wide and the question never arises)
+    assert((8 to 14).forall(Dedup.agree2VolumeWins),
+      "2-agree must win the volume model on maxDist 8..14")
+    assert(!(15 to 62).exists(Dedup.agree2VolumeWins),
+      "2-agree must lose the volume model above maxDist 14")
   }
 
   test("clusterPairs of an empty pair graph returns no labels (and no hang)") {

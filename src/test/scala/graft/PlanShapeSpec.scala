@@ -371,4 +371,36 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastExchange"), s"$q should not broadcast")
     }
   }
+
+  test("global top-k ranking never plans an unpartitioned window") {
+    // Two idioms, both r17-fixed for Spark 4 (whose EliminateWindowPartitions
+    // folds a lit(0) partition key away, re-planning the window as
+    // unpartitioned — the "No Partition Defined" warning the r16 bench tail
+    // logged):
+    //  - rollupTopKFlat with empty groupCols ranks INSIDE the bounded
+    //    top_items array (array_sort + posexplode) — no Window node at all;
+    //  - the orderBy+limit rank sites go through BoundedRank.constKey, a
+    //    pmod-constant the optimizer cannot fold, so the window keeps a
+    //    partition spec.
+    val pk = planOf("q_topk_sketch")
+    assert(!pk.contains("Window"),
+      s"q_topk_sketch global rollup must rank in-array, not via a window:\n${pk.take(600)}")
+    assert(pk.contains("Generate"), // the posexplode of the sorted array
+      s"q_topk_sketch must posexplode the sorted sketch array:\n${pk.take(600)}")
+    for (q <- Seq("q_top_tokens", "q_shipping_priority", "q_key_skew", "q_top_paths")) {
+      val p = planOf(q)
+      // WindowExec warns exactly when partitionSpec is empty, which the
+      // formatted plan prints as a windowspecdefinition whose FIRST element
+      // is the ordering, i.e. no partition expressions before the sort spec
+      val unpartitioned = p.linesIterator.exists(l =>
+        l.contains("windowspecdefinition(") && {
+          val spec = l.substring(l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
+          // a partitioned spec leads with partition exprs; an unpartitioned
+          // one leads with "col ASC/DESC NULLS ..." ordering immediately
+          spec.split(",").headOption.exists(h =>
+            h.contains(" ASC NULLS") || h.contains(" DESC NULLS"))
+        })
+      assert(!unpartitioned, s"$q plans an unpartitioned window:\n${p.take(900)}")
+    }
+  }
 }
