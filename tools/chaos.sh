@@ -10,9 +10,11 @@
 #   tools/chaos.sh verify <sfDir> <outDir> [queries] [killEverySec]
 #   tools/chaos.sh stream [killEverySec]     # composed kv chain
 #   tools/chaos.sh occ [killEverySec]        # OCC multi-writer + compactor
+#   tools/chaos.sh late [killEverySec]       # late/dup corpus through the
+#                                            # incremental + CDC views
 set -u
 cd "$(dirname "$0")/.."
-MODE="${1:?verify|stream|occ}"; shift || true
+MODE="${1:?verify|stream|occ|late}"; shift || true
 export SPARK_GRAFT_MASTER="${SPARK_GRAFT_MASTER:-local-cluster[2,8,6144]}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}"
 
@@ -27,6 +29,9 @@ if [ "$MODE" = "verify" ]; then
 elif [ "$MODE" = "occ" ]; then
   EVERY="${1:-10}"
   tools/run.sh graft.OccChaos > /tmp/chaos_occ.log 2>&1 &
+elif [ "$MODE" = "late" ]; then
+  EVERY="${1:-10}"
+  tools/run.sh graft.LateChaos > /tmp/chaos_late.log 2>&1 &
 else
   EVERY="${1:-10}"
   SPARK_GRAFT_SOURCE="${SPARK_GRAFT_SOURCE:-dsv2}" \
