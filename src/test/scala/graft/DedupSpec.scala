@@ -225,6 +225,44 @@ class DedupSpec extends AnyFunSuite {
       "2-agree must lose the volume model above maxDist 14")
   }
 
+  test("hammingPairs equals brute force across the full maxDist band (seeded sweep)") {
+    import spark.implicits._
+    // Randomized-but-deterministic: for each maxDist across the whole
+    // routing band (1-agree below 8, 2-agree 8..14, 1-agree again 15+),
+    // plant clusters around random centers at distances straddling the
+    // radius, plus uniform noise — then require EXACT equality with the
+    // 28-to-1225-pair brute-force truth for every routing input (small n,
+    // floor n, unknown n). This is the recall-theorem contract no sampled
+    // margin can substitute for: the pigeonhole join must never lose a
+    // within-radius pair, whichever path the router picks.
+    val rnd = new scala.util.Random(0x5EED17L)
+    def randFlip(h: Long, bits: Int): Long =
+      rnd.shuffle((0 until 64).toList).take(bits)
+        .foldLeft(h)((a, b) => a ^ (1L << b))
+    for (maxDist <- Seq(1, 3, 5, 7, 8, 9, 11, 14, 15, 17, 20)) {
+      val centers = Seq.fill(4)(rnd.nextLong())
+      val rows = (centers.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          (i * 10L + 1, c),
+          (i * 10L + 2, randFlip(c, maxDist)),     // exactly at the radius
+          (i * 10L + 3, randFlip(c, maxDist + 1))) // just beyond
+      } ++ Seq.fill(8)(rnd.nextLong()).zipWithIndex
+        .map { case (h, i) => (100L + i, h) }).toDF("doc_id", "h")
+      val all = rows.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val truth = (for {
+        (ia, ha) <- all; (ib, hb) <- all; if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb); if d <= maxDist
+      } yield ((ia, ib), d.toLong)).toMap
+      def got(nRows: Long) =
+        Dedup.hammingPairs(rows, "doc_id", "h", maxDist, nRows = nRows)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got(10L) === truth, s"maxDist=$maxDist small-n route lost a pair")
+      assert(got(Dedup.agree2RowFloor) === truth,
+        s"maxDist=$maxDist at-floor route lost a pair")
+      assert(got(-1L) === truth, s"maxDist=$maxDist unknown-n route lost a pair")
+    }
+  }
+
   test("clusterPairs of an empty pair graph returns no labels (and no hang)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
