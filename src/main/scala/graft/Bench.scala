@@ -137,7 +137,7 @@ object Bench {
     var qIdx = 0
     // deterministic alphabetical execution order: the artifact's rep/probe
     // timeline is reproducible run-to-run (a Map would scramble it)
-    val resultsDetail: Seq[(String, Double, Seq[Option[Double]])] =
+    val resultsDetail: Seq[(String, Double, Double, Seq[Option[Double]])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         if (qIdx > 0 && qIdx % sentinelEvery == 0)
           sentinelSeries += ((elapsed(), sentinelOnce()))
@@ -157,9 +157,12 @@ object Bench {
           spark.catalog.clearCache()
           if (ok) Some(dt) else None
         }
-        (name, startAt, repTimes)
+        // measured wall end, not estimated from rep sums: failed reps
+        // report None but still consumed wall time, and the local-factor
+        // bracket below must not pick a probe that ran mid-query
+        (name, startAt, elapsed(), repTimes)
       }
-    val results = resultsDetail.map { case (n, _, ts) =>
+    val results = resultsDetail.map { case (n, _, _, ts) =>
       n -> ts.flatten.minOption.getOrElse(-1.0)
     }.toMap
     // plan-compile proxy: first rep minus best rep. The first rep pays
@@ -169,7 +172,7 @@ object Bench {
     // not succeed (a warm head would understate compile cost). Written to
     // the on-disk artifact only (stdout stays driver-parse compact);
     // SCALING.md pins the worst offenders per round.
-    val compileProxy = resultsDetail.map { case (n, _, ts) =>
+    val compileProxy = resultsDetail.map { case (n, _, _, ts) =>
       val ok = ts.flatten
       n -> (ts.headOption.flatten match {
         case Some(first) if ok.size >= 2 => math.max(0.0, first - ok.min)
@@ -221,12 +224,8 @@ object Bench {
     // (BASELINE.md "Bench artifact adjudication"): a slow query whose
     // bracketing sentinel probes are elevated vs the series min was measured
     // on a contended host; flat probes around a slow query = real regression.
-    // explicit root locale: the f interpolator follows the JVM default
-    // locale, and a comma-decimal default would make the artifact's numbers
-    // unparseable JSON ("1,2345")
-    def num(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    val repJson = resultsDetail.map { case (n, at, ts) =>
+    def num(d: Double): String = Fmt.num("%.4f", d)
+    val repJson = resultsDetail.map { case (n, at, _, ts) =>
       "\"" + n + "\":{\"at\":" + num(at) + ",\"reps\":[" +
         ts.map(_.fold("-1.0")(num)).mkString(",") + "]}"
     }.mkString("{", ",", "}")
@@ -236,13 +235,12 @@ object Bench {
     // "take the two sentinel probes bracketing the query and divide by the
     // series min" — done by hand from the series through r16; now the
     // artifact carries the division. Bracket = last probe at or before the
-    // query's start, first probe at or after its end (wall end ≈ start +
-    // Σ reps; the closing probe guarantees an "after" exists). ≈1.0 means
+    // query's start, first probe at or after its MEASURED wall end (the
+    // closing probe guarantees an "after" exists). ≈1.0 means
     // the host around this query ran at the series-best speed (slowness is
     // the plan's own); ≳1.3 means contention — divide before comparing.
     val seriesMin = sentinelSeries.map(_._2).min
-    val localFactor = resultsDetail.map { case (n, at, ts) =>
-      val end = at + ts.map(_.getOrElse(0.0)).sum
+    val localFactor = resultsDetail.map { case (n, at, end, _) =>
       val before = sentinelSeries.filter(_._1 <= at)
         .lastOption.getOrElse(sentinelSeries.head)._2
       val after = sentinelSeries.find(_._1 >= end)

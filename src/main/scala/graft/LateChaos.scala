@@ -131,14 +131,12 @@ object LateChaos {
       .map(r => r.getAs[String]("k") ->
         ((r.getAs[Long]("cid"), r.getAs[Double]("v")))).toMap
 
-    val ivmOk = gotIvm == expIvm.map { case (k, (n, s)) =>
-      // sums are exact: values are halves, Long-count scaled — no fp drift
-      k -> ((n, s))
-    }
+    // plain equality is sound: values are exact binary halves well below
+    // 2^52, so the double sums carry no fp drift in either engine order
+    val ivmOk = gotIvm == expIvm
     val cdcOk = gotCdc == expCdc
     val ok = ivmOk && cdcOk
-    val sec = String.format(java.util.Locale.ROOT, "%.1f",
-      Double.box((System.nanoTime() - t0) / 1e9))
+    val sec = Fmt.num("%.1f", (System.nanoTime() - t0) / 1e9)
     println(s"""{"mode":"late","keys":$nKeys,"batches":$batches,""" +
       s""""fed_batches":$fedBatches,"rows_per_batch":$rowsPerBatch,""" +
       s""""fed_rows":${fedBatches.toLong * rowsPerBatch},""" +

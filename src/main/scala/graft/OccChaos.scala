@@ -136,10 +136,7 @@ object OccChaos {
     val extra = got.except(expected).count()
     val nGot = got.count()
     val ok = missing == 0 && extra == 0
-    // explicit root locale (the f interpolator would follow the JVM default
-    // locale and emit "12,3" on comma-decimal hosts — unparseable JSON)
-    val sec = String.format(java.util.Locale.ROOT, "%.1f",
-      Double.box((System.nanoTime() - t0) / 1e9))
+    val sec = Fmt.num("%.1f", (System.nanoTime() - t0) / 1e9)
     println(s"""{"mode":"occ","writers":$writers,"rounds":$rounds,"rows_per_round":$rowsPerRound,""" +
       s""""store_rows":$nGot,"missing":$missing,"extra":$extra,""" +
       s""""compactions":$compactions,"compact_conflicts":$compactConflicts,""" +

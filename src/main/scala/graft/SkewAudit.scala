@@ -44,10 +44,7 @@ object SkewAudit {
     }
   }
 
-  // root-locale number formatting for the JSON lines (the f interpolator
-  // follows the JVM default locale; comma decimals break JSON parsers)
-  private def num(fmt: String, d: Double): String =
-    String.format(java.util.Locale.ROOT, fmt, Double.box(d))
+  private def num(fmt: String, d: Double): String = Fmt.num(fmt, d)
 
   private def median(xs: Seq[Long]): Double = {
     val s = xs.sorted

@@ -20,10 +20,7 @@ import graft.streaming.StreamingBotDetection
  * JSON line.
  */
 object StreamBench {
-  // root-locale formatting: "%.2f".format follows the JVM default locale,
-  // and comma decimals would break the JSON line
-  private def num2(d: Double): String =
-    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+  private def num2(d: Double): String = Fmt.num("%.2f", d)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -455,11 +455,17 @@ object DataQuality {
     // below, NOT Spark's BigDecimal HALF_UP round(): the two families can
     // disagree by 1 ulp exactly at a .5·10⁻⁶ boundary, and a grid point on
     // that edge would shift every row interpolated in its segment.
-    def round6(c: Column): Column = transform(c, x => {
+    // NaN passes through: Spark's floor() returns LONG, so the emulation
+    // would silently collapse a NaN grid point to 0.0 (poisoning every row
+    // interpolated in its segment) where both round() families — and the
+    // DuckDB oracle — keep NaN visible. isNotNull does not filter NaN.
+    def floorRound6(x: Column): Column = {
       val scaled = x * lit(1e6)
-      (when(scaled >= 0, floor(scaled + lit(0.5)))
-        .otherwise(-floor(-scaled + lit(0.5))) / lit(1e6)) + lit(0.0)
-    })
+      when(isnan(x), x).otherwise(
+        (when(scaled >= 0, floor(scaled + lit(0.5)))
+          .otherwise(-floor(-scaled + lit(0.5))) / lit(1e6)) + lit(0.0))
+    }
+    def round6(c: Column): Column = transform(c, floorRound6(_))
     val gGrid = rows.groupBy(col("__qn_g"))
       .agg(round6(expr(s"percentile(__qn_v, array($qs))")).as("__qn_gq"))
     val glGrid = rows.agg(round6(expr(s"percentile(__qn_v, array($qs))")).as("__qn_lq"))
@@ -482,12 +488,9 @@ object DataQuality {
     // where the two round() families can disagree. On every non-boundary
     // value the formulas agree bit-for-bit.
     val raw = glo + t * (ghi - glo)
-    val scaled = raw * lit(1e6)
     rows.join(broadcast(gGrid), "__qn_g").crossJoin(broadcast(glGrid))
       .withColumn("__qn_b", b)
-      .withColumn("v_norm",
-        (when(scaled >= 0, floor(scaled + lit(0.5)))
-          .otherwise(-floor(-scaled + lit(0.5))) / lit(1e6)) + lit(0.0))
+      .withColumn("v_norm", floorRound6(raw))
       .drop("__qn_g", "__qn_v", "__qn_gq", "__qn_lq", "__qn_b")
   }
 

@@ -661,8 +661,17 @@ object Dedup {
     // unknown 500-row corpus on the 2-agree path wastes ~1.6 s). Callers
     // that know n thread it (the lshNearDupPairs precedent) and small
     // corpora get the cheap plan with zero probe jobs.
+    //
+    // A set `maxBlockFreq` pins the 2-agree path whenever it wins on
+    // volume, REGARDLESS of nRows: under agree1's ≤ 7-bit blocks every
+    // bucket holds ~n/128 rows, so a cap sized for degenerate values
+    // (capHotKeys' contract) can trip on UNIFORM density and silently
+    // delete recall — at 40k rows a cap of 100 drops every bucket. The
+    // 2-agree buckets are 2^width× sparser, which is what keeps the cap
+    // meaning "degenerate only"; the small-n premium is the lesser evil
+    // next to a silent recall collapse.
     if (maxDist >= 8 && agree2VolumeWins(maxDist) &&
-        (nRows < 0L || nRows >= agree2RowFloor))
+        (nRows < 0L || nRows >= agree2RowFloor || maxBlockFreq.isDefined))
       hammingPairsAgree2(hashed, idCol, hashCol, maxDist, maxBlockFreq)
     else hammingPairsAgree1(hashed, idCol, hashCol, maxDist, maxBlockFreq)
 

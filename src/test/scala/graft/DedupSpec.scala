@@ -263,6 +263,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("hammingPairs: a maxBlockFreq cap pins the 2-agree path at maxDist >= 8 (no capped-1-agree recall collapse)") {
+    import spark.implicits._
+    // Under agree1's <= 7-bit blocks EVERY bucket holds ~n/128 rows on
+    // UNIFORM sketches, so a cap sized for degenerate values (the
+    // capHotKeys contract) trips on ordinary density and silently deletes
+    // recall. The router must therefore never send a capped maxDist >= 8
+    // call to agree1, even below the nRows floor. Deterministic pin: 4000
+    // uniform sketches put ~31 docs in every agree1 7-bit bucket (cap 8
+    // would drop essentially all of them, losing the planted pair) while
+    // agree2's 12-bit buckets hold ~1 — the planted distance-1 pair must
+    // survive the cap because the route is agree2.
+    val rnd = new scala.util.Random(0xCAB17L)
+    val noise = (1L to 4000L).map(i => (i, rnd.nextLong()))
+    val c = rnd.nextLong()
+    val rows = (noise :+ (900001L, c) :+ (900002L, c ^ (1L << 33)))
+      .toDF("doc_id", "h")
+    val pairs = Dedup.hammingPairs(rows, "doc_id", "h", maxDist = 8,
+        maxBlockFreq = Some(8), nRows = 4002L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900001L, 900002L)),
+      "capped maxDist>=8 route must keep recall: the cap is only safe on " +
+        "the 2-agree path's sparse buckets")
+  }
+
   test("clusterPairs of an empty pair graph returns no labels (and no hang)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
