@@ -187,6 +187,17 @@ object Bench {
     // code measured 65-116 s run-to-run on this shared host from neighbors
     // alone). The full series is in the artifact for PER-QUERY adjudication.
     val sentinel = sentinelSeries.map(_._2).min
+    // MEDIAN sentinel alongside the min (r17): the min of ~21 probes is an
+    // extreme-value statistic — two same-code same-host runs measured
+    // normalized-by-min 267 vs 325 while raw totals agreed within 4%. The
+    // median is the robust denominator for CROSS-RUN comparison; the min
+    // stays the headline for continuity with every prior round's artifact.
+    val sentinelMed = {
+      val s = sentinelSeries.map(_._2).sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     def toJson(rs: Map[String, Double]): String =
       rs.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -195,9 +206,11 @@ object Bench {
     // — committed and driver artifacts of the same binary agree on this
     // number even when the host is 2× busier for one of the runs
     val totalNorm = if (sentinel > 0) total / sentinel else -1.0
+    val totalNormMed = if (sentinelMed > 0) total / sentinelMed else -1.0
     def line(rs: Map[String, Double], extra: String = ""): String =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":${toJson(rs)},"sentinel":$sentinel,"reps":$reps,""" +
+        s""""queries":${toJson(rs)},"sentinel":$sentinel,""" +
+        s""""sentinel_med":$sentinelMed,"total_over_sentinel_med":$totalNormMed,"reps":$reps,""" +
         s""""total_over_sentinel":$totalNorm$extra,"sf":"$sfDir"}"""
     // STDOUT gets a COMPACT line: the driver captures only the last ~2000
     // chars of stdout and JSON-parses the line it finds there — the full
