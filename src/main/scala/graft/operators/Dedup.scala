@@ -662,16 +662,29 @@ object Dedup {
     // that know n thread it (the lshNearDupPairs precedent) and small
     // corpora get the cheap plan with zero probe jobs.
     //
-    // A set `maxBlockFreq` pins the 2-agree path whenever it wins on
-    // volume, REGARDLESS of nRows: under agree1's ≤ 7-bit blocks every
-    // bucket holds ~n/128 rows, so a cap sized for degenerate values
-    // (capHotKeys' contract) can trip on UNIFORM density and silently
-    // delete recall — at 40k rows a cap of 100 drops every bucket. The
-    // 2-agree buckets are 2^width× sparser, which is what keeps the cap
-    // meaning "degenerate only"; the small-n premium is the lesser evil
-    // next to a silent recall collapse.
-    if (maxDist >= 8 && agree2VolumeWins(maxDist) &&
-        (nRows < 0L || nRows >= agree2RowFloor || maxBlockFreq.isDefined))
+    // A set `maxBlockFreq` pins the 2-agree path at EVERY maxDist ≥ 8,
+    // REGARDLESS of nRows or the volume comparison: under agree1's ≤ 7-bit
+    // blocks every bucket holds ~n/128 rows (at maxDist ≥ 15, ≤ 4-bit
+    // blocks → ~n/16), so a cap sized for degenerate values (capHotKeys'
+    // contract) can trip on UNIFORM density and silently delete recall —
+    // at 40k rows a cap of 100 drops every bucket. The 2-agree packed keys
+    // carry 2·⌊64/(maxDist+2)⌋ bits — strictly more entropy than agree1's
+    // single block for all maxDist ≤ 62 — which is what keeps the cap
+    // meaning "degenerate only"; the small-n premium (and, above the
+    // volume-inversion point, the combo-replication premium) is the lesser
+    // evil next to a silent recall collapse. maxDist ≥ 63 leaves ZERO-width
+    // 2-agree blocks and 1-bit agree1 buckets — no bucketing scheme is
+    // sparse enough for a density cap to mean anything, so refuse loudly
+    // rather than silently drop recall.
+    if (maxBlockFreq.isDefined && maxDist >= 8) {
+      require(64 / (maxDist + 2) >= 1,
+        s"hammingPairs: maxBlockFreq with maxDist=$maxDist is unsupported — " +
+          "at maxDist >= 63 every pigeonhole bucketing is uniformly dense, " +
+          "so a frequency cap deletes recall instead of trimming degenerate " +
+          "buckets; drop the cap or lower maxDist")
+      hammingPairsAgree2(hashed, idCol, hashCol, maxDist, maxBlockFreq)
+    } else if (maxDist >= 8 && agree2VolumeWins(maxDist) &&
+        (nRows < 0L || nRows >= agree2RowFloor))
       hammingPairsAgree2(hashed, idCol, hashCol, maxDist, maxBlockFreq)
     else hammingPairsAgree1(hashed, idCol, hashCol, maxDist, maxBlockFreq)
 

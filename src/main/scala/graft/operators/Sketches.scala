@@ -210,9 +210,17 @@ object Sketches {
       // Spark 4 optimizer folds away) plans an unpartitioned WindowExec
       // and its "No Partition Defined" warning; here even the constant-key
       // exchange is unnecessary.
+      // Null-safe total order (ADVICE r17): a tracked null item would make
+      // every item comparison null and fall through to otherwise(0) —
+      // nondeterministic placement among count-ties. approx_top_k skips
+      // nulls so none should appear, but the comparator must not depend on
+      // that: order a null item AFTER any non-null at the same count.
       val byCountDescItemAsc = (l: Column, r: Column) =>
         when(l.getField("count") > r.getField("count"), lit(-1))
           .when(l.getField("count") < r.getField("count"), lit(1))
+          .when(l.getField("item").isNull && r.getField("item").isNull, lit(0))
+          .when(l.getField("item").isNull, lit(1))
+          .when(r.getField("item").isNull, lit(-1))
           .when(l.getField("item") < r.getField("item"), lit(-1))
           .when(l.getField("item") > r.getField("item"), lit(1))
           .otherwise(lit(0))

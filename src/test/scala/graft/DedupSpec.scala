@@ -287,6 +287,36 @@ class DedupSpec extends AnyFunSuite {
         "the 2-agree path's sparse buckets")
   }
 
+  test("hammingPairs: a cap above the volume-inversion point (maxDist >= 15) still pins 2-agree") {
+    import spark.implicits._
+    // ADVICE r17: with the old agree2VolumeWins gate, a capped maxDist=15
+    // call routed to agree1 whose 4-bit blocks leave <= 16 distinct bucket
+    // values — a cap of 8 on 300 uniform sketches (~19/bucket) deletes
+    // recall wholesale. The route must ignore the volume inversion when a
+    // cap is set: agree2's 6-bit packed keys hold ~4.7/bucket here (vs
+    // agree1's ~19) and the planted distance-2 pair agrees on ~100 combos,
+    // so it shares sparse buckets the cap never trips.
+    val rnd = new scala.util.Random(0xADD15EL)
+    val noise = (1L to 300L).map(i => (i, rnd.nextLong()))
+    val c = rnd.nextLong()
+    val rows = (noise :+ (900001L, c) :+ (900002L, c ^ (1L << 5) ^ (1L << 50)))
+      .toDF("doc_id", "h")
+    val pairs = Dedup.hammingPairs(rows, "doc_id", "h", maxDist = 15,
+        maxBlockFreq = Some(8), nRows = 302L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900001L, 900002L)),
+      "capped maxDist=15 must route 2-agree — agree1's 16-value buckets " +
+        "make any density cap a recall collapse")
+    // and the one band where NO bucketing is sparse enough for a cap
+    // (maxDist >= 63: zero-width 2-agree blocks, 1-bit agree1 buckets)
+    // must refuse loudly instead of silently dropping recall
+    val err = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(rows, "doc_id", "h", maxDist = 63,
+        maxBlockFreq = Some(8))
+    }
+    assert(err.getMessage.contains("unsupported"))
+  }
+
   test("clusterPairs of an empty pair graph returns no labels (and no hang)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

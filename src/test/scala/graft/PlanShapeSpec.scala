@@ -395,10 +395,27 @@ class PlanShapeSpec extends AnyFunSuite {
       val unpartitioned = p.linesIterator.exists(l =>
         l.contains("windowspecdefinition(") && {
           val spec = l.substring(l.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
-          // a partitioned spec leads with partition exprs; an unpartitioned
-          // one leads with "col ASC/DESC NULLS ..." ordering immediately
-          spec.split(",").headOption.exists(h =>
-            h.contains(" ASC NULLS") || h.contains(" DESC NULLS"))
+          // a partitioned spec leads with partition exprs (comma-separated
+          // at spec depth BEFORE the first sort marker); an unpartitioned
+          // one leads with "expr ASC/DESC NULLS ..." ordering immediately.
+          // Parse by paren depth, not a naive split: an ordering expression
+          // like coalesce(a, b) DESC carries commas INSIDE parens that a
+          // split(",") would break on (ADVICE r17 false-negative).
+          val sortAt = Seq(spec.indexOf(" ASC NULLS"), spec.indexOf(" DESC NULLS"))
+            .filter(_ >= 0).minOption
+          sortAt.exists { at =>
+            var depth = 0
+            var topLevelComma = false
+            spec.take(at).foreach {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case ',' if depth == 0 => topLevelComma = true
+              case _ =>
+            }
+            // no spec-level comma before the first sort marker ⇒ the spec's
+            // first element IS the ordering ⇒ no partition expressions
+            !topLevelComma
+          }
         })
       assert(!unpartitioned, s"$q plans an unpartitioned window:\n${p.take(900)}")
     }
