@@ -219,26 +219,37 @@ object TimeSeries {
    * count() job), which recomputes the upstream plan once. Output is
    * identical either way (TimeSeriesSpec pins the boundary). Callers who
    * already know their key distribution — or whose upstream is expensive
-   * and un-cached — opt out with `hotFraction <= 0` (exactly the plain
-   * plan, zero probe jobs) or call [[sessionizeTriaged]] directly.
+   * and un-cached — skip the probe three ways (the hammingPairs `nRows`
+   * one-discipline rule): thread BOTH `nRows` (total rows) and
+   * `maxKeyRows` (rows of the heaviest key) and the route is decided from
+   * those numbers with ZERO probe jobs; opt out with `hotFraction <= 0`
+   * (exactly the plain plan); or call [[sessionizeTriaged]] directly.
+   * Threaded counts may be estimates — both routes are output-identical,
+   * so a stale estimate costs straggler time, never correctness — but the
+   * triage threshold derives from `nRows`, so thread honest magnitudes.
    */
   def sessionize(df: DataFrame, entityCol: String, tsCol: String,
       idCol: String, gapS: Long, hotFraction: Double = 0.05,
-      bucketS: Long = 3600L): DataFrame = {
+      bucketS: Long = 3600L, nRows: Long = -1L,
+      maxKeyRows: Long = -1L): DataFrame = {
     require(gapS > 0, s"sessionize: gapS must be positive, got $gapS")
     if (!(hotFraction > 0))
       return sessionizePlain(df, entityCol, tsCol, idCol, gapS)
-    // one probe job, not two: sum(per-key counts) IS the row total, so the
-    // grouped scan that finds the max key also carries it. The grouped
-    // frame never reaches the driver — only the one folded summary row.
-    val probe = df.groupBy(col(entityCol)).agg(count(lit(1)).as("__n"))
-      .agg(sum(col("__n")).as("__total"), max(col("__n")).as("__maxn"))
-      .collect()(0)
-    val total = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val (total, maxn) =
+      if (nRows >= 0L && maxKeyRows >= 0L) (nRows, maxKeyRows)
+      else {
+        // one probe job, not two: sum(per-key counts) IS the row total, so
+        // the grouped scan that finds the max key also carries it. The
+        // grouped frame never reaches the driver — only the folded row.
+        val probe = df.groupBy(col(entityCol)).agg(count(lit(1)).as("__n"))
+          .agg(sum(col("__n")).as("__total"), max(col("__n")).as("__maxn"))
+          .collect()(0)
+        if (probe.isNullAt(0)) (0L, 0L) else (probe.getLong(0), probe.getLong(1))
+      }
     if (total == 0L)
       return sessionizePlain(df, entityCol, tsCol, idCol, gapS)
     val th = math.max(1L, (total * hotFraction).toLong)
-    if (probe.getLong(1) > th)
+    if (maxn > th)
       sessionizeTriaged(df, entityCol, tsCol, idCol, gapS, th, bucketS)
     else sessionizePlain(df, entityCol, tsCol, idCol, gapS)
   }

@@ -324,6 +324,65 @@ class TimeSeriesSpec extends AnyFunSuite {
       100L).count() === 0L)
   }
 
+  test("sessionize with threaded (nRows, maxKeyRows) routes with ZERO probe jobs") {
+    import spark.implicits._
+    // the hammingPairs nRows one-discipline rule (VERDICT r17 #4): a caller
+    // that already knows its key distribution must not pay the eager
+    // key-count scan — plan BUILDING schedules no Spark job at all, and the
+    // route is decided from the threaded numbers alone.
+    val ev = ((0 until 20).map(i => (1L, i * 10L, i.toLong)) ++
+      (for (u <- 2L to 5L; i <- 0 until 5)
+        yield (u, i * 400L, 1000L + u * 10 + i)))
+      .map { case (u, t, i) => (u, new java.sql.Timestamp(t * 1000L), i) }
+      .toDF("user_id", "ts", "event_id")
+    class JobCount extends org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    def probeJobsWhileBuilding(f: => org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Int) = {
+      val l = new JobCount
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val df = f
+        df.queryExecution.executedPlan // force planning, still no action
+        Thread.sleep(500L) // settle the async listener bus (SkewAudit idiom)
+        (df, l.n.get())
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Long]("session_seq")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("start_s"),
+          r.getAs[Long]("duration_s")))).toMap
+    val plain = rows(TimeSeries.sessionizePlain(ev, "user_id", "ts", "event_id", 100L))
+    // threaded hot route (user 1: 20 of 40 rows > 40% threshold)
+    val (hot, hotJobs) = probeJobsWhileBuilding(
+      TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 100L,
+        hotFraction = 0.4, bucketS = 100L, nRows = 40L, maxKeyRows = 20L))
+    assert(hotJobs === 0, "threaded counts must skip the probe job entirely")
+    assert(hot.queryExecution.executedPlan.toString.contains("Union"),
+      "threaded maxKeyRows above threshold must pick the triage route")
+    assert(rows(hot) === plain)
+    // threaded cold route (no key over 60%)
+    val (cold, coldJobs) = probeJobsWhileBuilding(
+      TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 100L,
+        hotFraction = 0.6, bucketS = 100L, nRows = 40L, maxKeyRows = 20L))
+    assert(coldJobs === 0)
+    assert(!cold.queryExecution.executedPlan.toString.contains("Union"))
+    assert(rows(cold) === plain)
+    // half-threaded (maxKeyRows unknown) falls back to the probe — the
+    // route still lands where the data says, output invariant
+    val probed = TimeSeries.sessionize(ev, "user_id", "ts", "event_id", 100L,
+      hotFraction = 0.4, bucketS = 100L, nRows = 40L)
+    assert(probed.queryExecution.executedPlan.toString.contains("Union"))
+    assert(rows(probed) === plain)
+    // threaded zero-row corpus: plain path, no crash
+    assert(TimeSeries.sessionize(ev.limit(0), "user_id", "ts", "event_id",
+      100L, nRows = 0L, maxKeyRows = 0L).count() === 0L)
+  }
+
   test("sessionizeTriaged bounds the hot-key straggler task (shuffle-bytes pinned)") {
     import spark.implicits._
     // one user owns 80% of events (the zipf axis shape, concentrated):
