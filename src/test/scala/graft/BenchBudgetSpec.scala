@@ -63,33 +63,59 @@ class BenchBudgetSpec extends AnyFunSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** MEDIAN of `k` sentinel probes — the robust denominator the r17 bench
+   * calibration measured at ±6 % across same-code runs (vs ±30 % for the
+   * min): the min rewards the one probe that dodged all co-tenant load,
+   * so min-normalized numbers drift with how lucky the quietest moment
+   * was; the median tracks the run's TYPICAL contention. */
+  private def sentinelMedian(k: Int = 5): Double = {
+    val s = (1 to k).map(_ => sentinelTime()).sorted
+    if (k % 2 == 1) s(k / 2) else (s(k / 2 - 1) + s(k / 2)) / 2.0
+  }
+
   test("every catalog query stays within its recorded sentinel-normalized budget") {
     // warm the session the way Bench does, so the FIRST timed query isn't
     // charged for session bring-up
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val sentinel = math.min(sentinelTime(), sentinelTime())
+    // one probe burst yields BOTH denominators: min (legacy, spiky) and
+    // median (robust, the r17-calibrated cross-run statistic)
+    val probes = (1 to 5).map(_ => sentinelTime()).sorted
+    val sentinel = probes.head
+    val sentMed = probes(probes.size / 2)
     assert(sentinel > 0)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     if (record) {
       val margin = marginEnv.getOrElse(defaultMargin)
-      val rows = queries.map { case (name, fn) =>
-        val n = math.min(time(fn), time(fn)) / sentinel
-        f""""$name":${n}%.4f"""
+      // record BOTH normalizations from the SAME raw timings (VERDICT r17
+      // #6): the min-normalized map keeps old tooling readable, the
+      // median-normalized one is what check mode gates on and what
+      // cross-round claims should quote.
+      val raw = queries.map { case (name, fn) =>
+        name -> math.min(time(fn), time(fn))
       }
+      val rowsMin = raw.map { case (n, t) => f""""$n":${t / sentinel}%.4f""" }
+      val rowsMed = raw.map { case (n, t) => f""""$n":${t / sentMed}%.4f""" }
       java.nio.file.Files.write(budgetsFile,
-        (s"""{"margin":$margin,"slack":$defaultSlack,"sf":"$sfDir",""" +
-          s""""budgets":{${rows.mkString(",")}}}""" + "\n").getBytes("UTF-8"))
-      info(s"recorded ${queries.size} budgets to $budgetsFile")
+        (f"""{"margin":$margin%s,"slack":$defaultSlack%s,"sf":"$sfDir%s",""" +
+          f""""sentinel_sec":{"min":$sentinel%.4f,"med":$sentMed%.4f},""" +
+          s""""budgets":{${rowsMin.mkString(",")}},""" +
+          s""""budgets_med":{${rowsMed.mkString(",")}}}""" + "\n").getBytes("UTF-8"))
+      info(s"recorded ${queries.size} budgets (min + median normalized) to $budgetsFile")
     } else {
       assume(java.nio.file.Files.exists(budgetsFile),
         "bench_budgets.json not recorded yet — run with SPARK_GRAFT_BUDGET_RECORD=1")
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readAllBytes(budgetsFile))
+      // prefer the median-normalized budgets when the record run wrote
+      // them; a pre-r18 budgets file (min only) still gates, min-style
+      val medBudgets = Option(root.get("budgets_med"))
+      val useMedian = medBudgets.isDefined
       val budgets = {
         import scala.jdk.CollectionConverters._
-        root.get("budgets").fields().asScala
+        medBudgets.getOrElse(root.get("budgets")).fields().asScala
           .map(e => e.getKey -> e.getValue.asDouble()).toMap
       }
+      val denom = if (useMedian) sentMed else sentinel
       // gate with what the record run documented; env overrides explicitly
       val margin = marginEnv.getOrElse(
         Option(root.get("margin")).map(_.asDouble()).getOrElse(defaultMargin))
@@ -104,13 +130,15 @@ class BenchBudgetSpec extends AnyFunSuite {
             val allowed = b * margin + slack
             // retries re-measure the SENTINEL too: bursty co-tenant load
             // (another Spark job's heavy phase) inflates a query and the
-            // minutes-old sentinel unevenly — a fresh pair keeps the
+            // minutes-old sentinel unevenly — a fresh denominator keeps the
             // normalization honest. First retry also absorbs Janino
             // first-compile noise. min across samples judges.
-            var n = time(fn) / sentinel
+            var n = time(fn) / denom
             var retries = 0
             while (n > allowed && retries < 2) {
-              n = math.min(n, time(fn) / sentinelTime())
+              val freshDenom =
+                if (useMedian) sentinelMedian(3) else sentinelTime()
+              n = math.min(n, time(fn) / freshDenom)
               retries += 1
             }
             if (n > allowed)
