@@ -637,25 +637,32 @@ object Dedup {
     // join volume 45·n²/2⁻¹² vs 9·n²/2⁻⁷ — ~12.8× fewer candidate pairs,
     // and the gap widens with n.
     //
-    // ROUTING (r17). Both paths are EXACT (pigeonhole recall theorem +
-    // popcount verify), so the choice is purely a cost call, made on two
-    // axes:
-    //   1. predicted collision volume — the n² coefficients are
-    //      m₁/2^w₁ (1-agree) vs C(m₂,2)/2^(2·w₂) (2-agree), CONSTANT in n.
-    //      2-agree wins this for 8 ≤ maxDist ≤ 14; above that its packed
-    //      key narrows (2·⌊64/m⌋ bits) faster than its C(m,2) replication
-    //      grows and the comparison INVERTS (maxDist 15: 136 combos on
-    //      6-bit keys vs 16 blocks on 4-bit keys) — very large maxDist
-    //      degenerates toward a cross join across ~2000 combos, so the
-    //      volume test routes it back to 1-agree;
+    // ROUTING (r17, recalibrated r18). Both paths are EXACT (pigeonhole
+    // recall theorem + popcount verify), so the choice is purely a cost
+    // call, made on two axes:
+    //   1. predicted collision volume × MEASURED cost asymmetry — the n²
+    //      candidate coefficients are m₁/2^w₁ (1-agree) vs
+    //      C(m₂,2)/2^(2·w₂) (2-agree), CONSTANT in n. But a 2-agree
+    //      candidate costs ~3.6× a 1-agree one end to end (r18 grid,
+    //      graft.HammingRouteBench: the 1-agree side's fat buckets emit
+    //      join output in tight sorted runs, while the 2-agree side pays
+    //      its C(m,2)-way explode/shuffle per input row), so fewer
+    //      candidates only pay off when the volume ratio clears
+    //      `agree2CostPenalty` (4.0). On 64-bit sketches that holds for
+    //      maxDist 8 (ratio 6.40) and 10 (5.33) ONLY — the measured grid
+    //      shows 1-agree winning end-to-end at every n ≤ 100k for
+    //      maxDist 9 (2.91), 11 (1.23), 12 (2.29), 13 (2.13), 14 (2.00),
+    //      with the gap WIDENING in n (both sides are Θ(candidates), so
+    //      the loss is permanent, not a small-n artifact). Above 14 the
+    //      raw volume comparison inverts anyway (the packed key narrows
+    //      faster than the combo count pays off);
     //   2. corpus size — 2-agree's C(m,2)-way key replication is a
     //      plan-constant premium (~1.6 s measured across the six gate
     //      maxDist=8 queries at n ≤ 750) that buys nothing until the n²
     //      term matters. Below `agree2RowFloor` rows the premium dominates
-    //      (at 50k rows, maxDist 8: 1-agree volume ≈ 8.8e7 candidate rows
-    //      vs 2-agree ≈ 1.6e7 — the saving already dwarfs the premium;
-    //      at 500 rows both volumes are ~1e4 and only the premium is
-    //      left), so known-small corpora take 1-agree.
+    //      (measured crossovers: maxDist 8 between 50k and 100k rows,
+    //      maxDist 10 between 25k and 50k), so known-small corpora take
+    //      1-agree.
     // `nRows < 0` = unknown: assume LARGE (the scale-safe default — an
     // unknown 10⁹-row corpus on the 1-agree path is a cluster-killer, an
     // unknown 500-row corpus on the 2-agree path wastes ~1.6 s). Callers
@@ -691,14 +698,31 @@ object Dedup {
   /** Corpus-size floor for the 2-agree path (see [[hammingPairs]] routing):
    * below it the plan-constant replication premium exceeds any candidate-
    * volume saving; above it the 1-agree path's n²/2^w bucket volume grows
-   * past the premium within the first decade. */
+   * past the premium within the first decade. Measured (r17 at maxDist 8,
+   * r18 grid at 10): true crossovers sit at ~50–90k (maxDist 8) and
+   * ~25–50k (maxDist 10); one shared floor at 50k keeps the mis-route
+   * bounded on both sides (≤ ~0.6 s measured at the worst boundary cell)
+   * while staying below the radius-8 crossover, where the wrong-side
+   * penalty grows with n². */
   val agree2RowFloor: Long = 50000L
 
-  /** Does the 2-agree pigeonhole predict FEWER candidate pairs than the
-   * 1-agree split at this maxDist? Both volumes share the n²/2 factor, so
-   * compare the constant coefficients: m₁/2^w₁ vs C(m₂,2)/2^(2·w₂). True
-   * for 8 ≤ maxDist ≤ 14 on 64-bit sketches; false above (the packed key
-   * narrows faster than the combo count pays off). */
+  /** Measured end-to-end cost of ONE 2-agree candidate relative to one
+   * 1-agree candidate (r18 grid, graft.HammingRouteBench, maxDist 9–14 at
+   * n = 25k–100k): ~3.3–4.5×, stable in n. The 1-agree path's coarser
+   * keys make fat sorted buckets whose pair output amortizes; the 2-agree
+   * path pays its C(m,2)-way explode, shuffle and sort per input row.
+   * The router requires the predicted candidate ratio to clear this
+   * before picking 2-agree. */
+  private[graft] val agree2CostPenalty = 4.0
+
+  /** Does the 2-agree pigeonhole predict a candidate-pair saving LARGE
+   * ENOUGH to beat its measured per-candidate cost penalty? Both volumes
+   * share the n²/2 factor, so compare the constant coefficients
+   * m₁/2^w₁ vs C(m₂,2)/2^(2·w₂) against [[agree2CostPenalty]]. On 64-bit
+   * sketches: true exactly for maxDist ∈ {8, 10} (ratios 6.40, 5.33);
+   * false for 9 and 11–14 (ratios 1.2–2.9 — the r18 grid measured
+   * 1-agree faster end-to-end at every n there) and everything ≥ 15
+   * (the raw volume comparison itself inverts). */
   private[graft] def agree2VolumeWins(maxDist: Int): Boolean = {
     val m1 = maxDist + 1
     val w1 = 64 / m1
@@ -708,7 +732,7 @@ object Dedup {
     else {
       val v1 = m1.toDouble / math.pow(2.0, w1)
       val v2 = (m2.toDouble * (m2 - 1) / 2) / math.pow(2.0, 2 * w2)
-      v2 < v1
+      v2 * agree2CostPenalty < v1
     }
   }
 

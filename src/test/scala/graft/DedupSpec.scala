@@ -214,21 +214,24 @@ class DedupSpec extends AnyFunSuite {
       nRows = Dedup.agree2RowFloor - 1)) === truth)
     assert(collectPairs(Dedup.hammingPairs(rows, "doc_id", "h", maxDist = 8,
       nRows = Dedup.agree2RowFloor)) === truth)
-    // and the volume model picks 2-agree exactly on the band where its
-    // candidate coefficient beats 1-agree's on 64-bit sketches: 8..14
-    // (above, the packed key narrows faster than the combo count pays off
-    // — the ADVICE r16 inversion; below 8 the 1-agree blocks are >= 8 bits
-    // wide and the question never arises)
-    assert((8 to 14).forall(Dedup.agree2VolumeWins),
-      "2-agree must win the volume model on maxDist 8..14")
-    assert(!(15 to 62).exists(Dedup.agree2VolumeWins),
-      "2-agree must lose the volume model above maxDist 14")
+    // and the cost model picks 2-agree exactly where its candidate-volume
+    // saving clears the measured ~3.6× per-candidate penalty (r18 grid):
+    // maxDist 8 (ratio 6.40) and 10 (5.33) only. 9 and 11..14 (ratios
+    // 1.2..2.9) measured SLOWER on 2-agree at every n; 15+ inverts on raw
+    // volume (the ADVICE r16 inversion); below 8 the 1-agree blocks are
+    // >= 8 bits wide and the question never arises.
+    assert(Seq(8, 10).forall(Dedup.agree2VolumeWins),
+      "2-agree must win the cost model on maxDist 8 and 10")
+    assert(!(9 +: (11 to 62)).exists(Dedup.agree2VolumeWins),
+      "2-agree must lose the cost model on maxDist 9 and 11+ " +
+        "(measured: its candidate saving never repays the keying penalty)")
   }
 
   test("hammingPairs equals brute force across the full maxDist band (seeded sweep)") {
     import spark.implicits._
     // Randomized-but-deterministic: for each maxDist across the whole
-    // routing band (1-agree below 8, 2-agree 8..14, 1-agree again 15+),
+    // routing band (1-agree below 8, 2-agree at 8 and 10 above the floor,
+    // 1-agree everywhere else),
     // plant clusters around random centers at distances straddling the
     // radius, plus uniform noise — then require EXACT equality with the
     // 28-to-1225-pair brute-force truth for every routing input (small n,

@@ -12,9 +12,13 @@
 #   tools/chaos.sh occ [killEverySec]        # OCC multi-writer + compactor
 #   tools/chaos.sh late [killEverySec]       # late/dup corpus through the
 #                                            # incremental + CDC views
+#   tools/chaos.sh verdict [killEverySec]    # late/dup corpus through the
+#                                            # bot-verdict stateful chain
+#                                            # (transformWithState/RocksDB
+#                                            # + graft-kv sink)
 set -u
 cd "$(dirname "$0")/.."
-MODE="${1:?verify|stream|occ|late}"; shift || true
+MODE="${1:?verify|stream|occ|late|verdict}"; shift || true
 export SPARK_GRAFT_MASTER="${SPARK_GRAFT_MASTER:-local-cluster[2,8,6144]}"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}"
 
@@ -32,6 +36,9 @@ elif [ "$MODE" = "occ" ]; then
 elif [ "$MODE" = "late" ]; then
   EVERY="${1:-10}"
   tools/run.sh graft.LateChaos > /tmp/chaos_late.log 2>&1 &
+elif [ "$MODE" = "verdict" ]; then
+  EVERY="${1:-10}"
+  tools/run.sh graft.VerdictChaos > /tmp/chaos_verdict.log 2>&1 &
 else
   EVERY="${1:-10}"
   SPARK_GRAFT_SOURCE="${SPARK_GRAFT_SOURCE:-dsv2}" \
