@@ -522,8 +522,13 @@ object SparkEntry {
         .agg(
           round(sum(col("l_quantity").cast("decimal(30,6)")).cast("double"), 2).as("sum_qty"),
           round(sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double"), 2).as("sum_base_price"),
-          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(30,6)")).cast("double"), 2).as("sum_disc_price"),
+          // 2dp rounding in DECIMAL: the 4dp disc-price sum can land on a
+          // true .xx50 midpoint where double-rounding diverges per engine
+          // (the r18 q_promo_share lesson; base price and qty are already
+          // 2dp/integral so their rounds are no-ops)
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,6)")).cast("decimal(38,2)").cast("double")
+            .as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))),
 
@@ -1679,14 +1684,22 @@ object SparkEntry {
     // seeding/training sample scales the same way so the k seeding rounds
     // stay one driver-local collect; past the flat-argmax cutoff the
     // assignment switches to the two-level coarse→fine scan automatically.
-    // Gated by CONSTRUCTION since r11: the same paired corpus as embed_lsh
-    // — near-identical vectors share their argmax cell (and top-2 probe
-    // sets always intersect at cosine 0.995), strangers verify below
-    // threshold 0.8 — so the exact true pair set is the oracle (was
-    // rows-only with only a spec-pinned recall floor).
+    // Gated by CONSTRUCTION since r11, tightened r18: twins are
+    // BIT-IDENTICAL vectors (eps = 0 — the generator reproduces
+    // unitVec(id−1) exactly), so both take IDENTICAL assignment decisions
+    // under ANY deterministic probe path — flat argmax AND the coarse→fine
+    // two-level scan — and the exact true pair set is the oracle at every
+    // SF with the operator's REAL scale routing intact. (The r11 corpus
+    // used cosine-0.995 twins, whose "top-2 probes always intersect" only
+    // holds for the flat scan: the r18 sf1 run measured the two-level
+    // near-tie tail at 9,897/10,000 and even flat at 9,992/10,000 once
+    // nCells reached 80.) Strangers verify below threshold 0.8; the
+    // 0.995-twin verify BOUNDARY stays gated by embed_lsh/embed_lsh_auto,
+    // whose table geometry bounds the per-pair miss ≤ 1e-7; two-level vs
+    // flat assignment agreement stays pinned by SimilaritySpec.
     "embed_celldup" -> ((s, dir) => {
       val e = Similarity.syntheticNearDupEmbeddings(
-        table(s, dir, "embeddings").select(col("vec_id")), "vec_id")
+        table(s, dir, "embeddings").select(col("vec_id")), "vec_id", eps = 0f)
       val n = e.count()
       Similarity.cellNearDupPairs(e, "vec_id", "embedding",
         threshold = 0.8, nCells = Similarity.autoCellCount(n, targetCellSize = 250),
@@ -2137,11 +2150,18 @@ object SparkEntry {
         .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
           col("o_orderdate") < lit(java.sql.Date.valueOf("1998-01-01")))
         .select(col("o_orderkey"))
+      // revenue summed as DECIMAL(30,6) (the q1_agg device): the 2dp×2dp
+      // product is recovered exactly at 6dp, and decimal sums are exact and
+      // order-free in both engines — double sums drift past the rounding
+      // cent at sf1 group sizes (~67k rows/nation, caught by the r18 sf1
+      // oracle run). 2dp rounding in DECIMAL: a 4dp sum on a true .xx50
+      // midpoint rounds differently through a double (see q_promo_share).
       table(s, dir, "lineitem")
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,6)")).cast("decimal(38,2)").cast("double")
           .as("revenue"), count(lit(1)).as("n_lineitems"))
     }),
 
@@ -2177,18 +2197,25 @@ object SparkEntry {
         Seq("event_type"))
         .withColumn("distinct_estimate", col("distinct_estimate").cast("long"))),
 
-    // Theta-sketch pairwise overlap: per-type sketches of the user
-    // audience, then every type pair's intersection / union / difference /
-    // Jaccard from SKETCH algebra — one raw-data pass + a 5-row pair grid,
-    // the set-operation question HLL can't answer. ORACLE-BACKED: theta
-    // estimates are exact below 2^lgK distinct keys (150/type at sf0.01 ≪
-    // 4096), so the rounded-long counts hash-match exact COUNT(DISTINCT)
+    // Theta-sketch pairwise overlap: per-type sketches of the audience,
+    // then every type pair's intersection / union / difference / Jaccard
+    // from SKETCH algebra — one raw-data pass + a 5-row pair grid, the
+    // set-operation question HLL can't answer. Gated by CONSTRUCTION
+    // since r18 (the q_sketch_rollup device): keyed on
+    // `user_id % 50 + 7·len(event_type)`, a TYPE-SHIFTED bounded window
+    // of ≤ 50 residues whose pairwise overlaps differ per type pair —
+    // every sketch stays in the theta exact-below-resolution regime at
+    // EVERY SF (raw user_id crossed 2^lgK = 4096 distincts at sf1, where
+    // the ±2 % sampling estimate broke the exact oracle — r18 sf1 run),
+    // so the rounded-long counts hash-match exact COUNT(DISTINCT)
     // self-joins; the sampling regime above resolution is pinned by
     // SketchesSpec instead.
     "q_user_overlap" -> ((s, dir) =>
       operators.Sketches.groupOverlap(
-        table(s, dir, "events").filter(col("user_id").isNotNull),
-        "event_type", "user_id")),
+        table(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("audience_key",
+            pmod(col("user_id"), lit(50)) + lit(7) * length(col("event_type"))),
+        "event_type", "audience_key")),
 
     // Mergeable frequent-items (top-k) sketch rollup: per-day DataSketches
     // sketches combined up to global top-5 — the persisted-sketch pattern
@@ -2471,17 +2498,28 @@ object SparkEntry {
     // shuffle on the month key only after map-side partial aggregation);
     // the conditional sum is a single pass.
     "q_promo_share" -> ((s, dir) => {
-      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      // exact decimal sums (the q1_agg device): at sf1 the ~70k-row monthly
+      // double sums drift past the rounding cent (r18 sf1 oracle run); the
+      // 6dp decimal recovers the exact 4dp product and sums order-free.
+      // The 2dp rounding happens IN DECIMAL (cast 38,6 → 38,2, HALF_UP in
+      // both engines): a 4dp sum can land on a true .xx50 midpoint, where
+      // rounding the double instead diverges — Spark rounds the shortest
+      // decimal rendering, DuckDB the binary value (measured: 3 months at
+      // sf1). The share divides the exact sums in double — same bits both
+      // engines, and a 4dp midpoint is unreachable from a binary fraction.
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,6)")
+      val zero = lit(0).cast("decimal(30,6)")
+      val promo = sum(when(col("p_type") === "PROMO", rev).otherwise(zero))
       table(s, dir, "lineitem").filter(col("l_shipdate").isNotNull)
         .join(broadcast(table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy(date_trunc("month", col("l_shipdate")).cast("timestamp")
           .cast("long").as("month_s"))
         .agg(
-          round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2)
-            .as("promo_revenue"),
-          round(sum(rev), 2).as("total_revenue"),
-          round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) * 100.0
-            / sum(rev), 4).as("promo_share"))
+          promo.cast("decimal(38,2)").cast("double").as("promo_revenue"),
+          sum(rev).cast("decimal(38,2)").cast("double").as("total_revenue"),
+          round(promo.cast("double") * 100.0 / sum(rev).cast("double"), 4)
+            .as("promo_share"))
     }),
 
     // RANGE window frames (value-based, not row-based): per-user rolling
@@ -2924,7 +2962,7 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus,
           |       round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_qty,
           |       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_base_price,
-          |       round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_disc_price,
+          |       CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_disc_price,
           |       round(AVG(l_quantity), 4) AS avg_qty,
           |       CAST(COUNT(*) AS BIGINT) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -5118,7 +5156,8 @@ object SparkEntry {
 
       "q_star_join" ->
         """SELECT n_name,
-          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+          |                           AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
           |       CAST(count(*) AS BIGINT) AS n_lineitems
           |FROM lineitem
           |JOIN orders   ON l_orderkey = o_orderkey
@@ -5149,13 +5188,14 @@ object SparkEntry {
           |GROUP BY 1""".stripMargin,
 
       "q_user_overlap" ->
-        """WITH d AS (SELECT DISTINCT event_type, user_id FROM events
-          |           WHERE user_id IS NOT NULL),
+        """WITH d AS (SELECT DISTINCT event_type,
+          |                  user_id % 50 + 7 * length(event_type) AS akey
+          |           FROM events WHERE user_id IS NOT NULL),
           |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
           |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
           |             CAST(count(*) AS BIGINT) AS n_inter
           |      FROM d a JOIN d b
-          |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+          |        ON a.akey = b.akey AND a.event_type < b.event_type
           |      GROUP BY 1, 2),
           |g AS (SELECT ta.event_type AS type_a, tb.event_type AS type_b,
           |             ta.n AS n_a, tb.n AS n_b,
@@ -5334,17 +5374,21 @@ object SparkEntry {
           |FROM orders""".stripMargin,
 
       "q_promo_share" ->
-        """SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month_s,
-          |       round(SUM(CASE WHEN p_type = 'PROMO'
-          |                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
-          |         AS promo_revenue,
-          |       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-          |       round(SUM(CASE WHEN p_type = 'PROMO'
-          |                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
-          |             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
-          |FROM lineitem JOIN part ON l_partkey = p_partkey
-          |WHERE l_shipdate IS NOT NULL
-          |GROUP BY 1""".stripMargin,
+        """WITH g AS (
+          |  SELECT CAST(floor(epoch(date_trunc('month', l_shipdate))) AS BIGINT) AS month_s,
+          |         SUM(CASE WHEN p_type = 'PROMO'
+          |                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+          |                  ELSE CAST(0 AS DECIMAL(30,6)) END) AS promo_d,
+          |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS total_d
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE l_shipdate IS NOT NULL
+          |  GROUP BY 1)
+          |SELECT month_s,
+          |       CAST(round(promo_d, 2) AS DOUBLE) AS promo_revenue,
+          |       CAST(round(total_d, 2) AS DOUBLE) AS total_revenue,
+          |       round(CAST(promo_d AS DOUBLE) * 100.0 / CAST(total_d AS DOUBLE), 4)
+          |         AS promo_share
+          |FROM g""".stripMargin,
 
       "q_rolling_window" ->
         """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,

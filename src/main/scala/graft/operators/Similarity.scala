@@ -445,7 +445,14 @@ object Similarity {
       rows.map { r =>
         val id = r.getLong(0)
         val v =
-          if (id % perturbMod == 1) {
+          if (id % perturbMod == 1 && eps == 0f) {
+            // BIT-IDENTICAL twin (r18): eps = 0 must reproduce unitVec(id-1)
+            // exactly — re-normalizing a unit vector wobbles last-ulp bits,
+            // and construction gates that rely on "identical vectors take
+            // identical assignment decisions under ANY deterministic
+            // probe path" (embed_celldup) need the bits, not cosine ≈ 1.
+            unitVec(id - 1, dim)
+          } else if (id % perturbMod == 1) {
             val u = unitVec(id - 1, dim)
             val w = unitVec(id | 0x4000000000000000L, dim) // disjoint seed stream
             val m = Array.tabulate(dim)(i => u(i) + eps * w(i))
