@@ -255,7 +255,10 @@ object SparkEntry {
         col("c_custkey") === col("o_custkey"), joinType)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        // 2dp balances summed in decimal: per-segment groups are
+        // corpus/5-sized, where double sums drift past the cent at scale
+        sum(col("c_acctbal").cast("decimal(30,2)")).cast("double")
+          .as("sum_acctbal"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2093,7 +2096,13 @@ object SparkEntry {
         // floor, not cast-truncate: matches the oracle's `//` for pre-1970 ts
         .withColumn("day_s", floor(col("ts").cast("long") / 86400L).cast("long") * 86400L)
         .cube(col("event_type"), col("day_s"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
+        // value is exactly 4dp -> DECIMAL sums are loss-free and order-free;
+        // the grand-total cell sums the WHOLE corpus, where double sums
+        // drift past the rounding cent by ~sf100 (the r18 money-sum lesson,
+        // applied before it is measured broken). 2dp rounding in decimal.
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,4)")).cast("decimal(38,2)")
+            .cast("double").as("sum_value"))),
 
     // BPE-ish token counting (the pretokenizer approximation): alnum runs
     // and single punctuation marks each count as one token. The oracle
@@ -2173,7 +2182,10 @@ object SparkEntry {
           table(s, dir, "events"), col("event_id"), col("event_type"),
           Map("click" -> "40", "view" -> "40"), defaultThreshold = "10")
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
+        // decimal sums: per-type groups are corpus-sized (see q_cube)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,4)")).cast("decimal(38,2)")
+            .cast("double").as("sum_value"))),
 
     // Mergeable-sketch rollup: per-(type, day) HLL sketches unioned up to
     // per-type distinct estimates — the persisted-sketch-table pattern for
@@ -2644,7 +2656,10 @@ object SparkEntry {
         .withColumn("day_s", floor(col("ts").cast("long") / 86400L).cast("long") * 86400L)
         .groupingSets(Seq(Seq(col("event_type")), Seq(col("day_s")), Seq()),
           col("event_type"), col("day_s"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+        // decimal sums: the () grouping set totals the whole corpus (q_cube)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,4)")).cast("decimal(38,2)")
+            .cast("double").as("sum_value"),
           grouping_id().as("gid"))))
 
   /**
@@ -5049,7 +5064,7 @@ object SparkEntry {
         """SELECT event_type,
           |       CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS day_s,
           |       CAST(count(*) AS BIGINT) AS n,
-          |       round(sum(value), 2) AS sum_value
+          |       CAST(round(sum(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_value
           |FROM events
           |GROUP BY CUBE (event_type, day_s)""".stripMargin,
 
@@ -5170,7 +5185,7 @@ object SparkEntry {
 
       "q_hash_sample" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-          |       round(sum(value), 2) AS sum_value
+          |       CAST(round(sum(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_value
           |FROM events
           |WHERE md5(CAST(event_id AS VARCHAR))
           |      < CASE WHEN event_type IN ('click','view') THEN '40' ELSE '10' END
@@ -5212,7 +5227,7 @@ object SparkEntry {
       "q_anti_join" ->
         """SELECT c_mktsegment,
           |       CAST(count(*) AS BIGINT) AS n_customers,
-          |       round(sum(c_acctbal), 2) AS sum_acctbal
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_acctbal
           |FROM customer c
           |WHERE NOT EXISTS (SELECT 1 FROM orders o
           |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
@@ -5349,7 +5364,7 @@ object SparkEntry {
       "q_semi_join" ->
         """SELECT c_mktsegment,
           |       CAST(COUNT(*) AS BIGINT) AS n_customers,
-          |       round(SUM(c_acctbal), 2) AS sum_acctbal
+          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_acctbal
           |FROM customer c
           |WHERE EXISTS (SELECT 1 FROM orders o
           |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
@@ -5415,7 +5430,7 @@ object SparkEntry {
         """SELECT event_type,
           |       CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS day_s,
           |       CAST(count(*) AS BIGINT) AS n,
-          |       round(sum(value), 2) AS sum_value,
+          |       CAST(round(sum(CAST(value AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_value,
           |       CAST(GROUPING(event_type, day_s) AS BIGINT) AS gid
           |FROM events
           |GROUP BY GROUPING SETS ((event_type), (day_s), ())""".stripMargin)
