@@ -2547,7 +2547,12 @@ object SparkEntry {
         .withColumn("ts_s", col("ts").cast("long"))
         .select(col("event_id"), col("user_id"), col("ts_s"),
           count(lit(1)).over(w).as("n_7d"),
-          round(sum(col("value")).over(w), 2).as("sum_7d"))
+          // frame sums in exact decimal (value is 4dp): under the zipf
+          // corpus one hot user owns ~10% of events and its trailing-week
+          // frames grow corpus-sized, where double frame-sums drift across
+          // engines (the r18 money-sum lesson applied to windows)
+          sum(col("value").cast("decimal(30,4)")).over(w)
+            .cast("decimal(38,2)").cast("double").as("sum_7d"))
     }),
 
     // Hilbert twin of q_zorder: same per-bucket bounding-box audit over the
@@ -5408,7 +5413,7 @@ object SparkEntry {
       "q_rolling_window" ->
         """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
           |       CAST(count(*) OVER w AS BIGINT) AS n_7d,
-          |       round(sum(value) OVER w, 2) AS sum_7d
+          |       CAST(round(sum(CAST(value AS DECIMAL(30,4))) OVER w, 2) AS DOUBLE) AS sum_7d
           |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
           |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
           |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin,
