@@ -2474,9 +2474,14 @@ object SparkEntry {
     // adjudication), this row keeps the full plan hash-checkable at
     // every SF.
     "q_fuzzy_join_agg" -> ((s, dir) => {
-      val m = operators.FuzzyJoin
+      // barrier before the symmetric union: both union branches reference
+      // the match set, and without it the ENTIRE blocking+verify join ran
+      // twice (the r19 plan audit showed the full fuzzy subtree duplicated
+      // under the union — this query measured ~2× q_fuzzy_join for the
+      // same match work)
+      val m = graft.Materialize(operators.FuzzyJoin
         .selfJoin(table(s, dir, "customer"), "c_custkey", "c_name")
-        .select(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b")))
       val sym = m.select(col("id_a").as("id"), col("id_b").as("partner"))
         .unionAll(m.select(col("id_b").as("id"), col("id_a").as("partner")))
       sym.groupBy(col("id"))

@@ -25,7 +25,11 @@ object FuzzyJoin {
   /** (id, key) rows: the string itself + each one-char-deletion variant.
    * Dedup per row (adjacent equal chars produce identical variants). */
   private def deletionKeys(df: DataFrame, idCol: String, strCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // spread first: a small parquet input is ONE split, and the variant
+    // explosion (rows × len string builds) is the CPU-heavy map stage of
+    // this operator — serial on one core it was the single slowest stage of
+    // the fuzzy gates (measured 1.2 s of a 2.8 s query at sf0.1)
+    TextAnalysis.spreadForCpuWork(df.select(col(idCol).as("id"), col(strCol).as("s")))
       .withColumn("key", explode(array_distinct(concat(
         array(col("s")),
         // variant i = prefix of length i-1 ++ suffix from i+1 (1-based
@@ -53,8 +57,15 @@ object FuzzyJoin {
     // candidate pairs carry bare ids through the join+distinct (pairs from
     // different variant keys dedup BEFORE strings re-attach — the candidate
     // multiset is several× the distinct pair set, so shuffling ids instead
-    // of ids+both strings cuts the dominant shuffle's width)
-    val keys0 = deletionKeys(df, idCol, strCol).select(col("id"), col("key"))
+    // of ids+both strings cuts the dominant shuffle's width).
+    // The join key is the 64-bit hash of the variant, not the variant
+    // string: an 8-byte fixed key makes the candidate join's build map and
+    // probes far cheaper than ~len-byte strings, and FastSS recall is
+    // untouched — every true pair still shares a real variant (so its hash),
+    // and a hash-collision candidate is exactly what the levenshtein verify
+    // already rejects.
+    val keys0 = deletionKeys(df, idCol, strCol)
+      .select(col("id"), xxhash64(col("key")).as("key"))
     val keys = maxKeyFreq match {
       case Some(cap) =>
         val hot = keys0.groupBy(col("key")).agg(count(lit(1)).as("kf"))

@@ -922,34 +922,38 @@ object Similarity {
   def seedFarthestFirst(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, sampleMod: Int = 1,
       maxDriverSample: Int = 1 << 17): DataFrame = {
-    val sample = graft.Materialize(
-      df.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
-        .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec")))
-    require(!sample.isEmpty,
-      s"seedFarthestFirst: hash sample is empty (sampleMod=$sampleMod too coarse?)")
-    val idType = sample.schema("cand_id").dataType
+    val sampleDf = df.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val idType = sampleDf.schema("cand_id").dataType
     // dim-aware cap: the row cap alone admits collects whose BOXED float
     // payload (~16 B/element) exceeds driver heap at realistic dims —
     // budget total elements (rows × dim ≤ maxDriverSample × 64) instead
-    val dim = sample.select(size(col("cand_vec"))).head() match {
-      case r if r.isNullAt(0) => 64
-      case r => math.max(1, r.getInt(0))
-    }
+    val dimRow = sampleDf.select(size(col("cand_vec"))).limit(1).collect()
+    require(dimRow.nonEmpty,
+      s"seedFarthestFirst: hash sample is empty (sampleMod=$sampleMod too coarse?)")
+    val dim =
+      if (dimRow(0).isNullAt(0)) 64 else math.max(1, dimRow(0).getInt(0))
     val rowCap = math.max(1024L, maxDriverSample.toLong * 64L / dim)
+    // Local-path probe in ONE job: collect up to rowCap+1 rows directly —
+    // if the sample fits the driver cap that collect IS the sample (no
+    // barrier materialization needed at all); only the over-cap fallback
+    // pays the barrier the distributed rounds scan repeatedly.
     val localSeeds: Option[Seq[(Any, Array[Float])]] =
-      if (sample.limit((rowCap + 1).toInt).count() <= rowCap)
-        idOrdering(idType).flatMap { ord =>
-          val rows = sample.collect()
-          if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
-          else Some(farthestFirstLocal(
-            rows.map(r => (r.get(0), r.getSeq[Float](1).toArray)), nCells, ord))
-        }
-      else None
+      idOrdering(idType).flatMap { ord =>
+        val rows = sampleDf.limit((rowCap + 1).toInt).collect()
+        require(rows.nonEmpty,
+          s"seedFarthestFirst: hash sample is empty (sampleMod=$sampleMod too coarse?)")
+        if (rows.length > rowCap || rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+        else Some(farthestFirstLocal(
+          rows.map(r => (r.get(0), r.getSeq[Float](1).toArray)), nCells, ord))
+      }
     localSeeds match {
-      case Some(seeds) =>
-        graft.Materialize.release(sample)
-        seedFrame(df, seeds, idType)
-      case None => seedFarthestFirstDistributed(df, sample, nCells, idType)
+      case Some(seeds) => seedFrame(df, seeds, idType)
+      case None =>
+        val sample = graft.Materialize(sampleDf)
+        require(!sample.isEmpty,
+          s"seedFarthestFirst: hash sample is empty (sampleMod=$sampleMod too coarse?)")
+        seedFarthestFirstDistributed(df, sample, nCells, idType)
     }
   }
 
@@ -1134,36 +1138,41 @@ object Similarity {
         df.filter(pmod(xxhash64(col(idCol)), lit(trainSampleMod)) === 0))
     if (trainSampleMod > 1) require(!train.isEmpty,
       s"trainCentroids: hash sample is empty (trainSampleMod=$trainSampleMod too coarse?)")
+    // The centroid table is config-bounded (nCells × dim), never data-sized,
+    // so the rounds carry it as DRIVER ROWS: each round is ONE job (the
+    // assignment+mean aggregate, collected sorted by cell_id — the same
+    // order collectedCentroids would impose) instead of the old
+    // barrier-materialize + re-collect pair, and the per-round logical plan
+    // stays O(1) because the collected rows re-enter as a LocalRelation.
+    // Values are bit-identical to the materialized formulation: the
+    // aggregate plan is unchanged, only where its ≤nCells rows live differs.
     // cvec stays ARRAY<FLOAT> throughout: the codegen'd dot product reads
     // float elements positionally
-    var centroids = seeds.getOrElse(
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    def collectRows(cdf: DataFrame): Seq[(Any, Array[Float])] =
+      cdf.orderBy(col("cell_id")).collect()
+        .toSeq.map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    var centRows: Seq[(Any, Array[Float])] = collectRows(seeds.getOrElse(
       train.orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).as("cell_id"), col(vecCol).as("cvec")))
+        .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))))
+    require(centRows.nonEmpty, "trainCentroids: empty seed table")
     (0 until iterations).foreach { _ =>
-      val assigned = nearestCell(
-        train.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", centroids)
+      val assigned = train
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("cell_id",
+          bestCellExpr(col("vec"), centroidSet(centRows, idType)))
         .select(col("cell_id"), col("vec"))
-      val prev = centroids
       // element-wise mean per cell: explode positions, avg, re-assemble
-      centroids = assigned
+      centRows = collectRows(assigned
         .select(col("cell_id"), posexplode(col("vec").cast("array<double>")))
         .groupBy(col("cell_id"), col("pos")).agg(avg(col("col")).as("m"))
         .groupBy(col("cell_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell_id"),
-          transform(col("pm"), x => x.getField("m").cast("float")).as("cvec"))
-        // materialize the tiny (nCells×dim) table each round: without the
-        // barrier the logical plan nests one assign+two-agg layer per
-        // iteration and planning cost grows multiplicatively with it.
-        // coalesce(1) first: a ≤nCells-row table across shuffle.partitions
-        // tasks pays pure scheduling overhead per round (measured ~0.2 s/
-        // barrier at 32 partitions)
-        .coalesce(1)
-        .transform(graft.Materialize(_))
-      graft.Materialize.release(prev)
+          transform(col("pm"), x => x.getField("m").cast("float")).as("cvec")))
     }
     if (trainSampleMod > 1) graft.Materialize.release(train)
-    centroids
+    seedFrame(df, centRows, idType)
   }
 
   // ------------------------------------------------- product quantization
@@ -1208,9 +1217,20 @@ object Similarity {
     // equal s are consecutive, so per-subspace sets are sorted slices
     val rows = centroids.select(col("s"), col("cell_id"), col("cvec"))
       .orderBy(col("s"), col("cell_id")).collect()
+      .toSeq.map(r => (r.getInt(0), r.get(1), r.getSeq[Float](2).toArray))
+    nearestCellKeyedRows(in, rows, idType)
+  }
+
+  /** [[nearestCellKeyed]] over an ALREADY-COLLECTED codebook table (rows
+   * sorted by (s, cell_id) under Spark's ordering) — the per-round form
+   * [[pqTrain]] uses so Lloyd rounds never re-materialize/re-collect the
+   * config-bounded codebook. */
+  private def nearestCellKeyedRows(in: DataFrame,
+      rows: Seq[(Int, Any, Array[Float])],
+      idType: DataType): DataFrame = {
     require(rows.nonEmpty, "nearestCellKeyed: empty codebook table")
     val bySub: Seq[(Int, (Seq[Column], Array[Array[Float]], Array[Double]))] =
-      rows.toSeq.map(r => (r.getInt(0), (r.get(1), r.getSeq[Float](2).toArray)))
+      rows.map { case (s, id, cv) => (s, (id, cv)) }
         .foldLeft(Vector.empty[(Int, Vector[(Any, Array[Float])])]) {
           case (acc, (s, cv)) if acc.nonEmpty && acc.last._1 == s =>
             acc.init :+ ((s, acc.last._2 :+ cv))
@@ -1266,7 +1286,16 @@ object Similarity {
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    var centroids =
+    val idType = train.schema(train.schema.fieldIndex(idCol)).dataType
+    // Codebook rows live on the DRIVER across rounds (the trainCentroids
+    // discipline — subspaces × codes rows, config-bounded): each round is
+    // one aggregate job collected sorted by (s, cell_id), re-entering the
+    // next assignment as literals. Values are bit-identical to the old
+    // barrier-materialized formulation (same aggregate plan).
+    def collectKeyed(cdf: DataFrame): Seq[(Int, Any, Array[Float])] =
+      cdf.orderBy(col("s"), col("cell_id")).collect()
+        .toSeq.map(r => (r.getInt(0), r.get(1), r.getSeq[Float](2).toArray))
+    var centRows: Seq[(Int, Any, Array[Float])] = collectKeyed(
       if (integralId) {
         // sign-bit flip makes unsigned hex order == signed numeric order
         val ordKey = lpad(hex(col("vec_id").cast("long")
@@ -1283,39 +1312,42 @@ object Similarity {
         subs.withColumn("rn", row_number().over(wSeed))
           .filter(col("rn") <= codes)
           .select(col("s"), col("vec_id").as("cell_id"), col("vec").as("cvec"))
-      }
+      })
     (0 until iterations).foreach { _ =>
-      val assigned = nearestCellKeyed(subs, centroids)
-      val prev = centroids
-      centroids = assigned
+      val assigned = nearestCellKeyedRows(subs, centRows, idType)
+      centRows = collectKeyed(assigned
         .select(col("s"), col("cell_id"), posexplode(col("vec").cast("array<double>")))
         .groupBy(col("s"), col("cell_id"), col("pos")).agg(avg(col("col")).as("m"))
         .groupBy(col("s"), col("cell_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("s"), col("cell_id"),
-          transform(col("pm"), x => x.getField("m").cast("float")).as("cvec"))
-        // same per-round barrier as trainCentroids (plan growth guard),
-        // same coalesce(1): ≤ subspaces×codes rows
-        .coalesce(1)
-        .transform(graft.Materialize(_))
-      graft.Materialize.release(prev)
+          transform(col("pm"), x => x.getField("m").cast("float")).as("cvec")))
     }
-    // after ≥1 Lloyd round the final centroids barrier is a lineage-
-    // truncated leaf, so the training sample is dead — release it (the
-    // trainCentroids discipline); with iterations == 0 the returned seed
-    // plan still reads the sample, so its barrier must stay. The subs
-    // barrier is released on the same condition: the iterations == 0 seed
-    // plan reads it.
-    if (iterations >= 1) {
-      graft.Materialize.release(subs)
-      if (trainSampleMod > 1) graft.Materialize.release(train)
-    }
+    // rounds are driver-collected, so nothing downstream reads the barriers
+    // regardless of the iteration count — release unconditionally
+    graft.Materialize.release(subs)
+    if (trainSampleMod > 1) graft.Materialize.release(train)
     // codebook entries re-labeled 0..codes-1 deterministically by the
-    // (arbitrary but stable) seed id they grew from
-    centroids.select(col("s"),
-      (dense_rank().over(Window.partitionBy(col("s")).orderBy(col("cell_id"))) - 1)
-        .cast("long").as("code"),
-      col("cvec"))
+    // (arbitrary but stable) seed id they grew from: rows are sorted by
+    // (s, cell_id) under Spark's ordering, so the dense_rank of the old
+    // window formulation is exactly the position within each s run
+    val relabeled = {
+      var prevS = Int.MinValue
+      var code = -1L
+      centRows.map { case (s, _, cv) =>
+        if (s != prevS) { prevS = s; code = 0L } else code += 1
+        org.apache.spark.sql.Row(s, code, cv.toSeq)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cvec",
+        ArrayType(FloatType))))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(relabeled: _*), schema)
   }
 
   /** PQ encoding: each vector becomes `subspaces` rows (vec_id, s, code) —
@@ -1417,9 +1449,10 @@ object Similarity {
       nCells: Int, subspaces: Int = 8, codes: Int = 16,
       residual: Boolean = true,
       trainSampleMod: Int = 1): (DataFrame, DataFrame, DataFrame) = {
+    // trainCentroids returns a LocalRelation (driver-side rounds) — already
+    // a leaf plan, no barrier needed before the repeated references below
     val centroids = trainCentroids(df, idCol, vecCol, nCells,
         trainSampleMod = trainSampleMod)
-      .transform(graft.Materialize(_))
     val cents = collectedCentroids(centroids, "ivfPqBuild")
     val cellIds = array(cents._1: _*)
     def encodeVec(vec: Column, idx: Column): Column =
@@ -1533,15 +1566,16 @@ object Similarity {
       residual: Boolean = true): DataFrame = {
     val (centroids, codebooks, corpusCodes) =
       ivfPqBuild(df, idCol, vecCol, dim, nCells, subspaces, codes, residual)
-    // Materialize the artifacts before searching — the same persist-once
-    // contract production follows by writing them to parquet. The search
-    // plan references them from SEVERAL independent broadcast subtrees
-    // (probe list, LUT, ADC), and exchanges do not share subtree execution:
-    // unmaterialized, the corpus-sized encode chain and the codebook
-    // relabeling window re-ran per reference (measured 7.8 s vs 1.5 s for
-    // the identical search at sf0.1).
-    val ct = graft.Materialize(centroids.coalesce(1))
-    val cb = graft.Materialize(codebooks.coalesce(1))
+    // Materialize the corpus-sized code table before searching — the same
+    // persist-once contract production follows by writing it to parquet.
+    // The search plan references the artifacts from SEVERAL independent
+    // broadcast subtrees (probe list, LUT, ADC), and exchanges do not share
+    // subtree execution: unmaterialized, the corpus-sized encode chain
+    // re-ran per reference (measured 7.8 s vs 1.5 s for the identical
+    // search at sf0.1). Centroids and codebooks are LocalRelations now
+    // (driver-side Lloyd rounds) — already leaves, nothing to re-run.
+    val ct = centroids
+    val cb = codebooks
     val cc = graft.Materialize(corpusCodes)
     ivfPqSearch(ct, cb, cc, df, idCol, vecCol, dim,
       queryPred, k, nProbes, subspaces, rerank, residual)
@@ -1581,7 +1615,6 @@ object Similarity {
       if (farthestFirst) Some(seedFarthestFirst(df, idCol, vecCol, nCells))
       else None
     val centroids = trainCentroids(df, idCol, vecCol, nCells, seeds = seeds)
-      .transform(graft.Materialize(_))
     val counts = nearestCell(
         df.select(col(idCol).as("__ics_id"), col(vecCol).as("__ics_v")),
         "__ics_v", centroids)
@@ -1602,7 +1635,6 @@ object Similarity {
       nProbes: Int = 1): DataFrame = {
     val seeds = if (farthestFirst) Some(seedFarthestFirst(df, idCol, vecCol, nCells)) else None
     val centroids = trainCentroids(df, idCol, vecCol, nCells, seeds = seeds)
-      .transform(graft.Materialize(_))
     val corpus = nearestCell(df.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
       "nvec", centroids)
     val queries = nearestCells(df.filter(queryPred)
