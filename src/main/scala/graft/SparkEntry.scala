@@ -230,8 +230,15 @@ object SparkEntry {
    * are one-pass codegen'd expressions; this formulation exists only for
    * oracle parity, where md5 is the one hash both engines share.) */
   private def md5WinnowDocs(s: SparkSession, dir: String): DataFrame = {
-    val withToks = graft.Materialize(table(s, dir, "documents").select(col("doc_id"),
-      filter(TextAnalysis.tokens(col("text")), t => t =!= "").as("toks")))
+    // spread the one-split parquet scan first: the tokenize and md5-gram
+    // stages below are interpreted higher-order-function work materialized
+    // behind barriers, and on a single input split they ran serially on one
+    // core (r19 probe: 0.10 s + 0.31 s single-task stages of a 0.68 s query)
+    val withToks = graft.Materialize(
+      TextAnalysis.spreadForCpuWork(table(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        filter(TextAnalysis.tokens(col("text")), t => t =!= "").as("toks")))
     val t = col("toks")
     val withGrams = graft.Materialize(withToks.select(col("doc_id"),
       when(size(t) >= 3,

@@ -601,7 +601,13 @@ object DataQuality {
       .mkString(", ")
     val bnds = rows.groupBy(col("__mw_g"))
       .agg(expr(s"percentile(__mw_v, array($qs))").as("__mw_bnds"))
-    val collapsed = rows
+    // barrier: `collapsed` is referenced by BOTH the bucket-offset table
+    // and the ranked join below — unbarriered, the whole scan + collapse +
+    // percentile-bounds subtree ran three times (r19 probe: six corpus
+    // scans for one query). The collapsed table is the operator's bounded
+    // intermediate (distinct (grp, value) rows), exactly what the
+    // cluster-safe Materialize strategy is for.
+    val collapsed = graft.Materialize(rows
       .groupBy(col("__mw_g"), col("__mw_v"))
       .agg(count_if(col("__mw_a")).as("na"),
         count_if(!col("__mw_a")).as("nb"))
@@ -609,7 +615,7 @@ object DataQuality {
       .withColumn("__mw_b",
         size(filter(col("__mw_bnds"), b => col("__mw_v") > b)))
       .drop("__mw_bnds")
-      .withColumn("t", col("na") + col("nb"))
+      .withColumn("t", col("na") + col("nb")))
     // per-(grp, bucket) totals → running offsets over a groups×buckets
     // table (bounded; this window's partitions are ≤ nBuckets rows)
     val offsets = collapsed.groupBy(col("__mw_g"), col("__mw_b"))

@@ -565,6 +565,14 @@ object Dedup {
     val cand = hammingPairs(signed.select(col("doc_id"), col("simhash")),
       "doc_id", "simhash", maxDist, maxBlockFreq, nRows)
       .select(col("id_a"), col("id_b"))
+      // spread the verify: the candidate set leaves the pigeonhole join's
+      // distinct as ONE coalesced partition, and the per-pair
+      // array_intersect over two ~|doc| shingle arrays is the CPU-heavy
+      // step (r19 probe: a 1.43 s single-task stage of a 3.2 s query) —
+      // hash-partitioning by the pair key parallelizes it and is the
+      // natural verify layout at scale (deterministic keys, no sort)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
     val a = signed.select(col("doc_id").as("id_a"), col("shashes").as("__sh_a"))
     val b = signed.select(col("doc_id").as("id_b"), col("shashes").as("__sh_b"))
     cand.join(a, "id_a").join(b, "id_b")

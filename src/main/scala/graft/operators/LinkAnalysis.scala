@@ -28,8 +28,10 @@ object LinkAnalysis {
    *     exchange reused round-over-round) → partial-aggregatable
    *     contribution sum keyed by dst → left join back to the node set.
    *     Nothing driver-side grows with the graph;
-   *   - dangling mass is a ONE-ROW aggregate crossJoin-broadcast per round
-   *     (no collect — the value stays on executors);
+   *   - dangling mass is ONE double per round, computed by a filtered sum
+   *     FUSED into the round barrier's materializing action (out-degrees
+   *     ride on the rank frame) and re-entering as a literal — no
+   *     per-round anti-join, src distinct, or broadcast subtree;
    *   - every round's ranks are [[graft.Materialize]]d and the previous
    *     round released: plan stays O(1), lineage cannot stack 10 joins
    *     deep, and a hot dst (a page every doc cites) is absorbed by
@@ -44,34 +46,52 @@ object LinkAnalysis {
     require(damping > 0 && damping < 1,
       s"pageRank: damping must be in (0,1), got $damping")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = graft.Materialize(
+    // out-degree rides ON the node/rank frame (0 for dangling): the
+    // per-round dangling mass is then a filtered SUM over the round's own
+    // barrier — fused into the barrier action below — instead of the old
+    // per-round left_anti join + one-row broadcast + a distinct of the src
+    // set recomputed every round. One job per round, and the round plan
+    // carries no broadcast subtree. The dangling-mass scalar crosses the
+    // driver (bounded: ONE double), which is the same driver contract as
+    // the node count.
+    val (nodes, agg0) = graft.Materialize.withAgg(
       e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct())
+        .union(e.select(col("dst").as("id"))).distinct()
+        .join(e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")),
+      _.agg(count(lit(1)), sum(when(col("outdeg") === 0, lit(1L)))).head())
+    val n = agg0.getLong(0)
+    require(n > 0, "pageRank: empty edge list")
+    val nDangling = if (agg0.isNullAt(1)) 0L else agg0.getLong(1)
     // out-degree rides along each edge: joined ONCE, static across rounds
     val eDeg = graft.Materialize(
       e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
         .select(col("src"), col("dst"), col("outdeg")))
-    val srcs = eDeg.select(col("src")).distinct()
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty edge list")
-    var ranks = graft.Materialize(nodes.withColumn("pr", lit(1.0 / n)))
+    // round 0 is uniform, so its dangling mass is closed-form
+    var dmass = nDangling * (1.0 / n)
+    var ranks = nodes.withColumn("pr", lit(1.0 / n))
+    var barrier: Option[DataFrame] = None
     val base = lit((1.0 - damping) / n)
     (0 until iterations).foreach { _ =>
-      // rank mass of nodes with no out-edges, as a one-row broadcast
-      val dangling = ranks.join(srcs, col("id") === col("src"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dmass"))
       val contribs = ranks
+        .select(col("id"), col("pr")) // drop outdeg: eDeg carries its own
         .join(eDeg, col("id") === col("src"))
         .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
-      val next = graft.Materialize(nodes
+      // barrier + NEXT round's dangling mass fused into one job: the sum
+      // is a full scan of the new ranks, so it doubles as the
+      // materializing action (the clusterPairs withAgg discipline)
+      val (next, dm) = graft.Materialize.withAgg(nodes
         .join(contribs, col("id") === col("dst"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("id"),
+        .select(col("id"), col("outdeg"),
           (base + lit(damping) *
-            (coalesce(col("csum"), lit(0.0)) + col("dmass") / n)).as("pr")))
-      graft.Materialize.release(ranks)
+            (coalesce(col("csum"), lit(0.0)) + lit(dmass) / n)).as("pr")),
+        _.agg(sum(when(col("outdeg") === 0, col("pr")))).head())
+      barrier.foreach(graft.Materialize.release)
+      barrier = Some(next)
       ranks = next
+      dmass = if (dm.isNullAt(0)) 0.0 else dm.getDouble(0)
     }
     ranks.select(col("id"), col("pr").as("pagerank"))
   }

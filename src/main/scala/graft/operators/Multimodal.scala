@@ -887,6 +887,14 @@ object Multimodal {
     val a = media.select(col("media_id").as("id_a"), col("bytes").as("__bytes_a"))
     val b = media.select(col("media_id").as("id_b"), col("bytes").as("__bytes_b"))
     candidates.select(col("id_a"), col("id_b"))
+      // spread the verify: the candidate set leaves the pigeonhole join's
+      // distinct as ONE coalesced partition, and the two decodes per pair
+      // are the CPU-heavy step (r19 probe: a 0.53 s single-task stage of a
+      // 1.5 s image_neardup) — hash-partitioning by the pair key
+      // parallelizes it (deterministic keys, no sort), the same layout the
+      // verify wants at scale
+      .repartition(media.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
       .join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"), col("__bytes_a"), col("__bytes_b"))
       .mapPartitions { rows =>

@@ -29,7 +29,16 @@ object RecordLinkage {
     val capped = maxBlockFreq.fold(df)(Dedup.capHotKeys(df, blockCols, _))
     def side(suffix: String) = capped.select(
       (blockCols.map(col) ++ others.map(c => col(c).as(c + suffix))): _*)
-    side("_a").join(side("_b"), blockCols)
+    // pin the block join's partition count: the join OUTPUT is Σ block²
+    // pairs while its shuffle INPUT is only the record table, so AQE's
+    // input-byte coalescing collapses the pair-producing stage to a
+    // couple of tasks (r19 probe: two 0.7 s 2-task stages carried the
+    // whole query) — an explicit count keeps the downstream per-pair
+    // scoring at full parallelism, at every scale the one exchanged
+    // table is small relative to its pair fan-out
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    side("_a").repartition(parts, blockCols.map(col): _*)
+      .join(side("_b"), blockCols)
       .filter(col(idCol + "_a") < col(idCol + "_b"))
   }
 

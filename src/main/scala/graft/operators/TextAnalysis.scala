@@ -31,7 +31,7 @@ object TextAnalysis {
    * exchange this adds exists only in the small-file regime where its cost
    * (the raw doc rows, once) is noise against the 10-30x core utilization
    * it buys. getNumPartitions only plans the scan; nothing executes. */
-  private[operators] def spreadForCpuWork(df: DataFrame): DataFrame = {
+  private[graft] def spreadForCpuWork(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
