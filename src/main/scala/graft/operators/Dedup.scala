@@ -201,7 +201,14 @@ object Dedup {
       case None => sh0
     }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    sh.as("a").join(sh.as("b"), "shash")
+    // pin the inverted-index self-join's partition count: the join OUTPUT
+    // is Σ df² pairs per shingle while its shuffle INPUT is the linear
+    // (doc_id, shash) stream, so AQE's input-byte coalescing collapses the
+    // pair-producing stage (and the pair-key partial aggregation riding in
+    // it) to a couple of tasks — same shape as RecordLinkage.selfBlockPairs
+    sh.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("shash")).as("a")
+      .join(sh.as("b"), "shash")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
@@ -246,7 +253,20 @@ object Dedup {
       shAll.join(candDocs, Seq("doc_id"), "left_semi")
     }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val interBase = sh.as("a").join(sh.as("b"), "shash")
+    // pinned partition count for the same reason as containmentPairs: the
+    // self-join's pair fan-out is quadratic per shingle bucket while its
+    // shuffle input is linear, so AQE coalescing starves the pair stage.
+    // Candidates path NOT pinned: there `sh` is the candidates' shingles
+    // only (a vanishing fraction after LSH), and a fixed-width exchange on
+    // a tiny table is measured overhead, not a win (r19 A/B: dedup_minhash
+    // 0.71 -> 1.63 s pinned; ngram_jaccard 1.19 -> 1.08 s pinned)
+    val aSide =
+      if (candidates.isEmpty)
+        sh.repartition(sh0.sparkSession.sessionState.conf.numShufflePartitions,
+          col("shash"))
+      else sh
+    val interBase = aSide.as("a")
+      .join(sh.as("b"), "shash")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
