@@ -1950,10 +1950,14 @@ object SparkEntry {
     "image_neardup" -> ((s, dir) => {
       val media = cachedMediaFor(s, dir, "formatdup")(
         operators.Multimodal.syntheticFormatDupTable(table(s, dir, "documents"), "doc_id"))
+      // decode ONCE per image into (gray, phash); the sketch join and the
+      // pixel verify both read the materialized 1 KB proxy (r19: the bytes
+      // path re-decoded each image per candidate side)
+      val gp = graft.Materialize(operators.Multimodal.imageGrayPhash(media))
       val cand = operators.Dedup.hammingPairs(
-        operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8,
+        gp.select(col("media_id"), col("phash")), "media_id", "phash", maxDist = 8,
         nRows = docCount(s, dir))
-      operators.Multimodal.pixelVerifiedPairs(media, cand, maxMae = 8.0)
+      operators.Multimodal.pixelVerifiedPairsFromGray(gp, cand, maxMae = 8.0)
         .select(col("id_a"), col("id_b"))
     }),
 
@@ -1971,10 +1975,11 @@ object SparkEntry {
     "image_neardup_robust" -> ((s, dir) => {
       val media = cachedMediaFor(s, dir, "robustdup")(
         operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))
+      val gp = graft.Materialize(operators.Multimodal.imageGrayPhash(media))
       val cand = operators.Dedup.hammingPairs(
-        operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8,
+        gp.select(col("media_id"), col("phash")), "media_id", "phash", maxDist = 8,
         nRows = docCount(s, dir))
-      operators.Multimodal.pixelVerifiedPairs(media, cand, maxMae = 8.0)
+      operators.Multimodal.pixelVerifiedPairsFromGray(gp, cand, maxMae = 8.0)
         .select(col("id_a"), col("id_b"))
     }),
 
@@ -1995,13 +2000,15 @@ object SparkEntry {
       // pair doesn't just add a row here — connected components would MERGE
       // two unrelated clusters, so the verify stage matters MORE upstream
       // of clustering than in the flat pair list
+      val gp = graft.Materialize(operators.Multimodal.imageGrayPhash(media))
       val clusters = Dedup.clusterPairs(
-        operators.Multimodal.pixelVerifiedPairs(media,
+        operators.Multimodal.pixelVerifiedPairsFromGray(gp,
           operators.Dedup.hammingPairs(
-            operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8,
+            gp.select(col("media_id"), col("phash")), "media_id", "phash", maxDist = 8,
             nRows = docCount(s, dir)),
           maxMae = 8.0)
           .select(col("id_a"), col("id_b")))
+      graft.Materialize.release(gp) // clusters is itself a barrier
       media.select(col("media_id").as("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -2016,13 +2023,15 @@ object SparkEntry {
     "pipeline_image_curate" -> ((s, dir) => {
       val media = cachedMediaFor(s, dir, "robustdup")(
         operators.Multimodal.syntheticRobustDupTable(table(s, dir, "documents"), "doc_id"))
+      val gp = graft.Materialize(operators.Multimodal.imageGrayPhash(media))
       val clusters = Dedup.clusterPairs(
-        operators.Multimodal.pixelVerifiedPairs(media,
+        operators.Multimodal.pixelVerifiedPairsFromGray(gp,
           operators.Dedup.hammingPairs(
-            operators.Multimodal.imagePhash(media), "media_id", "phash", maxDist = 8,
+            gp.select(col("media_id"), col("phash")), "media_id", "phash", maxDist = 8,
             nRows = docCount(s, dir)),
           maxMae = 8.0)
           .select(col("id_a"), col("id_b")))
+      graft.Materialize.release(gp) // clusters is itself a barrier
       val dropped = clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       media.join(dropped, media("media_id") === dropped("doc_id"), "left_anti")

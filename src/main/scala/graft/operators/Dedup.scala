@@ -455,9 +455,62 @@ object Dedup {
    */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxRounds: Int = 100): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().transform(graft.Materialize(_))
+    val spark = pairs.sparkSession
+    val (edges, nDirected) = graft.Materialize.withAgg(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+        .distinct(), _.count())
+    // Small-graph route: label propagation costs ~(2 + log diameter) JOBS,
+    // each a fixed scheduling round-trip — the dominant cost when the pair
+    // graph is small (near-dup edges after exact verify are a vanishing
+    // fraction of any corpus; r19 probe: ~20 sub-30 ms jobs carried half of
+    // image_dedup_canonical). Below the config bound the edge list is a
+    // bounded driver artifact (the Lloyd-round pattern): collect it, run
+    // union-find, and hand back a one-job frame. Same min-id labels —
+    // union-find components ARE connected components, and the label is the
+    // component min either way. LongType ids only (every catalog caller);
+    // anything else keeps the distributed route.
+    val localMax = spark.conf.getOption("spark.graft.clusterPairsLocalMaxEdges")
+      .map(_.toLong).getOrElse(1L << 20)
+    val srcType = edges.schema("src").dataType
+    if (nDirected <= 2L * localMax && srcType == org.apache.spark.sql.types.LongType
+        && edges.schema("dst").dataType == srcType) {
+      val rows = edges.collect()
+      val idx = new scala.collection.mutable.LongMap[Int](rows.length * 2)
+      val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
+      def nodeOf(id: Long): Int =
+        idx.getOrElseUpdate(id, { val n = ids.length; ids += id; n })
+      val parent = new Array[Int](2 * rows.length + 1)
+      var pLen = 0
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      rows.foreach { r =>
+        val a = nodeOf(r.getLong(0)); val b = nodeOf(r.getLong(1))
+        while (pLen < ids.length) { parent(pLen) = pLen; pLen += 1 }
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOfRoot = Array.fill(ids.length)(Long.MaxValue)
+      var i = 0
+      while (i < ids.length) {
+        val r = find(i)
+        if (ids(i) < minOfRoot(r)) minOfRoot(r) = ids(i)
+        i += 1
+      }
+      val out = (0 until ids.length).map(n =>
+        org.apache.spark.sql.Row(ids(n), minOfRoot(find(n))))
+      graft.Materialize.release(edges)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            1 + out.length / 65536))), schema)
+    }
     // `barrier` is the materialized frame of the current round (the thing
     // release() must see — NOT a projection of it); `labels` the
     // (doc_id, cluster_id) view read by the next round.

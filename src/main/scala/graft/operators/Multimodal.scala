@@ -919,6 +919,72 @@ object Multimodal {
       }(enc)
   }
 
+  /**
+   * One decode per media row — the shared 32×32 luma plane PLUS its pHash:
+   * [[imagePhash]] and [[pixelVerifiedPairs]] composed naively decode each
+   * image once for the sketch and then once PER CANDIDATE SIDE in the
+   * verify (an image in k candidate pairs is decoded k+1 times, and the
+   * full image bytes ride the verify's joins). Materializing THIS frame
+   * instead makes the decode run exactly once per image per query, and
+   * every downstream step — hamming candidate generation on `phash`,
+   * pixel-MAE verify on `gray` — reads the fixed 1 KB proxy, never the
+   * bytes (the decide-with-small-rows shape: the payload is read once,
+   * decisions ride a bounded-size fingerprint). Undecodable rows are
+   * dropped rather than carried as nulls: a null pHash can never become a
+   * candidate (SQL null never equi-joins) and a null raster can never
+   * verify, so pair outputs are identical.
+   */
+  def imageGrayPhash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("gray", BinaryType),
+      StructField("phash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("bytes")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAnyRaster(r.getAs[Array[Byte]](1)).map { case (w, h, ch, px) =>
+          val g = toGray32(w, h, ch, px)
+          Row(r.getLong(0), g, phash64(g))
+        }
+      }
+    }(enc)
+  }
+
+  /** [[pixelVerifiedPairs]] against pre-decoded [[imageGrayPhash]] planes:
+   * row-identical output, but the verify joins move 1 KB gray planes (not
+   * image bytes) and decode NOTHING — the MAE loop reads the planes
+   * directly. Candidates are hash-spread by pair key exactly like the
+   * bytes-path verify. */
+  def pixelVerifiedPairsFromGray(gray: DataFrame, candidates: DataFrame,
+      maxMae: Double): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id_a", LongType),
+      StructField("id_b", LongType),
+      StructField("mae", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val a = gray.select(col("media_id").as("id_a"), col("gray").as("__g_a"))
+    val b = gray.select(col("media_id").as("id_b"), col("gray").as("__g_b"))
+    candidates.select(col("id_a"), col("id_b"))
+      .repartition(gray.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), col("__g_a"), col("__g_b"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val pa = r.getAs[Array[Byte]](2)
+          val pb = r.getAs[Array[Byte]](3)
+          var sum = 0L
+          var i = 0
+          while (i < pa.length) {
+            sum += math.abs((pa(i) & 0xff) - (pb(i) & 0xff)); i += 1
+          }
+          val mae = sum.toDouble / pa.length
+          if (mae <= maxMae) Some(Row(r.getLong(0), r.getLong(1), mae))
+          else None
+        }
+      }(enc)
+  }
+
   /** The `image_neardup` source raster for group g: a LOW-FREQUENCY
    * bipolar composition — every DCT cell (u,v) in the 8×8 low corner
    * (except DC) contributes ±amp·cos·cos with a per-group pseudo-random

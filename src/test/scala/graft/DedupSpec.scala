@@ -320,6 +320,28 @@ class DedupSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unsupported"))
   }
 
+  test("clusterPairs driver union-find route equals the distributed route") {
+    import spark.implicits._
+    // seeded random graph: chains, stars, self-contained islands, and a
+    // few long-range unions — enough structure to catch a union-find or
+    // min-label slip in either route
+    val rnd = new scala.util.Random(42)
+    val pairs = ((0 until 400).map { _ =>
+      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b) + 1) // +1 avoids a==b self loops
+    } ++ (500L until 520L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    def run(): Map[Long, Long] =
+      Dedup.clusterPairs(pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val driverRoute = run() // default threshold: small graph, union-find
+    spark.conf.set("spark.graft.clusterPairsLocalMaxEdges", "0")
+    val distributed = try run()
+      finally spark.conf.unset("spark.graft.clusterPairsLocalMaxEdges")
+    assert(driverRoute === distributed)
+    // sanity: labels are component minima (canonical member of own cluster)
+    val byCluster = driverRoute.toSeq.groupBy(_._2)
+    assert(byCluster.forall { case (cid, m) => m.map(_._1).min == cid })
+  }
+
   test("clusterPairs of an empty pair graph returns no labels (and no hang)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -23,9 +23,14 @@ class MaterializeSpec extends AnyFunSuite {
 
   private def withStrategy[A](strategy: String, ckDir: Option[String] = None)(f: => A): A = {
     spark.conf.set("spark.graft.materialize", strategy)
+    // these specs exercise the ITERATIVE (distributed) clusterPairs route;
+    // without this the small test graphs take the driver union-find
+    // shortcut and the per-round barrier machinery under test never runs
+    spark.conf.set("spark.graft.clusterPairsLocalMaxEdges", "0")
     ckDir.foreach(spark.conf.set("spark.graft.checkpointDir", _))
     try f finally {
       spark.conf.unset("spark.graft.materialize")
+      spark.conf.unset("spark.graft.clusterPairsLocalMaxEdges")
       spark.conf.unset("spark.graft.checkpointDir")
       spark.catalog.clearCache()
     }
