@@ -73,9 +73,18 @@ object FuzzyJoin {
         keys0.join(hot, Seq("key"), "left_anti")
       case None => keys0
     }
+    // pin the dedup exchange's width: the candidate multiset is several×
+    // the distinct pair set and its shuffle INPUT is only partial-agg'd id
+    // pairs, so AQE's input-byte coalescing ran the final dedup + the name
+    // re-attach + levenshtein verify + barrier write on a handful of tasks
+    // (r19 probe: an 8-task 6.5 s-tasktime stage of q_fuzzy_join_agg). A
+    // user repartition on the exact distinct key adds no extra exchange
+    // (the groupBy reuses it) and is not coalesced.
     val cand = keys.as("a").join(keys.as("b"), Seq("key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"), col("id_b"))
       .distinct()
     val named = df.select(col(idCol).as("id"), col(strCol).as("s"))
     cand

@@ -32,6 +32,7 @@ object TextAnalysis {
    * (the raw doc rows, once) is noise against the 10-30x core utilization
    * it buys. getNumPartitions only plans the scan; nothing executes. */
   private[graft] def spreadForCpuWork(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch split count is the source's
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
