@@ -884,9 +884,19 @@ object SparkEntry {
     // TakeOrdered (bounded per-partition heaps) — and DuckDB replays the
     // identical sample (same md5, same 52-bit hex parse, same ln).
     "q_weighted_sample" -> ((s, dir) =>
+      // spread + BARRIER the tokenize: bpeishTokens is the lookaround-split
+      // regex (~2 ms/doc interpreted HOF work), and on a single-split scan
+      // the whole weight computation ran as ONE task (r19 probe: a 0.93 s
+      // single-task stage = the entire query). The barrier matters as much
+      // as the spread — weightedSample's weight-validity filter is pushed
+      // below the exchange and would otherwise re-evaluate the tokenize
+      // TWICE on the serial side (observed in the r19 plan audit: the full
+      // split+filter expression inside a pre-exchange Filter node)
       operators.Sampling.weightedSample(
-        table(s, dir, "documents").select(col("doc_id"),
-          size(TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_tokens")),
+        graft.Materialize(TextAnalysis.spreadForCpuWork(
+          table(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          size(TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_tokens"))),
         col("doc_id"), col("n_tokens"), n = 50)),
 
     // Deequ-style declarative data-quality report: four column constraints
@@ -2126,7 +2136,11 @@ object SparkEntry {
     // the Spark lookaround-split implementation against an independent
     // formulation.
     "q_token_count" -> ((s, dir) =>
-      table(s, dir, "documents").select(
+      // spread for the same reason as q_weighted_sample: the lookaround
+      // split is ~2 ms/doc of interpreted regex work
+      TextAnalysis.spreadForCpuWork(
+        table(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(
         col("doc_id"),
         size(TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_bpeish"))),
 

@@ -553,9 +553,21 @@ object DataQuality {
     // the parse into the scan filter), so the document is parsed ~twice per
     // row, not once — acceptable: the parse is row-local and the alternative
     // (a materialization barrier) costs more than it saves here
-    val rows = df.filter(jsonCol.isNotNull)
-      .select(jsonCol.as("__jp_j"), expr("json_object_keys(" +
-        "__jp_j)").as("__jp_keys"))
+    // spread the single projected column before the parse and BARRIER the
+    // parsed rows: json key enumeration + per-key get_json_object is the
+    // heavy row-local work (r19 probe: a 0.61 s + 0.27 s pair of
+    // single-task stages on a one-split scan). The barrier both keeps the
+    // key-validity filter from being pushed below the exchange (which
+    // re-inlined the parse on the serial side) and lets the total-count
+    // aggregate below read the parsed rows instead of re-scanning and
+    // re-parsing the corpus — the r18 "parse ~twice per row" note no
+    // longer holds once the parse is exchange-spread.
+    val rows = graft.Materialize(TextAnalysis.spreadForCpuWork(
+        df.filter(jsonCol.isNotNull).select(jsonCol.as("__jp_j")))
+      .select(col("__jp_j"), expr("json_object_keys(" +
+        "__jp_j)").as("__jp_keys")))
+      // key-validity filter AFTER the barrier: inside it, pushdown would
+      // re-inline the parse below the spread exchange (the serial side)
       .filter(col("__jp_keys").isNotNull)
     val tot = rows.agg(count(lit(1)).as("__jp_total"))
     rows.select(explode(col("__jp_keys")).as("key"), col("__jp_j"))
