@@ -818,7 +818,15 @@ object SparkEntry {
       val canon = docs.join(
         Dedup.exact(docs, "doc_id", "text")
           .select(col("canonical_id").as("doc_id")), Seq("doc_id"))
-      TextAnalysis.withLangId(TextAnalysis.withQuality(canon))
+      // spread + barrier the quality/langid enrichment: the token/stopword/
+      // langid expressions are heavy row-local regex work that ran as ONE
+      // task on the single-split scan (r19 probe: 0.59 s single-task
+      // stage), and the quality-gate filter would otherwise push below and
+      // re-evaluate them twice on the serial side (the q_weighted_sample
+      // pushdown trap)
+      val enriched = graft.Materialize(TextAnalysis.withLangId(
+        TextAnalysis.withQuality(TextAnalysis.spreadForCpuWork(canon))))
+      enriched
         .filter(col("n_tokens") >= 25 && col("lang_pred") === "en")
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
           col("stop_ratio"), TextAnalysis.redact(col("text")).as("text_out"))
@@ -1718,8 +1726,14 @@ object SparkEntry {
     // whose table geometry bounds the per-pair miss ≤ 1e-7; two-level vs
     // flat assignment agreement stays pinned by SimilaritySpec.
     "embed_celldup" -> ((s, dir) => {
-      val e = Similarity.syntheticNearDupEmbeddings(
-        table(s, dir, "embeddings").select(col("vec_id")), "vec_id", eps = 0f)
+      // materialize + spread the generated corpus ONCE (the embed_ivfpq_build
+      // discipline): count, farthest-first seeding, Lloyd rounds and the
+      // probe assignment all re-referenced the raw generator, re-running
+      // the per-row unit-vector synthesis serially on the single-split
+      // scan each time (r19 probe: a 0.43 s single-task barrier stage)
+      val e = graft.Materialize(operators.TextAnalysis.spreadForCpuWork(
+        Similarity.syntheticNearDupEmbeddings(
+          table(s, dir, "embeddings").select(col("vec_id")), "vec_id", eps = 0f)))
       val n = e.count()
       Similarity.cellNearDupPairs(e, "vec_id", "embedding",
         threshold = 0.8, nCells = Similarity.autoCellCount(n, targetCellSize = 250),

@@ -907,8 +907,14 @@ object Dedup {
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
       k: Int, md5Grams: Boolean = false): DataFrame = {
     require(k >= 2, s"duplicatedSpanStats: k must be >= 2, got $k")
-    val toksed = df.select(col(idCol),
-      filter(TextAnalysis.tokens(col(textCol)), x => x =!= "").as("toks"))
+    // spread before the gram materialize: tokenize + per-gram md5-of-slice
+    // is the operator's CPU-heavy map work (the md5WinnowDocs shape), and a
+    // single-split scan ran the whole barrier stage on one core (r19
+    // probe: a 0.86 s single-task localCheckpoint = the entire query)
+    val toksed = TextAnalysis.spreadForCpuWork(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        filter(TextAnalysis.tokens(col(textCol)), x => x =!= "").as("toks"))
     val t = col("toks")
     val gramArr =
       if (md5Grams)
@@ -975,8 +981,12 @@ object Dedup {
   def trimDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, md5Grams: Boolean = false): DataFrame = {
     require(k >= 2, s"trimDuplicatedSpans: k must be >= 2, got $k")
-    val toksed = df.select(col(idCol),
-      filter(TextAnalysis.tokens(col(textCol)), x => x =!= "").as("toks"))
+    // spread for the same reason as duplicatedSpanStats (0.69 s single-task
+    // barrier stage on a one-split scan)
+    val toksed = TextAnalysis.spreadForCpuWork(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        filter(TextAnalysis.tokens(col(textCol)), x => x =!= "").as("toks"))
     val t = col("toks")
     val gramArr =
       if (md5Grams)
