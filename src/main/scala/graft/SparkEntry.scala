@@ -1726,14 +1726,13 @@ object SparkEntry {
     // whose table geometry bounds the per-pair miss ≤ 1e-7; two-level vs
     // flat assignment agreement stays pinned by SimilaritySpec.
     "embed_celldup" -> ((s, dir) => {
-      // materialize + spread the generated corpus ONCE (the embed_ivfpq_build
+      // materialize the generated corpus ONCE (the embed_ivfpq_build
       // discipline): count, farthest-first seeding, Lloyd rounds and the
       // probe assignment all re-referenced the raw generator, re-running
-      // the per-row unit-vector synthesis serially on the single-split
-      // scan each time (r19 probe: a 0.43 s single-task barrier stage)
-      val e = graft.Materialize(operators.TextAnalysis.spreadForCpuWork(
-        Similarity.syntheticNearDupEmbeddings(
-          table(s, dir, "embeddings").select(col("vec_id")), "vec_id", eps = 0f)))
+      // the per-row unit-vector synthesis each time (r19 probe: a 0.43 s
+      // single-task barrier stage; the generator itself now spreads)
+      val e = graft.Materialize(Similarity.syntheticNearDupEmbeddings(
+        table(s, dir, "embeddings").select(col("vec_id")), "vec_id", eps = 0f))
       val n = e.count()
       Similarity.cellNearDupPairs(e, "vec_id", "embedding",
         threshold = 0.8, nCells = Similarity.autoCellCount(n, targetCellSize = 250),
@@ -1762,9 +1761,12 @@ object SparkEntry {
     // ∝ corpus × targetCellSize — linear with a constant the cell size
     // controls.
     "embed_decontaminate" -> ((s, dir) => {
-      val e = Similarity.syntheticNearDupEmbeddings(
+      // materialize the generated corpus once — count, seeding, training
+      // and the contamination check all re-referenced the raw generator
+      // (the embed_celldup lesson)
+      val e = graft.Materialize(Similarity.syntheticNearDupEmbeddings(
         table(s, dir, "embeddings").select(col("vec_id")), "vec_id",
-        perturbMod = 50)
+        perturbMod = 50))
       val eval = e.filter(pmod(col("vec_id"), lit(50)) === 0)
       val nRef = eval.count()
       Similarity.embeddingContamination(
