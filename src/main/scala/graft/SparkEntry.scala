@@ -309,14 +309,24 @@ object SparkEntry {
     // pair — the colliding bits extend past p=16). The production default
     // stays rsd=0.05 (512 B/key); accuracy there is BotDetectionSpec's ±5%.
     "a2_approx_agg" -> ((s, dir) => {
-      val ex = BotDetection.slidingAggregate(normalized(s, dir), eventsWindowing)
-      val ap = BotDetection.slidingAggregate(normalized(s, dir), eventsWindowing,
-          exact = false, approxRsd = 0.01)
-        .select(col("ip"), col("window_start_s"), col("n_categories").as("n_cat_hll"))
-      ex.join(ap, Seq("ip", "window_start_s"))
-        .select(col("ip"), col("window_start_s"), col("clicks"), col("views"),
-          col("n_categories").as("n_categories_exact"),
-          (abs(col("n_cat_hll") - col("n_categories")) <= 1).as("cats_within_1"))
+      // one aggregate, both distinct counters: the exact and sketch runs
+      // group by the SAME (ip, window) key over the SAME records, so the
+      // former two-run-plus-join formulation scanned and window-exploded
+      // the corpus twice and shuffled three times for what is one
+      // partial-aggregatable pass (guide §2.4 "two operations keyed the
+      // same way share one exchange"). Output rows identical — the join
+      // matched exactly the shared group keys.
+      val w = eventsWindowing
+      normalized(s, dir)
+        .groupBy(col("ip"), window(col("time"), w.duration, w.slide))
+        .agg(
+          sum(col("clicks")).as("clicks"),
+          sum(col("views")).as("views"),
+          size(collect_set(col("category"))).cast("long").as("n_categories_exact"),
+          approx_count_distinct(col("category"), 0.01).cast("long").as("n_cat_hll"))
+        .select(col("ip"), col("window.start").cast("long").as("window_start_s"),
+          col("clicks"), col("views"), col("n_categories_exact"),
+          (abs(col("n_cat_hll") - col("n_categories_exact")) <= 1).as("cats_within_1"))
     }),
 
     // Session windows: gap-based event grouping per ip (2-day gap).

@@ -50,15 +50,93 @@ object Tokenize {
       .agg(sum(col("cnt")).as("pair_n"))
       .orderBy(col("pair_n").desc, col("l"), col("r"))
       .limit(1).collect()
+    val vocabDf = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // Small-vocab route (the clusterPairs/Lloyd discipline): every merge
+    // round is a driver-synchronized job over the VOCAB table — a
+    // scheduling round-trip per merge, which dominates when the vocab is
+    // small. The vocab is (distinct word, count): below the config bound
+    // it is a bounded driver artifact — collect once, run the rounds
+    // locally. Merges are IDENTICAL by construction: pair counts are
+    // exact long sums (order-independent), the argmax tie-break
+    // (pair_n desc, l, r) and the greedy left-to-right non-overlapping
+    // fuse are replicated verbatim. Larger vocabs keep the distributed
+    // per-round loop below.
+    val localMax = spark.conf.getOption("spark.graft.bpeLocalMaxVocab")
+      .map(_.toInt).getOrElse(1 << 20)
+    val localVocab = vocabDf.limit(localMax + 1).collect()
+    if (localVocab.length <= localMax) {
+      var words = localVocab.map(r => (r.getString(0).split(""), r.getLong(1)))
+      val merges = scala.collection.mutable.ListBuffer
+        .empty[(Int, String, String, String, Long)]
+      var round = 0
+      var done = false
+      while (round < rounds && !done) {
+        val counts = new java.util.HashMap[(String, String), Long]()
+        words.foreach { case (syms, cnt) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            val cur = counts.get(k)
+            counts.put(k, (if (cur == null) 0L else cur.longValue()) + cnt)
+            i += 1
+          }
+        }
+        // argmax with the exact orderBy tie-break: pair_n DESC, l ASC, r ASC
+        // — string order must be Spark's (UTF-8 BYTE order), not Java's
+        // UTF-16 code-unit order (they diverge between supplementary chars
+        // and U+E000..U+FFFF)
+        def ltUtf8(a: String, b: String): Boolean = {
+          val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c < 0
+            i += 1
+          }
+          x.length < y.length
+        }
+        var best: ((String, String), Long) = null
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (best == null || e.getValue > best._2 ||
+              (e.getValue == best._2 &&
+                (ltUtf8(e.getKey._1, best._1._1) ||
+                  (e.getKey._1 == best._1._1 && ltUtf8(e.getKey._2, best._1._2)))))
+            best = (e.getKey, e.getValue.longValue())
+        }
+        if (best == null || best._2 < 2) done = true
+        else {
+          val ((l, r), n) = best
+          val m = l + r
+          merges += ((round, l, r, m, n))
+          words = words.map { case (syms, cnt) =>
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == l && x == r)
+                out(out.length - 1) = m
+              else out += x
+            }
+            (out.toArray, cnt)
+          }
+          round += 1
+        }
+      }
+      return merges.toSeq.toDF("round", "left", "right", "merged", "pair_n")
+        .select(col("round").cast("long").as("round"), col("left"),
+          col("right"), col("merged"), col("pair_n"))
+    }
     // barrier + argmax FUSED per round (Materialize.withAgg): training is
     // inherently one driver-synchronized job per merge; it should be ONE,
     // not the barrier count PLUS the pair scan (the 4.0× local-cluster
     // per-job tax on this query, r15 bench)
-    var (vocab, best) = graft.Materialize.withAgg(df
-      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(split(col("w"), "").as("syms"), col("cnt")), bestOf)
+    var (vocab, best) = graft.Materialize.withAgg(
+      vocabDf.select(split(col("w"), "").as("syms"), col("cnt")), bestOf)
     val merges = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, String, Long)]
     var round = 0

@@ -42,6 +42,26 @@ class TokenizeSpec extends AnyFunSuite {
       t.head.getAs[String]("right") === "b")
   }
 
+  test("bpeTrain driver route equals the distributed per-round route") {
+    // enough structure for 6 rounds: overlapping prefixes, chain-fuse bait
+    // (aaa), and exact ties — the shapes a route divergence would expose
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs") ++
+      Seq.fill(3)("aaa") ++ Seq.fill(2)("ab") ++ Seq.fill(2)("cd")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    def run(): Seq[(Long, String, String, String, Long)] =
+      Tokenize.bpeTrain(df, rounds = 6).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    val driver = run() // default threshold: small vocab, driver rounds
+    spark.conf.set("spark.graft.bpeLocalMaxVocab", "0")
+    val distributed = try run()
+      finally spark.conf.unset("spark.graft.bpeLocalMaxVocab")
+    assert(driver === distributed)
+    assert(driver.nonEmpty)
+  }
+
   test("bpeEncode applies the learned merges in order, positions preserved") {
     val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
       Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
