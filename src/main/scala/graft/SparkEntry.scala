@@ -1956,10 +1956,14 @@ object SparkEntry {
     // corpus has independent per-group rank grids, so no degenerate bucket
     // exists for the cap to guard against.
     "audio_neardup" -> ((s, dir) =>
+      // materialize the fingerprint table: hammingPairs self-joins its
+      // input, and an unmaterialized audioPhash re-runs the WAV decode on
+      // BOTH join sides (the imageGrayPhash lesson — the barrier is a tiny
+      // (media_id, afp) frame, the decode is the cost)
       operators.Dedup.hammingPairs(
-        operators.Multimodal.audioPhash(
+        graft.Materialize(operators.Multimodal.audioPhash(
           cachedMediaFor(s, dir, "requant")(
-            operators.Multimodal.syntheticRequantDupTable(table(s, dir, "documents"), "doc_id"))),
+            operators.Multimodal.syntheticRequantDupTable(table(s, dir, "documents"), "doc_id")))),
         "media_id", "afp", maxDist = 3)
         .select(col("id_a"), col("id_b"))),
 
